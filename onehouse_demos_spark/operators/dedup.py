@@ -1,0 +1,361 @@
+"""Deduplication operators over the `documents` table.
+
+Four tiers, all shuffle-conscious:
+
+- exact: hash-groupBy on the normalized-content fingerprint. One
+  shuffle on a 16-byte key; at 100 TB this is the cheapest possible
+  dedup (map-side partial agg + AQE-coalesced reduce).
+- ngram-Jaccard: shingle → explode → inverted index join, candidate
+  pairs only where shingles collide (never the naive O(n²) cross
+  join); exact Jaccard re-checked on candidates.
+- MinHash-LSH: shingle → K hash functions → band buckets → join within
+  buckets. The hash is md5-derived so the DuckDB oracle computes the
+  identical signature.
+- SimHash: 64-bit weighted-projection fingerprint; near-dups = small
+  Hamming distance within band buckets.
+
+The reference's dedup surface is only the dup-key invariant
+(test-suite/deltastreamer-hive-sync-presto.yaml:66); these extend it to
+content-level dedup as required for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark.functions.text import normalize_text, shingles
+
+N_MINHASH = 16  #: signature length
+N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH / N_BANDS)
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: canonical doc per content hash (keep min doc_id).
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    return (
+        docs.select(
+            "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact-dedup summary (stable scalar check even when no dups exist).
+# --------------------------------------------------------------------------
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    return docs.select(
+        F.md5(normalize_text(F.col("text"))).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dupes"),
+    )
+
+
+DEDUP_EXACT_SUMMARY_SQL = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT h) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT h) AS n_dupes
+FROM (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup: inverted-index candidate generation.
+# At scale: explode is linear in total shingles; the self-join happens
+# only on colliding shingle hashes (skew-guarded by dropping shingles
+# shared by >maxDF docs — stopword-shingle protection).
+# --------------------------------------------------------------------------
+
+def _shingle_index(docs: DataFrame, n: int = 3, max_df: int = 200) -> DataFrame:
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs (a<b) with 3-gram Jaccard ≥ 0.8, via inverted index."""
+    docs = load_docs(spark, sf_dir)
+    idx = _shingle_index(docs).cache()
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# DuckDB oracle: same inverted-index construction in SQL. The shingle
+# builder mirrors functions.text.shingles (word 3-grams over normalized
+# text; docs shorter than 3 tokens yield the whole text as one shingle).
+NGRAM_JACCARD_PAIRS_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      FOR i IN range(1, len(toks) - 1)]
+           END AS shs
+    FROM norm
+  ), UNNEST(shs) AS t(shingle)
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 200
+), idx AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures (md5-derived hash family → engine-portable).
+# h_i(s) = int(md5(i || s)[:15], 16); signature = min over shingles.
+# --------------------------------------------------------------------------
+
+def _minhash_sig(shingle_col, i: int):
+    return F.min(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle_col)), 1, 15), 16, 10
+        ).cast("long")
+    ).alias(f"mh{i}")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    idx = _shingle_index(docs, max_df=10**9)  # keep all shingles for signature
+    return idx.groupBy("doc_id").agg(
+        *[_minhash_sig(F.col("shingle"), i) for i in range(N_MINHASH)]
+    )
+
+
+def _minhash_sig_sql(i: int) -> str:
+    return (
+        f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
+    )
+
+
+MINHASH_SIGNATURES_SQL = (
+    """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      FOR i IN range(1, len(toks) - 1)]
+           END AS shs
+    FROM norm
+  ), UNNEST(shs) AS t(shingle)
+)
+SELECT doc_id, """
+    + ", ".join(_minhash_sig_sql(i) for i in range(N_MINHASH))
+    + "\nFROM sh GROUP BY doc_id"
+)
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs: band the signature, join within buckets.
+# --------------------------------------------------------------------------
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bucket"),
+            )
+        )
+    buckets = bands[0]
+    for extra in bands[1:]:
+        buckets = buckets.unionByName(extra)
+    a = buckets.alias("a")
+    b2 = buckets.alias("b")
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _band_bucket_sql(b: int, rows_per_band: int) -> str:
+    cols = " || '_' || ".join(
+        f"mh{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+    )
+    return f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs"
+
+
+MINHASH_LSH_PAIRS_SQL = (
+    "WITH sigs AS ("
+    + MINHASH_SIGNATURES_SQL
+    + "), buckets AS (\n"
+    + "\nUNION ALL\n".join(
+        _band_bucket_sql(b, N_MINHASH // N_BANDS) for b in range(N_BANDS)
+    )
+    + """
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a
+JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash 64-bit fingerprint: per-token md5-derived bit votes.
+# --------------------------------------------------------------------------
+
+def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    toks = toks.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    )
+    # vote per bit: +1 if bit set else -1; simhash bit = 1 if sum > 0.
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(60)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_votes)
+    sim = F.lit(0).cast("long")
+    for i in range(60):
+        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+SIMHASH64_SQL = (
+    """
+WITH toks AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+    FROM documents
+  )
+), votes AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    + """
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, """
+    + " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {2**i}::BIGINT ELSE 0 END)" for i in range(60)
+    )
+    + """ AS simhash
+FROM votes
+"""
+)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_exact_summary": dedup_exact_summary,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash64": simhash64,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_exact_summary": DEDUP_EXACT_SUMMARY_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_PAIRS_SQL,
+    "minhash_signatures": MINHASH_SIGNATURES_SQL,
+    "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
+    "simhash64": SIMHASH64_SQL,
+}

@@ -1,0 +1,445 @@
+"""Relational golden queries.
+
+Re-expresses the analytic surface the reference demos exercise
+(reference `hudi-spark-minio-trino/README.md:380-424`, `demo.md:253`,
+`notebook/demo.ipynb` cell 16 — projection, filter, group/max, HAVING,
+count(*), dup-key invariant, inner join, LIMIT) on the driver-provided
+TPC-H-ish corpus, plus the standard analytic shapes Spark SQL gives us
+for free (windows, semi/anti joins, multi-way joins).
+
+Scale notes (100 TB stance):
+
+- Every query is declared through the DataFrame API so Catalyst does
+  pushdown / pruning / join planning; no RDDs, no Python UDFs.
+- Dimension tables (region, nation, supplier, customer at analytic
+  grain) are broadcast explicitly where the join is star-shaped.
+- Aggregations are expressed as single groupBy so Spark plans
+  partial (map-side) aggregation before the shuffle.
+- Floating-point aggregates are rounded at the output edge (money → 2
+  decimals, ratios → 4) so results are stable across partition-order
+  summation differences; the same rounding is in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Q1-style pricing summary: filter → wide aggregate. (reference Q4/Q5
+# analog: hash aggregate with group key, README.md:380)
+# --------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  ROUND(AVG(l_quantity), 4) AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+  ROUND(AVG(l_discount), 4) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Projection + filter (reference Q1/Q2: `select ... where symbol='GOOG'`,
+# README.md:386). Predicate + projection push to the Parquet scan.
+# --------------------------------------------------------------------------
+
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000.0)
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        )
+    )
+
+
+FILTER_PROJECT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       ROUND(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0
+"""
+
+
+# --------------------------------------------------------------------------
+# Star join with broadcast dims (reference Q8: inner equi-join,
+# notebook/demo.ipynb cell 16). region/nation are tiny → broadcast.
+# --------------------------------------------------------------------------
+
+def join_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+JOIN_DIM_ROLLUP_SQL = """
+SELECT r_name,
+       COUNT(*) AS num_customers,
+       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Fact-fact join + aggregate + deterministic top-N (reference Q9 LIMIT
+# + the analytic join shape). Aggregate lineitem BEFORE the join so the
+# shuffle carries one row per order, not one per lineitem.
+# --------------------------------------------------------------------------
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    return (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.round("rev", 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderpriority,
+       ROUND(rev, 2) AS revenue
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY l_orderkey
+) r ON o_orderkey = r.l_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Dup-key invariant (reference Q7: `group by _row_key having count(*) > 1`
+# must return 0 rows — test-suite/deltastreamer-hive-sync-presto.yaml:66).
+# --------------------------------------------------------------------------
+
+def dup_key_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+DUP_KEY_INVARIANT_SQL = """
+SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count
+FROM lineitem
+GROUP BY l_orderkey, l_linenumber
+HAVING COUNT(*) > 1
+"""
+
+
+# --------------------------------------------------------------------------
+# count(*) scalar (reference Q6, deltastreamer-hive-sync-presto.yaml:64).
+# --------------------------------------------------------------------------
+
+def count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+COUNT_STAR_SQL = "SELECT COUNT(*) AS cnt FROM lineitem"
+
+
+# --------------------------------------------------------------------------
+# group/max on the stream table (reference Q4: `select symbol, max(ts)`,
+# README.md:380). Timestamps compared as epoch micros for engine parity.
+# --------------------------------------------------------------------------
+
+def events_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+EVENTS_MAX_TS_SQL = """
+SELECT event_type,
+       epoch_us(MAX(ts)::TIMESTAMP) AS max_ts_us,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# HAVING on group key (reference Q5: `group by symbol HAVING
+# symbol='GOOG'`, README.md:380 — Catalyst rewrites to a pre-agg filter).
+# --------------------------------------------------------------------------
+
+def group_having_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.unix_micros(F.max("ts")).alias("max_ts_us"))
+        .filter(F.col("event_type") == "purchase")
+    )
+
+
+GROUP_HAVING_KEY_SQL = """
+SELECT event_type, epoch_us(MAX(ts)::TIMESTAMP) AS max_ts_us
+FROM events
+GROUP BY event_type
+HAVING event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# Anti join: customers with no orders (delete semantics internally use
+# the same shape — SURVEY §2.2 M4). Broadcast would be wrong here (both
+# sides scale with the fact data) → shuffled hash anti-join + AQE.
+# --------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_inactive
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# Window / ranking: top-2 orders per customer. Single shuffle on
+# o_custkey; rank computed inside the partition (no second shuffle).
+# --------------------------------------------------------------------------
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "rk",
+        )
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice_r, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rk
+  FROM orders
+)
+WHERE rk <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Range scan on the stream table (reference O18 incremental-query shape:
+# commit/timestamp range predicate, README.md:966-984). The predicate
+# pushes down to the Parquet row-group stats.
+# --------------------------------------------------------------------------
+
+def events_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
+            & (F.col("ts") < F.lit("2024-01-11 00:00:00"))
+            & (F.col("event_type") == "click")
+        )
+        .select("event_id", "user_id", F.round("value", 4).alias("value_r"))
+    )
+
+
+EVENTS_RANGE_SCAN_SQL = """
+SELECT event_id, user_id, ROUND(value, 4) AS value_r
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+  AND event_type = 'click'
+"""
+
+
+# --------------------------------------------------------------------------
+# JSON extraction from the props column (reference S1 decodes JSON
+# payloads against a schema — README.md:222-230; same primitive).
+# --------------------------------------------------------------------------
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+EVENTS_JSON_EXTRACT_SQL = """
+SELECT event_type,
+       SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+       ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-shaped multi-way join: local supplier volume. Fact tables
+# join on their keys (shuffle), dims broadcast.
+# --------------------------------------------------------------------------
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "filter_project": filter_project,
+    "join_dim_rollup": join_dim_rollup,
+    "top_revenue_orders": top_revenue_orders,
+    "dup_key_invariant": dup_key_invariant,
+    "count_star": count_star,
+    "events_max_ts": events_max_ts,
+    "group_having_key": group_having_key,
+    "customers_without_orders": customers_without_orders,
+    "top_orders_per_customer": top_orders_per_customer,
+    "events_range_scan": events_range_scan,
+    "events_json_extract": events_json_extract,
+    "local_supplier_volume": local_supplier_volume,
+}
+
+ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "filter_project": FILTER_PROJECT_SQL,
+    "join_dim_rollup": JOIN_DIM_ROLLUP_SQL,
+    "top_revenue_orders": TOP_REVENUE_ORDERS_SQL,
+    "dup_key_invariant": DUP_KEY_INVARIANT_SQL,
+    "count_star": COUNT_STAR_SQL,
+    "events_max_ts": EVENTS_MAX_TS_SQL,
+    "group_having_key": GROUP_HAVING_KEY_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "top_orders_per_customer": TOP_ORDERS_PER_CUSTOMER_SQL,
+    "events_range_scan": EVENTS_RANGE_SCAN_SQL,
+    "events_json_extract": EVENTS_JSON_EXTRACT_SQL,
+    "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+}

@@ -1,0 +1,257 @@
+"""Vector similarity search over the `embeddings` table
+(`embedding: array<float>`, 64-dim).
+
+- Brute-force cosine top-k: `F.aggregate`/`F.zip_with` dot products —
+  JVM-side higher-order functions, no Python in the loop. This is the
+  exactness baseline and is embarrassingly parallel (scan + local
+  top-k + global top-k merge; no shuffle of the vectors themselves).
+- IVF (inverted-file) variant: deterministic hash-bucketed coarse
+  quantizer — at 100 TB the probe touches only matching buckets
+  (partition pruning on the bucket column), the scale path.
+- Embedding-cosine near-duplicate pairs: bucket-join candidate
+  generation + exact cosine verification.
+
+All arithmetic is done in DOUBLE with left-to-right array folds so the
+DuckDB oracle (list_dot_product / explicit list folds, also
+left-to-right) produces bit-compatible values; outputs round to 4
+decimals with deterministic id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k against a fixed query vector (vec_id = 0).
+# Plan shape: broadcast the 1-row query side; scan+project computes the
+# score; global top-k is a single TakeOrdered — no full sort.
+# --------------------------------------------------------------------------
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qvec")
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qvec")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+KNN_BRUTEFORCE_SQL = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       ROUND(
+         list_dot_product(embedding::DOUBLE[], qvec)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qvec, qvec))), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Centroid of each label class + per-vector distance to own centroid
+# (the building block of IVF coarse quantization / k-means assignment).
+# Element-wise mean via posexplode → groupBy(label, pos) — linear, one
+# shuffle keyed by (label, dim) so no vector ever concentrates on one
+# task.
+# --------------------------------------------------------------------------
+
+def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_emb(spark, sf_dir)
+    comps = emb.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x")
+    )
+    cents = (
+        comps.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_comp"),
+            F.round(F.sum("x"), 4).alias("sum_all"),
+        )
+    )
+    return cents.select(
+        "label",
+        (F.col("n_comp") / 64).cast("long").alias("n_vectors"),
+        "sum_all",
+    )
+
+
+LABEL_CENTROID_DISTANCE_SQL = """
+SELECT label,
+       (COUNT(*) / 64)::BIGINT AS n_vectors,
+       ROUND(SUM(x), 4) AS sum_all
+FROM (
+  SELECT label, UNNEST(embedding::DOUBLE[]) AS x FROM embeddings
+)
+GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed ANN: deterministic coarse quantizer = sign bits of the
+# first B components (a fixed random-hyperplane LSH in disguise).
+# Probe reads only the query's bucket — at scale the bucket column is
+# the partition key, so this is partition pruning, not a scan.
+# --------------------------------------------------------------------------
+
+N_SIGN_BITS = 6
+
+
+def _sign_bucket(vec) -> Column:
+    bucket = F.lit(0)
+    for i in range(N_SIGN_BITS):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) > 0, F.lit(2 ** i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_emb(spark, sf_dir).withColumn(
+        "bucket", _sign_bucket(_as_double(F.col("embedding")))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qbucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(_as_double(F.col("embedding")), F.col("qvec")), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _sign_bucket_sql(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN {vec_expr}[{i + 1}] > 0 THEN {2**i} ELSE 0 END)"
+        for i in range(N_SIGN_BITS)
+    ]
+    return " + ".join(terms)
+
+
+KNN_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         {_sign_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT v AS qvec, bucket AS qbucket FROM e WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       ROUND(list_dot_product(v, qvec)
+             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qvec, qvec))),
+             4) AS cos_sim
+FROM e, q
+WHERE vec_id <> 0 AND bucket = qbucket
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding near-duplicate pairs: candidates from shared sign-bucket,
+# verified by exact cosine ≥ 0.95. The bucket equi-join replaces the
+# O(n²) cross join; at 100 TB add more sign bits to keep buckets small.
+# --------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    emb = emb.withColumn("bucket", _sign_bucket(F.col("v")))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+EMBEDDING_NEAR_DUP_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sign_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            4) >= 0.95
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "label_centroid_distance": label_centroid_distance,
+    "knn_ivf": knn_ivf,
+    "embedding_near_dup_pairs": embedding_near_dup_pairs,
+}
+
+ORACLES = {
+    "knn_bruteforce": KNN_BRUTEFORCE_SQL,
+    "label_centroid_distance": LABEL_CENTROID_DISTANCE_SQL,
+    "knn_ivf": KNN_IVF_SQL,
+    "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
+}

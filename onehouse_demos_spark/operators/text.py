@@ -1,0 +1,127 @@
+"""Text-analysis queries over the `documents` table, with DuckDB
+oracle SQL generated from the SAME constants as the Spark column
+functions so the two stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint64,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count,
+    word_token_count,
+)
+
+
+def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# Per-document stats: token counts + punctuation + quality score.
+# --------------------------------------------------------------------------
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        word_token_count(F.col("text")).alias("n_word_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(punct_ratio(F.col("text")), 4).alias("punct_ratio_r"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _stop_hits_sql(expr: str, words: list[str]) -> str:
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"length(regexp_extract_all(lower({expr}), '{pattern}'))"
+
+
+_EN_HITS = _stop_hits_sql("text", LANG_MARKERS["en"])
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+       length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_word_tokens,
+       length(text) AS n_chars_actual,
+       ROUND(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                  / length(text) END, 4) AS punct_ratio_r,
+       ROUND(
+         (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)
+                    BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END)
+       + (CASE WHEN {_EN_HITS} > 0 THEN 0.3 ELSE 0.0 END)
+       + 0.2
+       - LEAST((CASE WHEN length(text) = 0 THEN 0.0
+                ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                     / length(text) END) * 2.0, 0.2), 4) AS quality
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Language ID heuristic vs the labeled lang column.
+# --------------------------------------------------------------------------
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    return (
+        docs.select("lang", lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lang_id_sql(expr: str) -> str:
+    """Nested strict-argmax identical to functions.text.lang_id."""
+    best_lang, best_hits = "'und'", "0"
+    for code in sorted(LANG_MARKERS):
+        hits = _stop_hits_sql(expr, LANG_MARKERS[code])
+        best_lang = f"CASE WHEN {hits} > {best_hits} THEN '{code}' ELSE {best_lang} END"
+        best_hits = f"CASE WHEN {hits} > {best_hits} THEN {hits} ELSE {best_hits} END"
+    return best_lang
+
+
+LANG_ID_CONFUSION_SQL = f"""
+SELECT lang, {_lang_id_sql('text')} AS pred_lang, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting (md5-derived 60-bit content hash).
+# --------------------------------------------------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp64"))
+
+
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp64
+FROM documents
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "lang_id_confusion": lang_id_confusion,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "text_stats": TEXT_STATS_SQL,
+    "lang_id_confusion": LANG_ID_CONFUSION_SQL,
+    "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+}

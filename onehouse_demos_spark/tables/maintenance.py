@@ -1,0 +1,157 @@
+"""Table maintenance services: compaction, clustering, cleaning,
+archival (reference M11-M13: `README.md:1126-1160` compaction
+schedule/run; `test-suite/simple-clustering.yaml:55-58` +
+`test-clustering.properties:32-37` clustering;
+`test-aggressive-clean-archival.properties` clean/archival).
+
+All services follow the reference's two-step pattern: *schedule*
+(driver-side plan over manifest metadata) then *run* (Spark jobs that
+rewrite data), publishing a `replacecommit` that incremental readers
+skip (reference `README.md:1224-1227`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark.tables.table import COMMIT_COL, KEY_COL, LakehouseTable
+from onehouse_demos_spark.tables.timeline import FileMeta
+
+
+@dataclass
+class CompactionPlan:
+    """Partitions whose log files should merge into new base files."""
+
+    partitions: list[str] = field(default_factory=list)
+    base_files: list[FileMeta] = field(default_factory=list)
+    log_files: list[FileMeta] = field(default_factory=list)
+
+    @property
+    def empty(self) -> bool:
+        return not self.log_files
+
+
+def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
+    """Plan = every partition that currently has log files (reference
+    `compaction schedule`, README.md:1126-1143). Metadata-only."""
+    files = table.manifest.live_files()
+    log_parts = {f.partition for f in files if f.kind == "log"}
+    return CompactionPlan(
+        partitions=sorted(p or "" for p in log_parts),
+        base_files=[f for f in files if f.kind == "base" and f.partition in log_parts],
+        log_files=[f for f in files if f.kind == "log"],
+    )
+
+
+def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
+    """Merge logs into new base files per planned partition (reference
+    `compaction run`, README.md:1147-1160). One Spark job; the merge is
+    the same window-dedup Catalyst plan the `_rt` view uses, so
+    compaction cost ≈ one snapshot materialization of the planned
+    partitions only."""
+    if plan is None:
+        plan = schedule_compaction(table)
+    if plan.empty:
+        return None
+    instant = table.timeline.begin("replacecommit")
+    try:
+        participating = plan.base_files + plan.log_files
+        df = table._read_files(participating)
+        merged = table._merge_latest(df, filter_deleted=True)
+        adds = table._write_files(merged, instant, kind="base")
+        return table._commit(
+            instant,
+            "replacecommit",
+            "compaction",
+            adds,
+            [f.path for f in participating],
+            merged.schema,
+            extra={"compacted_partitions": plan.partitions},
+        )
+    except Exception:
+        table.timeline.abort(instant)
+        raise
+
+
+def run_clustering(
+    table: LakehouseTable,
+    sort_columns: list[str],
+    target_file_rows: int = 5_000_000,
+    partitions: list[str] | None = None,
+):
+    """Rewrite live base files range-sorted by `sort_columns` into
+    target-sized files (reference `SparkSortAndSizeExecutionStrategy`,
+    sort.columns + target.file.max.bytes —
+    `test-clustering.properties:34-37`). Improves data skipping: sorted
+    layout → tight parquet min/max → fewer files scanned per predicate."""
+    files = table.manifest.live_files(include_logs=False)
+    if partitions is not None:
+        files = [f for f in files if (f.partition or "") in set(partitions)]
+    if not files:
+        return None
+    instant = table.timeline.begin("replacecommit")
+    try:
+        df = table._read_files(files)
+        total_rows = sum(f.rows for f in files)
+        n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
+        clustered = (
+            df.repartitionByRange(n_files, *[F.col(c) for c in sort_columns])
+            .sortWithinPartitions(*sort_columns)
+        )
+        adds = table._write_files(clustered, instant, kind="base")
+        return table._commit(
+            instant,
+            "replacecommit",
+            "clustering",
+            adds,
+            [f.path for f in files],
+            clustered.schema,
+            extra={"sort_columns": sort_columns},
+        )
+    except Exception:
+        table.timeline.abort(instant)
+        raise
+
+
+def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
+    """Physically delete file versions replaced more than
+    `keep_last_commits` commits ago (reference cleaning semantics,
+    `validate_clean: true` in templates/long_test_suite.yaml.template).
+    Time-travel older than the horizon is sacrificed — same contract
+    as the reference's cleaner."""
+    instants = table.timeline.instants()
+    if len(instants) <= keep_last_commits:
+        return []
+    horizon = instants[-keep_last_commits].instant
+    already_cleaned: set[str] = set()
+    for inst in instants:
+        if inst.action == "clean":
+            already_cleaned.update(inst.extra.get("deleted", []))
+    doomed: list[str] = []
+    for inst in instants:
+        if inst.instant < horizon:
+            doomed.extend(p for p in inst.removes if p not in already_cleaned)
+    if not doomed:
+        return []
+    instant = table.timeline.begin("clean")
+    try:
+        for rel in doomed:
+            abs_path = os.path.join(table.base_path, rel)
+            if os.path.exists(abs_path):
+                os.remove(abs_path)
+        table._commit(
+            instant, "clean", "clean", [], [], extra={"deleted": sorted(doomed)}
+        )
+        return doomed
+    except Exception:
+        table.timeline.abort(instant)
+        raise
+
+
+def run_archival(table: LakehouseTable, keep_last: int = 50) -> int:
+    """Fold old timeline instants into the archive (reference archival,
+    `validate_archival: true`)."""
+    return table.timeline.archive(keep_last=keep_last)

@@ -1,0 +1,642 @@
+"""LakehouseTable: primary-keyed, multi-versioned Parquet table with
+COW / MOR storage and snapshot / read-optimized / incremental views.
+
+Semantics mirror the surface the reference demos exercise through Hudi
+(SURVEY §1, §2.2, §2.4): record key + precombine conflict resolution
+(`demo/config/kafka-source.properties:19`, `README.md:226`), partition
+paths (`README.md:273-275`), commit timeline (`README.md:252`), the
+three read views (`README.md:341-344, 966-984`), and the operation set
+of the integ-test-suite DAGs (insert / bulk_insert / upsert / delete /
+insert_overwrite / insert_overwrite_table / delete_partition /
+compaction / clustering — `demo/config/test-suite/*.yaml`).
+
+Implementation is Spark-first: every data movement is a DataFrame op
+planned by Catalyst (joins for key lookup, window dedup for merge);
+this layer only decides WHICH FILES participate (manifest pruning) and
+records metadata. Nothing row-scale ever reaches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass, field
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from onehouse_demos_spark.tables.manifest import Manifest
+from onehouse_demos_spark.tables.timeline import FileMeta, Instant, Timeline
+
+# Meta columns (our analog of the reference's `_hoodie_*` columns,
+# `README.md:386-389`, optional-izable per `hoodie.populate.meta.fields`).
+KEY_COL = "_oh_record_key"
+COMMIT_COL = "_oh_commit_time"
+DELETED_COL = "_oh_is_deleted"
+PP_COL = "_oh_pp"  # on-disk partition-path directory column
+META_COLS = (KEY_COL, COMMIT_COL, DELETED_COL)
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _uri_to_path(uri: str) -> str:
+    """Normalize Spark's input_file_name URIs (file:///x or file:/x,
+    possibly %-encoded) to a local filesystem path."""
+    p = unquote(uri)
+    if p.startswith("file:"):
+        p = p[len("file:") :]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+@dataclass
+class TableConfig:
+    name: str
+    record_key: list[str] = field(default_factory=list)
+    precombine: str | None = None  # ordering field resolving key conflicts
+    partition_by: list[str] = field(default_factory=list)
+    partition_expr: str | None = None  # SQL expr → partition path string
+    table_type: str = "cow"  # "cow" | "mor"
+    soft_delete_col: str | None = None  # e.g. "_hoodie_is_deleted" analog
+
+    def to_json(self) -> dict:
+        return {
+            "name": self.name,
+            "record_key": self.record_key,
+            "precombine": self.precombine,
+            "partition_by": self.partition_by,
+            "partition_expr": self.partition_expr,
+            "table_type": self.table_type,
+            "soft_delete_col": self.soft_delete_col,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableConfig":
+        return TableConfig(**d)
+
+
+class LakehouseTable:
+    def __init__(self, spark: SparkSession, base_path: str, config: TableConfig):
+        self.spark = spark
+        self.base_path = base_path.rstrip("/")
+        self.config = config
+        self.timeline = Timeline(self.base_path)
+        self.manifest = Manifest(self.timeline)
+        self._write_config()
+
+    # ---------------------------------------------------------------- create
+
+    @staticmethod
+    def create(
+        spark: SparkSession, base_path: str, config: TableConfig
+    ) -> "LakehouseTable":
+        return LakehouseTable(spark, base_path, config)
+
+    @staticmethod
+    def load(spark: SparkSession, base_path: str) -> "LakehouseTable":
+        import json
+
+        cfg_path = os.path.join(base_path, Timeline.COMMITS_DIR, "table_config.json")
+        with open(cfg_path) as f:
+            return LakehouseTable(spark, base_path, TableConfig.from_json(json.load(f)))
+
+    def _write_config(self) -> None:
+        import json
+
+        cfg_path = os.path.join(self.base_path, Timeline.COMMITS_DIR, "table_config.json")
+        if not os.path.exists(cfg_path):
+            tmp = cfg_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.config.to_json(), f)
+            os.rename(tmp, cfg_path)
+
+    # ------------------------------------------------------------- meta cols
+
+    def _key_expr(self):
+        cols = self.config.record_key
+        if not cols:
+            raise ValueError("table has no record key configured")
+        if len(cols) == 1:
+            return F.col(cols[0]).cast("string")
+        return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+
+    def _partition_path_expr(self):
+        if self.config.partition_expr:
+            return F.expr(self.config.partition_expr).cast("string")
+        if self.config.partition_by:
+            return F.concat_ws(
+                "/", *[F.col(c).cast("string") for c in self.config.partition_by]
+            )
+        return None
+
+    def _with_meta(self, df: DataFrame, instant: str) -> DataFrame:
+        out = df.withColumn(KEY_COL, self._key_expr()).withColumn(
+            COMMIT_COL, F.lit(instant)
+        )
+        if self.config.soft_delete_col and self.config.soft_delete_col in df.columns:
+            out = out.withColumn(
+                DELETED_COL,
+                F.coalesce(F.col(self.config.soft_delete_col).cast("boolean"), F.lit(False)),
+            )
+        elif DELETED_COL not in df.columns:
+            out = out.withColumn(DELETED_COL, F.lit(False))
+        return out
+
+    # ---------------------------------------------------------------- write
+
+    def _write_files(
+        self, df: DataFrame, instant: str, kind: str = "base"
+    ) -> list[FileMeta]:
+        """Write a prepared (meta-columned) DataFrame as parquet under a
+        unique per-instant directory; harvest per-file stats from the
+        parquet footers (metadata-only reads — no data rescan)."""
+        rel_dir = f"data/{instant}_{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.base_path, rel_dir)
+        pp = self._partition_path_expr()
+        writer = df
+        if pp is not None:
+            writer = writer.withColumn(PP_COL, F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)))
+            writer.write.partitionBy(PP_COL).parquet(out_dir, mode="errorifexists")
+        else:
+            writer.write.parquet(out_dir, mode="errorifexists")
+        return self._harvest_stats(out_dir, rel_dir, kind)
+
+    def _harvest_stats(self, out_dir: str, rel_dir: str, kind: str) -> list[FileMeta]:
+        import pyarrow.parquet as pq
+
+        metas: list[FileMeta] = []
+        for root, _dirs, files in os.walk(out_dir):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                abs_path = os.path.join(root, name)
+                rel_path = os.path.relpath(abs_path, self.base_path)
+                partition = None
+                for seg in rel_path.split(os.sep):
+                    if seg.startswith(PP_COL + "="):
+                        partition = unquote(seg[len(PP_COL) + 1 :])
+                pf = pq.ParquetFile(abs_path)
+                key_min = key_max = None
+                try:
+                    schema_names = pf.schema_arrow.names
+                    key_idx = schema_names.index(KEY_COL)
+                    mins, maxs = [], []
+                    for rg in range(pf.metadata.num_row_groups):
+                        st = pf.metadata.row_group(rg).column(key_idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    if mins:
+                        key_min, key_max = min(mins), max(maxs)
+                except (ValueError, AttributeError):
+                    pass
+                metas.append(
+                    FileMeta(
+                        path=rel_path.replace(os.sep, "/"),
+                        partition=partition,
+                        rows=pf.metadata.num_rows,
+                        key_min=key_min,
+                        key_max=key_max,
+                        kind=kind,
+                    )
+                )
+        if not metas:
+            # empty write (0-row df): record nothing
+            return []
+        return metas
+
+    def _commit(
+        self,
+        instant: str,
+        action: str,
+        operation: str,
+        adds: list[FileMeta],
+        removes: list[str],
+        df_schema: T.StructType | None = None,
+        extra: dict | None = None,
+        planned_from: str | None = None,
+    ) -> Instant:
+        inst = Instant(
+            instant=instant,
+            action=action,
+            operation=operation,
+            adds=adds,
+            removes=removes,
+            schema_json=df_schema.json() if df_schema is not None else None,
+            extra=extra or {},
+        )
+        self.timeline.complete(inst, conflict_check_from=planned_from)
+        return inst
+
+    # -- public write ops -----------------------------------------------------
+
+    def insert(self, df: DataFrame) -> Instant:
+        """Append rows; no key dedup against existing data (reference
+        M1 `InsertNode`, test-suite/complex-dag-mor.yaml:26)."""
+        instant = self.timeline.begin("commit")
+        try:
+            prepared = self._with_meta(df, instant)
+            adds = self._write_files(prepared, instant)
+            return self._commit(instant, "commit", "insert", adds, [], prepared.schema)
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def bulk_insert(self, df: DataFrame, num_files: int | None = None) -> Instant:
+        """Sorted large-batch load (reference M2 `BulkInsertNode`):
+        range-partition + sort by record key so parquet min/max stats
+        give disjoint key ranges per file → upsert pruning works."""
+        instant = self.timeline.begin("commit")
+        try:
+            prepared = self._with_meta(df, instant)
+            n = num_files or max(1, self.spark.sparkContext.defaultParallelism)
+            prepared = prepared.repartitionByRange(n, F.col(KEY_COL)).sortWithinPartitions(
+                KEY_COL
+            )
+            adds = self._write_files(prepared, instant)
+            return self._commit(
+                instant, "commit", "bulk_insert", adds, [], prepared.schema
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def _dedupe_incoming(self, prepared: DataFrame) -> DataFrame:
+        """Within-batch precombine: newest per key wins (reference
+        `--source-ordering-field ts`, README.md:226)."""
+        order = [F.col(COMMIT_COL).desc()]
+        if self.config.precombine:
+            order = [F.col(self.config.precombine).desc()] + order
+        w = Window.partitionBy(KEY_COL).orderBy(*order)
+        return (
+            prepared.withColumn("_oh_rn", F.row_number().over(w))
+            .filter(F.col("_oh_rn") == 1)
+            .drop("_oh_rn")
+        )
+
+    def _candidate_files(self, prepared_keys: DataFrame) -> list[FileMeta]:
+        """Prune live base files to those that could contain the
+        incoming keys: partition pruning + key-range-stats pruning.
+        The collected values are metadata-scale (distinct partitions,
+        global key min/max), never row-scale."""
+        files = self.manifest.live_files(include_logs=False)
+        pp = self._partition_path_expr()
+        # Partition pruning is opportunistic: possible only when the
+        # probe frame still carries the partition-source columns
+        # (a bare key list can't be mapped to partitions).
+        if pp is not None and set(self.config.partition_by) <= set(
+            prepared_keys.columns
+        ):
+            parts = {
+                r[0]
+                for r in prepared_keys.select(
+                    F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)).alias("p")
+                )
+                .distinct()
+                .collect()
+            }
+            files = Manifest.prune_by_partition(files, parts)
+        rng = prepared_keys.agg(
+            F.min(KEY_COL).alias("lo"), F.max(KEY_COL).alias("hi")
+        ).collect()[0]
+        if rng["lo"] is not None:
+            files = Manifest.prune_by_key_range(files, rng["lo"], rng["hi"])
+        return files
+
+    def _abs(self, rel_paths: list[str]) -> list[str]:
+        return [os.path.join(self.base_path, p) for p in rel_paths]
+
+    def _read_files(self, files: list[FileMeta]) -> DataFrame | None:
+        if not files:
+            return None
+        schema = self._latest_schema()
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*self._abs([f.path for f in files]))
+        return df.drop(PP_COL)
+
+    def _latest_schema(self) -> T.StructType | None:
+        for inst in reversed(self.timeline.instants()):
+            if inst.schema_json:
+                return T.StructType.fromJson(__import__("json").loads(inst.schema_json))
+        return None
+
+    def upsert(self, df: DataFrame) -> Instant:
+        """Merge by record key; newest-by-precombine wins; COW rewrites
+        touched files, MOR appends log files (reference M3
+        `UpsertNode`; `README.md:213`)."""
+        if self.config.table_type == "mor":
+            return self._mor_write(df, "upsert")
+        instant = self.timeline.begin("commit")
+        planned_from = self.timeline.latest_instant()
+        try:
+            prepared = self._dedupe_incoming(self._with_meta(df, instant))
+            candidates = self._candidate_files(prepared)
+            touched: list[str] = []
+            merged = prepared
+            existing = self._read_files(candidates)
+            if existing is not None:
+                # Phase 1 (column-pruned probe): which candidate files
+                # actually hold incoming keys?
+                probe = (
+                    existing.select(KEY_COL)
+                    .withColumn("_oh_file", F.input_file_name())
+                    .join(
+                        F.broadcast(prepared.select(KEY_COL).distinct())
+                        if self._small(prepared)
+                        else prepared.select(KEY_COL).distinct(),
+                        KEY_COL,
+                        "inner",
+                    )
+                    .select("_oh_file")
+                    .distinct()
+                )
+                touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
+                touched = [os.path.relpath(p, self.base_path) for p in touched_abs]
+                if touched:
+                    by_path = {f.path: f for f in candidates}
+                    carry = self._read_files([by_path[p] for p in touched])
+                    merged = carry.unionByName(prepared, allowMissingColumns=True)
+            merged = self._merge_latest(merged, filter_deleted=True)
+            adds = self._write_files(merged, instant)
+            return self._commit(
+                instant,
+                "commit",
+                "upsert",
+                adds,
+                touched,
+                merged.schema,
+                planned_from=planned_from,
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def _small(self, df: DataFrame) -> bool:
+        # Broadcast the incoming key set when the batch is plausibly
+        # small; AQE will fix misestimates at runtime.
+        return True
+
+    def delete(self, keys_df: DataFrame) -> Instant:
+        """Hard delete by key (reference M4 `DeleteNode`). `keys_df`
+        needs the record-key columns (extra columns ignored)."""
+        if self.config.table_type == "mor":
+            return self._mor_delete(keys_df)
+        instant = self.timeline.begin("commit")
+        planned_from = self.timeline.latest_instant()
+        try:
+            part_cols = [c for c in self.config.partition_by if c in keys_df.columns]
+            del_keys = (
+                keys_df.select(self._key_expr().alias(KEY_COL), *part_cols).distinct()
+            )
+            candidates = self._candidate_files(del_keys)
+            existing = self._read_files(candidates)
+            adds: list[FileMeta] = []
+            touched: list[str] = []
+            if existing is not None:
+                probe = (
+                    existing.select(KEY_COL)
+                    .withColumn("_oh_file", F.input_file_name())
+                    .join(F.broadcast(del_keys), KEY_COL, "inner")
+                    .select("_oh_file")
+                    .distinct()
+                )
+                touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
+                touched = [os.path.relpath(p, self.base_path) for p in touched_abs]
+                if touched:
+                    by_path = {f.path: f for f in candidates}
+                    carry = self._read_files([by_path[p] for p in touched])
+                    remaining = carry.join(
+                        F.broadcast(del_keys), KEY_COL, "left_anti"
+                    )
+                    adds = self._write_files(remaining, instant)
+            return self._commit(
+                instant,
+                "commit",
+                "delete",
+                adds,
+                touched,
+                planned_from=planned_from,
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    # -- MOR log path ---------------------------------------------------------
+
+    def _mor_write(self, df: DataFrame, operation: str) -> Instant:
+        """MOR upsert: append a log file set; merge deferred to read
+        (`_rt`) or compaction (reference `README.md:724,730` — 'appended
+        the batch to an unmerged delta (log) file')."""
+        instant = self.timeline.begin("deltacommit")
+        try:
+            prepared = self._dedupe_incoming(self._with_meta(df, instant))
+            adds = self._write_files(prepared, instant, kind="log")
+            return self._commit(
+                instant, "deltacommit", operation, adds, [], prepared.schema
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def _mor_delete(self, keys_df: DataFrame) -> Instant:
+        instant = self.timeline.begin("deltacommit")
+        try:
+            schema = self._latest_schema()
+            # Tombstones keep any partition-source columns present in
+            # keys_df so they land in (and prune to) the right
+            # partitions; all other data columns are null.
+            part_cols = [c for c in self.config.partition_by if c in keys_df.columns]
+            tombstones = keys_df.select(
+                self._key_expr().alias(KEY_COL),
+                F.lit(instant).alias(COMMIT_COL),
+                F.lit(True).alias(DELETED_COL),
+                *part_cols,
+            )
+            if schema is not None:
+                for f in schema.fields:
+                    if f.name not in tombstones.columns and f.name != PP_COL:
+                        tombstones = tombstones.withColumn(
+                            f.name, F.lit(None).cast(f.dataType)
+                        )
+            adds = self._write_files(tombstones, instant, kind="log")
+            return self._commit(instant, "deltacommit", "delete", adds, [])
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    # -- overwrite family -----------------------------------------------------
+
+    def insert_overwrite(self, df: DataFrame) -> Instant:
+        """Replace exactly the partitions present in `df` (reference M7
+        `SparkInsertOverwriteNode`; dynamic partition overwrite)."""
+        instant = self.timeline.begin("replacecommit")
+        try:
+            prepared = self._with_meta(df, instant)
+            pp = self._partition_path_expr()
+            removes: list[str] = []
+            if pp is not None:
+                parts = {
+                    r[0]
+                    for r in prepared.select(
+                        F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)).alias("p")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                removes = [
+                    f.path
+                    for f in self.manifest.live_files()
+                    if f.partition in parts
+                ]
+            else:
+                removes = [f.path for f in self.manifest.live_files()]
+            adds = self._write_files(prepared, instant)
+            return self._commit(
+                instant, "replacecommit", "insert_overwrite", adds, removes, prepared.schema
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def insert_overwrite_table(self, df: DataFrame) -> Instant:
+        """Replace the whole table (reference M8)."""
+        instant = self.timeline.begin("replacecommit")
+        try:
+            prepared = self._with_meta(df, instant)
+            removes = [f.path for f in self.manifest.live_files()]
+            adds = self._write_files(prepared, instant)
+            return self._commit(
+                instant,
+                "replacecommit",
+                "insert_overwrite_table",
+                adds,
+                removes,
+                prepared.schema,
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def delete_partition(self, partition_values: list[str]) -> Instant:
+        """Drop whole partitions by path value (reference M9,
+        `spark-delete-partition.yaml:28-31`)."""
+        instant = self.timeline.begin("replacecommit")
+        try:
+            parts = set(partition_values)
+            removes = [
+                f.path for f in self.manifest.live_files() if f.partition in parts
+            ]
+            return self._commit(
+                instant,
+                "replacecommit",
+                "delete_partition",
+                [],
+                removes,
+                extra={"partitions": sorted(parts)},
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    # ---------------------------------------------------------------- reads
+
+    def _merge_latest(self, df: DataFrame, filter_deleted: bool = True) -> DataFrame:
+        """Cross-commit conflict resolution: the LATEST COMMIT wins;
+        precombine breaks ties within a commit. This matches the
+        reference's default payload behavior (OverwriteWithLatest:
+        later writes overwrite, `--source-ordering-field` dedupes
+        within a batch — README.md:226) and gives MOR delete
+        tombstones commit-ordered semantics (a later re-insert
+        resurrects the key)."""
+        order = [F.col(COMMIT_COL).desc()]
+        if self.config.precombine:
+            order.append(F.col(self.config.precombine).desc_nulls_last())
+        w = Window.partitionBy(KEY_COL).orderBy(*order)
+        out = (
+            df.withColumn("_oh_rn", F.row_number().over(w))
+            .filter(F.col("_oh_rn") == 1)
+            .drop("_oh_rn")
+        )
+        if filter_deleted:
+            out = out.filter(~F.col(DELETED_COL))
+        return out
+
+    def _strip_meta(self, df: DataFrame, keep_meta: bool) -> DataFrame:
+        if keep_meta:
+            return df
+        return df.drop(*META_COLS)
+
+    def snapshot(self, as_of: str | None = None, keep_meta: bool = False) -> DataFrame:
+        """Latest (or time-travel) view. COW: base files are final.
+        MOR: on-the-fly log merge (reference `_rt` view,
+        `README.md:756-776`)."""
+        files = self.manifest.live_files(as_of=as_of)
+        df = self._read_files(files)
+        if df is None:
+            return self._empty_df(keep_meta)
+        has_logs = any(f.kind == "log" for f in files)
+        if has_logs:
+            df = self._merge_latest(df)
+        else:
+            df = df.filter(~F.col(DELETED_COL))
+        return self._strip_meta(df, keep_meta)
+
+    def read_optimized(self, keep_meta: bool = False) -> DataFrame:
+        """Base-files-only view (reference `_ro`, `README.md:343` —
+        stale until compaction, but no merge cost)."""
+        files = self.manifest.live_files(include_logs=False)
+        df = self._read_files(files)
+        if df is None:
+            return self._empty_df(keep_meta)
+        return self._strip_meta(df.filter(~F.col(DELETED_COL)), keep_meta)
+
+    def incremental(
+        self,
+        begin: str | None,
+        end: str | None = None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Records changed by commits in (begin, end] — latest state per
+        key, file-skipping via commit metadata (reference O18,
+        `README.md:966-984`; file skipping `:954,979`). Compaction /
+        clustering replacecommits are invisible (O19)."""
+        files = self.manifest.incremental_files(begin, end)
+        df = self._read_files(files)
+        if df is None:
+            return self._empty_df(keep_meta)
+        if begin is not None:
+            df = df.filter(F.col(COMMIT_COL) > F.lit(begin))
+        if end is not None:
+            df = df.filter(F.col(COMMIT_COL) <= F.lit(end))
+        df = self._merge_latest(df)
+        return self._strip_meta(df, keep_meta)
+
+    def _empty_df(self, keep_meta: bool) -> DataFrame:
+        schema = self._latest_schema() or T.StructType([])
+        df = self.spark.createDataFrame([], schema)
+        if PP_COL in df.columns:
+            df = df.drop(PP_COL)
+        return self._strip_meta(df, keep_meta)
+
+    # ---------------------------------------------------------------- misc
+
+    def register_view(self, name: str | None = None, view: str = "snapshot") -> str:
+        """Register a temp view (our analog of HMS sync, reference S9.
+        MOR tables register `<name>_ro` / `<name>_rt` pairs like the
+        reference's hiveSyncTool, `README.md:341-344`)."""
+        base = name or self.config.name
+        if self.config.table_type == "mor":
+            self.read_optimized().createOrReplaceTempView(f"{base}_ro")
+            self.snapshot().createOrReplaceTempView(f"{base}_rt")
+            return f"{base}_rt"
+        self.snapshot().createOrReplaceTempView(base)
+        return base
+
+    def describe(self) -> dict:
+        return self.manifest.describe()

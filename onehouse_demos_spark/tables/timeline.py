@@ -1,0 +1,258 @@
+"""Commit timeline: ordered atomic instants over object storage.
+
+Mirrors the semantics of the reference's `.hoodie/` timeline
+(`hudi-spark-minio-trino/README.md:252` — "commit under .hoodie",
+`data/db/hudi_dimCustomer/.hoodie/20231105172136406.commit`) with our
+own on-disk format: a `_commits/` directory of JSON instant files.
+
+Lifecycle per write: reserve (exclusive-create an `.inflight` marker —
+the conditional-put pattern, reference precedent
+`hoodie.fs.atomic_creation.support=s3a` in `spark/conf/hudi-defaults.conf`)
+→ do the data write → complete (write JSON temp + atomic rename).
+Readers only ever see completed instants, so queries are snapshot-
+isolated without locks. Multi-writer safety = optimistic concurrency:
+reservation collisions retry with the next instant id; completion
+re-validates that no concurrent commit replaced the same files
+(reference `multi-writer-1.properties:38-44` OCC semantics).
+
+Actions (same taxonomy the reference's timeline exposes):
+- ``commit``        — COW write (insert/upsert/delete rewrite)
+- ``deltacommit``   — MOR write (log-file append)
+- ``replacecommit`` — compaction / clustering / overwrite / drop-partition:
+  rewrites or removes files WITHOUT new logical records — incremental
+  readers skip these (reference `README.md:1224-1227`)
+- ``clean``         — physical removal of expired file versions
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+ACTIONS = ("commit", "deltacommit", "replacecommit", "clean")
+
+#: Actions that add *new logical records* — the only ones an
+#: incremental reader must consume (SURVEY §2.4 O19).
+RECORD_ACTIONS = ("commit", "deltacommit")
+
+
+@dataclass
+class FileMeta:
+    """Per-file metadata captured at commit time — the unit of
+    manifest-driven planning (rows / key-range stats power pruning)."""
+
+    path: str  # relative to table base path
+    partition: str | None = None  # partition value as string ("" = unpartitioned)
+    rows: int = 0
+    key_min: str | None = None
+    key_max: str | None = None
+    kind: str = "base"  # "base" | "log"
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "partition": self.partition,
+            "rows": self.rows,
+            "key_min": self.key_min,
+            "key_max": self.key_max,
+            "kind": self.kind,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "FileMeta":
+        return FileMeta(**d)
+
+
+@dataclass
+class Instant:
+    instant: str  # zero-padded monotonic id, lexicographically ordered
+    action: str
+    operation: str = ""  # insert / upsert / delete / ...
+    adds: list[FileMeta] = field(default_factory=list)
+    removes: list[str] = field(default_factory=list)  # replaced file paths
+    schema_json: str | None = None
+    extra: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "instant": self.instant,
+            "action": self.action,
+            "operation": self.operation,
+            "adds": [f.to_json() for f in self.adds],
+            "removes": self.removes,
+            "schema_json": self.schema_json,
+            "extra": self.extra,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Instant":
+        return Instant(
+            instant=d["instant"],
+            action=d["action"],
+            operation=d.get("operation", ""),
+            adds=[FileMeta.from_json(f) for f in d.get("adds", [])],
+            removes=d.get("removes", []),
+            schema_json=d.get("schema_json"),
+            extra=d.get("extra", {}),
+        )
+
+
+class Timeline:
+    """The commit log for one table. Driver-side metadata only —
+    no Spark jobs run here, and nothing in this class scales with row
+    count (only with file/commit count; see `archive` for bounding
+    commit count)."""
+
+    COMMITS_DIR = "_commits"
+    ARCHIVE_DIR = "_commits/archive"
+
+    def __init__(self, base_path: str):
+        self.base_path = base_path.rstrip("/")
+        self.commits_path = os.path.join(self.base_path, self.COMMITS_DIR)
+        os.makedirs(self.commits_path, exist_ok=True)
+        self._cache: dict[str, Instant] = {}  # embedded "timeline server":
+        # parse each completed instant once per process (reference
+        # precedent `hoodie.embed.timeline.server=true`, base.properties:22)
+
+    # -- instant id management ------------------------------------------------
+
+    def _completed_files(self) -> list[str]:
+        try:
+            names = os.listdir(self.commits_path)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            n
+            for n in names
+            if n.endswith(".json")
+            and n.split(".", 1)[0].isdigit()  # "<instant>.<action>.json" only
+        )
+
+    def instants(self) -> list[Instant]:
+        """All completed instants in commit order (archived included)."""
+        out: list[Instant] = []
+        archive_file = os.path.join(self.base_path, self.ARCHIVE_DIR, "archive.json")
+        if os.path.exists(archive_file):
+            with open(archive_file) as f:
+                for d in json.load(f):
+                    out.append(Instant.from_json(d))
+        for name in self._completed_files():
+            if name not in self._cache:
+                with open(os.path.join(self.commits_path, name)) as f:
+                    self._cache[name] = Instant.from_json(json.load(f))
+            out.append(self._cache[name])
+        out.sort(key=lambda i: i.instant)
+        return out
+
+    def latest_instant(self) -> str | None:
+        ins = self.instants()
+        return ins[-1].instant if ins else None
+
+    def _next_instant_id(self) -> str:
+        """Millisecond timestamp + sequence suffix — monotonic,
+        lexicographically ordered, collision-resolved by OCC reserve."""
+        existing = [i.instant for i in self.instants()] + self._inflight()
+        now = int(time.time() * 1000)
+        candidate = f"{now:017d}000"
+        if existing:
+            top = max(existing)
+            if candidate <= top:
+                candidate = f"{int(top) + 1:020d}"
+        return candidate
+
+    def _inflight(self) -> list[str]:
+        try:
+            return [
+                n[: -len(".inflight")]
+                for n in os.listdir(self.commits_path)
+                if n.endswith(".inflight")
+            ]
+        except FileNotFoundError:
+            return []
+
+    # -- OCC write protocol ---------------------------------------------------
+
+    def begin(self, action: str, max_retries: int = 32) -> str:
+        """Reserve the next instant id (optimistic, exclusive-create)."""
+        assert action in ACTIONS, action
+        for _ in range(max_retries):
+            instant = self._next_instant_id()
+            marker = os.path.join(self.commits_path, f"{instant}.inflight")
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, action.encode())
+                os.close(fd)
+                return instant
+            except FileExistsError:
+                continue  # another writer took this id — retry
+        raise RuntimeError("could not reserve a commit instant (writer contention)")
+
+    def complete(self, inst: Instant, conflict_check_from: str | None = None) -> None:
+        """Atomically publish a completed instant.
+
+        OCC validation: if `conflict_check_from` is given (the instant
+        snapshot the writer planned against), fail when a concurrent
+        completed commit removed any file this commit also removes —
+        the two writers rewrote the same file group.
+        """
+        if conflict_check_from is not None and inst.removes:
+            mine = set(inst.removes)
+            for other in self.instants():
+                if other.instant > conflict_check_from and other.instant != inst.instant:
+                    clash = mine.intersection(other.removes)
+                    if clash:
+                        self.abort(inst.instant)
+                        raise ConflictError(
+                            f"concurrent commit {other.instant} already replaced: "
+                            f"{sorted(clash)[:3]}..."
+                        )
+        final = os.path.join(self.commits_path, f"{inst.instant}.{inst.action}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(inst.to_json(), f)
+        os.rename(tmp, final)  # atomic publish
+        marker = os.path.join(self.commits_path, f"{inst.instant}.inflight")
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    def abort(self, instant: str) -> None:
+        marker = os.path.join(self.commits_path, f"{instant}.inflight")
+        if os.path.exists(marker):
+            os.remove(marker)
+
+    # -- archival -------------------------------------------------------------
+
+    def archive(self, keep_last: int = 50) -> int:
+        """Fold old completed instants into one archive file so the
+        active timeline stays O(keep_last) (reference: commit archival,
+        validated by `test-aggressive-clean-archival.properties`)."""
+        files = self._completed_files()
+        if len(files) <= keep_last:
+            return 0
+        to_archive = files[:-keep_last]
+        archive_dir = os.path.join(self.base_path, self.ARCHIVE_DIR)
+        os.makedirs(archive_dir, exist_ok=True)
+        archive_file = os.path.join(archive_dir, "archive.json")
+        old: list[dict] = []
+        if os.path.exists(archive_file):
+            with open(archive_file) as f:
+                old = json.load(f)
+        for name in to_archive:
+            with open(os.path.join(self.commits_path, name)) as f:
+                old.append(json.load(f))
+        old.sort(key=lambda d: d["instant"])
+        tmp = archive_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(old, f)
+        os.rename(tmp, archive_file)
+        for name in to_archive:
+            os.remove(os.path.join(self.commits_path, name))
+            self._cache.pop(name, None)
+        return len(to_archive)
+
+
+class ConflictError(RuntimeError):
+    """Optimistic-concurrency conflict: another writer replaced the
+    same files between plan and publish."""
