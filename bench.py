@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized (count + collect of the final frame)
+so the number reflects end-to-end execution, not plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+#: Headline suite: one representative per workload class (scan-agg,
+#: filter-scan, broadcast star join, fact-fact join+topN, window,
+#: anti-join, multi-way join, JSON decode, table upsert pipeline, MOR
+#: merge read, exact dedup, minhash LSH, knn, text stats).
+HEADLINE = [
+    "pricing_summary",
+    "filter_project",
+    "join_dim_rollup",
+    "top_revenue_orders",
+    "top_orders_per_customer",
+    "customers_without_orders",
+    "local_supplier_volume",
+    "events_json_extract",
+    "events_max_ts",
+    "tbl_upsert_snapshot",
+    "tbl_mor_snapshot",
+    "tbl_incremental_read",
+    "dedup_exact_summary",
+    "minhash_lsh_pairs",
+    "simhash64",
+    "knn_bruteforce",
+    "text_stats",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from onehouse_demos_spark import get_spark
+
+    spark = get_spark(app_name="onehouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+    total = round(time.time() - t_suite, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,348 @@
+"""Table-mutation operators exposed as oracle-checkable queries.
+
+Each query builds (once per process per sf_dir, cached) a deterministic
+mutation pipeline on our LakehouseTable from the read-only `orders`
+parquet, then reads a specific stage back via time travel. Because
+every mutation is a pure function of `orders`, each stage has an exact
+ANSI-SQL oracle over the original table — so the driver's DuckDB gate
+verifies the ENGINE's upsert/delete/overwrite/incremental/MOR/compaction
+semantics, not just query answers (reference test strategy: accumulated
+expected state as oracle, SURVEY §5).
+
+Pipeline (COW table keyed o_orderkey, partitioned by o_orderstatus):
+  i1 insert   all orders, ver=1
+  i2 upsert   keys with o_orderkey%10==0 → o_totalprice+1000, ver=2
+  i3 delete   keys with o_orderkey%7==0
+  i4 insert_overwrite partition 'F' → price*2, ver=3 (only %7!=0 rows)
+  i5 delete_partition 'P'
+MOR table: i1 insert, i2 upsert (log), then compaction.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark.sources.cdc import flatten_debezium, latest_change_per_key
+from onehouse_demos_spark.tables.maintenance import run_compaction
+from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
+
+_CACHE: dict[str, dict] = {}
+_TMPDIRS: list[str] = []
+
+
+def _cleanup() -> None:
+    for d in _TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup)
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # o_orderdate dropped: timestamps compare via epoch in relational
+    # queries; mutation oracles stick to exact-typed columns.
+    return spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    )
+
+
+def _build(spark: SparkSession, sf_dir: str) -> dict:
+    if sf_dir in _CACHE:
+        return _CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_mut_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+
+    cow = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_cow",
+        TableConfig(
+            name="orders_cow",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="cow",
+        ),
+    )
+    i1 = cow.insert(orders.withColumn("ver", F.lit(1)))
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    i2 = cow.upsert(updates)
+    i3 = cow.delete(orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
+    overwrite_f = (
+        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+        .withColumn("ver", F.lit(3))
+    )
+    i4 = cow.insert_overwrite(overwrite_f)
+    i5 = cow.delete_partition(["P"])
+
+    mor = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_mor",
+        TableConfig(
+            name="orders_mor",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="mor",
+        ),
+    )
+    m1 = mor.insert(orders.withColumn("ver", F.lit(1)))
+    m2 = mor.upsert(updates)
+    pre_compact = mor.timeline.latest_instant()
+    run_compaction(mor)
+
+    _CACHE[sf_dir] = {
+        "cow": cow,
+        "mor": mor,
+        "i1": i1.instant,
+        "i2": i2.instant,
+        "i3": i3.instant,
+        "i4": i4.instant,
+        "i5": i5.instant,
+        "m1": m1.instant,
+        "m2": m2.instant,
+        "pre_compact": pre_compact,
+    }
+    return _CACHE[sf_dir]
+
+
+_OUT_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_orderpriority",
+    "ver",
+]
+
+
+def _project(df: DataFrame) -> DataFrame:
+    return df.select(
+        *_OUT_COLS, F.round("o_totalprice", 2).alias("o_totalprice_r")
+    )
+
+
+# Shared SQL fragments mirroring each pipeline stage over `orders`.
+_SQL_BASE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       {ver} AS ver,
+       ROUND({price}, 2) AS o_totalprice_r
+FROM orders
+{where}
+"""
+
+_AFTER_UPSERT = dict(
+    ver="CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END",
+    price="CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END",
+)
+
+
+# --------------------------------------------------------------------------
+# Stage views
+# --------------------------------------------------------------------------
+
+def tbl_insert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot(as_of=st["i1"]))
+
+
+TBL_INSERT_SNAPSHOT_SQL = _SQL_BASE.format(
+    ver="1", price="o_totalprice", where=""
+)
+
+
+def tbl_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot(as_of=st["i2"]))
+
+
+TBL_UPSERT_SNAPSHOT_SQL = _SQL_BASE.format(where="", **_AFTER_UPSERT)
+
+
+def tbl_delete_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot(as_of=st["i3"]))
+
+
+TBL_DELETE_SNAPSHOT_SQL = _SQL_BASE.format(
+    where="WHERE o_orderkey % 7 <> 0", **_AFTER_UPSERT
+)
+
+
+def tbl_insert_overwrite_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot(as_of=st["i4"]))
+
+
+TBL_INSERT_OVERWRITE_SNAPSHOT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderstatus = 'F' THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
+def tbl_delete_partition_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot(as_of=st["i5"]))
+
+
+TBL_DELETE_PARTITION_SNAPSHOT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderstatus = 'F' THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
+"""
+
+
+def tbl_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental query (i1, i2]: exactly the upserted records
+    (reference O18 golden: one changed row per changed key)."""
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].incremental(begin=st["i1"], end=st["i2"]))
+
+
+TBL_INCREMENTAL_READ_SQL = _SQL_BASE.format(
+    ver="2",
+    price="o_totalprice + 1000.0",
+    where="WHERE o_orderkey % 10 = 0",
+)
+
+
+def tbl_dup_key_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No duplicate record keys after the whole pipeline (reference
+    invariant: `group by _row_key having count(*) > 1` → 0 rows)."""
+    st = _build(spark, sf_dir)
+    return (
+        st["cow"]
+        .snapshot()
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+TBL_DUP_KEY_INVARIANT_SQL = """
+SELECT o_orderkey, COUNT(*) AS dup_count
+FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1
+"""
+
+
+def tbl_mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR `_ro` before compaction: base files only → upsert invisible
+    (reference golden divergence, README.md:756-776)."""
+    st = _build(spark, sf_dir)
+    return _project(st["mor"].read_optimized(as_of=st["pre_compact"]))
+
+
+TBL_MOR_READ_OPTIMIZED_SQL = _SQL_BASE.format(ver="1", price="o_totalprice", where="")
+
+
+def tbl_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR `_rt` before compaction: on-the-fly log merge → upsert
+    visible."""
+    st = _build(spark, sf_dir)
+    return _project(st["mor"].snapshot(as_of=st["pre_compact"]))
+
+
+TBL_MOR_SNAPSHOT_SQL = _SQL_BASE.format(where="", **_AFTER_UPSERT)
+
+
+def tbl_mor_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR `_ro` after compaction == `_rt` before (reference
+    README.md:1196-1216 convergence)."""
+    st = _build(spark, sf_dir)
+    return _project(st["mor"].read_optimized())
+
+
+TBL_MOR_COMPACTED_SQL = _SQL_BASE.format(where="", **_AFTER_UPSERT)
+
+
+# --------------------------------------------------------------------------
+# CDC envelope flattening (reference S2/EP3) as an oracle-checkable op.
+# Synthetic Debezium stream derived from orders: op = c/u/d by key mod.
+# --------------------------------------------------------------------------
+
+def cdc_apply_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir)
+    payload = F.struct(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_totalprice")
+    )
+    env = orders.select(
+        # before: populated for u and d events (null for c)
+        F.when(F.col("o_orderkey") % 3 != 0, payload).alias("before"),
+        # after: populated for c and u events (null for d)
+        F.when(F.col("o_orderkey") % 3 != 2, payload).alias("after"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("c"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("u"))
+        .otherwise(F.lit("d"))
+        .alias("op"),
+        (F.col("o_orderkey") * 10).alias("ts_ms"),
+    )
+    flat = flatten_debezium(env)
+    live = latest_change_per_key(flat, ["o_orderkey"])
+    return (
+        live.filter(~F.col("_cdc_is_deleted"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        )
+    )
+
+
+CDC_APPLY_ENVELOPES_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 3 <> 2
+"""
+
+
+QUERIES = {
+    "tbl_insert_snapshot": tbl_insert_snapshot,
+    "tbl_upsert_snapshot": tbl_upsert_snapshot,
+    "tbl_delete_snapshot": tbl_delete_snapshot,
+    "tbl_insert_overwrite_snapshot": tbl_insert_overwrite_snapshot,
+    "tbl_delete_partition_snapshot": tbl_delete_partition_snapshot,
+    "tbl_incremental_read": tbl_incremental_read,
+    "tbl_dup_key_invariant": tbl_dup_key_invariant,
+    "tbl_mor_read_optimized": tbl_mor_read_optimized,
+    "tbl_mor_snapshot": tbl_mor_snapshot,
+    "tbl_mor_compacted": tbl_mor_compacted,
+    "cdc_apply_envelopes": cdc_apply_envelopes,
+}
+
+ORACLES = {
+    "tbl_insert_snapshot": TBL_INSERT_SNAPSHOT_SQL,
+    "tbl_upsert_snapshot": TBL_UPSERT_SNAPSHOT_SQL,
+    "tbl_delete_snapshot": TBL_DELETE_SNAPSHOT_SQL,
+    "tbl_insert_overwrite_snapshot": TBL_INSERT_OVERWRITE_SNAPSHOT_SQL,
+    "tbl_delete_partition_snapshot": TBL_DELETE_PARTITION_SNAPSHOT_SQL,
+    "tbl_incremental_read": TBL_INCREMENTAL_READ_SQL,
+    "tbl_dup_key_invariant": TBL_DUP_KEY_INVARIANT_SQL,
+    "tbl_mor_read_optimized": TBL_MOR_READ_OPTIMIZED_SQL,
+    "tbl_mor_snapshot": TBL_MOR_SNAPSHOT_SQL,
+    "tbl_mor_compacted": TBL_MOR_COMPACTED_SQL,
+    "cdc_apply_envelopes": CDC_APPLY_ENVELOPES_SQL,
+}

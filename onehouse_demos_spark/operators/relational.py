@@ -30,6 +30,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
+    rejects by default. Read nanos as long (runtime-safe legacy conf)
+    and normalize to a µs TimestampType column — identical truncation
+    to DuckDB's ns→µs coercion, so oracles agree exactly."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 # --------------------------------------------------------------------------
 # Q1-style pricing summary: filter → wide aggregate. (reference Q4/Q5
 # analog: hash aggregate with group key, README.md:380)
@@ -219,7 +229,7 @@ COUNT_STAR_SQL = "SELECT COUNT(*) AS cnt FROM lineitem"
 # --------------------------------------------------------------------------
 
 def events_max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.unix_micros(F.max("ts")).alias("max_ts_us"),
         F.count(F.lit(1)).alias("n"),
@@ -241,7 +251,7 @@ GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def group_having_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(F.unix_micros(F.max("ts")).alias("max_ts_us"))
@@ -327,7 +337,7 @@ WHERE rk <= 2
 # --------------------------------------------------------------------------
 
 def events_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     return (
         ev.filter(
             (F.col("ts") >= F.lit("2024-01-10 00:00:00"))
@@ -353,7 +363,7 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
 # --------------------------------------------------------------------------
 
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load_events(spark, sf_dir)
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("event_type")

@@ -1,0 +1,79 @@
+"""Debezium CDC envelope handling (reference S2/EP3:
+`mysql-debezium/register-mysql-avro.json`, `postgressql-debezium/...`,
+`mongodb-debezium/register-mongodb.json`).
+
+A Debezium change event is `{before, after, op, ts_ms, source}` with
+op ∈ {c,u,d,r} (create/update/delete/read-snapshot). Flattening turns
+a stream of envelopes into upsert/delete rows our table layer applies:
+op in (c,u,r) → upsert `after.*`; op = d → delete `before` key
+(FIXTURES.md F7). All pure DataFrame ops — usable on a batch frame or
+inside a Structured Streaming foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Marker column carrying delete-ness through the flatten, consumed by
+#: apply_cdc_batch / LakehouseTable soft-delete handling.
+CDC_DELETED = "_cdc_is_deleted"
+CDC_TS = "_cdc_ts_ms"
+
+
+def flatten_debezium(envelopes: DataFrame) -> DataFrame:
+    """Envelope frame (`before struct, after struct, op string,
+    ts_ms long`) → row-per-change frame: payload columns + delete flag.
+
+    Delete events surface the `before` image (that's where the key
+    lives); everything else surfaces `after`.
+    """
+    payload = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
+    flat = envelopes.select(
+        payload.alias("_payload"),
+        (F.col("op") == "d").alias(CDC_DELETED),
+        F.col("ts_ms").alias(CDC_TS),
+    )
+    return flat.select("_payload.*", CDC_DELETED, CDC_TS)
+
+
+def latest_change_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Collapse a CDC batch to the newest change per key (by ts_ms) —
+    the per-batch dedup a streaming upsert applies before merging."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.col(CDC_TS).desc())
+    return (
+        changes.withColumn("_cdc_rn", F.row_number().over(w))
+        .filter(F.col("_cdc_rn") == 1)
+        .drop("_cdc_rn")
+    )
+
+
+def apply_cdc_batch(table, envelopes: DataFrame, drop_meta: bool = True) -> None:
+    """Apply one batch of Debezium envelopes to a LakehouseTable:
+    flatten → collapse per key → upserts + deletes (EP3 step 3)."""
+    changes = latest_change_per_key(
+        flatten_debezium(envelopes), [c for c in table.config.record_key]
+    )
+    upserts = changes.filter(~F.col(CDC_DELETED)).drop(CDC_DELETED, CDC_TS)
+    deletes = changes.filter(F.col(CDC_DELETED)).drop(CDC_DELETED, CDC_TS)
+    # Deletes first, then upserts: within one batch the per-key collapse
+    # already picked a single winner, so order only matters across keys
+    # where it is independent.
+    if deletes.limit(1).count() > 0:
+        table.delete(deletes)
+    if upserts.limit(1).count() > 0:
+        table.upsert(upserts)
+
+
+def decode_avro_stream(df: DataFrame, value_schema_json: str) -> DataFrame:
+    """Confluent-style Avro value decode (reference S2 uses Schema
+    Registry AvroConverter). Requires spark-avro; gated."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as exc:  # pragma: no cover
+        raise RuntimeError("pyspark avro functions unavailable") from exc
+    return df.select(
+        from_avro(F.col("value"), value_schema_json).alias("envelope")
+    ).select("envelope.*")

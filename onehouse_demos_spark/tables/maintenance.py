@@ -132,7 +132,10 @@ def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
             already_cleaned.update(inst.extra.get("deleted", []))
     doomed: list[str] = []
     for inst in instants:
-        if inst.instant < horizon:
+        # A file replaced at instant X is only needed by snapshots
+        # as_of < X; keeping the last K commits means X <= horizon
+        # versions are out of the travel window.
+        if inst.instant <= horizon:
             doomed.extend(p for p in inst.removes if p not in already_cleaned)
     if not doomed:
         return []

@@ -587,10 +587,12 @@ class LakehouseTable:
             df = df.filter(~F.col(DELETED_COL))
         return self._strip_meta(df, keep_meta)
 
-    def read_optimized(self, keep_meta: bool = False) -> DataFrame:
+    def read_optimized(
+        self, as_of: str | None = None, keep_meta: bool = False
+    ) -> DataFrame:
         """Base-files-only view (reference `_ro`, `README.md:343` —
         stale until compaction, but no merge cost)."""
-        files = self.manifest.live_files(include_logs=False)
+        files = self.manifest.live_files(as_of=as_of, include_logs=False)
         df = self._read_files(files)
         if df is None:
             return self._empty_df(keep_meta)

@@ -1,0 +1,132 @@
+"""COW table semantics, replaying the reference's golden stock-ticks
+walkthrough shape (FIXTURES.md F1: upsert flips max(ts) 10:29→10:59)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+
+SCHEMA = "key string, ts string, symbol string, close double, date string"
+
+BATCH1 = [
+    ("GOOG_1", "2018-08-31 10:29:00", "GOOG", 100.0, "2018/08/31"),
+    ("MSFT_1", "2018-08-31 10:29:00", "MSFT", 200.0, "2018/08/31"),
+    ("GOOG_2", "2018-08-30 09:00:00", "GOOG", 95.0, "2018/08/30"),
+]
+BATCH2 = [("GOOG_1", "2018-08-31 10:59:00", "GOOG", 105.0, "2018/08/31")]
+
+
+@pytest.fixture()
+def table(spark, tmp_base):
+    cfg = TableConfig(
+        name="stock",
+        record_key=["key"],
+        precombine="ts",
+        partition_by=["date"],
+        table_type="cow",
+    )
+    return LakehouseTable.create(spark, tmp_base + "/stock", cfg)
+
+
+def goog_max(table):
+    return (
+        table.snapshot()
+        .filter(F.col("symbol") == "GOOG")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]
+        .m
+    )
+
+
+def test_golden_upsert_flip(spark, table):
+    table.insert(spark.createDataFrame(BATCH1, SCHEMA))
+    q_before = table.snapshot()  # planned against the pre-upsert manifest
+    assert goog_max(table) == "2018-08-31 10:29:00"
+    table.upsert(spark.createDataFrame(BATCH2, SCHEMA))
+    assert goog_max(table) == "2018-08-31 10:59:00"
+    assert table.snapshot().count() == 3  # upsert did not duplicate
+    # snapshot isolation: a frame planned before the upsert still reads
+    # the old file versions (they exist until clean)
+    assert {
+        r.ts for r in q_before.filter(F.col("key") == "GOOG_1").collect()
+    } == {"2018-08-31 10:29:00"}
+
+
+def test_incremental_returns_only_changed(spark, table):
+    i1 = table.insert(spark.createDataFrame(BATCH1, SCHEMA))
+    table.upsert(spark.createDataFrame(BATCH2, SCHEMA))
+    inc = table.incremental(begin=i1.instant).collect()
+    assert [(r.key, r.ts) for r in inc] == [("GOOG_1", "2018-08-31 10:59:00")]
+
+
+def test_time_travel(spark, table):
+    i1 = table.insert(spark.createDataFrame(BATCH1, SCHEMA))
+    table.upsert(spark.createDataFrame(BATCH2, SCHEMA))
+    old = table.snapshot(as_of=i1.instant)
+    assert {r.ts for r in old.filter(F.col("key") == "GOOG_1").collect()} == {
+        "2018-08-31 10:29:00"
+    }
+
+
+def test_delete_and_dup_invariant(spark, table):
+    table.insert(spark.createDataFrame(BATCH1, SCHEMA))
+    table.delete(spark.createDataFrame([("MSFT_1",)], "key string"))
+    snap = table.snapshot(keep_meta=True)
+    assert snap.count() == 2
+    dups = snap.groupBy("_oh_record_key").count().filter("count > 1")
+    assert dups.count() == 0
+
+
+def test_delete_partition(spark, table):
+    table.insert(spark.createDataFrame(BATCH1, SCHEMA))
+    table.delete_partition(["2018/08/30"])
+    assert {r.key for r in table.snapshot().collect()} == {"GOOG_1", "MSFT_1"}
+
+
+def test_insert_overwrite_partition_only(spark, table):
+    table.insert(spark.createDataFrame(BATCH1, SCHEMA))
+    table.insert_overwrite(
+        spark.createDataFrame(
+            [("NEW_1", "2018-08-31 11:00:00", "NEW", 1.0, "2018/08/31")], SCHEMA
+        )
+    )
+    keys = {r.key for r in table.snapshot().collect()}
+    assert keys == {"NEW_1", "GOOG_2"}  # 08/30 partition untouched
+
+
+def test_soft_delete_column(spark, tmp_base):
+    cfg = TableConfig(
+        name="soft",
+        record_key=["key"],
+        precombine="ts",
+        soft_delete_col="_hoodie_is_deleted",
+    )
+    t = LakehouseTable.create(spark, tmp_base + "/soft", cfg)
+    t.insert(
+        spark.createDataFrame(
+            [("a", "1", False), ("b", "1", False)],
+            "key string, ts string, _hoodie_is_deleted boolean",
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [("b", "2", True)], "key string, ts string, _hoodie_is_deleted boolean"
+        )
+    )
+    assert {r.key for r in t.snapshot().collect()} == {"a"}
+
+
+def test_bulk_insert_sorted_ranges(spark, tmp_base):
+    cfg = TableConfig(name="bulk", record_key=["id"])
+    t = LakehouseTable.create(spark, tmp_base + "/bulk", cfg)
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 100).alias("v")
+    )
+    t.bulk_insert(df, num_files=8)
+    files = t.manifest.live_files()
+    assert len(files) == 8
+    # key ranges must be non-overlapping (sorted layout)
+    ranges = sorted((f.key_min, f.key_max) for f in files)
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo
+    assert t.snapshot().count() == 10000
