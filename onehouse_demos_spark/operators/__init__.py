@@ -14,18 +14,27 @@ Column-name parity between the two is part of the contract: the
 correctness harness sorts columns by name before hashing values.
 """
 
-from onehouse_demos_spark.operators import dedup, mutations, relational, similarity, text
+from onehouse_demos_spark.operators import (
+    dedup,
+    multimodal,
+    mutations,
+    relational,
+    similarity,
+    text,
+)
+
+_MODULES = (relational, mutations, dedup, similarity, text, multimodal)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, mutations, dedup, similarity, text):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (relational, mutations, dedup, similarity, text):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,170 @@
+"""Multimodal columns: image/audio/video as opaque `binary` columns
+with typed metadata, processed by Arrow-batched pandas transforms.
+
+Beyond-reference operators for training-data pipelines (the reference's
+type system already carries `bytes` — `demo/config/schema.avsc`
+`nation: bytes`, SURVEY §1.2 — but no media processing).
+
+Design for 100 TB:
+- Metadata (size, format sniff, content hash) is computed JVM-side
+  with built-in functions at scan speed — no Python involved.
+- Decode / resize / frame-sample run as `mapInPandas` over Arrow
+  batches: Python cost is per-BATCH, not per-row, and the operator
+  pipeline stays streaming (no materialization barrier).
+- The actual codec work is STUBBED (this container has no image/audio
+  libraries): `decode_media` raises NotImplementedError for real
+  codecs unless `fake=True`, which produces a deterministic md5-seeded
+  fake decode. The Spark-side plumbing — schemas, batch iteration,
+  partition preservation — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: magic-byte prefixes → format label (public file signatures)
+MAGIC = {
+    "89504E47": "png",
+    "FFD8FF": "jpeg",
+    "47494638": "gif",
+    "52494646": "riff",  # wav/avi container
+    "494433": "mp3",
+    "664C6143": "flac",
+    "00000018": "mp4",
+    "00000020": "mp4",
+    "1A45DFA3": "mkv",
+}
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("size_bytes", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def sniff_format(binary_col) -> F.Column:
+    """Magic-byte format sniff, JVM-side (hex prefix lookup chain)."""
+    hexpfx = F.upper(F.hex(F.substring(binary_col, 1, 4)))
+    expr = F.lit("unknown")
+    for magic, fmt in sorted(MAGIC.items(), key=lambda kv: -len(kv[0])):
+        expr = F.when(hexpfx.startswith(magic), F.lit(fmt)).otherwise(expr)
+    return expr
+
+
+def with_media_metadata(df: DataFrame, binary_col: str) -> DataFrame:
+    """Attach the typed metadata struct for an opaque media column.
+    Pure built-ins → runs inside WholeStageCodegen at scan speed."""
+    b = F.col(binary_col)
+    return df.withColumn(
+        f"{binary_col}_meta",
+        F.struct(
+            F.length(b).alias("size_bytes"),
+            sniff_format(b).alias("format"),
+            F.md5(b).alias("content_md5"),
+        ),
+    )
+
+
+DECODED_SCHEMA = "width int, height int, channels int, ok boolean"
+
+
+def decode_media(
+    df: DataFrame,
+    binary_col: str,
+    id_cols: list[str],
+    fake: bool = False,
+) -> DataFrame:
+    """Decode media binaries to (width, height, channels) via
+    `mapInPandas` (Arrow batches — the pattern scales to real codecs by
+    swapping the per-batch function body).
+
+    With `fake=True`, dimensions are derived deterministically from the
+    content hash (stable test fixture). Real decoding raises
+    NotImplementedError: the runtime has no codec libraries; the
+    Spark-side contract (schema, batching, column passthrough) is the
+    deliverable here.
+    """
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    ) + ", " + DECODED_SCHEMA
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires codec libraries not present "
+                    "in this runtime; pass fake=True for the deterministic stub"
+                )
+            out = pdf[id_cols].copy()
+            digests = pdf[binary_col].map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+            )
+            out["width"] = digests.map(
+                lambda d: (int(d[:4], 16) % 1920) + 1 if d else None
+            )
+            out["height"] = digests.map(
+                lambda d: (int(d[4:8], 16) % 1080) + 1 if d else None
+            )
+            out["channels"] = digests.map(lambda d: (int(d[8], 16) % 3) + 1 if d else None)
+            out["ok"] = digests.notna()
+            yield out
+
+    return df.select(*id_cols, binary_col).mapInPandas(decode_batches, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, binary_col: str, id_cols: list[str], every_n_bytes: int = 1 << 16
+) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled offset
+    (the decode of each frame is the stubbed step). Built-ins only:
+    sequence + explode, so the fan-out happens distributed, not in
+    Python."""
+    b = F.col(binary_col)
+    n_frames = F.greatest(
+        (F.length(b) / F.lit(every_n_bytes)).cast("int"), F.lit(1)
+    )
+    return (
+        df.select(*id_cols, b.alias(binary_col))
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .withColumn("byte_offset", F.col("frame_idx") * every_n_bytes)
+        .drop(binary_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checkable query: treat document text bytes as an opaque media
+# column; metadata extraction must match DuckDB byte-for-byte.
+# --------------------------------------------------------------------------
+
+def multimodal_metadata(spark, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return with_media_metadata(blobs, "payload").select(
+        "doc_id",
+        F.col("payload_meta.size_bytes").alias("size_bytes"),
+        F.col("payload_meta.format").alias("format"),
+        F.col("payload_meta.content_md5").alias("content_md5"),
+    )
+
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS size_bytes,
+       'unknown' AS format,
+       md5(text) AS content_md5  -- VARCHAR md5 hashes the same UTF-8 bytes
+FROM documents
+"""
+
+QUERIES = {"multimodal_metadata": multimodal_metadata}
+ORACLES = {"multimodal_metadata": MULTIMODAL_METADATA_SQL}

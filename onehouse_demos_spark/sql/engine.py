@@ -1,0 +1,392 @@
+"""Engine: session + catalog + SQL entry point.
+
+Maps the reference's SQL surface onto LakehouseTable operations:
+
+- `CREATE TABLE ... (cols) USING lakehouse PARTITIONED BY (...)
+  TBLPROPERTIES (primaryKey=..., preCombineField=..., type=cow|mor)`
+  and CTAS (reference M10 `SparkSqlCreateTableNode`,
+  `test-suite/spark-sql-partition-cow-updates.yaml:20-30`; CTAS
+  `spark-sql-nonpartitioned-external-cow-ctas.yaml`)
+- `INSERT INTO t VALUES (...) | SELECT ...` (reference Q12)
+- `INSERT OVERWRITE t SELECT ...` (reference M7/M8)
+- `UPDATE t SET c = e [WHERE p]` (reference M5 `SparkSqlUpdateNode`)
+- `DELETE FROM t [WHERE p]` (reference M4 `SparkSqlDeleteNode`)
+- `MERGE INTO t USING s ON cond WHEN MATCHED ... WHEN NOT MATCHED ...`
+  (reference M6, declared via `SparkSqlMergeNode`)
+- anything else: managed tables are registered as temp views and the
+  statement passes through to Spark SQL unchanged (scan / filter /
+  join / agg / SHOW ... — reference §2.3), so Catalyst owns the
+  analytic path end-to-end.
+
+The DML statements are recognized with a small, anchored grammar; all
+*expressions* inside them (SET clauses, predicates, select lists) are
+delegated verbatim to Spark SQL — we never interpret expression
+semantics ourselves.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"(?:\((?P<cols>.*?)\))?\s*"
+    r"(?:USING\s+(?P<format>\w+))?\s*"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*"
+    r"(?:TBLPROPERTIES\s*\((?P<props>[^)]*)\))?\s*"
+    r"(?:AS\s+(?P<ctas>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<body>(?:VALUES|SELECT|TABLE)\s*.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"USING\s+(?P<source>[\w.]+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"ON\s+(?P<cond>.+?)\s+"
+    r"(?P<clauses>WHEN\s+.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
+    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class Engine:
+    """One warehouse of lakehouse tables + a SparkSession."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir.rstrip("/")
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        self._tables: dict[str, LakehouseTable] = {}
+        self._discover()
+
+    # ------------------------------------------------------------- catalog
+
+    def _discover(self) -> None:
+        """Attach tables already in the warehouse (S9 catalog role)."""
+        for name in sorted(os.listdir(self.warehouse_dir)):
+            cfg = os.path.join(
+                self.warehouse_dir, name, "_commits", "table_config.json"
+            )
+            if os.path.exists(cfg):
+                self._tables[name] = LakehouseTable.load(
+                    self.spark, os.path.join(self.warehouse_dir, name)
+                )
+
+    def table(self, name: str) -> LakehouseTable:
+        return self._tables[self._norm(name)]
+
+    def tables(self) -> list[str]:
+        return sorted(self._tables)
+
+    @staticmethod
+    def _norm(name: str) -> str:
+        return name.split(".")[-1].lower()
+
+    def create_table(
+        self,
+        name: str,
+        config: TableConfig | None = None,
+        df: DataFrame | None = None,
+        **cfg_kwargs,
+    ) -> LakehouseTable:
+        name = self._norm(name)
+        if name in self._tables:
+            raise ValueError(f"table {name} already exists")
+        config = config or TableConfig(name=name, **cfg_kwargs)
+        t = LakehouseTable.create(
+            self.spark, os.path.join(self.warehouse_dir, name), config
+        )
+        self._tables[name] = t
+        if df is not None:
+            if config.record_key:
+                t.bulk_insert(df)
+            else:
+                t.insert(df)
+        return t
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        name = self._norm(name)
+        t = self._tables.pop(name)
+        shutil.rmtree(t.base_path, ignore_errors=True)
+
+    def register_views(self) -> None:
+        """Expose every managed table to Spark SQL (snapshot view;
+        MOR additionally gets `_ro` / `_rt` — reference S9 HMS-sync
+        naming, README.md:341-344)."""
+        for name, t in self._tables.items():
+            t.register_view(name)
+
+    # ----------------------------------------------------------------- sql
+
+    def sql(self, statement: str) -> DataFrame:
+        s = statement.strip().rstrip(";")
+        m = _MERGE_RE.match(s)
+        if m:
+            return self._merge(m)
+        m = _UPDATE_RE.match(s)
+        if m:
+            return self._update(m)
+        m = _DELETE_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._delete(m)
+        m = _INSERT_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._insert(m)
+        m = _CREATE_RE.match(s)
+        if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
+            if m.group("format") or m.group("props") or m.group("ctas"):
+                return self._create(m)
+        # passthrough: refresh views so Spark sees latest snapshots
+        self.register_views()
+        return self.spark.sql(s)
+
+    # -- statement handlers ---------------------------------------------------
+
+    @staticmethod
+    def _parse_props(props: str | None) -> dict[str, str]:
+        out: dict[str, str] = {}
+        if not props:
+            return out
+        for kv in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                out[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
+        return out
+
+    def _create(self, m: re.Match) -> DataFrame:
+        name = self._norm(m.group("name"))
+        props = self._parse_props(m.group("props"))
+        parts = [
+            p.strip().split()[0]
+            for p in (m.group("parts") or "").split(",")
+            if p.strip()
+        ]
+        cfg = TableConfig(
+            name=name,
+            record_key=[
+                k.strip()
+                for k in props.get("primarykey", "").split(",")
+                if k.strip()
+            ],
+            precombine=props.get("precombinefield") or None,
+            partition_by=parts,
+            table_type=props.get("type", "cow"),
+        )
+        df = None
+        if m.group("ctas"):
+            self.register_views()
+            df = self.spark.sql(m.group("ctas"))
+        elif m.group("cols"):
+            # declared schema, empty table: realize the schema through
+            # Spark SQL's own DDL parser
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromDDL(m.group("cols"))
+            df = self.spark.createDataFrame([], schema)
+            self.create_table(name, cfg, df=None)
+            # record schema via an empty insert so readers know it
+            self._tables[name].insert(df)
+            return self.spark.createDataFrame([], "result string")
+        self.create_table(name, cfg, df=df)
+        return self.spark.createDataFrame([], "result string")
+
+    def _insert(self, m: re.Match) -> DataFrame:
+        name = self._norm(m.group("name"))
+        t = self._tables[name]
+        self.register_views()
+        body = m.group("body")
+        cols = m.group("cols")
+        if body.upper().startswith("VALUES"):
+            df = self.spark.sql(f"SELECT * FROM ( {body} )")
+            target_cols = (
+                [c.strip() for c in cols.split(",")]
+                if cols
+                else [f.name for f in self._data_schema(t)]
+            )
+            df = df.toDF(*target_cols)
+        else:
+            df = self.spark.sql(body)
+            if cols:
+                df = df.toDF(*[c.strip() for c in cols.split(",")])
+        df = self._align(t, df)
+        if m.group("mode").upper() == "OVERWRITE":
+            t.insert_overwrite(df)
+        else:
+            t.insert(df)
+        return self.spark.createDataFrame([], "result string")
+
+    def _data_schema(self, t: LakehouseTable):
+        from onehouse_demos_spark.tables.table import META_COLS, PP_COL
+
+        schema = t._latest_schema()
+        if schema is None:
+            raise ValueError(f"table {t.config.name} has no schema yet")
+        return [f for f in schema.fields if f.name not in META_COLS + (PP_COL,)]
+
+    def _align(self, t: LakehouseTable, df: DataFrame) -> DataFrame:
+        """Cast/reorder an incoming frame to the table's data schema
+        (missing columns → null)."""
+        fields = self._data_schema(t)
+        if not fields:
+            return df
+        out = []
+        for f in fields:
+            if f.name in df.columns:
+                out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                out.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*out)
+
+    def _update(self, m: re.Match) -> DataFrame:
+        name = self._norm(m.group("name"))
+        t = self._tables[name]
+        sets = m.group("sets")
+        where = m.group("where")
+        snap = t.snapshot()
+        changed = snap.filter(F.expr(where)) if where else snap
+        assignments: dict[str, str] = {}
+        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+            k, v = part.split("=", 1)
+            assignments[k.strip().strip("`")] = v.strip()
+        exprs = [
+            F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+            for c in changed.columns
+        ]
+        t.upsert(changed.select(*exprs))
+        return self.spark.createDataFrame([], "result string")
+
+    def _delete(self, m: re.Match) -> DataFrame:
+        name = self._norm(m.group("name"))
+        t = self._tables[name]
+        where = m.group("where")
+        snap = t.snapshot()
+        doomed = snap.filter(F.expr(where)) if where else snap
+        keep = t.config.record_key + [
+            c for c in t.config.partition_by if c in snap.columns
+        ]
+        t.delete(doomed.select(*dict.fromkeys(keep)))
+        return self.spark.createDataFrame([], "result string")
+
+    def _merge(self, m: re.Match) -> DataFrame:
+        """MERGE = one joined frame annotated with the winning clause,
+        split into an upsert batch and a delete batch. Single shuffle
+        on the join condition; Catalyst plans the join itself."""
+        target_name = self._norm(m.group("target"))
+        t = self._tables[target_name]
+        talias = m.group("talias") or target_name
+        source = m.group("source")
+        salias = m.group("salias") or (
+            None if source.startswith("(") else self._norm(source)
+        )
+        if salias is None:
+            raise ValueError("MERGE subquery source requires an alias")
+        self.register_views()
+        t.snapshot().createOrReplaceTempView(f"__merge_target_{target_name}")
+
+        def unqual(expr: str | None) -> str | None:
+            """Rewrite alias-qualified refs for the joined frame:
+            target.c → __t_c, source.c → c (source cols are unqualified
+            in __merge_joined)."""
+            if expr is None:
+                return None
+            expr = re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"__t_\1", expr)
+            expr = re.sub(rf"\b{re.escape(salias)}\.(\w+)", r"\1", expr)
+            return expr
+
+        clauses = list(_WHEN_RE.finditer(m.group("clauses")))
+        matched_update = None
+        matched_delete_cond = None
+        insert_clause = None
+        for c in clauses:
+            action = unqual(c.group("action").strip())
+            cond = unqual(c.group("cond"))
+            if c.group("not"):
+                insert_clause = (cond, action)
+            elif action.upper().startswith("DELETE"):
+                matched_delete_cond = cond or "true"
+            else:
+                matched_update = (cond, action)
+
+        tcols = [f.name for f in self._data_schema(t)]
+        src_sql = source if not source.startswith("(") else source
+        base = (
+            f"SELECT {', '.join(f'{talias}.{c} AS __t_{c}' for c in tcols)}, "
+            f"{salias}.*, ({talias}.{t.config.record_key[0]} IS NOT NULL) AS __matched "
+            f"FROM {src_sql} {salias} LEFT JOIN __merge_target_{target_name} {talias} "
+            f"ON {m.group('cond')}"
+        )
+        joined = self.spark.sql(base)
+        joined.createOrReplaceTempView("__merge_joined")
+
+        upserts = []
+        if matched_update is not None:
+            cond, action = matched_update
+            sets = dict(
+                (kv.split("=", 1)[0].strip().strip("`").split(".")[-1],
+                 kv.split("=", 1)[1].strip())
+                for kv in re.split(
+                    r",(?=(?:[^']*'[^']*')*[^']*$)",
+                    re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE),
+                )
+            )
+            sel = []
+            for c in tcols:
+                if c in sets:
+                    sel.append(f"({sets[c]}) AS {c}")
+                else:
+                    sel.append(f"__t_{c} AS {c}")
+            w = f"__matched AND ({cond})" if cond else "__matched"
+            upserts.append(f"SELECT {', '.join(sel)} FROM __merge_joined WHERE {w}")
+        if insert_clause is not None:
+            cond, action = insert_clause
+            body = re.sub(r"^INSERT\s*", "", action, flags=re.IGNORECASE).strip()
+            w = f"(NOT __matched) AND ({cond})" if cond else "NOT __matched"
+            if body == "*":
+                sel = ", ".join(tcols)
+            else:
+                cm = re.match(r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)",
+                              body, re.IGNORECASE | re.DOTALL)
+                cols = [c.strip().strip("`") for c in cm.group("cols").split(",")]
+                vals = re.split(r",(?=(?:[^(]*\([^)]*\))*[^)]*$)", cm.group("vals"))
+                mapping = dict(zip(cols, [v.strip() for v in vals]))
+                sel = ", ".join(
+                    f"({mapping[c]}) AS {c}" if c in mapping else f"NULL AS {c}"
+                    for c in tcols
+                )
+            upserts.append(f"SELECT {sel} FROM __merge_joined WHERE {w}")
+        if upserts:
+            batch = self.spark.sql(" UNION ALL ".join(f"({u})" for u in upserts))
+            if batch.limit(1).count() > 0:
+                t.upsert(self._align(t, batch))
+        if matched_delete_cond is not None:
+            doomed = self.spark.sql(
+                f"SELECT {', '.join(f'__t_{k} AS {k}' for k in t.config.record_key)} "
+                f"FROM __merge_joined WHERE __matched AND ({matched_delete_cond})"
+            )
+            if doomed.limit(1).count() > 0:
+                t.delete(doomed)
+        return self.spark.createDataFrame([], "result string")

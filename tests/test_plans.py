@@ -1,0 +1,84 @@
+"""Plan-property pins: the physical plans that must hold at scale
+(pushdown, pruning, broadcast, codegen) — regressions here are perf
+bugs even when results stay correct."""
+
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark.operators.relational import (
+    filter_project,
+    join_dim_rollup,
+    load,
+    pricing_summary,
+)
+from onehouse_demos_spark.plans import (
+    pushed_filters,
+    read_schema_columns,
+    scan_stats,
+    uses_broadcast_join,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = filter_project(spark, SF_DIR)
+    pf = pushed_filters(df)
+    assert any("o_orderpriority" in f for f in pf), pf
+    assert any("o_totalprice" in f for f in pf), pf
+
+
+def test_column_pruning(spark):
+    df = filter_project(spark, SF_DIR)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    # orders has 6 columns; this projection needs only 5
+    assert schemas[0] <= {
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    }, schemas
+
+
+def test_dims_broadcast(spark):
+    df = join_dim_rollup(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_agg_is_partial_then_final(spark):
+    df = pricing_summary(spark, SF_DIR)
+    from onehouse_demos_spark.plans import explain_str
+
+    text = explain_str(df)
+    # partial aggregation before the exchange (map-side combine)
+    assert text.count("HashAggregate") >= 2, text[:500]
+
+
+def test_snapshot_read_prunes_columns(spark, tmp_base):
+    """Manifest-driven table reads must still allow Catalyst pruning:
+    selecting one column from a snapshot reads only that column (+ the
+    filter's deleted flag) from parquet."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/t", TableConfig(name="t", record_key=["id"])
+    )
+    t.insert(load(spark, SF_DIR, "nation").withColumnRenamed("n_nationkey", "id"))
+    df = t.snapshot().select("n_name")
+    schemas = read_schema_columns(df)
+    assert schemas and schemas[0] <= {"n_name", "_oh_is_deleted"}, schemas
+
+
+def test_upsert_probe_is_column_pruned(spark, tmp_base):
+    """The upsert key-probe phase must scan only the key column."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/t", TableConfig(name="t", record_key=["id"])
+    )
+    t.insert(spark.range(1000).select("id", (F.col("id") * 2).alias("v")))
+    files = t.manifest.live_files()
+    probe = t._read_files(files).select(KEY_COL)
+    schemas = read_schema_columns(probe)
+    assert schemas and schemas[0] == {KEY_COL}, schemas

@@ -1,0 +1,107 @@
+"""SQL surface: CREATE/CTAS/INSERT/UPDATE/DELETE/MERGE + passthrough
+(reference M5/M6/M10, Q12; spark-sql write path of the test suite)."""
+
+import pytest
+
+from onehouse_demos_spark.sql import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_base):
+    return Engine(spark, tmp_base + "/wh")
+
+
+def test_create_insert_select(engine):
+    engine.sql(
+        "CREATE TABLE people (id INT, name STRING, age INT, city STRING, "
+        "create_ts STRING) USING lakehouse PARTITIONED BY (city) "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=create_ts)"
+    )
+    engine.sql(
+        "INSERT INTO people VALUES "
+        "(1, 'alice', 30, 'NYC', '2024-01-01'), "
+        "(2, 'bob', 40, 'SF', '2024-01-02')"
+    )
+    out = engine.sql("SELECT name FROM people ORDER BY id").collect()
+    assert [r.name for r in out] == ["alice", "bob"]
+    assert engine.table("people").config.partition_by == ["city"]
+
+
+def test_ctas_and_passthrough_join(engine, spark):
+    spark.range(5).selectExpr("id", "id * 10 AS v").createOrReplaceTempView("src5")
+    engine.sql(
+        "CREATE TABLE five USING lakehouse TBLPROPERTIES (primaryKey=id) "
+        "AS SELECT * FROM src5"
+    )
+    assert engine.sql("SELECT COUNT(*) AS n FROM five").collect()[0].n == 5
+    joined = engine.sql(
+        "SELECT a.id FROM five a JOIN five b ON a.id = b.id WHERE a.v > 20"
+    )
+    assert joined.count() == 2
+
+
+def test_update_and_delete(engine):
+    engine.sql(
+        "CREATE TABLE t (id INT, v INT, s STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    engine.sql("INSERT INTO t VALUES (1, 10, 'a'), (2, 20, 'b'), (3, 30, 'c')")
+    engine.sql("UPDATE t SET v = v + 5 WHERE id >= 2")
+    vals = {r.id: r.v for r in engine.sql("SELECT id, v FROM t").collect()}
+    assert vals == {1: 10, 2: 25, 3: 35}
+    engine.sql("DELETE FROM t WHERE v > 30")
+    assert {r.id for r in engine.sql("SELECT id FROM t").collect()} == {1, 2}
+
+
+def test_merge_update_insert_delete(engine, spark):
+    engine.sql(
+        "CREATE TABLE tgt (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    engine.sql("INSERT INTO tgt VALUES (1, 10), (2, 20), (3, 30)")
+    spark.createDataFrame(
+        [(2, 200), (3, -1), (4, 400)], "id int, v int"
+    ).createOrReplaceTempView("src")
+    engine.sql(
+        """
+        MERGE INTO tgt t USING src s ON t.id = s.id
+        WHEN MATCHED AND s.v < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+        """
+    )
+    vals = {r.id: r.v for r in engine.sql("SELECT id, v FROM tgt").collect()}
+    assert vals == {1: 10, 2: 200, 4: 400}
+
+
+def test_insert_overwrite_sql(engine):
+    engine.sql(
+        "CREATE TABLE p (id INT, part STRING) USING lakehouse "
+        "PARTITIONED BY (part) TBLPROPERTIES (primaryKey=id)"
+    )
+    engine.sql("INSERT INTO p VALUES (1, 'a'), (2, 'b')")
+    engine.sql("INSERT OVERWRITE p VALUES (9, 'a')")
+    rows = {(r.id, r.part) for r in engine.sql("SELECT id, part FROM p").collect()}
+    assert rows == {(9, "a"), (2, "b")}  # only partition 'a' replaced
+
+
+def test_show_tables_and_mor_views(engine, spark):
+    engine.sql(
+        "CREATE TABLE mt (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, type=mor)"
+    )
+    engine.sql("INSERT INTO mt VALUES (1, 1)")
+    engine.register_views()
+    assert spark.table("mt_ro").count() == 1
+    assert spark.table("mt_rt").count() == 1
+    assert "mt" in engine.tables()
+
+
+def test_reload_warehouse(engine, spark, tmp_base):
+    engine.sql(
+        "CREATE TABLE keep (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    engine.sql("INSERT INTO keep VALUES (7, 70)")
+    e2 = Engine(spark, tmp_base + "/wh")
+    assert e2.sql("SELECT v FROM keep").collect()[0].v == 70
