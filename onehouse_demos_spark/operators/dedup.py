@@ -30,8 +30,19 @@ N_MINHASH = 16  #: signature length
 N_BANDS = 4  #: LSH bands (rows per band = N_MINHASH / N_BANDS)
 
 
-def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+def load_docs(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
+    """documents arrives as a single parquet file → a single input
+    partition. For hash-heavy operators (shingling, minhash, simhash)
+    pass fan_out=True: the tiny repartition shuffle (MBs) buys a
+    full-width map stage. Cheap one-pass operators skip it — the
+    shuffle would cost more than it saves. (At 100 TB the scan has
+    thousands of splits and fan_out becomes a near-no-op.)"""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if fan_out:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -100,6 +111,8 @@ def _shingle_index(docs: DataFrame, n: int = 3, max_df: int = 200) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), n)).alias("shingle")
     ).distinct()
+    if max_df >= 10**9:  # no hot-shingle pruning requested — skip the agg+join
+        return sh
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -111,7 +124,7 @@ def _shingle_index(docs: DataFrame, n: int = 3, max_df: int = 200) -> DataFrame:
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs (a<b) with 3-gram Jaccard ≥ 0.8, via inverted index."""
-    docs = load_docs(spark, sf_dir)
+    docs = load_docs(spark, sf_dir, fan_out=True)
     idx = _shingle_index(docs).cache()
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = idx.alias("a")
@@ -177,30 +190,46 @@ WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
 
 
 # --------------------------------------------------------------------------
-# MinHash signatures (md5-derived hash family → engine-portable).
-# h_i(s) = int(md5(i || s)[:15], 16); signature = min over shingles.
+# MinHash signatures: ONE md5 per shingle → 60-bit base value x, then a
+# universal-hash family h_i(x) = (a_i·(x mod p) + b_i) mod p over prime
+# p = 2^31−1 (classic Carter-Wegman construction). 16× cheaper than
+# per-function md5 at 100 TB, and every step is exact 64-bit integer
+# arithmetic both engines compute identically.
 # --------------------------------------------------------------------------
 
-def _minhash_sig(shingle_col, i: int):
-    return F.min(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), shingle_col)), 1, 15), 16, 10
-        ).cast("long")
-    ).alias(f"mh{i}")
+MH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _mh_coeffs(i: int) -> tuple[int, int]:
+    a = (i * 2_654_435_761 + 1) % MH_P
+    b = (i * 40_503 + 7) % MH_P
+    return (a or 1, b)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir)
-    idx = _shingle_index(docs, max_df=10**9)  # keep all shingles for signature
-    return idx.groupBy("doc_id").agg(
-        *[_minhash_sig(F.col("shingle"), i) for i in range(N_MINHASH)]
+    docs = load_docs(spark, sf_dir, fan_out=True)
+    # No distinct before hashing: MIN over a multiset equals MIN over
+    # its set, and skipping it saves a full dedup shuffle.
+    idx = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
     )
+    x = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MH_P
+    )
+    idx = idx.select("doc_id", x.alias("x"))
+    aggs = []
+    for i in range(N_MINHASH):
+        a, b = _mh_coeffs(i)
+        aggs.append(
+            F.min((F.col("x") * F.lit(a) + F.lit(b)) % MH_P).alias(f"mh{i}")
+        )
+    return idx.groupBy("doc_id").agg(*aggs)
 
 
 def _minhash_sig_sql(i: int) -> str:
-    return (
-        f"MIN(('0x' || substr(md5('{i}:' || shingle), 1, 15))::BIGINT) AS mh{i}"
-    )
+    a, b = _mh_coeffs(i)
+    return f"MIN((x * {a} + {b}) % {MH_P}) AS mh{i}"
 
 
 MINHASH_SIGNATURES_SQL = (
@@ -218,10 +247,16 @@ WITH norm AS (
            END AS shs
     FROM norm
   ), UNNEST(shs) AS t(shingle)
+), xs AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT % """
+    + str(MH_P)
+    + """) AS x
+  FROM sh
 )
 SELECT doc_id, """
     + ", ".join(_minhash_sig_sql(i) for i in range(N_MINHASH))
-    + "\nFROM sh GROUP BY doc_id"
+    + "\nFROM xs GROUP BY doc_id"
 )
 
 
@@ -232,19 +267,21 @@ SELECT doc_id, """
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf_dir)
     rows_per_band = N_MINHASH // N_BANDS
-    bands = []
+    # One pass over the signatures: explode an array of (band, bucket)
+    # structs instead of unioning N_BANDS subplans (a union would
+    # re-execute the signature aggregation per band).
+    band_structs = []
     for b in range(N_BANDS):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sigs.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("_", *cols)).alias("bucket"),
             )
         )
-    buckets = bands[0]
-    for extra in bands[1:]:
-        buckets = buckets.unionByName(extra)
+    buckets = sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (
@@ -290,27 +327,28 @@ JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
 # --------------------------------------------------------------------------
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir)
-    toks = docs.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    """SimHash computed entirely with higher-order array functions —
+    zero shuffles (no explode/groupBy): each row folds its own token
+    hashes. At 100 TB this is a pure map stage at scan speed."""
+    docs = load_docs(spark, sf_dir, fan_out=True)
+    hs = F.transform(
+        F.split(normalize_text(F.col("text")), " "),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
-    toks = toks.withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    )
+    docs = docs.select("doc_id", hs.alias("hs"))
     # vote per bit: +1 if bit set else -1; simhash bit = 1 if sum > 0.
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
-        for i in range(60)
-    ]
-    votes = toks.groupBy("doc_id").agg(*bit_votes)
     sim = F.lit(0).cast("long")
     for i in range(60):
-        sim = sim + F.when(F.col(f"v{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(
+        vote = F.aggregate(
+            F.col("hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        sim = sim + F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return votes.select("doc_id", sim.alias("simhash"))
+    return docs.select("doc_id", sim.alias("simhash"))
 
 
 SIMHASH64_SQL = (

@@ -361,8 +361,21 @@ class LakehouseTable:
                 if touched:
                     by_path = {f.path: f for f in candidates}
                     carry = self._read_files([by_path[p] for p in touched])
+                    # Incoming-wins merge without a window sort: keep
+                    # carried rows whose key is NOT incoming (anti
+                    # join), then append the (already per-key-deduped)
+                    # batch. Equivalent to _merge_latest because the
+                    # new commit instant always outranks carried rows,
+                    # but avoids a full sort of the rewritten files.
+                    carry = carry.join(
+                        F.broadcast(prepared.select(KEY_COL))
+                        if self._small(prepared)
+                        else prepared.select(KEY_COL),
+                        KEY_COL,
+                        "left_anti",
+                    )
                     merged = carry.unionByName(prepared, allowMissingColumns=True)
-            merged = self._merge_latest(merged, filter_deleted=True)
+            merged = merged.filter(~F.col(DELETED_COL))
             adds = self._write_files(merged, instant)
             return self._commit(
                 instant,
