@@ -15,6 +15,7 @@ correctness harness sorts columns by name before hashing values.
 """
 
 from onehouse_demos_spark.operators import (
+    analytics,
     dedup,
     multimodal,
     mutations,
@@ -23,7 +24,7 @@ from onehouse_demos_spark.operators import (
     text,
 )
 
-_MODULES = (relational, mutations, dedup, similarity, text, multimodal)
+_MODULES = (relational, analytics, mutations, dedup, similarity, text, multimodal)
 
 
 def all_queries():

@@ -1,0 +1,332 @@
+"""Extended analytic operators (beyond the reference's deliberately
+small SQL surface — SURVEY §2.3 note: windows, grouping sets, set
+operators come 'for free' in Spark SQL; here they are exercised and
+oracle-checked so the coverage is proven, not assumed).
+
+Includes the time-series operators a streaming lakehouse needs that
+Spark lacks as built-ins — as-of join and gap-based sessionization —
+implemented with scale-safe plans (single shuffle + sort, carry-forward
+via window functions; never per-row subqueries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from onehouse_demos_spark.operators.relational import load, load_events
+
+
+# --------------------------------------------------------------------------
+# ROLLUP aggregation (subtotal hierarchy).
+# --------------------------------------------------------------------------
+
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+ROLLUP_STATUS_PRIORITY_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# CUBE aggregation.
+# --------------------------------------------------------------------------
+
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+CUBE_RETURNFLAG_LINESTATUS_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# PIVOT (fixed pivot values → static schema).
+# --------------------------------------------------------------------------
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+PIVOT_STATUS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operators: INTERSECT / EXCEPT.
+# --------------------------------------------------------------------------
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers that have urgent orders but no low-priority orders:
+    INTERSECT/EXCEPT composition."""
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    allc = orders.select("o_custkey")
+    return (
+        urgent.intersect(allc)  # no-op intersect keeps the operator exercised
+        .exceptAll(low)
+        .distinct()
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+
+
+SET_OPS_CUSTOMERS_SQL = """
+SELECT DISTINCT o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders
+)
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+"""
+
+
+# --------------------------------------------------------------------------
+# AS-OF JOIN: for each purchase event, the most recent prior click by
+# the same user. Spark has no ASOF JOIN operator; the scalable plan is
+# the union + carry-forward-window trick: one shuffle on user_id, one
+# sort by time, last_value(ignoreNulls) carries the latest click down
+# to each purchase row. (DuckDB oracle uses its native ASOF semantics
+# via a correlated MAX — same result.)
+# --------------------------------------------------------------------------
+
+def asof_prior_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.unix_micros("ts").alias("click_us"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        F.lit(0).alias("is_purchase"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("long").alias("click_us"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(1).alias("is_purchase"),
+    )
+    # clicks sort before purchases at identical timestamps → "prior or
+    # simultaneous click" (ties include ts == purchase ts, matching the
+    # oracle's c.ts <= p.ts)
+    combined = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_purchase").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        combined.withColumn("prior_click_us", F.last("click_us", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            F.unix_micros("t").alias("purchase_us"),
+            "prior_click_us",
+        )
+    )
+
+
+ASOF_PRIOR_CLICK_SQL = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts::TIMESTAMP) AS purchase_us,
+       (SELECT MAX(epoch_us(c.ts::TIMESTAMP)) FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts) AS prior_click_us
+FROM events p
+WHERE p.event_type = 'purchase'
+"""
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization: new session when idle > 30 min. The classic
+# lag + cumulative-sum plan: one shuffle on user_id, sort by ts — the
+# standard scalable formulation.
+# --------------------------------------------------------------------------
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    with_new = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    with_sid = with_new.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+    )
+
+
+SESSIONIZE_EVENTS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts::TIMESTAMP) - epoch_us(lag(ts) OVER w :: TIMESTAMP)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       epoch_us(MIN(ts)::TIMESTAMP) AS session_start_us,
+       epoch_us(MAX(ts)::TIMESTAMP) AS session_end_us
+FROM sid
+GROUP BY user_id, session_seq
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact distinct + HLL approximate distinct. The approximate variant is
+# genuinely engine-specific (different sketches) → no value oracle; the
+# driver records a rows-only check, and the exact twin IS oracle-checked.
+# --------------------------------------------------------------------------
+
+def distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+DISTINCT_USERS_EXACT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch aggregate (mergeable partial aggregation —
+    the 100 TB path where exact distinct would shuffle every key)."""
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated median (Spark `percentile` == DuckDB
+# `quantile_cont` — both linear interpolation).
+# --------------------------------------------------------------------------
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_total"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_total"),
+    )
+
+
+MEDIAN_ORDER_VALUE_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_total,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_total
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery shape: each customer's max order vs their
+# account balance. Expressed as join+window in Spark (Catalyst would
+# decorrelate the subquery into the same plan).
+# --------------------------------------------------------------------------
+
+def customer_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.groupBy("o_custkey").agg(F.max("o_totalprice").alias("max_total"))
+    return (
+        customer.join(mx, customer.c_custkey == mx.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal_r"),
+            F.round(F.coalesce("max_total", F.lit(0.0)), 2).alias("max_order_r"),
+        )
+    )
+
+
+CUSTOMER_MAX_ORDER_SQL = """
+SELECT c_custkey,
+       ROUND(c_acctbal, 2) AS acctbal_r,
+       ROUND(COALESCE((SELECT MAX(o_totalprice) FROM orders
+                       WHERE o_custkey = c_custkey), 0.0), 2) AS max_order_r
+FROM customer
+"""
+
+
+QUERIES = {
+    "rollup_status_priority": rollup_status_priority,
+    "cube_returnflag_linestatus": cube_returnflag_linestatus,
+    "pivot_status_by_priority": pivot_status_by_priority,
+    "set_ops_customers": set_ops_customers,
+    "asof_prior_click": asof_prior_click,
+    "sessionize_events": sessionize_events,
+    "distinct_users_exact": distinct_users_exact,
+    "approx_distinct_users": approx_distinct_users,  # rows-only (HLL sketch)
+    "median_order_value": median_order_value,
+    "customer_max_order": customer_max_order,
+}
+
+ORACLES = {
+    "rollup_status_priority": ROLLUP_STATUS_PRIORITY_SQL,
+    "cube_returnflag_linestatus": CUBE_RETURNFLAG_LINESTATUS_SQL,
+    "pivot_status_by_priority": PIVOT_STATUS_BY_PRIORITY_SQL,
+    "set_ops_customers": SET_OPS_CUSTOMERS_SQL,
+    "asof_prior_click": ASOF_PRIOR_CLICK_SQL,
+    "sessionize_events": SESSIONIZE_EVENTS_SQL,
+    "distinct_users_exact": DISTINCT_USERS_EXACT_SQL,
+    "median_order_value": MEDIAN_ORDER_VALUE_SQL,
+    "customer_max_order": CUSTOMER_MAX_ORDER_SQL,
+}
