@@ -29,6 +29,9 @@ HEADLINE = [
     "local_supplier_volume",
     "events_json_extract",
     "events_max_ts",
+    "rollup_status_priority",
+    "asof_prior_click",
+    "sessionize_events",
     "tbl_upsert_snapshot",
     "tbl_mor_snapshot",
     "tbl_incremental_read",
@@ -37,6 +40,7 @@ HEADLINE = [
     "simhash64",
     "knn_bruteforce",
     "text_stats",
+    "multimodal_metadata",
 ]
 
 

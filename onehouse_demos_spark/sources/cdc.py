@@ -69,11 +69,35 @@ def apply_cdc_batch(table, envelopes: DataFrame, drop_meta: bool = True) -> None
 
 def decode_avro_stream(df: DataFrame, value_schema_json: str) -> DataFrame:
     """Confluent-style Avro value decode (reference S2 uses Schema
-    Registry AvroConverter). Requires spark-avro; gated."""
+    Registry AvroConverter, `register-mysql-avro.json:20-24`). Requires
+    the spark-avro jar; gated."""
     try:
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as exc:  # pragma: no cover
-        raise RuntimeError("pyspark avro functions unavailable") from exc
-    return df.select(
-        from_avro(F.col("value"), value_schema_json).alias("envelope")
-    ).select("envelope.*")
+
+        return df.select(
+            from_avro(F.col("value"), value_schema_json).alias("envelope")
+        ).select("envelope.*")
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        raise RuntimeError(
+            "avro decode unavailable (spark-avro jar not on classpath)"
+        ) from exc
+
+
+def decode_protobuf_stream(
+    df: DataFrame, message_name: str, descriptor_file: str
+) -> DataFrame:
+    """Protobuf value decode (reference S2 variant:
+    `register-mysql-protobuf.json:20-24` ProtobufConverter). Requires
+    the spark-protobuf jar; gated."""
+    try:
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        return df.select(
+            from_protobuf(
+                F.col("value"), message_name, descFilePath=descriptor_file
+            ).alias("envelope")
+        ).select("envelope.*")
+    except Exception as exc:  # pragma: no cover - classpath-dependent
+        raise RuntimeError(
+            "protobuf decode unavailable (spark-protobuf jar not on classpath)"
+        ) from exc
