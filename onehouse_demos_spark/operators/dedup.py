@@ -329,25 +329,42 @@ JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash computed entirely with higher-order array functions —
     zero shuffles (no explode/groupBy): each row folds its own token
-    hashes. At 100 TB this is a pure map stage at scan speed."""
+    hashes ONCE, carrying a 60-slot vote array through the fold (one
+    array traversal total, not one per bit — HOF lambdas are not
+    codegen'd, so traversal count dominates). At 100 TB this is a pure
+    map stage at scan speed."""
     docs = load_docs(spark, sf_dir, fan_out=True)
     hs = F.transform(
         F.split(normalize_text(F.col("text")), " "),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
     docs = docs.select("doc_id", hs.alias("hs"))
+
     # vote per bit: +1 if bit set else -1; simhash bit = 1 if sum > 0.
-    sim = F.lit(0).cast("long")
-    for i in range(60):
-        vote = F.aggregate(
-            F.col("hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    def bit_votes(h):
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(60)
+            ]
         )
-        sim = sim + F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+
+    votes = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
+    )
+    weights = F.array(*[F.lit(2**i).cast("long") for i in range(60)])
+    sim = F.aggregate(
+        F.zip_with(
+            votes, weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
     return docs.select("doc_id", sim.alias("simhash"))
 
 

@@ -61,7 +61,12 @@ def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
         participating = plan.base_files + plan.log_files
         df = table._read_files(participating)
         merged = table._merge_latest(df, filter_deleted=True)
-        adds = table._write_files(merged, instant, kind="base")
+        adds = table._write_files(
+            merged,
+            instant,
+            kind="base",
+            approx_rows=sum(f.rows for f in participating),
+        )
         return table._commit(
             instant,
             "replacecommit",

@@ -62,6 +62,10 @@ class TableConfig:
     partition_expr: str | None = None  # SQL expr → partition path string
     table_type: str = "cow"  # "cow" | "mor"
     soft_delete_col: str | None = None  # e.g. "_hoodie_is_deleted" analog
+    # Small-file policy (reference `hoodie.parquet.small.file.limit` /
+    # clustering target sizing): merge writes lay out ~this many rows
+    # per file, range-sorted by (partition path, record key).
+    target_file_rows: int = 5_000_000
 
     def to_json(self) -> dict:
         return {
@@ -72,6 +76,7 @@ class TableConfig:
             "partition_expr": self.partition_expr,
             "table_type": self.table_type,
             "soft_delete_col": self.soft_delete_col,
+            "target_file_rows": self.target_file_rows,
         }
 
     @staticmethod
@@ -80,6 +85,10 @@ class TableConfig:
 
 
 class LakehouseTable:
+    #: Smallest file worth writing when fanning out for parallelism
+    #: (~a few MB of parquet); below this, fewer/larger files win.
+    MIN_FILE_ROWS = 65_536
+
     def __init__(self, spark: SparkSession, base_path: str, config: TableConfig):
         self.spark = spark
         self.base_path = base_path.rstrip("/")
@@ -149,17 +158,49 @@ class LakehouseTable:
     # ---------------------------------------------------------------- write
 
     def _write_files(
-        self, df: DataFrame, instant: str, kind: str = "base"
+        self,
+        df: DataFrame,
+        instant: str,
+        kind: str = "base",
+        approx_rows: int | None = None,
     ) -> list[FileMeta]:
         """Write a prepared (meta-columned) DataFrame as parquet under a
         unique per-instant directory; harvest per-file stats from the
-        parquet footers (metadata-only reads — no data rescan)."""
+        parquet footers (metadata-only reads — no data rescan).
+
+        When the caller knows the output size (`approx_rows`, free from
+        manifest row counts + batch counts), the layout is range-sorted
+        by (partition path, record key) into ~target_file_rows files:
+        small-file bin-packing AND disjoint per-file key ranges, so the
+        next upsert's key-range pruning stays sharp. Without the hint,
+        the incoming partitioning is preserved."""
         rel_dir = f"data/{instant}_{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.base_path, rel_dir)
         pp = self._partition_path_expr()
         writer = df
         if pp is not None:
             writer = writer.withColumn(PP_COL, F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)))
+        if approx_rows is not None:
+            # File count = max(size-ideal, parallelism floor): big
+            # merges split at target_file_rows; small merges still fan
+            # out across the cluster as long as no file drops under
+            # MIN_FILE_ROWS (clustering re-packs stragglers later).
+            rows = max(1, int(approx_rows))
+            n_size = -(-rows // max(1, self.config.target_file_rows))
+            n_par = min(
+                self.spark.sparkContext.defaultParallelism,
+                -(-rows // self.MIN_FILE_ROWS),
+            )
+            n = max(n_size, n_par, 1)
+            sort_cols = [c for c in (PP_COL if pp is not None else None, KEY_COL)
+                         if c is not None and c in writer.columns]
+            if sort_cols:
+                writer = writer.repartitionByRange(
+                    n, *[F.col(c) for c in sort_cols]
+                ).sortWithinPartitions(*sort_cols)
+            else:
+                writer = writer.repartition(n)
+        if pp is not None:
             writer.write.partitionBy(PP_COL).parquet(out_dir, mode="errorifexists")
         else:
             writer.write.parquet(out_dir, mode="errorifexists")
@@ -278,34 +319,41 @@ class LakehouseTable:
             .drop("_oh_rn")
         )
 
-    def _candidate_files(self, prepared_keys: DataFrame) -> list[FileMeta]:
+    def _candidate_files(
+        self, prepared_keys: DataFrame
+    ) -> tuple[list[FileMeta], int]:
         """Prune live base files to those that could contain the
         incoming keys: partition pruning + key-range-stats pruning.
-        The collected values are metadata-scale (distinct partitions,
+        Returns (candidate files, batch row count) from one job; the
+        collected values are metadata-scale (distinct partitions,
         global key min/max), never row-scale."""
         files = self.manifest.live_files(include_logs=False)
         pp = self._partition_path_expr()
         # Partition pruning is opportunistic: possible only when the
         # probe frame still carries the partition-source columns
-        # (a bare key list can't be mapped to partitions).
-        if pp is not None and set(self.config.partition_by) <= set(
+        # (a bare key list can't be mapped to partitions). Key range and
+        # partition set come from ONE aggregation job — both are
+        # metadata-scale scalars.
+        aggs = [
+            F.min(KEY_COL).alias("lo"),
+            F.max(KEY_COL).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+        can_prune_parts = pp is not None and set(self.config.partition_by) <= set(
             prepared_keys.columns
-        ):
-            parts = {
-                r[0]
-                for r in prepared_keys.select(
-                    F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)).alias("p")
-                )
-                .distinct()
-                .collect()
-            }
-            files = Manifest.prune_by_partition(files, parts)
-        rng = prepared_keys.agg(
-            F.min(KEY_COL).alias("lo"), F.max(KEY_COL).alias("hi")
-        ).collect()[0]
-        if rng["lo"] is not None:
-            files = Manifest.prune_by_key_range(files, rng["lo"], rng["hi"])
-        return files
+        )
+        if can_prune_parts:
+            aggs.append(
+                F.collect_set(
+                    F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION))
+                ).alias("parts")
+            )
+        row = prepared_keys.agg(*aggs).collect()[0]
+        if can_prune_parts:
+            files = Manifest.prune_by_partition(files, set(row["parts"]))
+        if row["lo"] is not None:
+            files = Manifest.prune_by_key_range(files, row["lo"], row["hi"])
+        return files, int(row["n"])
 
     def _abs(self, rel_paths: list[str]) -> list[str]:
         return [os.path.join(self.base_path, p) for p in rel_paths]
@@ -335,21 +383,29 @@ class LakehouseTable:
         instant = self.timeline.begin("commit")
         planned_from = self.timeline.latest_instant()
         try:
-            prepared = self._dedupe_incoming(self._with_meta(df, instant))
-            candidates = self._candidate_files(prepared)
+            # The incoming batch feeds several jobs (partition/key-range
+            # pruning collects, the probe join, the anti-join, the final
+            # union). Persist it once — it is batch-sized, not
+            # table-sized, so this holds at scale (write-path workload
+            # profiling caches the same way in production engines).
+            prepared = self._dedupe_incoming(self._with_meta(df, instant)).persist()
+            candidates, batch_rows = self._candidate_files(prepared)
             touched: list[str] = []
             merged = prepared
+            carry_rows = 0
             existing = self._read_files(candidates)
             if existing is not None:
                 # Phase 1 (column-pruned probe): which candidate files
                 # actually hold incoming keys?
+                # `prepared` is already one-row-per-key (window dedup) —
+                # no distinct needed before the broadcast.
                 probe = (
                     existing.select(KEY_COL)
                     .withColumn("_oh_file", F.input_file_name())
                     .join(
-                        F.broadcast(prepared.select(KEY_COL).distinct())
+                        F.broadcast(prepared.select(KEY_COL))
                         if self._small(prepared)
-                        else prepared.select(KEY_COL).distinct(),
+                        else prepared.select(KEY_COL),
                         KEY_COL,
                         "inner",
                     )
@@ -360,6 +416,7 @@ class LakehouseTable:
                 touched = [os.path.relpath(p, self.base_path) for p in touched_abs]
                 if touched:
                     by_path = {f.path: f for f in candidates}
+                    carry_rows = sum(by_path[p].rows for p in touched)
                     carry = self._read_files([by_path[p] for p in touched])
                     # Incoming-wins merge without a window sort: keep
                     # carried rows whose key is NOT incoming (anti
@@ -376,7 +433,10 @@ class LakehouseTable:
                     )
                     merged = carry.unionByName(prepared, allowMissingColumns=True)
             merged = merged.filter(~F.col(DELETED_COL))
-            adds = self._write_files(merged, instant)
+            adds = self._write_files(
+                merged, instant, approx_rows=batch_rows + carry_rows
+            )
+            prepared.unpersist()
             return self._commit(
                 instant,
                 "commit",
@@ -405,9 +465,11 @@ class LakehouseTable:
         try:
             part_cols = [c for c in self.config.partition_by if c in keys_df.columns]
             del_keys = (
-                keys_df.select(self._key_expr().alias(KEY_COL), *part_cols).distinct()
+                keys_df.select(self._key_expr().alias(KEY_COL), *part_cols)
+                .distinct()
+                .persist()
             )
-            candidates = self._candidate_files(del_keys)
+            candidates, _ = self._candidate_files(del_keys)
             existing = self._read_files(candidates)
             adds: list[FileMeta] = []
             touched: list[str] = []
@@ -427,7 +489,12 @@ class LakehouseTable:
                     remaining = carry.join(
                         F.broadcast(del_keys), KEY_COL, "left_anti"
                     )
-                    adds = self._write_files(remaining, instant)
+                    adds = self._write_files(
+                        remaining,
+                        instant,
+                        approx_rows=sum(by_path[p].rows for p in touched),
+                    )
+            del_keys.unpersist()
             return self._commit(
                 instant,
                 "commit",
