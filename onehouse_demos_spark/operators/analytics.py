@@ -328,6 +328,79 @@ FROM customer
 """
 
 
+# --------------------------------------------------------------------------
+# Window-function suite: ranking, navigation, distribution, running
+# aggregate — one shuffle on the partition key; the unique composite
+# ORDER BY (price desc, key) makes every function deterministic.
+# --------------------------------------------------------------------------
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
+        F.lead("o_orderkey", 1).over(w).alias("next_ok"),
+        F.round(F.sum("o_totalprice").over(run), 2).alias("run_total"),
+    )
+
+
+WINDOW_RANK_ORDERS_SQL = """
+SELECT o_custkey, o_orderkey,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROW_NUMBER() OVER w AS rn,
+       NTILE(4) OVER w AS quartile,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       LAG(o_orderkey, 1) OVER w AS prev_ok,
+       LEAD(o_orderkey, 1) OVER w AS next_ok,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS run_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Calendar bucketing: date_trunc month trend (partition-prunable shape
+# when the table is date-partitioned).
+# --------------------------------------------------------------------------
+
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+MONTHLY_REVENUE_TREND_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -339,6 +412,8 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "median_order_value": median_order_value,
     "customer_max_order": customer_max_order,
+    "window_rank_orders": window_rank_orders,
+    "monthly_revenue_trend": monthly_revenue_trend,
 }
 
 ORACLES = {
@@ -352,4 +427,6 @@ ORACLES = {
     "approx_distinct_users": APPROX_DISTINCT_USERS_SQL,
     "median_order_value": MEDIAN_ORDER_VALUE_SQL,
     "customer_max_order": CUSTOMER_MAX_ORDER_SQL,
+    "window_rank_orders": WINDOW_RANK_ORDERS_SQL,
+    "monthly_revenue_trend": MONTHLY_REVENUE_TREND_SQL,
 }

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onehouse_demos_spark.sources.cdc import flatten_debezium, latest_change_per_key
-from onehouse_demos_spark.tables.maintenance import run_compaction
+from onehouse_demos_spark.tables.maintenance import run_clustering, run_compaction
 from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
 
 _CACHE: dict[str, dict] = {}
@@ -88,6 +88,22 @@ def _build(spark: SparkSession, sf_dir: str) -> dict:
     )
     i4 = cow.insert_overwrite(overwrite_f)
     i5 = cow.delete_partition(["P"])
+    # i6: clustering replace-commit — data-preserving layout rewrite
+    # (reference M12); snapshot(i6) must equal snapshot(i5), and
+    # time-travel to i1..i5 must still resolve pre-clustering files.
+    run_clustering(cow, sort_columns=["o_orderkey"])
+
+    bulk = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_bulk",
+        TableConfig(
+            name="orders_bulk",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            table_type="cow",
+        ),
+    )
+    bulk.bulk_insert(orders.withColumn("ver", F.lit(1)), num_files=8)
 
     mor = LakehouseTable.create(
         spark,
@@ -108,6 +124,7 @@ def _build(spark: SparkSession, sf_dir: str) -> dict:
     _CACHE[sf_dir] = {
         "cow": cow,
         "mor": mor,
+        "bulk": bulk,
         "i1": i1.instant,
         "i2": i2.instant,
         "i3": i3.instant,
@@ -214,6 +231,29 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
 FROM orders
 WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
 """
+
+
+def tbl_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot AFTER the clustering replace-commit (reference M12,
+    `SparkSortAndSizeExecutionStrategy`): layout rewritten sorted by
+    key, contents identical to the pre-clustering i5 stage."""
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot())
+
+
+TBL_CLUSTERED_SNAPSHOT_SQL = TBL_DELETE_PARTITION_SNAPSHOT_SQL
+
+
+def tbl_bulk_insert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bulk_insert (reference M2 `BulkInsertNode`): range-partitioned,
+    key-sorted initial load; snapshot equals the raw source."""
+    st = _build(spark, sf_dir)
+    return _project(st["bulk"].snapshot())
+
+
+TBL_BULK_INSERT_SNAPSHOT_SQL = _SQL_BASE.format(
+    ver="1", price="o_totalprice", where=""
+)
 
 
 def tbl_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,6 +365,8 @@ QUERIES = {
     "tbl_delete_snapshot": tbl_delete_snapshot,
     "tbl_insert_overwrite_snapshot": tbl_insert_overwrite_snapshot,
     "tbl_delete_partition_snapshot": tbl_delete_partition_snapshot,
+    "tbl_clustered_snapshot": tbl_clustered_snapshot,
+    "tbl_bulk_insert_snapshot": tbl_bulk_insert_snapshot,
     "tbl_incremental_read": tbl_incremental_read,
     "tbl_dup_key_invariant": tbl_dup_key_invariant,
     "tbl_mor_read_optimized": tbl_mor_read_optimized,
@@ -339,6 +381,8 @@ ORACLES = {
     "tbl_delete_snapshot": TBL_DELETE_SNAPSHOT_SQL,
     "tbl_insert_overwrite_snapshot": TBL_INSERT_OVERWRITE_SNAPSHOT_SQL,
     "tbl_delete_partition_snapshot": TBL_DELETE_PARTITION_SNAPSHOT_SQL,
+    "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
+    "tbl_bulk_insert_snapshot": TBL_BULK_INSERT_SNAPSHOT_SQL,
     "tbl_incremental_read": TBL_INCREMENTAL_READ_SQL,
     "tbl_dup_key_invariant": TBL_DUP_KEY_INVARIANT_SQL,
     "tbl_mor_read_optimized": TBL_MOR_READ_OPTIMIZED_SQL,
