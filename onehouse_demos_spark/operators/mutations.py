@@ -270,6 +270,28 @@ TBL_INCREMENTAL_READ_SQL = _SQL_BASE.format(
 )
 
 
+def tbl_conf_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-conf-steered incremental query (reference Q14:
+    `set hoodie.<t>.consume.mode=INCREMENTAL` +
+    `consume.start.timestamp` + `consume.max.commits=1`,
+    README.md:966-984) — same golden result as the API-level
+    incremental read over (i1, i2]."""
+    st = _build(spark, sf_dir)
+    cow = st["cow"]
+    pfx = f"onehouse.{cow.config.name}.consume."
+    spark.conf.set(pfx + "mode", "INCREMENTAL")
+    spark.conf.set(pfx + "start.timestamp", st["i1"])
+    spark.conf.set(pfx + "max.commits", "1")
+    try:
+        return _project(cow.read())
+    finally:
+        for k in ("mode", "start.timestamp", "max.commits"):
+            spark.conf.unset(pfx + k)
+
+
+TBL_CONF_INCREMENTAL_READ_SQL = TBL_INCREMENTAL_READ_SQL
+
+
 def tbl_dup_key_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No duplicate record keys after the whole pipeline (reference
     invariant: `group by _row_key having count(*) > 1` → 0 rows)."""
@@ -368,6 +390,7 @@ QUERIES = {
     "tbl_clustered_snapshot": tbl_clustered_snapshot,
     "tbl_bulk_insert_snapshot": tbl_bulk_insert_snapshot,
     "tbl_incremental_read": tbl_incremental_read,
+    "tbl_conf_incremental_read": tbl_conf_incremental_read,
     "tbl_dup_key_invariant": tbl_dup_key_invariant,
     "tbl_mor_read_optimized": tbl_mor_read_optimized,
     "tbl_mor_snapshot": tbl_mor_snapshot,
@@ -384,6 +407,7 @@ ORACLES = {
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
     "tbl_bulk_insert_snapshot": TBL_BULK_INSERT_SNAPSHOT_SQL,
     "tbl_incremental_read": TBL_INCREMENTAL_READ_SQL,
+    "tbl_conf_incremental_read": TBL_CONF_INCREMENTAL_READ_SQL,
     "tbl_dup_key_invariant": TBL_DUP_KEY_INVARIANT_SQL,
     "tbl_mor_read_optimized": TBL_MOR_READ_OPTIMIZED_SQL,
     "tbl_mor_snapshot": TBL_MOR_SNAPSHOT_SQL,

@@ -699,6 +699,46 @@ class LakehouseTable:
         df = self._merge_latest(df)
         return self._strip_meta(df, keep_meta)
 
+    def read(self, keep_meta: bool = False) -> DataFrame:
+        """Session-conf-steered read (reference Q14: `set
+        hoodie.<table>.consume.mode=INCREMENTAL`, `consume.max.commits`,
+        `consume.start.timestamp` — README.md:966-984). Conf prefix:
+        `onehouse.<table>.consume.*`.
+
+        `max.commits` bounds the incremental range by counting
+        TIMELINE commits after the start instant — including
+        replace-commits (compaction/clustering), which advance the
+        chain but contribute no records (reference README.md:1224-1227:
+        `consume.max.commits=3` "covers both second batch and
+        compaction commit")."""
+        pfx = f"onehouse.{self.config.name}.consume."
+
+        def conf(key: str, default: str | None = None) -> str | None:
+            try:
+                v = self.spark.conf.get(pfx + key)
+                return v if v is not None else default
+            except Exception:
+                return default
+
+        mode = (conf("mode", "SNAPSHOT") or "SNAPSHOT").upper()
+        if mode == "READ_OPTIMIZED":
+            return self.read_optimized(keep_meta=keep_meta)
+        if mode != "INCREMENTAL":
+            return self.snapshot(keep_meta=keep_meta)
+        begin = conf("start.timestamp")
+        max_commits = int(conf("max.commits", "0") or 0)
+        end = None
+        if max_commits > 0:
+            chain = [
+                i.instant
+                for i in self.timeline.instants()
+                if i.action in ("commit", "deltacommit", "replacecommit")
+                and (begin is None or i.instant > begin)
+            ]
+            if chain:
+                end = chain[: max_commits][-1]
+        return self.incremental(begin=begin, end=end, keep_meta=keep_meta)
+
     def _empty_df(self, keep_meta: bool) -> DataFrame:
         schema = self._latest_schema() or T.StructType([])
         df = self.spark.createDataFrame([], schema)

@@ -112,3 +112,34 @@ def test_archival_keeps_manifest_correct(spark, mor):
     moved = run_archival(mor, keep_last=1)
     assert moved >= 2
     assert mor.snapshot().count() == 3
+
+
+def test_conf_steered_incremental_across_compaction(spark, mor):
+    """Reference Q14 + O19: `consume.mode=INCREMENTAL` with
+    `max.commits` counting the compaction replace-commit in the chain
+    while contributing no records (README.md:966-984, 1224-1227)."""
+    begin = mor.timeline.instants()[0].instant  # after batch 1
+    run_compaction(mor)
+    pfx = f"onehouse.{mor.config.name}.consume."
+    spark.conf.set(pfx + "mode", "INCREMENTAL")
+    spark.conf.set(pfx + "start.timestamp", begin)
+    # max.commits=2 covers the upsert deltacommit AND the compaction
+    # replace-commit; result must be exactly the one upserted row.
+    spark.conf.set(pfx + "max.commits", "2")
+    try:
+        rows = mor.read().collect()
+        assert [(r.key, r.ts) for r in rows] == [
+            ("GOOG_1", "2018-08-31 10:59:00")
+        ]
+        # default mode (no conf) = snapshot
+        spark.conf.unset(pfx + "mode")
+        assert mor.read().count() == 3
+        # read-optimized steering
+        spark.conf.set(pfx + "mode", "READ_OPTIMIZED")
+        assert mor.read().count() == 3  # post-compaction: converged
+    finally:
+        for k in ("mode", "start.timestamp", "max.commits"):
+            try:
+                spark.conf.unset(pfx + k)
+            except Exception:
+                pass
