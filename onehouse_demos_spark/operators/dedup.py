@@ -397,6 +397,73 @@ FROM votes
 )
 
 
+# --------------------------------------------------------------------------
+# Near-dup canonicalization: connected components over the LSH pair
+# graph (the step that actually drops duplicates — every doc in a
+# component maps to the component's min doc_id). Iterative min-label
+# propagation: O(component diameter) joins, each a key-partitioned
+# shuffle — the standard scalable CC formulation (no driver-side graph).
+# The DuckDB oracle computes the same fixpoint with a recursive CTE.
+# --------------------------------------------------------------------------
+
+def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = fwd.union(
+        fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select("a").distinct().select(
+            F.col("a").alias("doc"), F.col("a").alias("lab")
+        )
+    ).persist()
+    for _ in range(30):  # diameter bound; tiny real-world dup chains
+        nmin = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy("a")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.doc == nmin.a, "left")
+            .select(
+                labels.doc.alias("doc"),
+                F.least(labels.lab, F.coalesce(nmin.nlab, labels.lab)).alias("lab"),
+            )
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lab").alias("canonical_id")
+    )
+
+
+NEAR_DUP_CANONICAL_SQL = (
+    "WITH RECURSIVE lsh_pairs AS ("
+    + MINHASH_LSH_PAIRS_SQL
+    + """
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM lsh_pairs
+), reach(doc, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc = e.b
+)
+SELECT doc AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY doc
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_summary": dedup_exact_summary,
@@ -404,6 +471,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash64": simhash64,
+    "near_dup_canonical": near_dup_canonical,
 }
 
 ORACLES = {
@@ -413,4 +481,5 @@ ORACLES = {
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash64": SIMHASH64_SQL,
+    "near_dup_canonical": NEAR_DUP_CANONICAL_SQL,
 }

@@ -114,14 +114,119 @@ FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# Deterministic train/validation/test split: hash-of-key modulo, stable
+# across engines and reruns (never random() — resharding or re-running
+# must not move a document between splits). At 100 TB this is a pure
+# map-side label, no shuffle.
+# --------------------------------------------------------------------------
+
+def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+DATASET_SPLIT_SUMMARY_SQL = """
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+  FROM documents
+)
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# PII redaction: email / phone-shaped spans replaced with typed tags;
+# pure regexp_replace composition → scan-speed map stage.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_hash"),
+        (F.length("text") - F.length(redacted)).alias("chars_removed"),
+    )
+
+
+PII_REDACTION_STATS_SQL = f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE.replace("+?", chr(92) + "+?")}', '<PHONE>', 'g')) AS redacted_hash,
+       length(text) - length(
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE.replace("+?", chr(92) + "+?")}', '<PHONE>', 'g')) AS chars_removed
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-length histogram: fixed-width buckets over token counts — the
+# standard corpus length profile (truncation budgeting).
+# --------------------------------------------------------------------------
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = token_count(F.col("text"))
+    bucket = F.least(F.floor(toks / 32), F.lit(15)).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("lo_tokens", F.col("bucket") * 32)
+    )
+
+
+TOKEN_LENGTH_HISTOGRAM_SQL = """
+SELECT bucket, COUNT(*) AS n_docs, bucket * 32 AS lo_tokens
+FROM (
+  SELECT LEAST((CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) // 32,
+               15)::INT AS bucket
+  FROM documents
+)
+GROUP BY bucket
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
+    "dataset_split_summary": dataset_split_summary,
+    "pii_redaction_stats": pii_redaction_stats,
+    "token_length_histogram": token_length_histogram,
 }
 
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
     "lang_id_confusion": LANG_ID_CONFUSION_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
+    "dataset_split_summary": DATASET_SPLIT_SUMMARY_SQL,
+    "pii_redaction_stats": PII_REDACTION_STATS_SQL,
+    "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
 }
