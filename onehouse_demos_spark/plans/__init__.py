@@ -4,6 +4,7 @@ from code instead of by eyeballing `.explain()`)."""
 
 from onehouse_demos_spark.plans.inspect import (
     explain_str,
+    num_exchanges,
     pushed_filters,
     read_schema_columns,
     scan_stats,
@@ -13,6 +14,7 @@ from onehouse_demos_spark.plans.inspect import (
 
 __all__ = [
     "explain_str",
+    "num_exchanges",
     "pushed_filters",
     "read_schema_columns",
     "scan_stats",

@@ -53,6 +53,14 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
 
 
+def num_exchanges(df: DataFrame) -> int:
+    """Count distinct Exchange NODES. Formatted explain prints each
+    node twice (tree line `Exchange (7)` + detail header
+    `(7) Exchange`), so count unique node ids, not substring hits."""
+    ids = set(re.findall(r"\((\d+)\) Exchange", explain_str(df)))
+    return len(ids)
+
+
 def scan_stats(df: DataFrame) -> dict:
     text = explain_str(df)
     return {
@@ -61,6 +69,6 @@ def scan_stats(df: DataFrame) -> dict:
         "read_schemas": read_schema_columns(df),
         "broadcast_join": "BroadcastHashJoin" in text,
         "sort_merge_join": "SortMergeJoin" in text,
-        "shuffles": len(re.findall(r"Exchange ", text)),
+        "shuffles": num_exchanges(df),
         "codegen_spans": wholestage_codegen_spans(df),
     }

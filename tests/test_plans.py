@@ -82,3 +82,29 @@ def test_upsert_probe_is_column_pruned(spark, tmp_base):
     probe = t._read_files(files).select(KEY_COL)
     schemas = read_schema_columns(probe)
     assert schemas and schemas[0] == {KEY_COL}, schemas
+
+
+def test_asof_and_sessionize_single_shuffle(spark):
+    """AS-OF join and sessionization must stay single-exchange
+    sort-based plans (the scale-safe shape — no per-row subqueries,
+    no extra shuffles)."""
+    from onehouse_demos_spark.operators.analytics import (
+        asof_prior_click,
+        sessionize_events,
+    )
+    from onehouse_demos_spark.plans import explain_str, num_exchanges
+
+    for fn in (asof_prior_click, sessionize_events):
+        df = fn(spark, SF_DIR)
+        assert num_exchanges(df) <= 1, explain_str(df)[:800]
+        assert "CartesianProduct" not in explain_str(df)
+
+
+def test_knn_ivf_avoids_nested_loop(spark):
+    """The IVF scale path must join on bucket keys — never the
+    all-pairs nested loop the brute-force baseline uses."""
+    from onehouse_demos_spark.operators.similarity import knn_ivf
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(knn_ivf(spark, SF_DIR))
+    assert "BroadcastNestedLoop" not in txt and "CartesianProduct" not in txt
