@@ -109,3 +109,47 @@ def test_flatten_debezium_shapes(spark):
     flat = flatten_debezium(env)
     rows = {(r.id, r._cdc_is_deleted) for r in flat.collect()}
     assert rows == {(1, False), (1, True)}
+
+
+def test_windowed_counts_watermark_drops_late(spark, tmp_base):
+    """Watermarked tumbling-window aggregation: a row arriving behind
+    the watermark is dropped; closed windows emit exactly once
+    (append mode)."""
+    from onehouse_demos_spark.streaming.ingest import windowed_counts
+
+    src = tmp_base + "/winsrc"
+    write_batch(src, "b1.json", [
+        {"ts": "2024-01-01 10:00:10", "k": "a"},
+        {"ts": "2024-01-01 10:00:20", "k": "a"},
+        {"ts": "2024-01-01 10:05:00", "k": "a"},  # advances watermark to 10:03
+    ])
+    stream = spark.readStream.schema("ts timestamp, k string").json(src)
+    agg = windowed_counts(stream, "ts", "1 minute", "2 minutes", ["k"])
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", tmp_base + "/winchk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch(src, "b2.json", [
+            {"ts": "2024-01-01 10:00:30", "k": "a"},  # LATE: behind watermark
+            {"ts": "2024-01-01 10:06:00", "k": "a"},
+        ])
+        q.processAllAvailable()
+        write_batch(src, "b3.json", [
+            {"ts": "2024-01-01 10:30:00", "k": "a"},  # push watermark forward
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (str(r.window_start), r.n)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # the 10:00 window emitted with n=2 — the late 10:00:30 row was
+    # dropped, not merged (and no second emission for that window).
+    assert ("2024-01-01 10:00:00", 2) in rows, rows
+    assert ("2024-01-01 10:00:00", 3) not in rows, rows
