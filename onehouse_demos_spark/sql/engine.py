@@ -57,6 +57,15 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_PARTS_RE = re.compile(
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:DETAIL\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
+
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
     r"USING\s+(?P<source>[\w.]+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
@@ -160,9 +169,40 @@ class Engine:
         if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
             if m.group("format") or m.group("props") or m.group("ctas"):
                 return self._create(m)
+        m = _SHOW_PARTS_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._show_partitions(self._norm(m.group("name")))
+        if _SHOW_TABLES_RE.match(s):
+            return self._show_tables()
+        m = _DESCRIBE_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._describe(self._norm(m.group("name")))
         # passthrough: refresh views so Spark sees latest snapshots
         self.register_views()
         return self.spark.sql(s)
+
+    # -- catalog introspection (reference Q11: `show tables`,
+    # `show partitions <t>` — README.md:362,372) ------------------------------
+
+    def _show_tables(self) -> DataFrame:
+        rows = [
+            (n, t.config.table_type, t.base_path)
+            for n, t in sorted(self._tables.items())
+        ]
+        return self.spark.createDataFrame(
+            rows or [], "tableName string, tableType string, location string"
+        )
+
+    def _show_partitions(self, name: str) -> DataFrame:
+        parts = self._tables[name].manifest.partitions()
+        return self.spark.createDataFrame(
+            [(p,) for p in parts], "partition string"
+        )
+
+    def _describe(self, name: str) -> DataFrame:
+        info = self._tables[name].describe()
+        rows = sorted((k, str(v)) for k, v in info.items())
+        return self.spark.createDataFrame(rows, "col_name string, value string")
 
     # -- statement handlers ---------------------------------------------------
 

@@ -105,3 +105,25 @@ def test_reload_warehouse(engine, spark, tmp_base):
     engine.sql("INSERT INTO keep VALUES (7, 70)")
     e2 = Engine(spark, tmp_base + "/wh")
     assert e2.sql("SELECT v FROM keep").collect()[0].v == 70
+
+
+def test_catalog_introspection(spark, tmp_base):
+    """Reference Q11: SHOW TABLES / SHOW PARTITIONS / DESCRIBE
+    (README.md:362,372)."""
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/wh")
+    eng.sql(
+        "CREATE TABLE ticks (key STRING, ts STRING, sym STRING, d STRING) "
+        "USING lakehouse PARTITIONED BY (d) "
+        "TBLPROPERTIES (primaryKey=key, preCombineField=ts)"
+    )
+    eng.sql("INSERT INTO ticks VALUES ('k1','t1','GOOG','2018/08/31')")
+    eng.sql("INSERT INTO ticks VALUES ('k2','t1','MSFT','2018/08/30')")
+    tables = [r.tableName for r in eng.sql("SHOW TABLES").collect()]
+    assert "ticks" in tables
+    parts = {r.partition for r in eng.sql("SHOW PARTITIONS ticks").collect()}
+    assert parts == {"2018/08/30", "2018/08/31"}
+    desc = {r.col_name: r.value for r in eng.sql("DESCRIBE DETAIL ticks").collect()}
+    assert int(desc["num_commits"]) >= 2  # the two INSERTs (+ any DDL instant)
+    assert desc["num_live_files"] == "2"
