@@ -21,10 +21,20 @@ from onehouse_demos_spark.operators import (
     mutations,
     relational,
     similarity,
+    streaming_ops,
     text,
 )
 
-_MODULES = (relational, analytics, mutations, dedup, similarity, text, multimodal)
+_MODULES = (
+    relational,
+    analytics,
+    mutations,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    streaming_ops,
+)
 
 
 def all_queries():

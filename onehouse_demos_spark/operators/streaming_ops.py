@@ -1,0 +1,81 @@
+"""Structured Streaming queries exposed as oracle-checkable operators.
+
+Each query runs a REAL streaming pipeline (readStream → windowed
+aggregation → sink) to completion with `Trigger.AvailableNow`, then
+returns the sink contents as a DataFrame. The DuckDB oracle is the
+equivalent batch SQL — proving the streaming plan computes the same
+answer as the batch plan over identical input (the reference's EP1
+pattern of stream-ingest-then-query, `hudi-spark-minio-trino/
+README.md:159-344`, with the analytics pushed INTO the stream).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: events parquet carries TIMESTAMP(NANOS); stream-read as long and
+#: convert, same as operators.relational.load_events.
+_EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type, computed BY THE
+    STREAMING ENGINE (incremental state store aggregation), drained
+    with AvailableNow into a memory sink. Complete output mode so every
+    window emits regardless of watermark position."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
+    view = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="oh_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(view)
+
+
+STREAMING_HOURLY_COUNTS_SQL = """
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H') AS hour,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "streaming_hourly_counts": streaming_hourly_counts,
+}
+
+ORACLES = {
+    "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
+}
