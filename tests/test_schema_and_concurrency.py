@@ -122,3 +122,17 @@ def test_cross_engine_read_of_snapshot(spark, tmp_base):
         f"SELECT id, s FROM read_parquet('{tmp_base}/export/*.parquet') ORDER BY id"
     ).fetchall()
     assert rows == [(2, "b")]
+
+
+def test_schema_evolution_type_widening(spark, tmp_base):
+    """int → long widening across commits: old int32 files read under
+    the evolved long schema (Spark's parquet upcast), new values exceed
+    int range."""
+    t = LakehouseTable.create(
+        spark, tmp_base + "/w", TableConfig(name="w", record_key=["id"], precombine="v")
+    )
+    t.insert(spark.createDataFrame([(1, 1, 10)], "id int, v int, x int"))
+    t.upsert(spark.createDataFrame([(2, 1, 2**40)], "id int, v int, x long"))
+    snap = {r.id: r.x for r in t.snapshot().collect()}
+    assert snap == {1: 10, 2: 2**40}
+    assert dict(t.snapshot().dtypes)["x"] == "bigint"
