@@ -21,6 +21,7 @@ from onehouse_demos_spark.operators import (
     mutations,
     relational,
     similarity,
+    sql_ops,
     streaming_ops,
     text,
 )
@@ -34,6 +35,7 @@ _MODULES = (
     text,
     multimodal,
     streaming_ops,
+    sql_ops,
 )
 
 
