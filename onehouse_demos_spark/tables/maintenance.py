@@ -36,12 +36,27 @@ class CompactionPlan:
 
 def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
     """Plan = every partition that currently has log files (reference
-    `compaction schedule`, README.md:1126-1143). Metadata-only."""
+    `compaction schedule`, README.md:1126-1143). Metadata-only.
+
+    Safety net: if a log file sits in the default partition of a
+    PARTITIONED table (an untagged tombstone — possible with
+    `partition_expr` tables where the key's partition can't be
+    probed), its delete may target ANY partition, so every base file
+    must participate in the merge."""
+    from onehouse_demos_spark.tables.table import HIVE_DEFAULT_PARTITION
+
     files = table.manifest.live_files()
     log_parts = {f.partition for f in files if f.kind == "log"}
+    partitioned = bool(table.config.partition_by or table.config.partition_expr)
+    if partitioned and HIVE_DEFAULT_PARTITION in log_parts:
+        base = [f for f in files if f.kind == "base"]
+    else:
+        base = [
+            f for f in files if f.kind == "base" and f.partition in log_parts
+        ]
     return CompactionPlan(
         partitions=sorted(p or "" for p in log_parts),
-        base_files=[f for f in files if f.kind == "base" and f.partition in log_parts],
+        base_files=base,
         log_files=[f for f in files if f.kind == "log"],
     )
 

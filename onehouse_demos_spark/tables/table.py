@@ -528,15 +528,36 @@ class LakehouseTable:
         instant = self.timeline.begin("deltacommit")
         try:
             schema = self._latest_schema()
-            # Tombstones keep any partition-source columns present in
-            # keys_df so they land in (and prune to) the right
-            # partitions; all other data columns are null.
-            part_cols = [c for c in self.config.partition_by if c in keys_df.columns]
-            tombstones = keys_df.select(
-                self._key_expr().alias(KEY_COL),
+            # Tombstones MUST land in the key's actual partition:
+            # partition-scoped compaction merges (base + logs) per
+            # partition-with-logs, so an untagged tombstone in the
+            # default partition would be consumed by compaction while
+            # the key's base row (in a log-free partition) survives —
+            # resurrecting a deleted key. When the caller passes a bare
+            # key list, tag partitions with a column-pruned probe of
+            # live data (key + partition columns only).
+            part_by = self.config.partition_by
+            have = [c for c in part_by if c in keys_df.columns]
+            del_keys = keys_df.select(
+                self._key_expr().alias(KEY_COL), *have
+            ).distinct()
+            if part_by and len(have) < len(part_by):
+                live = self._read_files(self.manifest.live_files())
+                if live is not None:
+                    del_keys = (
+                        live.select(KEY_COL, *part_by)
+                        .join(
+                            F.broadcast(del_keys.select(KEY_COL)),
+                            KEY_COL,
+                            "inner",
+                        )
+                        .dropDuplicates([KEY_COL])
+                    )
+            tombstones = del_keys.select(
+                KEY_COL,
                 F.lit(instant).alias(COMMIT_COL),
                 F.lit(True).alias(DELETED_COL),
-                *part_cols,
+                *[c for c in del_keys.columns if c != KEY_COL],
             )
             if schema is not None:
                 for f in schema.fields:

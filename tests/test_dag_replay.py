@@ -17,22 +17,28 @@ import pytest
 from pyspark.sql import functions as F
 
 from onehouse_demos_spark import LakehouseTable, TableConfig
-from onehouse_demos_spark.tables.maintenance import run_clustering, run_compaction
+from onehouse_demos_spark.tables.maintenance import (
+    run_clean,
+    run_clustering,
+    run_compaction,
+)
 
 SCHEMA = "rk string, ver int, payload string, part string"
 PARTS = ["p0", "p1", "p2"]
 
 
 def gen_rows(rng, n, keyspace, ver):
-    return [
-        (
-            f"k{rng.randrange(keyspace)}",
-            ver,
-            f"v{rng.randrange(1_000_000)}",
-            rng.choice(PARTS),
+    """Partition derives from the key (reference DAG datagen keeps a
+    record's partition stable): with a partition-scoped index — same as
+    Hudi's default — a key that MOVED partitions would leave its stale
+    row in the old partition, which a dict oracle can't model."""
+    rows = []
+    for _ in range(n):
+        k = rng.randrange(keyspace)
+        rows.append(
+            (f"k{k}", ver, f"v{rng.randrange(1_000_000)}", f"p{k % 3}")
         )
-        for _ in range(n)
-    ]
+    return rows
 
 
 def dedupe_batch(rows):
@@ -87,7 +93,8 @@ def test_dag_replay(spark, tmp_base, table_type):
     expected: dict[str, tuple] = {}
     ver = 0
     ops = ["insert", "upsert", "upsert", "delete", "compact", "cluster",
-           "delete_partition", "upsert", "insert", "delete", "compact", "upsert"]
+           "delete_partition", "upsert", "overwrite", "insert", "delete",
+           "compact", "clean", "upsert"]
     for step, op in enumerate(ops):
         ver += 1
         if op == "insert":
@@ -119,8 +126,27 @@ def test_dag_replay(spark, tmp_base, table_type):
             part = rng.choice(PARTS)
             table.delete_partition([part])
             expected = {k: v for k, v in expected.items() if v[3] != part}
+        elif op == "overwrite":
+            # insert_overwrite replaces exactly one partition's
+            # contents; keys come from a dedicated range so the
+            # partition-scoped index semantics (same as Hudi's default)
+            # keep the global dup-key invariant intact.
+            part = rng.choice(PARTS)
+            rows = dedupe_batch(
+                [
+                    (f"ow{rng.randrange(100)}_{part}", ver,
+                     f"v{rng.randrange(1_000_000)}", part)
+                    for _ in range(20)
+                ]
+            )
+            table.insert_overwrite(spark.createDataFrame(rows, SCHEMA))
+            expected = {k: v for k, v in expected.items() if v[3] != part}
+            expected.update({r[0]: r for r in rows})
         elif op == "compact":
             run_compaction(table)
+        elif op == "clean":
+            # physical retention: state must be unaffected
+            run_clean(table, keep_last_commits=3)
         elif op == "cluster":
             run_clustering(table, sort_columns=["rk"], target_file_rows=100)
         check(table, expected, f"{step}:{op}")
