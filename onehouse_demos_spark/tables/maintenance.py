@@ -23,11 +23,16 @@ from onehouse_demos_spark.tables.timeline import FileMeta
 
 @dataclass
 class CompactionPlan:
-    """Partitions whose log files should merge into new base files."""
+    """Partitions whose log files should merge into new base files.
+    `planned_from` pins the timeline position the plan was made
+    against — the OCC conflict check at publish compares against it,
+    so a stale plan (files concurrently replaced between schedule and
+    run) aborts instead of resurrecting old state."""
 
     partitions: list[str] = field(default_factory=list)
     base_files: list[FileMeta] = field(default_factory=list)
     log_files: list[FileMeta] = field(default_factory=list)
+    planned_from: str | None = None
 
     @property
     def empty(self) -> bool:
@@ -58,6 +63,7 @@ def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
         partitions=sorted(p or "" for p in log_parts),
         base_files=base,
         log_files=[f for f in files if f.kind == "log"],
+        planned_from=table.timeline.latest_instant(),
     )
 
 
@@ -72,6 +78,7 @@ def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
     if plan.empty:
         return None
     instant = table.timeline.begin("replacecommit")
+    planned_from = plan.planned_from or table.timeline.latest_instant()
     try:
         participating = plan.base_files + plan.log_files
         df = table._read_files(participating)
@@ -90,6 +97,7 @@ def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
             [f.path for f in participating],
             merged.schema,
             extra={"compacted_partitions": plan.partitions},
+            planned_from=planned_from,
         )
     except Exception:
         table.timeline.abort(instant)
@@ -113,6 +121,7 @@ def run_clustering(
     if not files:
         return None
     instant = table.timeline.begin("replacecommit")
+    planned_from = table.timeline.latest_instant()
     try:
         df = table._read_files(files)
         total_rows = sum(f.rows for f in files)
@@ -130,6 +139,7 @@ def run_clustering(
             [f.path for f in files],
             clustered.schema,
             extra={"sort_columns": sort_columns},
+            planned_from=planned_from,
         )
     except Exception:
         table.timeline.abort(instant)

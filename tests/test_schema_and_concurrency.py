@@ -136,3 +136,30 @@ def test_schema_evolution_type_widening(spark, tmp_base):
     snap = {r.id: r.x for r in t.snapshot().collect()}
     assert snap == {1: 10, 2: 2**40}
     assert dict(t.snapshot().dtypes)["x"] == "bigint"
+
+
+def test_compaction_conflicts_with_concurrent_rewrite(spark, tmp_base):
+    """Table services are OCC participants too: a compaction whose
+    planned file set was concurrently replaced must abort instead of
+    resurrecting the replaced files' state."""
+    from onehouse_demos_spark.tables.maintenance import (
+        run_compaction,
+        schedule_compaction,
+    )
+
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/svc",
+        TableConfig(name="svc", record_key=["id"], precombine="v", table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(1, 1), (2, 1)], "id int, v int"))
+    t.upsert(spark.createDataFrame([(1, 2)], "id int, v int"))
+    plan = schedule_compaction(t)
+    # concurrent writer lands a COW-style rewrite of the same files
+    # between compaction's schedule and run: simulate by compacting
+    # once (replaces the planned files), then replaying the stale plan.
+    run_compaction(t)
+    with pytest.raises(ConflictError):
+        run_compaction(t, plan)
+    # state unaffected by the failed service
+    assert {r.id: r.v for r in t.snapshot().collect()} == {1: 2, 2: 1}
