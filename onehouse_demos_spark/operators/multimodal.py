@@ -121,6 +121,85 @@ def decode_media(
     return df.select(*id_cols, binary_col).mapInPandas(decode_batches, out_schema)
 
 
+RESIZED_SCHEMA = "out_width int, out_height int, ok boolean"
+
+
+def resize_media(
+    df: DataFrame,
+    binary_col: str,
+    id_cols: list[str],
+    target: tuple[int, int] = (224, 224),
+    fake: bool = False,
+) -> DataFrame:
+    """Resize stage: same Arrow-batched `mapInPandas` contract as
+    decode. The stub derives the letterboxed output size from the fake
+    decode dimensions; real resampling raises NotImplementedError
+    (no image libraries in this runtime)."""
+    tw, th = target
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    ) + ", " + RESIZED_SCHEMA
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media resize requires codec libraries not present "
+                    "in this runtime; pass fake=True for the deterministic stub"
+                )
+            out = pdf[id_cols].copy()
+
+            def dims(b):
+                if b is None:
+                    return None, None
+                d = hashlib.md5(bytes(b)).hexdigest()
+                w = (int(d[:4], 16) % 1920) + 1
+                h = (int(d[4:8], 16) % 1080) + 1
+                scale = min(tw / w, th / h)
+                return max(1, int(w * scale)), max(1, int(h * scale))
+
+            pairs = pdf[binary_col].map(dims)
+            out["out_width"] = pairs.map(lambda p: p[0])
+            out["out_height"] = pairs.map(lambda p: p[1])
+            out["ok"] = pdf[binary_col].notna()
+            yield out
+
+    return df.select(*id_cols, binary_col).mapInPandas(resize_batches, out_schema)
+
+
+def extract_features(
+    df: DataFrame, binary_col: str, id_cols: list[str], dims: int = 4
+) -> DataFrame:
+    """Feature extraction over media bytes via Arrow-batched
+    `mapInPandas`. The featurizer is a deterministic hash projection
+    (stand-in for a real encoder — swap the batch body to call one);
+    determinism makes this the one Python-UDF path that is ORACLE-
+    CHECKED, proving Arrow batch transfer end-to-end."""
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    ) + ", " + ", ".join(f"f{i} double" for i in range(dims))
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            digests = pdf[binary_col].map(
+                lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
+            )
+            for i in range(dims):
+                out[f"f{i}"] = digests.map(
+                    lambda d, i=i: round(int(d[8 * i : 8 * i + 8], 16) / 2**32, 6)
+                    if d
+                    else None
+                )
+            yield out
+
+    return df.select(*id_cols, binary_col).mapInPandas(feature_batches, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, binary_col: str, id_cols: list[str], every_n_bytes: int = 1 << 16
 ) -> DataFrame:
@@ -166,5 +245,30 @@ SELECT doc_id,
 FROM documents
 """
 
-QUERIES = {"multimodal_metadata": multimodal_metadata}
-ORACLES = {"multimodal_metadata": MULTIMODAL_METADATA_SQL}
+def multimodal_features(spark, sf_dir: str) -> DataFrame:
+    """Arrow-batched Pandas-UDF feature extraction, oracle-checked:
+    DuckDB reproduces the hash projection bit-for-bit."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    blobs = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_features(blobs, "payload", ["doc_id"], dims=4)
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       ROUND(('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0, 6) AS f0,
+       ROUND(('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0, 6) AS f1,
+       ROUND(('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0, 6) AS f2,
+       ROUND(('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0, 6) AS f3
+FROM documents
+"""
+
+QUERIES = {
+    "multimodal_metadata": multimodal_metadata,
+    "multimodal_features": multimodal_features,
+}
+ORACLES = {
+    "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+}

@@ -67,3 +67,36 @@ def test_frame_sample_plan(spark):
     assert counts[2] == 1  # minimum one frame
     offs = [r.byte_offset for r in frames.filter("id = 1").orderBy("frame_idx").collect()]
     assert offs == [0, 65536, 131072]
+
+
+def test_resize_stub_letterboxes(media_df):
+    from onehouse_demos_spark.operators.multimodal import resize_media
+
+    rows = {
+        r.id: r
+        for r in resize_media(
+            media_df, "payload", ["id"], target=(224, 224), fake=True
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert rows[i].ok
+        # letterbox: fits in target, preserves at least one dimension
+        assert 1 <= rows[i].out_width <= 224
+        assert 1 <= rows[i].out_height <= 224
+        assert max(rows[i].out_width, rows[i].out_height) >= 200
+    assert not rows[4].ok
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_media(media_df, "payload", ["id"], fake=False).collect()
+
+
+def test_feature_extract_deterministic(media_df):
+    from onehouse_demos_spark.operators.multimodal import extract_features
+
+    feats = extract_features(media_df, "payload", ["id"], dims=4)
+    rows = {r.id: r for r in feats.collect()}
+    assert set(feats.columns) == {"id", "f0", "f1", "f2", "f3"}
+    for i in (1, 2, 3):
+        assert all(0.0 <= rows[i][f"f{d}"] <= 1.0 for d in range(4))
+    assert rows[4].f0 is None
+    again = {r.id: r for r in extract_features(media_df, "payload", ["id"]).collect()}
+    assert all(again[i].f0 == rows[i].f0 for i in (1, 2, 3))
