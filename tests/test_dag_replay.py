@@ -76,12 +76,14 @@ def check(table, expected, step):
     assert dups == 0, f"step {step}: duplicate keys"
 
 
-@pytest.mark.parametrize("table_type", ["cow", "mor"])
-def test_dag_replay(spark, tmp_base, table_type):
-    rng = random.Random(42)
+@pytest.mark.parametrize("table_type,seed", [
+    ("cow", 42), ("mor", 42), ("cow", 1337), ("mor", 1337),
+])
+def test_dag_replay(spark, tmp_base, table_type, seed):
+    rng = random.Random(seed)
     table = LakehouseTable.create(
         spark,
-        f"{tmp_base}/dag_{table_type}",
+        f"{tmp_base}/dag_{table_type}_{seed}",
         TableConfig(
             name=f"dag_{table_type}",
             record_key=["rk"],
