@@ -53,7 +53,12 @@ def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
     files = table.manifest.live_files()
     log_parts = {f.partition for f in files if f.kind == "log"}
     partitioned = bool(table.config.partition_by or table.config.partition_expr)
-    if partitioned and HIVE_DEFAULT_PARTITION in log_parts:
+    # Global-index tables: an upsert log row may supersede a base row
+    # in ANY partition (key moved), so every base file participates.
+    if partitioned and log_parts and (
+        HIVE_DEFAULT_PARTITION in log_parts
+        or table.config.index_scope == "global"
+    ):
         base = [f for f in files if f.kind == "base"]
     else:
         base = [
@@ -182,6 +187,38 @@ def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
     except Exception:
         table.timeline.abort(instant)
         raise
+
+
+def run_orphan_clean(table: LakehouseTable, min_age_s: float = 3600.0) -> list[str]:
+    """Remove data files never referenced by any completed instant —
+    leftovers of writers that crashed between data write and commit
+    publish (the commit protocol writes data first, so an abort leaves
+    orphans; they are invisible to readers but cost storage).
+
+    `min_age_s` guards in-flight writers: only files older than the
+    grace window are deleted (same contract as cloud-store lifecycle
+    cleaners). This walk is maintenance-only — the READ path never
+    lists storage."""
+    referenced: set[str] = set()
+    for inst in table.timeline.instants():
+        referenced.update(f.path for f in inst.adds)
+        referenced.update(inst.removes)
+    import time as _time
+
+    now = _time.time()
+    doomed: list[str] = []
+    data_root = os.path.join(table.base_path, "data")
+    for root, _dirs, names in os.walk(data_root):
+        for name in names:
+            abs_path = os.path.join(root, name)
+            rel = os.path.relpath(abs_path, table.base_path)
+            if rel.replace(os.sep, "/") in referenced:
+                continue
+            if now - os.path.getmtime(abs_path) < min_age_s:
+                continue
+            doomed.append(rel.replace(os.sep, "/"))
+            os.remove(abs_path)
+    return doomed
 
 
 def run_archival(table: LakehouseTable, keep_last: int = 50) -> int:

@@ -62,6 +62,13 @@ class TableConfig:
     partition_expr: str | None = None  # SQL expr → partition path string
     table_type: str = "cow"  # "cow" | "mor"
     soft_delete_col: str | None = None  # e.g. "_hoodie_is_deleted" analog
+    # Key-index scope (Hudi SIMPLE vs GLOBAL_SIMPLE semantics):
+    # "partition" — a key is unique per partition; upserts only look in
+    #   the incoming rows' partitions (cheapest, the default).
+    # "global" — a key is unique table-wide; an upsert that changes a
+    #   key's partition REMOVES the old-partition row (probe skips
+    #   partition pruning, so the rewrite covers the old location).
+    index_scope: str = "partition"
     # Small-file policy (reference `hoodie.parquet.small.file.limit` /
     # clustering target sizing): merge writes lay out ~this many rows
     # per file, range-sorted by (partition path, record key).
@@ -77,6 +84,7 @@ class TableConfig:
             "table_type": self.table_type,
             "soft_delete_col": self.soft_delete_col,
             "target_file_rows": self.target_file_rows,
+            "index_scope": self.index_scope,
         }
 
     @staticmethod
@@ -339,8 +347,10 @@ class LakehouseTable:
             F.max(KEY_COL).alias("hi"),
             F.count(F.lit(1)).alias("n"),
         ]
-        can_prune_parts = pp is not None and set(self.config.partition_by) <= set(
-            prepared_keys.columns
+        can_prune_parts = (
+            self.config.index_scope != "global"
+            and pp is not None
+            and set(self.config.partition_by) <= set(prepared_keys.columns)
         )
         if can_prune_parts:
             aggs.append(

@@ -163,3 +163,40 @@ def test_compaction_conflicts_with_concurrent_rewrite(spark, tmp_base):
         run_compaction(t, plan)
     # state unaffected by the failed service
     assert {r.id: r.v for r in t.snapshot().collect()} == {1: 2, 2: 1}
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_global_index_partition_move(spark, tmp_base, table_type):
+    """index_scope='global' (Hudi GLOBAL_SIMPLE semantics): an upsert
+    that changes a key's partition removes the old-partition row — no
+    duplicate across partitions, including after compaction."""
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/g_{table_type}",
+        TableConfig(
+            name=f"g_{table_type}",
+            record_key=["id"],
+            precombine="v",
+            partition_by=["p"],
+            table_type=table_type,
+            index_scope="global",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id int, p string, v int")
+    )
+    # key 1 moves partition a → c
+    t.upsert(spark.createDataFrame([(1, "c", 2)], "id int, p string, v int"))
+    snap = {(r.id): (r.p, r.v) for r in t.snapshot().collect()}
+    assert snap == {1: ("c", 2), 2: ("b", 1)}
+    run_compaction(t)
+    after = {(r.id): (r.p, r.v) for r in t.snapshot(keep_meta=True).drop(
+        "_oh_record_key", "_oh_commit_time", "_oh_is_deleted").collect()}
+    assert after == {1: ("c", 2), 2: ("b", 1)}
+    dups = (
+        t.snapshot(keep_meta=True)
+        .groupBy("_oh_record_key").count().filter("count > 1").count()
+    )
+    assert dups == 0

@@ -130,3 +130,34 @@ def test_bulk_insert_sorted_ranges(spark, tmp_base):
     for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
         assert hi <= lo
     assert t.snapshot().count() == 10000
+
+
+def test_orphan_clean_removes_uncommitted_files(spark, tmp_base):
+    """A writer that dies between data write and commit publish leaves
+    orphan parquet; run_orphan_clean removes it (after the grace
+    window) without touching committed data."""
+    import os
+
+    from onehouse_demos_spark.tables.maintenance import run_orphan_clean
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/orph",
+        TableConfig(name="orph", record_key=["id"], precombine="v"),
+    )
+    t.insert(spark.createDataFrame([(1, 1)], "id int, v int"))
+    # simulate a crashed write: data landed, commit never published
+    orphan_dir = os.path.join(t.base_path, "data", "99999999999999999999_dead")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-orphan.parquet")
+    spark.createDataFrame([(9, 9)], "id int, v int").toPandas().to_parquet(orphan)
+    os.utime(orphan, (0, 0))  # age it past the grace window
+
+    assert t.snapshot().count() == 1  # invisible to readers either way
+    removed = run_orphan_clean(t, min_age_s=60)
+    assert removed and not os.path.exists(orphan)
+    assert t.snapshot().count() == 1
+    # fresh files survive the grace window
+    fresh = os.path.join(orphan_dir, "part-fresh.parquet")
+    spark.createDataFrame([(8, 8)], "id int, v int").toPandas().to_parquet(fresh)
+    assert run_orphan_clean(t, min_age_s=3600) == []
+    assert os.path.exists(fresh)
