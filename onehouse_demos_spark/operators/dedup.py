@@ -464,6 +464,75 @@ SELECT doc AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY doc
 )
 
 
+# --------------------------------------------------------------------------
+# Benchmark decontamination: fraction of a doc's shingles that appear
+# anywhere in the benchmark set. Inverted-index join against the
+# (small) benchmark shingle set — broadcast at real scale, never a
+# doc×doc comparison.
+# --------------------------------------------------------------------------
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with ≥50% 3-gram overlap against the benchmark subset
+    (stand-in: doc_id % 50 == 0). The training-data decontamination
+    gate: candidate docs that leak benchmark content."""
+    docs = load_docs(spark, sf_dir, fan_out=True)
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+    bench = (
+        sh.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    rest = sh.filter(F.col("doc_id") % 50 != 0)
+    hits = (
+        rest.join(F.broadcast(bench).withColumn("_hit", F.lit(1)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        hits.withColumn(
+            "overlap", F.round(F.col("n_hits") / F.col("n_shingles"), 4)
+        )
+        .filter(F.col("overlap") >= 0.5)
+        .select("doc_id", "n_shingles", "n_hits", "overlap")
+    )
+
+
+CONTAMINATION_CHECK_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      FOR i IN range(1, len(toks) - 1)]
+           END AS shs
+    FROM norm
+  ), UNNEST(shs) AS t(shingle)
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+), hits AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_shingles,
+         SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 50 <> 0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, n_hits,
+       ROUND(n_hits::DOUBLE / n_shingles, 4) AS overlap
+FROM hits
+WHERE n_hits::DOUBLE / n_shingles >= 0.5
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_summary": dedup_exact_summary,
@@ -472,6 +541,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash64": simhash64,
     "near_dup_canonical": near_dup_canonical,
+    "contamination_check": contamination_check,
 }
 
 ORACLES = {
@@ -482,4 +552,5 @@ ORACLES = {
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash64": SIMHASH64_SQL,
     "near_dup_canonical": NEAR_DUP_CANONICAL_SQL,
+    "contamination_check": CONTAMINATION_CHECK_SQL,
 }

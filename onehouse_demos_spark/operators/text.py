@@ -99,6 +99,62 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# The composite corpus gate: the filter chain an ingest pipeline runs
+# before training (quality + length band), reported per predicted
+# language. One scan, one small aggregate.
+# --------------------------------------------------------------------------
+
+def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = token_count(F.col("text"))
+    keep = (
+        (quality_score(F.col("text")) >= 0.7)
+        & (toks >= 10)
+        & (toks <= 2000)
+    )
+    return (
+        docs.select(lang_id(F.col("text")).alias("pred_lang"), keep.alias("keep"))
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        )
+        .withColumn(
+            "keep_ratio", F.round(F.col("n_kept") / F.col("n_total"), 4)
+        )
+    )
+
+
+_TOKS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+_QUALITY_SQL = f"""ROUND(
+  (CASE WHEN ({_TOKS_SQL}) BETWEEN 5 AND 5000 THEN 0.5 ELSE 0.0 END)
++ (CASE WHEN {_EN_HITS} > 0 THEN 0.3 ELSE 0.0 END)
++ 0.2
+- LEAST((CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+              / length(text) END) * 2.0, 0.2), 4)"""
+
+QUALITY_FILTER_GATE_SQL = f"""
+WITH scored AS (
+  SELECT {_lang_id_sql('text')} AS pred_lang,
+         ({_QUALITY_SQL} >= 0.7
+          AND ({_TOKS_SQL}) BETWEEN 10 AND 2000) AS keep
+  FROM documents
+)
+SELECT pred_lang,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+         AS keep_ratio
+FROM scored
+GROUP BY pred_lang
+"""
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting (md5-derived 60-bit content hash).
 # --------------------------------------------------------------------------
 
@@ -220,6 +276,7 @@ QUERIES = {
     "dataset_split_summary": dataset_split_summary,
     "pii_redaction_stats": pii_redaction_stats,
     "token_length_histogram": token_length_histogram,
+    "quality_filter_gate": quality_filter_gate,
 }
 
 ORACLES = {
@@ -229,4 +286,5 @@ ORACLES = {
     "dataset_split_summary": DATASET_SPLIT_SUMMARY_SQL,
     "pii_redaction_stats": PII_REDACTION_STATS_SQL,
     "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
+    "quality_filter_gate": QUALITY_FILTER_GATE_SQL,
 }
