@@ -161,3 +161,26 @@ def test_orphan_clean_removes_uncommitted_files(spark, tmp_base):
     spark.createDataFrame([(8, 8)], "id int, v int").toPandas().to_parquet(fresh)
     assert run_orphan_clean(t, min_age_s=3600) == []
     assert os.path.exists(fresh)
+
+
+def test_reopen_table_from_disk(spark, tmp_base):
+    """Cross-process persistence: a table reopened by path alone
+    (config from the commit log) serves the same data and views."""
+    path = tmp_base + "/reopen"
+    t = LakehouseTable.create(
+        spark,
+        path,
+        TableConfig(name="reopen", record_key=["id"], precombine="v",
+                    partition_by=["p"], table_type="mor",
+                    index_scope="global"),
+    )
+    t.insert(spark.createDataFrame([(1, "a", 1), (2, "b", 1)], "id int, p string, v int"))
+    t.upsert(spark.createDataFrame([(1, "a", 2)], "id int, p string, v int"))
+
+    t2 = LakehouseTable.load(spark, path)
+    assert t2.config.record_key == ["id"]
+    assert t2.config.table_type == "mor"
+    assert t2.config.index_scope == "global"
+    assert {r.id: r.v for r in t2.snapshot().collect()} == {1: 2, 2: 1}
+    inc = t2.incremental(begin=t2.timeline.instants()[0].instant)
+    assert {r.id for r in inc.collect()} == {1}
