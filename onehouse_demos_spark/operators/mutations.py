@@ -244,6 +244,27 @@ def tbl_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_CLUSTERED_SNAPSHOT_SQL = TBL_DELETE_PARTITION_SNAPSHOT_SQL
 
 
+def tbl_stats_skipped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read on the clustered COW table: the key-range
+    predicate prunes files from manifest column stats before the scan
+    (SURVEY §4 'data skipping via table metadata'); results equal the
+    plain filtered snapshot."""
+    st = _build(spark, sf_dir)
+    return _project(st["cow"].snapshot_filtered([("o_orderkey", "<", 1000)]))
+
+
+TBL_STATS_SKIPPED_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderstatus = 'F' THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P' AND o_orderkey < 1000
+"""
+
+
 def tbl_bulk_insert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bulk_insert (reference M2 `BulkInsertNode`): range-partitioned,
     key-sorted initial load; snapshot equals the raw source."""
@@ -388,6 +409,7 @@ QUERIES = {
     "tbl_insert_overwrite_snapshot": tbl_insert_overwrite_snapshot,
     "tbl_delete_partition_snapshot": tbl_delete_partition_snapshot,
     "tbl_clustered_snapshot": tbl_clustered_snapshot,
+    "tbl_stats_skipped_read": tbl_stats_skipped_read,
     "tbl_bulk_insert_snapshot": tbl_bulk_insert_snapshot,
     "tbl_incremental_read": tbl_incremental_read,
     "tbl_conf_incremental_read": tbl_conf_incremental_read,
@@ -405,6 +427,7 @@ ORACLES = {
     "tbl_insert_overwrite_snapshot": TBL_INSERT_OVERWRITE_SNAPSHOT_SQL,
     "tbl_delete_partition_snapshot": TBL_DELETE_PARTITION_SNAPSHOT_SQL,
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
+    "tbl_stats_skipped_read": TBL_STATS_SKIPPED_READ_SQL,
     "tbl_bulk_insert_snapshot": TBL_BULK_INSERT_SNAPSHOT_SQL,
     "tbl_incremental_read": TBL_INCREMENTAL_READ_SQL,
     "tbl_conf_incremental_read": TBL_CONF_INCREMENTAL_READ_SQL,

@@ -92,6 +92,40 @@ class Manifest:
                 out.append(f)
         return out
 
+    @staticmethod
+    def prune_by_col_stats(
+        files: list[FileMeta], filters: list[tuple[str, str, object]]
+    ) -> list[FileMeta]:
+        """Data skipping: drop files whose [min, max] for a filtered
+        column proves no row can satisfy the predicate. Files without
+        stats for the column are conservatively kept. Supported ops:
+        = < <= > >=."""
+
+        def may_match(f: FileMeta, col: str, op: str, val) -> bool:
+            rng = f.col_stats.get(col)
+            if rng is None:
+                return True
+            lo, hi = rng
+            try:
+                if op == "=":
+                    return lo <= val <= hi
+                if op == "<":
+                    return lo < val
+                if op == "<=":
+                    return lo <= val
+                if op == ">":
+                    return hi > val
+                if op == ">=":
+                    return hi >= val
+            except TypeError:
+                return True  # incomparable types → keep
+            return True  # unknown op → keep
+
+        out = files
+        for col, op, val in filters:
+            out = [f for f in out if may_match(f, col, op, val)]
+        return out
+
     # -- stats ----------------------------------------------------------------
 
     def partitions(self) -> list[str]:

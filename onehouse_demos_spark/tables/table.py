@@ -229,34 +229,57 @@ class LakehouseTable:
                     if seg.startswith(PP_COL + "="):
                         partition = unquote(seg[len(PP_COL) + 1 :])
                 pf = pq.ParquetFile(abs_path)
-                key_min = key_max = None
-                try:
-                    schema_names = pf.schema_arrow.names
-                    key_idx = schema_names.index(KEY_COL)
-                    mins, maxs = [], []
-                    for rg in range(pf.metadata.num_row_groups):
-                        st = pf.metadata.row_group(rg).column(key_idx).statistics
-                        if st is not None and st.has_min_max:
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                    if mins:
-                        key_min, key_max = min(mins), max(maxs)
-                except (ValueError, AttributeError):
-                    pass
+                col_stats = self._footer_col_stats(pf)
+                key_rng = col_stats.get(KEY_COL)
                 metas.append(
                     FileMeta(
                         path=rel_path.replace(os.sep, "/"),
                         partition=partition,
                         rows=pf.metadata.num_rows,
-                        key_min=key_min,
-                        key_max=key_max,
+                        key_min=key_rng[0] if key_rng else None,
+                        key_max=key_rng[1] if key_rng else None,
                         kind=kind,
+                        col_stats={
+                            k: v for k, v in col_stats.items() if k != KEY_COL
+                        },
                     )
                 )
         if not metas:
             # empty write (0-row df): record nothing
             return []
         return metas
+
+    @staticmethod
+    def _footer_col_stats(pf) -> dict:
+        """Per-column [min, max] across row groups, JSON-safe primitives
+        only (str/int/float/bool). Metadata-only footer read — this is
+        the write-time harvest that makes read-time data skipping free."""
+        out: dict = {}
+        meta = pf.metadata
+        names = pf.schema_arrow.names
+        for idx, name in enumerate(names):
+            mins, maxs = [], []
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    try:
+                        lo, hi = lo.decode(), hi.decode()
+                    except UnicodeDecodeError:
+                        ok = False
+                        break
+                if not isinstance(lo, (str, int, float, bool)):
+                    ok = False
+                    break
+                mins.append(lo)
+                maxs.append(hi)
+            if ok and mins:
+                out[name] = [min(mins), max(maxs)]
+        return out
 
     def _commit(
         self,
@@ -696,6 +719,49 @@ class LakehouseTable:
             df = self._merge_latest(df)
         else:
             df = df.filter(~F.col(DELETED_COL))
+        return self._strip_meta(df, keep_meta)
+
+    def snapshot_filtered(
+        self,
+        filters: list[tuple[str, str, object]],
+        as_of: str | None = None,
+        keep_meta: bool = False,
+    ) -> DataFrame:
+        """Snapshot read with manifest-stats data skipping: files whose
+        column [min, max] can't satisfy `filters` (list of
+        (column, op, value), ops = < <= > >= =) never enter the scan;
+        the full predicate still applies row-level, so results are
+        identical to `snapshot().filter(...)` — just with fewer files.
+
+        SOUNDNESS: file skipping commutes with row filtering only when
+        rows are independent. When the view needs a version MERGE (live
+        log files), skipping a file could change which version of a key
+        wins, so this path falls back to the unpruned merge and applies
+        the filter row-level only.
+        """
+        files = self.manifest.live_files(as_of=as_of)
+        pred = None
+        for col, op, val in filters:
+            c = F.col(col)
+            clause = {
+                "=": c == F.lit(val),
+                "<": c < F.lit(val),
+                "<=": c <= F.lit(val),
+                ">": c > F.lit(val),
+                ">=": c >= F.lit(val),
+            }[op]
+            pred = clause if pred is None else (pred & clause)
+        has_logs = any(f.kind == "log" for f in files)
+        if has_logs:
+            out = self.snapshot(as_of=as_of, keep_meta=keep_meta)
+            return out.filter(pred) if pred is not None else out
+        files = Manifest.prune_by_col_stats(files, filters)
+        df = self._read_files(files)
+        if df is None:
+            return self._empty_df(keep_meta)
+        df = df.filter(~F.col(DELETED_COL))
+        if pred is not None:
+            df = df.filter(pred)
         return self._strip_meta(df, keep_meta)
 
     def read_optimized(

@@ -49,6 +49,9 @@ class FileMeta:
     key_min: str | None = None
     key_max: str | None = None
     kind: str = "base"  # "base" | "log"
+    #: per-column [min, max] harvested from parquet footers (JSON-safe
+    #: primitives only) — powers stats-based file skipping on reads.
+    col_stats: dict = field(default_factory=dict)
 
     def to_json(self) -> dict:
         return {
@@ -58,6 +61,7 @@ class FileMeta:
             "key_min": self.key_min,
             "key_max": self.key_max,
             "kind": self.kind,
+            "col_stats": self.col_stats,
         }
 
     @staticmethod

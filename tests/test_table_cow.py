@@ -184,3 +184,48 @@ def test_reopen_table_from_disk(spark, tmp_base):
     assert {r.id: r.v for r in t2.snapshot().collect()} == {1: 2, 2: 1}
     inc = t2.incremental(begin=t2.timeline.instants()[0].instant)
     assert {r.id for r in inc.collect()} == {1}
+
+
+def test_snapshot_filtered_skips_files(spark, tmp_base):
+    """Manifest column-stats data skipping: a range predicate on a
+    clustered column scans only the files whose stats intersect it,
+    with results identical to the unpruned filter."""
+    t = LakehouseTable.create(
+        spark, tmp_base + "/skip",
+        TableConfig(name="skip", record_key=["id"], precombine="v"),
+    )
+    from onehouse_demos_spark.tables.maintenance import run_clustering
+
+    df = spark.range(10_000).selectExpr("id", "1 AS v", "id AS metric")
+    t.bulk_insert(df, num_files=8)
+    # cluster by the filter column → disjoint per-file metric ranges
+    # (the clustering ↔ data-skipping synergy)
+    run_clustering(t, sort_columns=["metric"], target_file_rows=1250)
+    total_files = len(t.manifest.live_files())
+    assert total_files >= 8
+
+    pruned = t.snapshot_filtered([("metric", ">=", 9000)])
+    expected = t.snapshot().filter("metric >= 9000")
+    assert sorted(r.id for r in pruned.collect()) == sorted(
+        r.id for r in expected.collect()
+    )
+    assert len(pruned.inputFiles()) < total_files
+    # equality predicate prunes to a single file
+    one = t.snapshot_filtered([("metric", "=", 4242)])
+    assert [r.id for r in one.collect()] == [4242]
+    assert len(one.inputFiles()) == 1
+
+
+def test_snapshot_filtered_merge_fallback(spark, tmp_base):
+    """With live MOR logs, skipping must NOT change merge outcomes —
+    the filtered read falls back to the full merge path."""
+    t = LakehouseTable.create(
+        spark, tmp_base + "/skipmor",
+        TableConfig(name="skipmor", record_key=["id"], precombine="v",
+                    table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(1, 1, 100), (2, 1, 200)], "id int, v int, metric int"))
+    # log row moves id=2's metric OUT of the filter range
+    t.upsert(spark.createDataFrame([(2, 2, 50)], "id int, v int, metric int"))
+    rows = t.snapshot_filtered([("metric", ">=", 150)]).collect()
+    assert rows == []  # id=2's latest version (50) fails the filter
