@@ -269,6 +269,63 @@ GROUP BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus build: the composed pre-training pipeline in ONE declarative
+# plan — quality gate → exact dedup (canonical = min doc_id per
+# content hash) → deterministic split. Catalyst fuses the whole chain;
+# two shuffles total (dedup groupBy + nothing else).
+# --------------------------------------------------------------------------
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = token_count(F.col("text"))
+    gated = docs.filter(
+        (quality_score(F.col("text")) >= 0.7) & (toks >= 10) & (toks <= 2000)
+    )
+    hashed = gated.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("content_hash"),
+    )
+    canonical = (
+        hashed.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return canonical.select("doc_id", split.alias("split"))
+
+
+CORPUS_BUILD_SQL = f"""
+WITH gated AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash
+  FROM documents
+  WHERE {_QUALITY_SQL} >= 0.7 AND ({_TOKS_SQL}) BETWEEN 10 AND 2000
+), canonical AS (
+  SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY content_hash
+)
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+  FROM canonical
+)
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
@@ -277,6 +334,7 @@ QUERIES = {
     "pii_redaction_stats": pii_redaction_stats,
     "token_length_histogram": token_length_histogram,
     "quality_filter_gate": quality_filter_gate,
+    "corpus_build": corpus_build,
 }
 
 ORACLES = {
@@ -287,4 +345,5 @@ ORACLES = {
     "pii_redaction_stats": PII_REDACTION_STATS_SQL,
     "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
     "quality_filter_gate": QUALITY_FILTER_GATE_SQL,
+    "corpus_build": CORPUS_BUILD_SQL,
 }
