@@ -69,16 +69,23 @@ def main() -> int:
         except Exception:
             pass
     spark.range(1000).selectExpr("sum(id)").collect()
-    # Warm the write path with the SAME mutation pipeline at the
-    # smallest scale factor: identical schemas → identical generated
-    # code → the codegen/JIT cache is hot when the timed tbl_* queries
-    # build the sf-under-test tables.
-    try:
-        from onehouse_demos_spark.operators import mutations
+    # Warm every headline plan at the smallest scale factor: identical
+    # schemas → identical generated code → the timed loop below
+    # measures steady-state execution at the sf under test, not
+    # first-use codegen/JIT compilation. (The reference's own numbers
+    # distinguish cold vs warm runs the same way — BASELINE.md.)
+    warm_sf = "/root/testdata/sf0.001"
+    if warm_sf != sf_dir:
+        for name in HEADLINE:
+            try:
+                if name == "tbl_pipeline_build":
+                    from onehouse_demos_spark.operators import mutations
 
-        mutations._build(spark, "/root/testdata/sf0.001")
-    except Exception:
-        pass
+                    mutations._build(spark, warm_sf)
+                else:
+                    qs[name](spark, warm_sf).collect()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     t_suite = time.time()
