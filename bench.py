@@ -53,7 +53,13 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from onehouse_demos_spark import get_spark
 
-    spark = get_spark(app_name="onehouse-bench")
+    spark = get_spark(
+        app_name="onehouse-bench",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()

@@ -428,25 +428,37 @@ class LakehouseTable:
             carry_rows = 0
             existing = self._read_files(candidates)
             if existing is not None:
-                # Phase 1 (column-pruned probe): which candidate files
-                # actually hold incoming keys?
-                # `prepared` is already one-row-per-key (window dedup) —
-                # no distinct needed before the broadcast.
-                probe = (
-                    existing.select(KEY_COL)
-                    .withColumn("_oh_file", F.input_file_name())
-                    .join(
-                        F.broadcast(prepared.select(KEY_COL))
-                        if self._small(prepared)
-                        else prepared.select(KEY_COL),
-                        KEY_COL,
-                        "inner",
+                cand_rows = sum(f.rows for f in candidates)
+                if cand_rows <= 4 * max(1, batch_rows):
+                    # Probe-skip heuristic: the pruned candidate set is
+                    # already batch-sized (≤4× write amplification), so
+                    # rewriting it outright beats paying a probe job to
+                    # narrow it. At scale, partition + key-range pruning
+                    # keeps candidates small; the probe pays off only
+                    # when stats pruning was too coarse.
+                    touched = [f.path for f in candidates]
+                else:
+                    # Phase 1 (column-pruned probe): which candidate
+                    # files actually hold incoming keys? `prepared` is
+                    # already one-row-per-key (window dedup) — no
+                    # distinct needed before the broadcast.
+                    probe = (
+                        existing.select(KEY_COL)
+                        .withColumn("_oh_file", F.input_file_name())
+                        .join(
+                            F.broadcast(prepared.select(KEY_COL))
+                            if self._small(prepared)
+                            else prepared.select(KEY_COL),
+                            KEY_COL,
+                            "inner",
+                        )
+                        .select("_oh_file")
+                        .distinct()
                     )
-                    .select("_oh_file")
-                    .distinct()
-                )
-                touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
-                touched = [os.path.relpath(p, self.base_path) for p in touched_abs]
+                    touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
+                    touched = [
+                        os.path.relpath(p, self.base_path) for p in touched_abs
+                    ]
                 if touched:
                     by_path = {f.path: f for f in candidates}
                     carry_rows = sum(by_path[p].rows for p in touched)
