@@ -242,11 +242,72 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 """
 
 
+# --------------------------------------------------------------------------
+# Batch similarity join: top-3 neighbors for EVERY query vector in one
+# plan (the production ANN workload — not one query at a time). Bucket
+# equi-join for candidates, per-query window top-k. One shuffle on the
+# bucket key + one on the query id; scales as sum of bucket sizes.
+# --------------------------------------------------------------------------
+
+def knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _sign_bucket(F.col("v")))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    base = emb.filter(F.col("vec_id") % 100 != 0)
+    scored = (
+        base.join(
+            F.broadcast(queries), base.bucket == queries.qbucket, "inner"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "vec_id", "cos_sim", "rnk")
+    )
+
+
+KNN_BATCH_JOIN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_sign_bucket_sql('(embedding::DOUBLE[])')} AS bucket
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id,
+         ROUND(list_dot_product(b.v, q.v)
+               / (sqrt(list_dot_product(b.v, b.v))
+                  * sqrt(list_dot_product(q.v, q.v))), 4) AS cos_sim
+  FROM e b JOIN e q ON b.bucket = q.bucket
+  WHERE q.vec_id % 100 = 0 AND b.vec_id % 100 <> 0
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroid_distance": label_centroid_distance,
     "knn_ivf": knn_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "knn_batch_join": knn_batch_join,
 }
 
 ORACLES = {
@@ -254,4 +315,5 @@ ORACLES = {
     "label_centroid_distance": LABEL_CENTROID_DISTANCE_SQL,
     "knn_ivf": KNN_IVF_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
+    "knn_batch_join": KNN_BATCH_JOIN_SQL,
 }
