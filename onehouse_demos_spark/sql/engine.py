@@ -57,6 +57,22 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_COMPACT_RE = re.compile(
+    r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+)
+_CLUSTER_RE = re.compile(
+    r"^\s*CLUSTER\s+TABLE\s+(?P<name>[\w.]+)\s+BY\s*\((?P<cols>[^)]+)\)\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+COMMITS)?\s*$",
+    re.IGNORECASE,
+)
+_VERSION_AS_OF_RE = re.compile(
+    r"\b(?P<name>[\w.]+)\s+VERSION\s+AS\s+OF\s+'(?P<instant>[^']+)'",
+    re.IGNORECASE,
+)
+
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_PARTS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
@@ -177,6 +193,47 @@ class Engine:
         m = _DESCRIBE_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._describe(self._norm(m.group("name")))
+        m = _COMPACT_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            from onehouse_demos_spark.tables.maintenance import run_compaction
+
+            run_compaction(self._tables[self._norm(m.group("name"))])
+            return self.spark.createDataFrame([], "result string")
+        m = _CLUSTER_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            from onehouse_demos_spark.tables.maintenance import run_clustering
+
+            cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
+            run_clustering(self._tables[self._norm(m.group("name"))], cols)
+            return self.spark.createDataFrame([], "result string")
+        m = _VACUUM_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            from onehouse_demos_spark.tables.maintenance import (
+                run_clean,
+                run_orphan_clean,
+            )
+
+            t = self._tables[self._norm(m.group("name"))]
+            keep = int(m.group("n") or 10)
+            removed = run_clean(t, keep_last_commits=keep)
+            removed += run_orphan_clean(t)
+            return self.spark.createDataFrame(
+                [(p,) for p in removed], "removed_file string"
+            )
+        # Time travel: `FROM <t> VERSION AS OF '<instant>'` registers a
+        # pinned snapshot view and rewrites the reference (reference
+        # analog: incremental/as-of reads via `_hoodie_commit_time`,
+        # README.md:966-984).
+        def _pin_version(m: re.Match) -> str:
+            name = self._norm(m.group("name"))
+            if name not in self._tables:
+                return m.group(0)
+            instant = m.group("instant")
+            view = f"{name}__asof_{re.sub(r'[^0-9A-Za-z]', '_', instant)}"
+            self._tables[name].snapshot(as_of=instant).createOrReplaceTempView(view)
+            return view
+
+        s = _VERSION_AS_OF_RE.sub(_pin_version, s)
         # passthrough: refresh views so Spark sees latest snapshots
         self.register_views()
         return self.spark.sql(s)

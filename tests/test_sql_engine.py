@@ -127,3 +127,39 @@ def test_catalog_introspection(spark, tmp_base):
     desc = {r.col_name: r.value for r in eng.sql("DESCRIBE DETAIL ticks").collect()}
     assert int(desc["num_commits"]) >= 2  # the two INSERTs (+ any DDL instant)
     assert desc["num_live_files"] == "2"
+
+
+def test_maintenance_sql_and_time_travel(spark, tmp_base):
+    """COMPACT TABLE / CLUSTER TABLE BY / VACUUM statements + `VERSION
+    AS OF` time travel (reference M11 CLI compaction + commit-range
+    reads, README.md:1126-1160, 966-984)."""
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/mwh")
+    eng.sql(
+        "CREATE TABLE tt (id BIGINT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=v, type=mor)"
+    )
+    eng.sql("INSERT INTO tt VALUES (1, 1), (2, 1)")
+    t = eng.table("tt")
+    v1 = t.timeline.latest_instant()
+    eng.sql("UPDATE tt SET v = 2 WHERE id = 1")
+
+    # time travel to the pre-update instant
+    rows = {r.id: r.v for r in eng.sql(
+        f"SELECT id, v FROM tt VERSION AS OF '{v1}'").collect()}
+    assert rows == {1: 1, 2: 1}
+    assert {r.id: r.v for r in eng.sql("SELECT id, v FROM tt_rt").collect()} \
+        == {1: 2, 2: 1}
+
+    # compaction via SQL: logs merge into base files
+    assert any(f.kind == "log" for f in t.manifest.live_files())
+    eng.sql("COMPACT TABLE tt")
+    assert not any(f.kind == "log" for f in t.manifest.live_files())
+
+    eng.sql("CLUSTER TABLE tt BY (id)")
+    assert {r.id: r.v for r in t.snapshot().collect()} == {1: 2, 2: 1}
+
+    removed = eng.sql("VACUUM tt RETAIN 1 COMMITS").collect()
+    assert removed  # replaced file versions physically deleted
+    assert {r.id: r.v for r in t.snapshot().collect()} == {1: 2, 2: 1}
