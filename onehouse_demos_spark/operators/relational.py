@@ -422,6 +422,44 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q14-style promo revenue share: fact ⋈ dimension on partkey,
+# conditional aggregation. `part` is dimension-sized → broadcast; at
+# 100 TB it graduates to a co-partitioned sort-merge join and the plan
+# stays valid (AQE picks the strategy from runtime stats).
+# --------------------------------------------------------------------------
+
+def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.round(
+                F.sum(F.when(F.col("p_brand") == "Brand#2", rev).otherwise(0.0))
+                / F.sum(rev) * 100.0,
+                4,
+            ).alias("brand2_pct"),
+        )
+    )
+
+
+PROMO_REVENUE_BY_TYPE_SQL = """
+SELECT p_type,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ROUND(SUM(CASE WHEN p_brand = 'Brand#2'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) * 100.0, 4) AS brand2_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "filter_project": filter_project,
@@ -436,6 +474,7 @@ QUERIES = {
     "events_range_scan": events_range_scan,
     "events_json_extract": events_json_extract,
     "local_supplier_volume": local_supplier_volume,
+    "promo_revenue_by_type": promo_revenue_by_type,
 }
 
 ORACLES = {
@@ -452,4 +491,5 @@ ORACLES = {
     "events_range_scan": EVENTS_RANGE_SCAN_SQL,
     "events_json_extract": EVENTS_JSON_EXTRACT_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+    "promo_revenue_by_type": PROMO_REVENUE_BY_TYPE_SQL,
 }
