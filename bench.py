@@ -80,8 +80,11 @@ def main() -> int:
     # measures steady-state execution at the sf under test, not
     # first-use codegen/JIT compilation. (The reference's own numbers
     # distinguish cold vs warm runs the same way — BASELINE.md.)
-    warm_sf = "/root/testdata/sf0.001"
-    if warm_sf != sf_dir:
+    warm_sf = os.environ.get("SPARK_GRAFT_WARM_SF", "/root/testdata/sf0.001")
+    if (
+        os.path.isdir(warm_sf)
+        and os.path.realpath(warm_sf) != os.path.realpath(sf_dir)
+    ):
         for name in HEADLINE:
             try:
                 if name == "tbl_pipeline_build":
@@ -90,8 +93,14 @@ def main() -> int:
                     mutations._build(spark, warm_sf)
                 else:
                     qs[name](spark, warm_sf).collect()
-            except Exception:
-                pass
+            except Exception as exc:
+                print(f"# warmup {name} failed: {exc}", file=sys.stderr)
+    else:
+        print(
+            f"# warmup skipped (warm_sf={warm_sf!r} unavailable or equals "
+            "sf under test) — first-query timings include JIT warmup",
+            file=sys.stderr,
+        )
 
     timings: dict[str, float] = {}
     t_suite = time.time()

@@ -494,10 +494,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        hits.withColumn(
+        # threshold on the RAW ratio (the oracle filters the same way);
+        # rounding is display-only — filtering the rounded value would
+        # diverge at the 0.49995 boundary.
+        hits.filter(F.col("n_hits") / F.col("n_shingles") >= 0.5)
+        .withColumn(
             "overlap", F.round(F.col("n_hits") / F.col("n_shingles"), 4)
         )
-        .filter(F.col("overlap") >= 0.5)
         .select("doc_id", "n_shingles", "n_hits", "overlap")
     )
 

@@ -189,9 +189,16 @@ def extract_features(
             digests = pdf[binary_col].map(
                 lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
             )
+            import math
+
+            def r6(x: float) -> float:
+                # half-away-from-zero to match SQL ROUND (Python's
+                # round() is half-to-even and diverges on exact ties)
+                return math.floor(x * 1e6 + 0.5) / 1e6
+
             for i in range(dims):
                 out[f"f{i}"] = digests.map(
-                    lambda d, i=i: round(int(d[8 * i : 8 * i + 8], 16) / 2**32, 6)
+                    lambda d, i=i: r6(int(d[8 * i : 8 * i + 8], 16) / 2**32)
                     if d
                     else None
                 )

@@ -229,13 +229,16 @@ def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB single-quoted strings do no backslash processing, so the raw
+# pattern (with its `\+?`) embeds as-is — do NOT re-escape it (RE2
+# would read `\\+?` as "one or more literal backslashes").
 PII_REDACTION_STATS_SQL = f"""
 SELECT doc_id,
        md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{_PHONE_RE.replace("+?", chr(92) + "+?")}', '<PHONE>', 'g')) AS redacted_hash,
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash,
        length(text) - length(
          regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                        '{_PHONE_RE.replace("+?", chr(92) + "+?")}', '<PHONE>', 'g')) AS chars_removed
+                        '{_PHONE_RE}', '<PHONE>', 'g')) AS chars_removed
 FROM documents
 """
 

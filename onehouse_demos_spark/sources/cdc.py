@@ -73,14 +73,15 @@ def decode_avro_stream(df: DataFrame, value_schema_json: str) -> DataFrame:
     the spark-avro jar; gated."""
     try:
         from pyspark.sql.avro.functions import from_avro
-
-        return df.select(
-            from_avro(F.col("value"), value_schema_json).alias("envelope")
-        ).select("envelope.*")
-    except Exception as exc:  # pragma: no cover - classpath-dependent
+    except ImportError as exc:  # pragma: no cover - classpath-dependent
         raise RuntimeError(
             "avro decode unavailable (spark-avro jar not on classpath)"
         ) from exc
+    # analysis/argument errors (bad schema, missing `value` column)
+    # propagate as-is — only the missing-jar case is rewrapped
+    return df.select(
+        from_avro(F.col("value"), value_schema_json).alias("envelope")
+    ).select("envelope.*")
 
 
 def decode_protobuf_stream(
@@ -91,13 +92,12 @@ def decode_protobuf_stream(
     the spark-protobuf jar; gated."""
     try:
         from pyspark.sql.protobuf.functions import from_protobuf
-
-        return df.select(
-            from_protobuf(
-                F.col("value"), message_name, descFilePath=descriptor_file
-            ).alias("envelope")
-        ).select("envelope.*")
-    except Exception as exc:  # pragma: no cover - classpath-dependent
+    except ImportError as exc:  # pragma: no cover - classpath-dependent
         raise RuntimeError(
             "protobuf decode unavailable (spark-protobuf jar not on classpath)"
         ) from exc
+    return df.select(
+        from_protobuf(
+            F.col("value"), message_name, descFilePath=descriptor_file
+        ).alias("envelope")
+    ).select("envelope.*")

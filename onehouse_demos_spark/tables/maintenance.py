@@ -50,6 +50,9 @@ def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
     must participate in the merge."""
     from onehouse_demos_spark.tables.table import HIVE_DEFAULT_PARTITION
 
+    # OCC anchor FIRST, then list: a commit landing between the two is
+    # then > planned_from and the publish-time conflict check sees it.
+    planned_from = table.timeline.latest_instant()
     files = table.manifest.live_files()
     log_parts = {f.partition for f in files if f.kind == "log"}
     partitioned = bool(table.config.partition_by or table.config.partition_expr)
@@ -68,7 +71,7 @@ def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
         partitions=sorted(p or "" for p in log_parts),
         base_files=base,
         log_files=[f for f in files if f.kind == "log"],
-        planned_from=table.timeline.latest_instant(),
+        planned_from=planned_from,
     )
 
 
@@ -120,13 +123,13 @@ def run_clustering(
     sort.columns + target.file.max.bytes —
     `test-clustering.properties:34-37`). Improves data skipping: sorted
     layout → tight parquet min/max → fewer files scanned per predicate."""
+    planned_from = table.timeline.latest_instant()  # OCC anchor before listing
     files = table.manifest.live_files(include_logs=False)
     if partitions is not None:
         files = [f for f in files if (f.partition or "") in set(partitions)]
     if not files:
         return None
     instant = table.timeline.begin("replacecommit")
-    planned_from = table.timeline.latest_instant()
     try:
         df = table._read_files(files)
         total_rows = sum(f.rows for f in files)
@@ -203,6 +206,11 @@ def run_orphan_clean(table: LakehouseTable, min_age_s: float = 3600.0) -> list[s
     for inst in table.timeline.instants():
         referenced.update(f.path for f in inst.adds)
         referenced.update(inst.removes)
+    # A writer that is STILL in flight has reserved its instant but not
+    # yet published adds — its data dirs (named data/<instant>_<hex>)
+    # must survive regardless of age, or a long write loses its files
+    # right before committing.
+    inflight = set(table.timeline._inflight())
     import time as _time
 
     now = _time.time()
@@ -211,12 +219,16 @@ def run_orphan_clean(table: LakehouseTable, min_age_s: float = 3600.0) -> list[s
     for root, _dirs, names in os.walk(data_root):
         for name in names:
             abs_path = os.path.join(root, name)
-            rel = os.path.relpath(abs_path, table.base_path)
-            if rel.replace(os.sep, "/") in referenced:
+            rel = os.path.relpath(abs_path, table.base_path).replace(os.sep, "/")
+            if rel in referenced:
+                continue
+            seg = rel.split("/", 2)
+            owner_instant = seg[1].split("_", 1)[0] if len(seg) > 1 else ""
+            if owner_instant in inflight:
                 continue
             if now - os.path.getmtime(abs_path) < min_age_s:
                 continue
-            doomed.append(rel.replace(os.sep, "/"))
+            doomed.append(rel)
             os.remove(abs_path)
     return doomed
 

@@ -415,13 +415,13 @@ class LakehouseTable:
             return self._mor_write(df, "upsert")
         instant = self.timeline.begin("commit")
         planned_from = self.timeline.latest_instant()
+        # The incoming batch feeds several jobs (partition/key-range
+        # pruning collects, the probe join, the anti-join, the final
+        # union). Persist it once — it is batch-sized, not
+        # table-sized, so this holds at scale (write-path workload
+        # profiling caches the same way in production engines).
+        prepared = self._dedupe_incoming(self._with_meta(df, instant)).persist()
         try:
-            # The incoming batch feeds several jobs (partition/key-range
-            # pruning collects, the probe join, the anti-join, the final
-            # union). Persist it once — it is batch-sized, not
-            # table-sized, so this holds at scale (write-path workload
-            # profiling caches the same way in production engines).
-            prepared = self._dedupe_incoming(self._with_meta(df, instant)).persist()
             candidates, batch_rows = self._candidate_files(prepared)
             touched: list[str] = []
             merged = prepared
@@ -481,7 +481,6 @@ class LakehouseTable:
             adds = self._write_files(
                 merged, instant, approx_rows=batch_rows + carry_rows
             )
-            prepared.unpersist()
             return self._commit(
                 instant,
                 "commit",
@@ -494,6 +493,8 @@ class LakehouseTable:
         except Exception:
             self.timeline.abort(instant)
             raise
+        finally:
+            prepared.unpersist()
 
     def _small(self, df: DataFrame) -> bool:
         # Broadcast the incoming key set when the batch is plausibly
@@ -507,13 +508,13 @@ class LakehouseTable:
             return self._mor_delete(keys_df)
         instant = self.timeline.begin("commit")
         planned_from = self.timeline.latest_instant()
+        part_cols = [c for c in self.config.partition_by if c in keys_df.columns]
+        del_keys = (
+            keys_df.select(self._key_expr().alias(KEY_COL), *part_cols)
+            .distinct()
+            .persist()
+        )
         try:
-            part_cols = [c for c in self.config.partition_by if c in keys_df.columns]
-            del_keys = (
-                keys_df.select(self._key_expr().alias(KEY_COL), *part_cols)
-                .distinct()
-                .persist()
-            )
             candidates, _ = self._candidate_files(del_keys)
             existing = self._read_files(candidates)
             adds: list[FileMeta] = []
@@ -539,7 +540,6 @@ class LakehouseTable:
                         instant,
                         approx_rows=sum(by_path[p].rows for p in touched),
                     )
-            del_keys.unpersist()
             return self._commit(
                 instant,
                 "commit",
@@ -551,6 +551,8 @@ class LakehouseTable:
         except Exception:
             self.timeline.abort(instant)
             raise
+        finally:
+            del_keys.unpersist()
 
     # -- MOR log path ---------------------------------------------------------
 
