@@ -423,6 +423,35 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
+# Left-semi join (EXISTS-subquery shape): customers with at least one
+# high-value open order. Semi joins shuffle only the keys of the right
+# side and never duplicate left rows — the cheapest existence check.
+# --------------------------------------------------------------------------
+
+def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    big = orders.filter(
+        (F.col("o_totalprice") > 100000.0) & (F.col("o_orderstatus") == "O")
+    )
+    return (
+        customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal_r"))
+    )
+
+
+CUSTOMERS_WITH_BIG_ORDERS_SQL = """
+SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal_r
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey
+    AND o_totalprice > 100000.0 AND o_orderstatus = 'O'
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # TPC-H Q14-style promo revenue share: fact ⋈ dimension on partkey,
 # conditional aggregation. `part` is dimension-sized → broadcast; at
 # 100 TB it graduates to a co-partitioned sort-merge join and the plan
@@ -475,6 +504,7 @@ QUERIES = {
     "events_json_extract": events_json_extract,
     "local_supplier_volume": local_supplier_volume,
     "promo_revenue_by_type": promo_revenue_by_type,
+    "customers_with_big_orders": customers_with_big_orders,
 }
 
 ORACLES = {
@@ -492,4 +522,5 @@ ORACLES = {
     "events_json_extract": EVENTS_JSON_EXTRACT_SQL,
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
     "promo_revenue_by_type": PROMO_REVENUE_BY_TYPE_SQL,
+    "customers_with_big_orders": CUSTOMERS_WITH_BIG_ORDERS_SQL,
 }
