@@ -282,6 +282,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = sigs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # The self-join references `buckets` twice; without persist Spark
+    # recomputes the full signature aggregation per side. Persisting
+    # the (doc, band, bucket) frame — 4 small rows per doc — is also
+    # what a production dedup pipeline does with signatures at scale.
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b2 = buckets.alias("b")
     return (

@@ -153,3 +153,45 @@ def test_windowed_counts_watermark_drops_late(spark, tmp_base):
     # dropped, not merged (and no second emission for that window).
     assert ("2024-01-01 10:00:00", 2) in rows, rows
     assert ("2024-01-01 10:00:00", 3) not in rows, rows
+
+
+def test_stream_checkpoint_recovery_no_reprocessing(spark, tmp_base):
+    """Restarting a Streamer from its checkpoint must process only NEW
+    files (exactly-once per micro-batch): the offset log skips
+    already-committed input, so the table's commit count and state
+    reflect each record once."""
+    src = tmp_base + "/ckpt_incoming"
+    ckpt = tmp_base + "/ckpt"
+    table = LakehouseTable.create(
+        spark,
+        tmp_base + "/ckpt_t",
+        TableConfig(name="ckpt_t", record_key=["key"], precombine="ts",
+                    partition_by=["date"]),
+    )
+    write_batch(src, "b1.json", [
+        {"key": "A", "ts": "t1", "symbol": "GOOG", "close": 1.0,
+         "date": "2018/08/31"},
+    ])
+    stream = file_json_stream(spark, src, SCHEMA)
+    q = Streamer(table, mode="upsert").start(stream, ckpt, trigger_once=True)
+    q.awaitTermination()
+    commits_after_first = len(table.timeline.instants())
+
+    # restart with NO new input: no new commits
+    stream = file_json_stream(spark, src, SCHEMA)
+    q = Streamer(table, mode="upsert").start(stream, ckpt, trigger_once=True)
+    q.awaitTermination()
+    assert len(table.timeline.instants()) == commits_after_first
+
+    # restart with one new file: exactly the new record lands
+    write_batch(src, "b2.json", [
+        {"key": "A", "ts": "t2", "symbol": "GOOG", "close": 2.0,
+         "date": "2018/08/31"},
+        {"key": "B", "ts": "t1", "symbol": "MSFT", "close": 9.0,
+         "date": "2018/08/31"},
+    ])
+    stream = file_json_stream(spark, src, SCHEMA)
+    q = Streamer(table, mode="upsert").start(stream, ckpt, trigger_once=True)
+    q.awaitTermination()
+    snap = {r.key: (r.ts, r.close) for r in table.snapshot().collect()}
+    assert snap == {"A": ("t2", 2.0), "B": ("t1", 9.0)}
