@@ -401,6 +401,133 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape): outer join +
+# two-level aggregation. Scale note: both group-bys key on high-cardinality
+# c_custkey then tiny c_count — the second shuffle is near-free, and the
+# first benefits from AQE partial aggregation; no broadcast (orders is the
+# big side, customer is also large at 100 TB so this stays a shuffle join
+# co-partitioned on the key).
+# --------------------------------------------------------------------------
+
+def custdist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+CUSTDIST_ORDERS_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# 7-day moving window over daily revenue via a RANGE window frame.
+# Float-parity design: daily revenue is summed as DECIMAL(18,2) (exact,
+# order-independent); the window emits the exact moving SUM + day count
+# (avg = sum/count for consumers) — never an AVG over doubles whose
+# addition order differs per engine.
+# Scale note: the window is unpartitioned but its input is ONE ROW PER DAY
+# (pre-aggregated), so cardinality is bounded by the calendar, not the data.
+# --------------------------------------------------------------------------
+
+def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "day",
+        F.round(F.col("rev").cast("double"), 2).alias("day_rev_r"),
+        F.round(F.sum("rev").over(w).cast("double"), 2).alias("sum7_r"),
+        F.count(F.lit(1)).over(w).alias("n_days7"),
+    )
+
+
+REVENUE_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT day,
+       ROUND(CAST(rev AS DOUBLE), 2) AS day_rev_r,
+       ROUND(CAST(SUM(rev) OVER w AS DOUBLE), 2) AS sum7_r,
+       COUNT(*) OVER w AS n_days7
+FROM daily
+WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+             AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered conversion funnel (view → click → purchase) via conditional
+# MIN-timestamp aggregation — one shuffle on user_id, no self-joins
+# (the naive 3-way self-join would be three shuffles of the full event
+# stream; this is the scale-safe formulation).
+# --------------------------------------------------------------------------
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    per_user = (
+        events.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("n_viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), F.lit(1))
+        ).alias("n_clicked_after_view"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                F.lit(1),
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+)
+SELECT COUNT(t_view) AS n_viewed,
+       COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_clicked_after_view,
+       COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+         AS n_full_funnel
+FROM per_user
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -414,6 +541,9 @@ QUERIES = {
     "customer_max_order": customer_max_order,
     "window_rank_orders": window_rank_orders,
     "monthly_revenue_trend": monthly_revenue_trend,
+    "custdist_orders": custdist_orders,
+    "revenue_moving_avg": revenue_moving_avg,
+    "event_funnel": event_funnel,
 }
 
 ORACLES = {
@@ -429,4 +559,7 @@ ORACLES = {
     "customer_max_order": CUSTOMER_MAX_ORDER_SQL,
     "window_rank_orders": WINDOW_RANK_ORDERS_SQL,
     "monthly_revenue_trend": MONTHLY_REVENUE_TREND_SQL,
+    "custdist_orders": CUSTDIST_ORDERS_SQL,
+    "revenue_moving_avg": REVENUE_MOVING_AVG_SQL,
+    "event_funnel": EVENT_FUNNEL_SQL,
 }

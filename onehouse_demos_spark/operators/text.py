@@ -329,6 +329,131 @@ FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style repetition quality signals: per-doc duplicate-token
+# fraction and top-token share. One explode + two aggregations, both
+# keyed by doc_id (the second reuses the first's hash partitioning, so
+# AQE plans a single effective shuffle). Ratios are small-int/small-int
+# divisions — bit-identical across engines.
+# --------------------------------------------------------------------------
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4
+        ).alias("dup_frac_r"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_share_r"),
+    )
+
+
+DOC_REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), per AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(1.0 - COUNT(*)::DOUBLE / SUM(c), 4) AS dup_frac_r,
+       ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_share_r
+FROM per GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus vocabulary statistics: document frequency + total occurrences of
+# the top terms. Integer-only output with a total-order tiebreak
+# (doc_freq DESC, tok ASC) so LIMIT is deterministic. At 100 TB the
+# explode output is huge but the groupBy(tok) partial-aggregates
+# map-side; the final top-k is a tiny TakeOrdered on the driver.
+# --------------------------------------------------------------------------
+
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("occurrences"),
+    )
+    return vocab.orderBy(F.desc("doc_freq"), F.asc("tok")).limit(100)
+
+
+CORPUS_VOCAB_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+)
+SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS occurrences
+FROM toks GROUP BY tok
+ORDER BY doc_freq DESC, tok ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Stratified sampling: per-language sampling rates applied via a
+# deterministic md5-of-key bucket (reproducible across runs AND across
+# engines — no RNG). The rate table is a plain dict compiled into the
+# plan; at scale this is a pure map-stage filter followed by a tiny
+# aggregation, no shuffle of the unsampled data.
+# --------------------------------------------------------------------------
+
+_STRATA_RATES = {"en": 20, "de": 50, "es": 50, "fr": 50, "zh": 50}
+_DEFAULT_RATE = 50
+
+
+def stratified_sample_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("lang", (bucket < rate).cast("int").alias("sampled"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("sampled").alias("n_sampled"),
+        )
+    )
+
+
+_RATE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+) + f" ELSE {_DEFAULT_RATE} END"
+
+STRATIFIED_SAMPLE_SUMMARY_SQL = f"""
+SELECT lang, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          % 100 < {_RATE_CASE_SQL}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
@@ -338,6 +463,9 @@ QUERIES = {
     "token_length_histogram": token_length_histogram,
     "quality_filter_gate": quality_filter_gate,
     "corpus_build": corpus_build,
+    "doc_repetition_stats": doc_repetition_stats,
+    "corpus_vocab_stats": corpus_vocab_stats,
+    "stratified_sample_summary": stratified_sample_summary,
 }
 
 ORACLES = {
@@ -349,4 +477,7 @@ ORACLES = {
     "token_length_histogram": TOKEN_LENGTH_HISTOGRAM_SQL,
     "quality_filter_gate": QUALITY_FILTER_GATE_SQL,
     "corpus_build": CORPUS_BUILD_SQL,
+    "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
+    "corpus_vocab_stats": CORPUS_VOCAB_STATS_SQL,
+    "stratified_sample_summary": STRATIFIED_SAMPLE_SUMMARY_SQL,
 }

@@ -21,6 +21,10 @@ FAST_QUERIES = [
     "doc_fingerprints",
     "knn_bruteforce",
     "cdc_apply_envelopes",
+    "custdist_orders",
+    "event_funnel",
+    "doc_repetition_stats",
+    "stratified_sample_summary",
 ]
 
 
