@@ -528,6 +528,97 @@ FROM per_user
 """
 
 
+# --------------------------------------------------------------------------
+# Range join via bucket expansion. A naive interval join (value BETWEEN
+# lo AND hi) plans as BroadcastNestedLoopJoin — O(rows × bands)
+# comparisons, catastrophic at 100 TB. Instead each band is exploded to
+# the fixed-width integer buckets it overlaps, the fact side computes
+# floor(value / W) once, and the join is a plain equi-join on the bucket
+# (hash join, broadcastable dim) followed by a residual band filter.
+# Sums are decimal-exact for oracle parity.
+# --------------------------------------------------------------------------
+
+_VALUE_BANDS = [(0, 1), (1, 10), (10, 50), (50, 200), (200, 500)]
+_BUCKET_W = 25
+
+
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [(lo, hi) for lo, hi in _VALUE_BANDS], "lo int, hi int"
+    )
+    exploded = bands.select(
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BUCKET_W).cast("int"),
+                F.floor(F.col("hi") / _BUCKET_W).cast("int"),
+            )
+        ).alias("bucket"),
+    )
+    facts = events.select(
+        "value", F.floor(F.col("value") / _BUCKET_W).cast("int").alias("bucket")
+    )
+    joined = facts.join(F.broadcast(exploded), "bucket").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return joined.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value_r"),
+    )
+
+
+_BANDS_VALUES_SQL = ", ".join(f"({lo}, {hi})" for lo, hi in _VALUE_BANDS)
+
+RANGE_JOIN_BANDS_SQL = f"""
+SELECT lo, hi, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value_r
+FROM events
+JOIN (VALUES {_BANDS_VALUES_SQL}) AS bands(lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY lo, hi
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew-safe two-stage aggregation (salting): when a groupBy key is
+# pathologically hot (a handful of keys hold most rows), a single
+# shuffle sends each hot key to one reducer. Stage 1 aggregates on
+# (key, salt) spreading each key over N reducers; stage 2 re-aggregates
+# the N partials per key — count/sum compose losslessly, and decimal
+# sums keep the result bit-identical to the unsalted plan.
+# --------------------------------------------------------------------------
+
+_N_SALTS = 16
+
+
+def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_events(spark, sf_dir)
+    salted = events.withColumn(
+        "salt", (F.crc32(F.col("event_id").cast("string")) % _N_SALTS)
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("psum").cast("double"), 2).alias("sum_value_r"),
+    )
+
+
+SKEW_SAFE_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value_r
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -544,6 +635,8 @@ QUERIES = {
     "custdist_orders": custdist_orders,
     "revenue_moving_avg": revenue_moving_avg,
     "event_funnel": event_funnel,
+    "range_join_bands": range_join_bands,
+    "skew_safe_agg": skew_safe_agg,
 }
 
 ORACLES = {
@@ -562,4 +655,6 @@ ORACLES = {
     "custdist_orders": CUSTDIST_ORDERS_SQL,
     "revenue_moving_avg": REVENUE_MOVING_AVG_SQL,
     "event_funnel": EVENT_FUNNEL_SQL,
+    "range_join_bands": RANGE_JOIN_BANDS_SQL,
+    "skew_safe_agg": SKEW_SAFE_AGG_SQL,
 }

@@ -108,3 +108,38 @@ def test_knn_ivf_avoids_nested_loop(spark):
 
     txt = explain_str(knn_ivf(spark, SF_DIR))
     assert "BroadcastNestedLoop" not in txt and "CartesianProduct" not in txt
+
+
+def test_range_join_is_hash_join_on_bucket(spark):
+    """Bucket-expansion range join must plan as a broadcast HASH join
+    on the bucket key — never the BroadcastNestedLoopJoin a raw
+    interval predicate produces."""
+    from onehouse_demos_spark.operators.analytics import range_join_bands
+    from onehouse_demos_spark.plans import explain_str, uses_broadcast_join
+
+    df = range_join_bands(spark, SF_DIR)
+    txt = explain_str(df)
+    assert "BroadcastNestedLoop" not in txt and "CartesianProduct" not in txt
+    assert uses_broadcast_join(df), txt[:800]
+
+
+def test_event_funnel_single_shuffle(spark):
+    """Conditional-aggregation funnel: one exchange on user_id plus the
+    final single-partition gather — never self-joins of the event log."""
+    from onehouse_demos_spark.operators.analytics import event_funnel
+    from onehouse_demos_spark.plans import explain_str, num_exchanges
+
+    df = event_funnel(spark, SF_DIR)
+    txt = explain_str(df)
+    assert "Join" not in txt, txt[:800]
+    assert num_exchanges(df) <= 2, txt[:800]
+
+
+def test_skew_safe_agg_two_stage(spark):
+    """Salted aggregation: partial agg on (key, salt), final on key —
+    exactly two exchanges, both hash (no global sort)."""
+    from onehouse_demos_spark.operators.analytics import skew_safe_agg
+    from onehouse_demos_spark.plans import explain_str, num_exchanges
+
+    df = skew_safe_agg(spark, SF_DIR)
+    assert num_exchanges(df) <= 2, explain_str(df)[:800]
