@@ -72,10 +72,52 @@ GROUP BY 1, 2
 """
 
 
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: drop re-deliveries by key inside the
+    stream (state-store keyed dedup — the exactly-once guard every
+    at-least-once ingest pipeline needs), then aggregate the deduped
+    stream. The oracle is batch one-row-per-key aggregation over the
+    same input. Synthetic duplicates are injected by unioning the
+    source with a 1-in-10 sample of itself, so the dedup state is
+    provably exercised — without it the counts would overshoot."""
+    src = _events_stream(spark, sf_dir)
+    dup_stream = src.union(src.filter(F.col("event_id") % 10 == 0))
+    deduped = dup_stream.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_value_r"),
+    )
+    view = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="oh_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(view)
+
+
+STREAMING_DEDUP_COUNTS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_unique_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_value_r
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "streaming_hourly_counts": streaming_hourly_counts,
+    "streaming_dedup_counts": streaming_dedup_counts,
 }
 
 ORACLES = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
+    "streaming_dedup_counts": STREAMING_DEDUP_COUNTS_SQL,
 }
