@@ -79,7 +79,13 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream. The oracle is batch one-row-per-key aggregation over the
     same input. Synthetic duplicates are injected by unioning the
     source with a 1-in-10 sample of itself, so the dedup state is
-    provably exercised — without it the counts would overshoot."""
+    provably exercised — without it the counts would overshoot.
+
+    Scale note: unbounded `dropDuplicates` state grows with stream
+    length; production deployments bound it with a watermark +
+    `dropDuplicatesWithinWatermark(["event_id"])` so the re-delivery
+    window (not the stream) sizes the state store. AvailableNow batch
+    drain here keeps the exact variant oracle-comparable."""
     src = _events_stream(spark, sf_dir)
     dup_stream = src.union(src.filter(F.col("event_id") % 10 == 0))
     deduped = dup_stream.dropDuplicates(["event_id"])
