@@ -42,6 +42,11 @@ HEADLINE = [
     "knn_bruteforce",
     "text_stats",
     "multimodal_metadata",
+    "custdist_orders",
+    "range_join_bands",
+    "skew_safe_agg",
+    "event_funnel",
+    "doc_repetition_stats",
 ]
 
 
