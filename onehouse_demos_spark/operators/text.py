@@ -454,6 +454,129 @@ FROM documents GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Training-window chunking: split each document into fixed-size token
+# chunks with stride overlap (the standard pre-training windowing).
+# Pure map stage — tokenize once, explode the chunk starts, slice the
+# token array per chunk; no shuffle at all, so it runs at scan speed on
+# any corpus size. Chunk text is emitted as an md5 so the result stays
+# compact and engine-comparable.
+# --------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 50
+_CHUNK_STRIDE = 40
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+        ).alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    toks = toks.filter(F.col("n") > 0)
+    chunks = toks.select(
+        "doc_id",
+        "n",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.size(F.slice("toks", F.col("start") + 1, _CHUNK_TOKENS)).alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(
+            F.array_join(
+                F.slice("toks", F.col("start") + 1, _CHUNK_TOKENS), " "
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), t2 AS (
+  SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start
+  FROM t2
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_id,
+       len(list_slice(toks, start + 1, start + {_CHUNK_TOKENS}))
+         AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, start + 1,
+                                      start + {_CHUNK_TOKENS}), ' '))
+         AS chunk_hash
+FROM chunks
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: concatenate the token stream in deterministic
+# doc_id order and cut it into fixed context windows — the standard
+# packed-pretraining layout. Reported as per-bin fill stats. The
+# running sum is a single unpartitioned window here for cross-engine
+# determinism; at scale the same expression runs partitioned by
+# (source, shard) so no single task owns the corpus.
+# --------------------------------------------------------------------------
+
+_CTX_WINDOW = 512
+
+
+def sequence_packing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != "")
+        ).alias("n"),
+    ).filter(F.col("n") > 0)
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    binned = toks.select(
+        "doc_id",
+        "n",
+        (
+            F.coalesce(F.sum("n").over(w), F.lit(0)) / _CTX_WINDOW
+        ).cast("int").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+    )
+
+
+SEQUENCE_PACKING_SUMMARY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), nz AS (
+  SELECT doc_id, n FROM tok WHERE n > 0
+), binned AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {_CTX_WINDOW} AS INT) AS bin
+  FROM nz
+)
+SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+FROM binned GROUP BY bin
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
@@ -466,6 +589,8 @@ QUERIES = {
     "doc_repetition_stats": doc_repetition_stats,
     "corpus_vocab_stats": corpus_vocab_stats,
     "stratified_sample_summary": stratified_sample_summary,
+    "doc_chunking": doc_chunking,
+    "sequence_packing_summary": sequence_packing_summary,
 }
 
 ORACLES = {
@@ -480,4 +605,6 @@ ORACLES = {
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
     "corpus_vocab_stats": CORPUS_VOCAB_STATS_SQL,
     "stratified_sample_summary": STRATIFIED_SAMPLE_SUMMARY_SQL,
+    "doc_chunking": DOC_CHUNKING_SQL,
+    "sequence_packing_summary": SEQUENCE_PACKING_SUMMARY_SQL,
 }

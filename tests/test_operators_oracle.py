@@ -25,6 +25,8 @@ FAST_QUERIES = [
     "event_funnel",
     "doc_repetition_stats",
     "stratified_sample_summary",
+    "doc_chunking",
+    "sequence_packing_summary",
 ]
 
 
