@@ -61,7 +61,8 @@ _COMPACT_RE = re.compile(
     r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
 _CLUSTER_RE = re.compile(
-    r"^\s*CLUSTER\s+TABLE\s+(?P<name>[\w.]+)\s+BY\s*\((?P<cols>[^)]+)\)\s*$",
+    r"^\s*CLUSTER\s+TABLE\s+(?P<name>[\w.]+)\s+BY\s*\((?P<cols>[^)]+)\)"
+    r"(?:\s+USING\s+(?P<strategy>LINEAR|ZORDER))?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
@@ -204,7 +205,11 @@ class Engine:
             from onehouse_demos_spark.tables.maintenance import run_clustering
 
             cols = [c.strip().strip("`") for c in m.group("cols").split(",")]
-            run_clustering(self._tables[self._norm(m.group("name"))], cols)
+            strategy = (m.group("strategy") or "linear").lower()
+            run_clustering(
+                self._tables[self._norm(m.group("name"))], cols,
+                strategy=strategy,
+            )
             return self.spark.createDataFrame([], "result string")
         m = _VACUUM_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:

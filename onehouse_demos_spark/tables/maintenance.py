@@ -112,17 +112,42 @@ def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
         raise
 
 
+_Z_BITS = 16
+
+
+def _zvalue(scaled_cols) -> "F.Column":
+    """Interleave the low `_Z_BITS` bits of each scaled column into a
+    single Morton (Z-curve) key. Pure bitwise expression — whole-stage
+    codegen folds it into the sort's key computation."""
+    z = F.lit(0).cast("long")
+    k = len(scaled_cols)
+    for i in range(_Z_BITS):
+        for j, c in enumerate(scaled_cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1)).cast("long")
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
 def run_clustering(
     table: LakehouseTable,
     sort_columns: list[str],
     target_file_rows: int = 5_000_000,
     partitions: list[str] | None = None,
+    strategy: str = "linear",
 ):
     """Rewrite live base files range-sorted by `sort_columns` into
     target-sized files (reference `SparkSortAndSizeExecutionStrategy`,
     sort.columns + target.file.max.bytes —
     `test-clustering.properties:34-37`). Improves data skipping: sorted
-    layout → tight parquet min/max → fewer files scanned per predicate."""
+    layout → tight parquet min/max → fewer files scanned per predicate.
+
+    strategy="linear": lexicographic sort — perfect skipping on the
+    leading column, none on trailing columns (every file spans their
+    full range). strategy="zorder": columns are min-max scaled to
+    16-bit ints and bit-interleaved into a Morton key; files become
+    hyper-rectangles in the column space, so min/max stats prune on
+    EVERY sort column — the multi-dimensional layout Delta's OPTIMIZE
+    ZORDER / Hudi's z-order clustering use at 100 TB."""
     planned_from = table.timeline.latest_instant()  # OCC anchor before listing
     files = table.manifest.live_files(include_logs=False)
     if partitions is not None:
@@ -134,10 +159,42 @@ def run_clustering(
         df = table._read_files(files)
         total_rows = sum(f.rows for f in files)
         n_files = max(1, (total_rows + target_file_rows - 1) // target_file_rows)
-        clustered = (
-            df.repartitionByRange(n_files, *[F.col(c) for c in sort_columns])
-            .sortWithinPartitions(*sort_columns)
-        )
+        if strategy == "zorder":
+            # One tiny agg job for min/max; the scale cost is the same
+            # single range-repartition + sort as the linear strategy.
+            bounds = df.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(sort_columns)],
+                *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(sort_columns)],
+            ).collect()[0]
+            scaled = []
+            for i, c in enumerate(sort_columns):
+                mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+                if mn is None or mx is None or mx == mn:
+                    scaled.append(F.lit(0).cast("long"))
+                    continue
+                frac = (F.col(c).cast("double") - F.lit(mn)) / F.lit(mx - mn)
+                scaled.append(
+                    F.when(F.col(c).isNull(), F.lit(0))
+                    .otherwise(
+                        F.least(
+                            F.lit((1 << _Z_BITS) - 1),
+                            (frac * ((1 << _Z_BITS) - 1)).cast("long"),
+                        )
+                    )
+                    .cast("long")
+                )
+            zcol = "_oh_zvalue"
+            clustered = (
+                df.withColumn(zcol, _zvalue(scaled))
+                .repartitionByRange(n_files, F.col(zcol))
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        else:
+            clustered = (
+                df.repartitionByRange(n_files, *[F.col(c) for c in sort_columns])
+                .sortWithinPartitions(*sort_columns)
+            )
         adds = table._write_files(clustered, instant, kind="base")
         return table._commit(
             instant,
@@ -146,7 +203,7 @@ def run_clustering(
             adds,
             [f.path for f in files],
             clustered.schema,
-            extra={"sort_columns": sort_columns},
+            extra={"sort_columns": sort_columns, "strategy": strategy},
             planned_from=planned_from,
         )
     except Exception:

@@ -143,3 +143,51 @@ def test_conf_steered_incremental_across_compaction(spark, mor):
                 spark.conf.unset(pfx + k)
             except Exception:
                 pass
+
+
+def test_zorder_clustering_prunes_on_trailing_column(spark, tmp_base):
+    """Linear sort by (A, B) gives every file the full range of B →
+    zero file skipping on B-predicates. Z-order interleaves A and B so
+    min/max stats prune on BOTH columns; results stay identical."""
+    from onehouse_demos_spark.tables.manifest import Manifest
+    from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).withColumn("ver", F.lit(1))
+
+    def build(name, strategy):
+        t = LakehouseTable.create(
+            spark,
+            f"{tmp_base}/{name}",
+            TableConfig(name=name, record_key=["o_orderkey"], precombine="ver"),
+        )
+        t.insert(orders)
+        run_clustering(
+            t,
+            sort_columns=["o_totalprice", "o_custkey"],
+            target_file_rows=100,
+            strategy=strategy,
+        )
+        return t
+
+    lin = build("z_lin", "linear")
+    zor = build("z_zor", "zorder")
+    mid = orders.agg(F.expr("percentile_approx(o_custkey, 0.5)")).collect()[0][0]
+    filters = [("o_custkey", "<", float(mid))]
+
+    def pruned_fraction(t):
+        files = t.manifest.live_files(include_logs=False)
+        kept = Manifest.prune_by_col_stats(files, filters)
+        return len(files), len(kept)
+
+    n_lin, kept_lin = pruned_fraction(lin)
+    n_zor, kept_zor = pruned_fraction(zor)
+    assert n_lin > 4 and n_zor > 4  # enough files for skipping to matter
+    # z-order must skip files on the trailing column; linear cannot.
+    assert kept_zor < n_zor, (n_zor, kept_zor)
+    assert (kept_zor / n_zor) < (kept_lin / n_lin)
+    # correctness: filtered snapshot identical across strategies
+    a = sorted(r.o_orderkey for r in lin.snapshot_filtered(filters).collect())
+    b = sorted(r.o_orderkey for r in zor.snapshot_filtered(filters).collect())
+    assert a == b and len(a) > 0
