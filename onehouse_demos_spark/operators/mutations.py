@@ -233,6 +233,69 @@ WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
 """
 
 
+def tbl_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-incremental materialized aggregate (hypertable-rollup
+    style, tables/matview.py): build a table, materialize a revenue
+    rollup, mutate ONE partition, refresh — the refresh recomputes only
+    the touched partition yet the materialization equals a full
+    recompute (the oracle group-by over the final state)."""
+    key = (sf_dir, "matview")
+    if key in _CACHE:
+        return _CACHE[key]
+    from onehouse_demos_spark.tables.matview import MaterializedAggregate
+
+    tmp = tempfile.mkdtemp(prefix="oh_mv_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_mv",
+        TableConfig(
+            name="orders_mv",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+
+    def agg(df):
+        return df.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("rev_r"),
+        )
+
+    mv = MaterializedAggregate(t, f"{tmp}/mv", agg)
+    mv.refresh()  # full
+    t.upsert(
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 5 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+        .withColumn("ver", F.lit(2))
+    )
+    stats = mv.refresh()  # incremental: exactly one partition
+    assert stats["mode"] == "incremental" and stats["partitions_recomputed"] == 1
+    _CACHE[key] = mv.read()
+    return _CACHE[key]
+
+
+TBL_MATVIEW_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(
+         CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
+              THEN o_totalprice + 500.0 ELSE o_totalprice END
+         AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev_r
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
 def tbl_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot AFTER the clustering replace-commit (reference M12,
     `SparkSortAndSizeExecutionStrategy`): layout rewritten sorted by
@@ -409,6 +472,7 @@ QUERIES = {
     "tbl_insert_overwrite_snapshot": tbl_insert_overwrite_snapshot,
     "tbl_delete_partition_snapshot": tbl_delete_partition_snapshot,
     "tbl_clustered_snapshot": tbl_clustered_snapshot,
+    "tbl_matview_rollup": tbl_matview_rollup,
     "tbl_stats_skipped_read": tbl_stats_skipped_read,
     "tbl_bulk_insert_snapshot": tbl_bulk_insert_snapshot,
     "tbl_incremental_read": tbl_incremental_read,
@@ -427,6 +491,7 @@ ORACLES = {
     "tbl_insert_overwrite_snapshot": TBL_INSERT_OVERWRITE_SNAPSHOT_SQL,
     "tbl_delete_partition_snapshot": TBL_DELETE_PARTITION_SNAPSHOT_SQL,
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
+    "tbl_matview_rollup": TBL_MATVIEW_ROLLUP_SQL,
     "tbl_stats_skipped_read": TBL_STATS_SKIPPED_READ_SQL,
     "tbl_bulk_insert_snapshot": TBL_BULK_INSERT_SNAPSHOT_SQL,
     "tbl_incremental_read": TBL_INCREMENTAL_READ_SQL,
