@@ -302,12 +302,66 @@ SELECT query_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 3
 """
 
 
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization: per-vector min-max quantization with
+# reconstruction-error accounting — the compression step an ANN index
+# runs before storing 100 TB of embeddings (4× smaller than fp32).
+# Pure map stage over the vector column, no shuffle; quantization uses
+# floor(x + 0.5) so both engines round identically, and max-abs-error
+# is order-independent (no float-reduction nondeterminism).
+# --------------------------------------------------------------------------
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_emb(spark, sf_dir)
+    v = _as_double(F.col("embedding"))
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    recon_err = F.array_max(
+        F.transform(
+            v,
+            lambda x: F.abs(
+                x - (mn + F.floor((x - mn) / scale + F.lit(0.5)) * scale)
+            ),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(mn, 4).alias("mn_r"),
+        F.round(mx, 4).alias("mx_r"),
+        F.round(
+            F.when(mx == mn, F.lit(0.0)).otherwise(recon_err), 6
+        ).alias("max_err_r"),
+    )
+
+
+EMBEDDING_QUANTIZATION_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v
+)
+SELECT vec_id,
+       len(e) AS n_dims,
+       ROUND(mn, 4) AS mn_r,
+       ROUND(mx, 4) AS mx_r,
+       ROUND(CASE WHEN mx = mn THEN 0.0 ELSE
+         list_max(list_transform(e, x -> abs(
+           x - (mn + floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+                     * ((mx - mn) / 255.0)))))
+       END, 6) AS max_err_r
+FROM s
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroid_distance": label_centroid_distance,
     "knn_ivf": knn_ivf,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "knn_batch_join": knn_batch_join,
+    "embedding_quantization": embedding_quantization,
 }
 
 ORACLES = {
@@ -316,4 +370,5 @@ ORACLES = {
     "knn_ivf": KNN_IVF_SQL,
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
     "knn_batch_join": KNN_BATCH_JOIN_SQL,
+    "embedding_quantization": EMBEDDING_QUANTIZATION_SQL,
 }
