@@ -143,3 +143,15 @@ def test_skew_safe_agg_two_stage(spark):
 
     df = skew_safe_agg(spark, SF_DIR)
     assert num_exchanges(df) <= 2, explain_str(df)[:800]
+
+
+def test_map_stage_ops_are_shuffle_free(spark):
+    """Chunking and quantization are pure map stages — any exchange in
+    their plan is a scale regression (they run over the full corpus)."""
+    from onehouse_demos_spark.operators.similarity import embedding_quantization
+    from onehouse_demos_spark.operators.text import doc_chunking
+    from onehouse_demos_spark.plans import explain_str, num_exchanges
+
+    for fn in (doc_chunking, embedding_quantization):
+        df = fn(spark, SF_DIR)
+        assert num_exchanges(df) == 0, explain_str(df)[:800]
