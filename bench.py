@@ -43,6 +43,7 @@ HEADLINE = [
     "text_stats",
     "multimodal_metadata",
     "custdist_orders",
+    "shipping_priority",
     "range_join_bands",
     "skew_safe_agg",
     "event_funnel",

@@ -489,6 +489,60 @@ GROUP BY p_type
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q3-style shipping priority: selective dimension filter
+# (customer segment) broadcast into a fact-fact join, grouped revenue,
+# deterministic top-N. The segment filter prunes customer before the
+# join; orders/lineitem join on their natural key so at 100 TB the
+# shuffle is a single co-partitioned exchange on orderkey, and the
+# top-10 is a partial TakeOrdered on each partition (no global sort).
+# --------------------------------------------------------------------------
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    return (
+        orders.filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+        .join(F.broadcast(building), orders.o_custkey == building.c_custkey)
+        .join(
+            li.filter(F.col("l_shipdate") > F.lit("1995-03-15")),
+            orders.o_orderkey == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        # o_orderdate is functionally dependent on o_orderkey; grouping
+        # on the key alone lets the aggregate reuse the join's hash
+        # partitioning (one fewer exchange). min() is a deterministic
+        # way to carry the dependent column through.
+        .agg(
+            F.min("o_orderdate").alias("o_orderdate"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "filter_project": filter_project,
@@ -505,6 +559,7 @@ QUERIES = {
     "local_supplier_volume": local_supplier_volume,
     "promo_revenue_by_type": promo_revenue_by_type,
     "customers_with_big_orders": customers_with_big_orders,
+    "shipping_priority": shipping_priority,
 }
 
 ORACLES = {
@@ -523,4 +578,5 @@ ORACLES = {
     "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
     "promo_revenue_by_type": PROMO_REVENUE_BY_TYPE_SQL,
     "customers_with_big_orders": CUSTOMERS_WITH_BIG_ORDERS_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
 }

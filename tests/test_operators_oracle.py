@@ -22,6 +22,7 @@ FAST_QUERIES = [
     "knn_bruteforce",
     "cdc_apply_envelopes",
     "custdist_orders",
+    "shipping_priority",
     "event_funnel",
     "doc_repetition_stats",
     "stratified_sample_summary",
