@@ -541,6 +541,55 @@ WHERE n_hits::DOUBLE / n_shingles >= 0.5
 """
 
 
+# --------------------------------------------------------------------------
+# Cross-source overlap: per source, how many docs carry text that also
+# appears under at least one OTHER source (inter-source contamination —
+# e.g. the same page crawled by two pipelines). Both aggregations and
+# the join key on the content hash, so after the first shuffle on `h`
+# the per-hash rollup and the join-back reuse the same partitioning;
+# only the final per-source rollup (cardinality = #sources) reshuffles.
+# --------------------------------------------------------------------------
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    hashed = docs.select(
+        "source", F.md5(normalize_text(F.col("text"))).alias("h")
+    )
+    multi = (
+        hashed.groupBy("h")
+        .agg(F.countDistinct("source").alias("n_sources"))
+        .filter(F.col("n_sources") > 1)
+        .select("h", F.lit(1).alias("_shared"))
+    )
+    return (
+        hashed.join(multi, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h").alias("n_texts"),
+            F.sum(F.coalesce(F.col("_shared"), F.lit(0))).alias("shared_docs"),
+        )
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = """
+WITH hashed AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+), multi AS (
+  SELECT h, 1 AS _shared FROM hashed
+  GROUP BY h HAVING COUNT(DISTINCT source) > 1
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT hashed.h) AS n_texts,
+       SUM(COALESCE(_shared, 0)) AS shared_docs
+FROM hashed LEFT JOIN multi ON hashed.h = multi.h
+GROUP BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_summary": dedup_exact_summary,
@@ -550,6 +599,7 @@ QUERIES = {
     "simhash64": simhash64,
     "near_dup_canonical": near_dup_canonical,
     "contamination_check": contamination_check,
+    "cross_source_overlap": cross_source_overlap,
 }
 
 ORACLES = {
@@ -561,4 +611,5 @@ ORACLES = {
     "simhash64": SIMHASH64_SQL,
     "near_dup_canonical": NEAR_DUP_CANONICAL_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
+    "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
 }

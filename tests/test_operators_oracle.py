@@ -18,6 +18,7 @@ FAST_QUERIES = [
     "customers_without_orders",
     "top_orders_per_customer",
     "dedup_exact_summary",
+    "cross_source_overlap",
     "doc_fingerprints",
     "knn_bruteforce",
     "cdc_apply_envelopes",
