@@ -216,11 +216,15 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sid AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- DuckDB SUM() OVER yields HUGEINT (int128): cast to BIGINT so
+         -- the cross-engine value hash sees the same physical type as
+         -- Spark's LongType window sum.
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq, COUNT(*) AS n_events,
+SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
        epoch_us(MIN(ts)::TIMESTAMP) AS session_start_us,
        epoch_us(MAX(ts)::TIMESTAMP) AS session_end_us
 FROM sid

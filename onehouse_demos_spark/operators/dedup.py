@@ -534,7 +534,7 @@ WITH norm AS (
   WHERE s.doc_id % 50 <> 0
   GROUP BY s.doc_id
 )
-SELECT doc_id, n_shingles, n_hits,
+SELECT doc_id, n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
        ROUND(n_hits::DOUBLE / n_shingles, 4) AS overlap
 FROM hits
 WHERE n_hits::DOUBLE / n_shingles >= 0.5
@@ -584,7 +584,7 @@ WITH hashed AS (
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT hashed.h) AS n_texts,
-       SUM(COALESCE(_shared, 0)) AS shared_docs
+       CAST(SUM(COALESCE(_shared, 0)) AS BIGINT) AS shared_docs
 FROM hashed LEFT JOIN multi ON hashed.h = multi.h
 GROUP BY source
 """

@@ -364,20 +364,23 @@ WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
 
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
+    # Hash-stable across engines: emit exact integers only (a rounded
+    # double AVG diverges below 1e-6 between Spark and DuckDB and fails
+    # the driver's raw value hash; consumers can divide sum_k / n_k).
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
         .groupBy("event_type")
         .agg(
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count("k").alias("n_k"),
         )
     )
 
 
 EVENTS_JSON_EXTRACT_SQL = """
 SELECT event_type,
-       SUM(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
-       ROUND(AVG(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+       CAST(SUM(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+       CAST(COUNT(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS n_k
 FROM events
 GROUP BY event_type
 """

@@ -146,7 +146,7 @@ WITH scored AS (
 )
 SELECT pred_lang,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
          AS keep_ratio
 FROM scored

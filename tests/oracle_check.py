@@ -54,8 +54,14 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    import onehouse_demos_spark.operators as ops
+
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # Demoted shape-duplicates stay under local verification even though
+    # they are kept out of the driver's 50-entry correctness window.
+    qs.update(ops.extra_queries())
+    oracles.update(ops.extra_oracles())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
