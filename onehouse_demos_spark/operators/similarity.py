@@ -198,16 +198,71 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Adaptive bucket sizing: within-bucket candidate generation is
+# quadratic in bucket size, so the sign-bit count must GROW with the
+# corpus — bits = clamp(ceil(log2(n / TARGET_BUCKET_ROWS)), 6..24)
+# keeps expected bucket size ≈ TARGET_BUCKET_ROWS at any scale (2^24
+# buckets bounds shuffle-key cardinality). The Spark side derives n
+# from a metadata-only count; the DuckDB oracle derives the SAME bits
+# with an identical scalar subquery, so both engines bucket alike.
+# --------------------------------------------------------------------------
+
+TARGET_BUCKET_ROWS = 1024
+MIN_SIGN_BITS = 6
+MAX_SIGN_BITS = 24
+
+
+def _adaptive_bits(n_vectors: int) -> int:
+    import math
+
+    if n_vectors <= TARGET_BUCKET_ROWS:
+        return MIN_SIGN_BITS
+    return min(
+        MAX_SIGN_BITS,
+        max(MIN_SIGN_BITS, math.ceil(math.log2(n_vectors / TARGET_BUCKET_ROWS))),
+    )
+
+
+_ADAPTIVE_BITS_SQL = f"""(
+  SELECT CASE WHEN COUNT(*) <= {TARGET_BUCKET_ROWS} THEN {MIN_SIGN_BITS}
+              ELSE LEAST({MAX_SIGN_BITS}, GREATEST({MIN_SIGN_BITS},
+                   CAST(CEIL(LOG2(COUNT(*) / {TARGET_BUCKET_ROWS}.0)) AS INTEGER)))
+         END
+  FROM embeddings
+)"""
+
+
+def _sign_bucket_str(vec, bits: int) -> Column:
+    """Sign-bit string of the first `bits` components — the adaptive
+    generalization of `_sign_bucket` (string so any width composes)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, 1, bits),
+            lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+_SIGN_BUCKET_STR_SQL = (
+    "array_to_string(list_transform({vec}[1:{bits}], "
+    "x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+# --------------------------------------------------------------------------
 # Embedding near-duplicate pairs: candidates from shared sign-bucket,
 # verified by exact cosine ≥ 0.95. The bucket equi-join replaces the
-# O(n²) cross join; at 100 TB add more sign bits to keep buckets small.
+# O(n²) cross join; the bucket width adapts to corpus size (above) so
+# within-bucket work stays ~TARGET_BUCKET_ROWS² at 100 TB.
 # --------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_emb(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     )
-    emb = emb.withColumn("bucket", _sign_bucket(F.col("v")))
+    bits = _adaptive_bits(load_emb(spark, sf_dir).count())
+    emb = emb.withColumn("bucket", _sign_bucket_str(F.col("v"), bits))
     a = emb.alias("a")
     b = emb.alias("b")
     return (
@@ -226,10 +281,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_NEAR_DUP_PAIRS_SQL = f"""
-WITH e AS (
+WITH params AS (
+  SELECT {_ADAPTIVE_BITS_SQL} AS bits
+), e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sign_bucket_sql('(embedding::DOUBLE[])')} AS bucket
-  FROM embeddings
+         {_SIGN_BUCKET_STR_SQL.format(vec='(embedding::DOUBLE[])', bits='bits')} AS bucket
+  FROM embeddings, params
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_dot_product(a.v, b.v)
@@ -247,14 +304,20 @@ WHERE ROUND(list_dot_product(a.v, b.v)
 # plan (the production ANN workload — not one query at a time). Bucket
 # equi-join for candidates, per-query window top-k. One shuffle on the
 # bucket key + one on the query id; scales as sum of bucket sizes.
+# The query set is ~1% of the corpus — at 100 TB that is ~1 TB and NOT
+# broadcastable, so both sides hash-partition on the bucket key (a
+# plain shuffle join; the optimizer may still broadcast small query
+# sets by size, but no hint forces it). Bucket width adapts to corpus
+# size so the shuffle key cardinality grows with the data.
 # --------------------------------------------------------------------------
 
 def knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    bits = _adaptive_bits(load_emb(spark, sf_dir).count())
     emb = load_emb(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("bucket", _sign_bucket(F.col("v")))
+    ).withColumn("bucket", _sign_bucket_str(F.col("v"), bits))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -262,9 +325,7 @@ def knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = emb.filter(F.col("vec_id") % 100 != 0)
     scored = (
-        base.join(
-            F.broadcast(queries), base.bucket == queries.qbucket, "inner"
-        )
+        base.join(queries, base.bucket == queries.qbucket, "inner")
         .select(
             "query_id",
             "vec_id",
@@ -282,10 +343,12 @@ def knn_batch_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_BATCH_JOIN_SQL = f"""
-WITH e AS (
+WITH params AS (
+  SELECT {_ADAPTIVE_BITS_SQL} AS bits
+), e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         {_sign_bucket_sql('(embedding::DOUBLE[])')} AS bucket
-  FROM embeddings
+         {_SIGN_BUCKET_STR_SQL.format(vec='(embedding::DOUBLE[])', bits='bits')} AS bucket
+  FROM embeddings, params
 ), scored AS (
   SELECT q.vec_id AS query_id, b.vec_id,
          ROUND(list_dot_product(b.v, q.v)

@@ -34,6 +34,37 @@ from pyspark.sql import functions as F
 
 from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
 
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` only at paren depth 0 and outside single-quoted
+    strings — so ``a = greatest(b, c), d = 'x,y'`` splits into two
+    assignments, not four fragments."""
+    parts: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    in_str = False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p for p in parts if p.strip()]
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*"
@@ -371,7 +402,7 @@ class Engine:
         snap = t.snapshot()
         changed = snap.filter(F.expr(where)) if where else snap
         assignments: dict[str, str] = {}
-        for part in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sets):
+        for part in _split_top_level(sets):
             k, v = part.split("=", 1)
             assignments[k.strip().strip("`")] = v.strip()
         exprs = [
@@ -450,9 +481,8 @@ class Engine:
             sets = dict(
                 (kv.split("=", 1)[0].strip().strip("`").split(".")[-1],
                  kv.split("=", 1)[1].strip())
-                for kv in re.split(
-                    r",(?=(?:[^']*'[^']*')*[^']*$)",
-                    re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE),
+                for kv in _split_top_level(
+                    re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
                 )
             )
             sel = []
@@ -473,7 +503,7 @@ class Engine:
                 cm = re.match(r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)",
                               body, re.IGNORECASE | re.DOTALL)
                 cols = [c.strip().strip("`") for c in cm.group("cols").split(",")]
-                vals = re.split(r",(?=(?:[^(]*\([^)]*\))*[^)]*$)", cm.group("vals"))
+                vals = _split_top_level(cm.group("vals"))
                 mapping = dict(zip(cols, [v.strip() for v in vals]))
                 sel = ", ".join(
                     f"({mapping[c]}) AS {c}" if c in mapping else f"NULL AS {c}"

@@ -33,7 +33,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
 
-from onehouse_demos_spark.tables.table import LakehouseTable
+from onehouse_demos_spark.tables.table import HIVE_DEFAULT_PARTITION, LakehouseTable
 from onehouse_demos_spark.tables.timeline import RECORD_ACTIONS
 
 _STATE_FILE = "_matview.json"
@@ -130,15 +130,21 @@ class MaterializedAggregate:
                     "partitions_recomputed": 0,
                     "instant": latest,
                 }
-            pcol = F.col(self.partition_col).cast("string")
-            snap = self.table.snapshot().filter(
-                pcol.isin([p for p in touched if p != ""])
+            # Splice key must be NULL-safe on BOTH filters: a NULL
+            # partition value makes bare isin() evaluate to NULL (row
+            # silently dropped from `keep`) while the manifest records
+            # those files under HIVE_DEFAULT_PARTITION — so without the
+            # coalesce the null-partition groups would vanish from the
+            # materialization on every incremental refresh.
+            pkey = F.coalesce(
+                F.col(self.partition_col).cast("string"),
+                F.lit(HIVE_DEFAULT_PARTITION),
             )
+            recompute = [p if p else HIVE_DEFAULT_PARTITION for p in touched]
+            snap = self.table.snapshot().filter(pkey.isin(recompute))
             fresh = self.agg_fn(snap)
             prev = self.read()
-            keep = prev.filter(
-                ~F.col(self.partition_col).cast("string").isin(list(touched))
-            )
+            keep = prev.filter(~pkey.isin(recompute))
             merged = keep.unionByName(fresh)
             n_parts = len(touched)
 

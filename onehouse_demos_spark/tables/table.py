@@ -53,6 +53,64 @@ def _uri_to_path(uri: str) -> str:
     return p
 
 
+def _footer_col_stats(pf) -> dict:
+    """Per-column [min, max] across row groups, JSON-safe primitives
+    only (str/int/float/bool). Metadata-only footer read — this is
+    the write-time harvest that makes read-time data skipping free."""
+    out: dict = {}
+    meta = pf.metadata
+    names = pf.schema_arrow.names
+    for idx, name in enumerate(names):
+        mins, maxs = [], []
+        ok = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    ok = False
+                    break
+            if not isinstance(lo, (str, int, float, bool)):
+                ok = False
+                break
+            mins.append(lo)
+            maxs.append(hi)
+        if ok and mins:
+            out[name] = [min(mins), max(maxs)]
+    return out
+
+
+def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
+    """Footer-only stats for one written file. Module-level (and free of
+    any session state) so it ships to executors — a commit writing
+    thousands of files harvests in parallel instead of serializing
+    footer reads on the driver."""
+    import pyarrow.parquet as pq
+
+    rel_path = os.path.relpath(abs_path, base_path)
+    partition = None
+    for seg in rel_path.split(os.sep):
+        if seg.startswith(PP_COL + "="):
+            partition = unquote(seg[len(PP_COL) + 1 :])
+    pf = pq.ParquetFile(abs_path)
+    col_stats = _footer_col_stats(pf)
+    key_rng = col_stats.get(KEY_COL)
+    return FileMeta(
+        path=rel_path.replace(os.sep, "/"),
+        partition=partition,
+        rows=pf.metadata.num_rows,
+        key_min=key_rng[0] if key_rng else None,
+        key_max=key_rng[1] if key_rng else None,
+        kind=kind,
+        col_stats={k: v for k, v in col_stats.items() if k != KEY_COL},
+    )
+
+
 @dataclass
 class TableConfig:
     name: str
@@ -103,6 +161,7 @@ class LakehouseTable:
         self.config = config
         self.timeline = Timeline(self.base_path)
         self.manifest = Manifest(self.timeline)
+        self._part_src_cols: set[str] | None = None
         self._write_config()
 
     # ---------------------------------------------------------------- create
@@ -141,12 +200,26 @@ class LakehouseTable:
             return F.col(cols[0]).cast("string")
         return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
 
+    @staticmethod
+    def _null_safe_part(col):
+        """NULL/empty partition values map to HIVE_DEFAULT_PARTITION
+        *inside* the expression (Hive convention). Critical: concat_ws
+        SKIPS nulls, so without this a NULL value would yield "" on the
+        probe side while the writer lays the file under
+        __HIVE_DEFAULT_PARTITION__ — partition pruning would then miss
+        the file and an upsert would leave a duplicate key behind."""
+        s = col.cast("string")
+        return F.when(
+            s.isNull() | (s == ""), F.lit(HIVE_DEFAULT_PARTITION)
+        ).otherwise(s)
+
     def _partition_path_expr(self):
         if self.config.partition_expr:
-            return F.expr(self.config.partition_expr).cast("string")
+            return self._null_safe_part(F.expr(self.config.partition_expr))
         if self.config.partition_by:
             return F.concat_ws(
-                "/", *[F.col(c).cast("string") for c in self.config.partition_by]
+                "/",
+                *[self._null_safe_part(F.col(c)) for c in self.config.partition_by],
             )
         return None
 
@@ -214,72 +287,32 @@ class LakehouseTable:
             writer.write.parquet(out_dir, mode="errorifexists")
         return self._harvest_stats(out_dir, rel_dir, kind)
 
-    def _harvest_stats(self, out_dir: str, rel_dir: str, kind: str) -> list[FileMeta]:
-        import pyarrow.parquet as pq
+    #: Below this many files the driver reads footers inline (a Spark
+    #: job costs more than a handful of local metadata reads); above
+    #: it, footer harvesting fans out to executors so a commit writing
+    #: thousands of files stays O(#files / cluster) wall-clock instead
+    #: of serializing the commit path on the driver.
+    DRIVER_HARVEST_MAX_FILES = 16
 
-        metas: list[FileMeta] = []
+    def _harvest_stats(self, out_dir: str, rel_dir: str, kind: str) -> list[FileMeta]:
+        paths: list[str] = []
         for root, _dirs, files in os.walk(out_dir):
             for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                abs_path = os.path.join(root, name)
-                rel_path = os.path.relpath(abs_path, self.base_path)
-                partition = None
-                for seg in rel_path.split(os.sep):
-                    if seg.startswith(PP_COL + "="):
-                        partition = unquote(seg[len(PP_COL) + 1 :])
-                pf = pq.ParquetFile(abs_path)
-                col_stats = self._footer_col_stats(pf)
-                key_rng = col_stats.get(KEY_COL)
-                metas.append(
-                    FileMeta(
-                        path=rel_path.replace(os.sep, "/"),
-                        partition=partition,
-                        rows=pf.metadata.num_rows,
-                        key_min=key_rng[0] if key_rng else None,
-                        key_max=key_rng[1] if key_rng else None,
-                        kind=kind,
-                        col_stats={
-                            k: v for k, v in col_stats.items() if k != KEY_COL
-                        },
-                    )
-                )
-        if not metas:
+                if name.endswith(".parquet"):
+                    paths.append(os.path.join(root, name))
+        if not paths:
             # empty write (0-row df): record nothing
             return []
-        return metas
-
-    @staticmethod
-    def _footer_col_stats(pf) -> dict:
-        """Per-column [min, max] across row groups, JSON-safe primitives
-        only (str/int/float/bool). Metadata-only footer read — this is
-        the write-time harvest that makes read-time data skipping free."""
-        out: dict = {}
-        meta = pf.metadata
-        names = pf.schema_arrow.names
-        for idx, name in enumerate(names):
-            mins, maxs = [], []
-            ok = True
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                lo, hi = st.min, st.max
-                if isinstance(lo, bytes):
-                    try:
-                        lo, hi = lo.decode(), hi.decode()
-                    except UnicodeDecodeError:
-                        ok = False
-                        break
-                if not isinstance(lo, (str, int, float, bool)):
-                    ok = False
-                    break
-                mins.append(lo)
-                maxs.append(hi)
-            if ok and mins:
-                out[name] = [min(mins), max(maxs)]
-        return out
+        base = self.base_path
+        if len(paths) <= self.DRIVER_HARVEST_MAX_FILES:
+            return [_harvest_one(p, base, kind) for p in paths]
+        sc = self.spark.sparkContext
+        n = max(1, min(len(paths), sc.defaultParallelism))
+        return (
+            sc.parallelize(paths, n)
+            .map(lambda p: _harvest_one(p, base, kind))
+            .collect()
+        )
 
     def _commit(
         self,
@@ -370,10 +403,17 @@ class LakehouseTable:
             F.max(KEY_COL).alias("hi"),
             F.count(F.lit(1)).alias("n"),
         ]
+        # The probe frame must actually be able to EVALUATE the
+        # partition-path expression: for `partition_by` tables that
+        # means carrying the partition columns; for `partition_expr`
+        # tables it means carrying the expression's source columns (a
+        # bare key list can't — without this source-column check the
+        # empty-partition_by subset test is vacuously true and the
+        # aggregate below fails analysis).
         can_prune_parts = (
             self.config.index_scope != "global"
             and pp is not None
-            and set(self.config.partition_by) <= set(prepared_keys.columns)
+            and self._partition_source_cols() <= set(prepared_keys.columns)
         )
         if can_prune_parts:
             aggs.append(
@@ -387,6 +427,30 @@ class LakehouseTable:
         if row["lo"] is not None:
             files = Manifest.prune_by_key_range(files, row["lo"], row["hi"])
         return files, int(row["n"])
+
+    def _partition_source_cols(self) -> set[str]:
+        """Columns the partition-path expression reads. Structural
+        (Catalyst parser references, no analysis) so probing a frame
+        that lacks them never emits a spurious analysis-ERROR log."""
+        if self._part_src_cols is not None:
+            return self._part_src_cols
+        cols: set[str] = set(self.config.partition_by or [])
+        if not cols and self.config.partition_expr:
+            try:
+                parser = self.spark._jsparkSession.sessionState().sqlParser()
+                it = (
+                    parser.parseExpression(self.config.partition_expr)
+                    .references()
+                    .iterator()
+                )
+                while it.hasNext():
+                    cols.add(it.next().name())
+            except Exception:
+                # Parser internals unavailable: disable pruning rather
+                # than risk an unresolvable aggregate.
+                cols = {"__unknown_partition_source__"}
+        self._part_src_cols = cols
+        return cols
 
     def _abs(self, rel_paths: list[str]) -> list[str]:
         return [os.path.join(self.base_path, p) for p in rel_paths]
@@ -446,9 +510,9 @@ class LakehouseTable:
                         existing.select(KEY_COL)
                         .withColumn("_oh_file", F.input_file_name())
                         .join(
-                            F.broadcast(prepared.select(KEY_COL))
-                            if self._small(prepared)
-                            else prepared.select(KEY_COL),
+                            self._probe_side(
+                                prepared.select(KEY_COL), batch_rows
+                            ),
                             KEY_COL,
                             "inner",
                         )
@@ -470,9 +534,7 @@ class LakehouseTable:
                     # new commit instant always outranks carried rows,
                     # but avoids a full sort of the rewritten files.
                     carry = carry.join(
-                        F.broadcast(prepared.select(KEY_COL))
-                        if self._small(prepared)
-                        else prepared.select(KEY_COL),
+                        self._probe_side(prepared.select(KEY_COL), batch_rows),
                         KEY_COL,
                         "left_anti",
                     )
@@ -496,10 +558,17 @@ class LakehouseTable:
         finally:
             prepared.unpersist()
 
-    def _small(self, df: DataFrame) -> bool:
-        # Broadcast the incoming key set when the batch is plausibly
-        # small; AQE will fix misestimates at runtime.
-        return True
+    #: Broadcast the batch key set only below this many keys (~16-byte
+    #: hashes → low hundreds of MB). Above it, an explicit broadcast()
+    #: hint would OOM driver/executors at bulk scale — and AQE does not
+    #: rescue an explicit hint — so large batches probe via a shuffle
+    #: join instead.
+    BROADCAST_KEY_ROWS = 5_000_000
+
+    def _probe_side(self, keys: DataFrame, n_rows: int) -> DataFrame:
+        if n_rows <= self.BROADCAST_KEY_ROWS:
+            return F.broadcast(keys)
+        return keys
 
     def delete(self, keys_df: DataFrame) -> Instant:
         """Hard delete by key (reference M4 `DeleteNode`). `keys_df`
@@ -515,7 +584,7 @@ class LakehouseTable:
             .persist()
         )
         try:
-            candidates, _ = self._candidate_files(del_keys)
+            candidates, n_keys = self._candidate_files(del_keys)
             existing = self._read_files(candidates)
             adds: list[FileMeta] = []
             touched: list[str] = []
@@ -523,7 +592,11 @@ class LakehouseTable:
                 probe = (
                     existing.select(KEY_COL)
                     .withColumn("_oh_file", F.input_file_name())
-                    .join(F.broadcast(del_keys), KEY_COL, "inner")
+                    .join(
+                        self._probe_side(del_keys.select(KEY_COL), n_keys),
+                        KEY_COL,
+                        "inner",
+                    )
                     .select("_oh_file")
                     .distinct()
                 )
@@ -533,7 +606,9 @@ class LakehouseTable:
                     by_path = {f.path: f for f in candidates}
                     carry = self._read_files([by_path[p] for p in touched])
                     remaining = carry.join(
-                        F.broadcast(del_keys), KEY_COL, "left_anti"
+                        self._probe_side(del_keys.select(KEY_COL), n_keys),
+                        KEY_COL,
+                        "left_anti",
                     )
                     adds = self._write_files(
                         remaining,
@@ -624,6 +699,10 @@ class LakehouseTable:
         """Replace exactly the partitions present in `df` (reference M7
         `SparkInsertOverwriteNode`; dynamic partition overwrite)."""
         instant = self.timeline.begin("replacecommit")
+        # Snapshot the plan point BEFORE listing live files so a commit
+        # landing between the listing and publish raises ConflictError
+        # instead of silently surviving the overwrite.
+        planned_from = self.timeline.latest_instant()
         try:
             prepared = self._with_meta(df, instant)
             pp = self._partition_path_expr()
@@ -646,7 +725,13 @@ class LakehouseTable:
                 removes = [f.path for f in self.manifest.live_files()]
             adds = self._write_files(prepared, instant)
             return self._commit(
-                instant, "replacecommit", "insert_overwrite", adds, removes, prepared.schema
+                instant,
+                "replacecommit",
+                "insert_overwrite",
+                adds,
+                removes,
+                prepared.schema,
+                planned_from=planned_from,
             )
         except Exception:
             self.timeline.abort(instant)
@@ -655,6 +740,7 @@ class LakehouseTable:
     def insert_overwrite_table(self, df: DataFrame) -> Instant:
         """Replace the whole table (reference M8)."""
         instant = self.timeline.begin("replacecommit")
+        planned_from = self.timeline.latest_instant()
         try:
             prepared = self._with_meta(df, instant)
             removes = [f.path for f in self.manifest.live_files()]
@@ -666,6 +752,7 @@ class LakehouseTable:
                 adds,
                 removes,
                 prepared.schema,
+                planned_from=planned_from,
             )
         except Exception:
             self.timeline.abort(instant)
@@ -675,6 +762,7 @@ class LakehouseTable:
         """Drop whole partitions by path value (reference M9,
         `spark-delete-partition.yaml:28-31`)."""
         instant = self.timeline.begin("replacecommit")
+        planned_from = self.timeline.latest_instant()
         try:
             parts = set(partition_values)
             removes = [
@@ -687,6 +775,7 @@ class LakehouseTable:
                 [],
                 removes,
                 extra={"partitions": sorted(parts)},
+                planned_from=planned_from,
             )
         except Exception:
             self.timeline.abort(instant)

@@ -193,33 +193,78 @@ class Timeline:
                 continue  # another writer took this id — retry
         raise RuntimeError("could not reserve a commit instant (writer contention)")
 
+    #: A publish lock older than this is assumed to belong to a dead
+    #: writer and is broken (the lock is held only for driver-side
+    #: metadata validation + one rename — never for the data write).
+    LOCK_STALE_S = 600.0
+
+    def _acquire_publish_lock(self, timeout_s: float = 60.0) -> str:
+        """Exclusive lock serializing validate+publish. Check-then-
+        publish without mutual exclusion lets two writers both pass the
+        removes-overlap validation and both replace the same file group
+        (duplicate rows per key in the snapshot). This is our analog of
+        the reference's lock-provider requirement for multi-writer OCC
+        (`multi-writer-1.properties:38-44`, ZookeeperBasedLockProvider);
+        on object storage this maps to a conditional-put lock object."""
+        lock = os.path.join(self.commits_path, "_publish.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > self.LOCK_STALE_S:
+                        os.remove(lock)  # break a dead writer's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder just released — retry immediately
+                if time.time() > deadline:
+                    raise RuntimeError("timed out waiting for publish lock")
+                time.sleep(0.01)
+
     def complete(self, inst: Instant, conflict_check_from: str | None = None) -> None:
         """Atomically publish a completed instant.
 
         OCC validation: if `conflict_check_from` is given (the instant
         snapshot the writer planned against), fail when a concurrent
         completed commit removed any file this commit also removes —
-        the two writers rewrote the same file group.
+        the two writers rewrote the same file group. Validation and
+        publish happen under one exclusive lock so two conflicting
+        writers can never both pass validation.
         """
-        if conflict_check_from is not None and inst.removes:
-            mine = set(inst.removes)
-            for other in self.instants():
-                if other.instant > conflict_check_from and other.instant != inst.instant:
-                    clash = mine.intersection(other.removes)
-                    if clash:
-                        self.abort(inst.instant)
-                        raise ConflictError(
-                            f"concurrent commit {other.instant} already replaced: "
-                            f"{sorted(clash)[:3]}..."
-                        )
-        final = os.path.join(self.commits_path, f"{inst.instant}.{inst.action}.json")
-        tmp = final + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(inst.to_json(), f)
-        os.rename(tmp, final)  # atomic publish
-        marker = os.path.join(self.commits_path, f"{inst.instant}.inflight")
-        if os.path.exists(marker):
-            os.remove(marker)
+        needs_lock = bool(inst.removes) or conflict_check_from is not None
+        lock = self._acquire_publish_lock() if needs_lock else None
+        try:
+            if conflict_check_from is not None and inst.removes:
+                mine = set(inst.removes)
+                for other in self.instants():
+                    if (
+                        other.instant > conflict_check_from
+                        and other.instant != inst.instant
+                    ):
+                        clash = mine.intersection(other.removes)
+                        if clash:
+                            self.abort(inst.instant)
+                            raise ConflictError(
+                                f"concurrent commit {other.instant} already "
+                                f"replaced: {sorted(clash)[:3]}..."
+                            )
+            final = os.path.join(
+                self.commits_path, f"{inst.instant}.{inst.action}.json"
+            )
+            tmp = final + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(inst.to_json(), f)
+            os.rename(tmp, final)  # atomic publish
+            marker = os.path.join(self.commits_path, f"{inst.instant}.inflight")
+            if os.path.exists(marker):
+                os.remove(marker)
+        finally:
+            if lock is not None and os.path.exists(lock):
+                os.remove(lock)
 
     def abort(self, instant: str) -> None:
         marker = os.path.join(self.commits_path, f"{instant}.inflight")

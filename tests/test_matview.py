@@ -81,3 +81,42 @@ def test_matview_incremental_refresh(spark, tmp_base):
     r5 = mv.refresh()
     assert r5["mode"] == "noop" and r5["partitions_recomputed"] == 0
     assert _got(mv) == _expect(t)
+
+
+def test_matview_null_partition_rows_survive_incremental(spark, tmp_base):
+    """NULL-partition groups must survive incremental refresh: the
+    splice key is coalesced on both the keep- and recompute-side so
+    null-partition rows are recomputed and retained symmetrically."""
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/np",
+        TableConfig(
+            name="np", record_key=["id"], precombine="ver", partition_by=["p"]
+        ),
+    )
+
+    def agg(df):
+        return df.groupBy("p").agg(F.sum("v").alias("s"))
+
+    rows = [(1, "a", 10, 1), (2, None, 20, 1), (3, None, 30, 1)]
+    t.insert(spark.createDataFrame(rows, "id int, p string, v int, ver int"))
+    mv = MaterializedAggregate(t, f"{tmp_base}/np_mv", agg)
+    mv.refresh()
+    got = {r.p: r.s for r in mv.read().collect()}
+    assert got == {"a": 10, None: 50}
+
+    # touch ONLY the real partition — null groups must not vanish
+    t.upsert(spark.createDataFrame([(1, "a", 11, 2)],
+                                   "id int, p string, v int, ver int"))
+    r = mv.refresh()
+    assert r["mode"] == "incremental"
+    got = {r_.p: r_.s for r_ in mv.read().collect()}
+    assert got == {"a": 11, None: 50}
+
+    # touch ONLY the null partition — it must be recomputed, not doubled
+    t.upsert(spark.createDataFrame([(2, None, 25, 2)],
+                                   "id int, p string, v int, ver int"))
+    r = mv.refresh()
+    assert r["mode"] == "incremental"
+    got = {r_.p: r_.s for r_ in mv.read().collect()}
+    assert got == {"a": 11, None: 55}

@@ -155,3 +155,46 @@ def test_map_stage_ops_are_shuffle_free(spark):
     for fn in (doc_chunking, embedding_quantization):
         df = fn(spark, SF_DIR)
         assert num_exchanges(df) == 0, explain_str(df)[:800]
+
+
+def test_adaptive_sign_bits_scale_with_corpus():
+    """Bucket width must grow with corpus size so within-bucket
+    candidate generation stays ~TARGET_BUCKET_ROWS² at any scale."""
+    from onehouse_demos_spark.operators.similarity import (
+        MAX_SIGN_BITS,
+        MIN_SIGN_BITS,
+        _adaptive_bits,
+    )
+
+    assert _adaptive_bits(0) == MIN_SIGN_BITS
+    assert _adaptive_bits(1_000) == MIN_SIGN_BITS
+    assert _adaptive_bits(10_000) == MIN_SIGN_BITS
+    assert _adaptive_bits(1_000_000) == 10
+    assert _adaptive_bits(100_000_000) == 17
+    assert _adaptive_bits(10**12) == MAX_SIGN_BITS  # 100 TB-ish corpus
+
+
+def test_knn_batch_join_has_no_broadcast_hint(spark):
+    """The batch-ANN query side is ~1% of the corpus — unbroadcastable
+    at scale. Pin that no explicit broadcast hint survives: with
+    size-based auto-broadcast off, the plan must not broadcast."""
+    from onehouse_demos_spark.operators.similarity import knn_batch_join
+    from onehouse_demos_spark.plans import explain_str
+
+    confs = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    saved = {k: spark.conf.get(k, None) for k, _ in confs}
+    for k, v in confs:
+        spark.conf.set(k, v)
+    try:
+        txt = explain_str(knn_batch_join(spark, SF_DIR))
+        assert "BroadcastExchange" not in txt, txt[:800]
+        assert "CartesianProduct" not in txt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -86,11 +86,155 @@ def test_concurrent_same_file_conflict_detected(spark, tmp_base):
         th.start()
     for th in ths:
         th.join()
+    # ok/ok is legitimate only when the writers serialized (the second
+    # planned after the first published); a true race must produce
+    # exactly one ConflictError. Either way the RAW row count must stay
+    # 10 — a duplicate key would prove both raced past validation.
     assert sorted(results) in (["conflict", "ok"], ["ok", "ok"]), results
-    # regardless of interleaving, the table stays consistent
+    raw = t.snapshot(keep_meta=True)
+    assert raw.count() == 10
+    assert raw.groupBy("_oh_record_key").count().filter("count > 1").count() == 0
     snap = {r.id: r.v for r in t.snapshot().collect()}
     assert snap[5] in (101, 102)
     assert len(snap) == 10
+
+
+def test_publish_lock_serializes_validate_and_publish(spark, tmp_base):
+    """Deterministic OCC race at the timeline layer: two instants that
+    both planned from the same snapshot and both remove the same file
+    must resolve to exactly one publish + one ConflictError, even when
+    their validate/publish sections interleave."""
+    from onehouse_demos_spark.tables.timeline import Instant, Timeline
+
+    tl = Timeline(tmp_base + "/race")
+    base = tl.begin("commit")
+    tl.complete(Instant(instant=base, action="commit", operation="insert",
+                        adds=[], removes=[]))
+    i1 = tl.begin("commit")
+    i2 = tl.begin("commit")
+    outcomes = []
+    for inst_id in (i1, i2):
+        try:
+            tl.complete(
+                Instant(instant=inst_id, action="commit", operation="upsert",
+                        adds=[], removes=["part/f1.parquet"]),
+                conflict_check_from=base,
+            )
+            outcomes.append("ok")
+        except ConflictError:
+            outcomes.append("conflict")
+    assert sorted(outcomes) == ["conflict", "ok"], outcomes
+
+
+def test_overwrite_detects_concurrent_commit(spark, tmp_base):
+    """insert_overwrite_table plans its removes from a live-file
+    listing; a commit landing between that listing and publish must
+    raise ConflictError instead of silently surviving the overwrite."""
+    t = LakehouseTable.create(
+        spark, tmp_base + "/ow", TableConfig(name="ow", record_key=["id"],
+                                             precombine="v")
+    )
+    t.insert(spark.createDataFrame([(1, 1), (2, 1)], "id int, v int"))
+
+    orig = t.manifest.live_files
+    state = {"fired": False}
+
+    def hooked(*a, **k):
+        files = orig(*a, **k)
+        if not state["fired"]:
+            state["fired"] = True
+            # concurrent writer rewrites file groups mid-plan
+            t2 = LakehouseTable.load(spark, tmp_base + "/ow")
+            t2.upsert(spark.createDataFrame([(1, 2)], "id int, v int"))
+        return files
+
+    t.manifest.live_files = hooked
+    with pytest.raises(ConflictError):
+        t.insert_overwrite_table(
+            spark.createDataFrame([(9, 9)], "id int, v int")
+        )
+    t.manifest.live_files = orig
+    # the overwrite aborted; the concurrent upsert's state survives
+    assert {r.id: r.v for r in t.snapshot().collect()} == {1: 2, 2: 1}
+
+
+def test_delete_on_partition_expr_table(spark, tmp_base):
+    """COW delete with a bare key list on a partition_expr table: the
+    partition expression's source columns are absent from the probe
+    frame, so pruning must be skipped (not fail analysis)."""
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/pe",
+        TableConfig(
+            name="pe",
+            record_key=["id"],
+            precombine="v",
+            partition_expr="date_format(ts, 'yyyy/MM/dd')",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-02 11:00:00")],
+            "id int, v int, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    t.delete(spark.createDataFrame([(1,)], "id int"))
+    assert {r.id for r in t.snapshot().collect()} == {2}
+
+
+def test_large_batch_probe_avoids_broadcast(spark, tmp_base):
+    """Above BROADCAST_KEY_ROWS the upsert probe must use a shuffle
+    join: an explicit broadcast() hint of a bulk batch's key set would
+    OOM at scale and AQE cannot undo an explicit hint."""
+    t = LakehouseTable.create(
+        spark, tmp_base + "/bb", TableConfig(name="bb", record_key=["id"],
+                                             precombine="v")
+    )
+    # force every batch over the broadcast threshold
+    t.BROADCAST_KEY_ROWS = 0
+    keys = t._probe_side(
+        spark.createDataFrame([(1,)], "id int"), n_rows=1
+    )
+    # With size-based auto-broadcast off, only an explicit hint could
+    # still produce a BroadcastExchange — pin that the hint is gone
+    # (the optimizer remains free to broadcast small sides by size).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe_plan = (
+            spark.range(10).withColumnRenamed("id", "id2")
+            .join(keys, F.col("id") == F.col("id2"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastExchange" not in probe_plan
+    finally:
+        for k, v in (
+            ("spark.sql.autoBroadcastJoinThreshold", old),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe),
+        ):
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    t.insert(spark.createDataFrame([(i, 0) for i in range(2000)], "id int, v int"))
+    t.upsert(spark.createDataFrame([(i, 1) for i in range(0, 2000, 2)],
+                                   "id int, v int"))
+    snap = {r.id: r.v for r in t.snapshot().collect()}
+    assert len(snap) == 2000
+    assert snap[0] == 1 and snap[1] == 0
+    # below the threshold the probe side still carries the hint
+    t.BROADCAST_KEY_ROWS = LakehouseTable.BROADCAST_KEY_ROWS
+    hinted = t._probe_side(spark.createDataFrame([(1,)], "id int"), n_rows=1)
+    hinted_plan = (
+        spark.range(10).withColumnRenamed("id", "id2")
+        .join(hinted, F.col("id") == F.col("id2"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in hinted_plan
 
 
 def test_csv_source_roundtrip(spark, tmp_base):

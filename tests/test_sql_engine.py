@@ -163,3 +163,35 @@ def test_maintenance_sql_and_time_travel(spark, tmp_base):
     removed = eng.sql("VACUUM tt RETAIN 1 COMMITS").collect()
     assert removed  # replaced file versions physically deleted
     assert {r.id: r.v for r in t.snapshot().collect()} == {1: 2, 2: 1}
+
+
+def test_update_set_with_multiarg_function(engine):
+    """SET-clause split must be paren-aware: an assignment containing a
+    multi-argument function call is one assignment, not two."""
+    engine.sql(
+        "CREATE TABLE fx (id INT, a INT, b INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    engine.sql("INSERT INTO fx VALUES (1, 5, 9), (2, 7, 3)")
+    engine.sql("UPDATE fx SET a = greatest(a, b), b = least(a, b) WHERE id >= 1")
+    vals = {r.id: (r.a, r.b) for r in engine.sql("SELECT id, a, b FROM fx").collect()}
+    assert vals == {1: (9, 5), 2: (7, 3)}
+
+
+def test_merge_update_set_with_multiarg_function(engine, spark):
+    engine.sql(
+        "CREATE TABLE fm (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    engine.sql("INSERT INTO fm VALUES (1, 10), (2, 20)")
+    spark.createDataFrame([(1, 100), (3, 5)], "id int, v int") \
+        .createOrReplaceTempView("fm_src")
+    engine.sql(
+        """
+        MERGE INTO fm t USING fm_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = greatest(t.v, s.v), id = s.id
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, greatest(s.v, 7))
+        """
+    )
+    vals = {r.id: r.v for r in engine.sql("SELECT id, v FROM fm").collect()}
+    assert vals == {1: 100, 2: 20, 3: 7}

@@ -229,3 +229,53 @@ def test_snapshot_filtered_merge_fallback(spark, tmp_base):
     t.upsert(spark.createDataFrame([(2, 2, 50)], "id int, v int, metric int"))
     rows = t.snapshot_filtered([("metric", ">=", 150)]).collect()
     assert rows == []  # id=2's latest version (50) fails the filter
+
+
+def test_upsert_null_partition_value_no_duplicate(spark, tmp_base):
+    """Regression: a NULL partition value must route through
+    __HIVE_DEFAULT_PARTITION__ on BOTH the write and probe side —
+    concat_ws skips nulls, so an un-normalized expr yields "" on the
+    probe, misses the file in pruning, and the upsert leaves the old
+    row behind (duplicate key)."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/nullpart",
+        TableConfig(name="nullpart", record_key=["id"], precombine="ver",
+                    partition_by=["p"]),
+    )
+    t.insert(spark.createDataFrame(
+        [(1, "a", 10, 1), (2, None, 20, 1)], "id int, p string, v int, ver int"))
+    t.upsert(spark.createDataFrame(
+        [(2, None, 25, 2)], "id int, p string, v int, ver int"))
+    raw = t.snapshot(keep_meta=True)
+    assert raw.count() == 2
+    assert raw.groupBy("_oh_record_key").count().filter("count > 1").count() == 0
+    assert {r.id: r.v for r in t.snapshot().collect()} == {1: 10, 2: 25}
+    # delete by bare key in the null partition also hits the right file
+    t.delete(spark.createDataFrame([(2, None)], "id int, p string"))
+    assert {r.id for r in t.snapshot().collect()} == {1}
+
+
+def test_stats_harvest_executor_path(spark, tmp_base):
+    """A commit writing more than DRIVER_HARVEST_MAX_FILES parquet
+    files harvests footers via a Spark job (executor-side) and must
+    produce the same manifest stats as the driver fast-path."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    from pyspark.sql import functions as F
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/many",
+        TableConfig(name="many", record_key=["id"], precombine="v"),
+    )
+    df = spark.range(5000).select(
+        F.col("id").cast("int"), F.lit(1).alias("v")
+    ).repartition(24)
+    inst = t.insert(df)
+    assert len(inst.adds) == 24
+    assert sum(f.rows for f in inst.adds) == 5000
+    # key-range stats present per file (what pruning depends on)
+    assert all(f.key_min is not None and f.key_max is not None
+               for f in inst.adds if f.rows > 0)
+    assert t.snapshot().count() == 5000
