@@ -638,7 +638,13 @@ class LakehouseTable:
         instant = self.timeline.begin("deltacommit")
         try:
             prepared = self._dedupe_incoming(self._with_meta(df, instant))
-            adds = self._write_files(prepared, instant, kind="log")
+            # Bootstrap fidelity (reference `README.md:724`): log files
+            # attach to EXISTING file groups, so the first write into an
+            # empty MOR table lays base parquet — `_ro` serves data
+            # right after the first ingest, exactly as the walkthrough's
+            # batch-1 queries show.
+            kind = "log" if self.manifest.live_files() else "base"
+            adds = self._write_files(prepared, instant, kind=kind)
             return self._commit(
                 instant, "deltacommit", operation, adds, [], prepared.schema
             )

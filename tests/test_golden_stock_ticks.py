@@ -1,0 +1,155 @@
+"""End-to-end replay of the reference's acceptance walkthrough with the
+REAL golden data: `demo/data/batch_1.json` (3482 rec) / `batch_2.json`
+(1668 rec) decoded Kafka-style against `demo/config/schema.avsc`,
+upserted into COW + MOR tables, asserting the README's exact expected
+outputs (`hudi-spark-minio-trino/README.md:744-776` 10:29→10:59 flip;
+`:982-984` one-row incremental; `:1196-1216` _ro/_rt convergence after
+compaction).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.sources.kafka import decode_json_value
+
+DATA = "/root/reference/hudi-spark-minio-trino/demo/data"
+
+# demo/config/schema.avsc, mapped Avro → Spark types (SURVEY §1.2)
+STOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("volume", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("year", T.IntegerType()),
+        T.StructField("month", T.StringType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("day", T.StringType()),
+        T.StructField("open", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+    ]
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{DATA}/batch_1.json"), reason="reference data absent"
+)
+
+
+def _load_batch(spark, path):
+    """Kafka-shaped decode: each JSON line arrives as a `value` blob and
+    is decoded against the declared schema (reference S1
+    `JsonKafkaSource` + schema.avsc; kafkacat publish README.md:163)."""
+    raw = spark.read.text(path).select(F.col("value").cast("binary").alias("value"))
+    return decode_json_value(raw, STOCK_SCHEMA)
+
+
+def _goog_projection(df):
+    return {
+        (r.ts, r.volume, r.open, r.close)
+        for r in df.filter(F.col("symbol") == "GOOG")
+        .select("ts", "volume", "open", "close")
+        .collect()
+    }
+
+
+def _goog_max_ts(df):
+    return (
+        df.filter(F.col("symbol") == "GOOG")
+        .agg(F.max("ts").alias("m"))
+        .collect()[0]["m"]
+    )
+
+
+# README golden rows for `select ... where symbol = 'GOOG'`
+BATCH1_GOOG = {
+    ("2018-08-31 09:59:00", 6330, 1230.5, 1230.02),
+    ("2018-08-31 10:29:00", 3391, 1230.1899, 1230.085),
+}
+BATCH2_GOOG = {
+    ("2018-08-31 09:59:00", 6330, 1230.5, 1230.02),
+    ("2018-08-31 10:59:00", 9021, 1227.1993, 1227.215),
+}
+
+
+def test_golden_cow_walkthrough(spark, tmp_base):
+    b1 = _load_batch(spark, f"{DATA}/batch_1.json")
+    b2 = _load_batch(spark, f"{DATA}/batch_2.json")
+    assert b1.count() == 3482 and b2.count() == 1668  # README wc -l
+
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/stock_ticks_cow",
+        TableConfig(
+            name="stock_ticks_cow",
+            record_key=["key"],
+            precombine="ts",
+            partition_by=["date"],
+        ),
+    )
+    c1 = t.upsert(b1)
+    snap = t.snapshot()
+    assert _goog_max_ts(snap) == "2018-08-31 10:29:00"
+    assert _goog_projection(snap) == BATCH1_GOOG
+
+    t.upsert(b2)
+    snap = t.snapshot()
+    # README.md:744-751 — the flip to 10:59, exactly two GOOG rows
+    assert _goog_max_ts(snap) == "2018-08-31 10:59:00"
+    assert _goog_projection(snap) == BATCH2_GOOG
+
+    # README.md:982-984 — incremental past commit 1 returns exactly the
+    # one new GOOG row
+    inc = t.incremental(begin=c1.instant)
+    assert _goog_projection(inc) == {
+        ("2018-08-31 10:59:00", 9021, 1227.1993, 1227.215)
+    }
+
+    # the test-suite's canary: no duplicate keys
+    dups = (
+        t.snapshot(keep_meta=True)
+        .groupBy("_oh_record_key")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dups == 0
+
+
+def test_golden_mor_walkthrough(spark, tmp_base):
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    b1 = _load_batch(spark, f"{DATA}/batch_1.json")
+    b2 = _load_batch(spark, f"{DATA}/batch_2.json")
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/stock_ticks_mor",
+        TableConfig(
+            name="stock_ticks_mor",
+            record_key=["key"],
+            precombine="ts",
+            partition_by=["date"],
+            table_type="mor",
+        ),
+    )
+    t.upsert(b1)  # bootstrap deltacommit lays BASE files
+    t.upsert(b2)  # second batch appends LOG files
+
+    # README.md:756-776 — _ro stale at 10:29, _rt fresh at 10:59
+    ro = t.read_optimized()
+    rt = t.snapshot()
+    assert _goog_max_ts(ro) == "2018-08-31 10:29:00"
+    assert _goog_projection(ro) == BATCH1_GOOG
+    assert _goog_max_ts(rt) == "2018-08-31 10:59:00"
+    assert _goog_projection(rt) == BATCH2_GOOG
+
+    # README.md:1196-1216 — after compaction _ro and _rt converge
+    run_compaction(t)
+    assert _goog_projection(t.read_optimized()) == BATCH2_GOOG
+    assert _goog_projection(t.snapshot()) == BATCH2_GOOG
+    assert _goog_max_ts(t.read_optimized()) == "2018-08-31 10:59:00"
