@@ -42,6 +42,27 @@ META_COLS = (KEY_COL, COMMIT_COL, DELETED_COL)
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+class SchemaEvolutionError(ValueError):
+    """Incompatible schema change rejected at write time (before any
+    file is written) — mirrors the reference stack's schema-evolution
+    contract (xTable syncs 'any updates to the table schema',
+    notebook/demo.ipynb cell 7: compatible ADDs and widenings sync;
+    incompatible type changes must fail loudly, not corrupt reads)."""
+
+
+#: Type changes readable over existing parquet without rewrite
+#: (Spark's vectorized reader upcasts these).
+_ALLOWED_WIDENINGS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
 def _uri_to_path(uri: str) -> str:
     """Normalize Spark's input_file_name URIs (file:///x or file:/x,
     possibly %-encoded) to a local filesystem path."""
@@ -223,7 +244,32 @@ class LakehouseTable:
             )
         return None
 
+    def _check_schema_compat(self, new_schema: T.StructType) -> None:
+        """Reject incompatible type changes BEFORE any file is written.
+        Allowed: new columns, identical types, and the parquet-readable
+        widenings in _ALLOWED_WIDENINGS. Everything else (narrowing,
+        string<->numeric, nested reshapes) raises SchemaEvolutionError."""
+        old = self._latest_schema()
+        if old is None:
+            return
+        old_types = {f.name: f.dataType for f in old.fields}
+        for f in new_schema.fields:
+            if f.name in (*META_COLS, PP_COL):
+                continue
+            ot = old_types.get(f.name)
+            if ot is None or ot == f.dataType:
+                continue
+            pair = (ot.simpleString(), f.dataType.simpleString())
+            if pair in _ALLOWED_WIDENINGS:
+                continue
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: incompatible type change "
+                f"{ot.simpleString()} -> {f.dataType.simpleString()} "
+                f"(allowed: add column, or widenings {sorted(_ALLOWED_WIDENINGS)})"
+            )
+
     def _with_meta(self, df: DataFrame, instant: str) -> DataFrame:
+        self._check_schema_compat(df.schema)
         out = df.withColumn(KEY_COL, self._key_expr()).withColumn(
             COMMIT_COL, F.lit(instant)
         )

@@ -344,3 +344,50 @@ def test_global_index_partition_move(spark, tmp_base, table_type):
         .groupBy("_oh_record_key").count().filter("count > 1").count()
     )
     assert dups == 0
+
+
+def test_schema_evolution_mor_merge_across_logs(spark, tmp_base):
+    """Column added mid-timeline on a MOR table: base files (old
+    schema) and log files (new schema) merge under the evolved schema
+    in the _rt view, incremental view, and after compaction."""
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/evo_mor",
+        TableConfig(name="evo_mor", record_key=["id"], precombine="v",
+                    table_type="mor"),
+    )
+    c1 = t.insert(spark.createDataFrame([(1, 1), (2, 1)], "id int, v int"))
+    t.upsert(spark.createDataFrame(
+        [(2, 2, "extra"), (3, 2, "new")], "id int, v int, note string"))
+    rt = {r.id: (r.v, r.note) for r in t.snapshot().collect()}
+    assert rt == {1: (1, None), 2: (2, "extra"), 3: (2, "new")}
+    inc = t.incremental(begin=c1.instant)
+    assert "note" in inc.columns
+    assert {r.id for r in inc.collect()} == {2, 3}
+    run_compaction(t)
+    after = {r.id: (r.v, r.note) for r in t.snapshot().collect()}
+    assert after == rt
+
+
+def test_schema_evolution_incompatible_change_rejected(spark, tmp_base):
+    """Narrowing and cross-kind type changes fail cleanly at write time
+    (SchemaEvolutionError), leaving the table untouched."""
+    from onehouse_demos_spark.tables.table import SchemaEvolutionError
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/evo_bad",
+        TableConfig(name="evo_bad", record_key=["id"], precombine="v"),
+    )
+    t.insert(spark.createDataFrame([(1, 1, 10)], "id int, v int, x long"))
+    before = t.timeline.latest_instant()
+    # long -> int narrowing
+    with pytest.raises(SchemaEvolutionError):
+        t.upsert(spark.createDataFrame([(2, 1, 5)], "id int, v int, x int"))
+    # long -> string cross-kind
+    with pytest.raises(SchemaEvolutionError):
+        t.upsert(spark.createDataFrame([(2, 1, "oops")],
+                                       "id int, v int, x string"))
+    # table untouched: no new instants, data intact
+    assert t.timeline.latest_instant() == before
+    assert {r.id: r.x for r in t.snapshot().collect()} == {1: 10}
