@@ -67,21 +67,58 @@ def apply_cdc_batch(table, envelopes: DataFrame, drop_meta: bool = True) -> None
         table.upsert(upserts)
 
 
-def decode_avro_stream(df: DataFrame, value_schema_json: str) -> DataFrame:
-    """Confluent-style Avro value decode (reference S2 uses Schema
-    Registry AvroConverter, `register-mysql-avro.json:20-24`). Requires
-    the spark-avro jar; gated."""
+def decode_avro_stream(
+    df: DataFrame, value_schema_json: str, confluent_framed: bool = False
+) -> DataFrame:
+    """Avro value decode (reference S2 uses Schema Registry
+    AvroConverter, `register-mysql-avro.json:20-24`).
+
+    Fast path: JVM `from_avro` when the spark-avro package is loaded.
+    Fallback: a REAL pure-Python Avro binary decoder running inside an
+    Arrow-batched `mapInPandas` (sources/avro_codec.py) — same bytes,
+    same envelope columns, no jar required. `confluent_framed=True`
+    strips the Schema Registry wire header (magic 0 + 4-byte id) that
+    the reference's converters prepend.
+    """
+    value = F.col("value")
+    if confluent_framed:
+        jvm_value = F.expr("substring(value, 6, length(value) - 5)")
+    else:
+        jvm_value = value
     try:
         from pyspark.sql.avro.functions import from_avro
-    except ImportError as exc:  # pragma: no cover - classpath-dependent
-        raise RuntimeError(
-            "avro decode unavailable (spark-avro jar not on classpath)"
-        ) from exc
-    # analysis/argument errors (bad schema, missing `value` column)
-    # propagate as-is — only the missing-jar case is rewrapped
-    return df.select(
-        from_avro(F.col("value"), value_schema_json).alias("envelope")
-    ).select("envelope.*")
+
+        out = df.select(
+            from_avro(jvm_value, value_schema_json).alias("envelope")
+        )
+        return out.select("envelope.*")
+    except Exception:
+        # spark-avro package not loaded (import succeeds but analysis
+        # raises AVRO_NOT_LOADED...): Arrow-batched python decode.
+        pass
+    from onehouse_demos_spark.sources.avro_codec import avro_to_spark_type
+
+    out_schema = avro_to_spark_type(value_schema_json)
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        from onehouse_demos_spark.sources import avro_codec as ac
+
+        sch = ac.AvroSchema(value_schema_json)
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            recs = []
+            for raw in pdf["value"]:
+                body = bytes(raw)
+                if confluent_framed:
+                    body = ac.strip_confluent_header(body)
+                recs.append(ac.decode(body, sch))
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in recs] for c in cols}, columns=cols
+            )
+
+    return df.select("value").mapInPandas(decode_batches, schema=out_schema)
 
 
 def decode_protobuf_stream(
