@@ -428,13 +428,19 @@ def near_dup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("a")
             .agg(F.min("lab").alias("nlab"))
         )
+        # localCheckpoint (not just persist) TRUNCATES lineage: without
+        # it every iteration's plan contains all previous iterations,
+        # so planning cost and stack depth grow linearly and a long
+        # chain re-plans the whole history on any recompute. The
+        # convergence count below materializes it anyway, so the
+        # checkpoint costs nothing extra.
         new_labels = (
             labels.join(nmin, labels.doc == nmin.a, "left")
             .select(
                 labels.doc.alias("doc"),
                 F.least(labels.lab, F.coalesce(nmin.nlab, labels.lab)).alias("lab"),
             )
-        ).persist()
+        ).localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.doc") == F.col("o.doc"))
@@ -490,8 +496,15 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     rest = sh.filter(F.col("doc_id") % 50 != 0)
+    # A REAL benchmark set is small → broadcast. The doc_id%50 stand-in
+    # grows with the corpus (2% of docs), so gate the hint on a
+    # metadata-only doc count: past ~5M benchmark docs' worth of
+    # shingles, fall back to a shuffle join rather than OOM on an
+    # unbroadcastable build side.
+    n_bench_docs = load_docs(spark, sf_dir).count() // 50
+    bench_side = F.broadcast(bench) if n_bench_docs <= 100_000 else bench
     hits = (
-        rest.join(F.broadcast(bench).withColumn("_hit", F.lit(1)), "shingle", "left")
+        rest.join(bench_side.withColumn("_hit", F.lit(1)), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
