@@ -11,11 +11,15 @@ Design for 100 TB:
 - Decode / resize / frame-sample run as `mapInPandas` over Arrow
   batches: Python cost is per-BATCH, not per-row, and the operator
   pipeline stays streaming (no materialization barrier).
-- The actual codec work is STUBBED (this container has no image/audio
-  libraries): `decode_media` raises NotImplementedError for real
-  codecs unless `fake=True`, which produces a deterministic md5-seeded
-  fake decode. The Spark-side plumbing — schemas, batch iteration,
-  partition preservation — is real and tested.
+- Codec work: UNCOMPRESSED formats decode for REAL — BMP (24/32-bit)
+  and WAV (PCM16) via the dependency-free struct/numpy codecs in
+  `functions/media_codecs.py`, including an actual nearest-neighbor
+  resize. COMPRESSED codecs (JPEG/PNG/MP3/MP4/...) are honestly
+  STUBBED (no codec libraries in this runtime): `decode_media` raises
+  NotImplementedError for them unless `fake=True`, which produces a
+  deterministic md5-seeded fake decode. The Spark-side plumbing —
+  schemas, batch iteration, partition preservation — is identical on
+  both paths.
 """
 
 from __future__ import annotations
@@ -29,6 +33,7 @@ from pyspark.sql import types as T
 
 #: magic-byte prefixes → format label (public file signatures)
 MAGIC = {
+    "424D": "bmp",
     "89504E47": "png",
     "FFD8FF": "jpeg",
     "47494638": "gif",
@@ -85,11 +90,13 @@ def decode_media(
     `mapInPandas` (Arrow batches — the pattern scales to real codecs by
     swapping the per-batch function body).
 
-    With `fake=True`, dimensions are derived deterministically from the
-    content hash (stable test fixture). Real decoding raises
-    NotImplementedError: the runtime has no codec libraries; the
-    Spark-side contract (schema, batching, column passthrough) is the
-    deliverable here.
+    REAL path (fake=False): BMP images decode to (width, height,
+    channels); WAV PCM16 audio decodes to (n_samples, 1, channels) —
+    both via the dependency-free codecs in `functions/media_codecs.py`.
+    Compressed codecs raise NotImplementedError (no codec libraries in
+    this runtime) — filter by `sniff_format` first. With `fake=True`,
+    dimensions derive deterministically from the content hash (stable
+    test fixture).
     """
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
@@ -98,24 +105,48 @@ def decode_media(
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from onehouse_demos_spark.functions import media_codecs as mc
+
+        def real_dims(b):
+            if b is None:
+                return (None, None, None, False)
+            raw = bytes(b)
+            if raw[:2] == b"BM":
+                px = mc.decode_bmp(raw)
+                return (px.shape[1], px.shape[0], px.shape[2], True)
+            if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                _rate, ch, samples = mc.decode_wav(raw)
+                return (samples.shape[0], 1, ch, True)
+            raise NotImplementedError(
+                "compressed-codec decode requires libraries not present in "
+                "this runtime (BMP/WAV decode for real; filter by "
+                "sniff_format, or pass fake=True for the deterministic stub)"
+            )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires codec libraries not present "
-                    "in this runtime; pass fake=True for the deterministic stub"
-                )
             out = pdf[id_cols].copy()
-            digests = pdf[binary_col].map(
-                lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
-            )
-            out["width"] = digests.map(
-                lambda d: (int(d[:4], 16) % 1920) + 1 if d else None
-            )
-            out["height"] = digests.map(
-                lambda d: (int(d[4:8], 16) % 1080) + 1 if d else None
-            )
-            out["channels"] = digests.map(lambda d: (int(d[8], 16) % 3) + 1 if d else None)
-            out["ok"] = digests.notna()
+            if fake:
+                digests = pdf[binary_col].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    if b is not None
+                    else None
+                )
+                out["width"] = digests.map(
+                    lambda d: (int(d[:4], 16) % 1920) + 1 if d else None
+                )
+                out["height"] = digests.map(
+                    lambda d: (int(d[4:8], 16) % 1080) + 1 if d else None
+                )
+                out["channels"] = digests.map(
+                    lambda d: (int(d[8], 16) % 3) + 1 if d else None
+                )
+                out["ok"] = digests.notna()
+            else:
+                dims = pdf[binary_col].map(real_dims)
+                out["width"] = dims.map(lambda t: t[0])
+                out["height"] = dims.map(lambda t: t[1])
+                out["channels"] = dims.map(lambda t: t[2])
+                out["ok"] = dims.map(lambda t: t[3])
             yield out
 
     return df.select(*id_cols, binary_col).mapInPandas(decode_batches, out_schema)
@@ -132,9 +163,11 @@ def resize_media(
     fake: bool = False,
 ) -> DataFrame:
     """Resize stage: same Arrow-batched `mapInPandas` contract as
-    decode. The stub derives the letterboxed output size from the fake
-    decode dimensions; real resampling raises NotImplementedError
-    (no image libraries in this runtime)."""
+    decode. REAL path: BMP pixels are decoded and nearest-neighbor
+    resampled to the letterboxed target (`media_codecs.resize_nearest`)
+    — an actual pixel operation, not a dimension calculation.
+    Compressed codecs raise NotImplementedError; `fake=True` keeps the
+    hash-derived deterministic stub."""
     tw, th = target
     out_schema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
@@ -143,24 +176,34 @@ def resize_media(
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in batches:
-            if not fake:
+        from onehouse_demos_spark.functions import media_codecs as mc
+
+        def fake_dims(b):
+            if b is None:
+                return None, None
+            d = hashlib.md5(bytes(b)).hexdigest()
+            w = (int(d[:4], 16) % 1920) + 1
+            h = (int(d[4:8], 16) % 1080) + 1
+            return mc.letterbox_dims(w, h, tw, th)
+
+        def real_dims(b):
+            if b is None:
+                return None, None
+            raw = bytes(b)
+            if raw[:2] != b"BM":
                 raise NotImplementedError(
-                    "real media resize requires codec libraries not present "
-                    "in this runtime; pass fake=True for the deterministic stub"
+                    "resize decodes pixels: only BMP is decodable without "
+                    "codec libraries (filter by sniff_format or pass fake=True)"
                 )
+            px = mc.decode_bmp(raw)
+            ow, oh = mc.letterbox_dims(px.shape[1], px.shape[0], tw, th)
+            resized = mc.resize_nearest(px, oh, ow)
+            return resized.shape[1], resized.shape[0]
+
+        dims_fn = fake_dims if fake else real_dims
+        for pdf in batches:
             out = pdf[id_cols].copy()
-
-            def dims(b):
-                if b is None:
-                    return None, None
-                d = hashlib.md5(bytes(b)).hexdigest()
-                w = (int(d[:4], 16) % 1920) + 1
-                h = (int(d[4:8], 16) % 1080) + 1
-                scale = min(tw / w, th / h)
-                return max(1, int(w * scale)), max(1, int(h * scale))
-
-            pairs = pdf[binary_col].map(dims)
+            pairs = pdf[binary_col].map(dims_fn)
             out["out_width"] = pairs.map(lambda p: p[0])
             out["out_height"] = pairs.map(lambda p: p[1])
             out["ok"] = pdf[binary_col].notna()
