@@ -198,3 +198,48 @@ def test_knn_batch_join_has_no_broadcast_hint(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with the same bucket count
+    join with ZERO exchanges — the co-located layout 100 TB fact-fact
+    joins depend on."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.plans import explain_str
+    from onehouse_demos_spark.tables.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "bo"))
+    write_bucketed(lineitem, "b_lineitem", ["o_orderkey"], 8,
+                   sort_cols=["o_orderkey"], path=str(tmp_path / "bl"))
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bucketed_join(spark, "b_orders", "b_lineitem",
+                                   on=["o_orderkey"])
+            txt = explain_str(joined)
+            assert "Exchange" not in txt, txt[:1200]
+            # result parity with the plain (shuffling) join
+            n = joined.count()
+            plain = orders.join(lineitem, "o_orderkey").count()
+            assert n == plain
+            # aggregation on the bucket key also reuses the layout
+            agg = spark.table("b_lineitem").groupBy("o_orderkey").agg(
+                F.sum("l_quantity").alias("q"))
+            assert "Exchange" not in explain_str(agg), explain_str(agg)[:800]
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            else:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
