@@ -124,15 +124,32 @@ def _register(
     partitioned: bool,
 ) -> None:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+    # Schema reconciliation: the reference's sync tool pushes evolved
+    # schemas to HMS per commit. The table is EXTERNAL (drop touches
+    # only metadata), so drop + recreate when the registered column
+    # set no longer matches the table's latest schema.
+    if spark.catalog.tableExists(f"{db}.{name}"):
+        existing = [
+            (f.name, f.dataType.simpleString())
+            for f in spark.table(f"{db}.{name}").schema.fields
+            if f.name != PP_COL
+        ]
+        wanted = [
+            tuple(col.strip().strip("`") for col in c.strip().split(" ", 1))
+            for c in cols_ddl.split(", ")
+        ]
+        if existing != wanted:
+            spark.sql(f"DROP TABLE `{db}`.`{name}`")
     part_clause = f"PARTITIONED BY (`{PP_COL}` STRING)" if partitioned else ""
     spark.sql(
         f"CREATE EXTERNAL TABLE IF NOT EXISTS `{db}`.`{name}` ({cols_ddl}) "
         f"USING parquet {part_clause} LOCATION '{location}'"
     )
     if partitioned:
-        # (re)discover partition dirs — the reference's sync tool adds
-        # partitions the same way (`ALTER TABLE ADD PARTITION` / MSCK).
-        spark.sql(f"MSCK REPAIR TABLE `{db}`.`{name}`")
+        # (re)discover partition dirs AND drop vanished ones — a
+        # delete_partition must not leave a stale catalog partition
+        # pointing at a removed current-view dir.
+        spark.sql(f"MSCK REPAIR TABLE `{db}`.`{name}` SYNC PARTITIONS")
     spark.sql(f"REFRESH TABLE `{db}`.`{name}`")
 
 

@@ -81,6 +81,27 @@ rt = {r.key: r.close for r in
 assert ro == {"k1": 10.0}, ro
 assert rt == {"k1": 99.0}, rt
 
+# --- delete_partition: stale catalog partitions must be dropped -----------
+t.delete_partition(["2018/09/01"])
+sync_table(spark, t, db="lakehouse")
+got = {r.key: r.close for r in
+       spark.table("lakehouse.stock_ticks").select("key", "close").collect()}
+assert got == {"k1": 11.0, "k2": 20.0}, got
+parts = [r[0] for r in spark.sql(
+    "SHOW PARTITIONS lakehouse.stock_ticks").collect()]
+assert len(parts) == 1, parts
+
+# --- schema evolution: re-sync reconciles the registered schema -----------
+t.upsert(spark.createDataFrame(
+    [("k4", "2018/08/31", 3, 44.0, "NASDAQ")],
+    "key string, dt string, ts int, close double, exchange string"))
+sync_table(spark, t, db="lakehouse")
+cols = [f.name for f in spark.table("lakehouse.stock_ticks").schema.fields]
+assert "exchange" in cols, cols
+got = {r.key: r.exchange for r in
+       spark.table("lakehouse.stock_ticks").select("key", "exchange").collect()}
+assert got == {"k1": None, "k2": None, "k4": "NASDAQ"}, got
+
 spark.stop()
 
 # --- fresh session, same metastore: catalog objects persist ---------------
@@ -88,7 +109,7 @@ spark2 = build_session()
 spark2.sparkContext.setLogLevel("ERROR")
 got = {r.key: r.close for r in
        spark2.table("lakehouse.stock_ticks").select("key", "close").collect()}
-assert got == {"k1": 11.0, "k2": 20.0, "k3": 30.0}, got
+assert got == {"k1": 11.0, "k2": 20.0, "k4": 44.0}, got
 tables = {r.tableName for r in spark2.sql("SHOW TABLES IN lakehouse").collect()}
 assert {"stock_ticks", "stock_ticks_mor_ro", "stock_ticks_mor_rt"} <= tables, tables
 spark2.stop()
