@@ -418,6 +418,135 @@ FROM s
 """
 
 
+# --------------------------------------------------------------------------
+# Trained IVF: a REAL k-means coarse quantizer (Lloyd iterations as
+# DataFrame ops) instead of the data-oblivious sign-bit hash. At scale:
+# train on a sample (centroids are metadata — k×dims doubles live on
+# the driver and broadcast to executors), assign the full corpus once
+# (pure map stage vs the broadcast centroid table), and probe only the
+# query's `nprobe` nearest cells. This is the standard IVF recall/cost
+# dial; the sign-bit variant remains as the zero-training fallback.
+# --------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Lloyd k-means over the embedding column. Each iteration is one
+    assignment map stage (broadcast centroids) + one (cluster, dim)-
+    keyed shuffle for the mean — no vector ever concentrates on one
+    task, and only k×dims scalars return to the driver per round.
+    Deterministic: seeds are the k lowest-md5 vectors, and the mean
+    aggregation is per-(cluster, dim)."""
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    if sample_fraction is not None:
+        # deterministic hash sample — reproducible across runs/shards
+        vecs = vecs.filter(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % F.lit(int(1 / sample_fraction)) == 0
+        )
+    seeds = (
+        vecs.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r.v) for r in seeds]
+    for _ in range(iters):
+        assigned = _assign_to_centroids(vecs, centroids)
+        comps = assigned.select(
+            "cid", F.posexplode(F.col("v")).alias("pos", "x")
+        )
+        rows = (
+            comps.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c"))
+            .collect()
+        )
+        new = dict((r.cid, list(r.c)) for r in rows)
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def _centroid_df(emb: DataFrame, centroids: list[list[float]]):
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, c array<double>"
+    )
+
+
+def _assign_to_centroids(
+    vecs: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid table,
+    score per row (map stage), keep the argmin via one window-free
+    groupBy on vec_id? — no: min_by keeps it a single aggregation."""
+    cdf = _centroid_df(vecs, centroids)
+    scored = vecs.join(F.broadcast(cdf)).withColumn(
+        "d",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d", "cid")).alias("cid"),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def knn_ivf_trained(
+    spark: SparkSession,
+    sf_dir: str,
+    k_centroids: int = 8,
+    nprobe: int = 2,
+    top_k: int = 10,
+) -> DataFrame:
+    """IVF search with the trained quantizer: probe the query's
+    `nprobe` nearest cells only — scan cost ≈ nprobe/k of the corpus."""
+    emb = load_emb(spark, sf_dir)
+    centroids = train_ivf_centroids(emb, k=k_centroids, iters=4)
+    vecs = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    assigned = _assign_to_centroids(
+        vecs.select("vec_id", "v"), centroids
+    ).join(vecs.select("vec_id", "label"), "vec_id")
+    q = assigned.filter(F.col("vec_id") == 0).collect()[0]
+    import math
+
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda i: sum((a - b) ** 2 for a, b in zip(q.v, centroids[i])),
+    )
+    probe_cells = dists[:nprobe]
+    qvec = F.array(*[F.lit(float(x)) for x in q.v])
+    return (
+        assigned.filter(F.col("cid").isin(probe_cells))
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("v"), qvec), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroid_distance": label_centroid_distance,

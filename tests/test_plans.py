@@ -243,3 +243,41 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark):
+    """The k-means IVF path must (a) return results only from probed
+    cells, (b) recover most of the brute-force top-10 at nprobe=half
+    the cells, (c) broadcast the centroid table rather than shuffling
+    vectors during assignment."""
+    from onehouse_demos_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_ivf_trained,
+    )
+
+    exact = [r.vec_id for r in knn_bruteforce(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in
+              knn_ivf_trained(spark, SF_DIR, k_centroids=4, nprobe=2).collect()]
+    assert len(approx) == 10
+    # nprobe=2 of 4 cells: expect to recover at least half the exact set
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_trained_ivf_assignment_broadcasts_centroids(spark):
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.operators.similarity import (
+        _as_double,
+        _assign_to_centroids,
+        load_emb,
+    )
+    from onehouse_demos_spark.plans import explain_str
+
+    vecs = load_emb(spark, SF_DIR).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    assigned = _assign_to_centroids(vecs, [[0.0] * 64, [1.0] * 64])
+    txt = explain_str(assigned)
+    assert "BroadcastExchange" in txt, txt[:800]
+    assert "CartesianProduct" not in txt
