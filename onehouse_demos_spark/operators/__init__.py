@@ -60,6 +60,8 @@ _DEMOTED = {
     "monthly_revenue_trend",    # window/agg shape of revenue_moving_avg
     "custdist_orders",          # distribution shape of dup-key family
     "dedup_exact_summary",      # scalar summary of dedup_exact
+    "minhash_signatures",       # stage 1 of minhash_lsh_pairs (which
+                                # recomputes + verifies the signatures)
 }
 
 # First-50 priority: every SURVEY §2 operator class, then the full
@@ -105,7 +107,6 @@ _WINDOW = [
     # dedup suite
     "dedup_exact",
     "ngram_jaccard_pairs",
-    "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash64",
     "near_dup_canonical",
@@ -123,7 +124,9 @@ _WINDOW = [
     "lang_id_confusion",
     "doc_fingerprints",
     "token_length_histogram",
-    # analytics (hash-fix proof)
+    # analytics: custom AS-OF join operator + the sessionizer
+    # (hash-fix proof)
+    "asof_prior_click",
     "sessionize_events",
 ]
 

@@ -31,13 +31,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet, which Spark 4
-    rejects by default. Read nanos as long (runtime-safe legacy conf)
-    and normalize to a µs TimestampType column — identical truncation
-    to DuckDB's ns→µs coercion, so oracles agree exactly."""
+    """Normalize the events table's `ts` to a µs TimestampType column
+    regardless of how the generator wrote it. Seen in the wild:
+    TIMESTAMP(NANOS) (Spark 4 rejects by default → read nanos as long
+    and truncate, matching DuckDB's ns→µs coercion), TIMESTAMP(MICROS)
+    isAdjustedToUTC=false (reads as TIMESTAMP_NTZ → cast under the UTC
+    session timezone, an epoch-identity), and epoch-millis BIGINT."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(ev.dtypes)["ts"]
+    if ts_type == "bigint":
+        # Nanos-as-long (or epoch-micros): values this century are
+        # > 1e18 only for nanos; epoch-millis would be ~1.7e12.
+        row = ev.select(F.max(F.abs("ts")).alias("m")).first()
+        scale = 1000 if (row.m or 0) > 10**15 else 0.001
+        expr = f"ts div {scale}" if scale >= 1 else "ts * 1000"
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr(expr)))
+    elif ts_type != "timestamp":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    return ev
 
 
 # --------------------------------------------------------------------------

@@ -17,22 +17,28 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: events parquet carries TIMESTAMP(NANOS); stream-read as long and
-#: convert, same as operators.relational.load_events.
-_EVENTS_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table with `ts` normalized to TimestampType.
+
+    The generator has shipped `ts` as TIMESTAMP(NANOS) (Spark reads it
+    as long under the legacy conf) and as TIMESTAMP(MICROS) ntz; sniff
+    the physical schema with a batch footer read, then declare the
+    matching stream schema and normalization — same contract as
+    operators.relational.load_events.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    physical = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
-        spark.readStream.schema(_EVENTS_DDL)
+        spark.readStream.schema(physical)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in physical)["ts"]
+    if ts_type == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type != "timestamp":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

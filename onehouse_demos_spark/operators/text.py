@@ -577,6 +577,118 @@ FROM binned GROUP BY bin
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 full-text ranking: score every document against a fixed query
+# term set and return the top-k. 100 TB shape: the per-(doc, term)
+# frequency frame is filtered to the query's terms BEFORE any shuffle
+# (the explode+filter is a map stage), so the aggregation state is
+# O(matching docs × |query|), not O(corpus tokens). The document-length
+# table and the per-term document frequencies are tiny aggregates; the
+# df/N/avgdl constants join back via broadcast. Scores are rounded to
+# 6 dp and DECIMAL-cast on both engines so the cross-engine hash never
+# sees raw double noise (sum-order ULP drift).
+# (Reference analog: federated ad-hoc SQL over lakehouse tables —
+# hudi-spark-minio-trino/README.md:380 — extended with the standard
+# Robertson/Sparck-Jones BM25 weighting; k1/b are the textbook 1.2/0.75.)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    # Per-doc length (all tokens) — one partial-aggregated shuffle.
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Term frequency restricted to the query terms — the filter runs
+    # map-side, so only matching (doc, term) pairs shuffle.
+    tf = (
+        toks.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # Corpus constants: N, avgdl, and per-term document frequency.
+    consts = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6)
+            .cast("decimal(18,6)")
+            .alias("bm25_score"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("bm25_score"), F.asc("doc_id")
+    ).limit(_BM25_TOPK)
+
+
+BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM toks WHERE tok IN {_BM25_TERMS!r}
+  GROUP BY doc_id, tok
+), consts AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), df_t AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), contrib AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (consts.n_docs - df_t.df + 0.5) / (df_t.df + 0.5))
+         * (tf.tf * ({_BM25_K1} + 1))
+         / (tf.tf + {_BM25_K1}
+            * (1 - {_BM25_B} + {_BM25_B} * dl.dl / consts.avgdl)) AS c
+  FROM tf
+  JOIN df_t USING (tok)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN consts
+)
+SELECT doc_id,
+       ROUND(SUM(c), 6)::DECIMAL(18,6) AS bm25_score,
+       COUNT(*) AS n_terms_hit
+FROM contrib GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id ASC
+LIMIT {_BM25_TOPK}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
@@ -591,6 +703,7 @@ QUERIES = {
     "stratified_sample_summary": stratified_sample_summary,
     "doc_chunking": doc_chunking,
     "sequence_packing_summary": sequence_packing_summary,
+    "bm25_topk": bm25_topk,
 }
 
 ORACLES = {
@@ -607,4 +720,5 @@ ORACLES = {
     "stratified_sample_summary": STRATIFIED_SAMPLE_SUMMARY_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
     "sequence_packing_summary": SEQUENCE_PACKING_SUMMARY_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
 }
