@@ -547,6 +547,295 @@ def knn_ivf_trained(
     )
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ): split each D-dim vector into M subspaces,
+# k-means each subspace to a K-entry codebook, store M small codes per
+# vector. 100 TB design:
+#   - training is M simultaneous k-means over a (vec_id, sub, subvec)
+#     frame — one broadcast-codebook assignment map stage plus one
+#     (sub, cid, pos)-keyed mean shuffle per Lloyd round; only M×K×(D/M)
+#     scalars ever return to the driver;
+#   - encoding is the same broadcast assignment (pure map stage);
+#   - ADC search scores the compact codes table against a query's
+#     M×K distance lookup table compiled into the plan — the corpus
+#     vectors themselves are never read at query time, which is the
+#     whole point: the scan is over M small ints per vector instead of
+#     D floats (16× less I/O here).
+# K-means itself is not SQL-expressible, so the driver check for the
+# summary is the self-certified-invariant pattern (the oracle pins
+# booleans the Spark side must prove); recall is pytest-gated against
+# brute force in tests/test_plans.py.
+# --------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_K = 16
+
+
+def _subvec_frame(vecs: DataFrame, m: int) -> DataFrame:
+    """(vec_id, v) → (vec_id, sub, sv): M subvectors per vector, built
+    with slice+explode in one map stage (no shuffle)."""
+    d = len(vecs.select("v").first().v)  # one-row dims probe
+    sd = d // m
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"),
+            F.slice("v", s * sd + 1, sd).alias("sv"),
+        )
+        for s in range(m)
+    ])
+    return vecs.select(
+        "vec_id", F.explode(subs).alias("e")
+    ).select("vec_id", F.col("e.sub").alias("sub"), F.col("e.sv").alias("sv"))
+
+
+def _pq_codebook_df(spark: SparkSession, codebooks):
+    rows = [
+        (s, c, list(map(float, vec)))
+        for s, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "sub int, cid int, c array<double>")
+
+
+def _pq_assign(subvecs: DataFrame, codebooks) -> DataFrame:
+    """Nearest-codeword per (vec_id, sub): broadcast the M×K codebook,
+    score map-side, min_by aggregation — mirrors _assign_to_centroids
+    but keyed by subspace."""
+    cb = _pq_codebook_df(subvecs.sparkSession, codebooks)
+    scored = subvecs.join(F.broadcast(cb), "sub").withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return scored.groupBy("vec_id", "sub").agg(
+        F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+        F.first("sv").alias("sv"),
+    )
+
+
+def train_pq_codebooks(
+    emb: DataFrame, m: int = _PQ_M, k: int = _PQ_K, iters: int = 4
+) -> list[list[list[float]]]:
+    """Train all M subspace codebooks in parallel (one job per Lloyd
+    round covers every subspace). Deterministic seeding: per subspace,
+    the K subvectors with the lowest md5(vec_id)."""
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    subvecs = _subvec_frame(vecs, m).persist()
+    try:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sub").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        seed_rows = (
+            subvecs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("sub", (F.col("rk") - 1).alias("cid"), "sv")
+            .collect()
+        )
+        books: list[list[list[float]]] = [
+            [None] * k for _ in range(m)  # type: ignore[list-item]
+        ]
+        for r in seed_rows:
+            books[r.sub][r.cid] = list(r.sv)
+        for _ in range(iters):
+            assigned = _pq_assign(subvecs, books)
+            rows = (
+                assigned.select(
+                    "sub", "cid", F.posexplode("sv").alias("pos", "x")
+                )
+                .groupBy("sub", "cid", "pos")
+                .agg(F.avg("x").alias("mu"))
+                .groupBy("sub", "cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "mu"))
+                    ).alias("pm")
+                )
+                .select(
+                    "sub", "cid", F.transform("pm", lambda s: s["mu"]).alias("c")
+                )
+                .collect()
+            )
+            fresh = {(r.sub, r.cid): list(r.c) for r in rows}
+            books = [
+                [fresh.get((s, c), books[s][c]) for c in range(k)]
+                for s in range(m)
+            ]
+        return books
+    finally:
+        subvecs.unpersist()
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """(vec_id, codes array<int>): the compact PQ representation —
+    M log2(K)-bit codes per vector."""
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    assigned = _pq_assign(_subvec_frame(vecs, len(codebooks)), codebooks)
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))).alias("sc")
+        )
+        .select(
+            "vec_id", F.transform("sc", lambda s: s["cid"]).alias("codes")
+        )
+    )
+
+
+def pq_reconstruction_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PQ quality report, emitted as SELF-CERTIFIED
+    invariants (k-means is not SQL-expressible, so the oracle pins the
+    booleans): reconstruction MSE must beat the subspace-variance
+    baseline (a 1-means codebook), and every vector must round-trip to
+    exactly M codes in [0, K)."""
+    emb = load_emb(spark, sf_dir)
+    books = train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, iters=3)
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    subvecs = _subvec_frame(vecs, _PQ_M)
+    assigned = _pq_assign(subvecs, books)
+    cb = _pq_codebook_df(spark, books)
+    err = assigned.join(F.broadcast(cb), ["sub", "cid"]).withColumn(
+        "se",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    # Variance baseline: squared error against the per-subspace mean
+    # vector (what a K=1 codebook would give).
+    mean_books = [
+        [
+            [
+                sum(book[c][i] for c in range(_PQ_K)) / _PQ_K
+                for i in range(len(book[0]))
+            ]
+        ]
+        for book in books
+    ]
+    base = _pq_assign(subvecs, mean_books).join(
+        F.broadcast(_pq_codebook_df(spark, mean_books)), ["sub", "cid"]
+    ).withColumn(
+        "se0",
+        F.aggregate(
+            F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    stats = err.agg(
+        F.count_distinct("vec_id").alias("n_vectors"),
+        F.sum("se").alias("sse"),
+        F.max("cid").alias("max_cid"),
+        F.min("cid").alias("min_cid"),
+        F.count(F.lit(1)).alias("n_codes"),
+    )
+    base_stats = base.agg(F.sum("se0").alias("sse0"))
+    return stats.crossJoin(base_stats).select(
+        "n_vectors",
+        F.lit(_PQ_M).alias("m"),
+        F.lit(_PQ_K).alias("k"),
+        (F.col("n_codes") == F.col("n_vectors") * _PQ_M).alias("codes_complete"),
+        ((F.col("min_cid") >= 0) & (F.col("max_cid") < _PQ_K)).alias(
+            "codes_in_range"
+        ),
+        (F.col("sse") < F.col("sse0")).alias("mse_beats_variance"),
+    )
+
+
+PQ_RECONSTRUCTION_SUMMARY_SQL = f"""
+SELECT COUNT(*) AS n_vectors,
+       {_PQ_M} AS m,
+       {_PQ_K} AS k,
+       CAST(1 AS BOOLEAN) AS codes_complete,
+       CAST(1 AS BOOLEAN) AS codes_in_range,
+       CAST(1 AS BOOLEAN) AS mse_beats_variance
+FROM embeddings
+"""
+
+
+def pq_adc_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    top_k: int = 10,
+    shortlist: int = 64,
+) -> DataFrame:
+    """Approximate top-k neighbors of query vec_id=0 via Asymmetric
+    Distance Computation with exact re-ranking — the production PQ
+    search shape:
+
+    1. precompute the query's M×K table of subspace distances (tiny,
+       compiled into the plan as an array literal);
+    2. score EVERY vector's code array with one array lookup per
+       subspace — this scan touches only the compact codes (M small
+       ints/vector), never the original vectors, which is where the
+       16×-less-I/O win comes from at 100 TB;
+    3. exact-cosine re-rank only the `shortlist` ADC survivors against
+       their original vectors (a TakeOrdered over the codes scan, then
+       a semi-join back to the vector table that reads `shortlist`
+       rows), returning the same (vec_id, cos_sim) shape as
+       knn_bruteforce so recall is directly measurable."""
+    emb = load_emb(spark, sf_dir)
+    books = train_pq_codebooks(emb, m=m, k=k, iters=3)
+    codes = pq_encode(emb, books)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_as_double(F.col("embedding")).alias("v"))
+        .first()
+        .v
+    )
+    sd = len(q) // m
+    lut = [
+        [
+            sum(
+                (q[s * sd + i] - books[s][c][i]) ** 2 for i in range(sd)
+            )
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+    lut_col = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in lut
+    ])
+    cand = (
+        codes.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    lut_col,
+                    F.col("codes"),
+                    lambda row, code: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    qvec = F.array(*[F.lit(float(x)) for x in q])
+    vecs = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    return (
+        vecs.join(F.broadcast(cand), "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("v"), qvec), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroid_distance": label_centroid_distance,
@@ -554,6 +843,9 @@ QUERIES = {
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
     "knn_batch_join": knn_batch_join,
     "embedding_quantization": embedding_quantization,
+    "pq_reconstruction_summary": pq_reconstruction_summary,
+    "pq_adc_topk": pq_adc_topk,  # no SQL oracle (k-means); recall gated
+                                 # vs brute force in tests/test_plans.py
 }
 
 ORACLES = {
@@ -563,4 +855,5 @@ ORACLES = {
     "embedding_near_dup_pairs": EMBEDDING_NEAR_DUP_PAIRS_SQL,
     "knn_batch_join": KNN_BATCH_JOIN_SQL,
     "embedding_quantization": EMBEDDING_QUANTIZATION_SQL,
+    "pq_reconstruction_summary": PQ_RECONSTRUCTION_SUMMARY_SQL,
 }

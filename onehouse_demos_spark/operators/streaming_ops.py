@@ -124,12 +124,87 @@ GROUP BY event_type
 """
 
 
+_SESSION_GAP_MIN = 30
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows computed BY THE STREAMING ENGINE:
+    `session_window(ts, gap)` merges an event's [ts, ts+gap) window
+    into its per-user session state in the state store — the streaming
+    twin of the batch gap-sessionizer (`analytics.sessionize_events`).
+
+    Spark's merge rule: an event extends the session iff it lands
+    STRICTLY inside the previous window (ts < prev_ts + gap), and the
+    session's end is last_ts + gap. The DuckDB oracle replays exactly
+    that island rule in batch SQL, so the state-store merge logic is
+    value-checked cross-engine, not just smoke-tested.
+
+    Complete output mode: every closed-and-open session emits on the
+    AvailableNow drain without waiting for a watermark to pass (the
+    bounded-input analog of the production append-mode + watermark
+    deployment, which this module documents for unbounded state).
+    """
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    view = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="oh_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(view)
+
+
+STREAMING_SESSION_COUNTS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts::TIMESTAMP)
+                   - epoch_us(lag(ts) OVER w :: TIMESTAMP)
+                   >= {_SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sid AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)::TIMESTAMP) AS session_start_us,
+       epoch_us(MAX(ts)::TIMESTAMP) + {_SESSION_GAP_MIN} * 60 * 1000000
+         AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sid
+GROUP BY user_id, session_seq
+"""
+
+
 QUERIES = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_dedup_counts": streaming_dedup_counts,
+    "streaming_session_counts": streaming_session_counts,
 }
 
 ORACLES = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_COUNTS_SQL,
+    "streaming_session_counts": STREAMING_SESSION_COUNTS_SQL,
 }

@@ -264,6 +264,45 @@ def test_trained_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, (exact, approx)
 
 
+def test_pq_adc_recall_vs_bruteforce(spark):
+    """PQ/ADC search must (a) return k results, (b) recover at least
+    half of the exact cosine top-10 (8 subspaces × 16 codes on 64-dim
+    is a mild 16× compression — recall should be well above chance),
+    (c) never read the original vectors in the scoring scan (the plan
+    scores the codes table only)."""
+    from onehouse_demos_spark.operators.similarity import (
+        knn_bruteforce,
+        pq_adc_topk,
+    )
+
+    exact = [r.vec_id for r in knn_bruteforce(spark, SF_DIR).collect()]
+    approx = [r.vec_id for r in pq_adc_topk(spark, SF_DIR).collect()]
+    assert len(approx) == 10
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.5, (exact, approx)
+
+
+def test_pq_assignment_broadcasts_codebook(spark):
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.operators.similarity import (
+        _as_double,
+        _pq_assign,
+        _subvec_frame,
+        load_emb,
+    )
+    from onehouse_demos_spark.plans import explain_str
+
+    vecs = load_emb(spark, SF_DIR).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    books = [[[0.0] * 8, [1.0] * 8] for _ in range(8)]
+    assigned = _pq_assign(_subvec_frame(vecs, 8), books)
+    txt = explain_str(assigned)
+    assert "BroadcastExchange" in txt, txt[:800]
+    assert "CartesianProduct" not in txt
+
+
 def test_trained_ivf_assignment_broadcasts_centroids(spark):
     from pyspark.sql import functions as F
 
