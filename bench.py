@@ -48,6 +48,8 @@ HEADLINE = [
     "skew_safe_agg",
     "event_funnel",
     "doc_repetition_stats",
+    "bm25_topk",
+    "sole_late_supplier",
 ]
 
 

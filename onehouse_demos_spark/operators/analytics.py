@@ -623,6 +623,77 @@ FROM events GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q21 analog — "sole blocking supplier": for finished orders with
+# lines from more than one supplier, find suppliers who were the ONLY
+# one to ship a line after the cutoff. The textbook SQL is two
+# correlated subqueries (EXISTS other-supplier / NOT EXISTS other-late-
+# supplier); the Spark-first formulation DECORRELATES both into one
+# per-order aggregate — count distinct suppliers and distinct late
+# suppliers per order in a single shuffle — then joins lineitem back
+# to it. At 100 TB that is: one groupBy(orderkey) over lineitem, one
+# orderkey-keyed join (both sides co-partitioned, AQE handles skew),
+# one broadcast dim join for supplier names — versus the naive plan's
+# two extra self-joins of the fact table. The DuckDB oracle keeps the
+# textbook correlated-subquery form, proving the decorrelation is
+# semantics-preserving.
+# --------------------------------------------------------------------------
+
+_Q21_CUTOFF = "1997-06-01"
+
+
+def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    supplier = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.lit(_Q21_CUTOFF)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    # Each qualifying late LINE counts (matching the textbook l1 scan):
+    # no distinct here — a supplier with two late lines in one order
+    # contributes two waits, exactly as the correlated form does.
+    blocking = (
+        li.filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        blocking.join(F.broadcast(supplier),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+SOLE_LATE_SUPPLIER_SQL = f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > '{_Q21_CUTOFF}'
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > '{_Q21_CUTOFF}')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -641,6 +712,7 @@ QUERIES = {
     "event_funnel": event_funnel,
     "range_join_bands": range_join_bands,
     "skew_safe_agg": skew_safe_agg,
+    "sole_late_supplier": sole_late_supplier,
 }
 
 ORACLES = {
@@ -661,4 +733,5 @@ ORACLES = {
     "event_funnel": EVENT_FUNNEL_SQL,
     "range_join_bands": RANGE_JOIN_BANDS_SQL,
     "skew_safe_agg": SKEW_SAFE_AGG_SQL,
+    "sole_late_supplier": SOLE_LATE_SUPPLIER_SQL,
 }

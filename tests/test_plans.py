@@ -45,6 +45,21 @@ def test_dims_broadcast(spark):
     assert uses_broadcast_join(df)
 
 
+def test_sole_late_supplier_decorrelated_plan(spark):
+    """The Q21 analog must stay decorrelated: supplier joins by
+    broadcast, no cartesian/nested-loop from the (former) correlated
+    subqueries, and the per-order flags come from ONE aggregation over
+    lineitem rather than two extra fact self-joins."""
+    from onehouse_demos_spark.operators.analytics import sole_late_supplier
+    from onehouse_demos_spark.plans import explain_str
+
+    df = sole_late_supplier(spark, SF_DIR)
+    txt = explain_str(df)
+    assert "BroadcastExchange" in txt, txt[:800]
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
 def test_agg_is_partial_then_final(spark):
     df = pricing_summary(spark, SF_DIR)
     from onehouse_demos_spark.plans import explain_str
