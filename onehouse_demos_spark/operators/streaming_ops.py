@@ -197,14 +197,96 @@ GROUP BY user_id, session_seq
 """
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: attribute each purchase to clicks
+    by the same user in the preceding hour — both sides are streams,
+    so the join runs against watermark-bounded state stores (the
+    canonical online-attribution shape).
+
+    Per Spark's stream-stream join contract both sides carry
+    watermarks and the join condition bounds event time, so click
+    state is evictable once the purchase watermark passes
+    click_ts + 1 h — state is O(1 hour of clicks), not O(stream).
+    The drained join result is aggregated per user IN THE SINK (a
+    batch agg over the memory table) so the output is deterministic
+    and the DuckDB oracle is the equivalent batch interval join.
+    """
+    base = _events_stream(spark, sf_dir)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    )
+    view = f"stream_attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="oh_stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(view)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed_pairs"),
+            F.count_distinct("purchase_id").alias("n_purchases"),
+            F.count_distinct("click_id").alias("n_clicks"),
+        )
+    )
+
+
+STREAMING_CLICK_ATTRIBUTION_SQL = """
+SELECT p.user_id AS user_id,
+       COUNT(*) AS n_attributed_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases,
+       COUNT(DISTINCT c.event_id) AS n_clicks
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts < p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id
+"""
+
+
 QUERIES = {
     "streaming_hourly_counts": streaming_hourly_counts,
     "streaming_dedup_counts": streaming_dedup_counts,
     "streaming_session_counts": streaming_session_counts,
+    "streaming_click_attribution": streaming_click_attribution,
 }
 
 ORACLES = {
     "streaming_hourly_counts": STREAMING_HOURLY_COUNTS_SQL,
     "streaming_dedup_counts": STREAMING_DEDUP_COUNTS_SQL,
     "streaming_session_counts": STREAMING_SESSION_COUNTS_SQL,
+    "streaming_click_attribution": STREAMING_CLICK_ATTRIBUTION_SQL,
 }

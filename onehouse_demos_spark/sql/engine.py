@@ -88,6 +88,11 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"\((?P<cols>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _COMPACT_RE = re.compile(
     r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
 )
@@ -225,6 +230,9 @@ class Engine:
         m = _DESCRIBE_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._describe(self._norm(m.group("name")))
+        m = _ALTER_ADD_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._alter_add(m)
         m = _COMPACT_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import run_compaction
@@ -411,6 +419,25 @@ class Engine:
         ]
         t.upsert(changed.select(*exprs))
         return self.spark.createDataFrame([], "result string")
+
+    def _alter_add(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t ADD COLUMNS (a INT, b STRING ...): a
+        metadata-only schema-evolution commit on the managed table,
+        then refresh the SQL view so subsequent queries see the new
+        (NULL-filled for old files) columns."""
+        name = self._norm(m.group("name"))
+        t = self._tables[name]
+        adds: list[tuple[str, str]] = []
+        for part in _split_top_level(m.group("cols")):
+            bits = part.strip().split(None, 1)
+            if len(bits) != 2:
+                raise ValueError(f"bad ADD COLUMNS entry: {part!r}")
+            adds.append((bits[0].strip("`"), bits[1].strip()))
+        t.evolve_schema(adds)
+        t.register_view(name)
+        return self.spark.createDataFrame(
+            [(c,) for c, _ in adds], "added_column string"
+        )
 
     def _delete(self, m: re.Match) -> DataFrame:
         name = self._norm(m.group("name"))

@@ -833,6 +833,51 @@ class LakehouseTable:
             self.timeline.abort(instant)
             raise
 
+    def evolve_schema(self, add_columns: list[tuple[str, str]]) -> Instant:
+        """ALTER TABLE ... ADD COLUMNS as a METADATA-ONLY commit: the
+        merged schema rides the new instant's schema_json, no file is
+        touched, and every subsequent read resolves old files under the
+        latest schema (parquet fills absent columns with NULL). The
+        same _check_schema_compat gate that guards writes guards this
+        path, so duplicate columns and incompatible types fail before
+        the instant publishes. Incremental readers see a commit with
+        zero records — exactly how replace-commits already behave.
+
+        `add_columns` is a list of (name, DDL type string) pairs.
+        """
+        old = self._latest_schema()
+        if old is None:
+            raise SchemaEvolutionError(
+                "cannot evolve schema before the first write commit"
+            )
+        existing = {f.name for f in old.fields}
+        fields = list(old.fields)
+        for col, ddl in add_columns:
+            if col in existing:
+                raise SchemaEvolutionError(
+                    f"column {col!r} already exists; ADD COLUMNS only adds"
+                )
+            fields.append(
+                T.StructField(col, T.DataType.fromDDL(ddl), True)
+            )
+            existing.add(col)
+        new_schema = T.StructType(fields)
+        self._check_schema_compat(new_schema)
+        instant = self.timeline.begin("commit")
+        try:
+            return self._commit(
+                instant,
+                "commit",
+                "alter_schema",
+                [],
+                [],
+                new_schema,
+                extra={"added_columns": [c for c, _ in add_columns]},
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
     # ---------------------------------------------------------------- reads
 
     def _merge_latest(self, df: DataFrame, filter_deleted: bool = True) -> DataFrame:

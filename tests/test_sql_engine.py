@@ -195,3 +195,30 @@ def test_merge_update_set_with_multiarg_function(engine, spark):
     )
     vals = {r.id: r.v for r in engine.sql("SELECT id, v FROM fm").collect()}
     assert vals == {1: 100, 2: 20, 3: 7}
+
+
+def test_alter_table_add_columns(engine):
+    """ALTER TABLE ADD COLUMNS is a metadata-only schema-evolution
+    commit: old rows read back NULL for the new columns, new writes
+    carry them, and re-adding an existing column fails cleanly."""
+    from onehouse_demos_spark.tables.table import SchemaEvolutionError
+
+    engine.sql(
+        "CREATE TABLE ev (id INT, ver INT, v STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    engine.sql("INSERT INTO ev VALUES (1, 1, 'a')")
+    added = engine.sql("ALTER TABLE ev ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert {r.added_column for r in added.collect()} == {"score", "tag"}
+    # old row resolves the new columns as NULL
+    row = engine.sql("SELECT * FROM ev WHERE id = 1").collect()[0]
+    assert row.score is None and row.tag is None
+    # new write carries values for the evolved columns
+    engine.sql("INSERT INTO ev VALUES (2, 1, 'b', 0.5, 'x')")
+    rows = {r.id: (r.score, r.tag) for r in
+            engine.sql("SELECT id, score, tag FROM ev").collect()}
+    assert rows == {1: (None, None), 2: (0.5, "x")}
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaEvolutionError):
+        engine.sql("ALTER TABLE ev ADD COLUMNS (score DOUBLE)")
