@@ -911,6 +911,13 @@ class LakehouseTable:
         MOR: on-the-fly log merge (reference `_rt` view,
         `README.md:756-776`)."""
         files = self.manifest.live_files(as_of=as_of)
+        if self._latest_schema() is None:
+            # No write commit has ever established a schema — the only
+            # files that can exist are MOR delete tombstones (e.g. a
+            # CDC stream that opens with deletes). The snapshot is
+            # empty by definition; merging tombstone-only logs would
+            # fail resolving the data columns.
+            return self._empty_df(keep_meta)
         df = self._read_files(files)
         if df is None:
             return self._empty_df(keep_meta)
@@ -986,6 +993,8 @@ class LakehouseTable:
         `README.md:966-984`; file skipping `:954,979`). Compaction /
         clustering replacecommits are invisible (O19)."""
         files = self.manifest.incremental_files(begin, end)
+        if self._latest_schema() is None:
+            return self._empty_df(keep_meta)  # tombstone-only table
         df = self._read_files(files)
         if df is None:
             return self._empty_df(keep_meta)

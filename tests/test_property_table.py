@@ -1,0 +1,134 @@
+"""Model-based property testing of the table-mutation semantics.
+
+Hypothesis drives random upsert/delete sequences against a
+LakehouseTable (COW and MOR) and checks every intermediate snapshot
+against a plain-dict model of the contract:
+
+- latest COMMIT wins across batches (OverwriteWithLatest payload,
+  reference README.md:226);
+- the precombine field breaks ties WITHIN a batch (max wins);
+- delete-by-key removes the row; a later upsert resurrects it;
+- snapshot never shows two rows for one key after key-dedup ops.
+
+This generalizes the fixed-DAG replay in tests/test_dag_replay.py to
+arbitrary interleavings — the reference's integ-test-suite model
+(SURVEY §5) with generated rather than hand-written DAGs.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+
+KEYS = list(range(6))
+
+# One operation: ("upsert", [(key, ver, val), ...]) or ("delete", [keys])
+_upsert_rows = st.lists(
+    st.tuples(
+        st.sampled_from(KEYS),
+        st.integers(min_value=0, max_value=9),
+        st.text(alphabet="abcxyz", min_size=1, max_size=4),
+    ),
+    min_size=1,
+    max_size=5,
+)
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _upsert_rows),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True),
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _apply_model(model: dict, op: str, payload) -> None:
+    if op == "upsert":
+        # precombine (ver) dedups within the batch: max ver wins; ties
+        # on ver are broken by the LAST occurrence? No — the engine's
+        # within-batch order on equal (commit, ver) is unspecified, so
+        # the generator never emits duplicate (key, ver) pairs within
+        # one batch (filtered in _dedup_batch below).
+        best: dict = {}
+        for k, ver, val in payload:
+            if k not in best or ver > best[k][0]:
+                best[k] = (ver, val)
+        # latest commit wins outright, regardless of older ver
+        for k, (ver, val) in best.items():
+            model[k] = (ver, val)
+    else:
+        for k in payload:
+            model.pop(k, None)
+
+
+def _dedup_batch(rows):
+    """Drop all but the first row per (key, ver): within-batch ties on
+    the precombine value have engine-unspecified winners, so the
+    property only generates determinate batches."""
+    seen = set()
+    out = []
+    for k, ver, val in rows:
+        if (k, ver) not in seen:
+            seen.add((k, ver))
+            out.append((k, ver, val))
+    return out
+
+
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+@given(ops=_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_mutation_sequence_matches_dict_model(spark, table_type, ops):
+    base = tempfile.mkdtemp(prefix="oh_prop_")
+    try:
+        t = LakehouseTable.create(
+            spark,
+            base + "/t",
+            TableConfig(
+                name="t",
+                record_key=["id"],
+                precombine="ver",
+                table_type=table_type,
+            ),
+        )
+        model: dict = {}
+        for op, payload in ops:
+            if op == "upsert":
+                payload = _dedup_batch(payload)
+                df = spark.createDataFrame(
+                    payload, "id int, ver int, v string"
+                )
+                t.upsert(df)
+            else:
+                df = spark.createDataFrame(
+                    [(k,) for k in payload], "id int"
+                )
+                t.delete(df)
+            _apply_model(model, op, payload)
+            snap = t.snapshot()
+            if not {"id", "ver", "v"}.issubset(set(snap.columns)):
+                # no write commit yet (e.g. delete-first): the table has
+                # no schema and the snapshot must be empty
+                assert model == {} and snap.count() == 0
+                continue
+            got = {
+                r.id: (r.ver, r.v)
+                for r in snap.select("id", "ver", "v").collect()
+            }
+            assert got == model, (op, payload, got, model)
+            # key-dedup invariant: never two visible rows per key
+            assert snap.count() == len(model)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
