@@ -122,19 +122,52 @@ def decode_avro_stream(
 
 
 def decode_protobuf_stream(
-    df: DataFrame, message_name: str, descriptor_file: str
+    df: DataFrame,
+    message_name: str,
+    descriptor_file: str | None = None,
+    message_spec: dict | None = None,
 ) -> DataFrame:
     """Protobuf value decode (reference S2 variant:
-    `register-mysql-protobuf.json:20-24` ProtobufConverter). Requires
-    the spark-protobuf jar; gated."""
-    try:
-        from pyspark.sql.protobuf.functions import from_protobuf
-    except ImportError as exc:  # pragma: no cover - classpath-dependent
-        raise RuntimeError(
-            "protobuf decode unavailable (spark-protobuf jar not on classpath)"
-        ) from exc
-    return df.select(
-        from_protobuf(
-            F.col("value"), message_name, descFilePath=descriptor_file
-        ).alias("envelope")
-    ).select("envelope.*")
+    `register-mysql-protobuf.json:20-24` ProtobufConverter).
+
+    Fast path: JVM `from_protobuf` with a compiled descriptor file
+    when the spark-protobuf jar is on the classpath. Fallback: a REAL
+    pure-Python wire-format decoder driven by a JSON message spec
+    (sources/protobuf_codec.py), running inside an Arrow-batched
+    `mapInPandas` — same bytes, same envelope columns, no jar or
+    protoc required.
+    """
+    if descriptor_file is not None:
+        try:
+            from pyspark.sql.protobuf.functions import from_protobuf
+
+            return df.select(
+                from_protobuf(
+                    F.col("value"), message_name, descFilePath=descriptor_file
+                ).alias("envelope")
+            ).select("envelope.*")
+        except Exception:
+            if message_spec is None:  # pragma: no cover - classpath path
+                raise RuntimeError(
+                    "protobuf decode unavailable (spark-protobuf jar not on "
+                    "classpath) and no message_spec fallback was provided"
+                )
+    if message_spec is None:
+        raise ValueError("need a descriptor_file or a message_spec")
+    from onehouse_demos_spark.sources import protobuf_codec as pc
+
+    out_schema = pc.spec_to_spark_type(message_spec)
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        cols = [f.name for f in out_schema.fields]
+        for pdf in batches:
+            recs = [
+                pc.decode(bytes(raw), message_spec) for raw in pdf["value"]
+            ]
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in recs] for c in cols}, columns=cols
+            )
+
+    return df.select("value").mapInPandas(decode_batches, schema=out_schema)

@@ -1,0 +1,269 @@
+"""Minimal pure-Python Protobuf WIRE-FORMAT codec + spec→Spark mapping.
+
+Why this exists: the reference's CDC path can ship Debezium envelopes
+as Protobuf (`mysql-debezium/register-mysql-protobuf.json:20-24`
+ProtobufConverter). Spark's JVM `from_protobuf` lives in the external
+spark-protobuf package; when that jar is absent (as in this sandbox)
+we still want REAL protobuf-byte decoding — so this module implements
+the protobuf wire format (proto3 semantics) for the subset Debezium
+envelopes use, and `sources.cdc.decode_protobuf_stream` runs it inside
+an Arrow-batched `mapInPandas` (never row-at-a-time Python UDFs).
+
+Messages are described by a plain JSON-able SPEC instead of compiled
+descriptors (no protoc in the sandbox):
+
+    {"name": "Envelope", "fields": [
+        {"no": 1, "name": "before", "type": "message", "spec": {...}},
+        {"no": 2, "name": "after",  "type": "message", "spec": {...}},
+        {"no": 3, "name": "op",     "type": "string"},
+        {"no": 4, "name": "ts_ms",  "type": "int64"},
+    ]}
+
+Wire rules implemented (protobuf encoding spec):
+- tag = (field_no << 3) | wire_type
+- wire 0 (varint): int32/int64/uint64/bool/enum; sint* use zigzag
+- wire 1 (64-bit): double/fixed64 little-endian
+- wire 2 (length-delimited): string/bytes/nested message/repeated-packed
+- wire 5 (32-bit): float/fixed32 little-endian
+- unknown fields are SKIPPED by wire type (forward compatibility —
+  a reader with an old spec survives new producer fields)
+- proto3 presence: absent scalars decode to their defaults (0 / "" /
+  False), absent sub-messages to None
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+from pyspark.sql import types as T
+
+_VARINT_TYPES = {"int32", "int64", "uint32", "uint64", "bool", "enum"}
+_ZIGZAG_TYPES = {"sint32", "sint64"}
+_SCALAR_DEFAULTS = {
+    "int32": 0, "int64": 0, "uint32": 0, "uint64": 0,
+    "sint32": 0, "sint64": 0, "bool": False, "enum": 0,
+    "double": 0.0, "float": 0.0, "string": "", "bytes": b"",
+}
+
+
+# ---------------------------------------------------------------- varint
+
+def _write_varint(out: bytearray, n: int) -> None:
+    n &= 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return acc, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _to_signed64(n: int) -> int:
+    return n - (1 << 64) if n >= (1 << 63) else n
+
+
+def _to_signed32(n: int) -> int:
+    n &= 0xFFFFFFFF
+    return n - (1 << 32) if n >= (1 << 31) else n
+
+
+# ---------------------------------------------------------------- encode
+
+def _wire_type(ftype: str) -> int:
+    if ftype in _VARINT_TYPES or ftype in _ZIGZAG_TYPES:
+        return 0
+    if ftype in ("double", "fixed64"):
+        return 1
+    if ftype in ("float", "fixed32"):
+        return 5
+    return 2  # string / bytes / message
+
+
+def encode(value: dict | None, spec: dict) -> bytes:
+    """Encode a dict as one protobuf message body per `spec`. proto3
+    semantics: fields equal to their default are still written when
+    present in the dict (harmless — decoders accept both), None /
+    missing fields are omitted."""
+    out = bytearray()
+    if value is None:
+        return bytes(out)
+    for f in spec["fields"]:
+        name, no, ftype = f["name"], f["no"], f["type"]
+        v = value.get(name)
+        if v is None:
+            continue
+        items = v if f.get("repeated") else [v]
+        for item in items:
+            _write_varint(out, (no << 3) | _wire_type(ftype))
+            if ftype in _ZIGZAG_TYPES:
+                _write_varint(out, _zigzag(int(item)))
+            elif ftype in _VARINT_TYPES:
+                _write_varint(out, int(item))
+            elif ftype == "double":
+                out += struct.pack("<d", float(item))
+            elif ftype == "float":
+                out += struct.pack("<f", float(item))
+            elif ftype == "fixed64":
+                out += struct.pack("<Q", int(item) & 0xFFFFFFFFFFFFFFFF)
+            elif ftype == "fixed32":
+                out += struct.pack("<I", int(item) & 0xFFFFFFFF)
+            elif ftype == "string":
+                raw = str(item).encode("utf-8")
+                _write_varint(out, len(raw))
+                out += raw
+            elif ftype == "bytes":
+                raw = bytes(item)
+                _write_varint(out, len(raw))
+                out += raw
+            elif ftype == "message":
+                body = encode(item, f["spec"])
+                _write_varint(out, len(body))
+                out += body
+            else:
+                raise ValueError(f"unsupported type {ftype!r}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decode
+
+def _skip(buf: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_varint(buf, pos)
+        return pos
+    if wire == 1:
+        return pos + 8
+    if wire == 5:
+        return pos + 4
+    if wire == 2:
+        ln, pos = _read_varint(buf, pos)
+        return pos + ln
+    raise ValueError(f"cannot skip wire type {wire}")
+
+
+def decode(buf: bytes, spec: dict) -> dict:
+    """Decode one message body into a dict. Absent scalars take proto3
+    defaults; absent sub-messages decode to None; unknown field
+    numbers are skipped by wire type."""
+    by_no = {f["no"]: f for f in spec["fields"]}
+    out: dict[str, Any] = {}
+    for f in spec["fields"]:
+        if f.get("repeated"):
+            out[f["name"]] = []
+        elif f["type"] == "message":
+            out[f["name"]] = None
+        else:
+            out[f["name"]] = _SCALAR_DEFAULTS[f["type"]]
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        no, wire = tag >> 3, tag & 7
+        f = by_no.get(no)
+        if f is None:
+            pos = _skip(buf, pos, wire)
+            continue
+        ftype = f["type"]
+        if wire == 0:
+            raw, pos = _read_varint(buf, pos)
+            if ftype in _ZIGZAG_TYPES:
+                v: Any = _unzigzag(raw)
+            elif ftype == "bool":
+                v = bool(raw)
+            elif ftype == "int32":
+                v = _to_signed32(raw)
+            elif ftype in ("int64",):
+                v = _to_signed64(raw)
+            else:  # uint / enum
+                v = raw
+        elif wire == 1:
+            if ftype == "double":
+                v = struct.unpack_from("<d", buf, pos)[0]
+            else:
+                v = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+        elif wire == 5:
+            if ftype == "float":
+                v = struct.unpack_from("<f", buf, pos)[0]
+            else:
+                v = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            chunk = buf[pos : pos + ln]
+            pos += ln
+            if ftype == "string":
+                v = chunk.decode("utf-8")
+            elif ftype == "bytes":
+                v = bytes(chunk)
+            elif ftype == "message":
+                v = decode(chunk, f["spec"])
+            else:
+                # packed repeated varints
+                v = []
+                p2 = 0
+                while p2 < len(chunk):
+                    item, p2 = _read_varint(chunk, p2)
+                    if ftype in _ZIGZAG_TYPES:
+                        item = _unzigzag(item)
+                    v.append(item)
+                if f.get("repeated"):
+                    out[f["name"]].extend(v)
+                    continue
+        else:
+            raise ValueError(f"bad wire type {wire}")
+        if f.get("repeated"):
+            out[f["name"]].append(v)
+        else:
+            out[f["name"]] = v
+    return out
+
+
+# ------------------------------------------------------- spark mapping
+
+_SPARK_TYPES = {
+    "int32": T.IntegerType(), "sint32": T.IntegerType(),
+    "uint32": T.LongType(), "fixed32": T.LongType(),
+    "int64": T.LongType(), "sint64": T.LongType(),
+    "uint64": T.LongType(), "fixed64": T.LongType(),
+    "bool": T.BooleanType(), "enum": T.IntegerType(),
+    "double": T.DoubleType(), "float": T.FloatType(),
+    "string": T.StringType(), "bytes": T.BinaryType(),
+}
+
+
+def spec_to_spark_type(spec: dict) -> T.StructType:
+    fields = []
+    for f in spec["fields"]:
+        if f["type"] == "message":
+            dt: T.DataType = spec_to_spark_type(f["spec"])
+        else:
+            dt = _SPARK_TYPES[f["type"]]
+        if f.get("repeated"):
+            dt = T.ArrayType(dt)
+        fields.append(T.StructField(f["name"], dt, True))
+    return T.StructType(fields)
