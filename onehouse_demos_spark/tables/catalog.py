@@ -108,8 +108,12 @@ def _build_current_view(table: LakehouseTable, view_dir: str, files) -> int:
         pdir = os.path.join(view_dir, f"{PP_COL}={_esc_part(part)}")
         os.makedirs(pdir, exist_ok=True)
         src = os.path.join(table.base_path, fm.path)
-        # unique name: flatten the per-instant dir into the file name
-        flat = fm.path.replace("/", "__")
+        # Unique name: flatten the per-instant dir into the file name.
+        # '=' must not survive into the link name — external engines
+        # with hive-partition inference (DuckDB, Trino) parse k=v
+        # segments ANYWHERE in the path and would reject the scan as a
+        # partition-schema mismatch.
+        flat = fm.path.replace("/", "__").replace("=", "-")
         _link_or_copy(src, os.path.join(pdir, flat))
         n += 1
     return n
@@ -129,16 +133,42 @@ def _register(
     # only metadata), so drop + recreate when the registered column
     # set no longer matches the table's latest schema.
     if spark.catalog.tableExists(f"{db}.{name}"):
-        existing = [
-            (f.name, f.dataType.simpleString())
-            for f in spark.table(f"{db}.{name}").schema.fields
-            if f.name != PP_COL
-        ]
-        wanted = [
-            tuple(col.strip().strip("`") for col in c.strip().split(" ", 1))
-            for c in cols_ddl.split(", ")
-        ]
-        if existing != wanted:
+        drop = False
+        try:
+            loc_rows = [
+                r
+                for r in spark.sql(
+                    f"DESCRIBE TABLE EXTENDED `{db}`.`{name}`"
+                ).collect()
+                if r.col_name == "Location"
+            ]
+            reg_loc = loc_rows[0].data_type if loc_rows else None
+            if reg_loc is not None and os.path.realpath(
+                reg_loc.removeprefix("file:")
+            ) != os.path.realpath(location):
+                # Same name, different storage location (table was
+                # recreated elsewhere, or its old files are gone):
+                # the external entry must follow the new location.
+                drop = True
+            else:
+                existing = [
+                    (f.name, f.dataType.simpleString())
+                    for f in spark.table(f"{db}.{name}").schema.fields
+                    if f.name != PP_COL
+                ]
+                wanted = [
+                    tuple(
+                        col.strip().strip("`")
+                        for col in c.strip().split(" ", 1)
+                    )
+                    for c in cols_ddl.split(", ")
+                ]
+                drop = existing != wanted
+        except Exception:
+            # Unreadable registration (e.g. location deleted out from
+            # under the catalog): recreate from scratch.
+            drop = True
+        if drop:
             spark.sql(f"DROP TABLE `{db}`.`{name}`")
     part_clause = f"PARTITIONED BY (`{PP_COL}` STRING)" if partitioned else ""
     spark.sql(
