@@ -846,6 +846,8 @@ QUERIES = {
     "pq_reconstruction_summary": pq_reconstruction_summary,
     "pq_adc_topk": pq_adc_topk,  # no SQL oracle (k-means); recall gated
                                  # vs brute force in tests/test_plans.py
+    "knn_ivf_trained": knn_ivf_trained,  # same: recall gated in
+                                         # tests/test_plans.py
 }
 
 ORACLES = {
