@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Marker column carrying delete-ness through the flatten, consumed by
 #: apply_cdc_batch / LakehouseTable soft-delete handling.
@@ -67,8 +68,18 @@ def apply_cdc_batch(table, envelopes: DataFrame, drop_meta: bool = True) -> None
         table.upsert(upserts)
 
 
+#: Dead-letter column added by `on_error="quarantine"` decodes: NULL
+#: for clean rows, the decode exception text for poison ones (whose
+#: payload columns are NULL). Route `WHERE _decode_error IS NOT NULL`
+#: to a dead-letter table; the clean stream proceeds.
+DECODE_ERROR = "_decode_error"
+
+
 def decode_avro_stream(
-    df: DataFrame, value_schema_json: str, confluent_framed: bool = False
+    df: DataFrame,
+    value_schema_json: str,
+    confluent_framed: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Avro value decode (reference S2 uses Schema Registry
     AvroConverter, `register-mysql-avro.json:20-24`).
@@ -79,26 +90,43 @@ def decode_avro_stream(
     same envelope columns, no jar required. `confluent_framed=True`
     strips the Schema Registry wire header (magic 0 + 4-byte id) that
     the reference's converters prepend.
+
+    `on_error="quarantine"`: poison bytes (truncated frames, wrong
+    schema, corrupt varints) do NOT fail the job — each bad record
+    yields NULL payload columns plus a `_decode_error` message so the
+    caller can dead-letter it. A CDC pipeline ingesting a busy topic
+    must survive one malformed message (at-least-once transports WILL
+    re-deliver garbage eventually); this path always uses the Python
+    decoder for per-record isolation.
     """
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError("on_error must be 'fail' or 'quarantine'")
     value = F.col("value")
     if confluent_framed:
         jvm_value = F.expr("substring(value, 6, length(value) - 5)")
     else:
         jvm_value = value
-    try:
-        from pyspark.sql.avro.functions import from_avro
+    if on_error == "fail":
+        try:
+            from pyspark.sql.avro.functions import from_avro
 
-        out = df.select(
-            from_avro(jvm_value, value_schema_json).alias("envelope")
-        )
-        return out.select("envelope.*")
-    except Exception:
-        # spark-avro package not loaded (import succeeds but analysis
-        # raises AVRO_NOT_LOADED...): Arrow-batched python decode.
-        pass
+            out = df.select(
+                from_avro(jvm_value, value_schema_json).alias("envelope")
+            )
+            return out.select("envelope.*")
+        except Exception:
+            # spark-avro package not loaded (import succeeds but
+            # analysis raises AVRO_NOT_LOADED...): python decode.
+            pass
     from onehouse_demos_spark.sources.avro_codec import avro_to_spark_type
 
     out_schema = avro_to_spark_type(value_schema_json)
+    quarantine = on_error == "quarantine"
+    if quarantine:
+        out_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField(DECODE_ERROR, T.StringType(), True)]
+        )
 
     def decode_batches(batches):
         import pandas as pd
@@ -110,10 +138,18 @@ def decode_avro_stream(
         for pdf in batches:
             recs = []
             for raw in pdf["value"]:
-                body = bytes(raw)
-                if confluent_framed:
-                    body = ac.strip_confluent_header(body)
-                recs.append(ac.decode(body, sch))
+                try:
+                    body = bytes(raw)
+                    if confluent_framed:
+                        body = ac.strip_confluent_header(body)
+                    rec = ac.decode(body, sch)
+                    if quarantine:
+                        rec[DECODE_ERROR] = None
+                except Exception as exc:
+                    if not quarantine:
+                        raise
+                    rec = {DECODE_ERROR: f"{type(exc).__name__}: {exc}"}
+                recs.append(rec)
             yield pd.DataFrame(
                 {c: [r.get(c) for r in recs] for c in cols}, columns=cols
             )
@@ -126,6 +162,7 @@ def decode_protobuf_stream(
     message_name: str,
     descriptor_file: str | None = None,
     message_spec: dict | None = None,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Protobuf value decode (reference S2 variant:
     `register-mysql-protobuf.json:20-24` ProtobufConverter).
@@ -137,7 +174,9 @@ def decode_protobuf_stream(
     `mapInPandas` — same bytes, same envelope columns, no jar or
     protoc required.
     """
-    if descriptor_file is not None:
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError("on_error must be 'fail' or 'quarantine'")
+    if descriptor_file is not None and on_error == "fail":
         try:
             from pyspark.sql.protobuf.functions import from_protobuf
 
@@ -157,15 +196,29 @@ def decode_protobuf_stream(
     from onehouse_demos_spark.sources import protobuf_codec as pc
 
     out_schema = pc.spec_to_spark_type(message_spec)
+    quarantine = on_error == "quarantine"
+    if quarantine:
+        out_schema = T.StructType(
+            list(out_schema.fields)
+            + [T.StructField(DECODE_ERROR, T.StringType(), True)]
+        )
 
     def decode_batches(batches):
         import pandas as pd
 
         cols = [f.name for f in out_schema.fields]
         for pdf in batches:
-            recs = [
-                pc.decode(bytes(raw), message_spec) for raw in pdf["value"]
-            ]
+            recs = []
+            for raw in pdf["value"]:
+                try:
+                    rec = pc.decode(bytes(raw), message_spec)
+                    if quarantine:
+                        rec[DECODE_ERROR] = None
+                except Exception as exc:
+                    if not quarantine:
+                        raise
+                    rec = {DECODE_ERROR: f"{type(exc).__name__}: {exc}"}
+                recs.append(rec)
             yield pd.DataFrame(
                 {c: [r.get(c) for r in recs] for c in cols}, columns=cols
             )

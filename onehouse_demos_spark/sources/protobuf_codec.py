@@ -151,16 +151,26 @@ def encode(value: dict | None, spec: dict) -> bytes:
 
 # ---------------------------------------------------------------- decode
 
+def _bounds(buf: bytes, pos: int, need: int) -> None:
+    if pos + need > len(buf):
+        raise ValueError(
+            f"truncated message: need {need} bytes at {pos}, have {len(buf)}"
+        )
+
+
 def _skip(buf: bytes, pos: int, wire: int) -> int:
     if wire == 0:
         _, pos = _read_varint(buf, pos)
         return pos
     if wire == 1:
+        _bounds(buf, pos, 8)
         return pos + 8
     if wire == 5:
+        _bounds(buf, pos, 4)
         return pos + 4
     if wire == 2:
         ln, pos = _read_varint(buf, pos)
+        _bounds(buf, pos, ln)
         return pos + ln
     raise ValueError(f"cannot skip wire type {wire}")
 
@@ -201,12 +211,14 @@ def decode(buf: bytes, spec: dict) -> dict:
             else:  # uint / enum
                 v = raw
         elif wire == 1:
+            _bounds(buf, pos, 8)
             if ftype == "double":
                 v = struct.unpack_from("<d", buf, pos)[0]
             else:
                 v = struct.unpack_from("<Q", buf, pos)[0]
             pos += 8
         elif wire == 5:
+            _bounds(buf, pos, 4)
             if ftype == "float":
                 v = struct.unpack_from("<f", buf, pos)[0]
             else:
@@ -214,6 +226,7 @@ def decode(buf: bytes, spec: dict) -> dict:
             pos += 4
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
+            _bounds(buf, pos, ln)
             chunk = buf[pos : pos + ln]
             pos += ln
             if ftype == "string":

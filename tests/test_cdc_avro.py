@@ -118,3 +118,25 @@ def test_fixture_is_schema_registry_framed():
     sch = AvroSchema(json.loads(_schema_json()))
     ops = [decode(strip_confluent_header(b), sch)["op"] for b in frames]
     assert ops == ["r", "r", "r", "c", "u", "u", "d"]
+
+
+def test_quarantine_poison_avro_frames(spark):
+    """Corrupt Avro bytes are dead-lettered, not fatal."""
+    from onehouse_demos_spark.sources.cdc import DECODE_ERROR
+
+    with open(f"{FIX}/debezium_customers_avro.b64") as fh:
+        frames = [base64.b64decode(x.strip()) for x in fh if x.strip()]
+    poison = frames[0][:7]  # header survives, body truncated mid-record
+    df = spark.createDataFrame(
+        [(bytearray(b),) for b in frames + [poison]], "value binary"
+    )
+    out = decode_avro_stream(
+        df, _schema_json(), confluent_framed=True, on_error="quarantine"
+    ).collect()
+    assert len(out) == len(frames) + 1
+    bad = [r for r in out if r[DECODE_ERROR] is not None]
+    ok = [r for r in out if r[DECODE_ERROR] is None]
+    assert len(bad) == 1 and len(ok) == len(frames)
+    assert [r.op for r in sorted(ok, key=lambda r: r.ts_ms)] == [
+        "r", "r", "r", "c", "u", "u", "d",
+    ]

@@ -161,3 +161,26 @@ def test_cdc_protobuf_end_to_end_upsert(spark, tmp_base):
         1002: ("George", "gbailey@foobar.com"),
         1004: ("Anne Marie", "annek@noanswer.org"),
     }
+
+
+def test_quarantine_poison_frames(spark):
+    """A malformed message must not fail the stream: quarantined rows
+    carry _decode_error + NULL payload; clean rows decode normally."""
+    from onehouse_demos_spark.sources.cdc import DECODE_ERROR
+
+    good = [encode(e, ENVELOPE_SPEC) for e in _EVENTS[:3]]
+    truncated = good[0][:-3]            # chopped mid-field
+    bad_wire = bytes([0x07])            # wire type 7 does not exist
+    frames = good + [truncated, bad_wire]
+    df = spark.createDataFrame(
+        [(bytearray(b),) for b in frames], "value binary"
+    )
+    out = decode_protobuf_stream(
+        df, "Envelope", message_spec=ENVELOPE_SPEC, on_error="quarantine"
+    ).collect()
+    assert len(out) == 5
+    bad = [r for r in out if r[DECODE_ERROR] is not None]
+    ok = [r for r in out if r[DECODE_ERROR] is None]
+    assert len(bad) == 2 and len(ok) == 3
+    assert sorted(r.op for r in ok) == ["r", "r", "r"]
+    assert all(r.after is None and r.before is None for r in bad)
