@@ -38,6 +38,9 @@ COMMIT_COL = "_oh_commit_time"
 DELETED_COL = "_oh_is_deleted"
 PP_COL = "_oh_pp"  # on-disk partition-path directory column
 META_COLS = (KEY_COL, COMMIT_COL, DELETED_COL)
+#: Files above this row count skip bloom construction (range pruning
+#: still applies); keeps per-file bloom bytes bounded (~600 KB max).
+BLOOM_MAX_ROWS = 500_000
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
@@ -121,6 +124,15 @@ def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
     pf = pq.ParquetFile(abs_path)
     col_stats = _footer_col_stats(pf)
     key_rng = col_stats.get(KEY_COL)
+    bloom_b64 = None
+    if kind == "base" and key_rng and pf.metadata.num_rows <= BLOOM_MAX_ROWS:
+        # One-column read of a file this process just wrote (page cache
+        # warm); runs wherever _harvest_one runs, i.e. on executors for
+        # large commits. ~10 bits/key keeps the bloom metadata-scale.
+        from onehouse_demos_spark.tables.bloom import KeyBloom
+
+        keys = pf.read(columns=[KEY_COL]).column(0).to_pylist()
+        bloom_b64 = KeyBloom.build(keys).to_b64()
     return FileMeta(
         path=rel_path.replace(os.sep, "/"),
         partition=partition,
@@ -129,6 +141,7 @@ def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
         key_max=key_rng[1] if key_rng else None,
         kind=kind,
         col_stats={k: v for k, v in col_stats.items() if k != KEY_COL},
+        key_bloom=bloom_b64,
     )
 
 
@@ -472,7 +485,47 @@ class LakehouseTable:
             files = Manifest.prune_by_partition(files, set(row["parts"]))
         if row["lo"] is not None:
             files = Manifest.prune_by_key_range(files, row["lo"], row["hi"])
+        files = self._prune_by_bloom(files, prepared_keys, int(row["n"]))
         return files, int(row["n"])
+
+    #: Bloom pruning runs only for probe batches up to this many keys.
+    #: The math: a file of r rows with a b-bit-per-key bloom matches a
+    #: random batch of n keys with probability ≈ 1-(1-fpp·r/m)^n — for
+    #: n in the tens of thousands virtually every file "hits" and the
+    #: test is pure cost, while range pruning + the probe join already
+    #: handle bulk batches. Small batches (CDC trickles, point updates
+    #: — the dominant 100 TB upsert shape) are exactly where blooms
+    #: eliminate files that overlapping key ranges cannot.
+    BLOOM_PROBE_MAX_KEYS = 8192
+
+    def _prune_by_bloom(
+        self, files: list[FileMeta], prepared_keys: DataFrame, n_keys: int
+    ) -> list[FileMeta]:
+        """Point-lookup pruning: drop candidate files whose key bloom
+        matches NONE of the incoming keys (no false negatives → safe).
+        Range pruning degrades to all-files once every file spans the
+        key space (random-key workloads); blooms stay sharp there.
+        One key-column collect of a ≤8192-key batch — metadata-scale."""
+        if n_keys > self.BLOOM_PROBE_MAX_KEYS:
+            return files
+        with_bloom = [(i, f) for i, f in enumerate(files) if f.key_bloom]
+        if not with_bloom:
+            return files
+        from onehouse_demos_spark.tables.bloom import KeyBloom
+
+        keys = [
+            r[0] for r in prepared_keys.select(KEY_COL).distinct().collect()
+        ]
+        keep_idx = {
+            i
+            for i, f in with_bloom
+            if KeyBloom.from_b64(f.key_bloom).might_contain_any(keys)
+        }
+        return [
+            f
+            for i, f in enumerate(files)
+            if f.key_bloom is None or i in keep_idx
+        ]
 
     def _partition_source_cols(self) -> set[str]:
         """Columns the partition-path expression reads. Structural

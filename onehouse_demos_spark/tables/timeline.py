@@ -52,6 +52,10 @@ class FileMeta:
     #: per-column [min, max] harvested from parquet footers (JSON-safe
     #: primitives only) — powers stats-based file skipping on reads.
     col_stats: dict = field(default_factory=dict)
+    #: base64 record-key bloom filter (tables/bloom.py) — point-lookup
+    #: probe pruning where [key_min, key_max] ranges overlap; None for
+    #: log files and oversized files (range pruning still applies).
+    key_bloom: str | None = None
 
     def to_json(self) -> dict:
         return {
@@ -62,6 +66,7 @@ class FileMeta:
             "key_max": self.key_max,
             "kind": self.kind,
             "col_stats": self.col_stats,
+            "key_bloom": self.key_bloom,
         }
 
     @staticmethod
