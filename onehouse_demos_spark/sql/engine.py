@@ -105,6 +105,15 @@ _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+COMMITS)?\s*$",
     re.IGNORECASE,
 )
+_SAVEPOINT_RE = re.compile(
+    r"^\s*SAVEPOINT\s+TABLE\s+(?P<name>[\w.]+)"
+    r"(?:\s+AT\s+'(?P<instant>[^']+)')?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+'(?P<instant>[^']+)'\s*$",
+    re.IGNORECASE,
+)
 _VERSION_AS_OF_RE = re.compile(
     r"\b(?P<name>[\w.]+)\s+VERSION\s+AS\s+OF\s+'(?P<instant>[^']+)'",
     re.IGNORECASE,
@@ -250,6 +259,28 @@ class Engine:
                 strategy=strategy,
             )
             return self.spark.createDataFrame([], "result string")
+        m = _SAVEPOINT_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            from onehouse_demos_spark.tables.maintenance import create_savepoint
+
+            target = create_savepoint(
+                self._tables[self._norm(m.group("name"))], m.group("instant")
+            )
+            return self.spark.createDataFrame(
+                [(target,)], "savepointed_instant string"
+            )
+        m = _RESTORE_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            from onehouse_demos_spark.tables.maintenance import run_restore
+
+            name = self._norm(m.group("name"))
+            res = run_restore(self._tables[name], m.group("instant"))
+            self._tables[name].register_view(name)
+            return self.spark.createDataFrame(
+                [(res["restored_to"], len(res["removed_instants"]),
+                  len(res["deleted_files"]))],
+                "restored_to string, removed_instants int, deleted_files int",
+            )
         m = _VACUUM_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import (

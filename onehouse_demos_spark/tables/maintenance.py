@@ -211,12 +211,99 @@ def run_clustering(
         raise
 
 
+class RestoreError(ValueError):
+    """Restore target unreachable (archived away, unknown, or its
+    files were already cleaned)."""
+
+
+def create_savepoint(table: LakehouseTable, instant: str | None = None) -> str:
+    """Pin a commit: the cleaner retains every file its snapshot needs
+    regardless of the retention horizon, and `run_restore` can roll the
+    table back to it (reference table service: hudi-cli savepoint).
+    Metadata-only — a zero-file `savepoint` instant records the target.
+    """
+    target = instant or table.timeline.latest_instant()
+    if target is None:
+        raise RestoreError("cannot savepoint an empty timeline")
+    known = {i.instant for i in table.timeline.instants()}
+    if target not in known:
+        raise RestoreError(f"unknown instant {target!r}")
+    sp = table.timeline.begin("savepoint")
+    try:
+        table._commit(
+            sp, "savepoint", "savepoint", [], [],
+            extra={"saved_instant": target},
+        )
+        return target
+    except Exception:
+        table.timeline.abort(sp)
+        raise
+
+
+def _savepointed_paths(table: LakehouseTable) -> set[str]:
+    """Union of file paths needed by any savepointed snapshot."""
+    pinned: set[str] = set()
+    for inst in table.timeline.instants():
+        if inst.action == "savepoint":
+            target = inst.extra.get("saved_instant")
+            if target:
+                pinned.update(
+                    f.path for f in table.manifest.live_files(as_of=target)
+                )
+    return pinned
+
+
+def run_restore(table: LakehouseTable, instant: str) -> dict:
+    """Roll the table back to `instant`: physically delete every file
+    added after it and drop the newer instants from the timeline
+    (reference table service: hudi-cli restore). Refuses when the
+    target is unknown, archived out of the active window, or a later
+    clean already deleted files its snapshot needs. NOT safe under
+    concurrent writers — stop ingestion first, same as the reference.
+    """
+    tl = table.timeline
+    insts = tl.instants()
+    if instant not in {i.instant for i in insts}:
+        raise RestoreError(f"unknown instant {instant!r}")
+    active_ids = {n.split(".", 1)[0] for n in tl._completed_files()}
+    after = [i for i in insts if i.instant > instant]
+    for i in after:
+        if i.instant not in active_ids:
+            raise RestoreError(
+                f"instant {i.instant} is archived; restore cannot cross "
+                "the archive boundary"
+            )
+    needed = {f.path for f in table.manifest.live_files(as_of=instant)}
+    for i in after:
+        if i.action == "clean":
+            gone = set(i.extra.get("deleted", ())) & needed
+            if gone:
+                raise RestoreError(
+                    f"clean {i.instant} already deleted {len(gone)} files "
+                    f"the {instant} snapshot needs (e.g. {sorted(gone)[0]})"
+                )
+    deleted: list[str] = []
+    for i in after:
+        for fm in i.adds:
+            abs_path = os.path.join(table.base_path, fm.path)
+            if os.path.exists(abs_path):
+                os.remove(abs_path)
+                deleted.append(fm.path)
+    removed = tl.remove_after(instant)
+    return {
+        "restored_to": instant,
+        "removed_instants": removed,
+        "deleted_files": sorted(deleted),
+    }
+
+
 def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
     """Physically delete file versions replaced more than
     `keep_last_commits` commits ago (reference cleaning semantics,
     `validate_clean: true` in templates/long_test_suite.yaml.template).
     Time-travel older than the horizon is sacrificed — same contract
-    as the reference's cleaner."""
+    as the reference's cleaner — EXCEPT files pinned by a savepoint,
+    which survive any horizon until the savepoint is deleted."""
     instants = table.timeline.instants()
     if len(instants) <= keep_last_commits:
         return []
@@ -225,13 +312,18 @@ def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
     for inst in instants:
         if inst.action == "clean":
             already_cleaned.update(inst.extra.get("deleted", []))
+    pinned = _savepointed_paths(table)
     doomed: list[str] = []
     for inst in instants:
         # A file replaced at instant X is only needed by snapshots
         # as_of < X; keeping the last K commits means X <= horizon
         # versions are out of the travel window.
         if inst.instant <= horizon:
-            doomed.extend(p for p in inst.removes if p not in already_cleaned)
+            doomed.extend(
+                p
+                for p in inst.removes
+                if p not in already_cleaned and p not in pinned
+            )
     if not doomed:
         return []
     instant = table.timeline.begin("clean")

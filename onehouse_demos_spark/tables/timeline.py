@@ -31,7 +31,7 @@ import os
 import time
 from dataclasses import dataclass, field
 
-ACTIONS = ("commit", "deltacommit", "replacecommit", "clean")
+ACTIONS = ("commit", "deltacommit", "replacecommit", "clean", "savepoint")
 
 #: Actions that add *new logical records* — the only ones an
 #: incremental reader must consume (SURVEY §2.4 O19).
@@ -275,6 +275,20 @@ class Timeline:
         marker = os.path.join(self.commits_path, f"{instant}.inflight")
         if os.path.exists(marker):
             os.remove(marker)
+
+    def remove_after(self, instant: str) -> list[str]:
+        """Drop all ACTIVE completed instants newer than `instant`
+        (restore support). Archived instants cannot be removed — the
+        caller must verify the restore point is inside the active
+        window first. Returns the removed instant ids."""
+        removed: list[str] = []
+        for name in self._completed_files():
+            iid = name.split(".", 1)[0]
+            if iid > instant:
+                os.remove(os.path.join(self.commits_path, name))
+                self._cache.pop(name, None)
+                removed.append(iid)
+        return removed
 
     # -- archival -------------------------------------------------------------
 

@@ -1,0 +1,89 @@
+"""Savepoint + restore table services (reference: hudi-cli savepoint /
+restore): pin a commit against cleaning, roll the table back to it,
+and refuse restores whose files are provably gone."""
+
+import os
+
+import pytest
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.tables.maintenance import (
+    RestoreError,
+    create_savepoint,
+    run_clean,
+    run_restore,
+)
+
+
+def _mk(spark, tmp_base):
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/t",
+        TableConfig(name="t", record_key=["id"], precombine="ver"),
+    )
+    ddl = "id int, ver int, v string"
+    i1 = t.insert(spark.createDataFrame([(1, 1, "a"), (2, 1, "b")], ddl))
+    i2 = t.upsert(spark.createDataFrame([(1, 2, "a2")], ddl))
+    i3 = t.upsert(spark.createDataFrame([(2, 2, "b2"), (3, 1, "c")], ddl))
+    return t, i1.instant, i2.instant, i3.instant
+
+
+def test_restore_rolls_back_state_and_files(spark, tmp_base):
+    t, i1, i2, i3 = _mk(spark, tmp_base)
+    assert {r.v for r in t.snapshot().collect()} == {"a2", "b2", "c"}
+    added_by_i3 = [
+        f.path for i in t.timeline.instants() if i.instant == i3 for f in i.adds
+    ]
+    res = run_restore(t, i2)
+    assert res["restored_to"] == i2 and i3 in res["removed_instants"]
+    assert {r.v for r in t.snapshot().collect()} == {"a2", "b"}
+    assert t.timeline.latest_instant() == i2
+    for rel in added_by_i3:
+        assert not os.path.exists(os.path.join(t.base_path, rel))
+    # the table keeps working after restore
+    t.upsert(spark.createDataFrame([(9, 1, "z")], "id int, ver int, v string"))
+    assert {r.v for r in t.snapshot().collect()} == {"a2", "b", "z"}
+
+
+def test_restore_refuses_unknown_and_cleaned_targets(spark, tmp_base):
+    t, i1, i2, i3 = _mk(spark, tmp_base)
+    with pytest.raises(RestoreError):
+        run_restore(t, "00000000000000000000")
+    # aggressive clean removes the files i1's snapshot needs
+    for n in range(4, 9):
+        t.upsert(spark.createDataFrame(
+            [(1, n, f"a{n}")], "id int, ver int, v string"))
+    run_clean(t, keep_last_commits=2)
+    with pytest.raises(RestoreError):
+        run_restore(t, i1)
+
+
+def test_savepoint_pins_files_against_clean(spark, tmp_base):
+    t, i1, i2, i3 = _mk(spark, tmp_base)
+    create_savepoint(t, i1)
+    for n in range(4, 12):
+        t.upsert(spark.createDataFrame(
+            [(1, n, f"a{n}")], "id int, ver int, v string"))
+    run_clean(t, keep_last_commits=2)
+    # the savepointed snapshot still reads in full
+    assert {r.v for r in t.snapshot(as_of=i1).collect()} == {"a", "b"}
+    # and restore to the savepoint works even after the clean
+    run_restore(t, i1)
+    assert {r.v for r in t.snapshot().collect()} == {"a", "b"}
+
+
+def test_savepoint_restore_sql(spark, tmp_base):
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/wh")
+    eng.sql(
+        "CREATE TABLE sp (id INT, ver INT, v STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    eng.sql("INSERT INTO sp VALUES (1, 1, 'x')")
+    saved = eng.sql("SAVEPOINT TABLE sp").collect()[0].savepointed_instant
+    eng.sql("INSERT INTO sp VALUES (2, 1, 'y')")
+    assert eng.sql("SELECT * FROM sp").count() == 2
+    res = eng.sql(f"RESTORE TABLE sp TO '{saved}'").collect()[0]
+    assert res.restored_to == saved and res.removed_instants >= 1
+    assert [r.v for r in eng.sql("SELECT * FROM sp").collect()] == ["x"]
