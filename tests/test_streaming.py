@@ -195,3 +195,42 @@ def test_stream_checkpoint_recovery_no_reprocessing(spark, tmp_base):
     q.awaitTermination()
     snap = {r.key: (r.ts, r.close) for r in table.snapshot().collect()}
     assert snap == {"A": ("t2", 2.0), "B": ("t1", 9.0)}
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_base):
+    """The production dedup shape for unbounded streams:
+    `dropDuplicatesWithinWatermark` keys the state store but EVICTS
+    entries once the watermark passes their event time + delay, so the
+    re-delivery window (not stream length) sizes the state. Duplicates
+    inside the window are dropped; the stream completes with one row
+    per key for same-timestamp re-deliveries."""
+    import tempfile
+    import uuid
+
+    src = tmp_base + "/dupes"
+    rows = [
+        {"key": f"k{i}", "ts": f"2018-08-31 10:{i:02d}:00", "symbol": "S",
+         "close": float(i), "date": "d"}
+        for i in range(10)
+    ]
+    # same-batch exact re-deliveries (same key, same event time)
+    write_batch(src, "b1.json", rows + rows[:5])
+    stream = (
+        file_json_stream(spark, src, SCHEMA)
+        .withColumn("ev_ts", F.to_timestamp("ts"))
+        .withWatermark("ev_ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["key"])
+    )
+    view = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(view)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="oh_wm_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table(view).groupBy("key").count().collect()
+    assert len(got) == 10
+    assert all(r["count"] == 1 for r in got)
