@@ -1058,6 +1058,56 @@ class LakehouseTable:
         df = self._merge_latest(df)
         return self._strip_meta(df, keep_meta)
 
+    def changes(self, begin: str | None, end: str | None = None) -> DataFrame:
+        """CDC-style change feed for commits in (begin, end]: one row
+        per changed key with `_change_type` ∈ insert / update / delete,
+        the post-image columns, and `_pre_<precombine>` as a compact
+        before-image witness. Feeds downstream consumers that need
+        deletes surfaced (a plain incremental read cannot show them —
+        a vanished key is invisible in adds-only planning).
+
+        Plan shape: two manifest-resolved snapshot reads (begin, end)
+        pruned to their live file sets + ONE full-outer key join.
+        At 100 TB both sides are the same table hash-partitioned on the
+        key, so AQE plans a co-partitioned join; cost is bounded by the
+        two snapshots, never by timeline length.
+        """
+        pre = self.snapshot(as_of=begin) if begin is not None else None
+        post = self.snapshot(as_of=end)
+        key = self._key_expr()
+        post_k = post.withColumn(KEY_COL, key)
+        if pre is None:
+            return post_k.withColumn(
+                "_change_type", F.lit("insert")
+            ).drop(KEY_COL)
+        pc = self.config.precombine
+        pre_cols = [F.col(KEY_COL).alias("_pre_key")]
+        if pc:
+            pre_cols.append(F.col(pc).alias(f"_pre_{pc}"))
+        pre_k = pre.withColumn(KEY_COL, key).select(*pre_cols)
+        joined = post_k.join(
+            pre_k, post_k[KEY_COL] == pre_k["_pre_key"], "full_outer"
+        )
+        change = (
+            F.when(F.col("_pre_key").isNull(), F.lit("insert"))
+            .when(F.col(KEY_COL).isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+        )
+        out = joined.withColumn("_change_type", change)
+        # delete rows carry no post-image: surface the key so the
+        # consumer can apply the tombstone
+        out = out.withColumn(
+            KEY_COL, F.coalesce(F.col(KEY_COL), F.col("_pre_key"))
+        ).drop("_pre_key")
+        if pc:
+            # drop no-op rows (key present in both snapshots, same
+            # precombine value → nothing changed in the window)
+            out = out.filter(
+                (F.col("_change_type") != "update")
+                | (~F.col(pc).eqNullSafe(F.col(f"_pre_{pc}")))
+            )
+        return out
+
     def read(self, keep_meta: bool = False) -> DataFrame:
         """Session-conf-steered read (reference Q14: `set
         hoodie.<table>.consume.mode=INCREMENTAL`, `consume.max.commits`,

@@ -87,3 +87,35 @@ def test_savepoint_restore_sql(spark, tmp_base):
     res = eng.sql(f"RESTORE TABLE sp TO '{saved}'").collect()[0]
     assert res.restored_to == saved and res.removed_instants >= 1
     assert [r.v for r in eng.sql("SELECT * FROM sp").collect()] == ["x"]
+
+
+def test_changes_feed_classifies_insert_update_delete(spark, tmp_base):
+    """CDC read view: (begin, end] window surfaces inserts, real
+    updates (precombine moved), and deletes with the key witness;
+    untouched keys stay out of the feed."""
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/chg",
+        TableConfig(name="chg", record_key=["id"], precombine="ver"),
+    )
+    ddl = "id int, ver int, v string"
+    i1 = t.insert(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], ddl))
+    t.upsert(spark.createDataFrame([(2, 2, "b2"), (4, 1, "d")], ddl))
+    t.delete(spark.createDataFrame([(3,)], "id int"))
+    feed = t.changes(begin=i1.instant).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r._change_type, []).append(r)
+    assert {r.id for r in by_type["insert"]} == {4}
+    assert {r.id for r in by_type["update"]} == {2}
+    assert by_type["update"][0].v == "b2"
+    deletes = by_type["delete"]
+    assert len(deletes) == 1 and deletes[0].id is None
+    assert deletes[0]._oh_record_key == "3"
+    # key 1 never changed → absent from the feed
+    assert all(r.id != 1 for r in feed)
+    # begin=None → everything is an insert (bootstrap semantics)
+    boot = t.changes(begin=None)
+    assert boot.filter("_change_type <> 'insert'").count() == 0
+    assert boot.count() == 3
