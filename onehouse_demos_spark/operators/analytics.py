@@ -702,6 +702,68 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+# Quantile sketch vs exact: percentile_approx (Greenwald-Khanna-style
+# mergeable sketch — single pass, bounded memory, the only way to do
+# quantiles over 100 TB) checked against the exact interpolated
+# percentile computed in the same plan. The exact values are oracle-
+# verified against DuckDB's quantile_cont; the sketch's closeness is a
+# self-certified boolean (the sketch bytes themselves are
+# engine-specific, like the HLL case).
+# --------------------------------------------------------------------------
+
+_QS_ACCURACY = 1000  # ~1/1000 rank error
+
+
+def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    probs = [0.5, 0.9, 0.99]
+    exact = [
+        F.round(F.expr(f"percentile(value, {p})"), 4)
+        .cast("decimal(18,4)")
+        .alias(f"p{int(p*100)}_exact")
+        for p in probs
+    ]
+    approx = [
+        F.expr(
+            f"percentile_approx(value, {p}, {_QS_ACCURACY})"
+        ).alias(f"_a{int(p*100)}")
+        for p in probs
+    ]
+    spread = (
+        F.expr("max(value)") - F.expr("min(value)")
+    ).alias("_spread")
+    agg = ev.groupBy("event_type").agg(*exact, *approx, spread)
+    checks = [
+        (
+            F.abs(
+                F.col(f"_a{int(p*100)}")
+                - F.col(f"p{int(p*100)}_exact").cast("double")
+            )
+            <= F.col("_spread") * 0.05
+        ).alias(f"p{int(p*100)}_sketch_ok")
+        for p in probs
+    ]
+    return agg.select(
+        "event_type",
+        *[f"p{int(p*100)}_exact" for p in probs],
+        *checks,
+    )
+
+
+VALUE_QUANTILE_SKETCH_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4)::DECIMAL(18,4)  AS p50_exact,
+       ROUND(quantile_cont(value, 0.9), 4)::DECIMAL(18,4)  AS p90_exact,
+       ROUND(quantile_cont(value, 0.99), 4)::DECIMAL(18,4) AS p99_exact,
+       CAST(1 AS BOOLEAN) AS p50_sketch_ok,
+       CAST(1 AS BOOLEAN) AS p90_sketch_ok,
+       CAST(1 AS BOOLEAN) AS p99_sketch_ok
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -721,6 +783,7 @@ QUERIES = {
     "range_join_bands": range_join_bands,
     "skew_safe_agg": skew_safe_agg,
     "sole_late_supplier": sole_late_supplier,
+    "value_quantile_sketch": value_quantile_sketch,
 }
 
 ORACLES = {
@@ -742,4 +805,5 @@ ORACLES = {
     "range_join_bands": RANGE_JOIN_BANDS_SQL,
     "skew_safe_agg": SKEW_SAFE_AGG_SQL,
     "sole_late_supplier": SOLE_LATE_SUPPLIER_SQL,
+    "value_quantile_sketch": VALUE_QUANTILE_SKETCH_SQL,
 }

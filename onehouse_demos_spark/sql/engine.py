@@ -127,6 +127,10 @@ _DESCRIBE_RE = re.compile(
     r"^\s*(?:DESCRIBE|DESC)\s+(?:DETAIL\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE,
 )
+_HISTORY_RE = re.compile(
+    r"^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE,
+)
 
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
@@ -236,6 +240,25 @@ class Engine:
             return self._show_partitions(self._norm(m.group("name")))
         if _SHOW_TABLES_RE.match(s):
             return self._show_tables()
+        m = _HISTORY_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            t = self._tables[self._norm(m.group("name"))]
+            rows = [
+                (
+                    i.instant,
+                    i.action,
+                    i.operation,
+                    len(i.adds),
+                    len(i.removes),
+                    sum(f.rows for f in i.adds),
+                )
+                for i in t.timeline.instants()
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "instant string, action string, operation string, "
+                "n_adds int, n_removes int, rows_written long",
+            )
         m = _DESCRIBE_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._describe(self._norm(m.group("name")))

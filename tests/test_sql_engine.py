@@ -222,3 +222,20 @@ def test_alter_table_add_columns(engine):
 
     with _pytest.raises(SchemaEvolutionError):
         engine.sql("ALTER TABLE ev ADD COLUMNS (score DOUBLE)")
+
+
+def test_describe_history(engine):
+    """DESCRIBE HISTORY surfaces the commit timeline (instant, action,
+    operation, files, rows) for audit/debug — the SQL face of the
+    timeline the reference exposes through its CLI."""
+    engine.sql(
+        "CREATE TABLE h (id INT, ver INT, v STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    engine.sql("INSERT INTO h VALUES (1, 1, 'a')")
+    engine.sql("UPDATE h SET v = 'a2' WHERE id = 1")
+    hist = engine.sql("DESCRIBE HISTORY h").collect()
+    ops = [r.operation for r in hist]
+    assert ops[0] in ("insert", "bulk_insert") and "upsert" in ops
+    assert all(r.rows_written >= 0 for r in hist)
+    assert hist == sorted(hist, key=lambda r: r.instant)
