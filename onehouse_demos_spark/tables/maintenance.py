@@ -211,6 +211,63 @@ def run_clustering(
         raise
 
 
+def run_file_sizing(
+    table: LakehouseTable,
+    target_file_rows: int | None = None,
+    min_fill: float = 0.5,
+) -> "object | None":
+    """Bin-pack SMALL base files into target-sized ones (reference
+    small-file handling: Hudi sizes files toward
+    `parquet.max.file.size` on every write; this is the standalone
+    service form). Streaming ingest with frequent commits leaves a
+    long tail of small files — read amplification grows per commit
+    until something coalesces them.
+
+    Work is ∝ small files only: partitions whose small files can't be
+    packed into fewer files are untouched, right-sized files are never
+    rewritten, and the result is ONE replace-commit (invisible to
+    incremental readers, OCC-checked like compaction/clustering).
+    """
+    planned_from = table.timeline.latest_instant()
+    if target_file_rows is None:
+        target_file_rows = table.config.target_file_rows
+    threshold = int(target_file_rows * min_fill)
+    by_part: dict[str, list] = {}
+    for f in table.manifest.live_files(include_logs=False):
+        if f.rows < threshold:
+            by_part.setdefault(f.partition or "", []).append(f)
+    doomed = []
+    for part, smalls in by_part.items():
+        if len(smalls) < 2:
+            continue
+        rows = sum(f.rows for f in smalls)
+        packed = max(1, (rows + target_file_rows - 1) // target_file_rows)
+        if packed < len(smalls):
+            doomed.extend(smalls)
+    if not doomed:
+        return None
+    instant = table.timeline.begin("replacecommit")
+    try:
+        df = table._read_files(doomed)
+        total = sum(f.rows for f in doomed)
+        adds = table._write_files(
+            df, instant, kind="base", approx_rows=total
+        )
+        return table._commit(
+            instant,
+            "replacecommit",
+            "file_sizing",
+            adds,
+            [f.path for f in doomed],
+            df.schema,
+            extra={"packed_files": len(doomed)},
+            planned_from=planned_from,
+        )
+    except Exception:
+        table.timeline.abort(instant)
+        raise
+
+
 class RestoreError(ValueError):
     """Restore target unreachable (archived away, unknown, or its
     files were already cleaned)."""

@@ -119,3 +119,34 @@ def test_changes_feed_classifies_insert_update_delete(spark, tmp_base):
     boot = t.changes(begin=None)
     assert boot.filter("_change_type <> 'insert'").count() == 0
     assert boot.count() == 3
+
+
+def test_file_sizing_packs_small_files(spark, tmp_base):
+    """Many tiny commits leave a small-file tail; run_file_sizing packs
+    them in ONE replace-commit, preserves every row, stays invisible to
+    incremental readers, and leaves right-sized files alone."""
+    from onehouse_demos_spark.tables.maintenance import run_file_sizing
+
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/fs",
+        TableConfig(name="fs", record_key=["id"], precombine="ver",
+                    target_file_rows=1000),
+    )
+    ddl = "id int, ver int, v string"
+    for b in range(6):  # 6 commits × 10 rows → 6 tiny files
+        t.insert(spark.createDataFrame(
+            [(b * 10 + i, 1, f"v{b}") for i in range(10)], ddl))
+    last_data = t.timeline.latest_instant()
+    n_before = len(t.manifest.live_files(include_logs=False))
+    assert n_before >= 6
+    inst = run_file_sizing(t)
+    assert inst is not None and inst.operation == "file_sizing"
+    n_after = len(t.manifest.live_files(include_logs=False))
+    assert n_after < n_before
+    assert t.snapshot().count() == 60
+    assert {r.id for r in t.snapshot().collect()} == set(range(60))
+    # replace-commit is invisible to incremental readers
+    assert t.incremental(begin=last_data).count() == 0
+    # idempotent: a second pass finds nothing left to pack
+    assert run_file_sizing(t) is None
