@@ -25,12 +25,30 @@ from onehouse_demos_spark.tables.table import LakehouseTable
 
 class Streamer:
     """Wire any streaming DataFrame into a table with upsert (or CDC)
-    semantics."""
+    semantics.
 
-    def __init__(self, table: LakehouseTable, mode: str = "upsert"):
+    Inline table services (the reference's `hoodie.compact.inline.*`
+    pattern, base.properties): `inline_compact_every=N` runs MOR
+    compaction after every Nth applied micro-batch,
+    `inline_sizing_every=N` bin-packs the small-file tail continuous
+    ingest accumulates. Both are replace-commits — incremental
+    consumers never see them, so enabling services does not perturb
+    downstream pipelines.
+    """
+
+    def __init__(
+        self,
+        table: LakehouseTable,
+        mode: str = "upsert",
+        inline_compact_every: int | None = None,
+        inline_sizing_every: int | None = None,
+    ):
         assert mode in ("upsert", "insert", "cdc")
         self.table = table
         self.mode = mode
+        self.inline_compact_every = inline_compact_every
+        self.inline_sizing_every = inline_sizing_every
+        self._applied_batches = 0
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -41,6 +59,23 @@ class Streamer:
             self.table.insert(batch_df)
         else:
             self.table.upsert(batch_df)
+        self._applied_batches += 1
+        self._run_inline_services()
+
+    def _run_inline_services(self) -> None:
+        n = self._applied_batches
+        if (
+            self.inline_compact_every
+            and self.table.config.table_type == "mor"
+            and n % self.inline_compact_every == 0
+        ):
+            from onehouse_demos_spark.tables.maintenance import run_compaction
+
+            run_compaction(self.table)
+        if self.inline_sizing_every and n % self.inline_sizing_every == 0:
+            from onehouse_demos_spark.tables.maintenance import run_file_sizing
+
+            run_file_sizing(self.table)
 
     def start(
         self,
@@ -63,12 +98,21 @@ class Streamer:
 
 
 def file_json_stream(
-    spark: SparkSession, path: str, schema: T.StructType | str
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-drop source (reference S3 DFS source,
     `dfs-source.properties:28`): new files under a root dir are
-    ingested incrementally."""
-    return spark.readStream.schema(schema).json(path)
+    ingested incrementally. `max_files_per_trigger` bounds micro-batch
+    size (the reference's source-limit knob) — with AvailableNow it
+    splits a backlog into multiple commits instead of one giant batch.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
 
 
 def windowed_counts(

@@ -234,3 +234,34 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_base):
     got = spark.table(view).groupBy("key").count().collect()
     assert len(got) == 10
     assert all(r["count"] == 1 for r in got)
+
+
+def test_inline_services_run_during_ingest(spark, tmp_base):
+    """Reference `compact.inline` pattern: with inline services on, a
+    MOR stream compacts itself every N applied micro-batches and the
+    readers converge without any external maintenance job."""
+    src = tmp_base + "/inline_src"
+    for b in range(3):
+        write_batch(src, f"b{b}.json", [
+            {"key": f"k{i}", "ts": f"2018-08-31 10:0{b}:00", "symbol": "S",
+             "close": float(b), "date": "d"}
+            for i in range(5)
+        ])
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/inline_t",
+        TableConfig(name="inline_t", record_key=["key"], precombine="ts",
+                    table_type="mor"),
+    )
+    q = Streamer(t, mode="upsert", inline_compact_every=1).start(
+        file_json_stream(spark, src, SCHEMA, max_files_per_trigger=1),
+        tmp_base + "/inline_ck",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    ops = [i.operation for i in t.timeline.instants()]
+    assert "compaction" in ops
+    # read-optimized view equals snapshot right after inline compaction
+    ro = {(r.key, r.close) for r in t.read_optimized().collect()}
+    rt = {(r.key, r.close) for r in t.snapshot().collect()}
+    assert ro == rt and len(rt) == 5
