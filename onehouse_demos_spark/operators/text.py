@@ -689,6 +689,76 @@ LIMIT {_BM25_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Unigram language-model scoring (KenLM-style perplexity filter, the
+# classic pretraining quality gate): train unigram probabilities FROM
+# THE CORPUS ITSELF (one token aggregation), then score each document
+# by mean negative log-probability. Low-perplexity ≈ in-distribution
+# text; high ≈ boilerplate/garbage. 100 TB shape: the vocab table is
+# a (token → count) aggregate (map-side combine), scoring joins tokens
+# against it — Catalyst broadcasts when the vocab is small and
+# shuffle-joins otherwise — and the per-doc agg reuses the (doc)
+# grouping. Laplace smoothing keeps unseen tokens finite; the score is
+# decimal-rounded on both engines for hash stability.
+# --------------------------------------------------------------------------
+
+_PPL_TOPK = 25
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    consts = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "nlp",
+            -F.log(
+                (F.col("cnt") + 1.0)
+                / (F.col("total") + F.col("vsize"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("nlp"), 6).cast("decimal(18,6)").alias("mean_nlp"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return scored.orderBy(F.desc("mean_nlp"), F.asc("doc_id")).limit(_PPL_TOPK)
+
+
+UNIGRAM_LOGPROB_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+), vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), consts AS (
+  SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab
+), nlp AS (
+  SELECT toks.doc_id,
+         -ln((vocab.cnt + 1.0) / (consts.total + consts.vsize)) AS nlp
+  FROM toks JOIN vocab USING (tok) CROSS JOIN consts
+)
+SELECT doc_id,
+       ROUND(AVG(nlp), 6)::DECIMAL(18,6) AS mean_nlp,
+       COUNT(*) AS n_tokens
+FROM nlp GROUP BY doc_id
+ORDER BY mean_nlp DESC, doc_id ASC
+LIMIT {_PPL_TOPK}
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
     "lang_id_confusion": lang_id_confusion,
@@ -704,6 +774,7 @@ QUERIES = {
     "doc_chunking": doc_chunking,
     "sequence_packing_summary": sequence_packing_summary,
     "bm25_topk": bm25_topk,
+    "unigram_logprob_scores": unigram_logprob_scores,
 }
 
 ORACLES = {
@@ -721,4 +792,5 @@ ORACLES = {
     "doc_chunking": DOC_CHUNKING_SQL,
     "sequence_packing_summary": SEQUENCE_PACKING_SUMMARY_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "unigram_logprob_scores": UNIGRAM_LOGPROB_SCORES_SQL,
 }
