@@ -206,6 +206,7 @@ class AnnIndex:
         shortlist: int = 64,
         rerank_with: DataFrame | None = None,
         exclude_vec_id: int | None = None,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
         """ADC search over the probed cells only. The scan carries a
         `cell IN (...)` filter that Spark pushes into partition
@@ -219,6 +220,15 @@ class AnnIndex:
         )
         if exclude_vec_id is not None:
             codes = codes.filter(F.col("vec_id") != exclude_vec_id)
+        if allowed is not None:
+            # FILTERED ANN (pre-filter semantics): restrict candidates
+            # to vec_ids passing a metadata predicate BEFORE scoring,
+            # so the shortlist is all-eligible — no recall collapse
+            # from post-filtering a tiny top-k. The allowed set joins
+            # as a semi-join; Catalyst broadcasts it when small.
+            codes = codes.join(
+                allowed.select("vec_id"), "vec_id", "left_semi"
+            )
         lut_col = F.map_from_arrays(
             F.array(*[F.lit(c) for c in cells]),
             F.array(*[

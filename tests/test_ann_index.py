@@ -89,3 +89,33 @@ def test_index_is_externally_readable(spark, tmp_base):
     ).fetchone()
     assert n_codes[0] == idx.meta["n_vectors"]
     assert n_codes[1] == n_codes[2] == idx.meta["m"]
+
+
+def test_filtered_search_prefilters_candidates(spark, tmp_base):
+    """Filtered ANN: the metadata predicate restricts candidates
+    BEFORE scoring (pre-filter semantics), so every hit satisfies it
+    and the shortlist never collapses to fewer eligible results."""
+    idx = _build(spark, tmp_base)
+    emb = load_emb(spark, SF_DIR)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+        .v
+    )
+    qlabel = emb.filter(F.col("vec_id") == 0).first().label
+    allowed = emb.filter(F.col("label") != qlabel).select("vec_id")
+    hits = idx.search(
+        list(q),
+        top_k=10,
+        nprobe=8,  # all cells: isolate the filter's effect
+        rerank_with=emb,
+        exclude_vec_id=0,
+        allowed=allowed,
+    ).collect()
+    assert len(hits) == 10
+    labels = {
+        r.vec_id: r.label
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert all(labels[r.vec_id] != qlabel for r in hits)
