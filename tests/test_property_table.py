@@ -132,3 +132,77 @@ def test_mutation_sequence_matches_dict_model(spark, table_type, ops):
             assert snap.count() == len(model)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    seq=st.lists(
+        st.tuples(
+            st.sampled_from(["insert", "update", "delete", "merge_up"]),
+            st.sampled_from(KEYS),
+            st.text(alphabet="mnpq", min_size=1, max_size=3),
+        ),
+        min_size=1,
+        max_size=7,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_sql_dml_sequence_matches_dict_model(spark, seq):
+    """Random INSERT / UPDATE / DELETE / MERGE statement sequences
+    through the SQL engine must match a dict model — the engine's
+    parser + planner composed under arbitrary interleavings, not just
+    the hand-written happy paths."""
+    import uuid as _uuid
+
+    from onehouse_demos_spark.sql import Engine
+
+    base = tempfile.mkdtemp(prefix="oh_sqlprop_")
+    try:
+        eng = Engine(spark, base + "/wh")
+        tname = f"p{_uuid.uuid4().hex[:8]}"
+        eng.sql(
+            f"CREATE TABLE {tname} (id INT, ver INT, v STRING) "
+            "USING lakehouse "
+            "TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+        )
+        model: dict = {}
+        ver = 0
+        for op, key, val in seq:
+            ver += 1
+            if op == "insert":
+                if key in model:  # plain INSERT on a live key would
+                    continue      # duplicate it; the model forbids that
+                eng.sql(
+                    f"INSERT INTO {tname} VALUES ({key}, {ver}, '{val}')"
+                )
+                model[key] = (ver, val)
+            elif op == "update":
+                eng.sql(
+                    f"UPDATE {tname} SET v = '{val}', ver = {ver} "
+                    f"WHERE id = {key}"
+                )
+                if key in model:
+                    model[key] = (ver, val)
+            elif op == "delete":
+                eng.sql(f"DELETE FROM {tname} WHERE id = {key}")
+                model.pop(key, None)
+            else:  # merge_up: upsert via MERGE
+                eng.sql(
+                    f"MERGE INTO {tname} t USING "
+                    f"(SELECT {key} AS id, {ver} AS ver, '{val}' AS v) s "
+                    "ON t.id = s.id "
+                    "WHEN MATCHED THEN UPDATE SET ver = s.ver, v = s.v "
+                    "WHEN NOT MATCHED THEN INSERT (id, ver, v) "
+                    "VALUES (s.id, s.ver, s.v)"
+                )
+                model[key] = (ver, val)
+            got = {
+                r.id: (r.ver, r.v)
+                for r in eng.sql(f"SELECT * FROM {tname}").collect()
+            }
+            assert got == model, (op, key, val, got, model)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
