@@ -764,6 +764,141 @@ GROUP BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+# Time-series rollups (hypertable continuous-aggregate family):
+# OHLC bars via ordered aggregates (min_by/max_by pick open/close by
+# timestamp inside one hash aggregate — no window sort), and
+# gap-filling: bucket aggregation LEFT-joined onto a generated dense
+# time axis with last-observation-carried-forward interpolation.
+# 100 TB shapes: OHLC is one map-side-combined aggregation keyed by
+# (bucket, series); gapfill's generated axis is buckets × series
+# (metadata-scale vs the events), the join broadcasts it, and the fill
+# is one window over the tiny bucketed frame, never the raw events.
+# --------------------------------------------------------------------------
+
+
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    # Orderable composite tiebreak key (ts, event_id) as a zero-padded
+    # string — both engines' arg_min/min_by accept it, and it makes
+    # open/close deterministic under same-timestamp events.
+    okey = F.format_string(
+        "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+    )
+    return (
+        ev.groupBy(
+            F.unix_micros(hour).alias("bucket_us"),
+            "event_type",
+        )
+        .agg(
+            F.round(F.min_by("value", okey), 4)
+            .cast("decimal(18,4)")
+            .alias("open"),
+            F.round(F.max("value"), 4).cast("decimal(18,4)").alias("high"),
+            F.round(F.min("value"), 4).cast("decimal(18,4)").alias("low"),
+            F.round(F.max_by("value", okey), 4)
+            .cast("decimal(18,4)")
+            .alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+EVENTS_OHLC_BARS_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) AS bucket_us,
+       event_type,
+       ROUND(arg_min(value, printf('%020d-%020d', epoch_us(ts::TIMESTAMP),
+                                   event_id)), 4)::DECIMAL(18,4) AS open,
+       ROUND(MAX(value), 4)::DECIMAL(18,4) AS high,
+       ROUND(MIN(value), 4)::DECIMAL(18,4) AS low,
+       ROUND(arg_max(value, printf('%020d-%020d', epoch_us(ts::TIMESTAMP),
+                                   event_id)), 4)::DECIMAL(18,4) AS close,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type over the observed time span,
+    with empty buckets emitted (n_events = 0) and the mean value
+    carried forward from the last non-empty bucket (locf)."""
+    ev = load_events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bars = ev.groupBy(
+        F.unix_micros(hour).alias("bucket_us"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("_avg"),
+    )
+    span = ev.agg(
+        F.unix_micros(F.date_trunc("hour", F.min("ts"))).alias("lo"),
+        F.unix_micros(F.date_trunc("hour", F.max("ts"))).alias("hi"),
+    )
+    hour_us = 3_600_000_000
+    axis = (
+        span.select(
+            F.explode(
+                F.sequence("lo", "hi", F.lit(hour_us))
+            ).alias("bucket_us")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        axis.join(bars, ["bucket_us", "event_type"], "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .withColumn(
+            "avg_value_locf",
+            F.round(F.last("_avg", ignorenulls=True).over(w), 4).cast(
+                "decimal(18,4)"
+            ),
+        )
+        .drop("_avg")
+    )
+    return filled.filter(F.col("avg_value_locf").isNotNull())
+
+
+EVENTS_GAPFILL_SQL = """
+WITH bars AS (
+  SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) AS bucket_us,
+         event_type,
+         COUNT(*) AS n_events,
+         AVG(value) AS a
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT epoch_us(date_trunc('hour', MIN(ts))::TIMESTAMP) AS lo,
+         epoch_us(date_trunc('hour', MAX(ts))::TIMESTAMP) AS hi
+  FROM events
+), axis AS (
+  SELECT unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+  FROM span
+), grid AS (
+  SELECT axis.bucket_us, t.event_type
+  FROM axis CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+), joined AS (
+  SELECT grid.bucket_us, grid.event_type,
+         COALESCE(bars.n_events, 0) AS n_events,
+         bars.a
+  FROM grid LEFT JOIN bars USING (bucket_us, event_type)
+)
+SELECT bucket_us, event_type, CAST(n_events AS BIGINT) AS n_events,
+       ROUND(
+         last_value(a IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_us
+           ROWS UNBOUNDED PRECEDING), 4)::DECIMAL(18,4) AS avg_value_locf
+FROM joined
+QUALIFY avg_value_locf IS NOT NULL
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -784,6 +919,8 @@ QUERIES = {
     "skew_safe_agg": skew_safe_agg,
     "sole_late_supplier": sole_late_supplier,
     "value_quantile_sketch": value_quantile_sketch,
+    "events_ohlc_bars": events_ohlc_bars,
+    "events_gapfill": events_gapfill,
 }
 
 ORACLES = {
@@ -806,4 +943,6 @@ ORACLES = {
     "skew_safe_agg": SKEW_SAFE_AGG_SQL,
     "sole_late_supplier": SOLE_LATE_SUPPLIER_SQL,
     "value_quantile_sketch": VALUE_QUANTILE_SKETCH_SQL,
+    "events_ohlc_bars": EVENTS_OHLC_BARS_SQL,
+    "events_gapfill": EVENTS_GAPFILL_SQL,
 }
