@@ -250,6 +250,66 @@ def extract_features(
     return df.select(*id_cols, binary_col).mapInPandas(feature_batches, out_schema)
 
 
+def audio_spectral_features(
+    df: DataFrame, binary_col: str, id_cols: list[str]
+) -> DataFrame:
+    """REAL audio DSP over WAV bytes: decode PCM16 (struct codec, no
+    external libs), then numpy rFFT per clip → dominant frequency,
+    spectral centroid, and RMS energy. Arrow-batched `mapInPandas`;
+    non-WAV / null rows yield NULL features. Deterministic, so a test
+    can pin a synthetic 440 Hz sine to its known spectrum — the decode
+    step is NOT simulated on this path."""
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in id_cols
+    ) + (
+        ", sample_rate int, n_samples int, dominant_hz double,"
+        " spectral_centroid_hz double, rms double"
+    )
+
+    def spectral_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from onehouse_demos_spark.functions import media_codecs as mc
+
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            rates, counts, doms, cents, rmss = [], [], [], [], []
+            for b in pdf[binary_col]:
+                raw = bytes(b) if b is not None else b""
+                if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    rates.append(None); counts.append(None)
+                    doms.append(None); cents.append(None); rmss.append(None)
+                    continue
+                rate, _ch, samples = mc.decode_wav(raw)
+                mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                n = len(mono)
+                spec = np.abs(np.fft.rfft(mono))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                # ignore DC when picking the dominant bin
+                k = 1 + int(np.argmax(spec[1:])) if n > 1 else 0
+                power = spec ** 2
+                denom = float(power[1:].sum())
+                cent = (
+                    float((freqs[1:] * power[1:]).sum() / denom)
+                    if denom > 0
+                    else 0.0
+                )
+                rates.append(int(rate)); counts.append(int(n))
+                doms.append(round(float(freqs[k]), 3))
+                cents.append(round(cent, 3))
+                rmss.append(round(float(np.sqrt((mono ** 2).mean())), 6))
+            out["sample_rate"] = pd.array(rates, dtype="Int32")
+            out["n_samples"] = pd.array(counts, dtype="Int32")
+            out["dominant_hz"] = doms
+            out["spectral_centroid_hz"] = cents
+            out["rms"] = rmss
+            yield out
+
+    return df.select(*id_cols, binary_col).mapInPandas(
+        spectral_batches, out_schema
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, binary_col: str, id_cols: list[str], every_n_bytes: int = 1 << 16
 ) -> DataFrame:

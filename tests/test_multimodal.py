@@ -171,3 +171,32 @@ def test_real_resize_bmp(spark):
     small = resize_nearest(px, oh, ow)
     assert small.shape == (oh, ow, 3)
     assert np.array_equal(small[0, 0], px[0, 0])
+
+
+def test_audio_spectral_features_pin_sine(spark):
+    """Real DSP path: a synthetic 440 Hz sine must come back with
+    dominant frequency at 440 Hz (± bin resolution), centroid near it,
+    and the sine's RMS (1/sqrt(2) of amplitude); non-WAV rows NULL."""
+    import numpy as np
+
+    from onehouse_demos_spark.functions.media_codecs import encode_wav
+    from onehouse_demos_spark.operators.multimodal import (
+        audio_spectral_features,
+    )
+
+    rate, secs, freq, amp = 8000, 1.0, 440.0, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    pcm = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    wav = encode_wav(pcm.reshape(-1, 1), sample_rate=rate)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not-a-wav"))],
+        "media_id int, payload binary",
+    )
+    rows = {r.media_id: r for r in
+            audio_spectral_features(df, "payload", ["media_id"]).collect()}
+    sine = rows[1]
+    assert sine.sample_rate == rate and sine.n_samples == rate
+    assert abs(sine.dominant_hz - freq) <= rate / sine.n_samples + 1e-6
+    assert abs(sine.spectral_centroid_hz - freq) < 25.0  # leakage tolerance
+    assert abs(sine.rms - amp / np.sqrt(2)) < 0.01
+    assert rows[2].dominant_hz is None and rows[2].sample_rate is None

@@ -335,3 +335,16 @@ def test_trained_ivf_assignment_broadcasts_centroids(spark):
     txt = explain_str(assigned)
     assert "BroadcastExchange" in txt, txt[:800]
     assert "CartesianProduct" not in txt
+
+
+def test_ohlc_bars_aggregate_only_no_window_no_join(spark):
+    """OHLC open/close come from ordered aggregates (min_by/max_by):
+    a partial+final aggregation over the scan — no Window operator, no
+    self-join of the events, at most the agg's own exchange pair."""
+    from onehouse_demos_spark.operators.analytics import events_ohlc_bars
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(events_ohlc_bars(spark, SF_DIR))
+    assert "Window" not in txt, txt[:800]
+    assert "Join" not in txt, txt[:800]
+    assert txt.count("Exchange") <= 2, txt[:800]
