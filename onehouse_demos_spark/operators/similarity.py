@@ -836,6 +836,38 @@ def pq_adc_topk(
     )
 
 
+_ANN_INDEX_CACHE: dict = {}
+
+
+def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible face of the persistent IVF-PQ index
+    (operators/ann_index.py): build once per (session, sf_dir) into a
+    temp dir — the real deployments' offline index build — then answer
+    the vec_id=0 query through the partition-pruned ADC scan + exact
+    re-rank. Rows-only check (k-means is not SQL-expressible); recall
+    and pruning are pytest-gated in tests/test_ann_index.py."""
+    import tempfile
+
+    from onehouse_demos_spark.operators.ann_index import AnnIndex
+
+    key = (id(spark), sf_dir)
+    if key not in _ANN_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="oh_annidx_") + "/idx"
+        AnnIndex.build(load_emb(spark, sf_dir), path, k_coarse=8, iters=3)
+        _ANN_INDEX_CACHE[key] = path
+    idx = AnnIndex.load(spark, _ANN_INDEX_CACHE[key])
+    emb = load_emb(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_as_double(F.col("embedding")).alias("v"))
+        .first()
+        .v
+    )
+    return idx.search(
+        list(q), top_k=10, nprobe=4, rerank_with=emb, exclude_vec_id=0
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroid_distance": label_centroid_distance,
@@ -848,6 +880,8 @@ QUERIES = {
                                  # vs brute force in tests/test_plans.py
     "knn_ivf_trained": knn_ivf_trained,  # same: recall gated in
                                          # tests/test_plans.py
+    "ann_index_search": ann_index_search,  # persistent-index face;
+                                           # pytest-gated, rows-only
 }
 
 ORACLES = {

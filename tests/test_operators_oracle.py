@@ -64,7 +64,7 @@ def test_entry_smoke(spark):
 # Queries with NO SQL oracle by design (k-means training is not
 # SQL-expressible); each is recall-gated against brute force in
 # tests/test_plans.py and the driver records a rows-only check.
-ROWS_ONLY = {"pq_adc_topk", "knn_ivf_trained"}
+ROWS_ONLY = {"pq_adc_topk", "knn_ivf_trained", "ann_index_search"}
 
 
 def test_every_query_has_oracle_or_is_flagged():
