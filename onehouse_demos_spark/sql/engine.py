@@ -131,6 +131,11 @@ _HISTORY_RE = re.compile(
     r"^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(?P<name>[\w.]+)\s*$",
     re.IGNORECASE,
 )
+_CHANGES_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+CHANGES\s*\(\s*(?P<name>[\w.]+)\s*,\s*"
+    r"'(?P<begin>[^']*)'\s*(?:,\s*'(?P<end>[^']+)'\s*)?\)\s*$",
+    re.IGNORECASE,
+)
 
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
@@ -240,6 +245,14 @@ class Engine:
             return self._show_partitions(self._norm(m.group("name")))
         if _SHOW_TABLES_RE.match(s):
             return self._show_tables()
+        m = _CHANGES_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            # table-valued CHANGES(t, 'begin' [, 'end']): the CDC read
+            # view (insert/update/delete classification). Empty begin
+            # string = bootstrap (everything is an insert).
+            t = self._tables[self._norm(m.group("name"))]
+            begin = m.group("begin") or None
+            return t.changes(begin=begin, end=m.group("end"))
         m = _HISTORY_RE.match(s)
         if m and self._norm(m.group("name")) in self._tables:
             t = self._tables[self._norm(m.group("name"))]

@@ -239,3 +239,25 @@ def test_describe_history(engine):
     assert ops[0] in ("insert", "bulk_insert") and "upsert" in ops
     assert all(r.rows_written >= 0 for r in hist)
     assert hist == sorted(hist, key=lambda r: r.instant)
+
+
+def test_changes_table_function_sql(engine):
+    """SELECT * FROM CHANGES(t, 'begin') — the SQL face of the CDC
+    change feed."""
+    engine.sql(
+        "CREATE TABLE cf (id INT, ver INT, v STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    engine.sql("INSERT INTO cf VALUES (1, 1, 'a'), (2, 1, 'b')")
+    t = engine._tables["cf"]
+    mark = t.timeline.latest_instant()
+    engine.sql("UPDATE cf SET v = 'a2', ver = 2 WHERE id = 1")
+    engine.sql("DELETE FROM cf WHERE id = 2")
+    feed = engine.sql(f"SELECT * FROM CHANGES(cf, '{mark}')").collect()
+    kinds = {r._change_type for r in feed}
+    assert kinds == {"update", "delete"}
+    upd = [r for r in feed if r._change_type == "update"][0]
+    assert upd.id == 1 and upd.v == "a2"
+    # bootstrap form: empty begin → everything is an insert
+    boot = engine.sql("SELECT * FROM CHANGES(cf, '')").collect()
+    assert {r._change_type for r in boot} == {"insert"}
