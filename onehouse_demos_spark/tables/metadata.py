@@ -47,6 +47,22 @@ def table_report(table: LakehouseTable) -> dict[str, Any]:
             "pending_compaction_partitions": sorted(
                 {f.partition or "" for f in files if f.kind == "log"}
             ),
+            # observability for the round-2 services: what is pinned,
+            # how healthy is the file layout, how indexed are probes
+            "savepoints": [
+                i.extra.get("saved_instant")
+                for i in instants
+                if i.action == "savepoint"
+            ],
+            "small_files": sum(
+                1
+                for f in files
+                if f.kind == "base"
+                and f.rows < table.config.target_file_rows * 0.5
+            ),
+            "bloom_indexed_files": sum(
+                1 for f in files if f.kind == "base" and f.key_bloom
+            ),
         }
     )
     return base
