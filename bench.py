@@ -50,6 +50,8 @@ HEADLINE = [
     "doc_repetition_stats",
     "bm25_topk",
     "sole_late_supplier",
+    "events_ohlc_bars",
+    "unigram_logprob_scores",
 ]
 
 

@@ -18,9 +18,12 @@ from pyspark.sql import functions as F
 
 from onehouse_demos_spark import LakehouseTable, TableConfig
 from onehouse_demos_spark.tables.maintenance import (
+    create_savepoint,
     run_clean,
     run_clustering,
     run_compaction,
+    run_file_sizing,
+    run_restore,
 )
 
 SCHEMA = "rk string, ver int, payload string, part string"
@@ -94,9 +97,11 @@ def test_dag_replay(spark, tmp_base, table_type, seed):
     )
     expected: dict[str, tuple] = {}
     ver = 0
-    ops = ["insert", "upsert", "upsert", "delete", "compact", "cluster",
-           "delete_partition", "upsert", "overwrite", "insert", "delete",
-           "compact", "clean", "upsert"]
+    ops = ["insert", "upsert", "savepoint", "upsert", "delete", "compact",
+           "cluster", "sizing", "delete_partition", "upsert", "overwrite",
+           "insert", "delete", "compact", "clean", "restore", "upsert"]
+    sp_instant = None
+    sp_state: dict[str, tuple] = {}
     for step, op in enumerate(ops):
         ver += 1
         if op == "insert":
@@ -147,10 +152,23 @@ def test_dag_replay(spark, tmp_base, table_type, seed):
         elif op == "compact":
             run_compaction(table)
         elif op == "clean":
-            # physical retention: state must be unaffected
+            # physical retention: state must be unaffected, and files
+            # the savepoint pins must survive the horizon
             run_clean(table, keep_last_commits=3)
         elif op == "cluster":
             run_clustering(table, sort_columns=["rk"], target_file_rows=100)
+        elif op == "sizing":
+            run_file_sizing(table)  # layout-only: state unchanged
+        elif op == "savepoint":
+            sp_instant = create_savepoint(table)
+            sp_state = dict(expected)
+        elif op == "restore":
+            # roll back through every mutation since the savepoint —
+            # including a clean that ran in between (pinning must have
+            # preserved the files the savepointed snapshot needs)
+            assert sp_instant is not None
+            run_restore(table, sp_instant)
+            expected = dict(sp_state)
         check(table, expected, f"{step}:{op}")
 
     # final cross-view consistency: RO after full compaction == snapshot
