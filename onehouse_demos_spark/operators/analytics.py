@@ -899,6 +899,60 @@ QUALIFY avg_value_locf IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q11 analog — "important stock": supplier-part value groups
+# whose total exceeds a FRACTION OF THE GLOBAL TOTAL. The defining
+# shape is HAVING against a scalar subquery over the same fact table:
+# Spark-first this is one aggregation reused for both sides — group
+# totals once, global total as a second tiny aggregate of the group
+# frame (NOT a second fact scan), crossJoin-broadcast the scalar.
+# The DuckDB oracle keeps the textbook correlated form.
+# --------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.001
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    groups = li.groupBy("l_partkey").agg(
+        F.sum(value.cast("decimal(18,4)")).alias("part_value")
+    )
+    total = groups.agg(
+        (F.sum("part_value") * _Q11_FRACTION).alias("threshold")
+    )
+    return (
+        groups.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.col("part_value").cast("decimal(18,2)").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        .limit(50)
+    )
+
+
+IMPORTANT_PART_VALUE_SQL = f"""
+SELECT l_partkey,
+       CAST(part_value AS DECIMAL(18,2)) AS part_value
+FROM (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+) g
+WHERE part_value > (
+  SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+         * {_Q11_FRACTION}
+  FROM lineitem
+)
+ORDER BY part_value DESC, l_partkey ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -921,6 +975,7 @@ QUERIES = {
     "value_quantile_sketch": value_quantile_sketch,
     "events_ohlc_bars": events_ohlc_bars,
     "events_gapfill": events_gapfill,
+    "important_part_value": important_part_value,
 }
 
 ORACLES = {
@@ -945,4 +1000,5 @@ ORACLES = {
     "value_quantile_sketch": VALUE_QUANTILE_SKETCH_SQL,
     "events_ohlc_bars": EVENTS_OHLC_BARS_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
+    "important_part_value": IMPORTANT_PART_VALUE_SQL,
 }

@@ -120,3 +120,48 @@ def test_matview_null_partition_rows_survive_incremental(spark, tmp_base):
     assert r["mode"] == "incremental"
     got = {r_.p: r_.s for r_ in mv.read().collect()}
     assert got == {"a": 11, None: 55}
+
+
+def test_matview_on_mor_table_across_compaction(spark, tmp_base):
+    """A materialized aggregate over a MOR table: log-merged rows feed
+    the refresh, compaction's replace-commit is a no-op, and the
+    materialization always equals a full recompute of the merged view."""
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    ).withColumn("ver", F.lit(1))
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/orders_mor_mv",
+        TableConfig(
+            name="orders_mor_mv",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="mor",
+        ),
+    )
+    t.insert(orders)
+    mv = MaterializedAggregate(t, f"{tmp_base}/mor_mv", _agg)
+    assert mv.refresh()["mode"] == "full"
+    assert _got(mv) == _expect(t)
+    # MOR upsert (log append) on one partition → incremental refresh
+    ups = (
+        orders.filter(
+            (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 7 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("ver", F.lit(2))
+    )
+    t.upsert(ups)
+    r = mv.refresh()
+    assert r["mode"] == "incremental"
+    assert _got(mv) == _expect(t)
+    # compaction rewrites files without changing rows → refresh no-op
+    run_compaction(t)
+    assert mv.refresh()["mode"] == "noop"
+    assert _got(mv) == _expect(t)
