@@ -837,6 +837,9 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.date_trunc("hour", F.max("ts"))).alias("hi"),
     )
     hour_us = 3_600_000_000
+    # The dense axis is buckets × series — METADATA-scale (hours in the
+    # span × distinct types), never event-scale; its crossJoin plans as
+    # a broadcast nested loop over that tiny frame by design.
     axis = (
         span.select(
             F.explode(
@@ -921,6 +924,10 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = groups.agg(
         (F.sum("part_value") * _Q11_FRACTION).alias("threshold")
     )
+    # crossJoin with a ONE-ROW broadcast side plans as a
+    # BroadcastNestedLoopJoin — that is the standard scalar-subquery
+    # physical shape (O(groups) work, broadcast payload = one scalar),
+    # not an all-pairs join.
     return (
         groups.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
