@@ -41,11 +41,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":
-        # Nanos-as-long (or epoch-micros): values this century are
-        # > 1e18 only for nanos; epoch-millis would be ~1.7e12.
+        # Separate all three epoch scales (2026-era magnitudes:
+        # nanos ~1.8e18, micros ~1.8e15, millis ~1.8e12). Thresholds
+        # sit 2-3 orders of magnitude below each scale so any date
+        # between 1973 and ~5000 classifies correctly.
         row = ev.select(F.max(F.abs("ts")).alias("m")).first()
-        scale = 1000 if (row.m or 0) > 10**15 else 0.001
-        expr = f"ts div {scale}" if scale >= 1 else "ts * 1000"
+        m = row.m or 0
+        if m > 10**17:  # nanoseconds
+            expr = "ts div 1000"
+        elif m > 10**14:  # already microseconds
+            expr = "ts"
+        else:  # milliseconds
+            expr = "ts * 1000"
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr(expr)))
     elif ts_type != "timestamp":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))

@@ -192,6 +192,12 @@ def decode_protobuf_stream(
                     "classpath) and no message_spec fallback was provided"
                 )
     if message_spec is None:
+        if descriptor_file is not None and on_error == "quarantine":
+            raise ValueError(
+                "quarantine mode requires message_spec: the JVM "
+                "descriptor_file path decodes whole batches and cannot "
+                "isolate per-record failures"
+            )
         raise ValueError("need a descriptor_file or a message_spec")
     from onehouse_demos_spark.sources import protobuf_codec as pc
 

@@ -236,7 +236,18 @@ def decode(buf: bytes, spec: dict) -> dict:
             elif ftype == "message":
                 v = decode(chunk, f["spec"])
             else:
-                # packed repeated varints
+                # packed repeated varints — only legal for repeated
+                # fields; a scalar varint field delivered length-
+                # delimited is a wire/spec mismatch. Raising here (not
+                # silently assigning a list to a scalar) keeps the
+                # failure per-record so quarantine mode isolates it
+                # instead of poisoning the whole Arrow batch later.
+                if not f.get("repeated"):
+                    raise ValueError(
+                        f"wire-type 2 (length-delimited) for "
+                        f"non-repeated scalar field {f['name']!r} "
+                        f"({ftype})"
+                    )
                 v = []
                 p2 = 0
                 while p2 < len(chunk):
@@ -244,9 +255,8 @@ def decode(buf: bytes, spec: dict) -> dict:
                     if ftype in _ZIGZAG_TYPES:
                         item = _unzigzag(item)
                     v.append(item)
-                if f.get("repeated"):
-                    out[f["name"]].extend(v)
-                    continue
+                out[f["name"]].extend(v)
+                continue
         else:
             raise ValueError(f"bad wire type {wire}")
         if f.get("repeated"):

@@ -16,10 +16,12 @@ Building a 500k-key bloom takes ~100 ms; probing a batch of keys
 against a file's bloom is a handful of numpy ops. FNV is processor-
 and process-independent, so blooms built on executors verify anywhere.
 
-Sized at ~10 bits/key → ~1% false positives; serialized base64 into
-the commit metadata next to the key range. Bytes per file stay
-metadata-scale (a 500k-row file is ~1.2 MB of bloom; larger files skip
-the bloom and fall back to range pruning).
+Sized at ≥10 bits/key → ≤1% false positives; m_bits rounds UP to the
+next power of two (the probe masks with `& (m_bits-1)` instead of a
+modulo), so the realized rate is 10-20 bits/key. Serialized base64
+into the commit metadata next to the key range. Bytes per file stay
+metadata-scale (worst case 2^23 bits = 1 MiB at the 500k-row cap;
+larger files skip the bloom and fall back to range pruning).
 """
 
 from __future__ import annotations

@@ -15,6 +15,13 @@ capability-gated so the engine runs without them. `export_parquet_view`
 is the always-available fallback: our tables ARE plain parquet + a
 manifest, so any engine that reads parquet can read a materialized
 snapshot.
+
+Jar-free personalities (the true xTable model — metadata over the SAME
+files, zero data copies): `sync_delta_log` (tables/delta_export.py)
+writes a public-protocol `_delta_log/` in place, and
+`sync_iceberg_metadata` (tables/iceberg_export.py) the Iceberg
+`metadata/` tree; both are re-exported here as the one-stop interop
+surface.
 """
 
 from __future__ import annotations

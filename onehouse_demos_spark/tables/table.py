@@ -39,7 +39,9 @@ DELETED_COL = "_oh_is_deleted"
 PP_COL = "_oh_pp"  # on-disk partition-path directory column
 META_COLS = (KEY_COL, COMMIT_COL, DELETED_COL)
 #: Files above this row count skip bloom construction (range pruning
-#: still applies); keeps per-file bloom bytes bounded (~600 KB max).
+#: still applies); keeps per-file bloom bytes bounded (1 MiB max:
+#: bloom.py rounds m_bits up to the next power of two, 2^23 bits at
+#: this cap).
 BLOOM_MAX_ROWS = 500_000
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
@@ -1072,16 +1074,29 @@ class LakehouseTable:
         key, so AQE plans a co-partitioned join; cost is bounded by the
         two snapshots, never by timeline length.
         """
-        pre = self.snapshot(as_of=begin) if begin is not None else None
-        post = self.snapshot(as_of=end)
-        key = self._key_expr()
-        post_k = post.withColumn(KEY_COL, key)
-        if pre is None:
-            return post_k.withColumn(
+        if begin is None:
+            post = self.snapshot(as_of=end)
+            key = self._key_expr()
+            return post.withColumn(KEY_COL, key).withColumn(
                 "_change_type", F.lit("insert")
             ).drop(KEY_COL)
+        # keep_meta=True: the winning row's commit time is the change
+        # witness. The upsert contract is latest-commit-wins regardless
+        # of precombine, and COW carries untouched rows with their
+        # ORIGINAL commit stamp — so "commit time differs between the
+        # two snapshots" is exactly "this key was rewritten by a commit
+        # in the window", catching precombine-stable updates (e.g. SQL
+        # UPDATE of payload columns) that a precombine-only comparison
+        # silently drops.
+        pre = self.snapshot(as_of=begin, keep_meta=True)
+        post = self.snapshot(as_of=end, keep_meta=True)
+        key = self._key_expr()
+        post_k = post.withColumn(KEY_COL, key)
         pc = self.config.precombine
-        pre_cols = [F.col(KEY_COL).alias("_pre_key")]
+        pre_cols = [
+            F.col(KEY_COL).alias("_pre_key"),
+            F.col(COMMIT_COL).alias("_pre_commit"),
+        ]
         if pc:
             pre_cols.append(F.col(pc).alias(f"_pre_{pc}"))
         pre_k = pre.withColumn(KEY_COL, key).select(*pre_cols)
@@ -1099,14 +1114,13 @@ class LakehouseTable:
         out = out.withColumn(
             KEY_COL, F.coalesce(F.col(KEY_COL), F.col("_pre_key"))
         ).drop("_pre_key")
-        if pc:
-            # drop no-op rows (key present in both snapshots, same
-            # precombine value → nothing changed in the window)
-            out = out.filter(
-                (F.col("_change_type") != "update")
-                | (~F.col(pc).eqNullSafe(F.col(f"_pre_{pc}")))
-            )
-        return out
+        # drop no-op rows: key present in both snapshots and its
+        # winning row was NOT rewritten by any commit in the window
+        out = out.filter(
+            (F.col("_change_type") != "update")
+            | (~F.col(COMMIT_COL).eqNullSafe(F.col("_pre_commit")))
+        )
+        return out.drop("_pre_commit", COMMIT_COL, DELETED_COL)
 
     def read(self, keep_meta: bool = False) -> DataFrame:
         """Session-conf-steered read (reference Q14: `set

@@ -184,3 +184,44 @@ def test_quarantine_poison_frames(spark):
     assert len(bad) == 2 and len(ok) == 3
     assert sorted(r.op for r in ok) == ["r", "r", "r"]
     assert all(r.after is None and r.before is None for r in bad)
+
+
+def test_wire2_on_scalar_field_is_quarantined_not_poisoning(spark):
+    """A non-repeated varint field delivered length-delimited (wire 2)
+    is a wire/spec mismatch. It must raise in decode() — and under
+    quarantine mode isolate to that record — never assign a Python
+    list to a scalar field (which would blow up the whole Arrow batch
+    later, defeating per-record quarantine). r2 ADVICE item."""
+    import pytest
+
+    from onehouse_demos_spark.sources.cdc import DECODE_ERROR
+
+    # field 4 (ts_ms, int64 scalar) encoded as length-delimited:
+    # tag = (4<<3)|2 = 0x22, len 2, packed varints [1, 2]
+    mismatched = bytes([0x22, 0x02, 0x01, 0x02])
+    with pytest.raises(ValueError, match="non-repeated scalar"):
+        decode(mismatched, ENVELOPE_SPEC)
+    good = encode(_EVENTS[0], ENVELOPE_SPEC)
+    df = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(mismatched),)], "value binary"
+    )
+    out = decode_protobuf_stream(
+        df, "Envelope", message_spec=ENVELOPE_SPEC, on_error="quarantine"
+    ).collect()
+    assert len(out) == 2
+    bad = [r for r in out if r[DECODE_ERROR] is not None]
+    assert len(bad) == 1 and "non-repeated scalar" in bad[0][DECODE_ERROR]
+
+
+def test_quarantine_with_descriptor_file_only_is_a_clear_error(spark):
+    """descriptor_file + quarantine without message_spec must raise the
+    specific 'quarantine requires message_spec' error, not the generic
+    'need a descriptor_file or a message_spec'. r2 ADVICE item."""
+    import pytest
+
+    df = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    with pytest.raises(ValueError, match="quarantine mode requires message_spec"):
+        decode_protobuf_stream(
+            df, "Envelope", descriptor_file="/nonexistent.desc",
+            on_error="quarantine",
+        )

@@ -121,6 +121,30 @@ def test_changes_feed_classifies_insert_update_delete(spark, tmp_base):
     assert boot.count() == 3
 
 
+def test_changes_feed_surfaces_precombine_stable_updates(spark, tmp_base):
+    """Upsert contract is latest-commit-wins regardless of precombine,
+    so an update that changes payload columns while keeping the
+    precombine value constant MUST appear in the change feed (r2
+    ADVICE: the old precombine-only comparison silently dropped it).
+    Untouched carried rows must still stay out (they keep their
+    original commit stamp through COW rewrites)."""
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/chg2",
+        TableConfig(name="chg2", record_key=["id"], precombine="ver"),
+    )
+    ddl = "id int, ver int, v string"
+    i1 = t.insert(spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 1, "c")], ddl))
+    # payload changes, precombine stays at 1 — latest commit wins
+    t.upsert(spark.createDataFrame([(2, 1, "b-NEW")], ddl))
+    feed = t.changes(begin=i1.instant).collect()
+    assert {(r._change_type, r.id) for r in feed} == {("update", 2)}
+    assert feed[0].v == "b-NEW"
+    # feed from the post-update instant onward is empty (no-op window)
+    assert t.changes(begin=t.timeline.latest_instant()).count() == 0
+
+
 def test_file_sizing_packs_small_files(spark, tmp_base):
     """Many tiny commits leave a small-file tail; run_file_sizing packs
     them in ONE replace-commit, preserves every row, stays invisible to
