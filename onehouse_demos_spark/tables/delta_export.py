@@ -101,20 +101,41 @@ def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None]:
     return (versions[-1] if versions else -1), live, meta
 
 
-def _schema_string(table: LakehouseTable) -> str:
+def _schema_string(table: LakehouseTable, last_meta: dict | None = None) -> str:
     """Delta's schemaString IS the Spark StructType JSON format — the
     one part of the protocol Spark defined. Drop the on-disk partition
-    directory column (not physical in the files)."""
+    directory column (not physical in the files).
+
+    Canonicalized so commit-to-commit noise is not misread as schema
+    evolution: every field nullable (the reference fixture declares
+    all-nullable too), engine meta columns last, and — because union
+    merges reorder columns across upserts while parquet readers
+    resolve by NAME — previously synced columns keep the order of the
+    last metaData, with genuinely new columns appended."""
+    from onehouse_demos_spark.tables.table import META_COLS
+
     schema = table._latest_schema()
     if schema is None:
         raise RuntimeError(
             "table has no committed schema yet — nothing to export"
         )
-    fields = [
-        f
-        for f in json.loads(schema.json())["fields"]
-        if f["name"] != PP_COL
+    by_name: dict[str, dict] = {}
+    for f in json.loads(schema.json())["fields"]:
+        if f["name"] != PP_COL:
+            by_name[f["name"]] = {**f, "nullable": True}
+    prior_order: list[str] = []
+    if last_meta is not None:
+        prior_order = [
+            f["name"]
+            for f in json.loads(last_meta["schemaString"])["fields"]
+        ]
+    ordered: list[str] = [n for n in prior_order if n in by_name]
+    data_new = [
+        n for n in by_name
+        if n not in ordered and n not in META_COLS
     ]
+    meta_new = [n for n in META_COLS if n in by_name and n not in ordered]
+    fields = [by_name[n] for n in (*ordered, *data_new, *meta_new)]
     return json.dumps({"type": "struct", "fields": fields})
 
 
@@ -170,7 +191,7 @@ def sync_delta_log(table: LakehouseTable, now_ms: int | None = None) -> int:
     }
     adds = [p for p in live_now if p not in synced]
     removes = [p for p in synced if p not in live_now]
-    schema_string = _schema_string(table)
+    schema_string = _schema_string(table, last_meta)
     meta_changed = last_meta is None or last_meta.get("schemaString") != schema_string
     if not adds and not removes and not meta_changed:
         return last_version

@@ -1,0 +1,215 @@
+"""Delta personality over engine-written tables (reference M15 /
+xTable: one file set readable as Hudi AND Delta — `xtable.md:34-37`,
+`notebook/demo.ipynb` cells 6-16).
+
+The `_delta_log` this engine writes is validated three ways:
+1. action-shape parity with the reference's committed Delta fixture
+   (`hudi-spark-minio-trino/data/db/delta_dimGeography/_delta_log/`),
+2. log-replay row-parity with the engine's own snapshot view across
+   insert → upsert → delete → partition-drop sync generations,
+3. an EXTERNAL engine (DuckDB) reading the personality's live file
+   set agrees with Spark (delta_scan when the extension is present,
+   protocol-replay parquet scan otherwise — offline sandboxes can't
+   fetch the extension).
+"""
+
+import json
+import os
+from urllib.parse import unquote
+
+import duckdb
+import pytest
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.tables.delta_export import (
+    read_delta_snapshot,
+    sync_delta_log,
+)
+
+REF_FIXTURE = (
+    "/root/reference/hudi-spark-minio-trino/data/db/delta_dimGeography/"
+    "_delta_log/00000000000000000000.json"
+)
+
+DDL = "key string, ver int, sym string, px double"
+
+
+def _mk(spark, base, **cfg):
+    t = LakehouseTable.create(
+        spark,
+        f"{base}/delta_src",
+        TableConfig(
+            name="delta_src", record_key=["key"], precombine="ver",
+            partition_by=["sym"], **cfg,
+        ),
+    )
+    rows = [(f"k{i:02d}", 1, "GOOG" if i % 2 else "MSFT", 100.0 + i)
+            for i in range(20)]
+    t.insert(spark.createDataFrame(rows, DDL))
+    return t
+
+
+def _parse_log(path):
+    return [json.loads(line) for line in open(path) if line.strip()]
+
+
+def _rows(df):
+    return sorted(
+        tuple(r) for r in df.select("key", "ver", "sym", "px").collect()
+    )
+
+
+def _delta_live_paths(base_path):
+    """Replay the log the way any Delta client does."""
+    log_dir = os.path.join(base_path, "_delta_log")
+    live = {}
+    for name in sorted(os.listdir(log_dir)):
+        if not name.endswith(".json"):
+            continue
+        for a in _parse_log(os.path.join(log_dir, name)):
+            if "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
+    return live
+
+
+def test_v0_action_shape_matches_reference_fixture(spark, tmp_base):
+    """Our version-0 log carries the same action skeleton as the
+    reference's committed delta_dimGeography fixture: protocol with
+    the same reader/writer floor, metaData with the same keys and a
+    Spark-JSON schemaString, add with partitionValues/size/stats
+    (numRecords + min/maxValues), one commitInfo."""
+    if not os.path.exists(REF_FIXTURE):
+        pytest.skip("reference fixture unavailable")
+    t = _mk(spark, tmp_base)
+    assert sync_delta_log(t, now_ms=1_700_000_000_000) == 0
+    ref = _parse_log(REF_FIXTURE)
+    ours = _parse_log(
+        os.path.join(t.base_path, "_delta_log",
+                     "00000000000000000000.json")
+    )
+    ref_kinds = {next(iter(a)) for a in ref}
+    our_kinds = {next(iter(a)) for a in ours}
+    assert our_kinds == ref_kinds == {
+        "protocol", "metaData", "add", "commitInfo"
+    }
+    ref_by, our_by = (
+        {next(iter(a)): a[next(iter(a))] for a in log} for log in (ref, ours)
+    )
+    assert our_by["protocol"] == ref_by["protocol"]  # reader 1 / writer 2
+    assert set(ref_by["metaData"]) <= set(our_by["metaData"])
+    our_schema = json.loads(our_by["metaData"]["schemaString"])
+    ref_schema = json.loads(ref_by["metaData"]["schemaString"])
+    assert our_schema["type"] == ref_schema["type"] == "struct"
+    assert {f["name"] for f in our_schema["fields"]} >= {
+        "key", "ver", "sym", "px"
+    }
+    assert set(ref_by["add"]) <= set(our_by["add"])
+    our_stats = json.loads(our_by["add"]["stats"])
+    ref_stats = json.loads(ref_by["add"]["stats"])
+    assert {"numRecords", "minValues", "maxValues"} <= set(our_stats)
+    assert {"numRecords", "minValues", "maxValues"} <= set(ref_stats)
+    assert our_stats["numRecords"] > 0
+    for k in ("timestamp", "operation", "isBlindAppend", "operationMetrics"):
+        assert k in our_by["commitInfo"] and k in ref_by["commitInfo"]
+
+
+def test_personality_row_matches_snapshot_and_duckdb(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    sync_delta_log(t)
+    via_delta = read_delta_snapshot(spark, t.base_path)
+    assert _rows(via_delta) == _rows(t.snapshot())
+    # external engine over the SAME files the log lists
+    live = _delta_live_paths(t.base_path)
+    files = [os.path.join(t.base_path, unquote(p)) for p in live]
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD delta")
+        duck = con.execute(
+            f"SELECT key, ver, sym, px FROM delta_scan('{t.base_path}') "
+            "ORDER BY key, ver"
+        ).fetchall()
+    except Exception:  # extension not downloadable offline
+        duck = con.execute(
+            "SELECT key, ver, sym, px FROM read_parquet($files) "
+            "ORDER BY key, ver", {"files": files}
+        ).fetchall()
+    assert duck == _rows(t.snapshot())
+    # every listed file exists and sizes are truthful
+    for p, add in live.items():
+        fp = os.path.join(t.base_path, unquote(p))
+        assert os.path.getsize(fp) == add["size"]
+
+
+def test_incremental_sync_tracks_upsert_delete_and_partition_drop(
+    spark, tmp_base
+):
+    t = _mk(spark, tmp_base)
+    assert sync_delta_log(t) == 0
+    # no-op sync: same version, no new log file
+    assert sync_delta_log(t) == 0
+    log_dir = os.path.join(t.base_path, "_delta_log")
+    assert len(os.listdir(log_dir)) == 1
+
+    t.upsert(spark.createDataFrame(
+        [("k01", 2, "GOOG", 999.0), ("k99", 1, "GOOG", 1.0)], DDL))
+    assert sync_delta_log(t) == 1
+    v1 = _parse_log(os.path.join(log_dir, f"{1:020d}.json"))
+    kinds = [next(iter(a)) for a in v1]
+    assert "remove" in kinds and "add" in kinds
+    assert "protocol" not in kinds and "metaData" not in kinds  # unchanged
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
+
+    t.delete(spark.createDataFrame([("k02",)], "key string"))
+    t.delete_partition(["MSFT"])
+    assert sync_delta_log(t) == 2
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
+    assert read_delta_snapshot(spark, t.base_path).filter(
+        "sym = 'MSFT'").count() == 0
+
+
+def test_mor_personality_is_read_optimized_view(spark, tmp_base):
+    """For MOR the Delta personality tracks base files only — exactly
+    the `_ro` view (un-compacted log updates are Hudi-internal, same
+    stance xTable takes). After compaction it converges to snapshot."""
+    from onehouse_demos_spark.tables.maintenance import (
+        run_compaction,
+        schedule_compaction,
+    )
+
+    t = _mk(spark, tmp_base, table_type="mor")
+    t.upsert(spark.createDataFrame([("k01", 2, "GOOG", 777.0)], DDL))
+    sync_delta_log(t)
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
+        t.read_optimized()
+    )
+    plan = schedule_compaction(t)
+    run_compaction(t, plan)
+    v = sync_delta_log(t)
+    assert v >= 1
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
+    row = dict(
+        (r.key, r.px) for r in read_delta_snapshot(spark, t.base_path)
+        .select("key", "px").collect()
+    )
+    assert row["k01"] == 777.0
+
+
+def test_refuses_personality_that_would_resurrect_tombstones(
+    spark, tmp_base
+):
+    """A COW insert may carry soft-deleted rows into base files (the
+    snapshot filters them). Exporting such files as Delta would
+    resurrect them in external engines — the sync must refuse."""
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/soft",
+        TableConfig(name="soft", record_key=["id"],
+                    soft_delete_col="_gone"),
+    )
+    t.insert(spark.createDataFrame(
+        [(1, False, "a"), (2, True, "b")], "id int, _gone boolean, v string"
+    ))
+    with pytest.raises(RuntimeError, match="resurrect"):
+        sync_delta_log(t)
