@@ -175,8 +175,17 @@ class AnnIndex:
     # ----------------------------------------------------------- search
 
     def probe_cells(self, qvec: list[float], nprobe: int) -> list[int]:
+        # rounded distance + cid tie-break, identical to the build-time
+        # assignment rule — engine-independent probe choice
+        import math
+
         d2 = [
-            (sum((a - b) ** 2 for a, b in zip(qvec, c)), i)
+            (
+                round(
+                    math.sqrt(sum((a - b) ** 2 for a, b in zip(qvec, c))), 6
+                ),
+                i,
+            )
             for i, c in enumerate(self.centroids)
         ]
         return [i for _, i in sorted(d2)[:nprobe]]
@@ -187,11 +196,16 @@ class AnnIndex:
         m, k = self.meta["m"], self.meta["k_pq"]
         sd = self.meta["dims"] // m
         resid = [q - c for q, c in zip(qvec, self.centroids[cell])]
+        # 6-decimal grid, same as the PQ training distances — the SQL
+        # oracle recomputes identical LUT entries
         return [
             [
-                sum(
-                    (resid[s * sd + i] - self.codebooks[s][c][i]) ** 2
-                    for i in range(sd)
+                round(
+                    sum(
+                        (resid[s * sd + i] - self.codebooks[s][c][i]) ** 2
+                        for i in range(sd)
+                    ),
+                    6,
                 )
                 for c in range(k)
             ]
@@ -241,14 +255,17 @@ class AnnIndex:
         )
         scored = codes.select(
             "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    lut_col[F.col("cell")],
-                    F.col("codes"),
-                    lambda row, code: F.element_at(row, code + 1),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        lut_col[F.col("cell")],
+                        F.col("codes"),
+                        lambda row, code: F.element_at(row, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+                6,
             ).alias("adc_dist"),
         )
         cand = scored.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(

@@ -449,7 +449,7 @@ def train_ivf_centroids(
         )
     seeds = (
         vecs.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
+        .orderBy("h", "vec_id")
         .limit(k)
         .select("v")
         .collect()
@@ -460,9 +460,15 @@ def train_ivf_centroids(
         comps = assigned.select(
             "cid", F.posexplode(F.col("v")).alias("pos", "x")
         )
+        # Means round to 6 decimals: cross-engine determinism — the
+        # DuckDB oracle replays the same Lloyd iterations, and rounding
+        # each round's centroids makes both engines feed IDENTICAL
+        # inputs to the next round instead of compounding last-ulp
+        # summation-order drift. Quality impact is nil (1e-6 abs on
+        # O(1) components).
         rows = (
             comps.groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.round(F.avg("x"), 6).alias("m"))
             .groupBy("cid")
             .agg(
                 F.array_sort(
@@ -491,12 +497,25 @@ def _assign_to_centroids(
     score per row (map stage), keep the argmin via one window-free
     groupBy on vec_id? — no: min_by keeps it a single aggregation."""
     cdf = _centroid_df(vecs, centroids)
+    # Euclidean distance, rounded to 6 decimals before the argmin:
+    # the 6-decimal grid (with the cid tie-break below) makes the
+    # assignment identical in any engine that computes the same
+    # formula — last-ulp summation-order noise can no longer flip a
+    # nearest-centroid decision. sqrt (not the squared distance) so
+    # the DuckDB oracle can use its native list_distance.
     scored = vecs.join(F.broadcast(cdf)).withColumn(
         "d",
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
         ),
     )
     return (
@@ -528,9 +547,17 @@ def knn_ivf_trained(
     q = assigned.filter(F.col("vec_id") == 0).collect()[0]
     import math
 
+    # same rounded-distance + cid tie-break rule as the distributed
+    # assignment, so the probed-cell choice is engine-independent
     dists = sorted(
         range(len(centroids)),
-        key=lambda i: sum((a - b) ** 2 for a, b in zip(q.v, centroids[i])),
+        key=lambda i: (
+            round(
+                math.sqrt(sum((a - b) ** 2 for a, b in zip(q.v, centroids[i]))),
+                6,
+            ),
+            i,
+        ),
     )
     probe_cells = dists[:nprobe]
     qvec = F.array(*[F.lit(float(x)) for x in q.v])
@@ -563,8 +590,10 @@ def knn_ivf_trained(
 #     D floats (16× less I/O here).
 # K-means itself is not SQL-expressible, so the driver check for the
 # summary is the self-certified-invariant pattern (the oracle pins
-# booleans the Spark side must prove); recall is pytest-gated against
-# brute force in tests/test_plans.py.
+# booleans the Spark side must prove). The SEARCH queries, by
+# contrast, carry full DuckDB oracles (ann_oracle_sql.py replays the
+# training in SQL on a 6-decimal grid); recall is additionally
+# pytest-gated against brute force in tests/test_plans.py.
 # --------------------------------------------------------------------------
 
 _PQ_M = 8
@@ -602,12 +631,21 @@ def _pq_assign(subvecs: DataFrame, codebooks) -> DataFrame:
     score map-side, min_by aggregation — mirrors _assign_to_centroids
     but keyed by subspace."""
     cb = _pq_codebook_df(subvecs.sparkSession, codebooks)
+    # rounded-distance grid + cid tie-break: engine-independent
+    # codeword choice (see _assign_to_centroids)
     scored = subvecs.join(F.broadcast(cb), "sub").withColumn(
         "dist",
-        F.aggregate(
-            F.zip_with(F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sv"), F.col("c"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
         ),
     )
     return scored.groupBy("vec_id", "sub").agg(
@@ -648,7 +686,7 @@ def train_pq_codebooks(
                     "sub", "cid", F.posexplode("sv").alias("pos", "x")
                 )
                 .groupBy("sub", "cid", "pos")
-                .agg(F.avg("x").alias("mu"))
+                .agg(F.round(F.avg("x"), 6).alias("mu"))
                 .groupBy("sub", "cid")
                 .agg(
                     F.array_sort(
@@ -688,10 +726,13 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
 
 def pq_reconstruction_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level PQ quality report, emitted as SELF-CERTIFIED
-    invariants (k-means is not SQL-expressible, so the oracle pins the
-    booleans): reconstruction MSE must beat the subspace-variance
+    invariants (the oracle pins the booleans the Spark side must
+    prove): reconstruction MSE must beat the subspace-variance
     baseline (a 1-means codebook), and every vector must round-trip to
-    exactly M codes in [0, K)."""
+    exactly M codes in [0, K). The search-path queries replay the full
+    training in SQL instead (ann_oracle_sql.py); this summary keeps
+    the cheap-invariant form because its quantities (corpus SSE vs a
+    degenerate codebook) are quality gates, not query results."""
     emb = load_emb(spark, sf_dir)
     books = train_pq_codebooks(emb, m=_PQ_M, k=_PQ_K, iters=3)
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
@@ -791,10 +832,17 @@ def pq_adc_topk(
         .v
     )
     sd = len(q) // m
+    # LUT entries and the ADC total both live on a 6-decimal grid
+    # (with the vec_id tie-break below): the DuckDB oracle recomputes
+    # the same sums from the same rounded codebooks and lands on the
+    # same shortlist.
     lut = [
         [
-            sum(
-                (q[s * sd + i] - books[s][c][i]) ** 2 for i in range(sd)
+            round(
+                sum(
+                    (q[s * sd + i] - books[s][c][i]) ** 2 for i in range(sd)
+                ),
+                6,
             )
             for c in range(k)
         ]
@@ -807,14 +855,17 @@ def pq_adc_topk(
         codes.filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    lut_col,
-                    F.col("codes"),
-                    lambda row, code: F.element_at(row, code + 1),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        lut_col,
+                        F.col("codes"),
+                        lambda row, code: F.element_at(row, code + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+                6,
             ).alias("adc_dist"),
         )
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
@@ -844,8 +895,10 @@ def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ann_index.py): build once per (session, sf_dir) into a
     temp dir — the real deployments' offline index build — then answer
     the vec_id=0 query through the partition-pruned ADC scan + exact
-    re-rank. Rows-only check (k-means is not SQL-expressible); recall
-    and pruning are pytest-gated in tests/test_ann_index.py."""
+    re-rank. Fully oracle-checked: ann_oracle_sql.ann_index_search_sql
+    replays coarse k-means + residual-PQ + ADC in DuckDB on the shared
+    6-decimal grid; recall and file pruning stay pytest-gated in
+    tests/test_ann_index.py."""
     import tempfile
 
     from onehouse_demos_spark.operators.ann_index import AnnIndex
@@ -876,13 +929,21 @@ QUERIES = {
     "knn_batch_join": knn_batch_join,
     "embedding_quantization": embedding_quantization,
     "pq_reconstruction_summary": pq_reconstruction_summary,
-    "pq_adc_topk": pq_adc_topk,  # no SQL oracle (k-means); recall gated
-                                 # vs brute force in tests/test_plans.py
-    "knn_ivf_trained": knn_ivf_trained,  # same: recall gated in
-                                         # tests/test_plans.py
-    "ann_index_search": ann_index_search,  # persistent-index face;
-                                           # pytest-gated, rows-only
+    # The three trained-quantizer queries carry FULL DuckDB oracles
+    # (ann_oracle_sql.py replays seeding + Lloyd rounds + ADC in SQL
+    # on the shared 6-decimal grid); the pytest recall gates in
+    # tests/test_plans.py / test_ann_index.py stay as the quality
+    # check on top.
+    "pq_adc_topk": pq_adc_topk,
+    "knn_ivf_trained": knn_ivf_trained,
+    "ann_index_search": ann_index_search,
 }
+
+from onehouse_demos_spark.operators.ann_oracle_sql import (  # noqa: E402
+    ann_index_search_sql,
+    knn_ivf_trained_sql,
+    pq_adc_topk_sql,
+)
 
 ORACLES = {
     "knn_bruteforce": KNN_BRUTEFORCE_SQL,
@@ -892,4 +953,7 @@ ORACLES = {
     "knn_batch_join": KNN_BATCH_JOIN_SQL,
     "embedding_quantization": EMBEDDING_QUANTIZATION_SQL,
     "pq_reconstruction_summary": PQ_RECONSTRUCTION_SUMMARY_SQL,
+    "knn_ivf_trained": knn_ivf_trained_sql(),
+    "pq_adc_topk": pq_adc_topk_sql(),
+    "ann_index_search": ann_index_search_sql(),
 }
