@@ -230,3 +230,192 @@ def decode_protobuf_stream(
             )
 
     return df.select("value").mapInPandas(decode_batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# MongoDB Debezium envelopes (reference EP3 third source:
+# `mongodb-debezium/register-mongodb.json` — MongoDbConnector over the
+# `inventory` database).
+#
+# The Mongo envelope differs structurally from the MySQL/PG one this
+# module's `flatten_debezium` handles:
+#   - `after` is an **extended-JSON STRING** of the document (not a
+#     typed struct) — present for op in (c, r) and, when the connector
+#     captures full documents, for u;
+#   - partial updates carry `updateDescription{updatedFields: JSON
+#     string, removedFields: array<string>}` and a NULL `after`;
+#   - delete events carry no document at all — the id rides on the
+#     Kafka message KEY (`{"id": "<extended-JSON id>"}`).
+# Flattening therefore needs (1) extended-JSON normalization before
+# `from_json`, and (2) per-key stateful patch application, which
+# `apply_mongo_cdc_batch` performs as a single JVM-side fold — no
+# Python UDFs.
+# ---------------------------------------------------------------------------
+
+#: Envelope columns as decoded off the topic (JSON converter shape).
+MONGO_ENVELOPE_DDL = (
+    "after string, "
+    "updateDescription struct<updatedFields: string, "
+    "removedFields: array<string>>, "
+    "op string, ts_ms long, key string"
+)
+
+
+def normalize_mongo_extjson(col):
+    """Rewrite MongoDB extended-JSON type wrappers into plain JSON so
+    `from_json` with a Spark schema can parse the document:
+    `{"$numberLong": "N"}`/`{"$numberInt": "N"}` → N,
+    `{"$numberDouble"|"$numberDecimal": "x"}` → x,
+    `{"$date": {"$numberLong": "ms"}}` / `{"$date": ms}` → ms,
+    `{"$oid": "hex"}` → "hex". Pure JVM regexp pipeline."""
+    c = F.regexp_replace(
+        col, r'\{"\$date":\s*\{"\$numberLong":\s*"(-?\d+)"\}\}', "$1"
+    )
+    c = F.regexp_replace(c, r'\{"\$date":\s*(-?\d+)\}', "$1")
+    c = F.regexp_replace(c, r'\{"\$number(?:Long|Int)":\s*"(-?\d+)"\}', "$1")
+    c = F.regexp_replace(
+        c, r'\{"\$number(?:Double|Decimal)":\s*"(-?[\d.eE+]+)"\}', "$1"
+    )
+    c = F.regexp_replace(c, r'\{"\$oid":\s*"([0-9a-fA-F]{24})"\}', '"$1"')
+    return c
+
+
+def flatten_debezium_mongo(
+    envelopes: DataFrame, doc_schema, id_field: str = "_id"
+) -> DataFrame:
+    """Mongo envelope frame (MONGO_ENVELOPE_DDL columns) → one row per
+    change event carrying everything the stateful apply needs:
+
+    - `_cdc_id`: the document key — from the parsed `after` image when
+      present, else from the Kafka message key (delete / partial);
+    - `_cdc_doc`: full document struct (NULL for partials/deletes);
+    - `_cdc_patch`: struct of updatedFields values (NULL elsewhere);
+    - `_cdc_upd_keys` / `_cdc_rm_keys`: which fields the patch sets /
+      unsets (from_json alone cannot distinguish "absent" from
+      "explicitly null", so the key lists travel alongside);
+    - CDC_DELETED / CDC_TS as in the relational flatten.
+    """
+    doc = F.from_json(normalize_mongo_extjson(F.col("after")), doc_schema)
+    patch_src = normalize_mongo_extjson(
+        F.col("updateDescription.updatedFields")
+    )
+    # message key: {"id": "<extended JSON>"} — after normalization the
+    # value is a bare scalar (possibly quoted); strip quotes and cast
+    # to the document's id type
+    key_id = (
+        F.regexp_replace(
+            normalize_mongo_extjson(F.get_json_object(F.col("key"), "$.id")),
+            r'^"|"$',
+            "",
+        )
+        .cast(doc_schema[id_field].dataType)
+    )
+    return envelopes.select(
+        F.coalesce(doc[id_field], key_id).alias("_cdc_id"),
+        F.when(doc.isNotNull(), doc).alias("_cdc_doc"),
+        F.from_json(patch_src, doc_schema).alias("_cdc_patch"),
+        F.when(
+            F.col("updateDescription").isNotNull(),
+            F.json_object_keys(patch_src),
+        ).alias("_cdc_upd_keys"),
+        F.coalesce(
+            F.col("updateDescription.removedFields"),
+            F.array().cast(T.ArrayType(T.StringType())),
+        ).alias("_cdc_rm_keys"),
+        (F.col("op") == "d").alias(CDC_DELETED),
+        F.col("ts_ms").alias(CDC_TS),
+    )
+
+
+def apply_mongo_cdc_batch(table, envelopes: DataFrame, doc_schema) -> None:
+    """Apply one batch of MongoDB Debezium envelopes to a
+    LakehouseTable, with correct patch semantics.
+
+    Partial updates need the prior document state, so the batch is
+    applied as a per-key ORDERED FOLD (one JVM `aggregate` over the
+    key's events sorted by ts): seed = the table's current row for
+    that key (one key-join against the snapshot — batch-sized, bloom/
+    range-pruned like any upsert probe), then each event either
+    replaces the document (full image), merges field-by-field
+    (updatedFields win, removedFields null out, everything else
+    carries), or marks it deleted. Keys whose final state is deleted
+    are deleted; the rest upsert their folded document. Scale shape:
+    one key join + one groupBy(key) — identical to the upsert probe
+    path; no Python in the loop.
+    """
+    id_field = table.config.record_key[0]
+    flat = flatten_debezium_mongo(envelopes, doc_schema, id_field)
+    fields = [f.name for f in doc_schema.fields]
+
+    ev = F.struct(
+        F.col("_cdc_doc").alias("doc"),
+        F.col("_cdc_patch").alias("patch"),
+        F.col("_cdc_upd_keys").alias("upd"),
+        F.col("_cdc_rm_keys").alias("rm"),
+        F.col(CDC_DELETED).alias("del"),
+        F.col(CDC_TS).alias("ts"),
+    )
+    events = flat.groupBy(F.col("_cdc_id").alias(id_field)).agg(
+        F.array_sort(
+            F.collect_list(ev),
+            lambda a, b: F.when(a["ts"] < b["ts"], -1)
+            .when(a["ts"] > b["ts"], 1)
+            .otherwise(F.lit(0)),
+        ).alias("_evs")
+    )
+    snap = table.snapshot()
+    seed_cols = [c for c in snap.columns if c in fields]
+    if id_field in seed_cols:
+        joined = events.join(snap.select(*seed_cols), id_field, "left")
+    else:
+        # virgin table (no committed schema yet): every key seeds null
+        seed_cols = []
+        joined = events
+
+    def merged_field(acc, e, name):
+        if name == id_field:
+            return F.coalesce(acc[name], e["doc"][name]).alias(name)
+        return (
+            F.when(e["doc"].isNotNull(), e["doc"][name])
+            .when(
+                e["patch"].isNotNull()
+                & F.array_contains(F.coalesce(e["upd"], F.array()), name),
+                e["patch"][name],
+            )
+            .when(F.array_contains(e["rm"], name), F.lit(None))
+            .otherwise(acc[name])
+            .alias(name)
+        )
+
+    def fold_step(acc, e):
+        return F.struct(
+            *[merged_field(acc, e, n) for n in fields],
+            F.when(e["del"], F.lit(True))
+            .when(e["doc"].isNotNull(), F.lit(False))
+            .otherwise(acc["_deleted"])
+            .alias("_deleted"),
+        )
+
+    # seed = current snapshot row; the id always comes from the
+    # grouping key (the snapshot row may not exist for fresh inserts)
+    def seed_field(n):
+        if n == id_field:
+            return F.col(id_field).alias(n)
+        if n in seed_cols:
+            return F.col(n).alias(n)
+        return F.lit(None).cast(doc_schema[n].dataType).alias(n)
+
+    init = F.struct(
+        *[seed_field(n) for n in fields],
+        F.lit(False).alias("_deleted"),
+    )
+    folded = joined.select(
+        F.col(id_field).alias("_k"),
+        F.aggregate("_evs", init, fold_step).alias("_state"),
+    ).select("_state.*")
+    upserts = folded.filter(~F.col("_deleted")).drop("_deleted")
+    deletes = folded.filter(F.col("_deleted")).select(id_field)
+    if deletes.limit(1).count() > 0:
+        table.delete(deletes)
+    if upserts.limit(1).count() > 0:
+        table.upsert(upserts)
