@@ -904,15 +904,23 @@ QUALIFY avg_value_locf IS NOT NULL
 
 # --------------------------------------------------------------------------
 # TPC-H Q11 analog — "important stock": supplier-part value groups
-# whose total exceeds a FRACTION OF THE GLOBAL TOTAL. The defining
-# shape is HAVING against a scalar subquery over the same fact table:
+# whose total exceeds a data-relative threshold. The defining shape is
+# HAVING against a scalar subquery over the same fact table:
 # Spark-first this is one aggregation reused for both sides — group
-# totals once, global total as a second tiny aggregate of the group
+# totals once, the threshold as a second tiny aggregate of the group
 # frame (NOT a second fact scan), crossJoin-broadcast the scalar.
 # The DuckDB oracle keeps the textbook correlated form.
+#
+# The threshold is the P99 of the part-value distribution (not a fixed
+# fraction of the global total): a fixed fraction goes vacuous as the
+# part count grows with SF (0.001 of total > every part's share once
+# there are ≳1000 parts — exactly what happened at sf0.01 in r2), while
+# a quantile keeps ~1% of parts "important" at EVERY scale. Both
+# engines interpolate the quantile over the same exact DECIMAL sums
+# cast to double, so the cut is engine-stable.
 # --------------------------------------------------------------------------
 
-_Q11_FRACTION = 0.001
+_Q11_QUANTILE = 0.99
 
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,38 +930,38 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(value.cast("decimal(18,4)")).alias("part_value")
     )
     total = groups.agg(
-        (F.sum("part_value") * _Q11_FRACTION).alias("threshold")
+        F.expr(
+            f"percentile(CAST(part_value AS DOUBLE), {_Q11_QUANTILE})"
+        ).alias("threshold")
     )
     # crossJoin with a ONE-ROW broadcast side plans as a
     # BroadcastNestedLoopJoin — that is the standard scalar-subquery
     # physical shape (O(groups) work, broadcast payload = one scalar),
     # not an all-pairs join.
+    # part_value stays DECIMAL(18,4): the 4-decimal sums are EXACT in
+    # both engines, whereas a downcast to (18,2) exposes a rounding-
+    # mode divergence (Spark HALF_UP vs DuckDB truncation).
     return (
         groups.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.col("threshold"))
-        .select(
-            "l_partkey",
-            F.col("part_value").cast("decimal(18,2)").alias("part_value"),
-        )
+        .select("l_partkey", "part_value")
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
         .limit(50)
     )
 
 
 IMPORTANT_PART_VALUE_SQL = f"""
-SELECT l_partkey,
-       CAST(part_value AS DECIMAL(18,2)) AS part_value
-FROM (
+WITH g AS (
   SELECT l_partkey,
          SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
            AS part_value
   FROM lineitem
   GROUP BY l_partkey
-) g
+)
+SELECT l_partkey, part_value
+FROM g
 WHERE part_value > (
-  SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-         * {_Q11_FRACTION}
-  FROM lineitem
+  SELECT quantile_cont(CAST(part_value AS DOUBLE), {_Q11_QUANTILE}) FROM g
 )
 ORDER BY part_value DESC, l_partkey ASC
 LIMIT 50
