@@ -266,15 +266,22 @@ def sync_delta_log(table: LakehouseTable, now_ms: int | None = None) -> int:
 
     os.makedirs(log_dir, exist_ok=True)
     version = last_version + 1
-    target = os.path.join(log_dir, _version_name(version))
     payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
     # Conditional create: Delta's own commit contract (version N may be
-    # written by exactly one writer). On local FS this is O_EXCL; the
-    # object-store analog is a conditional put — same seam as the
-    # commit timeline's lock provider.
-    fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    with os.fdopen(fd, "w") as fh:
-        fh.write(payload)
+    # written by exactly one writer) — published through the same
+    # conditional-put lock-provider seam the commit timeline uses
+    # (tables/locks.py), so object-store deployments inherit the swap.
+    from onehouse_demos_spark.tables.locks import LocalFSLockProvider
+
+    try:  # same provider class as the timeline, rooted at _delta_log
+        provider_inst = type(table.timeline.lock_provider)(log_dir)
+    except Exception:
+        provider_inst = LocalFSLockProvider(log_dir)
+    if not provider_inst.try_lock(_version_name(version), payload):
+        raise FileExistsError(
+            f"delta log version {version} already published by a "
+            "concurrent syncer"
+        )
     return version
 
 

@@ -117,10 +117,20 @@ class Timeline:
     COMMITS_DIR = "_commits"
     ARCHIVE_DIR = "_commits/archive"
 
-    def __init__(self, base_path: str):
+    def __init__(self, base_path: str, lock_provider=None):
         self.base_path = base_path.rstrip("/")
         self.commits_path = os.path.join(self.base_path, self.COMMITS_DIR)
         os.makedirs(self.commits_path, exist_ok=True)
+        if lock_provider is None:
+            from onehouse_demos_spark.tables.locks import LocalFSLockProvider
+
+            lock_provider = LocalFSLockProvider(self.commits_path)
+        #: Conditional-create seam (reference M14 lock-provider analog,
+        #: `multi-writer-1.properties:38-44`): instant reservation and
+        #: the publish critical section go through this, so object-store
+        #: deployments swap in a conditional-put implementation
+        #: (locks.py) without touching commit logic.
+        self.lock_provider = lock_provider
         self._cache: dict[str, Instant] = {}  # embedded "timeline server":
         # parse each completed instant once per process (reference
         # precedent `hoodie.embed.timeline.server=true`, base.properties:22)
@@ -184,18 +194,15 @@ class Timeline:
     # -- OCC write protocol ---------------------------------------------------
 
     def begin(self, action: str, max_retries: int = 32) -> str:
-        """Reserve the next instant id (optimistic, exclusive-create)."""
+        """Reserve the next instant id — a create-if-absent through the
+        lock provider, so the reservation is portable to object stores
+        (locks.py documents the conditional-put contract)."""
         assert action in ACTIONS, action
         for _ in range(max_retries):
             instant = self._next_instant_id()
-            marker = os.path.join(self.commits_path, f"{instant}.inflight")
-            try:
-                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, action.encode())
-                os.close(fd)
+            if self.lock_provider.try_lock(f"{instant}.inflight", action):
                 return instant
-            except FileExistsError:
-                continue  # another writer took this id — retry
+            # another writer took this id — retry
         raise RuntimeError("could not reserve a commit instant (writer contention)")
 
     #: A publish lock older than this is assumed to belong to a dead
@@ -203,32 +210,31 @@ class Timeline:
     #: metadata validation + one rename — never for the data write).
     LOCK_STALE_S = 600.0
 
+    PUBLISH_LOCK = "_publish.lock"
+
     def _acquire_publish_lock(self, timeout_s: float = 60.0) -> str:
         """Exclusive lock serializing validate+publish. Check-then-
         publish without mutual exclusion lets two writers both pass the
         removes-overlap validation and both replace the same file group
         (duplicate rows per key in the snapshot). This is our analog of
         the reference's lock-provider requirement for multi-writer OCC
-        (`multi-writer-1.properties:38-44`, ZookeeperBasedLockProvider);
-        on object storage this maps to a conditional-put lock object."""
-        lock = os.path.join(self.commits_path, "_publish.lock")
+        (`multi-writer-1.properties:38-44`, ZookeeperBasedLockProvider).
+        Acquisition goes through the conditional-create lock provider
+        (locks.py) — the object-store implementation is a conditional
+        put, same correctness argument."""
         deadline = time.time() + timeout_s
         while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return lock
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > self.LOCK_STALE_S:
-                        os.remove(lock)  # break a dead writer's lock
-                        continue
-                except FileNotFoundError:
-                    continue  # holder just released — retry immediately
-                if time.time() > deadline:
-                    raise RuntimeError("timed out waiting for publish lock")
-                time.sleep(0.01)
+            if self.lock_provider.try_lock(self.PUBLISH_LOCK):
+                return self.PUBLISH_LOCK
+            age = self.lock_provider.lock_age_s(self.PUBLISH_LOCK)
+            if age is None:
+                continue  # holder just released — retry immediately
+            if age > self.LOCK_STALE_S:
+                self.lock_provider.unlock(self.PUBLISH_LOCK)  # dead writer
+                continue
+            if time.time() > deadline:
+                raise RuntimeError("timed out waiting for publish lock")
+            time.sleep(0.01)
 
     def complete(self, inst: Instant, conflict_check_from: str | None = None) -> None:
         """Atomically publish a completed instant.
@@ -264,17 +270,13 @@ class Timeline:
             with open(tmp, "w") as f:
                 json.dump(inst.to_json(), f)
             os.rename(tmp, final)  # atomic publish
-            marker = os.path.join(self.commits_path, f"{inst.instant}.inflight")
-            if os.path.exists(marker):
-                os.remove(marker)
+            self.lock_provider.unlock(f"{inst.instant}.inflight")
         finally:
-            if lock is not None and os.path.exists(lock):
-                os.remove(lock)
+            if lock is not None:
+                self.lock_provider.unlock(lock)
 
     def abort(self, instant: str) -> None:
-        marker = os.path.join(self.commits_path, f"{instant}.inflight")
-        if os.path.exists(marker):
-            os.remove(marker)
+        self.lock_provider.unlock(f"{instant}.inflight")
 
     def remove_after(self, instant: str) -> list[str]:
         """Drop all ACTIVE completed instants newer than `instant`

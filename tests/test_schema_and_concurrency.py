@@ -391,3 +391,80 @@ def test_schema_evolution_incompatible_change_rejected(spark, tmp_base):
     # table untouched: no new instants, data intact
     assert t.timeline.latest_instant() == before
     assert {r.id: r.x for r in t.snapshot().collect()} == {1: 10}
+
+
+def test_lock_provider_seam_carries_all_occ_traffic(tmp_base):
+    """Instrumented provider: every instant reservation and every
+    publish critical section must flow through the LockProvider
+    interface (the object-store portability seam — locks.py). Replays
+    the deterministic OCC race through the injected provider."""
+    from onehouse_demos_spark.tables.locks import LocalFSLockProvider
+    from onehouse_demos_spark.tables.timeline import Instant, Timeline
+
+    class CountingProvider(LocalFSLockProvider):
+        def __init__(self, root):
+            super().__init__(root)
+            self.events = []
+
+        def try_lock(self, name, payload=""):
+            ok = super().try_lock(name, payload)
+            self.events.append(("try", name, ok))
+            return ok
+
+        def unlock(self, name):
+            self.events.append(("unlock", name))
+            super().unlock(name)
+
+    import os
+
+    root = tmp_base + "/seam/_commits"
+    os.makedirs(root, exist_ok=True)
+    prov = CountingProvider(root)
+    tl = Timeline(tmp_base + "/seam", lock_provider=prov)
+    base = tl.begin("commit")
+    tl.complete(Instant(instant=base, action="commit", operation="insert",
+                        adds=[], removes=[]))
+    i1 = tl.begin("commit")
+    i2 = tl.begin("commit")
+    outcomes = []
+    for inst_id in (i1, i2):
+        try:
+            tl.complete(
+                Instant(instant=inst_id, action="commit", operation="upsert",
+                        adds=[], removes=["part/f1.parquet"]),
+                conflict_check_from=base,
+            )
+            outcomes.append("ok")
+        except Exception as exc:
+            outcomes.append(type(exc).__name__)
+    assert sorted(outcomes) == ["ConflictError", "ok"], outcomes
+    tries = [e for e in prov.events if e[0] == "try"]
+    # 3 instant reservations + 2 publish-lock acquisitions, all seen
+    # by the provider
+    assert sum(1 for _, n, ok in tries if n.endswith(".inflight") and ok) == 3
+    assert sum(1 for _, n, ok in tries if n == Timeline.PUBLISH_LOCK) >= 2
+    # publish lock always released (no leaked critical section)
+    assert prov.lock_age_s(Timeline.PUBLISH_LOCK) is None
+
+
+def test_stale_publish_lock_is_broken(tmp_base):
+    """A dead writer's publish lock (older than LOCK_STALE_S) must be
+    broken instead of deadlocking every future commit."""
+    import os
+    import time
+
+    from onehouse_demos_spark.tables.timeline import Instant, Timeline
+
+    tl = Timeline(tmp_base + "/stale")
+    # simulate a dead writer: plant the lock and age it
+    assert tl.lock_provider.try_lock(Timeline.PUBLISH_LOCK)
+    lock_path = os.path.join(tl.commits_path, Timeline.PUBLISH_LOCK)
+    old = time.time() - Timeline.LOCK_STALE_S - 5
+    os.utime(lock_path, (old, old))
+    i = tl.begin("commit")
+    tl.complete(
+        Instant(instant=i, action="commit", operation="insert",
+                adds=[], removes=["f.parquet"]),
+        conflict_check_from=None,
+    )  # needs_lock via removes → must break the stale lock, not hang
+    assert [x.instant for x in tl.instants()] == [i]
