@@ -37,6 +37,16 @@ ENGINE_CONFS: dict[str, str] = {
     # Don't let tiny files explode task counts; at 100 TB the
     # manifest-driven planner controls file counts instead.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Throughput GC: Java 17 defaults to G1, whose region management +
+    # write barriers penalize this workload's allocation profile
+    # (interpreted higher-order-function lambdas allocate per-element;
+    # the r2→r3 bench "regression cluster" on HOF-heavy queries was G1
+    # variance — ParallelGC measured 41.4s vs 47-50s suite total on
+    # identical code+data, and cut run-to-run spread from ±3s to <1s).
+    # Applies to fresh JVMs only (pyspark's gateway reads driver opts
+    # at launch); a pre-existing session keeps its collector.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
 }
 
 
