@@ -15,6 +15,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: The external package that provides the `kafka` source/sink. Version
+#: must match the Spark build (`pyspark.__version__`).
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _require_kafka(spark: SparkSession) -> None:
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "kafka connector unavailable: the spark-sql-kafka jar is "
+            f"not on the classpath. Launch with --packages {KAFKA_PACKAGE} "
+            "(reference EP1 runs it inside the Hudi streamer bundle). "
+            "File/memory streams exercise the identical decode + "
+            "foreachBatch path without a broker — see streaming/ingest.py."
+        )
+
 
 def read_stream(
     spark: SparkSession,
@@ -24,7 +50,9 @@ def read_stream(
 ) -> DataFrame:
     """`readStream.format("kafka")` (reference
     `kafka-source.properties`: topic :25, servers :27,
-    auto.offset.reset=earliest :28)."""
+    auto.offset.reset=earliest :28). Raises the documented gate error
+    when the connector jar is absent."""
+    _require_kafka(spark)
     return (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -46,7 +74,9 @@ def write_batch(
     df: DataFrame, bootstrap_servers: str, topic: str
 ) -> None:
     """JSON-publish a batch to a topic (reference S11 `kafkacat ... -P`
-    test harness)."""
+    test harness). Raises the documented gate error when the connector
+    jar is absent."""
+    _require_kafka(df.sparkSession)
     (
         df.selectExpr("to_json(struct(*)) AS value")
         .write.format("kafka")
@@ -54,3 +84,34 @@ def write_batch(
         .option("topic", topic)
         .save()
     )
+
+
+def stock_ticks_schema() -> T.StructType:
+    """The EP1 topic schema, derived from the reference's Avro schema
+    declaration (`demo/config/schema.avsc`: volume long, ts/symbol
+    string, year int, month string, high/low double, key string, date
+    string, close/open double, day string) through the same Avro→Spark
+    conversion the CDC decoder uses."""
+    import json as _json
+
+    from onehouse_demos_spark.sources.avro_codec import avro_to_spark_type
+
+    avsc = {
+        "type": "record",
+        "name": "stock_ticks",
+        "fields": [
+            {"name": "volume", "type": "long"},
+            {"name": "ts", "type": "string"},
+            {"name": "symbol", "type": "string"},
+            {"name": "year", "type": "int"},
+            {"name": "month", "type": "string"},
+            {"name": "high", "type": "double"},
+            {"name": "low", "type": "double"},
+            {"name": "key", "type": "string"},
+            {"name": "date", "type": "string"},
+            {"name": "close", "type": "double"},
+            {"name": "open", "type": "double"},
+            {"name": "day", "type": "string"},
+        ],
+    }
+    return avro_to_spark_type(_json.dumps(avsc))

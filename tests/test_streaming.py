@@ -265,3 +265,96 @@ def test_inline_services_run_during_ingest(spark, tmp_base):
     ro = {(r.key, r.close) for r in t.read_optimized().collect()}
     rt = {(r.key, r.close) for r in t.snapshot().collect()}
     assert ro == rt and len(rt) == 5
+
+
+# ---------------------------------------------------------------------------
+# Kafka gate tests (reference S1/S11): no broker or connector jar in
+# the sandbox, so both branches are pinned — the documented gate error
+# when the jar is absent, and exact plan construction (format +
+# options) when the capability probe passes.
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_gate_error_names_the_package(spark):
+    import pytest
+
+    from onehouse_demos_spark.sources import kafka as ks
+
+    if ks.kafka_available(spark):  # pragma: no cover - jar-ful env
+        pytest.skip("connector jar present in this environment")
+    with pytest.raises(RuntimeError, match="--packages org.apache.spark:spark-sql-kafka"):
+        ks.read_stream(spark, "kafka:9092", "stock_ticks")
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        ks.write_batch(df, "kafka:9092", "stock_ticks")
+
+
+def test_kafka_read_stream_builds_reference_plan(monkeypatch):
+    """With the capability probe passing, read_stream must configure
+    the exact source the reference's streamer uses
+    (kafka-source.properties: topic :25, bootstrap :27, earliest :28).
+    A recording fake stands in for the session so the assertion is on
+    PLAN CONSTRUCTION, jar or no jar."""
+    from onehouse_demos_spark.sources import kafka as ks
+
+    calls = {}
+
+    class Reader:
+        def __init__(self):
+            calls["options"] = {}
+
+        def format(self, fmt):
+            calls["format"] = fmt
+            return self
+
+        def option(self, k, v):
+            calls["options"][k] = v
+            return self
+
+        def load(self):
+            calls["loaded"] = True
+            return "DF"
+
+    class FakeSpark:
+        @property
+        def readStream(self):
+            return Reader()
+
+    monkeypatch.setattr(ks, "kafka_available", lambda s: True)
+    out = ks.read_stream(FakeSpark(), "kafka:9092", "stock_ticks")
+    assert out == "DF" and calls["loaded"]
+    assert calls["format"] == "kafka"
+    assert calls["options"] == {
+        "kafka.bootstrap.servers": "kafka:9092",
+        "subscribe": "stock_ticks",
+        "startingOffsets": "earliest",
+    }
+
+
+def test_stock_ticks_decode_schema_pinned_to_reference_avsc(spark):
+    """decode_json_value against the EP1 schema (demo/config/
+    schema.avsc via the same Avro→Spark conversion the CDC path uses):
+    a batch_1.json-shaped record decodes to the declared types."""
+    import json
+
+    from onehouse_demos_spark.sources import kafka as ks
+
+    schema = ks.stock_ticks_schema()
+    assert [(f.name, f.dataType.simpleString()) for f in schema.fields] == [
+        ("volume", "bigint"), ("ts", "string"), ("symbol", "string"),
+        ("year", "int"), ("month", "string"), ("high", "double"),
+        ("low", "double"), ("key", "string"), ("date", "string"),
+        ("close", "double"), ("open", "double"), ("day", "string"),
+    ]
+    rec = {
+        "volume": 483951, "ts": "2018-08-31 10:29:00", "symbol": "GOOG",
+        "year": 2018, "month": "08", "high": 1227.1414, "low": 1223.0,
+        "key": "GOOG_2018-08-31 10", "date": "2018/08/31",
+        "close": 1227.1414, "open": 1223.3, "day": "31",
+    }
+    raw = spark.createDataFrame(
+        [(json.dumps(rec).encode(),)], "value binary"
+    )
+    row = ks.decode_json_value(raw, schema).collect()[0]
+    assert row.symbol == "GOOG" and row.volume == 483951
+    assert abs(row.high - 1227.1414) < 1e-9
