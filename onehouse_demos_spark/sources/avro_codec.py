@@ -326,3 +326,72 @@ def avro_to_spark_type(s: Any, sc: AvroSchema | None = None) -> T.DataType:
     if t == "map":
         return T.MapType(T.StringType(), avro_to_spark_type(s["values"], sc))
     raise ValueError(f"unsupported avro type: {t}")
+
+
+# ------------------------------------------------- object container files
+
+_OCF_MAGIC = b"Obj\x01"
+_OCF_META_SCHEMA = '{"type": "map", "values": "bytes"}'
+
+
+def write_ocf(
+    records: list, schema_json: str | dict, extra_meta: dict | None = None
+) -> bytes:
+    """Serialize records as an Avro Object Container File (spec
+    "Object Container Files": magic, file-metadata map incl.
+    avro.schema, 16-byte sync marker, blocked records). Null codec.
+    Needed because Iceberg's manifest-list / manifest files ARE Avro
+    OCF — the table-format side of the engine reuses the same codec
+    the CDC path pinned against the published encoding spec."""
+    import os as _os
+
+    if isinstance(schema_json, dict):
+        schema_json = json.dumps(schema_json)
+    schema = AvroSchema(schema_json)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    for k, v in (extra_meta or {}).items():
+        meta[k] = v if isinstance(v, bytes) else str(v).encode()
+    sync = _os.urandom(16)
+    out = bytearray()
+    out += _OCF_MAGIC
+    meta_schema = AvroSchema(_OCF_META_SCHEMA)
+    _enc(out, meta, meta_schema, meta_schema.root)
+    out += sync
+    if records:
+        body = bytearray()
+        for rec in records:
+            body += encode(rec, schema)
+        _write_long(out, len(records))
+        _write_long(out, len(body))
+        out += body
+        out += sync
+    return bytes(out)
+
+
+def read_ocf(buf: bytes) -> tuple[dict, list]:
+    """Parse an Avro OCF → (file-metadata dict[str, bytes], records).
+    Supports the null codec (what write_ocf emits)."""
+    if buf[:4] != _OCF_MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta_schema = AvroSchema(_OCF_META_SCHEMA)
+    meta, pos = _dec(buf, 4, meta_schema, meta_schema.root)
+    codec = (meta.get("avro.codec") or b"null").decode()
+    if codec != "null":
+        raise ValueError(f"unsupported OCF codec {codec!r}")
+    schema = AvroSchema(meta["avro.schema"].decode())
+    sync = buf[pos : pos + 16]
+    pos += 16
+    records: list = []
+    while pos < len(buf):
+        count, pos = _read_long(buf, pos)
+        size, pos = _read_long(buf, pos)
+        end = pos + size
+        for _ in range(count):
+            rec, pos = _dec(buf, pos, schema, schema.root)
+            records.append(rec)
+        if pos != end:
+            raise ValueError("OCF block size mismatch")
+        if buf[pos : pos + 16] != sync:
+            raise ValueError("OCF sync marker mismatch")
+        pos += 16
+    return meta, records

@@ -28,6 +28,14 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from onehouse_demos_spark.tables.delta_export import (  # noqa: F401
+    read_delta_snapshot,
+    sync_delta_log,
+)
+from onehouse_demos_spark.tables.iceberg_export import (  # noqa: F401
+    read_iceberg_snapshot,
+    sync_iceberg_metadata,
+)
 from onehouse_demos_spark.tables.table import LakehouseTable
 
 
