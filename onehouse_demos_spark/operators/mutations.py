@@ -307,6 +307,43 @@ def tbl_clustered_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_CLUSTERED_SNAPSHOT_SQL = TBL_DELETE_PARTITION_SNAPSHOT_SQL
 
 
+def tbl_delta_personality_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 driver face (xTable Delta personality, `xtable.md:34-37`):
+    sync the public-protocol `_delta_log` in place over the COW
+    table's live files, then read it back THROUGH THE LOG (the same
+    replay every Delta client performs). Must equal the latest
+    snapshot — the oracle recomputes that state from `orders`."""
+    from onehouse_demos_spark.tables.interop import (
+        read_delta_snapshot,
+        sync_delta_log,
+    )
+
+    st = _build(spark, sf_dir)
+    sync_delta_log(st["cow"])
+    return _project(read_delta_snapshot(spark, st["cow"].base_path))
+
+
+TBL_DELTA_PERSONALITY_READ_SQL = TBL_CLUSTERED_SNAPSHOT_SQL
+
+
+def tbl_iceberg_personality_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 driver face (xTable Iceberg personality, `xtable.md:54-59`):
+    sync the Iceberg v2 metadata tree (metadata.json + Avro manifest
+    list + manifest) over the COW table's live files and read back by
+    walking version-hint -> snapshot -> manifests -> parquet."""
+    from onehouse_demos_spark.tables.interop import (
+        read_iceberg_snapshot,
+        sync_iceberg_metadata,
+    )
+
+    st = _build(spark, sf_dir)
+    sync_iceberg_metadata(st["cow"])
+    return _project(read_iceberg_snapshot(spark, st["cow"].base_path))
+
+
+TBL_ICEBERG_PERSONALITY_READ_SQL = TBL_CLUSTERED_SNAPSHOT_SQL
+
+
 def tbl_stats_skipped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping read on the clustered COW table: the key-range
     predicate prunes files from manifest column stats before the scan
@@ -472,6 +509,8 @@ QUERIES = {
     "tbl_insert_overwrite_snapshot": tbl_insert_overwrite_snapshot,
     "tbl_delete_partition_snapshot": tbl_delete_partition_snapshot,
     "tbl_clustered_snapshot": tbl_clustered_snapshot,
+    "tbl_delta_personality_read": tbl_delta_personality_read,
+    "tbl_iceberg_personality_read": tbl_iceberg_personality_read,
     "tbl_matview_rollup": tbl_matview_rollup,
     "tbl_stats_skipped_read": tbl_stats_skipped_read,
     "tbl_bulk_insert_snapshot": tbl_bulk_insert_snapshot,
@@ -491,6 +530,8 @@ ORACLES = {
     "tbl_insert_overwrite_snapshot": TBL_INSERT_OVERWRITE_SNAPSHOT_SQL,
     "tbl_delete_partition_snapshot": TBL_DELETE_PARTITION_SNAPSHOT_SQL,
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
+    "tbl_delta_personality_read": TBL_DELTA_PERSONALITY_READ_SQL,
+    "tbl_iceberg_personality_read": TBL_ICEBERG_PERSONALITY_READ_SQL,
     "tbl_matview_rollup": TBL_MATVIEW_ROLLUP_SQL,
     "tbl_stats_skipped_read": TBL_STATS_SKIPPED_READ_SQL,
     "tbl_bulk_insert_snapshot": TBL_BULK_INSERT_SNAPSHOT_SQL,
