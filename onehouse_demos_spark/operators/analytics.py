@@ -716,6 +716,17 @@ _QS_ACCURACY = 1000  # ~1/1000 rank error
 
 
 def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (oracle-compared values) next to
+    percentile_approx sketches verified against the sketch's ACTUAL
+    contract: the returned value's rank interval must lie within
+    n/accuracy (+1 slack) ranks of the target rank. r2's 5%-of-spread
+    value heuristic was not a guarantee the sketch makes — it failed
+    legitimately at sf0.001 where a sparse tail puts p99 between two
+    distant points. The rank bound is provable at every SF, so the
+    pinned-True oracle booleans assert something the sketch really
+    promises. Plan shape: one grouped agg (tiny result, broadcast) +
+    one events re-scan joined on the group key for the rank counts —
+    two passes, no window, scale-safe."""
     ev = load_events(spark, sf_dir)
     probs = [0.5, 0.9, 0.99]
     exact = [
@@ -730,21 +741,40 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"_a{int(p*100)}")
         for p in probs
     ]
-    spread = (
-        F.expr("max(value)") - F.expr("min(value)")
-    ).alias("_spread")
-    agg = ev.groupBy("event_type").agg(*exact, *approx, spread)
-    checks = [
-        (
-            F.abs(
-                F.col(f"_a{int(p*100)}")
-                - F.col(f"p{int(p*100)}_exact").cast("double")
+    agg = ev.groupBy("event_type").agg(
+        *exact, *approx, F.count(F.lit(1)).alias("_n")
+    )
+    # rank interval of each approx value within its group
+    ranks = ev.join(F.broadcast(agg), "event_type").groupBy("event_type").agg(
+        *[
+            F.sum(
+                (F.col("value") < F.col(f"_a{int(p*100)}")).cast("long")
+            ).alias(f"_lt{int(p*100)}")
+            for p in probs
+        ],
+        *[
+            F.sum(
+                (F.col("value") <= F.col(f"_a{int(p*100)}")).cast("long")
+            ).alias(f"_le{int(p*100)}")
+            for p in probs
+        ],
+    )
+    out = agg.join(ranks, "event_type")
+    checks = []
+    for p in probs:
+        i = int(p * 100)
+        target = F.ceil(F.lit(p) * F.col("_n"))
+        tol = F.col("_n") / F.lit(_QS_ACCURACY) + F.lit(1.0)
+        lo = F.col(f"_lt{i}") + 1
+        hi = F.col(f"_le{i}")
+        # value's true rank interval [lo, hi] must intersect
+        # [target - tol, target + tol]
+        checks.append(
+            ((lo <= target + tol) & (hi >= target - tol)).alias(
+                f"p{i}_sketch_ok"
             )
-            <= F.col("_spread") * 0.05
-        ).alias(f"p{int(p*100)}_sketch_ok")
-        for p in probs
-    ]
-    return agg.select(
+        )
+    return out.select(
         "event_type",
         *[f"p{int(p*100)}_exact" for p in probs],
         *checks,
@@ -822,15 +852,21 @@ GROUP BY 1, 2
 
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense hourly series per event type over the observed time span,
-    with empty buckets emitted (n_events = 0) and the mean value
-    carried forward from the last non-empty bucket (locf)."""
+    with empty buckets emitted (n_events = 0) and the bucket value
+    total carried forward from the last non-empty bucket (locf).
+
+    The carried metric is an exact DECIMAL(18,4) SUM, not a double
+    mean: double averages summed in engine-specific order land on
+    opposite sides of the 4-decimal rounding boundary often enough to
+    flake the oracle at sf0.1 (~3 in 3600 buckets), while fixed-point
+    sums are bit-identical in any engine."""
     ev = load_events(spark, sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
     bars = ev.groupBy(
         F.unix_micros(hour).alias("bucket_us"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.avg("value").alias("_avg"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_sum"),
     )
     span = ev.agg(
         F.unix_micros(F.date_trunc("hour", F.min("ts"))).alias("lo"),
@@ -859,14 +895,14 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         axis.join(bars, ["bucket_us", "event_type"], "left")
         .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
         .withColumn(
-            "avg_value_locf",
-            F.round(F.last("_avg", ignorenulls=True).over(w), 4).cast(
-                "decimal(18,4)"
-            ),
+            "sum_value_locf",
+            F.last("_sum", ignorenulls=True)
+            .over(w)
+            .cast("decimal(18,4)"),
         )
-        .drop("_avg")
+        .drop("_sum")
     )
-    return filled.filter(F.col("avg_value_locf").isNotNull())
+    return filled.filter(F.col("sum_value_locf").isNotNull())
 
 
 EVENTS_GAPFILL_SQL = """
@@ -874,7 +910,7 @@ WITH bars AS (
   SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) AS bucket_us,
          event_type,
          COUNT(*) AS n_events,
-         AVG(value) AS a
+         SUM(CAST(value AS DECIMAL(18,4))) AS a
   FROM events GROUP BY 1, 2
 ), span AS (
   SELECT epoch_us(date_trunc('hour', MIN(ts))::TIMESTAMP) AS lo,
@@ -893,12 +929,11 @@ WITH bars AS (
   FROM grid LEFT JOIN bars USING (bucket_us, event_type)
 )
 SELECT bucket_us, event_type, CAST(n_events AS BIGINT) AS n_events,
-       ROUND(
-         last_value(a IGNORE NULLS) OVER (
+       (last_value(a IGNORE NULLS) OVER (
            PARTITION BY event_type ORDER BY bucket_us
-           ROWS UNBOUNDED PRECEDING), 4)::DECIMAL(18,4) AS avg_value_locf
+           ROWS UNBOUNDED PRECEDING))::DECIMAL(18,4) AS sum_value_locf
 FROM joined
-QUALIFY avg_value_locf IS NOT NULL
+QUALIFY sum_value_locf IS NOT NULL
 """
 
 

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from onehouse_demos_spark.sources.cdc import apply_cdc_batch
+from onehouse_demos_spark.sources.cdc import (
+    apply_cdc_batch,
+    apply_mongo_cdc_batch,
+)
 from onehouse_demos_spark.tables.table import LakehouseTable
 
 
@@ -42,10 +45,17 @@ class Streamer:
         mode: str = "upsert",
         inline_compact_every: int | None = None,
         inline_sizing_every: int | None = None,
+        doc_schema=None,
     ):
-        assert mode in ("upsert", "insert", "cdc")
+        assert mode in ("upsert", "insert", "cdc", "cdc_mongo")
+        if mode == "cdc_mongo" and doc_schema is None:
+            raise ValueError(
+                "cdc_mongo mode needs doc_schema (the document "
+                "StructType the extended-JSON after-images parse into)"
+            )
         self.table = table
         self.mode = mode
+        self.doc_schema = doc_schema
         self.inline_compact_every = inline_compact_every
         self.inline_sizing_every = inline_sizing_every
         self._applied_batches = 0
@@ -55,6 +65,11 @@ class Streamer:
             return
         if self.mode == "cdc":
             apply_cdc_batch(self.table, batch_df)
+        elif self.mode == "cdc_mongo":
+            # MongoDB Debezium envelopes (extended-JSON after-images,
+            # updateDescription patches, key-only deletes) — the
+            # per-key ordered fold in sources/cdc.py
+            apply_mongo_cdc_batch(self.table, batch_df, self.doc_schema)
         elif self.mode == "insert":
             self.table.insert(batch_df)
         else:

@@ -158,3 +158,60 @@ def test_mongo_patch_on_same_batch_insert_and_reinsert_after_delete(
     rows = {r._id: r for r in t.snapshot().collect()}
     assert set(rows) == {7}
     assert rows[7].first_name == "A2" and rows[7].email == "again@b"
+
+
+def test_mongo_cdc_streaming_end_to_end(spark, tmp_base):
+    """EP3 for MongoDB as a STREAM: envelope JSON lines dropped as
+    files → Structured Streaming file source → Streamer(mode=
+    'cdc_mongo') foreachBatch fold → table commits. Mirrors the
+    relational CDC stream test but with extended-JSON after-images and
+    a patch event that needs prior state."""
+    import json as _json
+    import os
+
+    from onehouse_demos_spark.streaming.ingest import (
+        Streamer,
+        file_json_stream,
+    )
+    from onehouse_demos_spark.sources.cdc import MONGO_ENVELOPE_DDL
+
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/mongo_stream",
+        TableConfig(name="mongo_stream", record_key=["_id"]),
+    )
+    drop_dir = tmp_base + "/mongo_drops"
+    os.makedirs(drop_dir, exist_ok=True)
+
+    def envelope_line(op, ts, after=None, upd=None, removed=None, key_id=None):
+        ud = None
+        if upd is not None or removed is not None:
+            ud = {
+                "updatedFields": _json.dumps(upd) if upd is not None else None,
+                "removedFields": removed,
+            }
+        return _json.dumps({
+            "after": after,
+            "updateDescription": ud,
+            "op": op,
+            "ts_ms": ts,
+            "key": _json.dumps({"id": key_id}) if key_id else None,
+        })
+
+    batch = [
+        envelope_line("r", 1, after=_doc(1001, "Sally", "Thomas", "s@a.io")),
+        envelope_line("c", 2, after=_doc(1002, "George", "Bailey", "g@f.io")),
+        envelope_line("u", 3, upd={"email": "sally2@a.io"},
+                      key_id='{"$numberLong": "1001"}'),
+        envelope_line("d", 4, key_id='{"$numberLong": "1002"}'),
+    ]
+    with open(f"{drop_dir}/b1.json", "w") as fh:
+        fh.write("\n".join(batch))
+    stream = file_json_stream(spark, drop_dir, MONGO_ENVELOPE_DDL)
+    st = Streamer(t, mode="cdc_mongo", doc_schema=DOC_SCHEMA)
+    q = st.start(stream, tmp_base + "/mongo_ckpt", trigger_once=True)
+    q.awaitTermination(120)
+    rows = {r._id: r for r in t.snapshot().collect()}
+    assert set(rows) == {1001}
+    assert rows[1001].email == "sally2@a.io"
+    assert rows[1001].first_name == "Sally"
