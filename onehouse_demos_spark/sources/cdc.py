@@ -273,8 +273,10 @@ def normalize_mongo_extjson(col):
     )
     c = F.regexp_replace(c, r'\{"\$date":\s*(-?\d+)\}', "$1")
     c = F.regexp_replace(c, r'\{"\$number(?:Long|Int)":\s*"(-?\d+)"\}', "$1")
+    # '-' inside the class: canonical extended JSON serializes small
+    # magnitudes in E notation with negative exponents ("1.5E-6")
     c = F.regexp_replace(
-        c, r'\{"\$number(?:Double|Decimal)":\s*"(-?[\d.eE+]+)"\}', "$1"
+        c, r'\{"\$number(?:Double|Decimal)":\s*"(-?[\d.eE+-]+)"\}', "$1"
     )
     c = F.regexp_replace(c, r'\{"\$oid":\s*"([0-9a-fA-F]{24})"\}', '"$1"')
     return c
@@ -413,9 +415,15 @@ def apply_mongo_cdc_batch(table, envelopes: DataFrame, doc_schema) -> None:
         F.col(id_field).alias("_k"),
         F.aggregate("_evs", init, fold_step).alias("_state"),
     ).select("_state.*")
-    upserts = folded.filter(~F.col("_deleted")).drop("_deleted")
-    deletes = folded.filter(F.col("_deleted")).select(id_field)
-    if deletes.limit(1).count() > 0:
-        table.delete(deletes)
-    if upserts.limit(1).count() > 0:
-        table.upsert(upserts)
+    # The fold plan (snapshot seed join + collect/sort/aggregate) feeds
+    # four actions below — persist once so it runs once, not four times
+    folded = folded.persist()
+    try:
+        upserts = folded.filter(~F.col("_deleted")).drop("_deleted")
+        deletes = folded.filter(F.col("_deleted")).select(id_field)
+        if deletes.limit(1).count() > 0:
+            table.delete(deletes)
+        if upserts.limit(1).count() > 0:
+            table.upsert(upserts)
+    finally:
+        folded.unpersist()

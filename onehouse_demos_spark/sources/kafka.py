@@ -15,9 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: The external package that provides the `kafka` source/sink. Version
-#: must match the Spark build (`pyspark.__version__`).
-KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>"
+def _kafka_package() -> str:
+    """The external package providing the `kafka` source/sink, with
+    the version resolved from the running Spark build (Spark 4.x is
+    Scala 2.13; a Scala-2.12 Spark 3.x build needs the _2.12
+    artifact)."""
+    import pyspark
+
+    scala = "2.12" if pyspark.__version__.startswith("3.") else "2.13"
+    return (
+        f"org.apache.spark:spark-sql-kafka-0-10_{scala}:"
+        f"{pyspark.__version__}"
+    )
 
 
 def kafka_available(spark: SparkSession) -> bool:
@@ -35,7 +44,7 @@ def _require_kafka(spark: SparkSession) -> None:
     if not kafka_available(spark):
         raise RuntimeError(
             "kafka connector unavailable: the spark-sql-kafka jar is "
-            f"not on the classpath. Launch with --packages {KAFKA_PACKAGE} "
+            f"not on the classpath. Launch with --packages {_kafka_package()} "
             "(reference EP1 runs it inside the Hudi streamer bundle). "
             "File/memory streams exercise the identical decode + "
             "foreachBatch path without a broker — see streaming/ingest.py."

@@ -41,11 +41,12 @@ Semantics:
 Scale notes: the log is metadata-scale (one JSON object per file
 action); building a version touches only the manifest plus one
 `os.stat` per *newly added* file (size is cached back into the log,
-never re-stat'ed). Concurrency: a version file is created with
-O_CREAT|O_EXCL through the table's lock-provider seam, the same
-conditional-put contract the commit timeline uses — concurrent
-syncers serialize on version numbers exactly like Delta's own
-`_delta_log` protocol requires.
+never re-stat'ed). Concurrency: version files go through the lock
+provider's atomic conditional `publish` (local FS: tmp + hardlink, so
+the name appears only with its full content; object stores: a
+conditional put) — concurrent syncers serialize on version numbers
+exactly like Delta's own `_delta_log` protocol requires, and readers
+can never observe a torn version file.
 """
 
 from __future__ import annotations
@@ -267,17 +268,14 @@ def sync_delta_log(table: LakehouseTable, now_ms: int | None = None) -> int:
     os.makedirs(log_dir, exist_ok=True)
     version = last_version + 1
     payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
-    # Conditional create: Delta's own commit contract (version N may be
-    # written by exactly one writer) — published through the same
-    # conditional-put lock-provider seam the commit timeline uses
-    # (tables/locks.py), so object-store deployments inherit the swap.
-    from onehouse_demos_spark.tables.locks import LocalFSLockProvider
-
-    try:  # same provider class as the timeline, rooted at _delta_log
-        provider_inst = type(table.timeline.lock_provider)(log_dir)
-    except Exception:
-        provider_inst = LocalFSLockProvider(log_dir)
-    if not provider_inst.try_lock(_version_name(version), payload):
+    # Atomic conditional publish: Delta's commit contract (version N
+    # written by exactly one writer, and readers must never observe a
+    # partial version file). The timeline's lock provider re-scopes to
+    # the _delta_log namespace — same store, no silent fallback — and
+    # `publish` guarantees content atomicity (local FS: tmp+hardlink;
+    # object stores: conditional put).
+    provider = table.timeline.lock_provider.scoped(log_dir)
+    if not provider.publish(_version_name(version), payload):
         raise FileExistsError(
             f"delta log version {version} already published by a "
             "concurrent syncer"

@@ -332,12 +332,27 @@ def sync_iceberg_metadata(
         ),
     }
     new_version = version + 1
-    with open(
-        os.path.join(meta_dir, f"v{new_version}.metadata.json"), "w"
-    ) as fh:
-        json.dump(meta, fh, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+    # Conditional atomic publish through the timeline's lock provider
+    # (scoped to metadata/): exactly one syncer can own version N, and
+    # readers never observe a torn metadata.json. The manifests above
+    # are uuid-named (collision-free) so only the version file needs
+    # the conditional create.
+    provider = table.timeline.lock_provider.scoped(meta_dir)
+    if not provider.publish(
+        f"v{new_version}.metadata.json", json.dumps(meta, indent=2)
+    ):
+        raise FileExistsError(
+            f"iceberg metadata v{new_version} already published by a "
+            "concurrent syncer"
+        )
+    # version-hint is a HINT (HadoopTables convention): replaced
+    # atomically via tmp+rename so a racing reader sees either the old
+    # or the new version number, never a truncated file.
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp = hint + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
         fh.write(str(new_version))
+    os.replace(tmp, hint)
     return new_version
 
 
@@ -369,7 +384,33 @@ def read_iceberg_snapshot(spark, table_path: str):
             if e["status"] in (0, 1)  # EXISTING / ADDED
         )
     if not paths:
+        # reconstruct the table schema from the metadata (inverse of
+        # _iceberg_type) so an emptied table still reads with its
+        # columns — parity with read_delta_snapshot
         from pyspark.sql import types as T
 
-        return spark.createDataFrame([], T.StructType([]))
+        schema_json = next(
+            s for s in meta["schemas"]
+            if s["schema-id"] == meta["current-schema-id"]
+        )
+        inverse = {
+            "long": T.LongType(), "int": T.IntegerType(),
+            "double": T.DoubleType(), "float": T.FloatType(),
+            "string": T.StringType(), "boolean": T.BooleanType(),
+            "timestamptz": T.TimestampType(),
+            "timestamp": T.TimestampNTZType(), "date": T.DateType(),
+            "binary": T.BinaryType(),
+        }
+
+        def to_spark(t):
+            if isinstance(t, str) and t.startswith("decimal("):
+                p, sc = t[8:-1].split(",")
+                return T.DecimalType(int(p), int(sc))
+            return inverse[t]
+
+        fields = [
+            T.StructField(f["name"], to_spark(f["type"]), True)
+            for f in schema_json["fields"]
+        ]
+        return spark.createDataFrame([], T.StructType(fields))
     return spark.read.parquet(*paths)

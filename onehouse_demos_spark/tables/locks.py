@@ -4,44 +4,56 @@
 pluggable `ZookeeperBasedLockProvider`; single-node runs use a
 filesystem lock via `hoodie.fs.atomic_creation.support=s3a`).
 
-The commit timeline needs exactly one primitive for correctness:
-**create-if-absent with atomic visibility** ("conditional put"). Both
-the instant-id reservation and the validate+publish critical section
-reduce to it. This module names that primitive as a provider interface
-so the storage-specific implementation is swappable:
+The commit timeline and the format-personality exporters need three
+storage primitives, named here so the storage-specific implementation
+is swappable:
 
-- `LocalFSLockProvider` — POSIX `O_CREAT|O_EXCL`, correct on any
-  local/NFSv4 filesystem. The default; what tests exercise.
-- Object stores — implement `try_lock` with the store's conditional
-  write and `unlock` with delete:
-    * S3 (Nov-2024+ API): `PutObject` with `If-None-Match: *`
-      (the same capability `hoodie.fs.atomic_creation.support=s3a`
-      gates in the reference's Hudi config);
-    * GCS: `x-goog-if-generation-match: 0`; Azure: `If-None-Match: *`;
-    * or an external lock table (DynamoDB conditional `PutItem` with
-      `attribute_not_exists`), mirroring the reference's
-      Zookeeper/DynamoDB lock-provider options.
-  Providers must also report `lock_age_s` so a dead writer's lock can
-  be broken after `Timeline.LOCK_STALE_S` (object stores: read the
-  lock object's creation time).
+1. **Conditional create** (`try_lock`/`unlock`/`lock_age_s`/`list`) —
+   create an entity iff absent. Used for instant-id reservation
+   markers. Object stores: S3 `PutObject` + `If-None-Match: *`
+   (the capability `hoodie.fs.atomic_creation.support=s3a` gates in
+   the reference's Hudi config), GCS `x-goog-if-generation-match: 0`,
+   Azure `If-None-Match: *`, or DynamoDB conditional `PutItem`.
+2. **Conditional publish with content** (`publish`) — conditional
+   create whose payload is visible ATOMICALLY (readers never observe
+   a partial entity). Used for Delta log versions and Iceberg
+   metadata versions, whose readers may race the writer. Local FS:
+   write a temp file, `os.link` it into place (link fails if the name
+   exists; the linked content is complete by construction). Object
+   stores: a conditional put IS this primitive (objects appear
+   atomically).
+3. **Mutex** (`acquire_mutex`/`release_mutex`) — a liveness-backed
+   exclusive section for validate+publish. Local FS: `flock`, which
+   the kernel releases when the holder dies — no staleness heuristic
+   and no break race at all. Providers without native liveness
+   inherit the generic loop below (conditional create + staleness
+   breaking); its stale-break carries an unavoidable narrow race
+   (breaker may delete a lock refreshed between its age check and its
+   delete), which is why implementations with a real lease/liveness
+   primitive (flock, Zookeeper ephemeral nodes, DynamoDB lease
+   heartbeats) must override it.
 
-The provider carries NO lease/renewal logic by design: locks are held
-only for driver-side metadata validation plus one atomic publish —
-milliseconds — never across data writes, so a coarse staleness bound
-is sufficient (same stance as the reference's
-`FileSystemBasedLockProvider`).
+Locks are held only for driver-side metadata validation plus one
+atomic publish — milliseconds — never across data writes.
 """
 
 from __future__ import annotations
 
 import os
 import time
+import uuid
 
 
 class LockProvider:
-    """Create-if-absent lock entities, named relative to one table's
-    commit directory. See module docstring for the contract and the
+    """See module docstring for the three primitives and their
     object-store implementations."""
+
+    #: A generic-loop mutex holder older than this is assumed dead and
+    #: is broken (only used by the inherited acquire_mutex fallback —
+    #: liveness-backed implementations never consult it).
+    MUTEX_STALE_S = 600.0
+
+    # -- conditional create ------------------------------------------------
 
     def try_lock(self, name: str, payload: str = "") -> bool:
         """Atomically create lock entity `name` iff absent; True on
@@ -54,19 +66,69 @@ class LockProvider:
 
     def lock_age_s(self, name: str) -> float | None:
         """Seconds since the lock entity was created, or None if it
-        does not exist (used for stale-holder breaking)."""
+        does not exist."""
+        raise NotImplementedError
+
+    def list(self, suffix: str = "") -> list[str]:
+        """Names of existing lock entities (optionally filtered by
+        suffix). Lets timeline logic (in-flight discovery, orphan-clean
+        shielding) see reservations wherever the provider stores them."""
+        raise NotImplementedError
+
+    # -- conditional publish with content ----------------------------------
+
+    def publish(self, name: str, payload: str | bytes) -> bool:
+        """Create entity `name` with `payload` iff absent, atomically:
+        a reader must never observe the name without the full payload.
+        True on success, False if the name already exists."""
+        raise NotImplementedError
+
+    # -- mutex -------------------------------------------------------------
+
+    def acquire_mutex(self, name: str, timeout_s: float = 60.0) -> None:
+        """Generic fallback built on the conditional-create primitives.
+        Carries the documented stale-break race — override with a
+        liveness-backed implementation where the store offers one."""
+        deadline = time.time() + timeout_s
+        while True:
+            if self.try_lock(name):
+                return
+            age = self.lock_age_s(name)
+            if age is None:
+                continue  # holder just released — retry immediately
+            if age > self.MUTEX_STALE_S:
+                self.unlock(name)  # break a dead holder (racy; see doc)
+                continue
+            if time.time() > deadline:
+                raise RuntimeError(f"timed out waiting for mutex {name!r}")
+            time.sleep(0.01)
+
+    def release_mutex(self, name: str) -> None:
+        self.unlock(name)
+
+    # -- namespacing -------------------------------------------------------
+
+    def scoped(self, root: str) -> "LockProvider":
+        """A provider over the same store rooted at a different
+        namespace (e.g. the table's `_delta_log/` next to its
+        `_commits/`). No silent fallback: providers must implement
+        this so personality exporters inherit the real store."""
         raise NotImplementedError
 
 
 class LocalFSLockProvider(LockProvider):
-    """POSIX exclusive-create implementation (the conditional put of a
-    local filesystem)."""
+    """POSIX implementation: O_EXCL conditional create, tmp+hardlink
+    atomic publish, flock mutex (kernel-released on process death —
+    raceless, no staleness heuristic)."""
 
     def __init__(self, root: str):
         self.root = root
+        self._mutex_fds: dict[str, int] = {}
 
     def _path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    # -- conditional create ------------------------------------------------
 
     def try_lock(self, name: str, payload: str = "") -> bool:
         try:
@@ -92,3 +154,66 @@ class LocalFSLockProvider(LockProvider):
             return time.time() - os.path.getmtime(self._path(name))
         except FileNotFoundError:
             return None
+
+    def list(self, suffix: str = "") -> list[str]:
+        try:
+            names = os.listdir(self.root)
+        except FileNotFoundError:
+            return []
+        return sorted(n for n in names if n.endswith(suffix))
+
+    # -- conditional publish with content ----------------------------------
+
+    def publish(self, name: str, payload: str | bytes) -> bool:
+        data = payload.encode() if isinstance(payload, str) else payload
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._path(f".{name}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            # hardlink = create-if-absent with the COMPLETE content:
+            # the target name appears only after the bytes exist
+            os.link(tmp, self._path(name))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
+
+    # -- mutex (flock) -----------------------------------------------------
+
+    def acquire_mutex(self, name: str, timeout_s: float = 60.0) -> None:
+        import fcntl
+
+        path = self._path(name)
+        os.makedirs(self.root, exist_ok=True)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                os.ftruncate(fd, 0)
+                os.write(fd, str(os.getpid()).encode())
+                self._mutex_fds[name] = fd
+                return
+            except BlockingIOError:
+                if time.time() > deadline:
+                    os.close(fd)
+                    raise RuntimeError(
+                        f"timed out waiting for mutex {name!r}"
+                    )
+                time.sleep(0.01)
+
+    def release_mutex(self, name: str) -> None:
+        import fcntl
+
+        fd = self._mutex_fds.pop(name, None)
+        if fd is None:
+            return
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+    # -- namespacing -------------------------------------------------------
+
+    def scoped(self, root: str) -> "LocalFSLockProvider":
+        return LocalFSLockProvider(root)

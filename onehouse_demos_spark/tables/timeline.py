@@ -182,14 +182,13 @@ class Timeline:
         return candidate
 
     def _inflight(self) -> list[str]:
-        try:
-            return [
-                n[: -len(".inflight")]
-                for n in os.listdir(self.commits_path)
-                if n.endswith(".inflight")
-            ]
-        except FileNotFoundError:
-            return []
+        # through the provider, not os.listdir: with an object-store
+        # provider the reservations live in the store, and orphan-clean
+        # shielding / instant-id advance must still see them
+        return [
+            n[: -len(".inflight")]
+            for n in self.lock_provider.list(".inflight")
+        ]
 
     # -- OCC write protocol ---------------------------------------------------
 
@@ -205,36 +204,24 @@ class Timeline:
             # another writer took this id — retry
         raise RuntimeError("could not reserve a commit instant (writer contention)")
 
-    #: A publish lock older than this is assumed to belong to a dead
-    #: writer and is broken (the lock is held only for driver-side
-    #: metadata validation + one rename — never for the data write).
+    #: Back-compat alias: the generic-loop mutex staleness bound now
+    #: lives on the provider (locks.py::LockProvider.MUTEX_STALE_S).
     LOCK_STALE_S = 600.0
 
     PUBLISH_LOCK = "_publish.lock"
 
     def _acquire_publish_lock(self, timeout_s: float = 60.0) -> str:
-        """Exclusive lock serializing validate+publish. Check-then-
+        """Exclusive mutex serializing validate+publish. Check-then-
         publish without mutual exclusion lets two writers both pass the
         removes-overlap validation and both replace the same file group
         (duplicate rows per key in the snapshot). This is our analog of
         the reference's lock-provider requirement for multi-writer OCC
         (`multi-writer-1.properties:38-44`, ZookeeperBasedLockProvider).
-        Acquisition goes through the conditional-create lock provider
-        (locks.py) — the object-store implementation is a conditional
-        put, same correctness argument."""
-        deadline = time.time() + timeout_s
-        while True:
-            if self.lock_provider.try_lock(self.PUBLISH_LOCK):
-                return self.PUBLISH_LOCK
-            age = self.lock_provider.lock_age_s(self.PUBLISH_LOCK)
-            if age is None:
-                continue  # holder just released — retry immediately
-            if age > self.LOCK_STALE_S:
-                self.lock_provider.unlock(self.PUBLISH_LOCK)  # dead writer
-                continue
-            if time.time() > deadline:
-                raise RuntimeError("timed out waiting for publish lock")
-            time.sleep(0.01)
+        The provider's mutex is liveness-backed where the store allows
+        (local FS: flock — dead holders release automatically, no
+        staleness race); the generic fallback loop lives in locks.py."""
+        self.lock_provider.acquire_mutex(self.PUBLISH_LOCK, timeout_s)
+        return self.PUBLISH_LOCK
 
     def complete(self, inst: Instant, conflict_check_from: str | None = None) -> None:
         """Atomically publish a completed instant.
@@ -273,7 +260,7 @@ class Timeline:
             self.lock_provider.unlock(f"{inst.instant}.inflight")
         finally:
             if lock is not None:
-                self.lock_provider.unlock(lock)
+                self.lock_provider.release_mutex(lock)
 
     def abort(self, instant: str) -> None:
         self.lock_provider.unlock(f"{instant}.inflight")

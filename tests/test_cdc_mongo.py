@@ -75,6 +75,25 @@ def test_extjson_normalization(spark):
     assert parsed["score"] == 9.5
 
 
+def test_extjson_scientific_notation_doubles(spark):
+    """Canonical extended JSON serializes small/large magnitudes in E
+    notation with signed exponents — they must unwrap, not silently
+    null out (r3 review finding)."""
+    df = spark.createDataFrame(
+        [(
+            '{"tiny": {"$numberDouble": "1.5E-6"}, '
+            '"huge": {"$numberDouble": "-2.25E+10"}, '
+            '"dec": {"$numberDecimal": "3.14e-2"}}',
+        )],
+        "s string",
+    )
+    out = df.select(normalize_mongo_extjson(F.col("s")).alias("n")).first().n
+    parsed = json.loads(out)
+    assert parsed["tiny"] == 1.5e-6
+    assert parsed["huge"] == -2.25e10
+    assert parsed["dec"] == 3.14e-2
+
+
 def test_flatten_classifies_full_partial_delete(spark):
     rows = [
         _env("r", 1, after=_doc(1001, "Sally", "Thomas", "st@x.io")),

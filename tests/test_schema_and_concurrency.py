@@ -411,9 +411,13 @@ def test_lock_provider_seam_carries_all_occ_traffic(tmp_base):
             self.events.append(("try", name, ok))
             return ok
 
-        def unlock(self, name):
-            self.events.append(("unlock", name))
-            super().unlock(name)
+        def acquire_mutex(self, name, timeout_s=60.0):
+            self.events.append(("mutex_acquire", name))
+            super().acquire_mutex(name, timeout_s)
+
+        def release_mutex(self, name):
+            self.events.append(("mutex_release", name))
+            super().release_mutex(name)
 
     import os
 
@@ -439,32 +443,80 @@ def test_lock_provider_seam_carries_all_occ_traffic(tmp_base):
             outcomes.append(type(exc).__name__)
     assert sorted(outcomes) == ["ConflictError", "ok"], outcomes
     tries = [e for e in prov.events if e[0] == "try"]
-    # 3 instant reservations + 2 publish-lock acquisitions, all seen
-    # by the provider
+    # 3 instant reservations through the conditional-create primitive
     assert sum(1 for _, n, ok in tries if n.endswith(".inflight") and ok) == 3
-    assert sum(1 for _, n, ok in tries if n == Timeline.PUBLISH_LOCK) >= 2
-    # publish lock always released (no leaked critical section)
-    assert prov.lock_age_s(Timeline.PUBLISH_LOCK) is None
+    # both conflicting publishes entered (and left) the mutex
+    acq = [e for e in prov.events if e[0] == "mutex_acquire"]
+    rel = [e for e in prov.events if e[0] == "mutex_release"]
+    assert len(acq) >= 2 and len(rel) == len(acq)
+    # mutex is free afterwards: an immediate re-acquire succeeds
+    prov.acquire_mutex(Timeline.PUBLISH_LOCK, timeout_s=1.0)
+    prov.release_mutex(Timeline.PUBLISH_LOCK)
 
 
-def test_stale_publish_lock_is_broken(tmp_base):
-    """A dead writer's publish lock (older than LOCK_STALE_S) must be
-    broken instead of deadlocking every future commit."""
+def test_flock_mutex_ignores_dead_holder_file(tmp_base):
+    """The local mutex is flock-backed: a leftover lock FILE from a
+    dead process holds no kernel lock, so acquisition proceeds
+    immediately — no staleness heuristic, no break race."""
     import os
-    import time
 
     from onehouse_demos_spark.tables.timeline import Instant, Timeline
 
     tl = Timeline(tmp_base + "/stale")
-    # simulate a dead writer: plant the lock and age it
-    assert tl.lock_provider.try_lock(Timeline.PUBLISH_LOCK)
+    # simulate a dead writer's leftover: plant the lock file unflocked
     lock_path = os.path.join(tl.commits_path, Timeline.PUBLISH_LOCK)
-    old = time.time() - Timeline.LOCK_STALE_S - 5
-    os.utime(lock_path, (old, old))
+    with open(lock_path, "w") as fh:
+        fh.write("99999")
     i = tl.begin("commit")
     tl.complete(
         Instant(instant=i, action="commit", operation="insert",
                 adds=[], removes=["f.parquet"]),
         conflict_check_from=None,
-    )  # needs_lock via removes → must break the stale lock, not hang
+    )  # needs_lock via removes -> must acquire despite the leftover file
     assert [x.instant for x in tl.instants()] == [i]
+
+
+def test_generic_mutex_loop_breaks_stale_locks(tmp_base):
+    """Providers without a liveness primitive inherit the generic
+    conditional-create loop: a holder older than MUTEX_STALE_S is
+    broken instead of deadlocking every future commit."""
+    import os
+    import time
+
+    from onehouse_demos_spark.tables.locks import (
+        LocalFSLockProvider,
+        LockProvider,
+    )
+
+    class GenericLoopProvider(LocalFSLockProvider):
+        # un-override: force the base-class conditional-create loop
+        acquire_mutex = LockProvider.acquire_mutex
+        release_mutex = LockProvider.release_mutex
+
+    root = tmp_base + "/generic"
+    os.makedirs(root, exist_ok=True)
+    prov = GenericLoopProvider(root)
+    assert prov.try_lock("m")          # dead holder's lock
+    path = os.path.join(root, "m")
+    old = time.time() - LockProvider.MUTEX_STALE_S - 5
+    os.utime(path, (old, old))
+    prov.acquire_mutex("m", timeout_s=5.0)   # must break, not time out
+    prov.release_mutex("m")
+
+
+def test_publish_is_atomic_and_conditional(tmp_base):
+    """`publish` must expose the name only with its full payload
+    (tmp+hardlink locally) and refuse a second publish of the same
+    name — the primitive Delta/Iceberg version files rely on."""
+    import os
+
+    from onehouse_demos_spark.tables.locks import LocalFSLockProvider
+
+    root = tmp_base + "/pub"
+    prov = LocalFSLockProvider(root)
+    assert prov.publish("00001.json", "x" * 4096)
+    assert open(os.path.join(root, "00001.json")).read() == "x" * 4096
+    assert not prov.publish("00001.json", "other")   # conditional
+    assert open(os.path.join(root, "00001.json")).read() == "x" * 4096
+    # no tmp litter
+    assert [n for n in os.listdir(root) if n.endswith(".tmp")] == []
