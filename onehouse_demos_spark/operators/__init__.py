@@ -25,6 +25,7 @@ denominator.
 
 from onehouse_demos_spark.operators import (
     analytics,
+    curation,
     dedup,
     multimodal,
     mutations,
@@ -45,6 +46,7 @@ _MODULES = (
     similarity,
     text,
     analytics,
+    curation,
 )
 
 # Duplicate shapes of already-windowed operators: same physical plan

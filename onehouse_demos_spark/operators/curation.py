@@ -1,0 +1,557 @@
+"""Training-data curation operators: the selection/mixing/tokenizer
+stages a large-scale LLM data pipeline runs AFTER cleaning and dedup.
+
+All public-knowledge algorithms re-expressed as Spark DataFrame plans:
+
+- SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540):
+  cluster embeddings coarsely, prune near-identical vectors within a
+  cluster, keep one representative. Cluster = adaptive LSH sign-bucket
+  (deterministic, trains nothing, no driver collect) standing in for
+  the paper's k-means; the pruning rule is the paper's epsilon-ball
+  with min-id representative.
+- DSIR-style importance weighting (Xie et al., arXiv:2302.03169):
+  hashed unigram features, per-document log importance ratio between a
+  target-domain distribution and the raw-corpus distribution.
+- BPE merge-candidate ranking (Sennrich et al., 2016): corpus → word
+  frequency table (the only big-data stage of BPE training) → weighted
+  adjacent-symbol-pair counts → top merge candidates.
+- Shingle containment (asymmetric near-dup: quote/inclusion detection,
+  the directional complement of Jaccard).
+- TF-IDF top-k terms per document (classic salience ranking).
+- Domain mixture weights: temperature-scaled source sampling weights
+  (the multilingual/multi-domain sampling rule, alpha = 0.5 so the
+  power is an IEEE-exact sqrt in both engines).
+
+Shuffle discipline at 100 TB: every candidate generator is bucketed
+(sign-bucket equi-join, shingle inverted index) — never all-pairs;
+distribution/vocabulary statistics reduce to fixed-width frames (256
+hash buckets, one row per source) that broadcast; corpus-wide scalars
+ride one-row broadcast crossJoins (annotated below), never a driver
+collect in the data path.
+
+Every query has an exact DuckDB oracle built from the same constants.
+Thresholds are data-relative (rank statistics, not absolute cutoffs)
+so no query is vacuously green at small scale factors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from onehouse_demos_spark.functions.text import normalize_text, token_count
+from onehouse_demos_spark.operators.dedup import _shingle_index, load_docs
+from onehouse_demos_spark.operators.similarity import (
+    _ADAPTIVE_BITS_SQL,
+    _SIGN_BUCKET_STR_SQL,
+    _adaptive_bits,
+    _as_double,
+    _sign_bucket_str,
+    cosine,
+    load_emb,
+)
+
+#: Fraction of candidate pairs treated as "semantic duplicates": the
+#: cosine threshold is the rank-ceil(SEMDEDUP_TOP_FRAC * n_pairs)-th
+#: largest candidate cosine (an order statistic, NOT an interpolated
+#: quantile — rank statistics compare identically across engines; see
+#: the double-rounding flake postmortem in the verify recipe).
+SEMDEDUP_TOP_FRAC = 0.10
+
+#: DSIR hashed-feature space width (the paper uses hashed n-grams into
+#: a fixed bucket count; 256 keeps the distribution frame broadcastable
+#: at any corpus size).
+DSIR_BUCKETS = 256
+
+#: BPE merge candidates reported.
+BPE_TOP_K = 20
+
+#: Shingle containment threshold: fraction of the contained doc's
+#: shingles present in the containing doc.
+CONTAINMENT_MIN = 0.9
+
+#: TF-IDF terms reported per document.
+TFIDF_TOP_K = 3
+
+
+# --------------------------------------------------------------------------
+# Portable word tokenization: explode the normalized text on single
+# spaces. Identical in DuckDB via regexp_split_to_array; empty tokens
+# filtered in BOTH engines so empty-text edge behavior matches.
+# --------------------------------------------------------------------------
+
+def _words(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+
+
+_WORDS_SQL = """
+  SELECT doc_id, source, word
+  FROM (
+    SELECT doc_id, source,
+           UNNEST(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+    FROM documents
+  ) WHERE length(word) > 0
+"""
+
+#: Portable 60-bit hash of a string (md5 prefix), mod `m`. The Spark
+#: and DuckDB forms compute bit-identical values (same construction as
+#: the MinHash base hash in operators/dedup.py).
+def _hash_mod(col, m: int):
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % m
+    )
+
+
+def _hash_mod_sql(expr: str, m: int) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {m})"
+
+
+# --------------------------------------------------------------------------
+# 1. SemDeDup-style semantic dedup over the embedding table.
+#
+# Candidates come from the adaptive sign-bucket equi-join (the same
+# bucketing the embedding near-dup and batch-kNN operators use — work
+# stays ~bucket-sized at 100 TB, never all-pairs). The duplicate
+# threshold tau is the rank-k-th largest candidate cosine with
+# k = ceil(10% of candidate pairs), so the operator prunes real mass at
+# every scale factor instead of going vacuous when no pair clears an
+# absolute cutoff. A vector is dropped when a LOWER-id vector in its
+# bucket is within the epsilon-ball (cos >= tau): min-id representative,
+# the deterministic stand-in for the paper's keep-farthest-from-centroid
+# rule. At production scale tau would be fixed by offline calibration;
+# the rank rule here keeps the correctness gate meaningful at sf0.001-0.1.
+# --------------------------------------------------------------------------
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_emb(spark, sf_dir).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    bits = _adaptive_bits(load_emb(spark, sf_dir).count())
+    emb = emb.withColumn("bucket", _sign_bucket_str(F.col("v"), bits))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_r"),
+        )
+    )
+    # tau = rank-k order statistic of the candidate cosines (k-th
+    # largest, k = ceil(frac * n)). One tiny 1-row frame, broadcast by
+    # the crossJoin below — metadata-scale, not a data-path collect.
+    ranked = pairs.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("cos_r"), F.asc("vec_a"), F.asc("vec_b"))
+        ),
+    ).withColumn(
+        "k", F.ceil(F.lit(SEMDEDUP_TOP_FRAC) * F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    tau = ranked.filter(F.col("rnk") == F.col("k")).select(
+        F.col("cos_r").alias("tau")
+    )
+    # Dropped = vectors with a lower-id epsilon-ball neighbor.
+    dropped = (
+        pairs.crossJoin(F.broadcast(tau))  # 1-row threshold frame
+        .filter(F.col("cos_r") >= F.col("tau"))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+SEMANTIC_DEDUP_KEEP_SQL = f"""
+WITH params AS (
+  SELECT {_ADAPTIVE_BITS_SQL} AS bits
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_SIGN_BUCKET_STR_SQL.format(vec='(embedding::DOUBLE[])', bits='bits')} AS bucket
+  FROM embeddings, params
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_r
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), ranked AS (
+  SELECT cos_r,
+         ROW_NUMBER() OVER (ORDER BY cos_r DESC, vec_a ASC, vec_b ASC) AS rnk,
+         CEIL({SEMDEDUP_TOP_FRAC} * COUNT(*) OVER ()) AS k
+  FROM pairs
+), tau AS (
+  SELECT cos_r AS tau FROM ranked WHERE rnk = k
+), dropped AS (
+  SELECT DISTINCT vec_b AS vec_id FROM pairs, tau WHERE cos_r >= tau
+)
+SELECT e.vec_id, e.bucket,
+       (dropped.vec_id IS NULL) AS keep
+FROM e LEFT JOIN dropped ON e.vec_id = dropped.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. DSIR-style importance weights.
+#
+# Feature space: words hashed into DSIR_BUCKETS buckets (portable md5
+# hash). Target domain = the alphabetically-first `source` value (a
+# deterministic stand-in for "the high-quality domain"); raw = the
+# whole corpus. Per-document weight = mean over its tokens of
+# log p_target(bucket) - log p_raw(bucket), Laplace-smoothed. Both
+# distributions reduce to a 256-row frame that broadcasts at any scale;
+# the scoring pass is one map-side join over the token stream.
+# --------------------------------------------------------------------------
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    words = _words(docs).withColumn("bucket", _hash_mod(F.col("word"), DSIR_BUCKETS))
+    # 1-row frame: the target domain label + its token total.
+    target_src = docs.agg(F.min("source").alias("target_source"))
+    tw = words.crossJoin(F.broadcast(target_src)).filter(
+        F.col("source") == F.col("target_source")
+    )
+    t_counts = tw.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    t_total = tw.agg(F.count(F.lit(1)).alias("nt"))
+    r_counts = words.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    r_total = words.agg(F.count(F.lit(1)).alias("nr"))
+    # 256-row log-ratio lookup: (ct+1)/(nt+B) vs (cr+1)/(nr+B).
+    # The per-bucket log ratio is quantized to integer MILLI-NATS so
+    # the per-doc aggregate is an exact integer sum followed by ONE
+    # division — float-summation order (which differs between engines)
+    # never touches the rounded output (the contract-level fix the
+    # cross-SF sweeps demand; see .claude/skills/verify).
+    ratios = (
+        r_counts.join(t_counts, "bucket", "left")
+        .na.fill({"ct": 0})
+        .crossJoin(F.broadcast(t_total))   # 1-row totals
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS))
+                    - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
+                )
+                * 1000.0,
+                0,
+            )
+            .cast("long")
+            .alias("millinats"),
+        )
+    )
+    # Output the EXACT integer pair (token count, milli-nat sum): a
+    # quotient like -2981/20000 sits exactly on the .xxxx5 rounding
+    # boundary where Spark (decimal-string HALF_UP) and DuckDB (binary
+    # round) disagree — so the operator never divides at all. The
+    # importance weight is millinats_sum / n_toks / 1000, computed by
+    # the consumer at whatever precision it wants.
+    return (
+        words.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("millinats").alias("millinats_sum"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH words AS ({_WORDS_SQL}),
+w AS (
+  SELECT doc_id, source, {_hash_mod_sql('word', DSIR_BUCKETS)} AS bucket
+  FROM words
+), target AS (
+  SELECT MIN(source) AS target_source FROM documents
+), tw AS (
+  SELECT w.* FROM w, target WHERE w.source = target.target_source
+), tc AS (
+  SELECT bucket, COUNT(*) AS ct FROM tw GROUP BY bucket
+), tt AS (
+  SELECT COUNT(*) AS nt FROM tw
+), rc AS (
+  SELECT bucket, COUNT(*) AS cr FROM w GROUP BY bucket
+), rt AS (
+  SELECT COUNT(*) AS nr FROM w
+), ratios AS (
+  SELECT rc.bucket,
+         CAST(ROUND((ln((COALESCE(tc.ct, 0) + 1)::DOUBLE / (tt.nt + {DSIR_BUCKETS}))
+                   - ln((rc.cr + 1)::DOUBLE / (rt.nr + {DSIR_BUCKETS}))) * 1000.0, 0)
+              AS BIGINT) AS millinats
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tt, rt
+)
+SELECT w.doc_id, COUNT(*) AS n_toks,
+       SUM(ratios.millinats) AS millinats_sum
+FROM w JOIN ratios ON w.bucket = ratios.bucket
+GROUP BY w.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. BPE merge-candidate ranking.
+#
+# Real BPE training reduces the corpus to a word-frequency table first
+# (the only stage that touches all the data), then iterates merges over
+# that vocab-sized table. This operator is that reduction plus the
+# first merge ranking: adjacent character pairs weighted by word
+# frequency, top-K by count. Further merge iterations are vocab-local
+# driver work at scale, not data-path work.
+# --------------------------------------------------------------------------
+
+def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    wc = (
+        _words(docs)
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # substring with a lambda-bound index needs the SQL expression form
+    # (the Python substring() signature takes plain ints).
+    pairs = wc.select(
+        "cnt",
+        F.expr(
+            "explode(transform(sequence(1, length(word) - 1),"
+            " i -> substring(word, i, 2)))"
+        ).alias("pair"),
+    )
+    w = Window.orderBy(F.desc("total"), F.asc("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("total"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= BPE_TOP_K)
+        .select("pair", "total", "rnk")
+    )
+
+
+BPE_PAIR_CANDIDATES_SQL = f"""
+WITH words AS ({_WORDS_SQL}),
+wc AS (
+  SELECT word, COUNT(*) AS cnt FROM words
+  WHERE length(word) >= 2 GROUP BY word
+), pairs AS (
+  SELECT substring(word, i, 2) AS pair, cnt
+  FROM wc, UNNEST(range(1, length(word))) AS t(i)
+), totals AS (
+  SELECT pair, SUM(cnt) AS total FROM pairs GROUP BY pair
+), ranked AS (
+  SELECT pair, total,
+         ROW_NUMBER() OVER (ORDER BY total DESC, pair ASC) AS rnk
+  FROM totals
+)
+SELECT pair, total, rnk FROM ranked WHERE rnk <= {BPE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# 4. Shingle containment pairs (directional near-dup).
+#
+# containment(a in b) = |shingles(a) ∩ shingles(b)| / |shingles(a)| —
+# catches quotes/inclusions that Jaccard misses (a small doc fully
+# contained in a big one has low Jaccard but containment 1.0). Same
+# inverted-index candidate generation as the Jaccard operator (hot
+# shingles pruned identically in both engines), ordered pairs a != b.
+# --------------------------------------------------------------------------
+
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir, fan_out=True)
+    idx = _shingle_index(docs).cache()
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz_a"), 4))
+        .filter(F.col("containment") >= CONTAINMENT_MIN)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
+SHINGLE_CONTAINMENT_PAIRS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                ELSE [array_to_string(toks[i:i+2], ' ')
+                      FOR i IN range(1, len(toks) - 1)]
+           END AS shs
+    FROM norm
+  ), UNNEST(shs) AS t(shingle)
+), hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 200
+), idx AS (
+  SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter::DOUBLE / sa.sz, 4) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+WHERE ROUND(inter::DOUBLE / sa.sz, 4) >= {CONTAINMENT_MIN}
+"""
+
+
+# --------------------------------------------------------------------------
+# 5. TF-IDF top-k salient terms per document.
+#
+# tf = term count within the doc; idf = ln((N+1)/(df+1)) with N = docs
+# containing at least one token. The df frame is vocabulary-sized; the
+# score is a single multiply of identically-derived doubles, so the
+# rounded output and the (score, term) ordering are engine-portable.
+# --------------------------------------------------------------------------
+
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    words = _words(docs)
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_, "word")
+        .crossJoin(F.broadcast(n_docs))  # 1-row corpus size
+        .select(
+            "doc_id",
+            F.col("word").alias("term"),
+            F.round(
+                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 4
+            ).alias("tfidf_r"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tfidf_r", "rnk")
+    )
+
+
+TFIDF_TOPK_TERMS_SQL = f"""
+WITH words AS ({_WORDS_SQL}),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), nd AS (
+  SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+), scored AS (
+  SELECT tf.doc_id, tf.word AS term,
+         ROUND(tf.tf * ln((nd.n + 1)::DOUBLE / (df.df + 1)), 4) AS tfidf_r
+  FROM tf JOIN df ON tf.word = df.word, nd
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf_r DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tfidf_r, rnk FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# 6. Domain mixture weights (temperature-scaled source sampling).
+#
+# share_s = tokens_s / total_tokens; weight_s = sqrt(share_s) /
+# sum(sqrt(share)) — temperature alpha = 0.5 upweights small domains
+# (the standard multilingual sampling rule). sqrt is IEEE
+# correctly-rounded in both engines, so the only cross-engine float
+# motion is the one-row normalizing sum.
+# --------------------------------------------------------------------------
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot"),
+    )
+    shared = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "s", F.sqrt(F.col("n_tokens") / F.col("tot"))
+    )
+    norm = shared.agg(F.sum("s").alias("z"))
+    return (
+        shared.crossJoin(F.broadcast(norm))  # 1-row normalizer
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot"), 4).alias("token_share_r"),
+            F.round(F.col("s") / F.col("z"), 4).alias("mix_weight_r"),
+        )
+    )
+
+
+DOMAIN_MIXTURE_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(n_tokens) AS tot FROM per_src
+), shared AS (
+  SELECT per_src.*, sqrt(n_tokens::DOUBLE / tot.tot) AS s, tot.tot FROM per_src, tot
+), z AS (
+  SELECT SUM(s) AS z FROM shared
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(n_tokens::DOUBLE / tot, 4) AS token_share_r,
+       ROUND(s / z.z, 4) AS mix_weight_r
+FROM shared, z
+"""
+
+
+QUERIES = {
+    "semantic_dedup_keep": semantic_dedup_keep,
+    "dsir_importance_weights": dsir_importance_weights,
+    "bpe_pair_candidates": bpe_pair_candidates,
+    "shingle_containment_pairs": shingle_containment_pairs,
+    "tfidf_topk_terms": tfidf_topk_terms,
+    "domain_mixture_weights": domain_mixture_weights,
+}
+
+ORACLES = {
+    "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
+    "dsir_importance_weights": DSIR_IMPORTANCE_WEIGHTS_SQL,
+    "bpe_pair_candidates": BPE_PAIR_CANDIDATES_SQL,
+    "shingle_containment_pairs": SHINGLE_CONTAINMENT_PAIRS_SQL,
+    "tfidf_topk_terms": TFIDF_TOPK_TERMS_SQL,
+    "domain_mixture_weights": DOMAIN_MIXTURE_WEIGHTS_SQL,
+}
