@@ -80,6 +80,7 @@ def decode_avro_stream(
     value_schema_json: str,
     confluent_framed: bool = False,
     on_error: str = "fail",
+    registry=None,
 ) -> DataFrame:
     """Avro value decode (reference S2 uses Schema Registry
     AvroConverter, `register-mysql-avro.json:20-24`).
@@ -91,22 +92,38 @@ def decode_avro_stream(
     strips the Schema Registry wire header (magic 0 + 4-byte id) that
     the reference's converters prepend.
 
+    `registry`: a `sources.schema_registry.SchemaRegistryClient`. When
+    given (requires `confluent_framed=True`), each record is decoded
+    with the WRITER schema resolved from its frame's 4-byte schema id
+    — the real Schema Registry consumer behavior, so a topic carrying
+    multiple schema versions decodes correctly. `value_schema_json`
+    stays the READER schema: it fixes the output columns, with
+    writer-only fields dropped and reader-only fields NULL (additive
+    evolution; Avro default-value resolution is not implemented).
+    Registry decode always uses the Python per-record path — the JVM
+    `from_avro` expression is single-schema by construction.
+
     `on_error="quarantine"`: poison bytes (truncated frames, wrong
-    schema, corrupt varints) do NOT fail the job — each bad record
-    yields NULL payload columns plus a `_decode_error` message so the
-    caller can dead-letter it. A CDC pipeline ingesting a busy topic
-    must survive one malformed message (at-least-once transports WILL
-    re-deliver garbage eventually); this path always uses the Python
-    decoder for per-record isolation.
+    schema, corrupt varints, unknown registry ids) do NOT fail the job
+    — each bad record yields NULL payload columns plus a
+    `_decode_error` message so the caller can dead-letter it. A CDC
+    pipeline ingesting a busy topic must survive one malformed message
+    (at-least-once transports WILL re-deliver garbage eventually); this
+    path always uses the Python decoder for per-record isolation.
     """
     if on_error not in ("fail", "quarantine"):
         raise ValueError("on_error must be 'fail' or 'quarantine'")
+    if registry is not None and not confluent_framed:
+        raise ValueError(
+            "registry resolution needs confluent_framed=True (the schema "
+            "id lives in the Confluent wire header)"
+        )
     value = F.col("value")
     if confluent_framed:
         jvm_value = F.expr("substring(value, 6, length(value) - 5)")
     else:
         jvm_value = value
-    if on_error == "fail":
+    if on_error == "fail" and registry is None:
         try:
             from pyspark.sql.avro.functions import from_avro
 
@@ -133,16 +150,50 @@ def decode_avro_stream(
 
         from onehouse_demos_spark.sources import avro_codec as ac
 
-        sch = ac.AvroSchema(value_schema_json)
+        reader_sch = ac.AvroSchema(value_schema_json)
+        writer_cache: dict[int, ac.AvroSchema] = {}
+
+        def schema_for(body: bytes) -> tuple[ac.AvroSchema, bytes]:
+            if registry is None:
+                return reader_sch, (
+                    ac.strip_confluent_header(body) if confluent_framed else body
+                )
+            from onehouse_demos_spark.sources.schema_registry import (
+                parse_schema_id,
+            )
+
+            sid = parse_schema_id(body)
+            if sid not in writer_cache:
+                writer_cache[sid] = ac.AvroSchema(registry.get_schema_by_id(sid))
+            return writer_cache[sid], body[5:]
+
+        def project(value, dtype):
+            # prune writer-only fields recursively so evolved records
+            # fit the reader StructType at Arrow conversion
+            if value is None:
+                return None
+            if isinstance(dtype, T.StructType):
+                return {
+                    f.name: project(value.get(f.name), f.dataType)
+                    for f in dtype.fields
+                }
+            if isinstance(dtype, T.ArrayType):
+                return [project(v, dtype.elementType) for v in value]
+            return value
+
         cols = [f.name for f in out_schema.fields]
         for pdf in batches:
             recs = []
             for raw in pdf["value"]:
                 try:
-                    body = bytes(raw)
-                    if confluent_framed:
-                        body = ac.strip_confluent_header(body)
+                    sch, body = schema_for(bytes(raw))
                     rec = ac.decode(body, sch)
+                    if registry is not None:
+                        rec = {
+                            f.name: project(rec.get(f.name), f.dataType)
+                            for f in out_schema.fields
+                            if f.name != DECODE_ERROR
+                        }
                     if quarantine:
                         rec[DECODE_ERROR] = None
                 except Exception as exc:
