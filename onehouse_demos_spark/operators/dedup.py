@@ -476,6 +476,98 @@ SELECT doc AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY doc
 
 
 # --------------------------------------------------------------------------
+# Star-contraction connected components (large-star / small-star,
+# Kiveris et al., "Connected Components in MapReduce and Beyond",
+# SoCC'14 — public paper). Min-label propagation above converges in
+# O(diameter) rounds, which is fine for real dup chains but pathological
+# for long paths; star contraction converges in O(log^2 n) rounds
+# regardless of diameter — the shape you want when a 100 TB dedup graph
+# contains an adversarial chain. Each round is two key-partitioned
+# shuffles (groupBy-min + join); lineage is truncated per round.
+# --------------------------------------------------------------------------
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 15) -> DataFrame:
+    """Label every node of an undirected edge list with its component's
+    minimum node id. ``edges`` has two orderable columns ``a, b``;
+    duplicates/self-loops/one-directional input are all fine. Returns
+    ``(doc, lab)``. Raises if the edge fixpoint is not reached within
+    ``max_rounds`` large+small pairs (log^2-round convergence means 15
+    pairs covers any realistic graph size)."""
+    cur = (
+        edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        # ---- large-star: v in N(u), v > u  ->  (v, min(N(u) ∪ {u}))
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("m"))
+        )
+        cur = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # ---- small-star: v in N⁻(u) ∪ {u}  ->  (v, min(N⁻(u) ∪ {u}))
+        # After large-star every edge points downward (b < a), so the
+        # symmetric view filtered to b < a IS the small-neighbor set.
+        sym = cur.union(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        small = sym.filter(F.col("b") < F.col("a"))
+        mins = small.groupBy("a").agg(F.min("b").alias("m"))
+        cur = (
+            small.join(mins, "a")
+            .select(F.col("b").alias("v"), F.col("m"))
+            .union(mins.select(F.col("a").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # ---- fixpoint check: order-insensitive multiset signature.
+        # bit_xor (not sum): order-insensitive, cannot overflow under
+        # ANSI mode, and cancellation needs duplicate rows, which the
+        # distinct() above rules out.
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            # At the fixpoint the edge set is a union of disjoint stars
+            # (a -> component min); emit labels for leaves and centers.
+            return (
+                cur.select(F.col("a").alias("doc"), F.col("b").alias("lab"))
+                .union(cur.select(F.col("b").alias("doc"), F.col("b").alias("lab")))
+                .groupBy("doc")
+                .agg(F.min("lab").alias("lab"))
+            )
+        prev_sig = sig
+    raise RuntimeError(
+        f"star contraction did not converge in {max_rounds} rounds"
+    )
+
+
+def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output contract as near_dup_canonical (doc_id -> component
+    min over the LSH pair graph), computed by star contraction instead
+    of min-label propagation — diameter-independent round count."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = connected_components_star(edges)
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("lab").alias("canonical_id")
+    )
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: fraction of a doc's shingles that appear
 # anywhere in the benchmark set. Inverted-index join against the
 # (small) benchmark shingle set — broadcast at real scale, never a
@@ -611,6 +703,7 @@ QUERIES = {
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "simhash64": simhash64,
     "near_dup_canonical": near_dup_canonical,
+    "near_dup_components_star": near_dup_components_star,
     "contamination_check": contamination_check,
     "cross_source_overlap": cross_source_overlap,
 }
@@ -623,6 +716,8 @@ ORACLES = {
     "minhash_lsh_pairs": MINHASH_LSH_PAIRS_SQL,
     "simhash64": SIMHASH64_SQL,
     "near_dup_canonical": NEAR_DUP_CANONICAL_SQL,
+    # identical output contract, different (diameter-independent) algorithm
+    "near_dup_components_star": NEAR_DUP_CANONICAL_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
 }

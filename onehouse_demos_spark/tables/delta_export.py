@@ -65,28 +65,90 @@ from onehouse_demos_spark.tables.table import (
 
 _LOG_DIR = "_delta_log"
 _ENGINE_INFO = "onehouse-demos-spark/0.3 DeltaLogExport/1"
+_LAST_CHECKPOINT = "_last_checkpoint"
+#: delta-spark's default `delta.checkpointInterval`
+CHECKPOINT_INTERVAL = 10
 
 
 def _version_name(v: int) -> str:
     return f"{v:020d}.json"
 
 
+def _checkpoint_name(v: int) -> str:
+    return f"{v:020d}.checkpoint.parquet"
+
+
 def _log_dir(table: LakehouseTable) -> str:
     return os.path.join(table.base_path, _LOG_DIR)
 
 
-def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None]:
-    """Replay an existing `_delta_log`: returns (last_version,
-    {path: add_action}, last_metaData) — (-1, {}, None) if absent."""
-    if not os.path.isdir(log_dir):
-        return -1, {}, None
-    versions = sorted(
-        int(n[:-5])
-        for n in os.listdir(log_dir)
-        if n.endswith(".json") and n[:-5].isdigit()
-    )
+def _read_last_checkpoint(log_dir: str) -> int:
+    """Version of the newest checkpoint per `_last_checkpoint`, -1 if
+    none. Falls back to listing `*.checkpoint.parquet` when the pointer
+    file is missing/corrupt — the same recovery every Delta client
+    performs (the pointer is an optimization, not the source of truth)."""
+    try:
+        with open(os.path.join(log_dir, _LAST_CHECKPOINT)) as fh:
+            return int(json.load(fh)["version"])
+    except (OSError, ValueError, KeyError):
+        cps = [
+            int(n.split(".", 1)[0])
+            for n in os.listdir(log_dir)
+            if n.endswith(".checkpoint.parquet") and n.split(".", 1)[0].isdigit()
+        ] if os.path.isdir(log_dir) else []
+        return max(cps) if cps else -1
+
+
+def _read_checkpoint(log_dir: str, version: int) -> tuple[dict, dict | None]:
+    """Load `(live, metaData)` state from a checkpoint parquet — one
+    action per row, exactly one of the struct columns non-null (the
+    classic V1 checkpoint shape from delta.io PROTOCOL.md)."""
+    import pyarrow.parquet as pq
+
     live: dict[str, dict] = {}
     meta = None
+    tbl = pq.read_table(os.path.join(log_dir, _checkpoint_name(version)))
+    for row in tbl.to_pylist():
+        add = row.get("add")
+        if add is not None:
+            add = {k: v for k, v in add.items() if v is not None}
+            add["partitionValues"] = dict(add.get("partitionValues") or [])
+            live[add["path"]] = add
+        md = row.get("metaData")
+        if md is not None:
+            md = dict(md)
+            md["configuration"] = dict(md.get("configuration") or [])
+            fmt = md.get("format") or {}
+            md["format"] = {
+                "provider": fmt.get("provider", "parquet"),
+                "options": dict(fmt.get("options") or []),
+            }
+            meta = md
+    return live, meta
+
+
+def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None]:
+    """Replay an existing `_delta_log`: returns (last_version,
+    {path: add_action}, last_metaData) — (-1, {}, None) if absent.
+
+    Exactly the replay the protocol prescribes: seed from the newest
+    checkpoint (if any), then apply only the JSON versions after it —
+    so state reconstruction is O(live files + commits since checkpoint),
+    not O(all commits ever), and JSON versions at/below the checkpoint
+    may have been deleted by `clean_delta_log`."""
+    if not os.path.isdir(log_dir):
+        return -1, {}, None
+    ckpt = _read_last_checkpoint(log_dir)
+    live: dict[str, dict] = {}
+    meta = None
+    if ckpt >= 0:
+        live, meta = _read_checkpoint(log_dir, ckpt)
+    versions = sorted(
+        v
+        for n in os.listdir(log_dir)
+        if n.endswith(".json") and n[:-5].isdigit()
+        and (v := int(n[:-5])) > ckpt
+    )
     for v in versions:
         with open(os.path.join(log_dir, _version_name(v))) as fh:
             for line in fh:
@@ -99,7 +161,7 @@ def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None]:
                     live.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     meta = action["metaData"]
-    return (versions[-1] if versions else -1), live, meta
+    return (versions[-1] if versions else ckpt), live, meta
 
 
 def _schema_string(table: LakehouseTable, last_meta: dict | None = None) -> str:
@@ -170,7 +232,11 @@ def _assert_no_tombstones(files) -> None:
             )
 
 
-def sync_delta_log(table: LakehouseTable, now_ms: int | None = None) -> int:
+def sync_delta_log(
+    table: LakehouseTable,
+    now_ms: int | None = None,
+    checkpoint_interval: int = CHECKPOINT_INTERVAL,
+) -> int:
     """Create/refresh the Delta personality of `table` in place.
 
     Returns the Delta version that describes the current snapshot
@@ -280,7 +346,146 @@ def sync_delta_log(table: LakehouseTable, now_ms: int | None = None) -> int:
             f"delta log version {version} already published by a "
             "concurrent syncer"
         )
+    # delta-spark checkpoints every `delta.checkpointInterval` (10)
+    # commits; same policy here so replay cost stays O(live files +
+    # commits-since-checkpoint) no matter how many syncs accumulate.
+    if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+        write_delta_checkpoint(table, version=version)
     return version
+
+
+def write_delta_checkpoint(table: LakehouseTable, version: int | None = None) -> int:
+    """Write `<v>.checkpoint.parquet` + `_last_checkpoint` for the log's
+    current (or given, already-published) version — the public V1
+    checkpoint shape: one action per row, exactly one of the
+    protocol/metaData/add struct columns non-null. Readers seed replay
+    here; `clean_delta_log` may then drop older JSON versions.
+
+    Metadata-scale: one parquet row per LIVE file (remove tombstones are
+    not carried — they exist only for VACUUM, which the engine's own
+    `run_clean` owns). Written via pyarrow on the driver; the row count
+    equals the file count, which is already manifest-resident."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = _log_dir(table)
+    last_version, live, meta = _read_log_state(log_dir)
+    if last_version < 0:
+        raise RuntimeError("no _delta_log to checkpoint — sync first")
+    if version is None:
+        version = last_version
+    elif version != last_version:
+        raise ValueError(
+            f"checkpoint version {version} != log head {last_version}"
+        )
+    if meta is None:
+        raise RuntimeError("log carries no metaData action")
+
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct(
+                [("provider", pa.string()),
+                 ("options", pa.map_(pa.string(), pa.string()))]
+            )),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    rows = [
+        {
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            "metaData": None,
+            "add": None,
+        },
+        {
+            "protocol": None,
+            "metaData": {
+                "id": meta["id"],
+                "format": {
+                    "provider": meta.get("format", {}).get("provider", "parquet"),
+                    "options": [],
+                },
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns", []),
+                "configuration": sorted(
+                    (meta.get("configuration") or {}).items()
+                ),
+                "createdTime": meta.get("createdTime"),
+            },
+            "add": None,
+        },
+    ]
+    for path in sorted(live):
+        add = live[path]
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": path,
+                    "partitionValues": sorted(
+                        (add.get("partitionValues") or {}).items()
+                    ),
+                    "size": add["size"],
+                    "modificationTime": add["modificationTime"],
+                    "dataChange": False,
+                    "stats": add.get("stats"),
+                },
+            }
+        )
+    schema = pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)])
+    ckpt_path = os.path.join(log_dir, _checkpoint_name(version))
+    tmp = ckpt_path + ".tmp"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, ckpt_path)  # atomic: readers never see a torn file
+    ptr = json.dumps({"version": version, "size": len(rows)})
+    tmp = os.path.join(log_dir, _LAST_CHECKPOINT + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(ptr)
+    os.replace(tmp, os.path.join(log_dir, _LAST_CHECKPOINT))
+    return version
+
+
+def clean_delta_log(table: LakehouseTable) -> int:
+    """Delete JSON versions at/below the newest checkpoint (Delta's
+    metadata-cleanup contract: once a checkpoint covers version V, the
+    JSON commits <= V are redundant for readers). Returns how many
+    version files were removed. Keeps the checkpoint itself plus every
+    newer JSON, so any reader replay stays exact."""
+    log_dir = _log_dir(table)
+    ckpt = _read_last_checkpoint(log_dir)
+    if ckpt < 0:
+        return 0
+    removed = 0
+    for n in os.listdir(log_dir):
+        if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= ckpt:
+            os.remove(os.path.join(log_dir, n))
+            removed += 1
+    # older checkpoints are superseded too
+    for n in os.listdir(log_dir):
+        if (
+            n.endswith(".checkpoint.parquet")
+            and n.split(".", 1)[0].isdigit()
+            and int(n.split(".", 1)[0]) < ckpt
+        ):
+            os.remove(os.path.join(log_dir, n))
+    return removed
 
 
 def read_delta_snapshot(spark, delta_path: str):

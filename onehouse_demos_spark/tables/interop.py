@@ -29,8 +29,10 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 from onehouse_demos_spark.tables.delta_export import (  # noqa: F401
+    clean_delta_log,
     read_delta_snapshot,
     sync_delta_log,
+    write_delta_checkpoint,
 )
 from onehouse_demos_spark.tables.iceberg_export import (  # noqa: F401
     read_iceberg_snapshot,

@@ -213,3 +213,70 @@ def test_refuses_personality_that_would_resurrect_tombstones(
     ))
     with pytest.raises(RuntimeError, match="resurrect"):
         sync_delta_log(t)
+
+
+def test_checkpoint_written_read_and_log_cleaned(spark, tmp_base):
+    """Scale path: after `delta.checkpointInterval` commits a V1
+    checkpoint parquet + `_last_checkpoint` pointer appear; replay
+    seeds from the checkpoint, so the older JSON versions can be
+    deleted and the personality still reads exactly."""
+    import pyarrow.parquet as pq
+
+    from onehouse_demos_spark.tables.delta_export import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, tmp_base)
+    sync_delta_log(t)  # v0
+    # 10 more generations -> v10 triggers the auto-checkpoint
+    for i in range(10):
+        t.upsert(spark.createDataFrame([(f"k{i:02d}", 3 + i, "GOOG",
+                                         500.0 + i)], DDL))
+        sync_delta_log(t)
+    log_dir = os.path.join(t.base_path, "_delta_log")
+    ckpt = os.path.join(log_dir, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(ckpt)
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        ptr = json.load(fh)
+    assert ptr["version"] == 10
+    # classic V1 shape: exactly one non-null struct per row; adds
+    # cover exactly the live file set
+    tbl = pq.read_table(ckpt).to_pylist()
+    assert ptr["size"] == len(tbl)
+    for row in tbl:
+        assert sum(row[c] is not None
+                   for c in ("protocol", "metaData", "add")) == 1
+    n_adds = sum(1 for r in tbl if r["add"] is not None)
+    assert n_adds == len(_delta_live_paths(t.base_path))
+    before = _rows(read_delta_snapshot(spark, t.base_path))
+    assert before == _rows(t.snapshot())
+    # drop every JSON version the checkpoint covers; reads must not move
+    removed = clean_delta_log(t)
+    assert removed == 11  # v0..v10
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == before
+    # and the NEXT sync continues the version chain past the checkpoint
+    t.upsert(spark.createDataFrame([("k99", 1, "MSFT", 1.0)], DDL))
+    v = sync_delta_log(t)
+    assert v == 11
+    after = _rows(read_delta_snapshot(spark, t.base_path))
+    assert after == _rows(t.snapshot()) and len(after) == len(before) + 1
+    # manual checkpoint at the new head supersedes the old one
+    assert write_delta_checkpoint(t) == 11
+    clean_delta_log(t)
+    names = os.listdir(log_dir)
+    assert f"{10:020d}.checkpoint.parquet" not in names
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == after
+
+
+def test_checkpoint_refuses_stale_version(spark, tmp_base):
+    from onehouse_demos_spark.tables.delta_export import (
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, tmp_base)
+    sync_delta_log(t)
+    t.upsert(spark.createDataFrame([("k00", 9, "MSFT", 9.0)], DDL))
+    sync_delta_log(t)
+    with pytest.raises(ValueError, match="log head"):
+        write_delta_checkpoint(t, version=0)

@@ -61,19 +61,13 @@ def test_entry_smoke(spark):
     assert "sum_qty" in df.columns
 
 
-# Queries with NO SQL oracle by design (k-means training is not
-# SQL-expressible); each is recall-gated against brute force in
-# tests/test_plans.py and the driver records a rows-only check.
-ROWS_ONLY = {"pq_adc_topk", "knn_ivf_trained", "ann_index_search"}
-
-
-def test_every_query_has_oracle_or_is_flagged():
+def test_every_query_has_oracle():
+    """Since r3 even the trained-quantizer ANN queries replay their
+    training in SQL (operators/ann_oracle_sql.py), so EVERY registered
+    query must ship a DuckDB oracle — no rows-only escape hatch."""
     qs, oracles = _registries()
-    missing = set(qs) - set(oracles) - ROWS_ONLY
-    # Every other query ships an oracle; flag regressions loudly.
+    missing = set(qs) - set(oracles)
     assert missing == set(), f"queries without oracle: {missing}"
-    # and the rows-only set stays minimal + registered
-    assert ROWS_ONLY <= set(qs)
 
 
 def test_driver_window_covers_distinct_operator_classes():
