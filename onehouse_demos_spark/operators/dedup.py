@@ -568,6 +568,109 @@ def near_dup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Exact-substring duplicate passages (the Lee et al. 2021 "Deduplicating
+# Training Data Makes Language Models Better" signal, public paper):
+# fixed-K token windows hashed into an inverted index; a window present
+# in ≥2 distinct documents marks a verbatim copied passage. Per-doc
+# output: how much of the doc is covered by cross-doc passages and the
+# longest consecutive copied run (run + K - 1 ≈ copied-passage tokens).
+# Scale shape: explode is linear in corpus tokens, the dup-window set
+# comes from one groupBy on the window text (map-side partial agg), and
+# the flag join is a shuffle join on the window key — never doc×doc.
+# The run-length step is a per-doc window sort (partitioned by doc).
+# --------------------------------------------------------------------------
+
+PASSAGE_K = 8  #: tokens per window
+
+
+def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir, fan_out=True)
+    wins = docs.select(
+        "doc_id",
+        F.posexplode(shingles(F.col("text"), PASSAGE_K)).alias("pos", "win"),
+    )
+    dup = (
+        wins.select("doc_id", "win")
+        .distinct()
+        .groupBy("win")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 1)
+        .select("win", F.lit(True).alias("isdup"))
+    )
+    flag = wins.join(dup, "win", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("isdup"), F.lit(False)).alias("isdup")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runlen = (
+        flag.filter(F.col("isdup"))
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("longest_dup_run"))
+    )
+    stats = flag.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("isdup").cast("long")).alias("n_dup_windows"),
+    )
+    return (
+        stats.join(runlen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias(
+                "dup_frac"
+            ),
+            F.coalesce(F.col("longest_dup_run"), F.lit(0).cast("long")).alias(
+                "longest_dup_run"
+            ),
+        )
+    )
+
+
+DUPLICATE_PASSAGE_STATS_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents
+), wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+7], ' ') AS win
+  FROM norm, UNNEST(range(1, len(toks) - 6)) AS t(i)
+  WHERE len(toks) >= 8
+  UNION ALL
+  SELECT doc_id, 0 AS pos, array_to_string(toks, ' ') AS win
+  FROM norm WHERE len(toks) < 8
+), dupw AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM wins)
+  GROUP BY win HAVING COUNT(*) > 1
+), flag AS (
+  SELECT w.doc_id, w.pos,
+         w.win IN (SELECT win FROM dupw) AS isdup
+  FROM wins w
+), runlen AS (
+  SELECT doc_id, MAX(run) AS longest FROM (
+    SELECT doc_id, grp, COUNT(*) AS run FROM (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM flag WHERE isdup
+    ) GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+)
+SELECT f.doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN f.isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+       ROUND(SUM(CASE WHEN f.isdup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS dup_frac,
+       CAST(COALESCE(MAX(r.longest), 0) AS BIGINT) AS longest_dup_run
+FROM flag f LEFT JOIN runlen r ON f.doc_id = r.doc_id
+GROUP BY f.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark decontamination: fraction of a doc's shingles that appear
 # anywhere in the benchmark set. Inverted-index join against the
 # (small) benchmark shingle set — broadcast at real scale, never a
@@ -704,6 +807,7 @@ QUERIES = {
     "simhash64": simhash64,
     "near_dup_canonical": near_dup_canonical,
     "near_dup_components_star": near_dup_components_star,
+    "duplicate_passage_stats": duplicate_passage_stats,
     "contamination_check": contamination_check,
     "cross_source_overlap": cross_source_overlap,
 }
@@ -718,6 +822,7 @@ ORACLES = {
     "near_dup_canonical": NEAR_DUP_CANONICAL_SQL,
     # identical output contract, different (diameter-independent) algorithm
     "near_dup_components_star": NEAR_DUP_CANONICAL_SQL,
+    "duplicate_passage_stats": DUPLICATE_PASSAGE_STATS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
 }
