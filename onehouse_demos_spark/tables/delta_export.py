@@ -24,13 +24,22 @@ Semantics:
   containing only `add`/`remove` actions (plus `metaData` when the
   schema changed) — mirroring xTable's incremental metadata sync
   (`xtable.md:13`). No-op syncs write nothing.
-- **Unpartitioned personality.** Our base files physically contain the
-  partition columns (only the derived `_oh_pp` directory key is
-  hive-extracted), so the Delta personality declares
-  `partitionColumns: []` and external engines prune via per-file
-  min/max stats instead. Engine meta columns (`_oh_record_key`,
-  `_oh_commit_time`, `_oh_is_deleted`) are exposed as ordinary data
-  columns, the same way Hudi exposes `_hoodie_*`.
+- **Partitioned personality.** Tables declared with `partition_by`
+  export a real partition spec: `metaData.partitionColumns` lists the
+  source columns and every `add` carries `partitionValues` decoded
+  from the file's hive partition path — matching the reference's
+  converted tables (`xtable/xtable_hudi.yaml:17-25`
+  `partitionSpec: city:VALUE`, hive-style layout `demo.md:64-65`) so
+  partitionValues-driven engines (Trino-class) partition-prune without
+  opening footers. The partition columns stay physically present in
+  the data files (the xTable/Hudi convention; Delta readers project
+  them from partitionValues and simply skip the redundant parquet
+  column). Tables partitioned by a derived `partition_expr` export
+  unpartitioned — the expression has no physical source column Delta
+  could declare — and rely on per-file min/max stats. Engine meta
+  columns (`_oh_record_key`, `_oh_commit_time`, `_oh_is_deleted`) are
+  exposed as ordinary data columns, the same way Hudi exposes
+  `_hoodie_*`.
 - **Tombstone safety.** COW write paths filter deleted rows before
   writing base files, so the personality is exact. The exporter still
   verifies via per-file footer stats that no live base file carries an
@@ -59,15 +68,20 @@ from urllib.parse import quote
 
 from onehouse_demos_spark.tables.table import (
     DELETED_COL,
+    HIVE_DEFAULT_PARTITION,
     PP_COL,
     LakehouseTable,
 )
 
 _LOG_DIR = "_delta_log"
-_ENGINE_INFO = "onehouse-demos-spark/0.3 DeltaLogExport/1"
+_ENGINE_INFO = "onehouse-demos-spark/0.4 DeltaLogExport/2"
 _LAST_CHECKPOINT = "_last_checkpoint"
 #: delta-spark's default `delta.checkpointInterval`
 CHECKPOINT_INTERVAL = 10
+#: delta-spark's default `delta.deletedFileRetentionDuration` (1 week):
+#: checkpoints carry `remove` tombstones younger than this so external
+#: VACUUM/time-travel-aware readers reconcile exactly per PROTOCOL.md.
+REMOVE_RETENTION_MS = 7 * 24 * 3600 * 1000
 
 
 def _version_name(v: int) -> str:
@@ -99,13 +113,18 @@ def _read_last_checkpoint(log_dir: str) -> int:
         return max(cps) if cps else -1
 
 
-def _read_checkpoint(log_dir: str, version: int) -> tuple[dict, dict | None]:
-    """Load `(live, metaData)` state from a checkpoint parquet — one
-    action per row, exactly one of the struct columns non-null (the
-    classic V1 checkpoint shape from delta.io PROTOCOL.md)."""
+def _read_checkpoint(
+    log_dir: str, version: int
+) -> tuple[dict, dict | None, dict]:
+    """Load `(live, metaData, tombstones)` state from a checkpoint
+    parquet — one action per row, exactly one of the struct columns
+    non-null (the classic V1 checkpoint shape from delta.io
+    PROTOCOL.md). `tombstones` are the un-expired `remove` actions the
+    checkpoint carries for VACUUM-aware external readers."""
     import pyarrow.parquet as pq
 
     live: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     meta = None
     tbl = pq.read_table(os.path.join(log_dir, _checkpoint_name(version)))
     for row in tbl.to_pylist():
@@ -114,35 +133,51 @@ def _read_checkpoint(log_dir: str, version: int) -> tuple[dict, dict | None]:
             add = {k: v for k, v in add.items() if v is not None}
             add["partitionValues"] = dict(add.get("partitionValues") or [])
             live[add["path"]] = add
+        rm = row.get("remove")
+        if rm is not None:
+            rm = {k: v for k, v in rm.items() if v is not None}
+            tombstones[rm["path"]] = rm
         md = row.get("metaData")
         if md is not None:
             md = dict(md)
             md["configuration"] = dict(md.get("configuration") or [])
+            md["partitionColumns"] = list(md.get("partitionColumns") or [])
             fmt = md.get("format") or {}
             md["format"] = {
                 "provider": fmt.get("provider", "parquet"),
                 "options": dict(fmt.get("options") or []),
             }
             meta = md
-    return live, meta
+    return live, meta, tombstones
 
 
-def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None]:
+def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None, dict]:
     """Replay an existing `_delta_log`: returns (last_version,
-    {path: add_action}, last_metaData) — (-1, {}, None) if absent.
+    {path: add_action}, last_metaData, {path: remove_action}) —
+    (-1, {}, None, {}) if absent.
 
     Exactly the replay the protocol prescribes: seed from the newest
     checkpoint (if any), then apply only the JSON versions after it —
     so state reconstruction is O(live files + commits since checkpoint),
     not O(all commits ever), and JSON versions at/below the checkpoint
-    may have been deleted by `clean_delta_log`."""
+    may have been deleted by `clean_delta_log`. Tombstones accumulate
+    across replay (a re-added path clears its tombstone) so the next
+    checkpoint can carry the un-expired ones forward."""
     if not os.path.isdir(log_dir):
-        return -1, {}, None
+        return -1, {}, None, {}
     ckpt = _read_last_checkpoint(log_dir)
     live: dict[str, dict] = {}
+    tombstones: dict[str, dict] = {}
     meta = None
     if ckpt >= 0:
-        live, meta = _read_checkpoint(log_dir, ckpt)
+        try:
+            live, meta, tombstones = _read_checkpoint(log_dir, ckpt)
+        except Exception:
+            # Corrupt/missing checkpoint: fall back to full JSON replay
+            # (the standard client recovery; clean_delta_log refuses to
+            # delete JSONs unless the checkpoint replays, so they are
+            # still present).
+            ckpt = -1
     versions = sorted(
         v
         for n in os.listdir(log_dir)
@@ -157,11 +192,45 @@ def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None]:
                 action = json.loads(line)
                 if "add" in action:
                     live[action["add"]["path"]] = action["add"]
+                    tombstones.pop(action["add"]["path"], None)
                 elif "remove" in action:
                     live.pop(action["remove"]["path"], None)
+                    tombstones[action["remove"]["path"]] = action["remove"]
                 elif "metaData" in action:
                     meta = action["metaData"]
-    return (versions[-1] if versions else ckpt), live, meta
+    return (versions[-1] if versions else ckpt), live, meta, tombstones
+
+
+def _partition_columns(table: LakehouseTable) -> list[str]:
+    """Partition columns the Delta personality declares: the physical
+    `partition_by` source columns (identity partitioning, the only
+    kind the on-disk layout encodes losslessly). Derived
+    `partition_expr` tables export unpartitioned — Delta has no
+    writer-independent way to declare an expression-partitioned spec,
+    and the expression's source value is not recoverable per file."""
+    return list(table.config.partition_by or [])
+
+
+def _partition_values(fm, cols: list[str]) -> dict[str, str | None]:
+    """Decode a file's hive partition path into per-column Delta
+    `partitionValues` (string-serialized per PROTOCOL.md; NULL
+    partitions — hive `__HIVE_DEFAULT_PARTITION__` — map to JSON
+    null). Multi-column paths join with '/' on the write side
+    (`table._partition_path_expr`), so the decode is a split."""
+    if not cols:
+        return {}
+    parts = (fm.partition or "").split("/")
+    if len(parts) != len(cols):
+        raise RuntimeError(
+            f"file {fm.path}: partition path {fm.partition!r} does not "
+            f"decode into {len(cols)} column value(s) {cols} — a "
+            "partition value containing '/' cannot be exported as a "
+            "Delta partition spec"
+        )
+    return {
+        c: (None if p == HIVE_DEFAULT_PARTITION else p)
+        for c, p in zip(cols, parts)
+    }
 
 
 def _schema_string(table: LakehouseTable, last_meta: dict | None = None) -> str:
@@ -249,17 +318,35 @@ def sync_delta_log(
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
     log_dir = _log_dir(table)
-    last_version, synced, last_meta = _read_log_state(log_dir)
+    last_version, synced, last_meta, _ = _read_log_state(log_dir)
 
     # Delta-encode each live file path (URL-encoded, '/' and '=' kept
     # so hive-style segments stay readable — matches delta-spark).
     live_now: dict[str, object] = {
         quote(fm.path, safe="/="): fm for fm in files
     }
-    adds = [p for p in live_now if p not in synced]
-    removes = [p for p in synced if p not in live_now]
+    part_cols = _partition_columns(table)
+    spec_changed = (
+        last_meta is not None
+        and list(last_meta.get("partitionColumns") or []) != part_cols
+    )
+    if spec_changed:
+        # A partition-spec change (e.g. a pre-existing unpartitioned
+        # personality upgraded to a partitioned one) must re-emit every
+        # live file so each add carries spec-consistent partitionValues
+        # — Delta readers derive partition columns from the add actions,
+        # so a mixed log would mis-project. One metadata-scale rewrite.
+        adds = list(live_now)
+        removes = list(synced)
+    else:
+        adds = [p for p in live_now if p not in synced]
+        removes = [p for p in synced if p not in live_now]
     schema_string = _schema_string(table, last_meta)
-    meta_changed = last_meta is None or last_meta.get("schemaString") != schema_string
+    meta_changed = (
+        last_meta is None
+        or last_meta.get("schemaString") != schema_string
+        or spec_changed
+    )
     if not adds and not removes and not meta_changed:
         return last_version
 
@@ -277,7 +364,7 @@ def sync_delta_log(
                     "id": meta_id,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
-                    "partitionColumns": [],
+                    "partitionColumns": part_cols,
                     "configuration": {},
                     "createdTime": created,
                 }
@@ -304,7 +391,7 @@ def sync_delta_log(
             {
                 "add": {
                     "path": path,
-                    "partitionValues": {},
+                    "partitionValues": _partition_values(fm, part_cols),
                     "size": size,
                     "modificationTime": now_ms,
                     "dataChange": True,
@@ -349,27 +436,45 @@ def sync_delta_log(
     # delta-spark checkpoints every `delta.checkpointInterval` (10)
     # commits; same policy here so replay cost stays O(live files +
     # commits-since-checkpoint) no matter how many syncs accumulate.
+    # version=None: checkpoint whatever the head is NOW — if a
+    # concurrent syncer published version+1 in the meantime, their
+    # state is strictly newer and checkpointing it is correct; this
+    # sync's own commit must not be misreported as failed because the
+    # head moved (the checkpoint is cadence, not part of the commit).
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
-        write_delta_checkpoint(table, version=version)
+        write_delta_checkpoint(table)
     return version
 
 
-def write_delta_checkpoint(table: LakehouseTable, version: int | None = None) -> int:
+def write_delta_checkpoint(
+    table: LakehouseTable,
+    version: int | None = None,
+    now_ms: int | None = None,
+    retention_ms: int = REMOVE_RETENTION_MS,
+) -> int:
     """Write `<v>.checkpoint.parquet` + `_last_checkpoint` for the log's
     current (or given, already-published) version — the public V1
     checkpoint shape: one action per row, exactly one of the
-    protocol/metaData/add struct columns non-null. Readers seed replay
-    here; `clean_delta_log` may then drop older JSON versions.
+    protocol/metaData/add/remove struct columns non-null. Readers seed
+    replay here; `clean_delta_log` may then drop older JSON versions.
 
-    Metadata-scale: one parquet row per LIVE file (remove tombstones are
-    not carried — they exist only for VACUUM, which the engine's own
-    `run_clean` owns). Written via pyarrow on the driver; the row count
-    equals the file count, which is already manifest-resident."""
+    Per PROTOCOL.md, the checkpoint carries un-expired `remove`
+    tombstones (deletionTimestamp within `retention_ms`, default
+    delta-spark's 1-week `delta.deletedFileRetentionDuration`) so
+    external VACUUM/time-travel-aware readers reconcile deleted-file
+    state even after `clean_delta_log` drops the JSON commits that
+    recorded the removes. Expired tombstones are aged out here — the
+    same expiry delta-spark applies at checkpoint time.
+
+    Metadata-scale: one parquet row per live file + un-expired
+    tombstone. Written via pyarrow on the driver; the row count equals
+    the file count, which is already manifest-resident."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     log_dir = _log_dir(table)
-    last_version, live, meta = _read_log_state(log_dir)
+    last_version, live, meta, tombstones = _read_log_state(log_dir)
     if last_version < 0:
         raise RuntimeError("no _delta_log to checkpoint — sync first")
     if version is None:
@@ -407,11 +512,19 @@ def write_delta_checkpoint(table: LakehouseTable, version: int | None = None) ->
             ("stats", pa.string()),
         ]
     )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
     rows = [
         {
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
             "metaData": None,
             "add": None,
+            "remove": None,
         },
         {
             "protocol": None,
@@ -429,6 +542,7 @@ def write_delta_checkpoint(table: LakehouseTable, version: int | None = None) ->
                 "createdTime": meta.get("createdTime"),
             },
             "add": None,
+            "remove": None,
         },
     ]
     for path in sorted(live):
@@ -447,9 +561,34 @@ def write_delta_checkpoint(table: LakehouseTable, version: int | None = None) ->
                     "dataChange": False,
                     "stats": add.get("stats"),
                 },
+                "remove": None,
             }
         )
-    schema = pa.schema([("protocol", proto_t), ("metaData", meta_t), ("add", add_t)])
+    for path in sorted(tombstones):
+        rm = tombstones[path]
+        deleted_at = rm.get("deletionTimestamp") or 0
+        if deleted_at < now_ms - retention_ms:
+            continue  # expired — aged out of the checkpoint
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": None,
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": deleted_at,
+                    "dataChange": False,
+                },
+            }
+        )
+    schema = pa.schema(
+        [
+            ("protocol", proto_t),
+            ("metaData", meta_t),
+            ("add", add_t),
+            ("remove", remove_t),
+        ]
+    )
     ckpt_path = os.path.join(log_dir, _checkpoint_name(version))
     tmp = ckpt_path + ".tmp"
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
@@ -472,6 +611,15 @@ def clean_delta_log(table: LakehouseTable) -> int:
     ckpt = _read_last_checkpoint(log_dir)
     if ckpt < 0:
         return 0
+    # Never delete the only copy of log state: verify the checkpoint
+    # parquet the pointer references actually exists AND replays before
+    # removing the JSON versions it supersedes. A stale/corrupt
+    # externally-modified `_last_checkpoint` must not make the log
+    # unrecoverable.
+    try:
+        _read_checkpoint(log_dir, ckpt)
+    except Exception:
+        return 0
     removed = 0
     for n in os.listdir(log_dir):
         if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= ckpt:
@@ -488,19 +636,72 @@ def clean_delta_log(table: LakehouseTable) -> int:
     return removed
 
 
-def read_delta_snapshot(spark, delta_path: str):
+def delta_pruned_files(
+    delta_path: str, partition_predicate: dict[str, str | None] | None = None
+) -> list[str]:
+    """The file list a partitionValues-driven external engine
+    (Trino-class) would scan under an equality predicate on partition
+    columns — metadata-only, no footer reads. `None` predicate (or an
+    empty dict) returns every live file. Predicate values compare
+    against the string-serialized partitionValues; `None` matches the
+    NULL partition. Raises if a predicate column is not a declared
+    partition column (an engine would fall back to scanning, and a
+    pruning test passing by accident would be meaningless)."""
+    last_version, live, meta, _ = _read_log_state(
+        os.path.join(delta_path, _LOG_DIR)
+    )
+    if last_version < 0:
+        raise FileNotFoundError(f"no _delta_log under {delta_path}")
+    declared = list((meta or {}).get("partitionColumns") or [])
+    for col in partition_predicate or {}:
+        if col not in declared:
+            raise ValueError(
+                f"{col!r} is not a declared partitionColumn {declared}"
+            )
+    out = []
+    for path, add in live.items():
+        pv = add.get("partitionValues") or {}
+        if all(pv.get(c) == v for c, v in (partition_predicate or {}).items()):
+            out.append(path)
+    return sorted(out)
+
+
+def read_delta_snapshot(
+    spark,
+    delta_path: str,
+    partition_predicate: dict[str, str | None] | None = None,
+):
     """Reference reader for the exported personality: replay the log
     (the same replay every Delta client performs) and scan the live
-    parquet set. Used by tests and by engines without a Delta runtime;
-    engines WITH one read `delta_path` natively."""
-    last_version, live, meta = _read_log_state(
+    parquet set — pruned to `partition_predicate` via partitionValues
+    alone when given, exactly like a partition-aware external engine.
+    Used by tests and by engines without a Delta runtime; engines WITH
+    one read `delta_path` natively."""
+    last_version, live, meta, _ = _read_log_state(
         os.path.join(delta_path, _LOG_DIR)
     )
     if last_version < 0:
         raise FileNotFoundError(f"no _delta_log under {delta_path}")
     from urllib.parse import unquote
 
-    paths = [os.path.join(delta_path, unquote(p)) for p in live]
+    if partition_predicate:
+        declared = list((meta or {}).get("partitionColumns") or [])
+        for col in partition_predicate:
+            if col not in declared:
+                raise ValueError(
+                    f"{col!r} is not a declared partitionColumn {declared}"
+                )
+        keep = {
+            p
+            for p, add in live.items()
+            if all(
+                (add.get("partitionValues") or {}).get(c) == v
+                for c, v in partition_predicate.items()
+            )
+        }
+    else:
+        keep = set(live)
+    paths = [os.path.join(delta_path, unquote(p)) for p in live if p in keep]
     if not paths:
         import pyspark.sql.types as T
 

@@ -26,10 +26,17 @@ CDC path golden-byte-pinned against the published Avro spec
 (sources/avro_codec.py::write_ocf) — no iceberg-spark runtime needed.
 
 Personality semantics mirror the Delta exporter: snapshot = live BASE
-files (read-optimized view for MOR), unpartitioned spec (partition
-columns are physically present in our files), engine meta columns
-exposed like Hudi's `_hoodie_*`, refusal to export base files whose
-footer stats show live soft-delete tombstones. Each sync appends one
+files (read-optimized view for MOR), engine meta columns exposed like
+Hudi's `_hoodie_*`, refusal to export base files whose footer stats
+show live soft-delete tombstones. Tables declared with `partition_by`
+export a real identity partition spec (spec fields with ids from 1000,
+per-file typed `partition` structs decoded from the hive path —
+matching the reference's converted tables,
+`xtable/xtable_hudi.yaml:17-25` `partitionSpec: city:VALUE`) so
+Iceberg planners prune manifest entries by partition without opening
+footers; identity partitioning keeps the source column physical in the
+data files, which ours are. Derived `partition_expr` tables export
+unpartitioned (no physical source column to declare). Each sync appends one
 snapshot whose single manifest lists the full live file set (spec-
 legal; incremental manifest reuse is an optimization, not a
 correctness requirement). Validation without an Iceberg runtime in
@@ -47,9 +54,15 @@ import uuid
 
 from onehouse_demos_spark.sources.avro_codec import read_ocf, write_ocf
 from onehouse_demos_spark.tables.delta_export import _assert_no_tombstones
-from onehouse_demos_spark.tables.table import PP_COL, LakehouseTable
+from onehouse_demos_spark.tables.table import (
+    HIVE_DEFAULT_PARTITION,
+    PP_COL,
+    LakehouseTable,
+)
 
 _META_DIR = "metadata"
+#: Iceberg convention: partition-spec field ids start at 1000.
+_PARTITION_FIELD_ID_START = 1000
 
 # ---------------------------------------------------------------- schema
 
@@ -110,42 +123,161 @@ def _iceberg_schema(table: LakehouseTable) -> dict:
     return {"type": "struct", "schema-id": 0, "fields": fields}
 
 
+# --------------------------------------------------------- partition spec
+
+
+def _avro_partition_type(ice_type: str) -> object:
+    """Avro encoding for an identity partition value of an Iceberg
+    primitive type (spec Appendix A: date = int days, timestamps =
+    long micros)."""
+    simple = {
+        "int": "int",
+        "long": "long",
+        "float": "float",
+        "double": "double",
+        "string": "string",
+        "boolean": "boolean",
+    }
+    if ice_type in simple:
+        return simple[ice_type]
+    if ice_type == "date":
+        return {"type": "int", "logicalType": "date"}
+    raise NotImplementedError(
+        f"identity partitioning on Iceberg type {ice_type!r} is not "
+        "supported by the personality exporter — partition by "
+        "int/long/float/double/string/boolean/date columns"
+    )
+
+
+def _decode_partition_value(raw: str, ice_type: str):
+    """Typed identity partition value from its hive path segment."""
+    if raw == HIVE_DEFAULT_PARTITION:
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type == "date":
+        import datetime
+
+        return (
+            datetime.date.fromisoformat(raw) - datetime.date(1970, 1, 1)
+        ).days
+    return raw  # string
+
+
+def _partition_spec(table: LakehouseTable, schema: dict) -> list[dict]:
+    """Identity partition-spec fields for `partition_by` tables, with
+    source-ids resolved against the exported schema and field-ids from
+    the spec's conventional 1000 range. Derived `partition_expr`
+    tables (no physical source column) export an unpartitioned spec."""
+    cols = list(table.config.partition_by or [])
+    if not cols:
+        return []
+    by_name = {f["name"]: f for f in schema["fields"]}
+    fields = []
+    for i, col in enumerate(cols):
+        src = by_name.get(col)
+        if src is None:
+            raise RuntimeError(
+                f"partition column {col!r} missing from exported schema"
+            )
+        fields.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": src["id"],
+                "field-id": _PARTITION_FIELD_ID_START + i,
+            }
+        )
+    return fields
+
+
+def _partition_struct_values(
+    fm, spec_fields: list[dict], schema: dict
+) -> dict:
+    """Per-file typed `partition` struct decoded from the hive path
+    ('/'-joined on the write side, mirroring
+    delta_export._partition_values)."""
+    if not spec_fields:
+        return {}
+    parts = (fm.partition or "").split("/")
+    if len(parts) != len(spec_fields):
+        raise RuntimeError(
+            f"file {fm.path}: partition path {fm.partition!r} does not "
+            f"decode into {len(spec_fields)} value(s) for spec "
+            f"{[f['name'] for f in spec_fields]}"
+        )
+    by_id = {f["id"]: f for f in schema["fields"]}
+    return {
+        pf["name"]: _decode_partition_value(
+            raw, by_id[pf["source-id"]]["type"]
+        )
+        for pf, raw in zip(spec_fields, parts)
+    }
+
+
 # ------------------------------------------------- manifest avro schemas
 
 #: `data_file` struct (spec Appendix C, required v2 fields), field ids
-#: as `field-id` attributes the way Iceberg's own Avro files carry them.
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ],
-}
+#: as `field-id` attributes the way Iceberg's own Avro files carry
+#: them. The `partition` record is built per table from its partition
+#: spec (r102 with one optional field per spec field).
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {
-            "name": "file_sequence_number",
-            "type": ["null", "long"],
-            "field-id": 4,
-        },
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _partition_record_schema(spec_fields: list[dict], schema: dict) -> dict:
+    by_id = {f["id"]: f for f in schema["fields"]}
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": [
+                    "null",
+                    _avro_partition_type(by_id[pf["source-id"]]["type"]),
+                ],
+                "field-id": pf["field-id"],
+            }
+            for pf in spec_fields
+        ],
+    }
+
+
+def _manifest_entry_schema(partition_record: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_record, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -213,6 +345,8 @@ def sync_iceberg_metadata(
     )
 
     # ---- manifest (one per snapshot, full live file set)
+    schema = _iceberg_schema(table)
+    spec_fields = _partition_spec(table, schema)
     entries = []
     total_rows = 0
     for fm in files:
@@ -228,21 +362,24 @@ def sync_iceberg_metadata(
                     "content": 0,  # DATA
                     "file_path": os.path.join(table.base_path, fm.path),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": _partition_struct_values(
+                        fm, spec_fields, schema
+                    ),
                     "record_count": fm.rows,
                     "file_size_in_bytes": size,
                 },
             }
         )
-    schema = _iceberg_schema(table)
     manifest_name = f"{uuid.uuid4().hex}-m0.avro"
     manifest_bytes = write_ocf(
         entries,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(
+            _partition_record_schema(spec_fields, schema)
+        ),
         extra_meta={
             "schema": json.dumps(schema),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields),
             "partition-spec-id": "0",
             "format-version": "2",
             "content": "data",
@@ -306,8 +443,11 @@ def sync_iceberg_metadata(
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": (
+            spec_fields[-1]["field-id"] if spec_fields
+            else _PARTITION_FIELD_ID_START - 1
+        ),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
@@ -354,6 +494,53 @@ def sync_iceberg_metadata(
         fh.write(str(new_version))
     os.replace(tmp, hint)
     return new_version
+
+
+def iceberg_pruned_files(
+    table_path: str, partition_predicate: dict | None = None
+) -> list[str]:
+    """The data-file list an Iceberg planner would scan under an
+    equality predicate on identity partition columns — derived from
+    manifest-entry `partition` structs alone (typed values), no footer
+    reads. Raises when a predicate column is not in the current
+    partition spec (an engine would fall back to scanning)."""
+    meta_dir = os.path.join(table_path, _META_DIR)
+    version = _current_version(meta_dir)
+    if not version:
+        raise FileNotFoundError(f"no iceberg metadata under {table_path}")
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        meta = json.load(fh)
+    spec = next(
+        s for s in meta["partition-specs"]
+        if s["spec-id"] == meta["default-spec-id"]
+    )
+    declared = {f["name"] for f in spec["fields"]}
+    for col in partition_predicate or {}:
+        if col not in declared:
+            raise ValueError(
+                f"{col!r} is not in the partition spec {sorted(declared)}"
+            )
+    current = next(
+        s
+        for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(current["manifest-list"], "rb") as fh:
+        _, manifests = read_ocf(fh.read())
+    out: list[str] = []
+    for m in manifests:
+        with open(m["manifest_path"], "rb") as fh:
+            _, entries = read_ocf(fh.read())
+        for e in entries:
+            if e["status"] not in (0, 1):  # EXISTING / ADDED
+                continue
+            pv = e["data_file"].get("partition") or {}
+            if all(
+                pv.get(c) == v
+                for c, v in (partition_predicate or {}).items()
+            ):
+                out.append(e["data_file"]["file_path"])
+    return sorted(out)
 
 
 def read_iceberg_snapshot(spark, table_path: str):

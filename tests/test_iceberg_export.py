@@ -205,3 +205,93 @@ def test_one_file_set_three_personalities(spark, tmp_base):
         for e in entries
     }
     assert delta_live == engine_live == ice_live
+
+
+def test_identity_partition_spec_and_pruning(spark, tmp_base):
+    """partition_by tables export a real identity partition spec
+    (matching the reference's converted tables,
+    `xtable/xtable_hudi.yaml:17-25` `partitionSpec: city:VALUE`):
+    spec fields with 1000-range ids resolve to schema source-ids, each
+    manifest entry carries a typed partition struct, and a planner
+    using those structs alone prunes to exactly the matching files."""
+    from onehouse_demos_spark.tables.iceberg_export import (
+        iceberg_pruned_files,
+    )
+
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    meta_dir = os.path.join(t.base_path, "metadata")
+    meta = json.load(open(os.path.join(meta_dir, "v1.metadata.json")))
+    spec = meta["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["sym"]
+    pf = spec["fields"][0]
+    assert pf["transform"] == "identity"
+    assert pf["field-id"] == 1000
+    schema = meta["schemas"][0]
+    sym_id = next(f["id"] for f in schema["fields"] if f["name"] == "sym")
+    assert pf["source-id"] == sym_id
+    assert meta["last-partition-id"] == 1000
+    # manifest entries carry typed partition structs
+    snap = meta["snapshots"][-1]
+    _, manifests = read_ocf(open(snap["manifest-list"], "rb").read())
+    mmeta, entries = read_ocf(open(manifests[0]["manifest_path"], "rb").read())
+    assert json.loads(mmeta["partition-spec"].decode()) == spec["fields"]
+    for e in entries:
+        assert e["data_file"]["partition"]["sym"] in ("GOOG", "MSFT")
+    # pruning via partition structs alone
+    all_files = iceberg_pruned_files(t.base_path)
+    goog = iceberg_pruned_files(t.base_path, {"sym": "GOOG"})
+    msft = iceberg_pruned_files(t.base_path, {"sym": "MSFT"})
+    assert goog and msft and set(goog).isdisjoint(msft)
+    assert sorted(goog + msft) == all_files
+    for p in goog:
+        assert "_oh_pp=GOOG" in p
+    # a pruned scan returns exactly the predicate's rows
+    pruned = spark.read.parquet(*goog)
+    assert _rows(pruned) == _rows(t.snapshot().filter("sym = 'GOOG'"))
+    with pytest.raises(ValueError, match="partition spec"):
+        iceberg_pruned_files(t.base_path, {"px": 1.0})
+
+
+def test_typed_partition_values_int_column(spark, tmp_base):
+    """Identity partition on a non-string column: the manifest's
+    partition struct carries the TYPED value (Iceberg planners compare
+    typed literals, not path strings)."""
+    from onehouse_demos_spark.tables.iceberg_export import (
+        iceberg_pruned_files,
+    )
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/ice_int",
+        TableConfig(name="ice_int", record_key=["key"], precombine="ver",
+                    partition_by=["bucket_no"]),
+    )
+    t.insert(spark.createDataFrame(
+        [("a", 1, 7, 1.0), ("b", 1, 8, 2.0), ("c", 1, 7, 3.0)],
+        "key string, ver int, bucket_no int, px double",
+    ))
+    sync_iceberg_metadata(t)
+    files7 = iceberg_pruned_files(t.base_path, {"bucket_no": 7})
+    assert files7
+    got = spark.read.parquet(*files7)
+    assert got.filter("bucket_no <> 7").count() == 0
+    assert got.count() == 2
+    # string "7" does NOT match the typed int value
+    assert iceberg_pruned_files(t.base_path, {"bucket_no": "7"}) == []
+
+
+def test_partition_expr_table_exports_unpartitioned_spec(spark, tmp_base):
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/ice_expr",
+        TableConfig(name="ice_expr", record_key=["key"], precombine="ver",
+                    partition_expr="substring(sym, 1, 1)"),
+    )
+    t.insert(spark.createDataFrame([("k1", 1, "GOOG", 1.0)], DDL))
+    sync_iceberg_metadata(t)
+    meta = json.load(open(
+        os.path.join(t.base_path, "metadata", "v1.metadata.json")
+    ))
+    assert meta["partition-specs"] == [{"spec-id": 0, "fields": []}]
+    assert meta["last-partition-id"] == 999
