@@ -127,8 +127,16 @@ def _hash_mod_sql(expr: str, m: int) -> str:
 # absolute cutoff. A vector is dropped when a LOWER-id vector in its
 # bucket is within the epsilon-ball (cos >= tau): min-id representative,
 # the deterministic stand-in for the paper's keep-farthest-from-centroid
-# rule. At production scale tau would be fixed by offline calibration;
-# the rank rule here keeps the correctness gate meaningful at sf0.001-0.1.
+# rule.
+#
+# Scale shape of tau: cosines are rounded to 4 decimals at the contract
+# edge, so the rank-k order statistic reduces EXACTLY to a histogram
+# selection — groupBy(cos_r) (map-side combinable, ≤ 20001 distinct
+# values in [-1, 1] by construction) and then a cumulative sum over
+# that DOMAIN-BOUNDED frame. No window ever touches the pair set, no
+# single task ever sorts more than 20001 rows regardless of corpus
+# size; tie-breaks can't change the k-th row's VALUE, so the histogram
+# tau equals the row-rank tau the DuckDB oracle computes.
 # --------------------------------------------------------------------------
 
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,19 +158,26 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_r"),
         )
     )
-    # tau = rank-k order statistic of the candidate cosines (k-th
-    # largest, k = ceil(frac * n)). One tiny 1-row frame, broadcast by
-    # the crossJoin below — metadata-scale, not a data-path collect.
-    ranked = pairs.withColumn(
-        "rnk",
-        F.row_number().over(
-            Window.orderBy(F.desc("cos_r"), F.asc("vec_a"), F.asc("vec_b"))
-        ),
-    ).withColumn(
-        "k", F.ceil(F.lit(SEMDEDUP_TOP_FRAC) * F.count(F.lit(1)).over(Window.partitionBy()))
+    # tau = rank-k order statistic (k-th largest, k = ceil(frac * n))
+    # computed as a histogram selection: the distinct-cos_r frame is
+    # bounded at 20001 rows by the 4-decimal rounding, so the
+    # cumulative window below runs over a CONSTANT-size input at any
+    # corpus size — never over the pair set. tau = largest cos_r whose
+    # from-the-top cumulative count reaches k.
+    hist = pairs.groupBy("cos_r").agg(F.count(F.lit(1)).alias("cnt"))
+    k_frame = hist.agg(
+        F.ceil(F.lit(SEMDEDUP_TOP_FRAC) * F.sum("cnt")).alias("k")
     )
-    tau = ranked.filter(F.col("rnk") == F.col("k")).select(
-        F.col("cos_r").alias("tau")
+    cum = hist.crossJoin(F.broadcast(k_frame)).withColumn(  # 1-row k frame
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy(F.desc("cos_r")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    tau = cum.filter(F.col("cum") >= F.col("k")).agg(
+        F.max("cos_r").alias("tau")
     )
     # Dropped = vectors with a lower-id epsilon-ball neighbor.
     dropped = (

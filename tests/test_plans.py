@@ -348,3 +348,23 @@ def test_ohlc_bars_aggregate_only_no_window_no_join(spark):
     assert "Window" not in txt, txt[:800]
     assert "Join" not in txt, txt[:800]
     assert txt.count("Exchange") <= 2, txt[:800]
+
+
+def test_semantic_dedup_tau_has_no_pair_set_window(spark):
+    """The SemDeDup tau must be a histogram selection, never a global
+    sort of the candidate-pair set: no row_number anywhere in the
+    plan (the old single-partition rank signature), and every Window
+    in the plan sits ABOVE the cos_r histogram aggregate — its input
+    is domain-bounded (≤ 20001 distinct rounded cosines), not the
+    pair join."""
+    from onehouse_demos_spark.operators.curation import semantic_dedup_keep
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(semantic_dedup_keep(spark, SF_DIR), mode="simple")
+    assert "row_number" not in txt, txt[:1200]
+    assert "Window" in txt  # the bounded cumulative-sum window exists
+    # the histogram aggregate exists and is partial+final (map-side
+    # combinable) — the pair set reduces before any windowing
+    assert "HashAggregate(keys=[cos_r" in txt, txt[:1200]
+    # exactly one window operator: the cumulative sum over the histogram
+    assert txt.count("Window") == 1, txt[:1200]
