@@ -75,3 +75,89 @@ class IncrementalTableSource:
             fn(df)
             self.commit(end)
             n += 1
+
+
+class ChangeFeedSource(IncrementalTableSource):
+    """CDF variant of the incremental table-as-source: each `pull()`
+    returns `table.changes(begin, end)` — one row per changed key with
+    `_change_type` ∈ insert/update/delete — instead of the upsert-only
+    incremental records. This carries the reference's pipeline-chaining
+    semantics (`hoodie-incr.properties:26-29`) WITH delete propagation:
+    a plain incremental read cannot surface a vanished key, so a
+    downstream table chained through `IncrementalTableSource` silently
+    retains rows the upstream deleted. Chaining through this source
+    keeps the downstream an exact (optionally transformed) mirror.
+
+    Works across compaction/clustering: `changes()` diffs the begin/end
+    SNAPSHOTS, and replace-commits rewrite files without touching
+    logical records — so a delete folded into a MOR log before a
+    compaction still reaches the downstream even when the pull window
+    spans the compaction commit.
+
+    Scale shape: one pull = two manifest-pruned snapshot reads + one
+    co-partitioned full-outer key join (see `LakehouseTable.changes`);
+    the apply is one upsert + one delete on the target — all bounded by
+    the snapshots, never by timeline length."""
+
+    def pull(self) -> tuple[DataFrame | None, str | None]:
+        begin = self._read_ckpt() or None
+        end = self.table.timeline.latest_instant()
+        if end is None or (begin is not None and end <= begin):
+            return None, None
+        df = self.table.changes(begin=begin, end=end)
+        return df, end
+
+    def _delete_keys(self, deletes: DataFrame) -> DataFrame:
+        """Reconstruct the upstream's record-key COLUMNS from the
+        change feed's composite `_oh_record_key` (delete rows carry no
+        post-image, so the key witness is the only handle). Inverse of
+        `table._key_expr`: single keys are a cast, composite keys
+        split on the '|' separator."""
+        from pyspark.sql import functions as F
+
+        from onehouse_demos_spark.tables.table import KEY_COL
+
+        key_cols = self.table.config.record_key
+        schema = self.table._latest_schema()
+        types = {f.name: f.dataType for f in schema.fields}
+        if len(key_cols) == 1:
+            c = key_cols[0]
+            return deletes.select(F.col(KEY_COL).cast(types[c]).alias(c))
+        parts = F.split(F.col(KEY_COL), "\\|")
+        return deletes.select(
+            *[
+                parts.getItem(i).cast(types[c]).alias(c)
+                for i, c in enumerate(key_cols)
+            ]
+        )
+
+    def apply_to(self, target, transform=None) -> int:
+        """Drain all pending upstream commits into `target`:
+        inserts/updates upsert the post-image (optionally mapped
+        through `transform(df)`), deletes propagate as target deletes
+        keyed by the upstream record key. Returns pulls processed.
+        At-least-once per pull; exactly-once end state because both
+        upsert and delete are idempotent per record key."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from onehouse_demos_spark.tables.table import KEY_COL
+
+        def fn(changes: DataFrame) -> None:
+            deletes = changes.filter(changes["_change_type"] == "delete")
+            upserts = changes.filter(changes["_change_type"] != "delete")
+            drop = [
+                c
+                for c in changes.columns
+                if c == KEY_COL or c == "_change_type" or c.startswith("_pre_")
+            ]
+            upserts = upserts.drop(*drop)
+            if transform is not None:
+                upserts = transform(upserts)
+            if not upserts.isEmpty():
+                target.upsert(upserts)
+            if KEY_COL in changes.columns:
+                keys = self._delete_keys(deletes)
+                if not keys.isEmpty():
+                    target.delete(keys)
+
+        return self.process_available(fn)
