@@ -18,10 +18,15 @@ Maps the reference's SQL surface onto LakehouseTable operations:
   join / agg / SHOW ... — reference §2.3), so Catalyst owns the
   analytic path end-to-end.
 
-The DML statements are recognized with a small, anchored grammar; all
-*expressions* inside them (SET clauses, predicates, select lists) are
-delegated verbatim to Spark SQL — we never interpret expression
-semantics ourselves.
+The DML statements are recognized with a small, anchored grammar over
+a LEXED view of the statement: `sql/lexer.py` masks the contents of
+string literals and backtick-quoted identifiers (same-length filler),
+the clause patterns run against the masked text, and every captured
+fragment is sliced from the original by span. Keywords inside strings
+(`'... WHEN MATCHED ...'`) or identifiers (`` `where` ``) can
+therefore never steer clause detection, while all *expressions*
+(SET clauses, predicates, select lists) still reach Spark SQL
+byte-exact — we never interpret expression semantics ourselves.
 """
 
 from __future__ import annotations
@@ -32,41 +37,23 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onehouse_demos_spark.sql.lexer import (
+    finditer_masked,
+    match_masked,
+    split_once_top_level,
+    split_top_level as _split_top_level,
+    strip_ident_quotes,
+    sub_masked,
+)
 from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
 
-
-def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on `sep` only at paren depth 0 and outside single-quoted
-    strings — so ``a = greatest(b, c), d = 'x,y'`` splits into two
-    assignments, not four fragments."""
-    parts: list[str] = []
-    buf: list[str] = []
-    depth = 0
-    in_str = False
-    for ch in s:
-        if in_str:
-            buf.append(ch)
-            if ch == "'":
-                in_str = False
-        elif ch == "'":
-            in_str = True
-            buf.append(ch)
-        elif ch == "(":
-            depth += 1
-            buf.append(ch)
-        elif ch == ")":
-            depth -= 1
-            buf.append(ch)
-        elif ch == sep and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    parts.append("".join(buf))
-    return [p for p in parts if p.strip()]
+#: table-name pattern: dotted words, each part optionally backticked
+#: (masked identifier contents are word chars, so this matches the
+#: MASKED text; the span then slices the original, quotes included).
+_NAME = r"[\w.`]+"
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*"
     r"(?:\((?P<cols>.*?)\))?\s*"
     r"(?:USING\s+(?P<format>\w+))?\s*"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*"
@@ -75,71 +62,71 @@ _CREATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s*"
+    r"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?(?P<name>[\w.`]+)\s*"
     r"(?:\((?P<cols>[^)]*)\))?\s*(?P<body>(?:VALUES|SELECT|TABLE)\s*.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+    r"^\s*UPDATE\s+(?P<name>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?:\s+WHERE\s+(?P<where>.+))?$",
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.`]+)(?:\s+WHERE\s+(?P<where>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_ADD_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+COLUMNS?\s*"
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+ADD\s+COLUMNS?\s*"
     r"\((?P<cols>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _COMPACT_RE = re.compile(
-    r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+    r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
 _CLUSTER_RE = re.compile(
-    r"^\s*CLUSTER\s+TABLE\s+(?P<name>[\w.]+)\s+BY\s*\((?P<cols>[^)]+)\)"
+    r"^\s*CLUSTER\s+TABLE\s+(?P<name>[\w.`]+)\s+BY\s*\((?P<cols>[^)]+)\)"
     r"(?:\s+USING\s+(?P<strategy>LINEAR|ZORDER))?\s*$",
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    r"^\s*VACUUM\s+(?P<name>[\w.]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+COMMITS)?\s*$",
+    r"^\s*VACUUM\s+(?P<name>[\w.`]+)(?:\s+RETAIN\s+(?P<n>\d+)\s+COMMITS)?\s*$",
     re.IGNORECASE,
 )
 _SAVEPOINT_RE = re.compile(
-    r"^\s*SAVEPOINT\s+TABLE\s+(?P<name>[\w.]+)"
+    r"^\s*SAVEPOINT\s+TABLE\s+(?P<name>[\w.`]+)"
     r"(?:\s+AT\s+'(?P<instant>[^']+)')?\s*$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
-    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+'(?P<instant>[^']+)'\s*$",
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.`]+)\s+TO\s+'(?P<instant>[^']+)'\s*$",
     re.IGNORECASE,
 )
 _VERSION_AS_OF_RE = re.compile(
-    r"\b(?P<name>[\w.]+)\s+VERSION\s+AS\s+OF\s+'(?P<instant>[^']+)'",
+    r"\b(?P<name>[\w.`]+)\s+VERSION\s+AS\s+OF\s+'(?P<instant>[^']+)'",
     re.IGNORECASE,
 )
 
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_PARTS_RE = re.compile(
-    r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE
+    r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
 _DESCRIBE_RE = re.compile(
-    r"^\s*(?:DESCRIBE|DESC)\s+(?:DETAIL\s+)?(?P<name>[\w.]+)\s*$",
+    r"^\s*(?:DESCRIBE|DESC)\s+(?:DETAIL\s+)?(?P<name>[\w.`]+)\s*$",
     re.IGNORECASE,
 )
 _HISTORY_RE = re.compile(
-    r"^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(?P<name>[\w.]+)\s*$",
+    r"^\s*(?:DESCRIBE|DESC)\s+HISTORY\s+(?P<name>[\w.`]+)\s*$",
     re.IGNORECASE,
 )
 _CHANGES_RE = re.compile(
-    r"^\s*SELECT\s+\*\s+FROM\s+CHANGES\s*\(\s*(?P<name>[\w.]+)\s*,\s*"
+    r"^\s*SELECT\s+\*\s+FROM\s+CHANGES\s*\(\s*(?P<name>[\w.`]+)\s*,\s*"
     r"'(?P<begin>[^']*)'\s*(?:,\s*'(?P<end>[^']+)'\s*)?\)\s*$",
     re.IGNORECASE,
 )
 
 _MERGE_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
-    r"USING\s+(?P<source>[\w.]+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
+    r"USING\s+(?P<source>[\w.`]+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
     r"ON\s+(?P<cond>.+?)\s+"
     r"(?P<clauses>WHEN\s+.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -182,7 +169,10 @@ class Engine:
 
     @staticmethod
     def _norm(name: str) -> str:
-        return name.split(".")[-1].lower()
+        # split on top-level dots BEFORE unquoting, so a dot inside a
+        # backticked part (`my.table`) stays part of the name
+        last = _split_top_level(name, sep=".")[-1].strip()
+        return strip_ident_quotes(last).lower()
 
     def create_table(
         self,
@@ -224,28 +214,28 @@ class Engine:
 
     def sql(self, statement: str) -> DataFrame:
         s = statement.strip().rstrip(";")
-        m = _MERGE_RE.match(s)
+        m = match_masked(_MERGE_RE, s)
         if m:
             return self._merge(m)
-        m = _UPDATE_RE.match(s)
+        m = match_masked(_UPDATE_RE, s)
         if m:
             return self._update(m)
-        m = _DELETE_RE.match(s)
+        m = match_masked(_DELETE_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._delete(m)
-        m = _INSERT_RE.match(s)
+        m = match_masked(_INSERT_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._insert(m)
-        m = _CREATE_RE.match(s)
+        m = match_masked(_CREATE_RE, s)
         if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
             if m.group("format") or m.group("props") or m.group("ctas"):
                 return self._create(m)
-        m = _SHOW_PARTS_RE.match(s)
+        m = match_masked(_SHOW_PARTS_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._show_partitions(self._norm(m.group("name")))
         if _SHOW_TABLES_RE.match(s):
             return self._show_tables()
-        m = _CHANGES_RE.match(s)
+        m = match_masked(_CHANGES_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             # table-valued CHANGES(t, 'begin' [, 'end']): the CDC read
             # view (insert/update/delete classification). Empty begin
@@ -253,7 +243,7 @@ class Engine:
             t = self._tables[self._norm(m.group("name"))]
             begin = m.group("begin") or None
             return t.changes(begin=begin, end=m.group("end"))
-        m = _HISTORY_RE.match(s)
+        m = match_masked(_HISTORY_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             t = self._tables[self._norm(m.group("name"))]
             rows = [
@@ -272,19 +262,19 @@ class Engine:
                 "instant string, action string, operation string, "
                 "n_adds int, n_removes int, rows_written long",
             )
-        m = _DESCRIBE_RE.match(s)
+        m = match_masked(_DESCRIBE_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._describe(self._norm(m.group("name")))
-        m = _ALTER_ADD_RE.match(s)
+        m = match_masked(_ALTER_ADD_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._alter_add(m)
-        m = _COMPACT_RE.match(s)
+        m = match_masked(_COMPACT_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import run_compaction
 
             run_compaction(self._tables[self._norm(m.group("name"))])
             return self.spark.createDataFrame([], "result string")
-        m = _CLUSTER_RE.match(s)
+        m = match_masked(_CLUSTER_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import run_clustering
 
@@ -295,7 +285,7 @@ class Engine:
                 strategy=strategy,
             )
             return self.spark.createDataFrame([], "result string")
-        m = _SAVEPOINT_RE.match(s)
+        m = match_masked(_SAVEPOINT_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import create_savepoint
 
@@ -305,7 +295,7 @@ class Engine:
             return self.spark.createDataFrame(
                 [(target,)], "savepointed_instant string"
             )
-        m = _RESTORE_RE.match(s)
+        m = match_masked(_RESTORE_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import run_restore
 
@@ -335,7 +325,7 @@ class Engine:
         # pinned snapshot view and rewrites the reference (reference
         # analog: incremental/as-of reads via `_hoodie_commit_time`,
         # README.md:966-984).
-        def _pin_version(m: re.Match) -> str:
+        def _pin_version(m) -> str:
             name = self._norm(m.group("name"))
             if name not in self._tables:
                 return m.group(0)
@@ -344,7 +334,7 @@ class Engine:
             self._tables[name].snapshot(as_of=instant).createOrReplaceTempView(view)
             return view
 
-        s = _VERSION_AS_OF_RE.sub(_pin_version, s)
+        s = sub_masked(_VERSION_AS_OF_RE, _pin_version, s)
         # passthrough: refresh views so Spark sees latest snapshots
         self.register_views()
         return self.spark.sql(s)
@@ -379,9 +369,10 @@ class Engine:
         out: dict[str, str] = {}
         if not props:
             return out
-        for kv in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props):
-            if "=" in kv:
-                k, v = kv.split("=", 1)
+        for kv in _split_top_level(props):
+            split = split_once_top_level(kv, "=")
+            if split is not None:
+                k, v = split
                 out[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
         return out
 
@@ -389,8 +380,8 @@ class Engine:
         name = self._norm(m.group("name"))
         props = self._parse_props(m.group("props"))
         parts = [
-            p.strip().split()[0]
-            for p in (m.group("parts") or "").split(",")
+            strip_ident_quotes(p.strip().split()[0])
+            for p in _split_top_level(m.group("parts") or "")
             if p.strip()
         ]
         cfg = TableConfig(
@@ -431,7 +422,7 @@ class Engine:
         if body.upper().startswith("VALUES"):
             df = self.spark.sql(f"SELECT * FROM ( {body} )")
             target_cols = (
-                [c.strip() for c in cols.split(",")]
+                [strip_ident_quotes(c.strip()) for c in _split_top_level(cols)]
                 if cols
                 else [f.name for f in self._data_schema(t)]
             )
@@ -439,7 +430,10 @@ class Engine:
         else:
             df = self.spark.sql(body)
             if cols:
-                df = df.toDF(*[c.strip() for c in cols.split(",")])
+                df = df.toDF(*[
+                    strip_ident_quotes(c.strip())
+                    for c in _split_top_level(cols)
+                ])
         df = self._align(t, df)
         if m.group("mode").upper() == "OVERWRITE":
             t.insert_overwrite(df)
@@ -478,8 +472,11 @@ class Engine:
         changed = snap.filter(F.expr(where)) if where else snap
         assignments: dict[str, str] = {}
         for part in _split_top_level(sets):
-            k, v = part.split("=", 1)
-            assignments[k.strip().strip("`")] = v.strip()
+            split = split_once_top_level(part, "=")
+            if split is None:
+                raise ValueError(f"bad SET assignment: {part!r}")
+            k, v = split
+            assignments[strip_ident_quotes(k.strip())] = v.strip()
         exprs = [
             F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
             for c in changed.columns
@@ -499,7 +496,7 @@ class Engine:
             bits = part.strip().split(None, 1)
             if len(bits) != 2:
                 raise ValueError(f"bad ADD COLUMNS entry: {part!r}")
-            adds.append((bits[0].strip("`"), bits[1].strip()))
+            adds.append((strip_ident_quotes(bits[0]), bits[1].strip()))
         t.evolve_schema(adds)
         t.register_view(name)
         return self.spark.createDataFrame(
@@ -537,14 +534,19 @@ class Engine:
         def unqual(expr: str | None) -> str | None:
             """Rewrite alias-qualified refs for the joined frame:
             target.c → __t_c, source.c → c (source cols are unqualified
-            in __merge_joined)."""
+            in __merge_joined). Masked sub: an alias-looking substring
+            inside a string literal is never rewritten."""
             if expr is None:
                 return None
-            expr = re.sub(rf"\b{re.escape(talias)}\.(\w+)", r"__t_\1", expr)
-            expr = re.sub(rf"\b{re.escape(salias)}\.(\w+)", r"\1", expr)
+            expr = sub_masked(
+                re.compile(rf"\b{re.escape(talias)}\.(\w+)"), r"__t_\1", expr
+            )
+            expr = sub_masked(
+                re.compile(rf"\b{re.escape(salias)}\.(\w+)"), r"\1", expr
+            )
             return expr
 
-        clauses = list(_WHEN_RE.finditer(m.group("clauses")))
+        clauses = finditer_masked(_WHEN_RE, m.group("clauses"))
         matched_update = None
         matched_delete_cond = None
         insert_clause = None
@@ -572,13 +574,19 @@ class Engine:
         upserts = []
         if matched_update is not None:
             cond, action = matched_update
-            sets = dict(
-                (kv.split("=", 1)[0].strip().strip("`").split(".")[-1],
-                 kv.split("=", 1)[1].strip())
-                for kv in _split_top_level(
-                    re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
-                )
-            )
+            sets = {}
+            for kv in _split_top_level(
+                re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
+            ):
+                split = split_once_top_level(kv, "=")
+                if split is None:
+                    raise ValueError(f"bad MERGE SET assignment: {kv!r}")
+                k = strip_ident_quotes(split[0].strip()).split(".")[-1]
+                # target-qualified SET keys were alias-rewritten by
+                # unqual above — strip the marker back to the column
+                if k.startswith("__t_"):
+                    k = k[4:]
+                sets[k] = split[1].strip()
             sel = []
             for c in tcols:
                 if c in sets:
@@ -594,9 +602,15 @@ class Engine:
             if body == "*":
                 sel = ", ".join(tcols)
             else:
-                cm = re.match(r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)",
-                              body, re.IGNORECASE | re.DOTALL)
-                cols = [c.strip().strip("`") for c in cm.group("cols").split(",")]
+                cm = match_masked(
+                    re.compile(r"\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)",
+                               re.IGNORECASE | re.DOTALL),
+                    body,
+                )
+                cols = [
+                    strip_ident_quotes(c.strip())
+                    for c in _split_top_level(cm.group("cols"))
+                ]
                 vals = _split_top_level(cm.group("vals"))
                 mapping = dict(zip(cols, [v.strip() for v in vals]))
                 sel = ", ".join(

@@ -1,0 +1,182 @@
+"""Lexer-backed SQL front-end: adversarial identifiers and string
+literals containing keywords must never steer clause detection
+(VERDICT r3 ask #6 — `` `where` `` columns, values containing
+'WHEN MATCHED', commas/equals inside literals).
+
+Two layers: pure-lexer property tests (hypothesis, no Spark) and
+engine statements that previously mis-parsed under the regex-only
+front-end."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from onehouse_demos_spark.sql.lexer import (
+    mask_literals,
+    split_once_top_level,
+    split_top_level,
+    strip_ident_quotes,
+)
+
+# ------------------------------------------------------------- pure lexer
+
+KEYWORDY = st.sampled_from([
+    "WHERE", " WHEN MATCHED THEN ", "DELETE", "SET x = 1,",
+    "USING", ") THEN (", "MERGE INTO", "values',",
+])
+PAYLOAD = st.text(
+    alphabet=st.characters(blacklist_characters="'\"`\\"), max_size=20
+) | KEYWORDY
+
+
+def test_mask_preserves_length_and_structure():
+    s = "UPDATE t SET a = 'x WHERE y', `we,ird` = 2 WHERE b = 'c''d'"
+    m = mask_literals(s)
+    assert len(m) == len(s)
+    assert "WHERE y" not in m
+    assert "we,ird" not in m
+    assert m.count("'") == s.count("'") - 2  # the doubled '' is masked
+    # real keyword survives
+    assert "UPDATE t SET" in m and " WHERE b = " in m
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_mask_same_length_any_input(s):
+    assert len(mask_literals(s)) == len(s)
+
+
+@given(st.lists(PAYLOAD, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_never_splits_inside_literals(payloads):
+    quoted = ["'" + p.replace("'", "''") + "'" for p in payloads]
+    stmt = ", ".join(f"c{i} = {q}" for i, q in enumerate(quoted))
+    parts = split_top_level(stmt)
+    assert len(parts) == len(payloads)
+    for i, (part, q) in enumerate(zip(parts, quoted)):
+        k, v = split_once_top_level(part, "=")
+        assert k.strip() == f"c{i}"
+        assert v.strip() == q  # payload reaches the expression byte-exact
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="`"), min_size=1,
+               max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_ident_quotes_round_trip(name):
+    quoted = "`" + name.replace("`", "``") + "`"
+    assert strip_ident_quotes(quoted) == name
+
+
+def test_backslash_escape_inside_string():
+    s = r"SET a = 'it\'s WHERE', b = 2"
+    parts = split_top_level(s)
+    assert len(parts) == 2
+    assert parts[0].strip() == r"SET a = 'it\'s WHERE'"
+
+
+# --------------------------------------------------------------- engine
+
+@pytest.fixture()
+def eng(spark, tmp_base):
+    from onehouse_demos_spark.sql.engine import Engine
+
+    e = Engine(spark, tmp_base + "/wh_lexer")
+    e.sql(
+        "CREATE TABLE notes (id INT, note STRING, ver INT) "
+        "USING lakehouse "
+        "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver')"
+    )
+    e.sql("INSERT INTO notes VALUES (1, 'plain', 1), (2, 'other', 1)")
+    return e
+
+
+def _note(eng, i):
+    return eng.sql(
+        f"SELECT note FROM notes WHERE id = {i}"
+    ).first().note
+
+
+def test_update_value_containing_where_keyword(eng):
+    eng.sql(
+        "UPDATE notes SET note = 'use WHERE x WHEN MATCHED THEN', ver = 2 "
+        "WHERE id = 1"
+    )
+    assert _note(eng, 1) == "use WHERE x WHEN MATCHED THEN"
+    assert _note(eng, 2) == "other"
+
+
+def test_update_without_where_but_keyword_in_string(eng):
+    """The lazy sets/optional-WHERE split must not treat ' WHERE ' inside
+    a literal as the predicate boundary."""
+    eng.sql("UPDATE notes SET note = 'a WHERE id = 2', ver = 3")
+    assert _note(eng, 1) == "a WHERE id = 2"
+    assert _note(eng, 2) == "a WHERE id = 2"  # applies to ALL rows
+
+
+def test_delete_predicate_string_with_delete_keyword(eng):
+    eng.sql("DELETE FROM notes WHERE note = 'plain' OR note = 'DELETE FROM x'")
+    ids = sorted(r.id for r in eng.sql("SELECT id FROM notes").collect())
+    assert ids == [2]
+
+
+def test_quoted_identifier_statements(eng):
+    eng.sql(
+        "CREATE TABLE `where` (`order` INT, `select` STRING, ver INT) "
+        "USING lakehouse "
+        "TBLPROPERTIES (primaryKey = '`order`', preCombineField = 'ver')"
+    )
+    # hmm: primaryKey property value arrives quoted — engine stores raw
+    t = eng.table("where")
+    eng.sql("INSERT INTO `where` (`order`, `select`, ver) VALUES (1, 'a', 1)")
+    eng.sql("UPDATE `where` SET `select` = 'b WHERE 1', ver = 2")
+    rows = eng.sql("SELECT `order`, `select` FROM `where`").collect()
+    assert [(r[0], r[1]) for r in rows] == [(1, "b WHERE 1")]
+    eng.sql("DELETE FROM `where`")
+    assert eng.sql("SELECT * FROM `where`").count() == 0
+    assert t is not None
+
+
+def test_merge_with_keyword_strings_in_source_and_sets(eng, spark):
+    spark.createDataFrame(
+        [(1, "WHEN MATCHED THEN injected", 5), (3, "USING x ON y", 5)],
+        "id int, note string, ver int",
+    ).createOrReplaceTempView("src_notes")
+    eng.sql(
+        "MERGE INTO notes t USING src_notes s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET note = s.note, ver = s.ver "
+        "WHEN NOT MATCHED THEN INSERT (id, note, ver) "
+        "VALUES (s.id, 'new WHEN NOT MATCHED THEN', s.ver)"
+    )
+    assert _note(eng, 1) == "WHEN MATCHED THEN injected"
+    assert _note(eng, 2) == "other"
+    assert _note(eng, 3) == "new WHEN NOT MATCHED THEN"
+
+
+def test_merge_delete_with_keyword_condition_string(eng, spark):
+    spark.createDataFrame([(2, "x", 9)], "id int, note string, ver int"
+                          ).createOrReplaceTempView("src_del")
+    eng.sql(
+        "MERGE INTO notes t USING src_del s ON t.id = s.id "
+        "WHEN MATCHED AND t.note <> 'WHEN MATCHED THEN DELETE' THEN DELETE"
+    )
+    ids = sorted(r.id for r in eng.sql("SELECT id FROM notes").collect())
+    assert ids == [1]
+
+
+def test_insert_values_with_keyword_strings(eng):
+    eng.sql(
+        "INSERT INTO notes VALUES (7, 'INSERT INTO notes VALUES (9)', 1)"
+    )
+    assert _note(eng, 7) == "INSERT INTO notes VALUES (9)"
+
+
+def test_merge_target_qualified_set_key(eng, spark):
+    """`UPDATE SET t.note = ...` (target-alias-qualified key) must
+    resolve to the column, not be dropped silently."""
+    spark.createDataFrame([(1, "tq", 8)], "id int, note string, ver int"
+                          ).createOrReplaceTempView("src_tq")
+    eng.sql(
+        "MERGE INTO notes t USING src_tq s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.note = s.note, t.ver = s.ver"
+    )
+    assert _note(eng, 1) == "tq"
