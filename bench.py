@@ -159,5 +159,106 @@ def main() -> int:
     return 0
 
 
+#: Scaling-curve subset: the table-build pipeline + the most expensive
+#: headline queries (the r3 plan-audit top 5). Growth exponents over
+#: sf0.001 → 0.1 (100× data) put a measured slope behind the "survives
+#: 100×" plan-shape arguments: a bucketed/broadcast-disciplined query
+#: should fit t ≈ c·sf^e with e ≲ 1 (sub-linear apparent e is expected
+#: at these sizes — fixed per-query overhead of ~0.3-0.5 s dominates
+#: the small SFs).
+SCALING_SUBSET = [
+    "tbl_pipeline_build",
+    "sole_late_supplier",
+    "minhash_lsh_pairs",
+    "local_supplier_volume",
+    "top_revenue_orders",
+    "tbl_mor_snapshot",
+]
+
+SCALING_SFS = ["0.001", "0.01", "0.1"]
+
+
+def scaling_main() -> int:
+    """`python bench.py --scaling`: run SCALING_SUBSET at every SF in
+    SCALING_SFS and print ONE JSON line with per-SF timings and the
+    least-squares log-log growth exponent per query."""
+    import math
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from onehouse_demos_spark import get_spark
+    from onehouse_demos_spark.operators import mutations
+
+    spark = get_spark(
+        app_name="onehouse-bench-scaling",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    qs = dict(entrymod.queries())
+
+    # warm codegen/classloading once at the smallest SF so the curve
+    # reflects execution, not first-use JIT
+    for name in SCALING_SUBSET:
+        try:
+            if name == "tbl_pipeline_build":
+                mutations._build(spark, f"/root/testdata/sf{SCALING_SFS[0]}")
+            else:
+                qs[name](spark, f"/root/testdata/sf{SCALING_SFS[0]}").collect()
+        except Exception as exc:
+            print(f"# scaling warmup {name} failed: {exc}", file=sys.stderr)
+
+    curves: dict[str, dict[str, float]] = {n: {} for n in SCALING_SUBSET}
+    for sf in SCALING_SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(sf_dir):
+            print(f"# scaling: {sf_dir} missing, skipped", file=sys.stderr)
+            continue
+        # mutation pipeline caches per sf_dir within a process — drop
+        # the cache so each SF times a real build
+        mutations._CACHE.pop(sf_dir, None)
+        for name in SCALING_SUBSET:
+            t0 = time.time()
+            if name == "tbl_pipeline_build":
+                mutations._build(spark, sf_dir)
+            else:
+                qs[name](spark, sf_dir).collect()
+            curves[name][sf] = round(time.time() - t0, 3)
+            print(f"# sf{sf} {name}: {curves[name][sf]:.2f}s", file=sys.stderr)
+
+    exponents: dict[str, float] = {}
+    for name, pts in curves.items():
+        xy = [
+            (math.log(float(sf)), math.log(t))
+            for sf, t in pts.items()
+            if t > 0
+        ]
+        if len(xy) >= 2:
+            n = len(xy)
+            mx = sum(x for x, _ in xy) / n
+            my = sum(y for _, y in xy) / n
+            denom = sum((x - mx) ** 2 for x, _ in xy)
+            exponents[name] = round(
+                sum((x - mx) * (y - my) for x, y in xy) / denom, 3
+            )
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_curve",
+                "unit": "sec",
+                "sfs": SCALING_SFS,
+                "queries": curves,
+                "exponents": exponents,
+            }
+        )
+    )
+    return 0
+
+
 if __name__ == "__main__":
+    if "--scaling" in sys.argv[1:]:
+        raise SystemExit(scaling_main())
     raise SystemExit(main())
