@@ -21,6 +21,7 @@ MOR table: i1 insert, i2 upsert (log), then compaction.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -344,6 +345,70 @@ def tbl_iceberg_personality_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_ICEBERG_PERSONALITY_READ_SQL = TBL_CLUSTERED_SNAPSHOT_SQL
 
 
+def tbl_delta_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 partition-spec face (r4): the Delta personality declares
+    `partitionColumns: [o_orderstatus]` with per-file partitionValues
+    (reference converted-table spec `xtable/xtable_hudi.yaml:17-25`
+    `partitionSpec: city:VALUE`), so an external engine prunes by
+    partition METADATA alone — this read resolves the 'F' partition
+    through partitionValues without opening a single non-F file, then
+    must equal the plain filtered snapshot."""
+    from onehouse_demos_spark.tables.interop import (
+        read_delta_snapshot,
+        sync_delta_log,
+    )
+
+    st = _build(spark, sf_dir)
+    sync_delta_log(st["cow"])
+    return _project(
+        read_delta_snapshot(
+            spark, st["cow"].base_path, {"o_orderstatus": "F"}
+        )
+    )
+
+
+TBL_DELTA_PRUNED_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       3 AS ver,
+       ROUND(o_totalprice * 2.0, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND o_orderstatus = 'F'
+"""
+
+
+def tbl_cdf_chain_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 north star (r4): chain the COW table into a fresh downstream
+    table through ChangeFeedSource (the `hoodie-incr.properties:26-29`
+    pipeline-chaining semantics WITH delete propagation). Two pulls:
+    bootstrap at i2, then the (i2, latest] window carrying the %7
+    deletes, the partition-F overwrite, the P partition drop, and the
+    clustering replace-commit. The downstream snapshot must equal the
+    upstream's — if deletes did not propagate, the %7 and 'P' rows
+    would survive downstream and the row count would differ."""
+    from onehouse_demos_spark.sources.incremental import ChangeFeedSource
+
+    st = _build(spark, sf_dir)
+    if "cdf_down" not in st:
+        tmp = os.path.dirname(st["cow"].base_path)
+        down = LakehouseTable.create(
+            spark,
+            f"{tmp}/orders_cdf_down",
+            TableConfig(
+                name="orders_cdf_down",
+                record_key=["o_orderkey"],
+                precombine="ver",
+            ),
+        )
+        src = ChangeFeedSource(st["cow"], f"{tmp}/cdf_ckpt.json")
+        src.apply_to(down, end=st["i2"])  # bootstrap: inserts only
+        src.apply_to(down)  # deletes + overwrite + partition drop
+        st["cdf_down"] = down
+    return _project(st["cdf_down"].snapshot())
+
+
+TBL_CDF_CHAIN_READ_SQL = TBL_DELETE_PARTITION_SNAPSHOT_SQL
+
+
 def tbl_stats_skipped_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping read on the clustered COW table: the key-range
     predicate prunes files from manifest column stats before the scan
@@ -511,6 +576,8 @@ QUERIES = {
     "tbl_clustered_snapshot": tbl_clustered_snapshot,
     "tbl_delta_personality_read": tbl_delta_personality_read,
     "tbl_iceberg_personality_read": tbl_iceberg_personality_read,
+    "tbl_delta_pruned_read": tbl_delta_pruned_read,
+    "tbl_cdf_chain_read": tbl_cdf_chain_read,
     "tbl_matview_rollup": tbl_matview_rollup,
     "tbl_stats_skipped_read": tbl_stats_skipped_read,
     "tbl_bulk_insert_snapshot": tbl_bulk_insert_snapshot,
@@ -532,6 +599,8 @@ ORACLES = {
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
     "tbl_delta_personality_read": TBL_DELTA_PERSONALITY_READ_SQL,
     "tbl_iceberg_personality_read": TBL_ICEBERG_PERSONALITY_READ_SQL,
+    "tbl_delta_pruned_read": TBL_DELTA_PRUNED_READ_SQL,
+    "tbl_cdf_chain_read": TBL_CDF_CHAIN_READ_SQL,
     "tbl_matview_rollup": TBL_MATVIEW_ROLLUP_SQL,
     "tbl_stats_skipped_read": TBL_STATS_SKIPPED_READ_SQL,
     "tbl_bulk_insert_snapshot": TBL_BULK_INSERT_SNAPSHOT_SQL,

@@ -99,9 +99,14 @@ class ChangeFeedSource(IncrementalTableSource):
     the apply is one upsert + one delete on the target — all bounded by
     the snapshots, never by timeline length."""
 
-    def pull(self) -> tuple[DataFrame | None, str | None]:
+    def pull(
+        self, end: str | None = None
+    ) -> tuple[DataFrame | None, str | None]:
+        """Change rows in (checkpoint, end] — `end` defaults to the
+        latest instant; an explicit `end` bounds the window (catch-up
+        in controlled steps, or deterministic replay in tests)."""
         begin = self._read_ckpt() or None
-        end = self.table.timeline.latest_instant()
+        end = end or self.table.timeline.latest_instant()
         if end is None or (begin is not None and end <= begin):
             return None, None
         df = self.table.changes(begin=begin, end=end)
@@ -131,15 +136,13 @@ class ChangeFeedSource(IncrementalTableSource):
             ]
         )
 
-    def apply_to(self, target, transform=None) -> int:
-        """Drain all pending upstream commits into `target`:
-        inserts/updates upsert the post-image (optionally mapped
-        through `transform(df)`), deletes propagate as target deletes
-        keyed by the upstream record key. Returns pulls processed.
-        At-least-once per pull; exactly-once end state because both
-        upsert and delete are idempotent per record key."""
-        from pyspark.sql import functions as F  # noqa: F401
-
+    def apply_to(self, target, transform=None, end: str | None = None) -> int:
+        """Drain pending upstream commits (optionally bounded at `end`)
+        into `target`: inserts/updates upsert the post-image
+        (optionally mapped through `transform(df)`), deletes propagate
+        as target deletes keyed by the upstream record key. Returns
+        pulls processed. At-least-once per pull; exactly-once end state
+        because both upsert and delete are idempotent per record key."""
         from onehouse_demos_spark.tables.table import KEY_COL
 
         def fn(changes: DataFrame) -> None:
@@ -160,4 +163,11 @@ class ChangeFeedSource(IncrementalTableSource):
                 if not keys.isEmpty():
                     target.delete(keys)
 
-        return self.process_available(fn)
+        if end is None:
+            return self.process_available(fn)
+        df, got_end = self.pull(end=end)
+        if df is None:
+            return 0
+        fn(df)
+        self.commit(got_end)
+        return 1
