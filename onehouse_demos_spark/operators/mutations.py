@@ -62,65 +62,92 @@ def _build(spark: SparkSession, sf_dir: str) -> dict:
     tmp = tempfile.mkdtemp(prefix="oh_mut_")
     _TMPDIRS.append(tmp)
     orders = _orders(spark, sf_dir)
-
-    cow = LakehouseTable.create(
-        spark,
-        f"{tmp}/orders_cow",
-        TableConfig(
-            name="orders_cow",
-            record_key=["o_orderkey"],
-            precombine="ver",
-            partition_by=["o_orderstatus"],
-            table_type="cow",
-        ),
-    )
-    i1 = cow.insert(orders.withColumn("ver", F.lit(1)))
     updates = (
         orders.filter(F.col("o_orderkey") % 10 == 0)
         .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
         .withColumn("ver", F.lit(2))
     )
-    i2 = cow.upsert(updates)
-    i3 = cow.delete(orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey"))
-    overwrite_f = (
-        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 != 0))
-        .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
-        .withColumn("ver", F.lit(3))
-    )
-    i4 = cow.insert_overwrite(overwrite_f)
-    i5 = cow.delete_partition(["P"])
-    # i6: clustering replace-commit — data-preserving layout rewrite
-    # (reference M12); snapshot(i6) must equal snapshot(i5), and
-    # time-travel to i1..i5 must still resolve pre-clustering files.
-    run_clustering(cow, sort_columns=["o_orderkey"])
 
-    bulk = LakehouseTable.create(
-        spark,
-        f"{tmp}/orders_bulk",
-        TableConfig(
-            name="orders_bulk",
-            record_key=["o_orderkey"],
-            precombine="ver",
-            table_type="cow",
-        ),
-    )
-    bulk.bulk_insert(orders.withColumn("ver", F.lit(1)), num_files=8)
+    # The three tables are independent pipelines over the same source;
+    # each table's commits are sequential internally, but the tables
+    # build CONCURRENTLY — Spark's scheduler interleaves jobs submitted
+    # from separate threads, so commit/write latency overlaps instead
+    # of adding up (the multi-writer story: independent tables never
+    # contend, each timeline serializes only its own commits).
+    def build_cow():
+        cow = LakehouseTable.create(
+            spark,
+            f"{tmp}/orders_cow",
+            TableConfig(
+                name="orders_cow",
+                record_key=["o_orderkey"],
+                precombine="ver",
+                partition_by=["o_orderstatus"],
+                table_type="cow",
+            ),
+        )
+        i1 = cow.insert(orders.withColumn("ver", F.lit(1)))
+        i2 = cow.upsert(updates)
+        i3 = cow.delete(
+            orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+        )
+        overwrite_f = (
+            orders.filter(
+                (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 != 0)
+            )
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2.0)
+            .withColumn("ver", F.lit(3))
+        )
+        i4 = cow.insert_overwrite(overwrite_f)
+        i5 = cow.delete_partition(["P"])
+        # i6: clustering replace-commit — data-preserving layout
+        # rewrite (reference M12); snapshot(i6) must equal
+        # snapshot(i5), and time-travel to i1..i5 must still resolve
+        # pre-clustering files.
+        run_clustering(cow, sort_columns=["o_orderkey"])
+        return cow, i1, i2, i3, i4, i5
 
-    mor = LakehouseTable.create(
-        spark,
-        f"{tmp}/orders_mor",
-        TableConfig(
-            name="orders_mor",
-            record_key=["o_orderkey"],
-            precombine="ver",
-            partition_by=["o_orderstatus"],
-            table_type="mor",
-        ),
-    )
-    m1 = mor.insert(orders.withColumn("ver", F.lit(1)))
-    m2 = mor.upsert(updates)
-    pre_compact = mor.timeline.latest_instant()
-    run_compaction(mor)
+    def build_bulk():
+        bulk = LakehouseTable.create(
+            spark,
+            f"{tmp}/orders_bulk",
+            TableConfig(
+                name="orders_bulk",
+                record_key=["o_orderkey"],
+                precombine="ver",
+                table_type="cow",
+            ),
+        )
+        bulk.bulk_insert(orders.withColumn("ver", F.lit(1)), num_files=8)
+        return bulk
+
+    def build_mor():
+        mor = LakehouseTable.create(
+            spark,
+            f"{tmp}/orders_mor",
+            TableConfig(
+                name="orders_mor",
+                record_key=["o_orderkey"],
+                precombine="ver",
+                partition_by=["o_orderstatus"],
+                table_type="mor",
+            ),
+        )
+        m1 = mor.insert(orders.withColumn("ver", F.lit(1)))
+        m2 = mor.upsert(updates)
+        pre_compact = mor.timeline.latest_instant()
+        run_compaction(mor)
+        return mor, m1, m2, pre_compact
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_cow = pool.submit(build_cow)
+        f_bulk = pool.submit(build_bulk)
+        f_mor = pool.submit(build_mor)
+        cow, i1, i2, i3, i4, i5 = f_cow.result()
+        bulk = f_bulk.result()
+        mor, m1, m2, pre_compact = f_mor.result()
 
     _CACHE[sf_dir] = {
         "cow": cow,

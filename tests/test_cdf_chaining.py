@@ -135,3 +135,59 @@ def test_read_latest_on_missing_ckpt_skips_history(spark, tmp_base):
     up.upsert(spark.createDataFrame([(1, 2, "sv", 9.0)], DDL))
     assert src.apply_to(down) == 1
     assert _rows(down.snapshot()) == [(1, 2, "sv", 9.0)]
+
+
+def test_changefeed_streamer_continuous_loop(spark, tmp_base):
+    """table.changes() wired into an actual readStream loop: a
+    rate-driven Structured Streaming query drains the CDF source each
+    micro-batch; a delete committed WHILE the query runs reaches the
+    downstream table without restarting anything."""
+    import time as _time
+
+    from onehouse_demos_spark.streaming.ingest import ChangeFeedStreamer
+
+    up, down = _mk_pair(spark, tmp_base, upstream_type="cow")
+    src = ChangeFeedSource(up, f"{tmp_base}/ckpt/cdf_stream.json")
+    up.insert(spark.createDataFrame(
+        [(1, 1, "sv", 1.0), (2, 1, "sj", 2.0)], DDL))
+
+    streamer = ChangeFeedStreamer(src, down)
+    q = streamer.start(
+        f"{tmp_base}/ckpt/cdf_stream_spark",
+        processing_time="1 seconds",
+        rows_per_second=4,
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and down.timeline.latest_instant() is None:
+            _time.sleep(0.5)
+        assert down.snapshot().count() == 2
+        # mutate upstream mid-stream: delete + upsert in one window
+        up.delete(spark.createDataFrame([(2,)], "id int"))
+        up.upsert(spark.createDataFrame([(3, 1, "sv", 3.0)], DDL))
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            rows = {r.id for r in down.snapshot().select("id").collect()}
+            if rows == {1, 3}:
+                break
+            _time.sleep(0.5)
+        assert rows == {1, 3}, rows
+    finally:
+        q.stop()
+    assert _rows(down.snapshot()) == _rows(up.snapshot())
+    assert streamer.pulls_applied >= 2
+
+
+def test_changefeed_streamer_trigger_once_catchup(spark, tmp_base):
+    from onehouse_demos_spark.streaming.ingest import ChangeFeedStreamer
+
+    up, down = _mk_pair(spark, tmp_base, upstream_type="mor")
+    src = ChangeFeedSource(up, f"{tmp_base}/ckpt/cdf_once.json")
+    up.insert(spark.createDataFrame([(1, 1, "sv", 1.0)], DDL))
+    up.delete(spark.createDataFrame([(1,)], "id int"))
+    up.upsert(spark.createDataFrame([(2, 1, "sj", 2.0)], DDL))
+    streamer = ChangeFeedStreamer(src, down)
+    q = streamer.start(f"{tmp_base}/ckpt/cdf_once_spark", trigger_once=True)
+    q.awaitTermination()
+    assert _rows(down.snapshot()) == _rows(up.snapshot())
+    assert down.snapshot().count() == 1
