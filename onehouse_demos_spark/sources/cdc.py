@@ -40,14 +40,21 @@ def flatten_debezium(envelopes: DataFrame) -> DataFrame:
 
 def latest_change_per_key(changes: DataFrame, key_cols: list[str]) -> DataFrame:
     """Collapse a CDC batch to the newest change per key (by ts_ms) —
-    the per-batch dedup a streaming upsert applies before merging."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(*key_cols).orderBy(F.col(CDC_TS).desc())
+    the per-batch dedup a streaming upsert applies before merging.
+    Hash-aggregating max_by (partial+final), not a sort window: the
+    batch's change events collapse map-side before the shuffle, the
+    shape that holds when a CDC backlog replay is table-sized."""
+    cols = changes.columns
+    others = [c for c in cols if c not in key_cols]
     return (
-        changes.withColumn("_cdc_rn", F.row_number().over(w))
-        .filter(F.col("_cdc_rn") == 1)
-        .drop("_cdc_rn")
+        changes.groupBy(*key_cols)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in others]), F.col(CDC_TS)
+            ).alias("_cdc_winner")
+        )
+        .select(*key_cols, "_cdc_winner.*")
+        .select(*cols)
     )
 
 

@@ -433,15 +433,25 @@ class LakehouseTable:
 
     def _dedupe_incoming(self, prepared: DataFrame) -> DataFrame:
         """Within-batch precombine: newest per key wins (reference
-        `--source-ordering-field ts`, README.md:226)."""
-        order = [F.col(COMMIT_COL).desc()]
+        `--source-ordering-field ts`, README.md:226). Same
+        hash-aggregating max_by shape as `_merge_latest` — for a bulk
+        load the batch IS the table, so map-side partial aggregation
+        (versions collapse before the shuffle) matters just as much
+        here as on the read path."""
+        order = [F.col(COMMIT_COL)]
         if self.config.precombine:
-            order = [F.col(self.config.precombine).desc()] + order
-        w = Window.partitionBy(KEY_COL).orderBy(*order)
+            order = [F.col(self.config.precombine)] + order
+        cols = prepared.columns
         return (
-            prepared.withColumn("_oh_rn", F.row_number().over(w))
-            .filter(F.col("_oh_rn") == 1)
-            .drop("_oh_rn")
+            prepared.groupBy(KEY_COL)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols if c != KEY_COL]),
+                    F.struct(*order),
+                ).alias("_oh_winner")
+            )
+            .select(KEY_COL, "_oh_winner.*")
+            .select(*cols)
         )
 
     def _candidate_files(
@@ -942,15 +952,30 @@ class LakehouseTable:
         later writes overwrite, `--source-ordering-field` dedupes
         within a batch — README.md:226) and gives MOR delete
         tombstones commit-ordered semantics (a later re-insert
-        resurrects the key)."""
-        order = [F.col(COMMIT_COL).desc()]
+        resurrects the key).
+
+        Plan shape: a hash-aggregating `max_by` over the
+        (commit, precombine) ordering struct, NOT a sort-based window —
+        partial aggregation collapses a key's versions map-side before
+        the shuffle, so at scale the exchange carries ~one row per key
+        per map partition where a row_number window would shuffle and
+        sort every version. Ties are impossible: writes dedupe per
+        (key, commit), and struct ordering treats a NULL precombine as
+        smallest — identical to the window's desc_nulls_last."""
+        order = [F.col(COMMIT_COL)]
         if self.config.precombine:
-            order.append(F.col(self.config.precombine).desc_nulls_last())
-        w = Window.partitionBy(KEY_COL).orderBy(*order)
+            order.append(F.col(self.config.precombine))
+        cols = df.columns
         out = (
-            df.withColumn("_oh_rn", F.row_number().over(w))
-            .filter(F.col("_oh_rn") == 1)
-            .drop("_oh_rn")
+            df.groupBy(KEY_COL)
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in cols if c != KEY_COL]),
+                    F.struct(*order),
+                ).alias("_oh_winner")
+            )
+            .select(KEY_COL, "_oh_winner.*")
+            .select(*cols)
         )
         if filter_deleted:
             out = out.filter(~F.col(DELETED_COL))

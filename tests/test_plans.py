@@ -368,3 +368,27 @@ def test_semantic_dedup_tau_has_no_pair_set_window(spark):
     assert "HashAggregate(keys=[cos_r" in txt, txt[:1200]
     # exactly one window operator: the cumulative sum over the histogram
     assert txt.count("Window") == 1, txt[:1200]
+
+
+def test_mor_merge_read_is_hash_aggregate_not_window(spark, tmp_path):
+    """The MOR merge read (latest-commit-wins) must stay a hash
+    aggregation (max_by over the ordering struct, partial+final), not
+    a sort-based window: partial aggregation collapses versions
+    map-side before the shuffle, so the exchange carries ~one row per
+    key per map partition instead of every version."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    from onehouse_demos_spark.plans import explain_str
+
+    t = LakehouseTable.create(
+        spark,
+        str(tmp_path / "mor_plan"),
+        TableConfig(name="mor_plan", record_key=["k"], precombine="v",
+                    table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([("a", 1, 1.0)], "k string, v int, x double"))
+    t.upsert(spark.createDataFrame([("a", 2, 2.0)], "k string, v int, x double"))
+    txt = explain_str(t.snapshot(), mode="simple")
+    assert "Window" not in txt, txt[:1200]
+    assert "max_by" in txt, txt[:1200]
+    # partial + final pair → map-side combine before the exchange
+    assert txt.count("max_by") >= 2, txt[:1200]
