@@ -456,3 +456,52 @@ def test_checkpoint_tombstones_survive_clean_and_expire(spark, tmp_base):
     for p, rm in tombs2.items():
         if p in old:
             assert rm["deletionTimestamp"] >= 1_700_000_300_000
+
+
+def test_concurrent_syncers_serialize_on_version(spark, tmp_base):
+    """Delta's commit contract: version N is written by exactly one
+    writer. Two syncers racing to publish the same version through the
+    lock provider's conditional publish — one wins, the loser gets
+    FileExistsError, and a retry (which re-reads log state) no-ops
+    because the winner already described the same snapshot."""
+    import threading
+
+    t = _mk(spark, tmp_base)
+    sync_delta_log(t)
+    t.upsert(spark.createDataFrame([("k01", 5, "GOOG", 1.0)], DDL))
+
+    results, errors = [], []
+
+    def attempt():
+        try:
+            results.append(sync_delta_log(t))
+        except FileExistsError as exc:
+            errors.append(exc)
+
+    # serialize the two attempts' STATE READS before either publishes:
+    # both compute version 1, then race the conditional publish
+    b = threading.Barrier(2)
+    orig = sync_delta_log.__globals__["_read_log_state"]
+
+    def barriered(log_dir):
+        state = orig(log_dir)
+        try:
+            b.wait(timeout=10)
+        except Exception:
+            pass
+        return state
+
+    sync_delta_log.__globals__["_read_log_state"] = barriered
+    try:
+        th = [threading.Thread(target=attempt) for _ in range(2)]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+    finally:
+        sync_delta_log.__globals__["_read_log_state"] = orig
+
+    assert results == [1] and len(errors) == 1, (results, errors)
+    # loser's retry converges: same live set -> no new version
+    assert sync_delta_log(t) == 1
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
