@@ -553,8 +553,99 @@ FROM shared, z
 """
 
 
+# --------------------------------------------------------------------------
+# 7. Cluster-balanced subsampling (new r4).
+#
+# The DCLM/MiniPile-style curation step AFTER clustering: train a
+# coarse k-means quantizer over the embedding table, assign every
+# vector to its cell, and keep at most cap = ceil(frac * N / k)
+# vectors per cell, ranked by a deterministic hash — so over-dense
+# regions of embedding space are down-weighted while sparse clusters
+# survive intact. Reuses the ANN suite's deterministic trainer
+# (md5-lowest seeds, 6-decimal Lloyd rounds) so the DuckDB oracle
+# replays training exactly (operators/ann_oracle_sql.py machinery).
+#
+# Scale shape: training is the IVF trainer (broadcast centroids, one
+# (cluster, dim) shuffle per round, k×dims scalars to the driver);
+# assignment is a broadcast map stage + min_by aggregation; the
+# per-cell rank is a Window partitioned BY CELL — bounded because k
+# scales with the corpus at production (k ≈ N / target_cell_rows,
+# exactly like the IVF index sizes its cells), so a cell's sort stays
+# ~target_cell_rows at any corpus size. Never a global sort.
+# --------------------------------------------------------------------------
+
+CBS_K = 8
+CBS_ITERS = 4
+CBS_KEEP_FRAC = 0.5
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from onehouse_demos_spark.operators.similarity import (
+        _assign_to_centroids,
+        train_ivf_centroids,
+    )
+
+    emb = load_emb(spark, sf_dir)
+    centroids = train_ivf_centroids(emb, k=CBS_K, iters=CBS_ITERS)
+    vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    assigned = _assign_to_centroids(vecs, centroids)
+    # one-row corpus size frame (broadcast by the crossJoin below)
+    n_frame = assigned.agg(
+        F.ceil(
+            F.lit(CBS_KEEP_FRAC) * F.count(F.lit(1)) / F.lit(CBS_K)
+        ).alias("cap")
+    )
+    ranked = assigned.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cid").orderBy(
+                F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+            )
+        ),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_frame))  # 1-row cap frame
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            (F.col("rn") <= F.col("cap")).alias("keep"),
+        )
+    )
+
+
+def _cluster_balanced_sample_sql() -> str:
+    from onehouse_demos_spark.operators.ann_oracle_sql import (
+        _assign_cte,
+        _kmeans_ctes,
+    )
+
+    return f"""
+WITH src AS (
+  SELECT 0 AS grp, vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+{_kmeans_ctes("cb", "src", CBS_K, CBS_ITERS)},
+{_assign_cte("asg", "src", f"cb_c{CBS_ITERS}")},
+caps AS (
+  SELECT CEIL({CBS_KEEP_FRAC} * COUNT(*) / {CBS_K}.0) AS cap FROM src
+),
+ranked AS (
+  SELECT id AS vec_id, cid,
+         row_number() OVER (
+             PARTITION BY cid
+             ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+  FROM asg
+)
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, (r.rn <= caps.cap) AS keep
+FROM ranked r, caps
+"""
+
+
+CLUSTER_BALANCED_SAMPLE_SQL = _cluster_balanced_sample_sql()
+
+
 QUERIES = {
     "semantic_dedup_keep": semantic_dedup_keep,
+    "cluster_balanced_sample": cluster_balanced_sample,
     "dsir_importance_weights": dsir_importance_weights,
     "bpe_pair_candidates": bpe_pair_candidates,
     "shingle_containment_pairs": shingle_containment_pairs,
@@ -564,6 +655,7 @@ QUERIES = {
 
 ORACLES = {
     "semantic_dedup_keep": SEMANTIC_DEDUP_KEEP_SQL,
+    "cluster_balanced_sample": CLUSTER_BALANCED_SAMPLE_SQL,
     "dsir_importance_weights": DSIR_IMPORTANCE_WEIGHTS_SQL,
     "bpe_pair_candidates": BPE_PAIR_CANDIDATES_SQL,
     "shingle_containment_pairs": SHINGLE_CONTAINMENT_PAIRS_SQL,

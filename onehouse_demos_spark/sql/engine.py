@@ -80,6 +80,10 @@ _ALTER_ADD_RE = re.compile(
     r"\((?P<cols>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*$",
+    re.IGNORECASE,
+)
 _COMPACT_RE = re.compile(
     r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
@@ -230,6 +234,17 @@ class Engine:
         if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
             if m.group("format") or m.group("props") or m.group("ctas"):
                 return self._create(m)
+        m = match_masked(_DROP_RE, s)
+        if m:
+            name = self._norm(m.group("name"))
+            if name in self._tables:
+                self.drop_table(name)
+                for view in (name, f"{name}_ro", f"{name}_rt"):
+                    self.spark.catalog.dropTempView(view)
+                return self.spark.createDataFrame([], "result string")
+            if m.group("if_exists"):
+                return self.spark.createDataFrame([], "result string")
+            raise ValueError(f"table {name} does not exist")
         m = match_masked(_SHOW_PARTS_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._show_partitions(self._norm(m.group("name")))

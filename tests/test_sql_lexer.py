@@ -180,3 +180,19 @@ def test_merge_target_qualified_set_key(eng, spark):
         "WHEN MATCHED THEN UPDATE SET t.note = s.note, t.ver = s.ver"
     )
     assert _note(eng, 1) == "tq"
+
+
+def test_drop_table_statement(eng):
+    eng.sql("CREATE TABLE droppable (id INT, ver INT) USING lakehouse "
+            "TBLPROPERTIES (primaryKey = 'id', preCombineField = 'ver')")
+    eng.sql("INSERT INTO droppable VALUES (1, 1)")
+    assert "droppable" in eng.tables()
+    eng.sql("DROP TABLE droppable")
+    assert "droppable" not in eng.tables()
+    # the view is gone from the Spark session too
+    with pytest.raises(Exception):
+        eng.spark.sql("SELECT * FROM droppable").collect()
+    # IF EXISTS on a missing table: no-op; bare DROP: error
+    eng.sql("DROP TABLE IF EXISTS droppable")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DROP TABLE droppable")
