@@ -505,3 +505,30 @@ def test_concurrent_syncers_serialize_on_version(spark, tmp_base):
     # loser's retry converges: same live set -> no new version
     assert sync_delta_log(t) == 1
     assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
+
+
+def test_personality_tracks_restore(spark, tmp_base):
+    """RESTORE rewinds the engine table; the next personality sync must
+    converge the Delta log to the restored state (removes for files the
+    restore dropped), keeping external readers consistent."""
+    from onehouse_demos_spark.tables.maintenance import (
+        create_savepoint,
+        run_restore,
+    )
+
+    t = _mk(spark, tmp_base)
+    sp = create_savepoint(t)
+    sync_delta_log(t)
+    t.upsert(spark.createDataFrame([("k01", 9, "GOOG", 9.0),
+                                    ("k99", 1, "MSFT", 2.0)], DDL))
+    sync_delta_log(t)
+    assert read_delta_snapshot(spark, t.base_path).count() == 21
+
+    run_restore(t, sp)
+    v = sync_delta_log(t)
+    assert v >= 2
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
+    assert read_delta_snapshot(spark, t.base_path).count() == 20
+    got = {r.key: r.px for r in
+           read_delta_snapshot(spark, t.base_path).collect()}
+    assert got["k01"] == 101.0  # pre-upsert value restored
