@@ -42,6 +42,7 @@ from onehouse_demos_spark.sql.lexer import (
     match_masked,
     split_once_top_level,
     split_top_level as _split_top_level,
+    strip_comments,
     strip_ident_quotes,
     sub_masked,
 )
@@ -217,7 +218,7 @@ class Engine:
     # ----------------------------------------------------------------- sql
 
     def sql(self, statement: str) -> DataFrame:
-        s = statement.strip().rstrip(";")
+        s = strip_comments(statement).strip().rstrip(";")
         m = match_masked(_MERGE_RE, s)
         if m:
             return self._merge(m)

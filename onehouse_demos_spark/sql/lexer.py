@@ -38,12 +38,28 @@ def mask_literals(s: str) -> str:
     """Same-length copy of `s` with string/quoted-identifier contents
     replaced by filler. Quote characters themselves are preserved, so
     the masked text has identical structure and every regex span maps
-    1:1 onto the original."""
+    1:1 onto the original. `--` line comments and `/* */` block
+    comments are masked too (a quote inside a comment must not open a
+    phantom literal that swallows the rest of the statement)."""
     out = list(s)
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
-        if ch in ("'", '"', "`"):
+        if ch == "-" and i + 1 < n and s[i + 1] == "-":
+            while i < n and s[i] != "\n":
+                out[i] = _FILL
+                i += 1
+        elif ch == "/" and i + 1 < n and s[i + 1] == "*":
+            out[i] = out[i + 1] = _FILL
+            i += 2
+            while i < n:
+                if s[i] == "*" and i + 1 < n and s[i + 1] == "/":
+                    out[i] = out[i + 1] = _FILL
+                    i += 2
+                    break
+                out[i] = _FILL
+                i += 1
+        elif ch in ("'", '"', "`"):
             q = ch
             i += 1
             while i < n:
@@ -167,6 +183,49 @@ def split_once_top_level(s: str, sep: str = "=") -> tuple[str, str] | None:
         elif ch == sep and depth == 0:
             return s[:i], s[i + 1 :]
     return None
+
+
+def strip_comments(s: str) -> str:
+    """Remove `--` line comments and `/* */` block comments — never
+    inside literals, whose contents copy through verbatim. The SQL
+    engine strips comments BEFORE clause dispatch so an anchored
+    grammar's `$` still lands after a trailing comment; expression
+    fragments consequently reach Spark comment-free, which parses
+    identically."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "-" and s[i : i + 2] == "--":
+            while i < n and s[i] != "\n":
+                i += 1
+        elif ch == "/" and s[i : i + 2] == "/*":
+            i += 2
+            while i < n and s[i : i + 2] != "*/":
+                i += 1
+            i = min(i + 2, n)
+        elif ch in ("'", '"', "`"):
+            q = ch
+            out.append(ch)
+            i += 1
+            while i < n:
+                c = s[i]
+                if c == "\\" and q != "`" and i + 1 < n:
+                    out.append(s[i : i + 2])
+                    i += 2
+                    continue
+                out.append(c)
+                i += 1
+                if c == q:
+                    if i < n and s[i] == q:  # doubled-quote escape
+                        out.append(s[i])
+                        i += 1
+                        continue
+                    break
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def strip_ident_quotes(name: str) -> str:

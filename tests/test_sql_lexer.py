@@ -196,3 +196,43 @@ def test_drop_table_statement(eng):
     eng.sql("DROP TABLE IF EXISTS droppable")
     with pytest.raises(ValueError, match="does not exist"):
         eng.sql("DROP TABLE droppable")
+
+
+def test_comments_masked_no_phantom_literal():
+    """A quote inside a comment must not open a literal that swallows
+    the rest of the statement — and keywords in comments must not
+    steer clause detection."""
+    s = "UPDATE t SET a = 1 -- don't WHERE\nWHERE b = 2"
+    m = mask_literals(s)
+    assert len(m) == len(s)
+    assert "don't" not in m
+    assert m.endswith("WHERE b = 2")  # the REAL clause survives
+    s2 = "SELECT 1 /* it's a 'comment' WHERE */ , 2"
+    m2 = mask_literals(s2)
+    assert len(m2) == len(s2)
+    assert "comment" not in m2 and m2.endswith(", 2")
+    assert len(split_top_level(s2)) == 2
+
+
+def test_update_with_trailing_comment(eng):
+    eng.sql("UPDATE notes SET note = 'c1', ver = 4 "
+            "WHERE id = 1 -- operator's note\n")
+    assert _note(eng, 1) == "c1"
+
+
+def test_strip_comments_preserves_literals():
+    from onehouse_demos_spark.sql.lexer import strip_comments
+
+    s = "UPDATE t SET a = '--not a comment' -- real\nWHERE b = '/*x*/'"
+    got = strip_comments(s)
+    assert "'--not a comment'" in got
+    assert "'/*x*/'" in got
+    assert " real" not in got
+    # DELETE with a trailing comment now matches the anchored grammar
+    assert strip_comments("DELETE FROM t -- bye").rstrip() == "DELETE FROM t"
+
+
+def test_delete_with_trailing_comment(eng):
+    eng.sql("DELETE FROM notes WHERE id = 2 -- cleanup")
+    ids = sorted(r.id for r in eng.sql("SELECT id FROM notes").collect())
+    assert ids == [1]
