@@ -702,9 +702,14 @@ def read_delta_snapshot(
     else:
         keep = set(live)
     paths = [os.path.join(delta_path, unquote(p)) for p in live if p in keep]
-    if not paths:
-        import pyspark.sql.types as T
+    import pyspark.sql.types as T
 
-        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*paths)
+    # Read with the metaData schema, exactly like a real Delta client:
+    # files written BEFORE a schema evolution lack the newer columns,
+    # and a bare parquet read would silently drop them (first-file
+    # schema wins) — the explicit schema resolves by name and fills
+    # missing columns with null.
+    return spark.read.schema(schema).parquet(*paths)

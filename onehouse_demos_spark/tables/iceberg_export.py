@@ -570,34 +570,39 @@ def read_iceberg_snapshot(spark, table_path: str):
             for e in entries
             if e["status"] in (0, 1)  # EXISTING / ADDED
         )
+    # Reconstruct the table schema from the metadata (inverse of
+    # _iceberg_type) and read WITH it, exactly like an Iceberg client
+    # resolving by field name: files written before a schema evolution
+    # lack the newer columns and a bare parquet read would silently
+    # drop them (first-file schema wins); the explicit schema fills
+    # them with null. Also keeps an emptied table reading with its
+    # columns — parity with read_delta_snapshot.
+    from pyspark.sql import types as T
+
+    schema_json = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    inverse = {
+        "long": T.LongType(), "int": T.IntegerType(),
+        "double": T.DoubleType(), "float": T.FloatType(),
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "timestamptz": T.TimestampType(),
+        "timestamp": T.TimestampNTZType(), "date": T.DateType(),
+        "binary": T.BinaryType(),
+    }
+
+    def to_spark(t):
+        if isinstance(t, str) and t.startswith("decimal("):
+            p, sc = t[8:-1].split(",")
+            return T.DecimalType(int(p), int(sc))
+        return inverse[t]
+
+    fields = [
+        T.StructField(f["name"], to_spark(f["type"]), True)
+        for f in schema_json["fields"]
+    ]
+    schema = T.StructType(fields)
     if not paths:
-        # reconstruct the table schema from the metadata (inverse of
-        # _iceberg_type) so an emptied table still reads with its
-        # columns — parity with read_delta_snapshot
-        from pyspark.sql import types as T
-
-        schema_json = next(
-            s for s in meta["schemas"]
-            if s["schema-id"] == meta["current-schema-id"]
-        )
-        inverse = {
-            "long": T.LongType(), "int": T.IntegerType(),
-            "double": T.DoubleType(), "float": T.FloatType(),
-            "string": T.StringType(), "boolean": T.BooleanType(),
-            "timestamptz": T.TimestampType(),
-            "timestamp": T.TimestampNTZType(), "date": T.DateType(),
-            "binary": T.BinaryType(),
-        }
-
-        def to_spark(t):
-            if isinstance(t, str) and t.startswith("decimal("):
-                p, sc = t[8:-1].split(",")
-                return T.DecimalType(int(p), int(sc))
-            return inverse[t]
-
-        fields = [
-            T.StructField(f["name"], to_spark(f["type"]), True)
-            for f in schema_json["fields"]
-        ]
-        return spark.createDataFrame([], T.StructType(fields))
-    return spark.read.parquet(*paths)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)

@@ -532,3 +532,32 @@ def test_personality_tracks_restore(spark, tmp_base):
     got = {r.key: r.px for r in
            read_delta_snapshot(spark, t.base_path).collect()}
     assert got["k01"] == 101.0  # pre-upsert value restored
+
+
+def test_schema_evolution_reaches_personality_readers(spark, tmp_base):
+    """ALTER-style schema evolution: files written BEFORE the evolution
+    lack the new column; both personality readers must apply the
+    metadata schema so old rows surface the column as NULL instead of
+    dropping it (first-file-schema parquet behavior)."""
+    from onehouse_demos_spark.tables.iceberg_export import (
+        read_iceberg_snapshot,
+        sync_iceberg_metadata,
+    )
+
+    t = _mk(spark, tmp_base)
+    sync_delta_log(t)
+    sync_iceberg_metadata(t)
+    t.evolve_schema([("rating", "int")])
+    t.upsert(spark.createDataFrame(
+        [("k99", 1, "GOOG", 5.0, 9)],
+        "key string, ver int, sym string, px double, rating int"))
+    assert sync_delta_log(t) >= 1
+    sync_iceberg_metadata(t)
+
+    for reader in (read_delta_snapshot, read_iceberg_snapshot):
+        df = reader(spark, t.base_path)
+        assert "rating" in df.columns, reader.__name__
+        got = {r.key: r.rating for r in df.select("key", "rating").collect()}
+        assert got["k99"] == 9
+        assert got["k00"] is None  # pre-evolution file, NULL-filled
+        assert df.count() == 21
