@@ -92,9 +92,15 @@ _WINDOW = [
     "filter_project",
     "join_dim_rollup",
     "top_revenue_orders",
-    "count_star",
+    # r4 window swap: the reference's SIGNATURE features (the xTable
+    # Delta personality, M15, and the delete-propagating incremental
+    # chain, S4) take the slots of two trivial scan/agg shapes
+    # (count_star, group_having_key — both remain registered past the
+    # window and verified by the local sweep; their plan shapes are
+    # already driver-covered by events_max_ts / pricing_summary).
+    "tbl_delta_personality_read",
     "events_max_ts",
-    "group_having_key",
+    "tbl_cdf_chain_read",
     "customers_without_orders",
     "events_range_scan",
     "events_json_extract",
