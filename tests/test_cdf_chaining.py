@@ -191,3 +191,57 @@ def test_changefeed_streamer_trigger_once_catchup(spark, tmp_base):
     q.awaitTermination()
     assert _rows(down.snapshot()) == _rows(up.snapshot())
     assert down.snapshot().count() == 1
+
+
+def test_randomized_mutation_sequence_chains_exactly(spark, tmp_base):
+    """Seeded randomized workload: interleave upserts, deletes,
+    compactions and clusterings on the upstream MOR table, draining
+    the change feed at random points — after every drain the
+    downstream must equal the upstream snapshot exactly (the
+    DAG-replay discipline applied to pipeline chaining)."""
+    import random
+
+    from onehouse_demos_spark.tables.maintenance import (
+        run_clustering,
+        run_compaction,
+    )
+
+    rng = random.Random(20260814)
+    up, down = _mk_pair(spark, tmp_base)
+    src = ChangeFeedSource(up, f"{tmp_base}/ckpt/cdf_rand.json")
+    live_keys: set[int] = set()
+    next_ver: dict[int, int] = {}
+
+    for step in range(15):
+        op = rng.choice(["upsert", "upsert", "delete", "compact",
+                         "cluster", "drain"])
+        if op == "upsert":
+            ks = rng.sample(range(25), rng.randint(1, 5))
+            rows = []
+            for k in ks:
+                next_ver[k] = next_ver.get(k, 0) + 1
+                rows.append((k, next_ver[k],
+                             rng.choice(["sv", "sj", None]),
+                             round(rng.uniform(0, 100), 2)))
+                live_keys.add(k)
+            up.upsert(spark.createDataFrame(rows, DDL))
+        elif op == "delete" and live_keys:
+            ks = rng.sample(sorted(live_keys), 1)
+            up.delete(spark.createDataFrame([(k,) for k in ks], "id int"))
+            live_keys.difference_update(ks)
+        elif op == "compact":
+            run_compaction(up)
+        elif op == "cluster":
+            run_clustering(up, sort_columns=["id"])
+        else:
+            src.apply_to(down)
+            if up._latest_schema() is None:  # nothing upserted yet
+                assert down.snapshot().count() == 0
+            else:
+                assert _rows(down.snapshot()) == _rows(up.snapshot()), (
+                    f"step {step}"
+                )
+
+    src.apply_to(down)
+    assert _rows(down.snapshot()) == _rows(up.snapshot())
+    assert {r.id for r in down.snapshot().select("id").collect()} == live_keys
