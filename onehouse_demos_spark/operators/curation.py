@@ -349,6 +349,10 @@ def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> substring(word, i, 2)))"
         ).alias("pair"),
     )
+    # Unpartitioned top-k window over the DISTINCT-PAIR frame: its
+    # input is bounded by the symbol alphabet squared (character
+    # bigrams), not the corpus — same domain-bounded discipline as the
+    # SemDeDup tau histogram.
     w = Window.orderBy(F.desc("total"), F.asc("pair"))
     return (
         pairs.groupBy("pair")
