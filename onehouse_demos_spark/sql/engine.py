@@ -59,6 +59,7 @@ _CREATE_RE = re.compile(
     r"(?:USING\s+(?P<format>\w+))?\s*"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\))?\s*"
     r"(?:TBLPROPERTIES\s*\((?P<props>[^)]*)\))?\s*"
+    r"(?:LOCATION\s+'(?P<location>[^']+)')?\s*"
     r"(?:AS\s+(?P<ctas>.+))?$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -129,6 +130,16 @@ _CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 
+#: `CALL [catalog.][system.]proc(name => 'value', ...)` — the Hudi /
+#: Iceberg spark-sql procedure surface. The reference registers the
+#: converted Iceberg personality with exactly this shape
+#: (hudi-spark-minio-trino/demo.md:225 `CALL hive_prod.system.
+#: register_table(table => ..., metadata_file => ...)`).
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(?P<proc>[\w.`]+)\s*\((?P<args>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
     r"USING\s+(?P<source>[\w.`]+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
@@ -151,6 +162,10 @@ class Engine:
         self.warehouse_dir = warehouse_dir.rstrip("/")
         os.makedirs(self.warehouse_dir, exist_ok=True)
         self._tables: dict[str, LakehouseTable] = {}
+        #: registered-by-location external tables (reference demo.md:
+        #: 208,225): name -> (format, base_path). The engine does not
+        #: own these files — DROP unregisters, never deletes.
+        self._external: dict[str, tuple[str, str]] = {}
         self._discover()
 
     # ------------------------------------------------------------- catalog
@@ -211,14 +226,21 @@ class Engine:
     def register_views(self) -> None:
         """Expose every managed table to Spark SQL (snapshot view;
         MOR additionally gets `_ro` / `_rt` — reference S9 HMS-sync
-        naming, README.md:341-344)."""
+        naming, README.md:341-344). External registrations are
+        re-replayed from their format metadata (metadata-scale IO —
+        log/manifest files only; the parquet scan stays lazy)."""
         for name, t in self._tables.items():
             t.register_view(name)
+        for name in self._external:
+            self._external_df(name).createOrReplaceTempView(name)
 
     # ----------------------------------------------------------------- sql
 
     def sql(self, statement: str) -> DataFrame:
         s = strip_comments(statement).strip().rstrip(";")
+        m = match_masked(_CALL_RE, s)
+        if m:
+            return self._call(m)
         m = match_masked(_MERGE_RE, s)
         if m:
             return self._merge(m)
@@ -232,12 +254,19 @@ class Engine:
         if m and self._norm(m.group("name")) in self._tables:
             return self._insert(m)
         m = match_masked(_CREATE_RE, s)
+        if m and m.group("location"):
+            return self._create_at_location(m)
         if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
             if m.group("format") or m.group("props") or m.group("ctas"):
                 return self._create(m)
         m = match_masked(_DROP_RE, s)
         if m:
             name = self._norm(m.group("name"))
+            if name in self._external:
+                # external registration: unlink the catalog entry only
+                del self._external[name]
+                self.spark.catalog.dropTempView(name)
+                return self.spark.createDataFrame([], "result string")
             if name in self._tables:
                 self.drop_table(name)
                 for view in (name, f"{name}_ro", f"{name}_rt"):
@@ -261,23 +290,7 @@ class Engine:
             return t.changes(begin=begin, end=m.group("end"))
         m = match_masked(_HISTORY_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
-            t = self._tables[self._norm(m.group("name"))]
-            rows = [
-                (
-                    i.instant,
-                    i.action,
-                    i.operation,
-                    len(i.adds),
-                    len(i.removes),
-                    sum(f.rows for f in i.adds),
-                )
-                for i in t.timeline.instants()
-            ]
-            return self.spark.createDataFrame(
-                rows,
-                "instant string, action string, operation string, "
-                "n_adds int, n_removes int, rows_written long",
-            )
+            return self._history(self._norm(m.group("name")))
         m = match_masked(_DESCRIBE_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._describe(self._norm(m.group("name")))
@@ -362,6 +375,9 @@ class Engine:
         rows = [
             (n, t.config.table_type, t.base_path)
             for n, t in sorted(self._tables.items())
+        ] + [
+            (n, f"external-{fmt}", loc)
+            for n, (fmt, loc) in sorted(self._external.items())
         ]
         return self.spark.createDataFrame(
             rows or [], "tableName string, tableType string, location string"
@@ -377,6 +393,220 @@ class Engine:
         info = self._tables[name].describe()
         rows = sorted((k, str(v)) for k, v in info.items())
         return self.spark.createDataFrame(rows, "col_name string, value string")
+
+    def _history(self, name: str, limit: int | None = None) -> DataFrame:
+        t = self._tables[name]
+        rows = [
+            (
+                i.instant,
+                i.action,
+                i.operation,
+                len(i.adds),
+                len(i.removes),
+                sum(f.rows for f in i.adds),
+            )
+            for i in t.timeline.instants()
+        ]
+        if limit is not None:
+            rows = rows[-limit:]
+        return self.spark.createDataFrame(
+            rows,
+            "instant string, action string, operation string, "
+            "n_adds int, n_removes int, rows_written long",
+        )
+
+    # -- CALL procedures + register-by-location (reference S10 external
+    # registration: demo.md:208 `CREATE TABLE delta_db.people USING
+    # DELTA LOCATION ...`, demo.md:225 `CALL hive_prod.system.
+    # register_table(...)`; the maintenance procedures mirror Hudi's
+    # spark-sql CALL surface, README.md:1126-1160) ---------------------------
+
+    @staticmethod
+    def _parse_call_args(args: str) -> dict[str, str]:
+        """`name => 'value'` pairs (Iceberg/Hudi style) plus bare
+        positional values keyed '0','1',...; quotes stripped, keyword
+        case folded. `=>`/`=` inside a value string never splits."""
+        out: dict[str, str] = {}
+        pos = 0
+        for part in _split_top_level(args):
+            part = part.strip()
+            if not part:
+                continue
+            split = split_once_top_level(part, "=")
+            if split is None:
+                out[str(pos)] = part.strip("'\"")
+                pos += 1
+            else:
+                k, v = split
+                out[k.strip().lower()] = v.lstrip(">").strip().strip("'\"")
+        return out
+
+    def _call(self, m) -> DataFrame:
+        proc = strip_ident_quotes(m.group("proc")).split(".")[-1].lower()
+        a = self._parse_call_args(m.group("args") or "")
+
+        def arg(*names: str, default: str | None = None) -> str | None:
+            for n in names:
+                if n in a:
+                    return a[n]
+            return default
+
+        def req(*names: str) -> str:
+            v = arg(*names)
+            if v is None:
+                raise ValueError(
+                    f"CALL {proc}: missing required argument {names[0]!r}"
+                )
+            return v
+
+        if proc == "register_table":
+            return self._register_table(
+                req("table", "0"), req("metadata_file", "1")
+            )
+
+        name = self._norm(req("table", "0"))
+        if name not in self._tables:
+            raise ValueError(f"table {name} does not exist")
+        t = self._tables[name]
+
+        if proc in ("show_commits", "show_commits_metadata"):
+            lim = arg("limit")
+            return self._history(name, int(lim) if lim else None)
+        if proc == "run_compaction":
+            from onehouse_demos_spark.tables.maintenance import (
+                run_compaction,
+                schedule_compaction,
+            )
+
+            op = (arg("op", default="scheduleandexecute") or "").lower()
+            plan = schedule_compaction(t)
+            executed = False
+            if op in ("run", "execute", "scheduleandexecute") and not plan.empty:
+                run_compaction(t, plan)
+                executed = True
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(op, len(plan.log_files), len(plan.partitions), executed)],
+                "op string, n_log_files int, n_partitions int, executed boolean",
+            )
+        if proc == "run_clustering":
+            from onehouse_demos_spark.tables.maintenance import run_clustering
+
+            cols = [
+                strip_ident_quotes(c.strip())
+                for c in req("order", "order_by").split(",")
+                if c.strip()
+            ]
+            strategy = (arg("strategy", default="linear") or "linear").lower()
+            run_clustering(t, cols, strategy=strategy)
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(",".join(cols), strategy)], "order_columns string, strategy string"
+            )
+        if proc == "run_clean":
+            from onehouse_demos_spark.tables.maintenance import run_clean
+
+            keep = int(arg("retain_commits", "keep_last_commits", default="10"))
+            removed = run_clean(t, keep_last_commits=keep)
+            return self.spark.createDataFrame(
+                [(p,) for p in removed], "removed_file string"
+            )
+        if proc == "archive_commits":
+            from onehouse_demos_spark.tables.maintenance import run_archival
+
+            keep = int(arg("keep_last", default="50"))
+            archived = run_archival(t, keep_last=keep)
+            return self.spark.createDataFrame(
+                [(archived,)], "archived_instants int"
+            )
+        if proc == "create_savepoint":
+            from onehouse_demos_spark.tables.maintenance import create_savepoint
+
+            target = create_savepoint(t, arg("commit_time", "instant"))
+            return self.spark.createDataFrame(
+                [(target,)], "savepointed_instant string"
+            )
+        if proc == "rollback_to_savepoint":
+            from onehouse_demos_spark.tables.maintenance import run_restore
+
+            res = run_restore(t, req("commit_time", "instant"))
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(res["restored_to"], len(res["removed_instants"]),
+                  len(res["deleted_files"]))],
+                "restored_to string, removed_instants int, deleted_files int",
+            )
+        raise ValueError(
+            f"unknown procedure {proc!r}; supported: register_table, "
+            "show_commits, run_compaction, run_clustering, run_clean, "
+            "archive_commits, create_savepoint, rollback_to_savepoint"
+        )
+
+    def _register_table(self, table: str, metadata_file: str) -> DataFrame:
+        """Iceberg-style registration: point the catalog at an existing
+        metadata.json (reference demo.md:225). The personality's
+        metadata tree is replayed on every view refresh; the engine
+        never takes ownership of the files."""
+        name = self._norm(table)
+        if name in self._tables or name in self._external:
+            raise ValueError(f"table {name} already exists")
+        if not os.path.exists(metadata_file):
+            raise FileNotFoundError(metadata_file)
+        base = os.path.dirname(os.path.dirname(os.path.abspath(metadata_file)))
+        self._external[name] = ("iceberg", base)
+        self._external_df(name).createOrReplaceTempView(name)
+        return self.spark.createDataFrame(
+            [(name, "iceberg", base)],
+            "tableName string, format string, location string",
+        )
+
+    def _external_df(self, name: str) -> DataFrame:
+        fmt, loc = self._external[name]
+        if fmt == "iceberg":
+            from onehouse_demos_spark.tables.iceberg_export import (
+                read_iceberg_snapshot,
+            )
+
+            return read_iceberg_snapshot(self.spark, loc)
+        if fmt == "delta":
+            from onehouse_demos_spark.tables.delta_export import (
+                read_delta_snapshot,
+            )
+
+            return read_delta_snapshot(self.spark, loc)
+        return self.spark.read.parquet(loc)
+
+    def _create_at_location(self, m) -> DataFrame:
+        """CREATE TABLE name USING <fmt> LOCATION 'path' — attach an
+        existing table (reference demo.md:208 Delta register; lakehouse
+        format re-attaches an engine table written elsewhere). Data
+        definition clauses are rejected: LOCATION means the table
+        already exists on disk."""
+        name = self._norm(m.group("name"))
+        fmt = (m.group("format") or "parquet").lower()
+        loc = m.group("location").rstrip("/")
+        if m.group("ctas") or m.group("cols") or m.group("props"):
+            raise ValueError(
+                "CREATE TABLE ... LOCATION registers an existing table; "
+                "column lists, TBLPROPERTIES and CTAS are not supported"
+            )
+        if name in self._tables or name in self._external:
+            raise ValueError(f"table {name} already exists")
+        if fmt in ("lakehouse", "oh", "hudi"):
+            t = LakehouseTable.load(self.spark, loc)
+            self._tables[name] = t
+            t.register_view(name)
+            kind = t.config.table_type
+        elif fmt in ("delta", "iceberg", "parquet"):
+            self._external[name] = (fmt, loc)
+            self._external_df(name).createOrReplaceTempView(name)
+            kind = f"external-{fmt}"
+        else:
+            raise ValueError(f"unsupported LOCATION format {fmt!r}")
+        return self.spark.createDataFrame(
+            [(name, kind, loc)],
+            "tableName string, format string, location string",
+        )
 
     # -- statement handlers ---------------------------------------------------
 

@@ -1,0 +1,208 @@
+"""SQL CALL-procedure surface + register-by-location.
+
+Reference parity: `CREATE TABLE delta_db.people USING DELTA LOCATION
+'s3a://warehouse/people'` (hudi-spark-minio-trino/demo.md:208) and
+`CALL hive_prod.system.register_table(table => ..., metadata_file =>
+...)` (demo.md:225, xtable.md:56) register EXISTING tables into a
+catalog without rewriting data; the maintenance procedures mirror
+Hudi's spark-sql CALL surface (compaction schedule/run,
+README.md:1126-1160).
+"""
+
+import os
+
+import pytest
+
+from onehouse_demos_spark.sql import Engine
+from onehouse_demos_spark.tables.delta_export import sync_delta_log
+from onehouse_demos_spark.tables.iceberg_export import sync_iceberg_metadata
+
+DDL = "id int, grp string, v int"
+
+
+def _seed_rows(spark, n=10, v=1):
+    return spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", v) for i in range(n)], DDL
+    )
+
+
+def _mor(eng, spark, name="t_mor"):
+    eng.sql(
+        f"CREATE TABLE {name} (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=v, type=mor)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("seed_rows")
+    eng.sql(f"INSERT INTO {name} SELECT * FROM seed_rows")
+    return eng.table(name)
+
+
+def _state(eng, name):
+    return sorted(
+        tuple(r)
+        for r in eng.sql(f"SELECT id, grp, v FROM {name}").collect()
+    )
+
+
+def test_call_run_compaction_merges_logs(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_compact")
+    _mor(eng, spark)
+    eng.sql("UPDATE t_mor SET v = v + 10 WHERE id < 5")
+    # MOR update lands in log files: the read-optimized view must lag
+    ro_before = _state(eng, "t_mor_ro")
+    rt = _state(eng, "t_mor_rt")
+    assert ro_before != rt
+    row = eng.sql(
+        "CALL run_compaction(table => 't_mor', op => 'scheduleandexecute')"
+    ).collect()[0]
+    assert row.executed and row.n_log_files > 0
+    assert _state(eng, "t_mor_ro") == rt
+    # idempotent: nothing left to compact
+    row2 = eng.sql("CALL run_compaction(table => 't_mor')").collect()[0]
+    assert not row2.executed and row2.n_log_files == 0
+
+
+def test_call_show_commits_and_limit(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_commits")
+    _mor(eng, spark)
+    eng.sql("UPDATE t_mor SET v = v + 1 WHERE id = 0")
+    all_rows = eng.sql("CALL show_commits(table => 't_mor')").collect()
+    assert len(all_rows) >= 2
+    last = eng.sql(
+        "CALL show_commits(table => 't_mor', limit => 1)"
+    ).collect()
+    assert len(last) == 1
+    assert last[0].instant == all_rows[-1].instant
+
+
+def test_call_savepoint_then_rollback(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_sp")
+    _mor(eng, spark)
+    before = _state(eng, "t_mor_rt")
+    sp = eng.sql("CALL create_savepoint(table => 't_mor')").collect()[0][0]
+    eng.sql("UPDATE t_mor SET v = v + 100")
+    assert _state(eng, "t_mor_rt") != before
+    res = eng.sql(
+        f"CALL rollback_to_savepoint(table => 't_mor', commit_time => '{sp}')"
+    ).collect()[0]
+    assert res.restored_to == sp
+    assert _state(eng, "t_mor_rt") == before
+
+
+def test_call_run_clean_removes_replaced_files(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_clean")
+    eng.sql(
+        "CREATE TABLE t_cow (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    for v in range(1, 4):  # three upsert generations rewrite the files
+        _seed_rows(spark, v=v).createOrReplaceTempView("gen_rows")
+        eng.sql("INSERT INTO t_cow SELECT * FROM gen_rows")
+        eng.sql(f"UPDATE t_cow SET v = {v}")
+    removed = [
+        r.removed_file
+        for r in eng.sql(
+            "CALL run_clean(table => 't_cow', retain_commits => 1)"
+        ).collect()
+    ]
+    assert removed
+    assert all(not os.path.exists(p) for p in removed)
+    assert len(_state(eng, "t_cow")) == 10  # live snapshot untouched
+
+
+def test_call_register_table_iceberg_personality(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_ice")
+    eng.sql(
+        "CREATE TABLE people (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("people_rows")
+    eng.sql("INSERT INTO people SELECT * FROM people_rows")
+    t = eng.table("people")
+    version = sync_iceberg_metadata(t, now_ms=1_700_000_000_000)
+    meta_file = os.path.join(t.base_path, "metadata", f"v{version}.metadata.json")
+    reg = eng.sql(
+        "CALL hive_prod.system.register_table("
+        "  table => 'hive_prod.ice_db.people_ice',"
+        f"  metadata_file => '{meta_file}')"
+    ).collect()[0]
+    assert reg.format == "iceberg"
+    assert _state(eng, "people_ice") == _state(eng, "people")
+    shown = {
+        (r.tableName, r.tableType)
+        for r in eng.sql("SHOW TABLES").collect()
+    }
+    assert ("people_ice", "external-iceberg") in shown
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql(
+            "CALL system.register_table(table => 'people_ice', "
+            f"metadata_file => '{meta_file}')"
+        )
+
+
+def test_create_table_using_delta_location(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_delta")
+    eng.sql(
+        "CREATE TABLE src (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("src_rows")
+    eng.sql("INSERT INTO src SELECT * FROM src_rows")
+    t = eng.table("src")
+    sync_delta_log(t, now_ms=1_700_000_000_000)
+    eng.sql(f"CREATE TABLE ext_people USING DELTA LOCATION '{t.base_path}'")
+    assert _state(eng, "ext_people") == _state(eng, "src")
+    # DROP unregisters without touching the files we don't own
+    eng.sql("DROP TABLE ext_people")
+    assert os.path.isdir(os.path.join(t.base_path, "_delta_log"))
+    assert "ext_people" not in {
+        r.tableName for r in eng.sql("SHOW TABLES").collect()
+    }
+
+
+def test_create_table_lakehouse_location_reattach(spark, tmp_base):
+    eng_a = Engine(spark, f"{tmp_base}/wh_a")
+    eng_a.sql(
+        "CREATE TABLE t_orig (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("orig_rows")
+    eng_a.sql("INSERT INTO t_orig SELECT * FROM orig_rows")
+    base = eng_a.table("t_orig").base_path
+
+    eng_b = Engine(spark, f"{tmp_base}/wh_b")
+    row = eng_b.sql(
+        f"CREATE TABLE t_attached USING lakehouse LOCATION '{base}'"
+    ).collect()[0]
+    assert row.tableName == "t_attached"
+    assert _state(eng_b, "t_attached") == _state(eng_a, "t_orig")
+
+
+def test_create_location_rejects_data_definition(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_reject")
+    with pytest.raises(ValueError, match="registers an existing table"):
+        eng.sql(
+            "CREATE TABLE bad (id INT) USING DELTA LOCATION '/nonexistent'"
+        )
+
+
+def test_call_errors(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh_err")
+    _mor(eng, spark)
+    with pytest.raises(ValueError, match="unknown procedure"):
+        eng.sql("CALL frobnicate(table => 't_mor')")
+    with pytest.raises(ValueError, match="missing required argument"):
+        eng.sql("CALL show_commits(limit => 3)")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("CALL show_commits(table => 'ghost')")
+    with pytest.raises(FileNotFoundError):
+        eng.sql(
+            "CALL system.register_table(table => 'x', "
+            "metadata_file => '/no/such/metadata.json')"
+        )
+
+
+def test_parse_call_args_masking():
+    # '=>' and ',' inside a value string never split; positional args
+    # key as '0','1',...
+    got = Engine._parse_call_args("a => 'x => y, z', b => 3, 'pos'")
+    assert got == {"a": "x => y, z", "b": "3", "0": "pos"}
