@@ -90,10 +90,92 @@ WHERE o_orderkey % 13 <> 0 OR o_orderkey % 5 = 0
 """
 
 
+_CALL_CACHE: dict[str, Engine] = {}
+
+
+def _build_call(spark: SparkSession, sf_dir: str) -> Engine:
+    """CALL-procedure chain (reference demo.md:200-229 registration +
+    Hudi's spark-sql maintenance procedures): MOR table → update lands
+    in log files → CALL run_compaction merges them → savepoint + clean
+    → Iceberg personality sync → CALL system.register_table exposes it
+    as an external catalog entry. The compaction is LOAD-BEARING for
+    correctness: the Iceberg personality manifests list base files
+    only, so if the procedure didn't merge the update logs the
+    registered table would miss the UPDATE and hash-mismatch."""
+    if sf_dir in _CALL_CACHE:
+        return _CALL_CACHE[sf_dir]
+    import os
+
+    from onehouse_demos_spark.tables.iceberg_export import (
+        sync_iceberg_metadata,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="oh_sqlcall_")
+    _TMPDIRS.append(tmp)
+    eng = Engine(spark, f"{tmp}/wh")
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        *[c.strip() for c in _COLS.split(",")]
+    ).createOrReplaceTempView("call_orders_src")
+
+    eng.sql(
+        "CREATE TABLE call_orders (o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=o_orderkey, type=mor)"
+    )
+    eng.sql(f"INSERT INTO call_orders SELECT {_COLS} FROM call_orders_src")
+    eng.sql(
+        "UPDATE call_orders SET o_totalprice = o_totalprice + 100.0 "
+        "WHERE o_orderstatus = 'O'"
+    )
+    row = eng.sql(
+        "CALL run_compaction(table => 'call_orders', "
+        "op => 'scheduleandexecute')"
+    ).collect()[0]
+    if not row.executed:
+        raise RuntimeError("CALL run_compaction found no log files to merge")
+    eng.sql("CALL create_savepoint(table => 'call_orders')")
+    eng.sql("CALL run_clean(table => 'call_orders', retain_commits => 1)")
+
+    t = eng.table("call_orders")
+    version = sync_iceberg_metadata(t)
+    meta_file = os.path.join(
+        t.base_path, "metadata", f"v{version}.metadata.json"
+    )
+    eng.sql(
+        "CALL hive_prod.system.register_table("
+        "table => 'hive_prod.ice_db.call_orders_ice', "
+        f"metadata_file => '{meta_file}')"
+    )
+    _CALL_CACHE[sf_dir] = eng
+    return eng
+
+
+def sql_call_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read back through the CALL-registered external Iceberg entry;
+    the oracle encodes the one data mutation (the UPDATE) directly
+    over `orders`."""
+    eng = _build_call(spark, sf_dir)
+    return eng.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority, "
+        "ROUND(o_totalprice, 2) AS o_totalprice_r FROM call_orders_ice"
+    )
+
+
+SQL_CALL_PIPELINE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       ROUND(CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+"""
+
+
 QUERIES = {
     "sql_dml_pipeline": sql_dml_pipeline,
+    "sql_call_pipeline": sql_call_pipeline,
 }
 
 ORACLES = {
     "sql_dml_pipeline": SQL_DML_PIPELINE_SQL,
+    "sql_call_pipeline": SQL_CALL_PIPELINE_SQL,
 }
