@@ -526,6 +526,20 @@ class Engine:
             return self.spark.createDataFrame(
                 [(target,)], "savepointed_instant string"
             )
+        if proc == "show_savepoints":
+            from onehouse_demos_spark.tables.maintenance import list_savepoints
+
+            return self.spark.createDataFrame(
+                list_savepoints(t),
+                "savepoint_instant string, saved_instant string",
+            )
+        if proc == "delete_savepoint":
+            from onehouse_demos_spark.tables.maintenance import delete_savepoint
+
+            removed = delete_savepoint(t, req("commit_time", "instant"))
+            return self.spark.createDataFrame(
+                [(removed,)], "deleted_savepoint string"
+            )
         if proc == "rollback_to_savepoint":
             from onehouse_demos_spark.tables.maintenance import run_restore
 
@@ -539,7 +553,8 @@ class Engine:
         raise ValueError(
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, run_compaction, run_clustering, run_clean, "
-            "archive_commits, create_savepoint, rollback_to_savepoint"
+            "archive_commits, create_savepoint, show_savepoints, "
+            "delete_savepoint, rollback_to_savepoint"
         )
 
     def _register_table(self, table: str, metadata_file: str) -> DataFrame:
@@ -561,6 +576,15 @@ class Engine:
         )
 
     def _external_df(self, name: str) -> DataFrame:
+        """Materialize an external registration's current snapshot.
+
+        Scale note: the temp view enumerates the personality's full
+        live-file list; partition predicates in SQL over it prune via
+        parquet footer stats, not at plan time. Plan-time
+        partitionValues pruning belongs to the format-native reader
+        (`read_delta_snapshot(partition_predicate=...)` /
+        `delta_pruned_files`) and to real external engines — a 100 TB
+        deployment attaches the engine-native table instead."""
         fmt, loc = self._external[name]
         if fmt == "iceberg":
             from onehouse_demos_spark.tables.iceberg_export import (

@@ -297,6 +297,34 @@ def create_savepoint(table: LakehouseTable, instant: str | None = None) -> str:
         raise
 
 
+def list_savepoints(table: LakehouseTable) -> list[tuple[str, str]]:
+    """(savepoint_instant, saved_instant) pairs, chronological
+    (hudi-cli `savepoints show`)."""
+    return [
+        (i.instant, i.extra.get("saved_instant", ""))
+        for i in table.timeline.instants()
+        if i.action == "savepoint"
+    ]
+
+
+def delete_savepoint(table: LakehouseTable, saved_instant: str) -> str:
+    """Drop the savepoint pin on `saved_instant` so the next clean may
+    reclaim the files only that pin was retaining (hudi-cli `savepoint
+    delete`). Metadata-only; returns the removed savepoint instant."""
+    tl = table.timeline
+    for inst in tl.instants():
+        if (
+            inst.action == "savepoint"
+            and inst.extra.get("saved_instant") == saved_instant
+        ):
+            for name in tl._completed_files():
+                if name.split(".", 1)[0] == inst.instant:
+                    os.remove(os.path.join(tl.commits_path, name))
+                    tl._cache.pop(name, None)
+            return inst.instant
+    raise RestoreError(f"no savepoint pins instant {saved_instant!r}")
+
+
 def _savepointed_paths(table: LakehouseTable) -> set[str]:
     """Union of file paths needed by any savepointed snapshot."""
     pinned: set[str] = set()

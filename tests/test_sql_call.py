@@ -109,6 +109,42 @@ def test_call_run_clean_removes_replaced_files(spark, tmp_base):
     assert len(_state(eng, "t_cow")) == 10  # live snapshot untouched
 
 
+def test_call_savepoint_pin_show_delete_reclaim(spark, tmp_base):
+    """A savepoint pins files past the clean horizon; deleting the
+    savepoint lets the next clean reclaim them (hudi-cli savepoint
+    lifecycle)."""
+    eng = Engine(spark, f"{tmp_base}/wh_sp_life")
+    eng.sql(
+        "CREATE TABLE t_pin (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("pin_rows")
+    eng.sql("INSERT INTO t_pin SELECT * FROM pin_rows")
+    sp = eng.sql("CALL create_savepoint(table => 't_pin')").collect()[0][0]
+    for v in (1, 2, 3):  # rewrite generations past the pin
+        eng.sql(f"UPDATE t_pin SET v = {v}")
+    shown = eng.sql("CALL show_savepoints(table => 't_pin')").collect()
+    assert [r.saved_instant for r in shown] == [sp]
+    # pinned: clean must NOT remove the savepointed snapshot's files
+    eng.sql("CALL run_clean(table => 't_pin', retain_commits => 1)")
+    t = eng.table("t_pin")
+    pinned = {f.path for f in t.manifest.live_files(as_of=sp)}
+    assert pinned and all(
+        os.path.exists(os.path.join(t.base_path, p)) for p in pinned
+    )
+    deleted = eng.sql(
+        f"CALL delete_savepoint(table => 't_pin', commit_time => '{sp}')"
+    ).collect()[0].deleted_savepoint
+    assert deleted
+    assert not eng.sql("CALL show_savepoints(table => 't_pin')").collect()
+    # unpinned: the same clean policy now reclaims those files
+    eng.sql("CALL run_clean(table => 't_pin', retain_commits => 1)")
+    assert all(
+        not os.path.exists(os.path.join(t.base_path, p)) for p in pinned
+    )
+    assert len(_state(eng, "t_pin")) == 10
+
+
 def test_call_register_table_iceberg_personality(spark, tmp_base):
     eng = Engine(spark, f"{tmp_base}/wh_ice")
     eng.sql(
