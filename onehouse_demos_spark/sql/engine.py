@@ -540,6 +540,38 @@ class Engine:
             return self.spark.createDataFrame(
                 [(removed,)], "deleted_savepoint string"
             )
+        if proc == "xtable_sync":
+            # one-command multi-format conversion — the reference runs
+            # `java -jar xtable-utilities --datasetConfig xtable_hudi.
+            # yaml` with targets DELTA,ICEBERG (demo.md:81-88,
+            # xtable/xtable_hudi.yaml); here each target personality is
+            # (re)synced in place over the same files.
+            fmts = [
+                f.strip().lower()
+                for f in (arg("formats", default="delta,iceberg") or "").split(",")
+                if f.strip()
+            ]
+            rows = []
+            for fmt in fmts:
+                if fmt == "delta":
+                    from onehouse_demos_spark.tables.delta_export import (
+                        sync_delta_log,
+                    )
+
+                    rows.append(("delta", sync_delta_log(t)))
+                elif fmt == "iceberg":
+                    from onehouse_demos_spark.tables.iceberg_export import (
+                        sync_iceberg_metadata,
+                    )
+
+                    rows.append(("iceberg", sync_iceberg_metadata(t)))
+                else:
+                    raise ValueError(
+                        f"xtable_sync: unsupported target format {fmt!r}"
+                    )
+            return self.spark.createDataFrame(
+                rows, "format string, version int"
+            )
         if proc == "rollback_to_savepoint":
             from onehouse_demos_spark.tables.maintenance import run_restore
 
@@ -554,7 +586,7 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, run_compaction, run_clustering, run_clean, "
             "archive_commits, create_savepoint, show_savepoints, "
-            "delete_savepoint, rollback_to_savepoint"
+            "delete_savepoint, rollback_to_savepoint, xtable_sync"
         )
 
     def _register_table(self, table: str, metadata_file: str) -> DataFrame:

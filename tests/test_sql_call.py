@@ -175,6 +175,46 @@ def test_call_register_table_iceberg_personality(spark, tmp_base):
         )
 
 
+def test_call_xtable_sync_both_personalities(spark, tmp_base):
+    """One CALL converts the table to both target formats in place
+    (reference xTable utility, demo.md:81-88: sourceFormat HUDI →
+    targets DELTA, ICEBERG), and the registered personalities read
+    back the same rows."""
+    eng = Engine(spark, f"{tmp_base}/wh_xt")
+    eng.sql(
+        "CREATE TABLE xsrc (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("x_rows")
+    eng.sql("INSERT INTO xsrc SELECT * FROM x_rows")
+    t = eng.table("xsrc")
+    rows = {
+        r.format: r.version
+        for r in eng.sql("CALL xtable_sync(table => 'xsrc')").collect()
+    }
+    # Delta versions are 0-based; Iceberg metadata versions 1-based
+    assert set(rows) == {"delta", "iceberg"}
+    assert rows["delta"] >= 0 and rows["iceberg"] >= 1
+    assert os.path.isdir(os.path.join(t.base_path, "_delta_log"))
+    meta_file = os.path.join(
+        t.base_path, "metadata", f"v{rows['iceberg']}.metadata.json"
+    )
+    eng.sql(f"CREATE TABLE x_delta USING DELTA LOCATION '{t.base_path}'")
+    eng.sql(
+        "CALL system.register_table(table => 'x_ice', "
+        f"metadata_file => '{meta_file}')"
+    )
+    assert _state(eng, "x_delta") == _state(eng, "xsrc")
+    assert _state(eng, "x_ice") == _state(eng, "xsrc")
+    # single-format target + bad target
+    only = eng.sql(
+        "CALL xtable_sync(table => 'xsrc', formats => 'delta')"
+    ).collect()
+    assert [r.format for r in only] == ["delta"]
+    with pytest.raises(ValueError, match="unsupported target format"):
+        eng.sql("CALL xtable_sync(table => 'xsrc', formats => 'hudi')")
+
+
 def test_create_table_using_delta_location(spark, tmp_base):
     eng = Engine(spark, f"{tmp_base}/wh_delta")
     eng.sql(
