@@ -171,7 +171,9 @@ class Engine:
     # ------------------------------------------------------------- catalog
 
     def _discover(self) -> None:
-        """Attach tables already in the warehouse (S9 catalog role)."""
+        """Attach tables already in the warehouse (S9 catalog role),
+        plus persisted external registrations — like HMS entries, a
+        registration survives an engine restart."""
         for name in sorted(os.listdir(self.warehouse_dir)):
             cfg = os.path.join(
                 self.warehouse_dir, name, "_commits", "table_config.json"
@@ -180,6 +182,23 @@ class Engine:
                 self._tables[name] = LakehouseTable.load(
                     self.spark, os.path.join(self.warehouse_dir, name)
                 )
+        reg = os.path.join(self.warehouse_dir, "_external_tables.json")
+        if os.path.exists(reg):
+            import json
+
+            with open(reg) as fh:
+                for name, (fmt, loc) in json.load(fh).items():
+                    if name not in self._tables:
+                        self._external[name] = (fmt, loc)
+
+    def _persist_external(self) -> None:
+        import json
+
+        reg = os.path.join(self.warehouse_dir, "_external_tables.json")
+        tmp = reg + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(dict(sorted(self._external.items())), fh, indent=1)
+        os.replace(tmp, reg)
 
     def table(self, name: str) -> LakehouseTable:
         return self._tables[self._norm(name)]
@@ -232,7 +251,15 @@ class Engine:
         for name, t in self._tables.items():
             t.register_view(name)
         for name in self._external:
-            self._external_df(name).createOrReplaceTempView(name)
+            # A registration whose files were externally removed must
+            # not poison unrelated statements: skip the broken view
+            # (querying it then fails with a clear missing-view error;
+            # SHOW TABLES still lists the stale entry for diagnosis).
+            try:
+                df = self._external_df(name)
+            except Exception:
+                continue
+            df.createOrReplaceTempView(name)
 
     # ----------------------------------------------------------------- sql
 
@@ -265,6 +292,7 @@ class Engine:
             if name in self._external:
                 # external registration: unlink the catalog entry only
                 del self._external[name]
+                self._persist_external()
                 self.spark.catalog.dropTempView(name)
                 return self.spark.createDataFrame([], "result string")
             if name in self._tables:
@@ -601,7 +629,13 @@ class Engine:
             raise FileNotFoundError(metadata_file)
         base = os.path.dirname(os.path.dirname(os.path.abspath(metadata_file)))
         self._external[name] = ("iceberg", base)
-        self._external_df(name).createOrReplaceTempView(name)
+        try:
+            df = self._external_df(name)  # validate the metadata walk
+        except Exception:
+            del self._external[name]
+            raise
+        self._persist_external()
+        df.createOrReplaceTempView(name)
         return self.spark.createDataFrame(
             [(name, "iceberg", base)],
             "tableName string, format string, location string",
@@ -655,7 +689,13 @@ class Engine:
             kind = t.config.table_type
         elif fmt in ("delta", "iceberg", "parquet"):
             self._external[name] = (fmt, loc)
-            self._external_df(name).createOrReplaceTempView(name)
+            try:
+                df = self._external_df(name)  # validate before persisting
+            except Exception:
+                del self._external[name]
+                raise
+            self._persist_external()
+            df.createOrReplaceTempView(name)
             kind = f"external-{fmt}"
         else:
             raise ValueError(f"unsupported LOCATION format {fmt!r}")

@@ -253,6 +253,37 @@ def test_create_table_lakehouse_location_reattach(spark, tmp_base):
     assert _state(eng_b, "t_attached") == _state(eng_a, "t_orig")
 
 
+def test_external_registration_survives_engine_restart(spark, tmp_base):
+    """Registrations persist like HMS entries: a fresh Engine over the
+    same warehouse re-attaches external tables, and a DROP in one
+    incarnation is gone in the next."""
+    wh = f"{tmp_base}/wh_persist"
+    eng = Engine(spark, wh)
+    eng.sql(
+        "CREATE TABLE psrc (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("p_rows")
+    eng.sql("INSERT INTO psrc SELECT * FROM p_rows")
+    t = eng.table("psrc")
+    sync_delta_log(t, now_ms=1_700_000_000_000)
+    eng.sql(f"CREATE TABLE p_delta USING DELTA LOCATION '{t.base_path}'")
+
+    eng2 = Engine(spark, wh)  # restart: same warehouse, new catalog
+    shown = {
+        (r.tableName, r.tableType)
+        for r in eng2.sql("SHOW TABLES").collect()
+    }
+    assert ("p_delta", "external-delta") in shown
+    assert _state(eng2, "p_delta") == _state(eng2, "psrc")
+
+    eng2.sql("DROP TABLE p_delta")
+    eng3 = Engine(spark, wh)
+    assert "p_delta" not in {
+        r.tableName for r in eng3.sql("SHOW TABLES").collect()
+    }
+
+
 def test_create_location_rejects_data_definition(spark, tmp_base):
     eng = Engine(spark, f"{tmp_base}/wh_reject")
     with pytest.raises(ValueError, match="registers an existing table"):
