@@ -117,10 +117,11 @@ class ChangeFeedSource(IncrementalTableSource):
         change feed's composite `_oh_record_key` (delete rows carry no
         post-image, so the key witness is the only handle). Inverse of
         `table._key_expr`: single keys are a cast, composite keys
-        split on the '|' separator."""
+        split on the '|' separator then part-unescaped ('\\p' -> '|',
+        '\\b' -> '\\'; the escape guarantees parts hold no raw '|')."""
         from pyspark.sql import functions as F
 
-        from onehouse_demos_spark.tables.table import KEY_COL
+        from onehouse_demos_spark.tables.table import KEY_COL, unescape_key_part
 
         key_cols = self.table.config.record_key
         schema = self.table._latest_schema()
@@ -128,10 +129,10 @@ class ChangeFeedSource(IncrementalTableSource):
         if len(key_cols) == 1:
             c = key_cols[0]
             return deletes.select(F.col(KEY_COL).cast(types[c]).alias(c))
-        parts = F.split(F.col(KEY_COL), "\\|")
+        parts = F.split(F.col(KEY_COL), "\\|", -1)
         return deletes.select(
             *[
-                parts.getItem(i).cast(types[c]).alias(c)
+                unescape_key_part(parts.getItem(i)).cast(types[c]).alias(c)
                 for i, c in enumerate(key_cols)
             ]
         )

@@ -191,7 +191,9 @@ def strip_comments(s: str) -> str:
     engine strips comments BEFORE clause dispatch so an anchored
     grammar's `$` still lands after a trailing comment; expression
     fragments consequently reach Spark comment-free, which parses
-    identically."""
+    identically. Each stripped comment is replaced by ONE space so
+    adjacent tokens never glue together ('1/*c*/WHERE' -> '1 WHERE'
+    — a comment is a token separator in SQL, same as whitespace)."""
     out: list[str] = []
     i, n = 0, len(s)
     while i < n:
@@ -199,11 +201,13 @@ def strip_comments(s: str) -> str:
         if ch == "-" and s[i : i + 2] == "--":
             while i < n and s[i] != "\n":
                 i += 1
+            out.append(" ")
         elif ch == "/" and s[i : i + 2] == "/*":
             i += 2
             while i < n and s[i : i + 2] != "*/":
                 i += 1
             i = min(i + 2, n)
+            out.append(" ")
         elif ch in ("'", '"', "`"):
             q = ch
             out.append(ch)

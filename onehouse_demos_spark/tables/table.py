@@ -47,6 +47,26 @@ BLOOM_MAX_ROWS = 500_000
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+def escape_key_part(col):
+    """Escape one part of a composite record key before the '|' join:
+    '\\' -> '\\b', '|' -> '\\p'. After escaping a part contains NO raw
+    '|', so the joined witness's pipes are unambiguously separators —
+    ("a|b","c") and ("a","b|c") get distinct witnesses, and CDF delete
+    reconstruction (sources/incremental.py::_delete_keys) can split on
+    a plain '|'. The escape codes are letters ('b','p'), never the
+    escape char itself, so unescaping is two sequential replaces with
+    no re-scan hazard. No-op for values without '\\' or '|' (all
+    TPC-H-ish fixtures), so existing key witnesses are unchanged."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\b"), r"\|", r"\\p"
+    )
+
+
+def unescape_key_part(col):
+    """Inverse of `escape_key_part` on one split part."""
+    return F.regexp_replace(F.regexp_replace(col, r"\\p", "|"), r"\\b", r"\\")
+
+
 class SchemaEvolutionError(ValueError):
     """Incompatible schema change rejected at write time (before any
     file is written) — mirrors the reference stack's schema-evolution
@@ -234,7 +254,9 @@ class LakehouseTable:
             raise ValueError("table has no record key configured")
         if len(cols) == 1:
             return F.col(cols[0]).cast("string")
-        return F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        return F.concat_ws(
+            "|", *[escape_key_part(F.col(c).cast("string")) for c in cols]
+        )
 
     @staticmethod
     def _null_safe_part(col):

@@ -7,6 +7,8 @@ Two layers: pure-lexer property tests (hypothesis, no Spark) and
 engine statements that previously mis-parsed under the regex-only
 front-end."""
 
+import re
+
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -230,6 +232,30 @@ def test_strip_comments_preserves_literals():
     assert " real" not in got
     # DELETE with a trailing comment now matches the anchored grammar
     assert strip_comments("DELETE FROM t -- bye").rstrip() == "DELETE FROM t"
+
+
+def test_strip_comments_is_a_token_separator():
+    """A comment separates tokens, same as whitespace: stripping must
+    not glue the neighbours together ('1/*c*/WHERE' != '1WHERE')."""
+    from onehouse_demos_spark.sql.lexer import strip_comments
+
+    got = strip_comments("UPDATE t SET a=1/*c*/WHERE b=2")
+    assert "1WHERE" not in got
+    assert re.search(r"a=1\s+WHERE b=2", got)
+    got2 = strip_comments("SELECT/*c*/a FROM t")
+    assert "SELECTa" not in got2
+    assert re.search(r"SELECT\s+a FROM t", got2)
+    # line comment at a token boundary (no trailing newline)
+    got3 = strip_comments("SELECT 1-- c")
+    assert got3.rstrip() == "SELECT 1"
+
+
+def test_block_comment_glue_executes(eng):
+    """End-to-end: the statement the advisor flagged parses and runs."""
+    eng.sql("UPDATE notes SET ver = 9/*c*/WHERE id = 1")
+    row = eng.sql("SELECT ver FROM notes WHERE id = 1").collect()[0]
+    assert row.ver == 9
+    assert eng.sql("SELECT/*c*/id FROM notes WHERE id = 1").count() == 1
 
 
 def test_delete_with_trailing_comment(eng):
