@@ -1,12 +1,20 @@
 """Benchmark harness: runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec",
- "queries": {name: sec, ...}, "sf": ...}
+{"metric": ..., "value": pass1_total_sec, "value_min": sum_of_mins,
+ "value_runs": [pass1_total, pass2_total], "unit": "sec",
+ "queries": {name: min_sec, ...}, "sf": ...}
 
 Each query is fully materialized (count + collect of the final frame)
 so the number reflects end-to-end execution, not plan construction.
-"""
+
+Noise defense (VERDICT r4 ask #1): the timed suite runs TWICE after
+warmup and reports the per-query MIN of the two passes ("queries" +
+"value_min") alongside the pass-1 total ("value", comparable with the
+single-pass totals of rounds 1-4). This box swings 38-42.5 s on
+identical code (SCALING.md variance band); a loaded box inflates both
+passes far less often than one, so min-of-2 is the number to compare
+across rounds."""
 
 from __future__ import annotations
 
@@ -122,36 +130,51 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    timings: dict[str, float] = {}
-    t_suite = time.time()
-    for name in HEADLINE:
-        if name == "tbl_pipeline_build":
-            # The 8-commit mutation pipeline (insert/upsert/delete/
-            # overwrite/delete-partition + MOR insert/upsert/compaction)
-            # is timed as its own entry; the tbl_* reads below then
-            # measure read latency, not the writes they depend on.
-            from onehouse_demos_spark.operators import mutations
+    from onehouse_demos_spark.operators import mutations
 
+    def run_pass(tag: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            if name == "tbl_pipeline_build":
+                # The 8-commit mutation pipeline (insert/upsert/delete/
+                # overwrite/delete-partition + MOR insert/upsert/
+                # compaction) is timed as its own entry; the tbl_* reads
+                # below then measure read latency, not the writes they
+                # depend on. The per-sf_dir build cache is dropped so
+                # EVERY pass times a real build, never a cache hit.
+                mutations._CACHE.pop(sf_dir, None)
+                t0 = time.time()
+                mutations._build(spark, sf_dir)
+                timings[name] = round(time.time() - t0, 3)
+                print(f"# [{tag}] {name}: {timings[name]:.2f}s",
+                      file=sys.stderr)
+                continue
+            fn = qs[name]
             t0 = time.time()
-            mutations._build(spark, sf_dir)
+            df = fn(spark, sf_dir)
+            n = df.count()
+            df.collect()
             timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
-            continue
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
-    total = round(time.time() - t_suite, 3)
+            print(f"# [{tag}] {name}: {timings[name]:.2f}s rows={n}",
+                  file=sys.stderr)
+        return timings
+
+    pass1 = run_pass("p1")
+    pass2 = run_pass("p2")
+    best = {n: min(pass1[n], pass2[n]) for n in pass1}
+    total1 = round(sum(pass1.values()), 3)
+    total2 = round(sum(pass2.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": total,
+                # pass-1 total: comparable with rounds 1-4 single-pass
+                "value": total1,
+                # sum of per-query mins: the noise-robust comparator
+                "value_min": round(sum(best.values()), 3),
+                "value_runs": [total1, total2],
                 "unit": "sec",
-                "queries": timings,
+                "queries": best,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
