@@ -98,11 +98,20 @@ _WINDOW = [
     # (count_star, group_having_key — both remain registered past the
     # window and verified by the local sweep; their plan shapes are
     # already driver-covered by events_max_ts / pricing_summary).
+    # r5 window swap (VERDICT r4 ask #5): the r4 flagship proofs —
+    # metadata-only partition pruning on the Delta personality
+    # (tbl_delta_pruned_read) and the SQL CALL procedure surface
+    # (sql_call_pipeline) — take the slots of two plan-shape
+    # duplicates: events_range_scan (scan+filter, covered by
+    # filter_project) and token_length_histogram (map-stage text agg,
+    # covered by text_stats). Both stay registered past the window and
+    # green in the local sweep.
     "tbl_delta_personality_read",
+    "tbl_delta_pruned_read",
     "events_max_ts",
     "tbl_cdf_chain_read",
+    "sql_call_pipeline",
     "customers_without_orders",
-    "events_range_scan",
     "events_json_extract",
     "local_supplier_volume",
     # SQL DML (M5/M6/M10/Q11/Q12)
@@ -131,7 +140,6 @@ _WINDOW = [
     "text_stats",
     "lang_id_confusion",
     "doc_fingerprints",
-    "token_length_histogram",
     # analytics: custom AS-OF join operator + the sessionizer
     # (hash-fix proof)
     "asof_prior_click",
