@@ -166,6 +166,16 @@ class Engine:
         #: 208,225): name -> (format, base_path). The engine does not
         #: own these files — DROP unregisters, never deletes.
         self._external: dict[str, tuple[str, str]] = {}
+        #: engine-native tables attached via CREATE TABLE ... USING
+        #: lakehouse LOCATION — live in `_tables` for full DML but are
+        #: NOT owned: DROP unregisters, never deletes, and the attach
+        #: is persisted in _external_tables.json like the other
+        #: register-by-location formats (ADVICE r4).
+        self._attached: dict[str, str] = {}
+        #: per-external-view metadata token at last registration —
+        #: register_views() replays a personality's metadata tree only
+        #: when this changes, not on every passthrough statement.
+        self._external_view_tokens: dict[str, object] = {}
         self._discover()
 
     # ------------------------------------------------------------- catalog
@@ -188,7 +198,20 @@ class Engine:
 
             with open(reg) as fh:
                 for name, (fmt, loc) in json.load(fh).items():
-                    if name not in self._tables:
+                    if name in self._tables:
+                        continue
+                    if fmt == "lakehouse":
+                        # engine-native attach: reload for full DML;
+                        # an unreadable location skips the entry (the
+                        # registration stays on disk for diagnosis)
+                        try:
+                            self._tables[name] = LakehouseTable.load(
+                                self.spark, loc
+                            )
+                            self._attached[name] = loc
+                        except Exception:
+                            continue
+                    else:
                         self._external[name] = (fmt, loc)
 
     def _persist_external(self) -> None:
@@ -196,8 +219,12 @@ class Engine:
 
         reg = os.path.join(self.warehouse_dir, "_external_tables.json")
         tmp = reg + ".tmp"
+        entries = dict(self._external)
+        entries.update(
+            {n: ("lakehouse", loc) for n, loc in self._attached.items()}
+        )
         with open(tmp, "w") as fh:
-            json.dump(dict(sorted(self._external.items())), fh, indent=1)
+            json.dump(dict(sorted(entries.items())), fh, indent=1)
         os.replace(tmp, reg)
 
     def table(self, name: str) -> LakehouseTable:
@@ -251,15 +278,51 @@ class Engine:
         for name, t in self._tables.items():
             t.register_view(name)
         for name in self._external:
+            # Replay the personality metadata only when it changed
+            # since the last registration (token = cheap version probe)
+            # — not on every passthrough statement.
+            token = self._external_token(name)
+            if (
+                token is not None
+                and self._external_view_tokens.get(name) == token
+            ):
+                continue
             # A registration whose files were externally removed must
-            # not poison unrelated statements: skip the broken view
-            # (querying it then fails with a clear missing-view error;
-            # SHOW TABLES still lists the stale entry for diagnosis).
+            # not poison unrelated statements: skip the broken view —
+            # AND drop any previously-created temp view, so queries
+            # fail with a clear missing-view error instead of silently
+            # serving a stale snapshot (SHOW TABLES still lists the
+            # entry for diagnosis).
             try:
                 df = self._external_df(name)
             except Exception:
+                self._external_view_tokens.pop(name, None)
+                try:
+                    self.spark.catalog.dropTempView(name)
+                except Exception:
+                    pass
                 continue
             df.createOrReplaceTempView(name)
+            if token is not None:
+                self._external_view_tokens[name] = token
+
+    def _external_token(self, name: str):
+        """Cheap metadata-version probe for an external registration:
+        changes iff the personality's snapshot could have changed.
+        None = unprobeable (forces full revalidation)."""
+        fmt, loc = self._external[name]
+        try:
+            if fmt == "delta":
+                d = os.path.join(loc, "_delta_log")
+                names = sorted(os.listdir(d))
+                return (fmt, tuple(names))
+            if fmt == "iceberg":
+                hint = os.path.join(loc, "metadata", "version-hint.text")
+                with open(hint) as fh:
+                    return (fmt, fh.read())
+            return (fmt, os.path.getmtime(loc))
+        except OSError:
+            return None
 
     # ----------------------------------------------------------------- sql
 
@@ -292,8 +355,18 @@ class Engine:
             if name in self._external:
                 # external registration: unlink the catalog entry only
                 del self._external[name]
+                self._external_view_tokens.pop(name, None)
                 self._persist_external()
                 self.spark.catalog.dropTempView(name)
+                return self.spark.createDataFrame([], "result string")
+            if name in self._attached:
+                # attached-by-location engine table: unregister only —
+                # the engine does not own the files
+                del self._attached[name]
+                del self._tables[name]
+                self._persist_external()
+                for view in (name, f"{name}_ro", f"{name}_rt"):
+                    self.spark.catalog.dropTempView(view)
                 return self.spark.createDataFrame([], "result string")
             if name in self._tables:
                 self.drop_table(name)
@@ -685,6 +758,10 @@ class Engine:
         if fmt in ("lakehouse", "oh", "hudi"):
             t = LakehouseTable.load(self.spark, loc)
             self._tables[name] = t
+            # persisted like the other register-by-location formats:
+            # the attach survives an engine restart (ADVICE r4)
+            self._attached[name] = t.base_path
+            self._persist_external()
             t.register_view(name)
             kind = t.config.table_type
         elif fmt in ("delta", "iceberg", "parquet"):

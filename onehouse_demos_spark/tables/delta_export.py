@@ -336,8 +336,12 @@ def sync_delta_log(
         # live file so each add carries spec-consistent partitionValues
         # — Delta readers derive partition columns from the add actions,
         # so a mixed log would mis-project. One metadata-scale rewrite.
+        # Still-live paths are re-ADDED only, never also removed in the
+        # same version: the latest add for a path wins on replay, and a
+        # client that reconciles add/remove SETS per version (rather
+        # than sequentially) must not see a live path in both.
         adds = list(live_now)
-        removes = list(synced)
+        removes = [p for p in synced if p not in live_now]
     else:
         adds = [p for p in live_now if p not in synced]
         removes = [p for p in synced if p not in live_now]

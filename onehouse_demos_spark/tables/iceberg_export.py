@@ -184,6 +184,24 @@ def _partition_spec(table: LakehouseTable, schema: dict) -> list[dict]:
             raise RuntimeError(
                 f"partition column {col!r} missing from exported schema"
             )
+        try:
+            # probe: can the identity encoder carry this type in the
+            # manifest partition struct?
+            _avro_partition_type(src["type"])
+        except NotImplementedError:
+            # Degrade to an unpartitioned spec (still a correct,
+            # readable personality — file pruning just isn't offered)
+            # rather than failing the whole sync for e.g. a
+            # timestamp/decimal partition column (ADVICE r4).
+            import warnings
+
+            warnings.warn(
+                f"iceberg personality: identity partition encoding for "
+                f"column {col!r} (type {src['type']!r}) is unsupported — "
+                "exporting an unpartitioned spec",
+                stacklevel=2,
+            )
+            return []
         fields.append(
             {
                 "name": col,

@@ -393,6 +393,14 @@ def test_spec_upgrade_rewrites_every_add(spark, tmp_base):
         set(add["partitionValues"]) == {"sym"} for add in live.values()
     )
     assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
+    # A still-live path must be re-ADDED only, never also removed in
+    # the same version — a client reconciling add/remove SETS per
+    # version would otherwise drop the whole table (ADVICE r4).
+    v1 = os.path.join(t.base_path, "_delta_log", f"{1:020d}.json")
+    v1_actions = _parse_log(v1)
+    v1_adds = {a["add"]["path"] for a in v1_actions if "add" in a}
+    v1_removes = {a["remove"]["path"] for a in v1_actions if "remove" in a}
+    assert v1_adds and not (v1_adds & v1_removes)
 
 
 def test_clean_refuses_when_checkpoint_unreadable(spark, tmp_base):

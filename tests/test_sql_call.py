@@ -284,6 +284,101 @@ def test_external_registration_survives_engine_restart(spark, tmp_base):
     }
 
 
+def test_lakehouse_attach_survives_restart_and_drop_never_deletes(
+    spark, tmp_base
+):
+    """ADVICE r4: a `USING lakehouse LOCATION` attach persists across
+    engine restarts like the delta/iceberg/parquet registrations, and
+    DROP unregisters without deleting the files the engine does not
+    own."""
+    eng_a = Engine(spark, f"{tmp_base}/wh_la")
+    eng_a.sql(
+        "CREATE TABLE la_orig (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("la_rows")
+    eng_a.sql("INSERT INTO la_orig SELECT * FROM la_rows")
+    base = eng_a.table("la_orig").base_path
+
+    wh = f"{tmp_base}/wh_lb"
+    eng_b = Engine(spark, wh)
+    eng_b.sql(f"CREATE TABLE la_att USING lakehouse LOCATION '{base}'")
+    assert _state(eng_b, "la_att") == _state(eng_a, "la_orig")
+
+    eng_b2 = Engine(spark, wh)  # restart
+    assert _state(eng_b2, "la_att") == _state(eng_a, "la_orig")
+    # attached tables accept DML in the new incarnation
+    eng_b2.sql("UPDATE la_att SET v = 99 WHERE id = 0")
+    assert eng_a.table("la_orig").snapshot().filter(
+        "id = 0 AND v = 99"
+    ).count() == 1
+
+    eng_b2.sql("DROP TABLE la_att")
+    assert os.path.isdir(base)  # never deletes unowned files
+    eng_b3 = Engine(spark, wh)  # drop survives restart too
+    assert "la_att" not in {
+        r.tableName for r in eng_b3.sql("SHOW TABLES").collect()
+    }
+    assert eng_a.table("la_orig").snapshot().count() == 10
+
+
+def test_broken_external_drops_stale_view(spark, tmp_base):
+    """ADVICE r4: when an external registration's metadata tree
+    becomes unreadable, register_views must DROP the previously
+    created temp view — queries then fail with a missing-view error
+    instead of silently serving the stale snapshot."""
+    import shutil
+
+    eng = Engine(spark, f"{tmp_base}/wh_broken")
+    eng.sql(
+        "CREATE TABLE bsrc (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("b_rows")
+    eng.sql("INSERT INTO bsrc SELECT * FROM b_rows")
+    t = eng.table("bsrc")
+    sync_delta_log(t, now_ms=1_700_000_000_000)
+    eng.sql(f"CREATE TABLE b_delta USING DELTA LOCATION '{t.base_path}'")
+    assert len(_state(eng, "b_delta")) == 10
+
+    shutil.rmtree(os.path.join(t.base_path, "_delta_log"))
+    with pytest.raises(Exception, match="TABLE_OR_VIEW_NOT_FOUND|cannot be found"):
+        eng.sql("SELECT * FROM b_delta").collect()
+
+
+def test_external_view_replay_is_token_cached(spark, tmp_base):
+    """ADVICE r4: passthrough statements must not replay every
+    external personality's metadata tree — the view is refreshed only
+    when the metadata version token changes."""
+    eng = Engine(spark, f"{tmp_base}/wh_tok")
+    eng.sql(
+        "CREATE TABLE tsrc (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=v)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("t_rows")
+    eng.sql("INSERT INTO tsrc SELECT * FROM t_rows")
+    t = eng.table("tsrc")
+    sync_delta_log(t, now_ms=1_700_000_000_000)
+    eng.sql(f"CREATE TABLE t_delta USING DELTA LOCATION '{t.base_path}'")
+    assert len(_state(eng, "t_delta")) == 10
+
+    # unchanged metadata: the replay path must not run again
+    real = eng._external_df
+    calls = []
+    eng._external_df = lambda name: (calls.append(name), real(name))[1]
+    assert len(_state(eng, "t_delta")) == 10
+    assert calls == []
+
+    # a new delta version invalidates the token -> one replay
+    _seed_rows(spark, v=2).createOrReplaceTempView("t_rows2")
+    eng.sql("INSERT INTO tsrc SELECT * FROM t_rows2")
+    sync_delta_log(t, now_ms=1_700_000_100_000)
+    state = _state(eng, "t_delta")
+    assert calls == ["t_delta"]
+    # fresh snapshot served: the appended v=2 rows are visible
+    assert any(r[2] == 2 for r in state) and len(state) == 20
+
+
 def test_create_location_rejects_data_definition(spark, tmp_base):
     eng = Engine(spark, f"{tmp_base}/wh_reject")
     with pytest.raises(ValueError, match="registers an existing table"):
