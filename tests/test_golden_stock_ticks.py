@@ -153,3 +153,82 @@ def test_golden_mor_walkthrough(spark, tmp_base):
     assert _goog_projection(t.read_optimized()) == BATCH2_GOOG
     assert _goog_projection(t.snapshot()) == BATCH2_GOOG
     assert _goog_max_ts(t.read_optimized()) == "2018-08-31 10:59:00"
+
+
+def test_golden_cow_chained_streaming_flip(spark, tmp_base):
+    """VERDICT r4 ask #6: the golden walkthrough wired through a LIVE
+    ChangeFeedStreamer — `stock_ticks_cow` chains continuously into a
+    downstream latest-tick-per-symbol table while batch_2 lands, and
+    the downstream reflects the README's 10:29 -> 10:59 GOOG flip
+    (README.md:744-776 second-batch semantics) WITHOUT any restart
+    (`hoodie-incr.properties:26-29` pipeline chaining)."""
+    import time as _time
+
+    from onehouse_demos_spark.sources.incremental import ChangeFeedSource
+    from onehouse_demos_spark.streaming.ingest import ChangeFeedStreamer
+
+    b1 = _load_batch(spark, f"{DATA}/batch_1.json")
+    b2 = _load_batch(spark, f"{DATA}/batch_2.json")
+
+    up = LakehouseTable.create(
+        spark,
+        tmp_base + "/stock_ticks_cow",
+        TableConfig(
+            name="stock_ticks_cow",
+            record_key=["key"],
+            precombine="ts",
+            partition_by=["date"],
+        ),
+    )
+    # downstream AGGREGATE table: latest tick per symbol — the upsert's
+    # precombine-on-ts makes each pull fold to max-ts per symbol
+    down = LakehouseTable.create(
+        spark,
+        tmp_base + "/stock_latest",
+        TableConfig(name="stock_latest", record_key=["symbol"],
+                    precombine="ts"),
+    )
+    up.upsert(b1)
+
+    src = ChangeFeedSource(up, f"{tmp_base}/ckpt/golden_cdf.json")
+    streamer = ChangeFeedStreamer(
+        src, down,
+        transform=lambda df: df.select(
+            "symbol", "ts", "volume", "open", "close"),
+    )
+    q = streamer.start(
+        f"{tmp_base}/ckpt/golden_cdf_spark",
+        processing_time="1 seconds",
+        rows_per_second=4,
+    )
+
+    def _goog_ts():
+        if down.timeline.latest_instant() is None:
+            return None  # no commit yet — snapshot has no schema
+        rows = down.snapshot().filter(F.col("symbol") == "GOOG").collect()
+        return rows[0].ts if rows else None
+
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline and _goog_ts() != "2018-08-31 10:29:00":
+            _time.sleep(0.5)
+        assert _goog_ts() == "2018-08-31 10:29:00"  # batch_1 state
+
+        up.upsert(b2)  # batch_2 lands WHILE the chain runs
+
+        deadline = _time.time() + 60
+        while _time.time() < deadline and _goog_ts() != "2018-08-31 10:59:00":
+            _time.sleep(0.5)
+        assert _goog_ts() == "2018-08-31 10:59:00"  # the flip, no restart
+    finally:
+        q.stop()
+
+    # full consistency: downstream latest ts per symbol == upstream max
+    want = {
+        (r.symbol, r.m)
+        for r in up.snapshot().groupBy("symbol").agg(F.max("ts").alias("m")).collect()
+    }
+    got = {(r.symbol, r.ts) for r in down.snapshot().select("symbol", "ts").collect()}
+    assert got == want
+    goog = down.snapshot().filter(F.col("symbol") == "GOOG").collect()[0]
+    assert (goog.volume, goog.open, goog.close) == (9021, 1227.1993, 1227.215)
