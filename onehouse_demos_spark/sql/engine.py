@@ -46,6 +46,12 @@ from onehouse_demos_spark.sql.lexer import (
     strip_ident_quotes,
     sub_masked,
 )
+from onehouse_demos_spark.sql.predicate import (
+    SqlParseError,
+    find_top_level_keyword,
+    split_top_level_keyword,
+    validate_expression,
+)
 from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
 
 #: table-name pattern: dotted words, each part optionally backticked
@@ -140,16 +146,18 @@ _CALL_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: Header only — the ON condition / WHEN clause boundaries are found
+#: by the paren- and CASE/END-aware splitter (sql/predicate.py), so a
+#: `CASE WHEN ... THEN ... END` inside a condition never terminates
+#: the clause (VERDICT r4 ask #7; the lazy-regex split did).
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)(?:\s+(?:AS\s+)?(?P<talias>\w+))?\s+"
     r"USING\s+(?P<source>[\w.`]+|\(.+?\))(?:\s+(?:AS\s+)?(?P<salias>\w+))?\s+"
-    r"ON\s+(?P<cond>.+?)\s+"
-    r"(?P<clauses>WHEN\s+.+)$",
+    r"ON\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
-_WHEN_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.+?))?\s*THEN\s+"
-    r"(?P<action>UPDATE\s+SET\s+.+?|DELETE|INSERT\s+.+?)\s*(?=WHEN\s|$)",
+_MATCHED_RE = re.compile(
+    r"^\s*(?P<not>NOT\s+)?MATCHED\b(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -887,6 +895,8 @@ class Engine:
         t = self._tables[name]
         sets = m.group("sets")
         where = m.group("where")
+        if where:
+            validate_expression(where, "UPDATE WHERE condition")
         snap = t.snapshot()
         changed = snap.filter(F.expr(where)) if where else snap
         assignments: dict[str, str] = {}
@@ -895,7 +905,9 @@ class Engine:
             if split is None:
                 raise ValueError(f"bad SET assignment: {part!r}")
             k, v = split
-            assignments[strip_ident_quotes(k.strip())] = v.strip()
+            assignments[strip_ident_quotes(k.strip())] = validate_expression(
+                v.strip(), f"UPDATE SET {k.strip()}"
+            )
         exprs = [
             F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
             for c in changed.columns
@@ -926,6 +938,8 @@ class Engine:
         name = self._norm(m.group("name"))
         t = self._tables[name]
         where = m.group("where")
+        if where:
+            validate_expression(where, "DELETE WHERE condition")
         snap = t.snapshot()
         doomed = snap.filter(F.expr(where)) if where else snap
         keep = t.config.record_key + [
@@ -965,19 +979,60 @@ class Engine:
             )
             return expr
 
-        clauses = finditer_masked(_WHEN_RE, m.group("clauses"))
+        rest = m.group("rest")
+        wpos = find_top_level_keyword(rest, "WHEN")
+        if wpos < 0:
+            raise SqlParseError("MERGE requires at least one WHEN clause")
+        on_cond = rest[:wpos].strip()
+        validate_expression(on_cond, "MERGE ON condition")
+
         matched_update = None
         matched_delete_cond = None
         insert_clause = None
-        for c in clauses:
-            action = unqual(c.group("action").strip())
-            cond = unqual(c.group("cond"))
-            if c.group("not"):
+        segments = split_top_level_keyword(rest[wpos:], "WHEN")
+        # segments[0] is the (empty) text before the first WHEN
+        if segments[0].strip():
+            raise SqlParseError(
+                f"unexpected text before WHEN clause: {segments[0]!r}"
+            )
+        for seg in segments[1:]:
+            cm = match_masked(_MATCHED_RE, seg)
+            if cm is None:
+                raise SqlParseError(f"malformed MERGE clause: WHEN{seg!r}")
+            tail = cm.group("tail")
+            tpos = find_top_level_keyword(tail, "THEN")
+            if tpos < 0:
+                raise SqlParseError(f"MERGE clause missing THEN: WHEN{seg!r}")
+            cond_part = tail[:tpos]
+            action_src = tail[tpos + len("THEN") :].strip()
+            cond_src = None
+            if cond_part.strip():
+                and_m = re.match(r"^\s*AND\b", cond_part, re.IGNORECASE)
+                if not and_m:
+                    raise SqlParseError(
+                        f"expected AND <condition> after MATCHED, got "
+                        f"{cond_part.strip()!r}"
+                    )
+                cond_src = cond_part[and_m.end() :].strip()
+                validate_expression(cond_src, "MERGE WHEN condition")
+            action = unqual(action_src)
+            cond = unqual(cond_src)
+            if cm.group("not"):
+                if not re.match(r"^INSERT\b", action, re.IGNORECASE):
+                    raise SqlParseError(
+                        "WHEN NOT MATCHED supports INSERT only, got "
+                        f"{action!r}"
+                    )
                 insert_clause = (cond, action)
-            elif action.upper().startswith("DELETE"):
+            elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
                 matched_delete_cond = cond or "true"
-            else:
+            elif re.match(r"^UPDATE\s+SET\b", action, re.IGNORECASE):
                 matched_update = (cond, action)
+            else:
+                raise SqlParseError(
+                    "WHEN MATCHED supports UPDATE SET / DELETE, got "
+                    f"{action!r}"
+                )
 
         tcols = [f.name for f in self._data_schema(t)]
         src_sql = source if not source.startswith("(") else source
@@ -985,7 +1040,7 @@ class Engine:
             f"SELECT {', '.join(f'{talias}.{c} AS __t_{c}' for c in tcols)}, "
             f"{salias}.*, ({talias}.{t.config.record_key[0]} IS NOT NULL) AS __matched "
             f"FROM {src_sql} {salias} LEFT JOIN __merge_target_{target_name} {talias} "
-            f"ON {m.group('cond')}"
+            f"ON {on_cond}"
         )
         joined = self.spark.sql(base)
         joined.createOrReplaceTempView("__merge_joined")
@@ -1005,7 +1060,9 @@ class Engine:
                 # unqual above — strip the marker back to the column
                 if k.startswith("__t_"):
                     k = k[4:]
-                sets[k] = split[1].strip()
+                sets[k] = validate_expression(
+                    split[1].strip(), f"MERGE SET {k}"
+                )
             sel = []
             for c in tcols:
                 if c in sets:
@@ -1030,8 +1087,11 @@ class Engine:
                     strip_ident_quotes(c.strip())
                     for c in _split_top_level(cm.group("cols"))
                 ]
-                vals = _split_top_level(cm.group("vals"))
-                mapping = dict(zip(cols, [v.strip() for v in vals]))
+                vals = [
+                    validate_expression(v.strip(), "MERGE INSERT value")
+                    for v in _split_top_level(cm.group("vals"))
+                ]
+                mapping = dict(zip(cols, vals))
                 sel = ", ".join(
                     f"({mapping[c]}) AS {c}" if c in mapping else f"NULL AS {c}"
                     for c in tcols
