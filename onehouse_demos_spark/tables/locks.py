@@ -217,3 +217,171 @@ class LocalFSLockProvider(LockProvider):
 
     def scoped(self, root: str) -> "LocalFSLockProvider":
         return LocalFSLockProvider(root)
+
+
+# ---------------------------------------------------------------- S3 contract
+
+
+class ObjectStoreClient:
+    """The S3 data-plane contract the provider below is allowed to
+    use — NOTHING else (no rename, no hardlink, no flock, no append):
+
+    - ``put_object(key, data, if_none_match)``: atomic full-object
+      write. With ``if_none_match=True`` it maps to S3
+      `PutObject + If-None-Match: *` (conditional write, GA Nov 2024;
+      same semantic as GCS `x-goog-if-generation-match: 0` / Azure
+      `If-None-Match: *`) and returns False when the key already
+      exists. Objects appear atomically with their full content.
+    - ``head_object(key)``: metadata probe -> {'last_modified': epoch
+      seconds} or None.
+    - ``delete_object(key)``: idempotent delete.
+    - ``list_keys(prefix)``: LIST with prefix.
+    """
+
+    def put_object(self, key: str, data: bytes, if_none_match: bool = False) -> bool:
+        raise NotImplementedError
+
+    def get_object(self, key: str) -> bytes | None:
+        raise NotImplementedError
+
+    def head_object(self, key: str) -> dict | None:
+        raise NotImplementedError
+
+    def delete_object(self, key: str) -> None:
+        raise NotImplementedError
+
+    def list_keys(self, prefix: str) -> list[str]:
+        raise NotImplementedError
+
+
+class FSObjectStoreEmulator(ObjectStoreClient):
+    """Filesystem emulation of the S3 contract for tests/local runs:
+    a FLAT keyspace (keys are url-encoded into one directory — no
+    directory semantics, exactly like a bucket), conditional put via
+    O_EXCL + hardlink so the emulated object appears atomically with
+    its complete payload, unconditional put via tmp + rename. The
+    PROVIDER never touches these primitives — it sees only the
+    client contract above, so swapping in a boto3-backed client is a
+    constructor change."""
+
+    def __init__(self, bucket_dir: str):
+        self.bucket_dir = bucket_dir
+        os.makedirs(bucket_dir, exist_ok=True)
+
+    def _obj(self, key: str) -> str:
+        from urllib.parse import quote
+
+        return os.path.join(self.bucket_dir, quote(key, safe=""))
+
+    def put_object(self, key: str, data: bytes, if_none_match: bool = False) -> bool:
+        tmp = os.path.join(
+            self.bucket_dir, f".put.{uuid.uuid4().hex}.tmp"
+        )
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            if if_none_match:
+                try:
+                    os.link(tmp, self._obj(key))  # emulates the
+                    # store-side atomic create-if-absent
+                    return True
+                except FileExistsError:
+                    return False
+            os.rename(tmp, self._obj(key))
+            tmp = None
+            return True
+        finally:
+            if tmp is not None and os.path.exists(tmp):
+                os.remove(tmp)
+
+    def get_object(self, key: str) -> bytes | None:
+        try:
+            with open(self._obj(key), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
+
+    def head_object(self, key: str) -> dict | None:
+        try:
+            return {"last_modified": os.path.getmtime(self._obj(key))}
+        except FileNotFoundError:
+            return None
+
+    def delete_object(self, key: str) -> None:
+        try:
+            os.remove(self._obj(key))
+        except FileNotFoundError:
+            pass
+
+    def list_keys(self, prefix: str) -> list[str]:
+        from urllib.parse import unquote
+
+        out = []
+        for n in os.listdir(self.bucket_dir):
+            if n.startswith(".put."):
+                continue
+            key = unquote(n)
+            if key.startswith(prefix):
+                out.append(key)
+        return sorted(out)
+
+
+class ObjectStoreLockProvider(LockProvider):
+    """M14's second concrete provider (VERDICT r4 ask #8): the three
+    storage primitives built ONLY from the S3 conditional-put
+    contract (`multi-writer-1.properties:38-44` configures the same
+    role via ZK locks + `hoodie.fs.atomic_creation.support=s3a`).
+
+    - conditional create / publish: `PutObject + If-None-Match: *` —
+      on an object store a conditional put IS the atomic
+      create-with-content primitive, so `try_lock` and `publish` are
+      the same call.
+    - mutex: the store has NO liveness primitive, so the base class's
+      generic conditional-create loop applies, stale-break documented
+      there. Production deployments wanting raceless mutexes pair
+      the table with a lease-backed provider (DynamoDB/ZK) instead.
+    """
+
+    def __init__(self, client: ObjectStoreClient, prefix: str):
+        self.client = client
+        self.prefix = prefix.strip("/") + "/" if prefix.strip("/") else ""
+
+    def _key(self, name: str) -> str:
+        return self.prefix + name
+
+    def try_lock(self, name: str, payload: str = "") -> bool:
+        data = (payload or str(os.getpid())).encode()
+        return self.client.put_object(
+            self._key(name), data, if_none_match=True
+        )
+
+    def unlock(self, name: str) -> None:
+        self.client.delete_object(self._key(name))
+
+    def lock_age_s(self, name: str) -> float | None:
+        head = self.client.head_object(self._key(name))
+        if head is None:
+            return None
+        return time.time() - head["last_modified"]
+
+    def list(self, suffix: str = "") -> list[str]:
+        plen = len(self.prefix)
+        return [
+            k[plen:]
+            for k in self.client.list_keys(self.prefix)
+            if k.endswith(suffix)
+        ]
+
+    def publish(self, name: str, payload: str | bytes) -> bool:
+        data = payload.encode() if isinstance(payload, str) else payload
+        return self.client.put_object(
+            self._key(name), data, if_none_match=True
+        )
+
+    # acquire_mutex / release_mutex: the inherited generic loop — the
+    # S3 contract offers no liveness primitive to improve on it.
+
+    def scoped(self, root: str) -> "ObjectStoreLockProvider":
+        # same client (bucket), different key prefix: the personality
+        # exporters inherit the real store
+        return ObjectStoreLockProvider(self.client, root)

@@ -393,37 +393,62 @@ def test_schema_evolution_incompatible_change_rejected(spark, tmp_base):
     assert {r.id: r.x for r in t.snapshot().collect()} == {1: 10}
 
 
-def test_lock_provider_seam_carries_all_occ_traffic(tmp_base):
+def make_provider(kind, root):
+    """Fresh provider of the given kind (VERDICT r4 ask #8: the OCC
+    contract runs against BOTH concrete providers — the POSIX one and
+    the S3-conditional-put one over a filesystem bucket emulation)."""
+    import os
+
+    from onehouse_demos_spark.tables.locks import (
+        FSObjectStoreEmulator,
+        LocalFSLockProvider,
+        ObjectStoreLockProvider,
+    )
+
+    if kind == "localfs":
+        os.makedirs(root, exist_ok=True)
+        return LocalFSLockProvider(root)
+    client = FSObjectStoreEmulator(root + "_bucket")
+    return ObjectStoreLockProvider(client, prefix="tbl/_commits")
+
+
+PROVIDER_KINDS = ["localfs", "s3"]
+
+
+class CountingWrapper:
+    """Delegating instrumentation — provider-agnostic."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.events = []
+
+    def try_lock(self, name, payload=""):
+        ok = self.inner.try_lock(name, payload)
+        self.events.append(("try", name, ok))
+        return ok
+
+    def acquire_mutex(self, name, timeout_s=60.0):
+        self.events.append(("mutex_acquire", name))
+        self.inner.acquire_mutex(name, timeout_s)
+
+    def release_mutex(self, name):
+        self.events.append(("mutex_release", name))
+        self.inner.release_mutex(name)
+
+    def __getattr__(self, attr):
+        return getattr(self.inner, attr)
+
+
+@pytest.mark.parametrize("kind", PROVIDER_KINDS)
+def test_lock_provider_seam_carries_all_occ_traffic(tmp_base, kind):
     """Instrumented provider: every instant reservation and every
     publish critical section must flow through the LockProvider
     interface (the object-store portability seam — locks.py). Replays
-    the deterministic OCC race through the injected provider."""
-    from onehouse_demos_spark.tables.locks import LocalFSLockProvider
+    the deterministic OCC race through the injected provider, for
+    both concrete providers."""
     from onehouse_demos_spark.tables.timeline import Instant, Timeline
 
-    class CountingProvider(LocalFSLockProvider):
-        def __init__(self, root):
-            super().__init__(root)
-            self.events = []
-
-        def try_lock(self, name, payload=""):
-            ok = super().try_lock(name, payload)
-            self.events.append(("try", name, ok))
-            return ok
-
-        def acquire_mutex(self, name, timeout_s=60.0):
-            self.events.append(("mutex_acquire", name))
-            super().acquire_mutex(name, timeout_s)
-
-        def release_mutex(self, name):
-            self.events.append(("mutex_release", name))
-            super().release_mutex(name)
-
-    import os
-
-    root = tmp_base + "/seam/_commits"
-    os.makedirs(root, exist_ok=True)
-    prov = CountingProvider(root)
+    prov = CountingWrapper(make_provider(kind, tmp_base + "/seam/_commits"))
     tl = Timeline(tmp_base + "/seam", lock_provider=prov)
     base = tl.begin("commit")
     tl.complete(Instant(instant=base, action="commit", operation="insert",
@@ -504,19 +529,122 @@ def test_generic_mutex_loop_breaks_stale_locks(tmp_base):
     prov.release_mutex("m")
 
 
-def test_publish_is_atomic_and_conditional(tmp_base):
+@pytest.mark.parametrize("kind", PROVIDER_KINDS)
+def test_publish_is_atomic_and_conditional(tmp_base, kind):
     """`publish` must expose the name only with its full payload
-    (tmp+hardlink locally) and refuse a second publish of the same
-    name — the primitive Delta/Iceberg version files rely on."""
+    (tmp+hardlink locally; conditional put on the object store) and
+    refuse a second publish of the same name — the primitive the
+    Delta/Iceberg version files rely on."""
     import os
 
-    from onehouse_demos_spark.tables.locks import LocalFSLockProvider
-
     root = tmp_base + "/pub"
-    prov = LocalFSLockProvider(root)
+    prov = make_provider(kind, root)
+
+    def _read(name):
+        if kind == "localfs":
+            return open(os.path.join(root, name)).read()
+        return prov.client.get_object(prov._key(name)).decode()
+
     assert prov.publish("00001.json", "x" * 4096)
-    assert open(os.path.join(root, "00001.json")).read() == "x" * 4096
+    assert _read("00001.json") == "x" * 4096
     assert not prov.publish("00001.json", "other")   # conditional
-    assert open(os.path.join(root, "00001.json")).read() == "x" * 4096
+    assert _read("00001.json") == "x" * 4096
+    assert "00001.json" in prov.list(".json")
     # no tmp litter
-    assert [n for n in os.listdir(root) if n.endswith(".tmp")] == []
+    store_dir = root if kind == "localfs" else root + "_bucket"
+    assert [n for n in os.listdir(store_dir) if n.endswith(".tmp")] == []
+
+
+@pytest.mark.parametrize("kind", PROVIDER_KINDS)
+def test_conditional_create_contention_single_winner(tmp_base, kind):
+    """N threads race try_lock on one name: exactly one wins — the
+    conditional-create primitive both providers build OCC on."""
+    import threading as _t
+
+    prov = make_provider(kind, tmp_base + "/race")
+    wins = []
+    barrier = _t.Barrier(8)
+
+    def contender(i):
+        barrier.wait()
+        if prov.try_lock("instant.inflight", payload=str(i)):
+            wins.append(i)
+
+    threads = [_t.Thread(target=contender, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert len(wins) == 1
+    prov.unlock("instant.inflight")
+    assert prov.try_lock("instant.inflight")  # free after unlock
+
+
+def test_object_store_provider_stays_inside_s3_contract(tmp_base):
+    """The S3 provider must never touch the filesystem directly —
+    every primitive goes through the ObjectStoreClient contract, so a
+    boto3-backed client is a drop-in swap."""
+    from onehouse_demos_spark.tables.locks import (
+        FSObjectStoreEmulator,
+        ObjectStoreLockProvider,
+    )
+
+    calls = []
+
+    class TracingClient(FSObjectStoreEmulator):
+        def put_object(self, key, data, if_none_match=False):
+            calls.append(("put", key, if_none_match))
+            return super().put_object(key, data, if_none_match)
+
+        def head_object(self, key):
+            calls.append(("head", key))
+            return super().head_object(key)
+
+        def delete_object(self, key):
+            calls.append(("delete", key))
+            return super().delete_object(key)
+
+        def list_keys(self, prefix):
+            calls.append(("list", prefix))
+            return super().list_keys(prefix)
+
+    prov = ObjectStoreLockProvider(
+        TracingClient(tmp_base + "/bucket"), prefix="wh/t1/_commits"
+    )
+    assert prov.try_lock("i1.inflight")
+    assert not prov.try_lock("i1.inflight")
+    assert prov.lock_age_s("i1.inflight") is not None
+    assert prov.list(".inflight") == ["i1.inflight"]
+    assert prov.publish("00001.json", "payload")
+    sub = prov.scoped("wh/t1/_delta_log")
+    assert isinstance(sub, ObjectStoreLockProvider)
+    assert sub.client is prov.client  # same bucket, new prefix
+    assert sub.publish("00000.json", "{}")
+    prov.unlock("i1.inflight")
+    puts = [c for c in calls if c[0] == "put"]
+    # every conditional create was an If-None-Match put
+    assert puts and all(inm for _, _, inm in puts)
+    # prefixes namespace the keyspace
+    put_keys = [k for _, k, _ in puts]
+    assert "wh/t1/_commits/i1.inflight" in put_keys
+    assert "wh/t1/_delta_log/00000.json" in put_keys
+
+
+def test_object_store_mutex_uses_generic_stale_break(tmp_base):
+    """No liveness primitive on the S3 contract: the provider inherits
+    the generic conditional-create mutex loop, including the
+    documented stale-holder break."""
+    import os
+    import time
+
+    from onehouse_demos_spark.tables.locks import LockProvider
+
+    prov = make_provider("s3", tmp_base + "/mx")
+    assert prov.try_lock("m")  # dead holder
+    # age the emulated object past the staleness horizon
+    obj_dir = tmp_base + "/mx_bucket"
+    (obj,) = [n for n in os.listdir(obj_dir) if not n.startswith(".put.")]
+    old = time.time() - LockProvider.MUTEX_STALE_S - 5
+    os.utime(os.path.join(obj_dir, obj), (old, old))
+    prov.acquire_mutex("m", timeout_s=5.0)  # breaks, no deadlock
+    prov.release_mutex("m")
