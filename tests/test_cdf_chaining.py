@@ -172,10 +172,16 @@ def test_changefeed_streamer_continuous_loop(spark, tmp_base):
                 break
             _time.sleep(0.5)
         assert rows == {1, 3}, rows
-        # Assert the counter BEFORE stop(): stop() can interrupt an
+        # Check the counter BEFORE stop() — stop() can interrupt an
         # in-flight foreachBatch and lose a Python-side increment
-        # (observed flake, VERDICT r4 "What's wrong" #1). Convergence
-        # above already proves both pulls landed in the table.
+        # (observed flake, VERDICT r4 "What's wrong" #1) — and POLL
+        # for it: convergence is observable from inside apply_to, a
+        # beat before _tick increments the attribute. The table-state
+        # asserts above are the real contract; the counter just
+        # witnesses that >=2 separate pulls carried it.
+        deadline = _time.time() + 30
+        while _time.time() < deadline and streamer.pulls_applied < 2:
+            _time.sleep(0.2)
         assert streamer.pulls_applied >= 2
     finally:
         q.stop()
