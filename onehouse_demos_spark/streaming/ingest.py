@@ -45,6 +45,8 @@ class Streamer:
         mode: str = "upsert",
         inline_compact_every: int | None = None,
         inline_sizing_every: int | None = None,
+        inline_xtable_sync_every: int | None = None,
+        xtable_formats: tuple[str, ...] = ("delta",),
         doc_schema=None,
     ):
         assert mode in ("upsert", "insert", "cdc", "cdc_mongo")
@@ -58,6 +60,13 @@ class Streamer:
         self.doc_schema = doc_schema
         self.inline_compact_every = inline_compact_every
         self.inline_sizing_every = inline_sizing_every
+        #: inline xTable personality sync (the reference runs the
+        #: conversion as a sidecar utility after ingest, xtable.md:
+        #: 24-33; inline_every=N keeps the Delta/Iceberg personalities
+        #: continuously fresh during streaming ingest, the same
+        #: inline-service pattern as hoodie.compact.inline.*)
+        self.inline_xtable_sync_every = inline_xtable_sync_every
+        self.xtable_formats = tuple(xtable_formats)
         self._applied_batches = 0
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -91,6 +100,22 @@ class Streamer:
             from onehouse_demos_spark.tables.maintenance import run_file_sizing
 
             run_file_sizing(self.table)
+        if (
+            self.inline_xtable_sync_every
+            and n % self.inline_xtable_sync_every == 0
+        ):
+            if "delta" in self.xtable_formats:
+                from onehouse_demos_spark.tables.delta_export import (
+                    sync_delta_log,
+                )
+
+                sync_delta_log(self.table)
+            if "iceberg" in self.xtable_formats:
+                from onehouse_demos_spark.tables.iceberg_export import (
+                    sync_iceberg_metadata,
+                )
+
+                sync_iceberg_metadata(self.table)
 
     def start(
         self,

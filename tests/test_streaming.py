@@ -267,6 +267,58 @@ def test_inline_services_run_during_ingest(spark, tmp_base):
     assert ro == rt and len(rt) == 5
 
 
+def test_inline_xtable_sync_keeps_personality_fresh(spark, tmp_base):
+    """r5: the xTable conversion the reference runs as a sidecar
+    utility after ingest (xtable.md:24-33) can run INLINE during
+    streaming ingest — every N applied micro-batches the Delta
+    personality re-syncs, so an external Delta reader tracks the
+    stream without any external conversion job."""
+    from onehouse_demos_spark.tables.delta_export import read_delta_snapshot
+
+    src = tmp_base + "/xt_src"
+    for b in range(3):
+        write_batch(src, f"b{b}.json", [
+            {"key": f"k{i}", "ts": f"2018-08-31 10:0{b}:00", "symbol": "S",
+             "close": float(b), "date": "d"}
+            for i in range(4)
+        ])
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/xt_t",
+        TableConfig(name="xt_t", record_key=["key"], precombine="ts"),
+    )
+    q = Streamer(
+        t, mode="upsert", inline_xtable_sync_every=1,
+        xtable_formats=("delta",),
+    ).start(
+        file_json_stream(spark, src, SCHEMA, max_files_per_trigger=1),
+        tmp_base + "/xt_ck",
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    # the personality exists WITHOUT any explicit sync call and
+    # matches the final snapshot
+    got = {
+        (r.key, r.close)
+        for r in read_delta_snapshot(spark, t.base_path)
+        .select("key", "close").collect()
+    }
+    want = {(r.key, r.close) for r in t.snapshot().collect()}
+    assert got == want and len(want) == 4
+    # one close value for all keys: the last applied micro-batch won
+    # whole (file-stream order is not asserted — upsert is Hudi-default
+    # latest-write-wins, precombine dedupes within batch)
+    assert len({c for _, c in got}) == 1
+    # one delta version per applied micro-batch (3 files, 1 per trigger)
+    import os as _os
+
+    versions = [
+        n for n in _os.listdir(_os.path.join(t.base_path, "_delta_log"))
+        if n.endswith(".json")
+    ]
+    assert len(versions) == 3
+
+
 # ---------------------------------------------------------------------------
 # Kafka gate tests (reference S1/S11): no broker or connector jar in
 # the sandbox, so both branches are pinned — the documented gate error
