@@ -581,13 +581,51 @@ class Engine:
         if proc in ("show_commits", "show_commits_metadata"):
             lim = arg("limit")
             return self._history(name, int(lim) if lim else None)
+        if proc == "show_compactions":
+            # `compactions show all` (README.md:1128-1132): REQUESTED
+            # persisted plans + COMPLETED compaction commits
+            from onehouse_demos_spark.tables.maintenance import (
+                show_compactions,
+            )
+
+            rows = [
+                (r["instant"], r["state"], r["n_files"])
+                for r in show_compactions(t)
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "instant string, state string, n_files int"
+            )
         if proc == "run_compaction":
             from onehouse_demos_spark.tables.maintenance import (
+                load_compaction_plan,
+                request_compaction,
                 run_compaction,
                 schedule_compaction,
             )
 
             op = (arg("op", default="scheduleandexecute") or "").lower()
+            if op == "schedule":
+                # persist a REQUESTED plan (the Hudi CLI `compaction
+                # schedule` step); run it later by timestamp
+                req = request_compaction(t)
+                n = (
+                    len(load_compaction_plan(t, req).log_files)
+                    if req is not None else 0
+                )
+                return self.spark.createDataFrame(
+                    [(op, req, n, False)],
+                    "op string, instant string, n_log_files int, "
+                    "executed boolean",
+                )
+            ts = arg("timestamp", "instant")
+            if op in ("run", "execute") and ts is not None:
+                # `compaction run --compactionInstant <ts>`
+                run_compaction(t, instant=ts)
+                t.register_view(name)
+                return self.spark.createDataFrame(
+                    [(op, ts, True)],
+                    "op string, instant string, executed boolean",
+                )
             plan = schedule_compaction(t)
             executed = False
             if op in ("run", "execute", "scheduleandexecute") and not plan.empty:

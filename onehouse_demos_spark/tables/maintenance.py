@@ -75,12 +75,114 @@ def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
     )
 
 
-def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
+#: Persisted compaction-request marker suffix (Hudi's
+#: `<ts>.compaction.requested` timeline convention).
+COMPACTION_REQUEST_SUFFIX = ".compaction.requested"
+
+
+def request_compaction(table: LakehouseTable) -> str | None:
+    """Persist a REQUESTED compaction on the timeline — the Hudi CLI's
+    two-step lifecycle (`compaction schedule` then later `compaction
+    run --compactionInstant <ts>`, README.md:1133-1160, where
+    `compactions show all` shows the instant move REQUESTED →
+    COMPLETED). The plan JSON lands as
+    `<instant>.compaction.requested` through the lock provider's
+    conditional publish (portable to object stores), readable later by
+    `run_compaction(table, instant=...)` and listable by
+    `show_compactions`. Returns the requested instant, or None when
+    there is nothing to compact."""
+    import json
+
+    plan = schedule_compaction(table)
+    if plan.empty:
+        return None
+    tl = table.timeline
+    payload = {
+        "planned_from": plan.planned_from,
+        "partitions": plan.partitions,
+        "base_files": [f.to_json() for f in plan.base_files],
+        "log_files": [f.to_json() for f in plan.log_files],
+    }
+    for _ in range(32):
+        instant = tl._next_instant_id()
+        if tl.lock_provider.publish(
+            f"{instant}{COMPACTION_REQUEST_SUFFIX}", json.dumps(payload)
+        ):
+            return instant
+    raise RuntimeError("could not reserve a compaction-request instant")
+
+
+def pending_compactions(table: LakehouseTable) -> list[str]:
+    """Requested-but-not-yet-run compaction instants, oldest first."""
+    return sorted(
+        n[: -len(COMPACTION_REQUEST_SUFFIX)]
+        for n in table.timeline.lock_provider.list(COMPACTION_REQUEST_SUFFIX)
+    )
+
+
+def load_compaction_plan(
+    table: LakehouseTable, instant: str
+) -> CompactionPlan:
+    """Rehydrate a persisted request (local-FS read of the marker the
+    provider published; an object-store deployment reads the same key
+    through its client)."""
+    import json
+
+    path = os.path.join(
+        table.timeline.commits_path, f"{instant}{COMPACTION_REQUEST_SUFFIX}"
+    )
+    with open(path) as fh:
+        d = json.load(fh)
+    return CompactionPlan(
+        partitions=d["partitions"],
+        base_files=[FileMeta.from_json(f) for f in d["base_files"]],
+        log_files=[FileMeta.from_json(f) for f in d["log_files"]],
+        planned_from=d["planned_from"],
+    )
+
+
+def show_compactions(table: LakehouseTable) -> list[dict]:
+    """`compactions show all` (README.md:1128-1132): one row per
+    compaction instant with its state — REQUESTED for persisted plans
+    not yet run, COMPLETED for published compaction replace-commits."""
+    rows = [
+        {
+            "instant": i,
+            "state": "REQUESTED",
+            "n_files": len(load_compaction_plan(table, i).log_files),
+        }
+        for i in pending_compactions(table)
+    ]
+    rows.extend(
+        {
+            "instant": i.instant,
+            "state": "COMPLETED",
+            "n_files": len(i.adds),
+        }
+        for i in table.timeline.instants()
+        if i.operation == "compaction"
+    )
+    return sorted(rows, key=lambda r: r["instant"])
+
+
+def run_compaction(
+    table: LakehouseTable,
+    plan: CompactionPlan | None = None,
+    instant: str | None = None,
+):
     """Merge logs into new base files per planned partition (reference
     `compaction run`, README.md:1147-1160). One Spark job; the merge is
     the same window-dedup Catalyst plan the `_rt` view uses, so
     compaction cost ≈ one snapshot materialization of the planned
-    partitions only."""
+    partitions only. With `instant=...`, executes the persisted
+    REQUESTED plan of that id (the `--compactionInstant` path) and
+    clears the request marker on success."""
+    request_to_clear = None
+    if instant is not None:
+        if plan is not None:
+            raise ValueError("pass either plan or instant, not both")
+        plan = load_compaction_plan(table, instant)
+        request_to_clear = f"{instant}{COMPACTION_REQUEST_SUFFIX}"
     if plan is None:
         plan = schedule_compaction(table)
     if plan.empty:
@@ -97,7 +199,7 @@ def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
             kind="base",
             approx_rows=sum(f.rows for f in participating),
         )
-        return table._commit(
+        done = table._commit(
             instant,
             "replacecommit",
             "compaction",
@@ -107,6 +209,9 @@ def run_compaction(table: LakehouseTable, plan: CompactionPlan | None = None):
             extra={"compacted_partitions": plan.partitions},
             planned_from=planned_from,
         )
+        if request_to_clear is not None:
+            table.timeline.lock_provider.unlock(request_to_clear)
+        return done
     except Exception:
         table.timeline.abort(instant)
         raise

@@ -408,3 +408,63 @@ def test_parse_call_args_masking():
     # key as '0','1',...
     got = Engine._parse_call_args("a => 'x => y, z', b => 3, 'pos'")
     assert got == {"a": "x => y, z", "b": "3", "0": "pos"}
+
+
+def test_compaction_schedule_then_run_by_instant(spark, tmp_base):
+    """r5: the Hudi CLI two-step lifecycle (README.md:1126-1160) over
+    the CALL surface — `run_compaction(op => 'schedule')` persists a
+    REQUESTED plan visible in `show_compactions`, a later
+    `run_compaction(op => 'run', timestamp => ...)` executes exactly
+    that plan, and the instant flips REQUESTED -> COMPLETED."""
+    eng = Engine(spark, f"{tmp_base}/wh_sched")
+    t = _mor(eng, spark, "sch_mor")
+    eng.sql("UPDATE sch_mor SET v = v + 10 WHERE id < 5")
+
+    row = eng.sql(
+        "CALL run_compaction(table => 'sch_mor', op => 'schedule')"
+    ).collect()[0]
+    assert row.instant is not None and not row.executed
+    assert row.n_log_files > 0
+
+    shown = {
+        (r.instant, r.state)
+        for r in eng.sql("CALL show_compactions(table => 'sch_mor')").collect()
+    }
+    assert (row.instant, "REQUESTED") in shown
+
+    before_ro = _state(eng, "sch_mor_ro")
+    eng.sql(
+        f"CALL run_compaction(table => 'sch_mor', op => 'run', "
+        f"timestamp => '{row.instant}')"
+    )
+    shown2 = {
+        (r.state)
+        for r in eng.sql("CALL show_compactions(table => 'sch_mor')").collect()
+    }
+    assert shown2 == {"COMPLETED"}  # request cleared, commit published
+    # read-optimized view converged to snapshot (the logs merged)
+    assert _state(eng, "sch_mor_ro") == _state(eng, "sch_mor_rt")
+    assert _state(eng, "sch_mor_ro") != before_ro
+
+
+def test_stale_requested_plan_aborts_on_conflict(spark, tmp_base):
+    """A persisted plan whose files were concurrently replaced must
+    abort at publish (OCC planned_from check), not resurrect state."""
+    from onehouse_demos_spark.tables.maintenance import (
+        pending_compactions,
+        request_compaction,
+        run_compaction,
+    )
+    from onehouse_demos_spark.tables.timeline import ConflictError
+
+    eng = Engine(spark, f"{tmp_base}/wh_stale")
+    t = _mor(eng, spark, "st_mor")
+    eng.sql("UPDATE st_mor SET v = v + 10 WHERE id < 5")
+    req = request_compaction(t)
+    assert pending_compactions(t) == [req]
+    # concurrent full compaction replaces the planned files
+    run_compaction(t)
+    with pytest.raises(ConflictError):
+        run_compaction(t, instant=req)
+    # the stale request is still listed (operator can inspect + drop)
+    assert pending_compactions(t) == [req]
