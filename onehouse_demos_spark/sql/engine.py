@@ -92,6 +92,9 @@ _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*$",
     re.IGNORECASE,
 )
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
+)
 _COMPACT_RE = re.compile(
     r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
@@ -357,6 +360,21 @@ class Engine:
         if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
             if m.group("format") or m.group("props") or m.group("ctas"):
                 return self._create(m)
+        m = match_masked(_TRUNCATE_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            # TRUNCATE TABLE (Hudi spark-sql surface): one replace
+            # commit removing every live file — time travel to
+            # pre-truncate instants still works until cleaned
+            name = self._norm(m.group("name"))
+            t = self._tables[name]
+            from pyspark.sql import types as _T
+
+            empty = self.spark.createDataFrame(
+                [], _T.StructType(self._data_schema(t))
+            )
+            t.insert_overwrite_table(empty)
+            t.register_view(name)
+            return self.spark.createDataFrame([], "result string")
         m = match_masked(_DROP_RE, s)
         if m:
             name = self._norm(m.group("name"))

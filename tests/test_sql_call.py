@@ -468,3 +468,28 @@ def test_stale_requested_plan_aborts_on_conflict(spark, tmp_base):
         run_compaction(t, instant=req)
     # the stale request is still listed (operator can inspect + drop)
     assert pending_compactions(t) == [req]
+
+
+def test_truncate_table_is_a_replace_commit(spark, tmp_base):
+    """r5: TRUNCATE TABLE (Hudi spark-sql surface) empties the table in
+    one replace commit; schema and table survive, history remains
+    time-travelable."""
+    eng = Engine(spark, f"{tmp_base}/wh_trunc")
+    eng.sql(
+        "CREATE TABLE tr (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("tr_rows")
+    eng.sql("INSERT INTO tr SELECT * FROM tr_rows")
+    t = eng.table("tr")
+    pre = t.timeline.latest_instant()
+    eng.sql("TRUNCATE TABLE tr")
+    assert eng.sql("SELECT * FROM tr").count() == 0
+    assert [c for c in eng.sql("SELECT * FROM tr").columns] == [
+        "id", "grp", "v"
+    ]
+    # pre-truncate snapshot still reads via time travel
+    assert t.snapshot(as_of=pre).count() == 10
+    # inserts after truncate work
+    eng.sql("INSERT INTO tr VALUES (1, 'a', 5)")
+    assert _state(eng, "tr") == [(1, "a", 5)]
