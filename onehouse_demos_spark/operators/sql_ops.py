@@ -128,12 +128,27 @@ def _build_call(spark: SparkSession, sf_dir: str) -> Engine:
         "UPDATE call_orders SET o_totalprice = o_totalprice + 100.0 "
         "WHERE o_orderstatus = 'O'"
     )
-    row = eng.sql(
-        "CALL run_compaction(table => 'call_orders', "
-        "op => 'scheduleandexecute')"
+    # r5: the persisted two-step lifecycle (Hudi CLI `compaction
+    # schedule` -> `compaction run --compactionInstant`,
+    # README.md:1126-1160): the REQUESTED plan survives as a timeline
+    # marker, shows in show_compactions, and is executed by timestamp.
+    sched = eng.sql(
+        "CALL run_compaction(table => 'call_orders', op => 'schedule')"
     ).collect()[0]
-    if not row.executed:
+    if sched.instant is None or sched.n_log_files == 0:
         raise RuntimeError("CALL run_compaction found no log files to merge")
+    states = {
+        r.instant: r.state
+        for r in eng.sql(
+            "CALL show_compactions(table => 'call_orders')"
+        ).collect()
+    }
+    if states.get(sched.instant) != "REQUESTED":
+        raise RuntimeError("scheduled compaction not visible as REQUESTED")
+    eng.sql(
+        "CALL run_compaction(table => 'call_orders', op => 'run', "
+        f"timestamp => '{sched.instant}')"
+    )
     eng.sql("CALL create_savepoint(table => 'call_orders')")
     eng.sql("CALL run_clean(table => 'call_orders', retain_commits => 1)")
 
