@@ -737,10 +737,35 @@ class Engine:
             return self.spark.createDataFrame(
                 rows, "format string, version int"
             )
-        if proc == "rollback_to_savepoint":
+        if proc == "show_fsview_all":
+            # Hudi CLI/procedure `show_fsview_all`: the file-system
+            # view — one row per live file slice with partition, kind
+            # (base/log) and row count, straight from the manifest
+            rows = [
+                (f.partition or "", f.path, f.kind, f.rows)
+                for f in t.manifest.live_files()
+            ]
+            return self.spark.createDataFrame(
+                rows or [],
+                "partition string, path string, kind string, rows bigint",
+            )
+        if proc == "show_table_properties":
+            cfg = t.config
+            props = [
+                ("name", cfg.name),
+                ("type", cfg.table_type),
+                ("primaryKey", ",".join(cfg.record_key)),
+                ("preCombineField", cfg.precombine or ""),
+                ("partitionFields", ",".join(cfg.partition_by or [])),
+                ("location", t.base_path),
+            ]
+            return self.spark.createDataFrame(
+                props, "key string, value string"
+            )
+        if proc in ("rollback_to_savepoint", "rollback_to_instant"):
             from onehouse_demos_spark.tables.maintenance import run_restore
 
-            res = run_restore(t, req("commit_time", "instant"))
+            res = run_restore(t, req("commit_time", "instant", "instant_time"))
             t.register_view(name)
             return self.spark.createDataFrame(
                 [(res["restored_to"], len(res["removed_instants"]),
@@ -749,9 +774,11 @@ class Engine:
             )
         raise ValueError(
             f"unknown procedure {proc!r}; supported: register_table, "
-            "show_commits, run_compaction, run_clustering, run_clean, "
-            "archive_commits, create_savepoint, show_savepoints, "
-            "delete_savepoint, rollback_to_savepoint, xtable_sync"
+            "show_commits, show_compactions, show_fsview_all, "
+            "show_table_properties, run_compaction, run_clustering, "
+            "run_clean, archive_commits, create_savepoint, "
+            "show_savepoints, delete_savepoint, rollback_to_savepoint, "
+            "rollback_to_instant, xtable_sync"
         )
 
     def _register_table(self, table: str, metadata_file: str) -> DataFrame:

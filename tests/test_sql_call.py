@@ -493,3 +493,38 @@ def test_truncate_table_is_a_replace_commit(spark, tmp_base):
     # inserts after truncate work
     eng.sql("INSERT INTO tr VALUES (1, 'a', 5)")
     assert _state(eng, "tr") == [(1, "a", 5)]
+
+
+def test_show_fsview_properties_and_rollback_to_instant(spark, tmp_base):
+    """r5: Hudi procedure parity — show_fsview_all (file slices from
+    the manifest), show_table_properties, and rollback_to_instant (an
+    arbitrary-instant restore, not just savepoints)."""
+    eng = Engine(spark, f"{tmp_base}/wh_proc")
+    t = _mor(eng, spark, "pv_mor")
+    fs = eng.sql("CALL show_fsview_all(table => 'pv_mor')").collect()
+    assert fs and all(r.kind == "base" for r in fs)
+    eng.sql("UPDATE pv_mor SET v = v + 10 WHERE id < 5")
+    fs2 = eng.sql("CALL show_fsview_all(table => 'pv_mor')").collect()
+    assert {r.kind for r in fs2} == {"base", "log"}  # MOR update logs
+    assert sum(r.rows for r in fs2 if r.kind == "base") == 10
+
+    props = {
+        r.key: r.value
+        for r in eng.sql(
+            "CALL show_table_properties(table => 'pv_mor')"
+        ).collect()
+    }
+    assert props["type"] == "mor" and props["primaryKey"] == "id"
+    assert props["preCombineField"] == "v"
+
+    pre = t.timeline.latest_instant()
+    eng.sql("UPDATE pv_mor SET v = 999")
+    assert all(r.v == 999 for r in eng.sql("SELECT v FROM pv_mor_rt").collect())
+    res = eng.sql(
+        f"CALL rollback_to_instant(table => 'pv_mor', "
+        f"instant_time => '{pre}')"
+    ).collect()[0]
+    assert res.restored_to == pre
+    assert not any(
+        r.v == 999 for r in eng.sql("SELECT v FROM pv_mor_rt").collect()
+    )
