@@ -120,6 +120,10 @@ _VERSION_AS_OF_RE = re.compile(
     r"\b(?P<name>[\w.`]+)\s+VERSION\s+AS\s+OF\s+'(?P<instant>[^']+)'",
     re.IGNORECASE,
 )
+_TIMESTAMP_AS_OF_RE = re.compile(
+    r"\b(?P<name>[\w.`]+)\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'",
+    re.IGNORECASE,
+)
 
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_PARTS_RE = re.compile(
@@ -491,6 +495,37 @@ class Engine:
             return view
 
         s = sub_masked(_VERSION_AS_OF_RE, _pin_version, s)
+
+        # `FROM <t> TIMESTAMP AS OF '<wall time>'` (Delta/Hudi time
+        # travel by timestamp): resolve to the latest commit at or
+        # before the given UTC wall time (instant ids are
+        # ms-epoch-derived, so the bound is a direct encode), then pin
+        # exactly like VERSION AS OF.
+        def _pin_timestamp(m) -> str:
+            name = self._norm(m.group("name"))
+            if name not in self._tables:
+                return m.group(0)
+            from datetime import datetime, timezone
+
+            ts = m.group("ts")
+            dt = datetime.fromisoformat(ts)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            bound = f"{int(dt.timestamp() * 1000):017d}999"
+            t = self._tables[name]
+            eligible = [
+                i.instant for i in t.timeline.instants() if i.instant <= bound
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"no commit at or before {ts!r} for table {name}"
+                )
+            instant = max(eligible)
+            view = f"{name}__asofts_{re.sub(r'[^0-9A-Za-z]', '_', instant)}"
+            t.snapshot(as_of=instant).createOrReplaceTempView(view)
+            return view
+
+        s = sub_masked(_TIMESTAMP_AS_OF_RE, _pin_timestamp, s)
         # passthrough: refresh views so Spark sees latest snapshots
         self.register_views()
         return self.spark.sql(s)

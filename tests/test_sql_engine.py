@@ -261,3 +261,36 @@ def test_changes_table_function_sql(engine):
     # bootstrap form: empty begin → everything is an insert
     boot = engine.sql("SELECT * FROM CHANGES(cf, '')").collect()
     assert {r._change_type for r in boot} == {"insert"}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_base):
+    """r5: `TIMESTAMP AS OF '<wall time>'` resolves to the latest
+    commit at or before the given UTC time (Delta/Hudi timestamp time
+    travel) — between-commit timestamps see the earlier state, a
+    pre-table timestamp errors."""
+    from datetime import datetime, timezone
+
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/tswh")
+    eng.sql(
+        "CREATE TABLE ts_t (id BIGINT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    eng.sql("INSERT INTO ts_t VALUES (1, 1), (2, 1)")
+    mid = datetime.now(timezone.utc)
+    eng.sql("UPDATE ts_t SET v = 2 WHERE id = 1")
+
+    mid_s = mid.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00")
+    rows = {r.id: r.v for r in eng.sql(
+        f"SELECT id, v FROM ts_t TIMESTAMP AS OF '{mid_s}'").collect()}
+    assert rows == {1: 1, 2: 1}
+    # a future timestamp sees the latest state
+    rows2 = {r.id: r.v for r in eng.sql(
+        "SELECT id, v FROM ts_t TIMESTAMP AS OF '2100-01-01T00:00:00+00:00'"
+    ).collect()}
+    assert rows2 == {1: 2, 2: 1}
+    with pytest.raises(ValueError, match="no commit at or before"):
+        eng.sql(
+            "SELECT * FROM ts_t TIMESTAMP AS OF '2000-01-01T00:00:00+00:00'"
+        ).collect()
