@@ -689,15 +689,47 @@ class Engine:
                 [(op, len(plan.log_files), len(plan.partitions), executed)],
                 "op string, n_log_files int, n_partitions int, executed boolean",
             )
-        if proc == "run_clustering":
-            from onehouse_demos_spark.tables.maintenance import run_clustering
+        if proc == "show_clustering":
+            from onehouse_demos_spark.tables.maintenance import (
+                show_clustering,
+            )
 
+            rows = [
+                (r["instant"], r["state"], r["n_files"])
+                for r in show_clustering(t)
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "instant string, state string, n_files int"
+            )
+        if proc == "run_clustering":
+            from onehouse_demos_spark.tables.maintenance import (
+                request_clustering,
+                run_clustering,
+            )
+
+            op = (arg("op", default="scheduleandexecute") or "").lower()
+            ts = arg("timestamp", "instant")
+            if op in ("run", "execute") and ts is not None:
+                # execute a persisted REQUESTED clustering plan
+                run_clustering(t, instant=ts)
+                t.register_view(name)
+                return self.spark.createDataFrame(
+                    [(op, ts, True)],
+                    "op string, instant string, executed boolean",
+                )
             cols = [
                 strip_ident_quotes(c.strip())
                 for c in req("order", "order_by").split(",")
                 if c.strip()
             ]
             strategy = (arg("strategy", default="linear") or "linear").lower()
+            if op == "schedule":
+                req_instant = request_clustering(t, cols, strategy=strategy)
+                return self.spark.createDataFrame(
+                    [(op, req_instant, ",".join(cols), False)],
+                    "op string, instant string, order_columns string, "
+                    "executed boolean",
+                )
             run_clustering(t, cols, strategy=strategy)
             t.register_view(name)
             return self.spark.createDataFrame(
@@ -809,7 +841,7 @@ class Engine:
             )
         raise ValueError(
             f"unknown procedure {proc!r}; supported: register_table, "
-            "show_commits, show_compactions, show_fsview_all, "
+            "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
             "run_clean, archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "

@@ -233,12 +233,95 @@ def _zvalue(scaled_cols) -> "F.Column":
     return z
 
 
-def run_clustering(
+#: Persisted clustering-request marker suffix (Hudi's
+#: `<ts>.replacecommit.requested` clustering convention).
+CLUSTERING_REQUEST_SUFFIX = ".clustering.requested"
+
+
+def request_clustering(
     table: LakehouseTable,
     sort_columns: list[str],
     target_file_rows: int = 5_000_000,
     partitions: list[str] | None = None,
     strategy: str = "linear",
+) -> str | None:
+    """Persist a REQUESTED clustering plan on the timeline (Hudi's
+    `run_clustering(op => 'schedule')` procedure semantics; the
+    reference declares clustering via `simple-clustering.yaml:55-58`).
+    Same marker machinery as `request_compaction`; run later with
+    `run_clustering(table, instant=...)`, list with
+    `show_clustering`. Returns the requested instant, or None when
+    there are no base files to rewrite."""
+    import json
+
+    planned_from = table.timeline.latest_instant()
+    files = table.manifest.live_files(include_logs=False)
+    if partitions is not None:
+        files = [f for f in files if (f.partition or "") in set(partitions)]
+    if not files:
+        return None
+    payload = {
+        "sort_columns": list(sort_columns),
+        "target_file_rows": target_file_rows,
+        "partitions": partitions,
+        "strategy": strategy,
+        "planned_from": planned_from,
+        "files": [f.to_json() for f in files],
+    }
+    tl = table.timeline
+    for _ in range(32):
+        instant = tl._next_instant_id()
+        if tl.lock_provider.publish(
+            f"{instant}{CLUSTERING_REQUEST_SUFFIX}", json.dumps(payload)
+        ):
+            return instant
+    raise RuntimeError("could not reserve a clustering-request instant")
+
+
+def pending_clusterings(table: LakehouseTable) -> list[str]:
+    return sorted(
+        n[: -len(CLUSTERING_REQUEST_SUFFIX)]
+        for n in table.timeline.lock_provider.list(CLUSTERING_REQUEST_SUFFIX)
+    )
+
+
+def load_clustering_request(table: LakehouseTable, instant: str) -> dict:
+    import json
+
+    path = os.path.join(
+        table.timeline.commits_path, f"{instant}{CLUSTERING_REQUEST_SUFFIX}"
+    )
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def show_clustering(table: LakehouseTable) -> list[dict]:
+    """One row per clustering instant with state (REQUESTED persisted
+    plans / COMPLETED clustering replace-commits) — Hudi's
+    `show_clustering` procedure."""
+    rows = [
+        {
+            "instant": i,
+            "state": "REQUESTED",
+            "n_files": len(load_clustering_request(table, i)["files"]),
+        }
+        for i in pending_clusterings(table)
+    ]
+    rows.extend(
+        {"instant": i.instant, "state": "COMPLETED", "n_files": len(i.adds)}
+        for i in table.timeline.instants()
+        if i.operation == "clustering"
+    )
+    return sorted(rows, key=lambda r: r["instant"])
+
+
+def run_clustering(
+    table: LakehouseTable,
+    sort_columns: list[str] | None = None,
+    target_file_rows: int = 5_000_000,
+    partitions: list[str] | None = None,
+    strategy: str = "linear",
+    instant: str | None = None,
 ):
     """Rewrite live base files range-sorted by `sort_columns` into
     target-sized files (reference `SparkSortAndSizeExecutionStrategy`,
@@ -252,11 +335,29 @@ def run_clustering(
     16-bit ints and bit-interleaved into a Morton key; files become
     hyper-rectangles in the column space, so min/max stats prune on
     EVERY sort column — the multi-dimensional layout Delta's OPTIMIZE
-    ZORDER / Hudi's z-order clustering use at 100 TB."""
-    planned_from = table.timeline.latest_instant()  # OCC anchor before listing
-    files = table.manifest.live_files(include_logs=False)
-    if partitions is not None:
-        files = [f for f in files if (f.partition or "") in set(partitions)]
+    ZORDER / Hudi's z-order clustering use at 100 TB.
+
+    With `instant=...`, executes the persisted REQUESTED plan of that
+    id (same OCC planned_from staleness abort as compaction) and
+    clears the request marker on success."""
+    request_to_clear = None
+    if instant is not None:
+        req = load_clustering_request(table, instant)
+        sort_columns = req["sort_columns"]
+        target_file_rows = req["target_file_rows"]
+        strategy = req["strategy"]
+        planned_from = req["planned_from"]
+        files = [FileMeta.from_json(f) for f in req["files"]]
+        request_to_clear = f"{instant}{CLUSTERING_REQUEST_SUFFIX}"
+    else:
+        if sort_columns is None:
+            raise ValueError("run_clustering needs sort_columns (or instant)")
+        planned_from = table.timeline.latest_instant()  # OCC anchor first
+        files = table.manifest.live_files(include_logs=False)
+        if partitions is not None:
+            files = [
+                f for f in files if (f.partition or "") in set(partitions)
+            ]
     if not files:
         return None
     instant = table.timeline.begin("replacecommit")
@@ -301,7 +402,7 @@ def run_clustering(
                 .sortWithinPartitions(*sort_columns)
             )
         adds = table._write_files(clustered, instant, kind="base")
-        return table._commit(
+        done = table._commit(
             instant,
             "replacecommit",
             "clustering",
@@ -311,6 +412,9 @@ def run_clustering(
             extra={"sort_columns": sort_columns, "strategy": strategy},
             planned_from=planned_from,
         )
+        if request_to_clear is not None:
+            table.timeline.lock_provider.unlock(request_to_clear)
+        return done
     except Exception:
         table.timeline.abort(instant)
         raise

@@ -528,3 +528,43 @@ def test_show_fsview_properties_and_rollback_to_instant(spark, tmp_base):
     assert not any(
         r.v == 999 for r in eng.sql("SELECT v FROM pv_mor_rt").collect()
     )
+
+
+def test_clustering_schedule_then_run_by_instant(spark, tmp_base):
+    """r5: the persisted clustering lifecycle, symmetric with
+    compaction (Hudi's run_clustering(op => 'schedule') +
+    show_clustering procedures; clustering declared by
+    simple-clustering.yaml:55-58)."""
+    eng = Engine(spark, f"{tmp_base}/wh_clus")
+    eng.sql(
+        "CREATE TABLE cl (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("cl_rows")
+    eng.sql("INSERT INTO cl SELECT * FROM cl_rows")
+    t = eng.table("cl")
+    before = _state(eng, "cl")
+
+    row = eng.sql(
+        "CALL run_clustering(table => 'cl', order => 'id', "
+        "op => 'schedule')"
+    ).collect()[0]
+    assert row.instant is not None and not row.executed
+    shown = {
+        (r.instant, r.state)
+        for r in eng.sql("CALL show_clustering(table => 'cl')").collect()
+    }
+    assert (row.instant, "REQUESTED") in shown
+
+    eng.sql(
+        f"CALL run_clustering(table => 'cl', op => 'run', "
+        f"timestamp => '{row.instant}')"
+    )
+    states = {
+        r.state
+        for r in eng.sql("CALL show_clustering(table => 'cl')").collect()
+    }
+    assert states == {"COMPLETED"}
+    assert _state(eng, "cl") == before  # data-preserving rewrite
+    ops = [i.operation for i in t.timeline.instants()]
+    assert "clustering" in ops
