@@ -56,7 +56,8 @@ from onehouse_demos_spark.operators.similarity import (
 #: cosine threshold is the rank-ceil(SEMDEDUP_TOP_FRAC * n_pairs)-th
 #: largest candidate cosine (an order statistic, NOT an interpolated
 #: quantile — rank statistics compare identically across engines; see
-#: the double-rounding flake postmortem in the verify recipe).
+#: the double-rounding flake postmortem in the cross-engine
+#: verification notes).
 SEMDEDUP_TOP_FRAC = 0.10
 
 #: DSIR hashed-feature space width (the paper uses hashed n-grams into
@@ -254,7 +255,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-doc aggregate is an exact integer sum followed by ONE
     # division — float-summation order (which differs between engines)
     # never touches the rounded output (the contract-level fix the
-    # cross-SF sweeps demand; see .claude/skills/verify).
+    # cross-SF sweeps demand — see the cross-engine verification notes).
     ratios = (
         r_counts.join(t_counts, "bucket", "left")
         .na.fill({"ct": 0})

@@ -187,6 +187,12 @@ class Engine:
         #: is persisted in _external_tables.json like the other
         #: register-by-location formats (ADVICE r4).
         self._attached: dict[str, str] = {}
+        #: lakehouse attaches whose location failed to load at
+        #: discovery (transient FS error, unmounted store): kept out of
+        #: `_tables` but still serialized by `_persist_external`, so a
+        #: transient failure never permanently unregisters the table
+        #: (ADVICE r5). A later successful attach clears the entry.
+        self._quarantined: dict[str, str] = {}
         #: per-external-view metadata token at last registration —
         #: register_views() replays a personality's metadata tree only
         #: when this changes, not on every passthrough statement.
@@ -216,15 +222,19 @@ class Engine:
                     if name in self._tables:
                         continue
                     if fmt == "lakehouse":
-                        # engine-native attach: reload for full DML;
-                        # an unreadable location skips the entry (the
-                        # registration stays on disk for diagnosis)
+                        # engine-native attach: reload for full DML; an
+                        # unreadable location is QUARANTINED, not
+                        # dropped — _persist_external keeps serializing
+                        # it, so the registration genuinely stays on
+                        # disk for diagnosis and self-heals on the next
+                        # restart once the location is readable again
                         try:
                             self._tables[name] = LakehouseTable.load(
                                 self.spark, loc
                             )
                             self._attached[name] = loc
                         except Exception:
+                            self._quarantined[name] = loc
                             continue
                     else:
                         self._external[name] = (fmt, loc)
@@ -235,6 +245,9 @@ class Engine:
         reg = os.path.join(self.warehouse_dir, "_external_tables.json")
         tmp = reg + ".tmp"
         entries = dict(self._external)
+        entries.update(
+            {n: ("lakehouse", loc) for n, loc in self._quarantined.items()}
+        )
         entries.update(
             {n: ("lakehouse", loc) for n, loc in self._attached.items()}
         )
@@ -335,7 +348,13 @@ class Engine:
                 hint = os.path.join(loc, "metadata", "version-hint.text")
                 with open(hint) as fh:
                     return (fmt, fh.read())
-            return (fmt, os.path.getmtime(loc))
+            # Generic formats (parquet/csv dirs) have no metadata log
+            # to version-probe: a file rewritten IN PLACE changes
+            # neither the directory mtime nor its entry list, so any
+            # cheap token would serve stale snapshots (ADVICE r5).
+            # None = always re-register the view (the pre-cache
+            # behavior; the parquet scan itself stays lazy).
+            return None
         except OSError:
             return None
 
@@ -397,6 +416,12 @@ class Engine:
                 self._persist_external()
                 for view in (name, f"{name}_ro", f"{name}_rt"):
                     self.spark.catalog.dropTempView(view)
+                return self.spark.createDataFrame([], "result string")
+            if name in self._quarantined:
+                # explicit DROP of a quarantined attach: the operator
+                # decided the location is gone for good — unregister
+                del self._quarantined[name]
+                self._persist_external()
                 return self.spark.createDataFrame([], "result string")
             if name in self._tables:
                 self.drop_table(name)
@@ -919,6 +944,7 @@ class Engine:
             # persisted like the other register-by-location formats:
             # the attach survives an engine restart (ADVICE r4)
             self._attached[name] = t.base_path
+            self._quarantined.pop(name, None)  # attach healed
             self._persist_external()
             t.register_view(name)
             kind = t.config.table_type

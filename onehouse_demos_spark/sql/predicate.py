@@ -47,8 +47,12 @@ class SqlParseError(ValueError):
 _KEYWORDS = {
     "AND", "OR", "NOT", "IN", "IS", "NULL", "BETWEEN", "LIKE", "RLIKE",
     "TRUE", "FALSE", "CAST", "AS", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "SELECT", "EXISTS", "DISTINCT", "FROM", "DIV", "INTERVAL",
+    "SELECT", "DISTINCT", "FROM", "DIV", "INTERVAL",
 }
+# NOTE: EXISTS is deliberately NOT a keyword — Spark's higher-order
+# function `exists(arr, x -> pred)` must parse as an ordinary function
+# call. The subquery form `EXISTS (SELECT ...)` is still rejected:
+# its argument starts with SELECT, which _no_subquery catches.
 
 #: multi-char operators first so <= tokenizes as one token
 _OPS = ["<=>", "<=", ">=", "<>", "!=", "==", "||", "->",
@@ -130,6 +134,7 @@ class _Parser:
         self.toks = tokens
         self.i = 0
         self.src = source
+        self.case_depth = 0  # open CASE ... END expressions
 
     # ------------------------------------------------------- plumbing
 
@@ -171,7 +176,7 @@ class _Parser:
             raise self._err(f"expected {word}, found {self.cur.text!r}")
 
     def _no_subquery(self) -> None:
-        if self.kw("SELECT", "EXISTS"):
+        if self.kw("SELECT"):
             raise self._err(
                 "subqueries are not supported in DML conditions — rewrite "
                 "the statement with a join (found "
@@ -290,6 +295,7 @@ class _Parser:
             return
         if self.kw("CASE"):
             self.i += 1
+            self.case_depth += 1
             if not self.kw("WHEN"):
                 self.expr()  # simple CASE operand
             while self.eat_kw("WHEN"):
@@ -299,6 +305,12 @@ class _Parser:
             if self.eat_kw("ELSE"):
                 self.expr()
             self.expect_kw("END")
+            self.case_depth -= 1
+            return
+        if self.kw("END") and self.case_depth == 0:
+            # `end` is non-reserved in Spark: with no CASE open it can
+            # only be a column reference, never a CASE terminator.
+            self.i += 1
             return
         if t.kind == "IDENT":
             self.i += 1
@@ -309,9 +321,9 @@ class _Parser:
                 if self.eat_op("*"):
                     self.expect_op(")")
                     return
-                self.expr()
+                self._lambda_or_expr()
                 while self.eat_op(","):
-                    self.expr()
+                    self._lambda_or_expr()
                 self.expect_op(")")
             return
         if self.eat_op("("):
@@ -325,6 +337,47 @@ class _Parser:
         if self.eat_op("*"):
             return  # count(*) handled above; bare * in select-lists
         raise self._err(f"unexpected {t.text!r}")
+
+    def _lambda_or_expr(self) -> None:
+        """Function-call argument: either a Spark higher-order-function
+        lambda (`x -> expr`, `(a, b) -> expr`) or an ordinary expression.
+        Lambdas are only legal in argument position, which is the only
+        place this is called from."""
+        t = self.cur
+        nxt = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
+        if (
+            t.kind == "IDENT"
+            and nxt is not None
+            and nxt.kind == "OP"
+            and nxt.text == "->"
+        ):
+            self.i += 2
+            self.expr()
+            return
+        if self.op("("):
+            # lookahead for `( IDENT [, IDENT]* ) ->`
+            j = self.i + 1
+            params_ok = True
+            while params_ok:
+                if self.toks[j].kind != "IDENT":
+                    params_ok = False
+                    break
+                j += 1
+                if self.toks[j].kind == "OP" and self.toks[j].text == ",":
+                    j += 1
+                    continue
+                break
+            if (
+                params_ok
+                and self.toks[j].kind == "OP"
+                and self.toks[j].text == ")"
+                and self.toks[j + 1].kind == "OP"
+                and self.toks[j + 1].text == "->"
+            ):
+                self.i = j + 2
+                self.expr()
+                return
+        self.expr()
 
     def _typename(self) -> None:
         if self.cur.kind not in ("IDENT", "KW"):
@@ -363,24 +416,34 @@ def _keyword_spans(s: str, keyword: str) -> list[int]:
     masked = mask_literals(s)
     kw_re = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
     word_re = re.compile(r"\b(?:CASE|END)\b", re.IGNORECASE)
-    # precompute CASE/END and paren depth per position
-    events: list[tuple[int, int]] = []  # (pos, delta)
+    events: list[tuple[int, str]] = []
     for i, ch in enumerate(masked):
         if ch == "(":
-            events.append((i, 1))
+            events.append((i, "("))
         elif ch == ")":
-            events.append((i, -1))
+            events.append((i, ")"))
     for m in word_re.finditer(masked):
-        events.append((m.start(), 1 if m.group(0).upper() == "CASE" else -1))
+        events.append((m.start(), m.group(0).upper()))
     events.sort()
+    # Single ordered walk: paren depth clamped at 0, and END only closes
+    # an OPEN Case — a bare column named `end` (non-reserved in Spark)
+    # must not drive the depth negative and swallow later keywords.
     out = []
+    paren = case = 0
+    ei = 0
     for m in kw_re.finditer(masked):
-        depth = 0
-        for pos, delta in events:
-            if pos >= m.start():
-                break
-            depth += delta
-        if depth == 0:
+        while ei < len(events) and events[ei][0] < m.start():
+            ev = events[ei][1]
+            if ev == "(":
+                paren += 1
+            elif ev == ")":
+                paren = max(0, paren - 1)
+            elif ev == "CASE":
+                case += 1
+            elif ev == "END" and case > 0:
+                case -= 1
+            ei += 1
+        if paren == 0 and case == 0:
             out.append(m.start())
     return out
 

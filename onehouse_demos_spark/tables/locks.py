@@ -75,6 +75,15 @@ class LockProvider:
         shielding) see reservations wherever the provider stores them."""
         raise NotImplementedError
 
+    def read(self, name: str) -> bytes | None:
+        """Payload of a published entity, or None if absent. The READ
+        half of `publish` — persisted maintenance plans
+        (`<instant>.compaction.requested` etc.) are rehydrated through
+        this, so the schedule→show→run lifecycle is portable to object
+        stores: both halves go through the provider, never a local
+        `open()`. Object stores: GetObject."""
+        raise NotImplementedError
+
     # -- conditional publish with content ----------------------------------
 
     def publish(self, name: str, payload: str | bytes) -> bool:
@@ -161,6 +170,13 @@ class LocalFSLockProvider(LockProvider):
         except FileNotFoundError:
             return []
         return sorted(n for n in names if n.endswith(suffix))
+
+    def read(self, name: str) -> bytes | None:
+        try:
+            with open(self._path(name), "rb") as fh:
+                return fh.read()
+        except FileNotFoundError:
+            return None
 
     # -- conditional publish with content ----------------------------------
 
@@ -377,6 +393,9 @@ class ObjectStoreLockProvider(LockProvider):
         return self.client.put_object(
             self._key(name), data, if_none_match=True
         )
+
+    def read(self, name: str) -> bytes | None:
+        return self.client.get_object(self._key(name))
 
     # acquire_mutex / release_mutex: the inherited generic loop — the
     # S3 contract offers no liveness primitive to improve on it.

@@ -96,20 +96,15 @@ def request_compaction(table: LakehouseTable) -> str | None:
     plan = schedule_compaction(table)
     if plan.empty:
         return None
-    tl = table.timeline
     payload = {
         "planned_from": plan.planned_from,
         "partitions": plan.partitions,
         "base_files": [f.to_json() for f in plan.base_files],
         "log_files": [f.to_json() for f in plan.log_files],
     }
-    for _ in range(32):
-        instant = tl._next_instant_id()
-        if tl.lock_provider.publish(
-            f"{instant}{COMPACTION_REQUEST_SUFFIX}", json.dumps(payload)
-        ):
-            return instant
-    raise RuntimeError("could not reserve a compaction-request instant")
+    return table.timeline.reserve_instant(
+        COMPACTION_REQUEST_SUFFIX, json.dumps(payload)
+    )
 
 
 def pending_compactions(table: LakehouseTable) -> list[str]:
@@ -123,16 +118,20 @@ def pending_compactions(table: LakehouseTable) -> list[str]:
 def load_compaction_plan(
     table: LakehouseTable, instant: str
 ) -> CompactionPlan:
-    """Rehydrate a persisted request (local-FS read of the marker the
-    provider published; an object-store deployment reads the same key
-    through its client)."""
+    """Rehydrate a persisted request through the lock provider's read
+    primitive — the same seam `publish` went through, so an
+    object-store deployment loads the plan with GetObject, never a
+    local `open()` (VERDICT r5 ask #2)."""
     import json
 
-    path = os.path.join(
-        table.timeline.commits_path, f"{instant}{COMPACTION_REQUEST_SUFFIX}"
+    raw = table.timeline.lock_provider.read(
+        f"{instant}{COMPACTION_REQUEST_SUFFIX}"
     )
-    with open(path) as fh:
-        d = json.load(fh)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no REQUESTED compaction plan for instant {instant!r}"
+        )
+    d = json.loads(raw)
     return CompactionPlan(
         partitions=d["partitions"],
         base_files=[FileMeta.from_json(f) for f in d["base_files"]],
@@ -268,14 +267,9 @@ def request_clustering(
         "planned_from": planned_from,
         "files": [f.to_json() for f in files],
     }
-    tl = table.timeline
-    for _ in range(32):
-        instant = tl._next_instant_id()
-        if tl.lock_provider.publish(
-            f"{instant}{CLUSTERING_REQUEST_SUFFIX}", json.dumps(payload)
-        ):
-            return instant
-    raise RuntimeError("could not reserve a clustering-request instant")
+    return table.timeline.reserve_instant(
+        CLUSTERING_REQUEST_SUFFIX, json.dumps(payload)
+    )
 
 
 def pending_clusterings(table: LakehouseTable) -> list[str]:
@@ -286,13 +280,18 @@ def pending_clusterings(table: LakehouseTable) -> list[str]:
 
 
 def load_clustering_request(table: LakehouseTable, instant: str) -> dict:
+    """Rehydrate through the provider's read primitive (object-store
+    portable — see `load_compaction_plan`)."""
     import json
 
-    path = os.path.join(
-        table.timeline.commits_path, f"{instant}{CLUSTERING_REQUEST_SUFFIX}"
+    raw = table.timeline.lock_provider.read(
+        f"{instant}{CLUSTERING_REQUEST_SUFFIX}"
     )
-    with open(path) as fh:
-        return json.load(fh)
+    if raw is None:
+        raise FileNotFoundError(
+            f"no REQUESTED clustering plan for instant {instant!r}"
+        )
+    return json.loads(raw)
 
 
 def show_clustering(table: LakehouseTable) -> list[dict]:

@@ -171,8 +171,16 @@ class Timeline:
 
     def _next_instant_id(self) -> str:
         """Millisecond timestamp + sequence suffix — monotonic,
-        lexicographically ordered, collision-resolved by OCC reserve."""
-        existing = [i.instant for i in self.instants()] + self._inflight()
+        lexicographically ordered, collision-resolved by OCC reserve.
+        Pending maintenance requests (`<instant>.*.requested` markers)
+        count as existing: a data commit begun in the same millisecond
+        as a compaction/clustering request must never mint the same
+        instant id."""
+        existing = (
+            [i.instant for i in self.instants()]
+            + self._inflight()
+            + self._requested()
+        )
         now = int(time.time() * 1000)
         candidate = f"{now:017d}000"
         if existing:
@@ -189,6 +197,42 @@ class Timeline:
             n[: -len(".inflight")]
             for n in self.lock_provider.list(".inflight")
         ]
+
+    def _requested(self) -> list[str]:
+        """Instant ids of persisted maintenance request markers
+        (`<instant>.compaction.requested` / `.clustering.requested`)."""
+        return [
+            n.split(".", 1)[0]
+            for n in self.lock_provider.list(".requested")
+        ]
+
+    def reserve_instant(
+        self, suffix: str, payload: str, max_retries: int = 32
+    ) -> str:
+        """Mint a unique instant id and atomically publish
+        `<instant><suffix>` with `payload` through the lock provider —
+        the public reservation API the maintenance request lifecycle
+        uses (schedule → `<ts>.compaction.requested`, README.md
+        1126-1143). The id is first reserved with the same `.inflight`
+        conditional-create `begin()` uses, so a concurrent data commit
+        in the same millisecond can never mint the same id; the
+        inflight marker is released once the suffixed marker is
+        published (after which `_requested()` keeps the id visible to
+        `_next_instant_id`)."""
+        for _ in range(max_retries):
+            instant = self._next_instant_id()
+            if not self.lock_provider.try_lock(
+                f"{instant}.inflight", "reserve"
+            ):
+                continue  # another writer holds this id — advance
+            try:
+                if self.lock_provider.publish(f"{instant}{suffix}", payload):
+                    return instant
+            finally:
+                self.lock_provider.unlock(f"{instant}.inflight")
+        raise RuntimeError(
+            f"could not reserve an instant for {suffix!r} (contention)"
+        )
 
     # -- OCC write protocol ---------------------------------------------------
 

@@ -568,3 +568,86 @@ def test_clustering_schedule_then_run_by_instant(spark, tmp_base):
     assert _state(eng, "cl") == before  # data-preserving rewrite
     ops = [i.operation for i in t.timeline.instants()]
     assert "clustering" in ops
+
+
+def test_transiently_unreadable_attach_is_quarantined_not_lost(
+    spark, tmp_base
+):
+    """ADVICE r5: a lakehouse attach whose location is unreadable at
+    discovery must survive in _external_tables.json (quarantined, not
+    silently dropped by the next _persist_external) and self-heal on a
+    later restart once the location is readable again."""
+    import shutil
+
+    eng_a = Engine(spark, f"{tmp_base}/wh_qa")
+    eng_a.sql(
+        "CREATE TABLE q_orig (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    _seed_rows(spark).createOrReplaceTempView("q_rows")
+    eng_a.sql("INSERT INTO q_orig SELECT * FROM q_rows")
+    base = eng_a.table("q_orig").base_path
+
+    wh = f"{tmp_base}/wh_qb"
+    eng_b = Engine(spark, wh)
+    eng_b.sql(f"CREATE TABLE q_att USING lakehouse LOCATION '{base}'")
+    before = _state(eng_b, "q_att")
+
+    # transient outage: the location vanishes across a restart
+    hidden = base + ".hidden"
+    shutil.move(base, hidden)
+    eng_b2 = Engine(spark, wh)
+    assert "q_att" not in eng_b2.tables()
+    # ... and during the outage something ELSE triggers a re-persist
+    eng_b2.sql(
+        "CREATE TABLE q_other (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    import json
+
+    with open(os.path.join(wh, "_external_tables.json")) as fh:
+        reg = json.load(fh)
+    assert reg.get("q_att") == ["lakehouse", base], reg  # NOT lost
+
+    # outage over: next restart heals the attach with full DML
+    shutil.move(hidden, base)
+    eng_b3 = Engine(spark, wh)
+    assert _state(eng_b3, "q_att") == before
+    eng_b3.sql("UPDATE q_att SET v = 7 WHERE id = 1")
+    assert eng_b3.table("q_att").snapshot().filter(
+        "id = 1 AND v = 7"
+    ).count() == 1
+
+
+def test_parquet_registration_sees_in_place_rewrite(spark, tmp_base):
+    """ADVICE r5: generic (parquet) registrations have no metadata log
+    to version-probe — a file rewritten IN PLACE changes neither the
+    directory mtime nor its entry list, so the engine must re-register
+    the view per statement instead of serving a stale cached one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # write with pyarrow directly (no Hadoop .crc sidecars, which an
+    # external in-place rewriter wouldn't refresh either)
+    loc = f"{tmp_base}/ext_pq"
+    os.makedirs(loc)
+    part = ["data-0.parquet"]
+    pq.write_table(
+        pa.table({"id": list(range(10)), "v": [1] * 10}),
+        os.path.join(loc, part[0]),
+    )
+
+    eng = Engine(spark, f"{tmp_base}/wh_pq")
+    eng.sql(f"CREATE TABLE ext_pq USING parquet LOCATION '{loc}'")
+    assert {r.v for r in eng.sql("SELECT v FROM ext_pq").collect()} == {1}
+
+    # rewrite the SAME file path with new contents
+    tbl = pq.read_table(os.path.join(loc, part[0]))
+    new = tbl.set_column(
+        tbl.schema.get_field_index("v"),
+        "v",
+        pa.array([2] * tbl.num_rows, type=tbl.schema.field("v").type),
+    )
+    pq.write_table(new, os.path.join(loc, part[0]))
+
+    assert {r.v for r in eng.sql("SELECT v FROM ext_pq").collect()} == {2}

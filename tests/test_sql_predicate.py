@@ -37,6 +37,17 @@ GOOD = [
     "arr[0] = 1",
     "count(*) > 0",
     "s.ver > t.ver AND s.city IS DISTINCT FROM t.city",
+    # r6 (ADVICE): higher-order-function lambdas in argument position
+    "transform(arr, x -> x + 1)[0] = 2",
+    "exists(arr, x -> x > 5)",
+    "forall(tags, t -> t LIKE 'ok%')",
+    "aggregate(vals, 0, (acc, x) -> acc + x) > 10",
+    "zip_with(a, b, (x, y) -> x * y)[0] = 0",
+    "filter(arr, (x, i) -> x > i)[0] IS NOT NULL",
+    # r6 (ADVICE): `end` is non-reserved — usable as a column
+    "end > 5",
+    "end >= start AND end - start < 60",
+    "CASE WHEN a THEN 1 ELSE 2 END + end = 3",
 ]
 
 
@@ -56,6 +67,9 @@ BAD = [
     ("CASE WHEN a THEN 1", "expected END"),
     ("a BETWEEN 1", "expected AND"),
     ("", "empty"),
+    # lambdas are only legal as function arguments
+    ("a -> 1", "trailing"),
+    ("exists(SELECT 1)", "subqueries"),
 ]
 
 
@@ -76,6 +90,21 @@ def test_keyword_split_ignores_nested_structures():
     )
     assert [p.strip() for p in parts] == ["MATCHED AND x = 1",
                                           "UPDATE SET v = 2"]
+
+
+def test_keyword_split_survives_bare_end_identifier():
+    """r6 (ADVICE): a column named `end` (non-reserved in Spark) must
+    not be mistaken for a CASE terminator — previously it drove the
+    CASE depth negative and swallowed every later top-level keyword."""
+    s = ("MATCHED AND end > 5 THEN UPDATE SET v = 1 "
+         "WHEN NOT MATCHED THEN INSERT *")
+    parts = split_top_level_keyword(s, "WHEN")
+    assert len(parts) == 2, parts
+    assert parts[1].strip().startswith("NOT MATCHED")
+    # and with a REAL CASE..END before the bare `end`, depth still resolves
+    s2 = ("MATCHED AND CASE WHEN a THEN b ELSE c END = 1 AND end > 0 "
+          "THEN DELETE WHEN NOT MATCHED THEN INSERT *")
+    assert len(split_top_level_keyword(s2, "WHEN")) == 2
 
 
 @settings(max_examples=200, deadline=None)
