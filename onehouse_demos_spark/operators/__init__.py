@@ -79,7 +79,6 @@ _WINDOW = [
     "tbl_clustered_snapshot",
     "tbl_matview_rollup",
     "tbl_stats_skipped_read",
-    "tbl_bulk_insert_snapshot",
     "tbl_incremental_read",
     "tbl_conf_incremental_read",
     "tbl_dup_key_invariant",
@@ -106,8 +105,18 @@ _WINDOW = [
     # filter_project) and token_length_histogram (map-stage text agg,
     # covered by text_stats). Both stay registered past the window and
     # green in the local sweep.
+    # r6 window swap (VERDICT r5 ask #1): hash-verify the strongest
+    # never-driver-checked signatures — the Iceberg personality (M15's
+    # second format), the TRAINED IVF ANN family (k-means replay
+    # oracle), and SemDeDup semantic dedup — in the slots of three
+    # plan-shape duplicates: tbl_bulk_insert_snapshot (covered by
+    # tbl_insert_snapshot + tbl_clustered_snapshot), simhash64
+    # (zero-shuffle map stage, covered by doc_fingerprints), and
+    # knn_bruteforce (covered by knn_batch_join). All three stay
+    # registered past the window and green in the local sweep.
     "tbl_delta_personality_read",
     "tbl_delta_pruned_read",
+    "tbl_iceberg_personality_read",
     "events_max_ts",
     "tbl_cdf_chain_read",
     "sql_call_pipeline",
@@ -125,14 +134,14 @@ _WINDOW = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    "simhash64",
     "near_dup_canonical",
+    "semantic_dedup_keep",
     "contamination_check",
     "cross_source_overlap",
     # similarity suite
-    "knn_bruteforce",
     "label_centroid_distance",
     "knn_ivf",
+    "knn_ivf_trained",
     "embedding_near_dup_pairs",
     "knn_batch_join",
     "embedding_quantization",
