@@ -55,11 +55,26 @@ def _build(spark: SparkSession, sf_dir: str) -> Engine:
         "WHERE o_orderstatus = 'O'"
     )
     eng.sql("DELETE FROM sql_orders WHERE o_orderkey % 13 = 0")
+    # r6 (VERDICT r5 ask #5): the FULL Spark 3.4 / Delta MERGE surface
+    # in one statement — N ordered WHEN MATCHED branches (first match
+    # wins; only the last may omit its condition), conditional NOT
+    # MATCHED inserts, and WHEN NOT MATCHED BY SOURCE over target-only
+    # rows (full-outer plan). Every branch's effect is encoded in the
+    # oracle's CASE logic below.
     eng.sql(
         "MERGE INTO sql_orders t USING merge_src s "
         "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND t.o_orderstatus = 'F' "
+        "  THEN UPDATE SET o_orderpriority = 'X-MERGED-F' "
+        "WHEN MATCHED AND t.o_totalprice > 200000.0 THEN DELETE "
         "WHEN MATCHED THEN UPDATE SET o_orderpriority = s.o_orderpriority "
-        "WHEN NOT MATCHED THEN INSERT *"
+        "WHEN NOT MATCHED AND s.o_orderstatus = 'P' "
+        "  THEN INSERT (o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderpriority) VALUES (s.o_orderkey, s.o_custkey, "
+        "s.o_orderstatus, s.o_totalprice, 'X-RESURRECT-P') "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND o_orderkey % 7 = 0 "
+        "  THEN UPDATE SET o_orderpriority = 'X-STALE'"
     )
     _CACHE[sf_dir] = eng
     return eng
@@ -79,14 +94,31 @@ def sql_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DML_PIPELINE_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority,
+         (o_orderkey % 13 = 0) AS was_deleted,
+         (o_orderkey % 5 = 0) AS in_src,
+         CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS upd_price
+  FROM orders
+)
 SELECT o_orderkey, o_custkey, o_orderstatus,
-       CASE WHEN o_orderkey % 5 = 0 THEN 'X-MERGED'
-            ELSE o_orderpriority END AS o_orderpriority,
-       ROUND(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice
-                  WHEN o_orderstatus = 'O' THEN o_totalprice + 100.0
-                  ELSE o_totalprice END, 2) AS o_totalprice_r
-FROM orders
-WHERE o_orderkey % 13 <> 0 OR o_orderkey % 5 = 0
+       CASE
+         WHEN NOT was_deleted AND in_src AND o_orderstatus = 'F'
+           THEN 'X-MERGED-F'
+         WHEN NOT was_deleted AND in_src THEN 'X-MERGED'
+         WHEN NOT was_deleted AND o_orderkey % 7 = 0 THEN 'X-STALE'
+         WHEN NOT was_deleted THEN o_orderpriority
+         WHEN o_orderstatus = 'P' THEN 'X-RESURRECT-P'
+         ELSE 'X-MERGED'
+       END AS o_orderpriority,
+       ROUND(CASE WHEN was_deleted THEN o_totalprice
+                  ELSE upd_price END, 2) AS o_totalprice_r
+FROM base
+WHERE (NOT was_deleted
+       AND NOT (in_src AND o_orderstatus <> 'F' AND upd_price > 200000.0))
+   OR (was_deleted AND in_src)
 """
 
 

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from onehouse_demos_spark.sql.lexer import (
     finditer_masked,
+    mask_literals,
     match_masked,
     split_once_top_level,
     split_top_level as _split_top_level,
@@ -50,6 +51,7 @@ from onehouse_demos_spark.sql.predicate import (
     SqlParseError,
     find_top_level_keyword,
     split_top_level_keyword,
+    tokenize,
     validate_expression,
 )
 from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
@@ -164,7 +166,8 @@ _MERGE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _MATCHED_RE = re.compile(
-    r"^\s*(?P<not>NOT\s+)?MATCHED\b(?P<tail>.*)$",
+    r"^\s*(?P<not>NOT\s+)?MATCHED\b"
+    r"(?:\s+BY\s+(?P<by>SOURCE|TARGET)\b)?(?P<tail>.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -1162,9 +1165,53 @@ class Engine:
         on_cond = rest[:wpos].strip()
         validate_expression(on_cond, "MERGE ON condition")
 
-        matched_update = None
-        matched_delete_cond = None
-        insert_clause = None
+        tcols = [f.name for f in self._data_schema(t)]
+        tcols_set = set(tcols)
+
+        def retarget_by_source(expr: str | None) -> str | None:
+            """Rewrite a NOT MATCHED BY SOURCE condition/action for the
+            joined frame: these clauses see ONLY the target side (the
+            source columns are all NULL on target-only rows), so
+            source-alias references are rejected and BARE identifiers
+            that name target columns bind to the target (`__t_`) side —
+            never to the NULL source column of the same name."""
+            if expr is None:
+                return None
+            if re.search(
+                rf"\b{re.escape(salias)}\.", mask_literals(expr)
+            ):
+                raise SqlParseError(
+                    "WHEN NOT MATCHED BY SOURCE cannot reference the "
+                    f"source relation {salias!r}"
+                )
+            expr = sub_masked(
+                re.compile(rf"\b{re.escape(talias)}\.(\w+)"), r"__t_\1", expr
+            )
+            toks = tokenize(expr)
+            spans = []
+            for i, tk in enumerate(toks):
+                if tk.kind != "IDENT" or tk.text not in tcols_set:
+                    continue
+                prev = toks[i - 1] if i > 0 else None
+                nxt = toks[i + 1]
+                if prev is not None and prev.kind == "OP" and prev.text == ".":
+                    continue  # qualified ref, already rewritten
+                if nxt.kind == "OP" and nxt.text in (".", "("):
+                    continue  # alias qualifier / function name
+                spans.append((tk.pos, tk.pos + len(tk.text)))
+            for a, b in reversed(spans):
+                expr = expr[:a] + "__t_" + expr[a:]
+            return expr
+
+        # Clause groups, each evaluated IN ORDER with first-match-wins
+        # gating (Spark 3.4 / Delta MERGE semantics; the reference
+        # declares the MERGE surface in
+        # spark-sql-nonpartitioned-managed-cow.yaml): MATCHED →
+        # UPDATE/DELETE, NOT MATCHED [BY TARGET] → INSERT, NOT MATCHED
+        # BY SOURCE → UPDATE/DELETE over target-only rows.
+        matched_clauses: list[tuple[str | None, str, str]] = []
+        insert_clauses: list[tuple[str | None, str]] = []
+        by_source_clauses: list[tuple[str | None, str, str]] = []
         segments = split_top_level_keyword(rest[wpos:], "WHEN")
         # segments[0] is the (empty) text before the first WHEN
         if segments[0].strip():
@@ -1191,6 +1238,20 @@ class Engine:
                     )
                 cond_src = cond_part[and_m.end() :].strip()
                 validate_expression(cond_src, "MERGE WHEN condition")
+            by = (cm.group("by") or "").upper()
+            if cm.group("not") and by == "SOURCE":
+                action = retarget_by_source(action_src)
+                cond = retarget_by_source(cond_src)
+                if re.fullmatch(r"DELETE", action, re.IGNORECASE):
+                    by_source_clauses.append((cond, "delete", action))
+                elif re.match(r"^UPDATE\s+SET\b", action, re.IGNORECASE):
+                    by_source_clauses.append((cond, "update", action))
+                else:
+                    raise SqlParseError(
+                        "WHEN NOT MATCHED BY SOURCE supports UPDATE SET "
+                        f"/ DELETE, got {action!r}"
+                    )
+                continue
             action = unqual(action_src)
             cond = unqual(cond_src)
             if cm.group("not"):
@@ -1199,31 +1260,83 @@ class Engine:
                         "WHEN NOT MATCHED supports INSERT only, got "
                         f"{action!r}"
                     )
-                insert_clause = (cond, action)
+                insert_clauses.append((cond, action))
+            elif by:
+                raise SqlParseError(
+                    "BY SOURCE/TARGET applies to NOT MATCHED clauses only"
+                )
             elif re.fullmatch(r"DELETE", action, re.IGNORECASE):
-                matched_delete_cond = cond or "true"
+                matched_clauses.append((cond, "delete", action))
             elif re.match(r"^UPDATE\s+SET\b", action, re.IGNORECASE):
-                matched_update = (cond, action)
+                matched_clauses.append((cond, "update", action))
             else:
                 raise SqlParseError(
                     "WHEN MATCHED supports UPDATE SET / DELETE, got "
                     f"{action!r}"
                 )
+        for group, label in (
+            (matched_clauses, "WHEN MATCHED"),
+            (insert_clauses, "WHEN NOT MATCHED"),
+            (by_source_clauses, "WHEN NOT MATCHED BY SOURCE"),
+        ):
+            # Spark parity: when a group has several clauses, only the
+            # LAST may omit its AND condition — an unconditional earlier
+            # clause would shadow every later one.
+            for clause in group[:-1]:
+                if clause[0] is None:
+                    raise SqlParseError(
+                        f"only the last {label} clause can omit its AND "
+                        "condition"
+                    )
 
-        tcols = [f.name for f in self._data_schema(t)]
-        src_sql = source if not source.startswith("(") else source
-        base = (
-            f"SELECT {', '.join(f'{talias}.{c} AS __t_{c}' for c in tcols)}, "
-            f"{salias}.*, ({talias}.{t.config.record_key[0]} IS NOT NULL) AS __matched "
-            f"FROM {src_sql} {salias} LEFT JOIN __merge_target_{target_name} {talias} "
-            f"ON {on_cond}"
-        )
+        key0 = t.config.record_key[0]
+        src_sql = source
+        tproj = ", ".join(f"{talias}.{c} AS __t_{c}" for c in tcols)
+        if by_source_clauses:
+            # BY SOURCE needs the target-only rows: full-outer join with
+            # an explicit source-presence marker (a key-null probe alone
+            # cannot tell the two sides apart).
+            src_view = f"__merge_source_{target_name}"
+            self.spark.sql(
+                f"SELECT {salias}.*, true AS __s_present "
+                f"FROM {src_sql} {salias}"
+            ).createOrReplaceTempView(src_view)
+            present = f"coalesce({salias}.__s_present, false)"
+            base = (
+                f"SELECT {tproj}, {salias}.*, "
+                f"({present} AND {talias}.{key0} IS NOT NULL) AS __matched, "
+                f"({present} AND {talias}.{key0} IS NULL) AS __src_only, "
+                f"(NOT {present}) AS __tgt_only "
+                f"FROM {src_view} {salias} "
+                f"FULL OUTER JOIN __merge_target_{target_name} {talias} "
+                f"ON {on_cond}"
+            )
+        else:
+            base = (
+                f"SELECT {tproj}, {salias}.*, "
+                f"({talias}.{key0} IS NOT NULL) AS __matched, "
+                f"({talias}.{key0} IS NULL) AS __src_only, "
+                f"false AS __tgt_only "
+                f"FROM {src_sql} {salias} "
+                f"LEFT JOIN __merge_target_{target_name} {talias} "
+                f"ON {on_cond}"
+            )
         joined = self.spark.sql(base)
         joined.createOrReplaceTempView("__merge_joined")
 
-        upserts = []
-        if matched_update is not None:
-            cond, action = matched_update
+        def gate(group_flag: str, conds: list, i: int) -> str:
+            """First-match-wins guard for clause i of a group: the
+            group's row-population flag AND this clause's condition AND
+            no earlier clause's condition (NULL condition = false)."""
+            own = conds[i] if conds[i] is not None else "true"
+            parts = [group_flag, f"coalesce(({own}), false)"]
+            parts.extend(
+                f"NOT coalesce(({conds[j] if conds[j] is not None else 'true'}), false)"
+                for j in range(i)
+            )
+            return " AND ".join(parts)
+
+        def update_select(action: str, prefix_where: str) -> str:
             sets = {}
             for kv in _split_top_level(
                 re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
@@ -1245,12 +1358,31 @@ class Engine:
                     sel.append(f"({sets[c]}) AS {c}")
                 else:
                     sel.append(f"__t_{c} AS {c}")
-            w = f"__matched AND ({cond})" if cond else "__matched"
-            upserts.append(f"SELECT {', '.join(sel)} FROM __merge_joined WHERE {w}")
-        if insert_clause is not None:
-            cond, action = insert_clause
+            return (
+                f"SELECT {', '.join(sel)} FROM __merge_joined "
+                f"WHERE {prefix_where}"
+            )
+
+        upserts = []
+        delete_wheres = []
+        m_conds = [c for c, _k, _a in matched_clauses]
+        for i, (_c, kind, action) in enumerate(matched_clauses):
+            w = gate("__matched", m_conds, i)
+            if kind == "update":
+                upserts.append(update_select(action, w))
+            else:
+                delete_wheres.append(w)
+        s_conds = [c for c, _k, _a in by_source_clauses]
+        for i, (_c, kind, action) in enumerate(by_source_clauses):
+            w = gate("__tgt_only", s_conds, i)
+            if kind == "update":
+                upserts.append(update_select(action, w))
+            else:
+                delete_wheres.append(w)
+        i_conds = [c for c, _a in insert_clauses]
+        for i, (_c, action) in enumerate(insert_clauses):
             body = re.sub(r"^INSERT\s*", "", action, flags=re.IGNORECASE).strip()
-            w = f"(NOT __matched) AND ({cond})" if cond else "NOT __matched"
+            w = gate("__src_only", i_conds, i)
             if body == "*":
                 sel = ", ".join(tcols)
             else:
@@ -1277,10 +1409,15 @@ class Engine:
             batch = self.spark.sql(" UNION ALL ".join(f"({u})" for u in upserts))
             if batch.limit(1).count() > 0:
                 t.upsert(self._align(t, batch))
-        if matched_delete_cond is not None:
+        if delete_wheres:
+            kproj = ", ".join(
+                f"__t_{k} AS {k}" for k in t.config.record_key
+            )
             doomed = self.spark.sql(
-                f"SELECT {', '.join(f'__t_{k} AS {k}' for k in t.config.record_key)} "
-                f"FROM __merge_joined WHERE __matched AND ({matched_delete_cond})"
+                " UNION ALL ".join(
+                    f"(SELECT {kproj} FROM __merge_joined WHERE {w})"
+                    for w in delete_wheres
+                )
             )
             if doomed.limit(1).count() > 0:
                 t.delete(doomed)

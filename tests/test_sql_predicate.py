@@ -205,3 +205,101 @@ def test_malformed_merge_fails_loudly_not_silently(eng, spark):
             "MERGE INTO pt t USING psrc4 s ON t.id = s.id "
             "WHEN MATCHED t.v > 1 THEN DELETE"
         )
+
+
+# ----------------------------------- r6: multi-branch MERGE + BY SOURCE
+
+
+def test_merge_multiple_when_matched_first_match_wins(eng, spark):
+    """Ordered WHEN MATCHED branches (Spark 3.4 / Delta semantics): a
+    row is consumed by the FIRST branch whose condition holds, later
+    branches never see it."""
+    spark.createDataFrame(
+        [(1, "m", 100), (2, "m", 200), (3, "m", 300)],
+        "id int, grade string, v int",
+    ).createOrReplaceTempView("mb_src")
+    eng.sql(
+        "MERGE INTO pt t USING mb_src s ON t.id = s.id "
+        "WHEN MATCHED AND s.v >= 300 THEN DELETE "
+        "WHEN MATCHED AND s.v >= 200 THEN UPDATE SET grade = 'big', v = s.v "
+        "WHEN MATCHED THEN UPDATE SET grade = 'small', v = s.v"
+    )
+    assert _vals(eng) == {(1, "small", 100), (2, "big", 200)}
+
+
+def test_merge_not_matched_by_source_update_and_delete(eng, spark):
+    """BY SOURCE branches act on TARGET-ONLY rows (full-outer plan):
+    bare column refs bind to the target side, conditions gate in
+    order, and matched/insert branches are unaffected."""
+    spark.createDataFrame(
+        [(1, "z", 11), (7, "n", 70)], "id int, grade string, v int"
+    ).createOrReplaceTempView("bs_src")
+    eng.sql(
+        "MERGE INTO pt t USING bs_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET grade = s.grade, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT * "
+        "WHEN NOT MATCHED BY SOURCE AND id = 2 THEN DELETE "
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grade = 'stale'"
+    )
+    assert _vals(eng) == {
+        (1, "z", 11),        # matched update
+        (3, "stale", 30),    # by-source update
+        (7, "n", 70),        # insert
+    }                        # id=2 deleted by the first BY SOURCE branch
+
+
+def test_merge_by_source_rejects_source_references(eng, spark):
+    spark.createDataFrame(
+        [(1, "z", 11)], "id int, grade string, v int"
+    ).createOrReplaceTempView("bsr_src")
+    with pytest.raises(SqlParseError, match="cannot reference the source"):
+        eng.sql(
+            "MERGE INTO pt t USING bsr_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grade = s.grade"
+        )
+
+
+def test_merge_unconditional_branch_must_be_last(eng, spark):
+    """Adversarial mis-ordering: an unconditional WHEN MATCHED before a
+    conditional one would shadow it — rejected at parse time, table
+    untouched."""
+    spark.createDataFrame(
+        [(1, "z", 11)], "id int, grade string, v int"
+    ).createOrReplaceTempView("ord_src")
+    before = _vals(eng)
+    with pytest.raises(SqlParseError, match="only the last WHEN MATCHED"):
+        eng.sql(
+            "MERGE INTO pt t USING ord_src s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN MATCHED AND s.v > 5 THEN DELETE"
+        )
+    with pytest.raises(
+        SqlParseError, match="only the last WHEN NOT MATCHED BY SOURCE"
+    ):
+        eng.sql(
+            "MERGE INTO pt t USING ord_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE AND id = 2 THEN UPDATE SET v = 0"
+        )
+    assert _vals(eng) == before
+
+
+def test_merge_by_source_on_matched_clause_rejected(eng, spark):
+    spark.createDataFrame(
+        [(1, "z", 11)], "id int, grade string, v int"
+    ).createOrReplaceTempView("bym_src")
+    with pytest.raises(SqlParseError, match="NOT MATCHED clauses"):
+        eng.sql(
+            "MERGE INTO pt t USING bym_src s ON t.id = s.id "
+            "WHEN MATCHED BY TARGET THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(SqlParseError, match="INSERT only"):
+        eng.sql(
+            "MERGE INTO pt t USING bym_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY TARGET THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(SqlParseError, match="UPDATE SET / DELETE"):
+        eng.sql(
+            "MERGE INTO pt t USING bym_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
+        )
