@@ -90,6 +90,16 @@ _ALTER_ADD_RE = re.compile(
     r"\((?P<cols>.+)\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_RENAME_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+RENAME\s+COLUMN\s+"
+    r"(?P<old>[\w`]+)\s+TO\s+(?P<new>[\w`]+)\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+DROP\s+COLUMNS?\s*"
+    r"(?:\((?P<cols>[^)]+)\)|(?P<col>[\w`]+))\s*$",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*$",
     re.IGNORECASE,
@@ -456,6 +466,33 @@ class Engine:
         m = match_masked(_ALTER_ADD_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._alter_add(m)
+        m = match_masked(_ALTER_RENAME_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            name = self._norm(m.group("name"))
+            t = self._tables[name]
+            old = strip_ident_quotes(m.group("old"))
+            new = strip_ident_quotes(m.group("new"))
+            t.rename_column(old, new)
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(old, new)], "renamed_from string, renamed_to string"
+            )
+        m = match_masked(_ALTER_DROP_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            name = self._norm(m.group("name"))
+            t = self._tables[name]
+            cols = (
+                [c.strip() for c in m.group("cols").split(",")]
+                if m.group("cols")
+                else [m.group("col")]
+            )
+            for c in cols:
+                t.drop_column(strip_ident_quotes(c))
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(strip_ident_quotes(c),) for c in cols],
+                "dropped_column string",
+            )
         m = match_masked(_COMPACT_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import run_compaction

@@ -256,11 +256,10 @@ def _schema_string(table: LakehouseTable, last_meta: dict | None = None) -> str:
         if f["name"] != PP_COL:
             by_name[f["name"]] = {**f, "nullable": True}
     prior_order: list[str] = []
+    prior_fields: list[dict] = []
     if last_meta is not None:
-        prior_order = [
-            f["name"]
-            for f in json.loads(last_meta["schemaString"])["fields"]
-        ]
+        prior_fields = json.loads(last_meta["schemaString"])["fields"]
+        prior_order = [f["name"] for f in prior_fields]
     ordered: list[str] = [n for n in prior_order if n in by_name]
     data_new = [
         n for n in by_name
@@ -268,7 +267,63 @@ def _schema_string(table: LakehouseTable, last_meta: dict | None = None) -> str:
     ]
     meta_new = [n for n in META_COLS if n in by_name and n not in ordered]
     fields = [by_name[n] for n in (*ordered, *data_new, *meta_new)]
+    fields = _apply_column_mapping(fields, prior_fields)
     return json.dumps({"type": "struct", "fields": fields})
+
+
+def _apply_column_mapping(
+    fields: list[dict], prior_fields: list[dict]
+) -> list[dict]:
+    """Translate the engine's rename metadata (`oh.physicalName`,
+    tables/table.py RENAME COLUMN) into Delta column mapping
+    (mode=name): every field gets `delta.columnMapping.id` (stable —
+    reused from the prior metaData, matched by PHYSICAL name since
+    renames change only the logical one) and
+    `delta.columnMapping.physicalName` (the on-file column the engine
+    actually wrote). No-op when no rename/drop-readd ever happened, so
+    unrenamed tables keep the plain v1 personality."""
+    from onehouse_demos_spark.tables.table import PHYSICAL_META_KEY
+
+    active = any(
+        (f.get("metadata") or {}).get(PHYSICAL_META_KEY) for f in fields
+    ) or any(
+        (f.get("metadata") or {}).get("delta.columnMapping.id") is not None
+        for f in prior_fields
+    )
+    if not active:
+        return fields
+    prior_by_phys: dict[str, int] = {}
+    max_id = 0
+    for f in prior_fields:
+        md = f.get("metadata") or {}
+        cid = md.get("delta.columnMapping.id")
+        if cid is not None:
+            phys = md.get("delta.columnMapping.physicalName", f["name"])
+            prior_by_phys[phys] = int(cid)
+            max_id = max(max_id, int(cid))
+    out = []
+    for f in fields:
+        md = dict(f.get("metadata") or {})
+        phys = md.pop(PHYSICAL_META_KEY, None) or f["name"]
+        cid = prior_by_phys.get(phys)
+        if cid is None:
+            max_id += 1
+            cid = max_id
+        md["delta.columnMapping.id"] = cid
+        md["delta.columnMapping.physicalName"] = phys
+        out.append({**f, "metadata": md})
+    return out
+
+
+def _mapping_max_id(schema_string: str) -> int | None:
+    """maxColumnId when the schemaString carries column mapping, else
+    None (mapping inactive)."""
+    ids = [
+        (f.get("metadata") or {}).get("delta.columnMapping.id")
+        for f in json.loads(schema_string)["fields"]
+    ]
+    ids = [i for i in ids if i is not None]
+    return max(ids) if ids else None
 
 
 def _file_stats_json(fm) -> str:
@@ -355,13 +410,30 @@ def sync_delta_log(
         return last_version
 
     actions: list[dict] = []
-    if last_version < 0:
+    max_col_id = _mapping_max_id(schema_string)
+    if max_col_id is not None and meta_changed:
+        # Column mapping requires the reader to resolve physical names
+        # (protocol table feature; Delta spec: reader 2 / writer 5).
+        # Re-emitting on a later schema change is legal — replay takes
+        # the newest protocol action.
+        actions.append(
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+        )
+    elif last_version < 0:
         actions.append(
             {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
         )
     if meta_changed:
         meta_id = (last_meta or {}).get("id") or str(uuid.uuid4())
         created = (last_meta or {}).get("createdTime") or now_ms
+        configuration = (
+            {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(max_col_id),
+            }
+            if max_col_id is not None
+            else {}
+        )
         actions.append(
             {
                 "metaData": {
@@ -369,7 +441,7 @@ def sync_delta_log(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": schema_string,
                     "partitionColumns": part_cols,
-                    "configuration": {},
+                    "configuration": configuration,
                     "createdTime": created,
                 }
             }
@@ -711,9 +783,28 @@ def read_delta_snapshot(
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     if not paths:
         return spark.createDataFrame([], schema)
-    # Read with the metaData schema, exactly like a real Delta client:
-    # files written BEFORE a schema evolution lack the newer columns,
-    # and a bare parquet read would silently drop them (first-file
-    # schema wins) — the explicit schema resolves by name and fills
-    # missing columns with null.
-    return spark.read.schema(schema).parquet(*paths)
+    # Column mapping (mode=name): a real Delta reader resolves each
+    # logical field through delta.columnMapping.physicalName — renamed
+    # columns keep their original on-file name.
+    phys = {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    # Read with the metaData schema (physical names), exactly like a
+    # real Delta client: files written BEFORE a schema evolution lack
+    # the newer columns, and a bare parquet read would silently drop
+    # them (first-file schema wins) — the explicit schema resolves by
+    # name and fills missing columns with null.
+    reader_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, True) for f in schema.fields]
+    )
+    df = spark.read.schema(reader_schema).parquet(*paths)
+    if any(phys[n] != n for n in phys):
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        )
+    return df

@@ -100,18 +100,54 @@ def _iceberg_type(dt) -> object:
     raise NotImplementedError(f"no Iceberg mapping for {dt}")
 
 
-def _iceberg_schema(table: LakehouseTable) -> dict:
+def _iceberg_schema(
+    table: LakehouseTable, prev_meta: dict | None = None
+) -> tuple[dict, dict]:
+    """(schema dict, {logical name -> physical on-file name}).
+
+    Field ids are STABLE across schema evolution (Iceberg's core
+    contract): reused from the previous metadata matched by PHYSICAL
+    name — a RENAME COLUMN (tables/table.py, metadata-only, physical
+    name unchanged) keeps its id; genuinely new columns get fresh ids
+    above the previous last-column-id, and a DROP retires its id
+    forever (never reassigned)."""
+    from onehouse_demos_spark.tables.table import PHYSICAL_META_KEY
+
     schema = table._latest_schema()
     if schema is None:
         raise RuntimeError(
             "table has no committed schema yet — nothing to export"
         )
+    prev_ids_by_phys: dict[str, int] = {}
+    next_id = 1
+    if prev_meta:
+        prev_schema = next(
+            s
+            for s in prev_meta["schemas"]
+            if s["schema-id"] == prev_meta["current-schema-id"]
+        )
+        names_by_id: dict[int, str] = {}
+        nm_raw = (prev_meta.get("properties") or {}).get(
+            "schema.name-mapping.default"
+        )
+        if nm_raw:
+            for e in json.loads(nm_raw):
+                if e.get("names"):
+                    names_by_id[e["field-id"]] = e["names"][0]
+        for f in prev_schema["fields"]:
+            prev_ids_by_phys[names_by_id.get(f["id"], f["name"])] = f["id"]
+        next_id = prev_meta.get("last-column-id", 0) + 1
     fields = []
-    fid = 0
+    phys_map: dict[str, str] = {}
     for f in schema.fields:
         if f.name == PP_COL:
             continue
-        fid += 1
+        phys = (f.metadata or {}).get(PHYSICAL_META_KEY, f.name)
+        phys_map[f.name] = phys
+        fid = prev_ids_by_phys.get(phys)
+        if fid is None:
+            fid = next_id
+            next_id += 1
         fields.append(
             {
                 "id": fid,
@@ -120,7 +156,7 @@ def _iceberg_schema(table: LakehouseTable) -> dict:
                 "type": _iceberg_type(f.dataType),
             }
         )
-    return {"type": "struct", "schema-id": 0, "fields": fields}
+    return {"type": "struct", "schema-id": 0, "fields": fields}, phys_map
 
 
 # --------------------------------------------------------- partition spec
@@ -350,8 +386,14 @@ def sync_iceberg_metadata(
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
             prev_meta = json.load(fh)
 
+    schema, phys_map = _iceberg_schema(table, prev_meta)
     paths = sorted(f.path for f in files)
-    digest = hashlib.sha256("\n".join(paths).encode()).hexdigest()
+    # A metadata-only schema change (RENAME/DROP COLUMN) must produce a
+    # new version even with an unchanged live file set — the digest
+    # covers both.
+    digest = hashlib.sha256(
+        ("\n".join(paths) + json.dumps(schema, sort_keys=True)).encode()
+    ).hexdigest()
     if prev_meta is not None and digest == prev_meta.get("properties", {}).get(
         "onehouse.live-paths-digest"
     ):
@@ -363,7 +405,6 @@ def sync_iceberg_metadata(
     )
 
     # ---- manifest (one per snapshot, full live file set)
-    schema = _iceberg_schema(table)
     spec_fields = _partition_spec(table, schema)
     entries = []
     total_rows = 0
@@ -457,7 +498,10 @@ def sync_iceberg_metadata(
         "location": table.base_path,
         "last-sequence-number": seq,
         "last-updated-ms": now_ms,
-        "last-column-id": schema["fields"][-1]["id"] if schema["fields"] else 0,
+        "last-column-id": max(
+            [f["id"] for f in schema["fields"]]
+            + [(prev_meta or {}).get("last-column-id", 0)]
+        ),
         "current-schema-id": 0,
         "schemas": [schema],
         "default-spec-id": 0,
@@ -471,6 +515,23 @@ def sync_iceberg_metadata(
         "properties": {
             "write.format.default": "parquet",
             "onehouse.live-paths-digest": digest,
+            # Iceberg name mapping (spec §column-projection): the
+            # engine's parquet files carry no field-id annotations, so
+            # readers resolve fields by mapped name; after a RENAME the
+            # mapped name is the PHYSICAL one still in the files.
+            **(
+                {
+                    "schema.name-mapping.default": json.dumps(
+                        [
+                            {"field-id": f["id"],
+                             "names": [phys_map[f["name"]]]}
+                            for f in schema["fields"]
+                        ]
+                    )
+                }
+                if any(phys_map[n] != n for n in phys_map)
+                else {}
+            ),
         },
         "current-snapshot-id": snapshot_id,
         "snapshots": snapshots,
@@ -623,4 +684,28 @@ def read_iceberg_snapshot(spark, table_path: str):
     schema = T.StructType(fields)
     if not paths:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*paths)
+    # Name mapping (schema.name-mapping.default): files without
+    # field-id annotations resolve each field through its mapped
+    # PHYSICAL name — the post-RENAME read path of a real Iceberg
+    # client.
+    names_by_id: dict[int, str] = {}
+    nm_raw = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if nm_raw:
+        for e in json.loads(nm_raw):
+            if e.get("names"):
+                names_by_id[e["field-id"]] = e["names"][0]
+    phys = {
+        f["name"]: names_by_id.get(f["id"], f["name"])
+        for f in schema_json["fields"]
+    }
+    reader_schema = T.StructType(
+        [T.StructField(phys[f.name], f.dataType, True) for f in schema.fields]
+    )
+    df = spark.read.schema(reader_schema).parquet(*paths)
+    if any(phys[n] != n for n in phys):
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+        )
+    return df

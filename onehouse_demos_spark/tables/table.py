@@ -46,6 +46,13 @@ BLOOM_MAX_ROWS = 500_000
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+#: StructField.metadata key carrying a column's PHYSICAL (on-file)
+#: name when it differs from the logical name. RENAME COLUMN is
+#: metadata-only (Delta column-mapping semantics: the physical name
+#: never changes; only the logical schema does), so every file —
+#: written before or after the rename — shares one physical layout.
+PHYSICAL_META_KEY = "oh.physicalName"
+
 
 def escape_key_part(col):
     """Escape one part of a composite record key before the '|' join:
@@ -364,6 +371,15 @@ class LakehouseTable:
                 ).sortWithinPartitions(*sort_cols)
             else:
                 writer = writer.repartition(n)
+        pmap = self._physical_map()
+        if pmap:
+            # Column mapping active (RENAME COLUMN happened): files are
+            # written under the ORIGINAL physical names so every file,
+            # past or future, shares one layout (_read_files aliases
+            # back). Meta/partition columns never participate.
+            writer = writer.select(
+                *[F.col(c).alias(pmap.get(c, c)) for c in writer.columns]
+            )
         if pp is not None:
             writer.write.partitionBy(PP_COL).parquet(out_dir, mode="errorifexists")
         else:
@@ -408,6 +424,10 @@ class LakehouseTable:
         extra: dict | None = None,
         planned_from: str | None = None,
     ) -> Instant:
+        if df_schema is not None:
+            # Carry column-mapping metadata (renames; resurrection
+            # guard for re-added names) onto every committed schema.
+            df_schema = self._stamp_column_mapping(df_schema)
         inst = Instant(
             instant=instant,
             action=action,
@@ -593,9 +613,29 @@ class LakehouseTable:
             return None
         schema = self._latest_schema()
         reader = self.spark.read
+        pmap: dict[str, str] = {}
         if schema is not None:
-            reader = reader.schema(schema)
+            # Read under PHYSICAL names (what the parquet files carry),
+            # then alias back to the logical schema — renamed columns
+            # resolve to their original on-file data, dropped columns
+            # are simply not requested, added columns NULL-fill.
+            pmap = {
+                f.name: (f.metadata or {}).get(PHYSICAL_META_KEY, f.name)
+                for f in schema.fields
+            }
+            reader = reader.schema(
+                T.StructType(
+                    [
+                        T.StructField(pmap[f.name], f.dataType, True)
+                        for f in schema.fields
+                    ]
+                )
+            )
         df = reader.parquet(*self._abs([f.path for f in files]))
+        if any(pmap[n] != n for n in pmap):
+            df = df.select(
+                *[F.col(pmap[f.name]).alias(f.name) for f in schema.fields]
+            )
         return df.drop(PP_COL)
 
     def _latest_schema(self) -> T.StructType | None:
@@ -603,6 +643,184 @@ class LakehouseTable:
             if inst.schema_json:
                 return T.StructType.fromJson(__import__("json").loads(inst.schema_json))
         return None
+
+    # ---------------------------------------------- column mapping
+
+    def _physical_map(self) -> dict[str, str]:
+        """logical -> physical name, only for columns whose names
+        differ (empty dict = no rename ever happened; every hot path
+        stays exactly as before)."""
+        schema = self._latest_schema()
+        if schema is None:
+            return {}
+        out = {}
+        for f in schema.fields:
+            phys = (f.metadata or {}).get(PHYSICAL_META_KEY)
+            if phys and phys != f.name:
+                out[f.name] = phys
+        return out
+
+    def _used_physical_names(self) -> set[str]:
+        """Every physical column name any historical schema ever put in
+        a file — re-ADDing a column with a previously-used name must
+        get a FRESH physical name or old files' data would resurrect
+        (Delta column-mapping's id/physicalName rule). Only consulted
+        when a commit introduces a new column."""
+        import json as _json
+
+        used: set[str] = set()
+        for inst in self.timeline.instants():
+            if not inst.schema_json:
+                continue
+            for f in _json.loads(inst.schema_json)["fields"]:
+                used.add(
+                    (f.get("metadata") or {}).get(PHYSICAL_META_KEY)
+                    or f["name"]
+                )
+        return used
+
+    def _stamp_column_mapping(self, schema: T.StructType) -> T.StructType:
+        """Carry the column-mapping metadata forward onto a new
+        commit's schema: existing logical columns keep their physical
+        name; a NEW column whose name collides with a retired physical
+        name gets a fresh physical name instead of resurrecting old
+        file data."""
+        prev = self._latest_schema()
+        if prev is None:
+            return schema
+        prev_meta = {
+            f.name: (f.metadata or {}).get(PHYSICAL_META_KEY)
+            for f in prev.fields
+        }
+        new_names = [
+            f.name
+            for f in schema.fields
+            if f.name not in prev_meta and f.name not in (*META_COLS, PP_COL)
+        ]
+        retired: set[str] = set()
+        if new_names:
+            current_logical = set(prev_meta)
+            retired = {
+                p
+                for p in self._used_physical_names()
+                if p not in current_logical
+                and p not in set(prev_meta.values())
+            }
+        changed = False
+        fields = []
+        for f in schema.fields:
+            md = dict(f.metadata or {})
+            phys = prev_meta.get(f.name)
+            if phys and md.get(PHYSICAL_META_KEY) != phys:
+                md[PHYSICAL_META_KEY] = phys
+                changed = True
+            elif f.name in new_names and f.name in retired:
+                md[PHYSICAL_META_KEY] = f"{f.name}__v{len(self.timeline.instants())}"
+                changed = True
+            fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+        return T.StructType(fields) if changed else schema
+
+    def _protected_columns(self) -> set[str]:
+        cfg = self.config
+        out = set(cfg.record_key or [])
+        if cfg.precombine:
+            out.add(cfg.precombine)
+        out.update(cfg.partition_by or [])
+        out.update(self._partition_source_cols() or set())
+        if cfg.soft_delete_col:
+            out.add(cfg.soft_delete_col)
+        out.update(META_COLS)
+        out.add(PP_COL)
+        return out
+
+    def rename_column(self, old: str, new: str) -> Instant:
+        """ALTER TABLE ... RENAME COLUMN as a METADATA-ONLY commit
+        (Delta column-mapping semantics, reference xTable contract:
+        'any updates to the table schema' sync — notebook cell 7). The
+        PHYSICAL name in the files never changes; the logical schema
+        re-labels it, `_read_files` aliases physical -> logical, and
+        writes alias logical -> physical, so files written before and
+        after the rename stay one consistent layout. Key, precombine,
+        partition and meta columns are immutable (Hudi parity)."""
+        schema = self._latest_schema()
+        if schema is None:
+            raise SchemaEvolutionError(
+                "cannot rename a column before the first write commit"
+            )
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise SchemaEvolutionError(f"no such column {old!r}")
+        if new in names:
+            raise SchemaEvolutionError(f"column {new!r} already exists")
+        protected = self._protected_columns()
+        if old in protected:
+            raise SchemaEvolutionError(
+                f"column {old!r} is a key/precombine/partition/meta "
+                "column and cannot be renamed"
+            )
+        fields = []
+        for f in schema.fields:
+            if f.name == old:
+                md = dict(f.metadata or {})
+                md[PHYSICAL_META_KEY] = md.get(PHYSICAL_META_KEY, old)
+                fields.append(T.StructField(new, f.dataType, True, md))
+            else:
+                fields.append(f)
+        instant = self.timeline.begin("commit")
+        try:
+            return self._commit(
+                instant,
+                "commit",
+                "alter_schema",
+                [],
+                [],
+                T.StructType(fields),
+                extra={"renamed_column": [old, new]},
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def drop_column(self, name: str) -> Instant:
+        """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the
+        logical schema loses the field; old files keep the physical
+        bytes but reads never request them (explicit-schema parquet
+        projection). Re-adding the same name later gets a fresh
+        physical name so the retired data never resurrects."""
+        schema = self._latest_schema()
+        if schema is None:
+            raise SchemaEvolutionError(
+                "cannot drop a column before the first write commit"
+            )
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise SchemaEvolutionError(f"no such column {name!r}")
+        protected = self._protected_columns()
+        if name in protected:
+            raise SchemaEvolutionError(
+                f"column {name!r} is a key/precombine/partition/meta "
+                "column and cannot be dropped"
+            )
+        remaining = [
+            f for f in schema.fields
+            if f.name != name and f.name not in (*META_COLS, PP_COL)
+        ]
+        if not remaining:
+            raise SchemaEvolutionError("cannot drop the last data column")
+        instant = self.timeline.begin("commit")
+        try:
+            return self._commit(
+                instant,
+                "commit",
+                "alter_schema",
+                [],
+                [],
+                T.StructType([f for f in schema.fields if f.name != name]),
+                extra={"dropped_column": name},
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
 
     def upsert(self, df: DataFrame) -> Instant:
         """Merge by record key; newest-by-precombine wins; COW rewrites
@@ -1064,7 +1282,13 @@ class LakehouseTable:
         if has_logs:
             out = self.snapshot(as_of=as_of, keep_meta=keep_meta)
             return out.filter(pred) if pred is not None else out
-        files = Manifest.prune_by_col_stats(files, filters)
+        pmap = self._physical_map()
+        files = Manifest.prune_by_col_stats(
+            files,
+            [(pmap.get(c, c), op, v) for c, op, v in filters]
+            if pmap
+            else filters,
+        )
         df = self._read_files(files)
         if df is None:
             return self._empty_df(keep_meta)

@@ -1,0 +1,279 @@
+"""Destructive schema evolution: RENAME COLUMN / DROP COLUMN as
+metadata-only commits with column mapping (VERDICT r5 ask #6).
+
+Semantics mirror Delta column mapping (mode=name): the PHYSICAL column
+name in the parquet files never changes; renames relabel the logical
+schema, reads alias physical -> logical, writes alias logical ->
+physical, and a re-added name gets a FRESH physical name so retired
+data never resurrects. The xTable story ("any updates to the table
+schema" sync, notebook cell 7) extends to both personalities: Delta
+emits delta.columnMapping metadata + a protocol bump, Iceberg keeps
+field ids stable and emits schema.name-mapping.default.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.tables.table import SchemaEvolutionError
+
+
+def _cow(spark, base, name="rd"):
+    t = LakehouseTable.create(
+        spark, base,
+        TableConfig(name=name, record_key=["id"], precombine="ver"),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(1, 1, "a", 5), (2, 1, "b", 6)],
+            "id int, ver int, name string, score int",
+        )
+    )
+    return t
+
+
+def test_rename_resolves_old_files_under_new_name(spark, tmp_base):
+    t = _cow(spark, tmp_base + "/t1")
+    t.rename_column("name", "label")
+    got = {(r.id, r.label, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, "a", 5), (2, "b", 6)}
+    assert "name" not in t.snapshot().columns
+
+
+def test_mixed_era_files_share_one_physical_layout(spark, tmp_base):
+    """Writes AFTER the rename land under the ORIGINAL physical name,
+    so pre- and post-rename files read identically (verified against
+    the parquet footer, not just the logical view)."""
+    import pyarrow.parquet as pq
+
+    t = _cow(spark, tmp_base + "/t2")
+    t.rename_column("name", "label")
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 2, "B", 60), (3, 1, "c", 7)],
+            "id int, ver int, label string, score int",
+        )
+    )
+    got = {(r.id, r.label, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, "a", 5), (2, "B", 60), (3, "c", 7)}
+    # every data file physically carries 'name', never 'label'
+    for p in glob.glob(os.path.join(t.base_path, "data", "**", "*.parquet"),
+                       recursive=True):
+        cols = set(pq.read_schema(p).names)
+        assert "label" not in cols
+        assert "name" in cols
+
+
+def test_drop_then_readd_never_resurrects(spark, tmp_base):
+    t = _cow(spark, tmp_base + "/t3")
+    t.drop_column("score")
+    assert "score" not in t.snapshot().columns
+    t.evolve_schema([("score", "int")])
+    # old physical bytes for 'score' exist in the files — the re-added
+    # logical column must map to a FRESH physical name and read NULL
+    got = {(r.id, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, None), (2, None)}
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 2, "a", 99)], "id int, ver int, name string, score int"
+        )
+    )
+    got = {(r.id, r.score) for r in t.snapshot().collect()}
+    assert got == {(1, 99), (2, None)}
+
+
+def test_protected_columns_rejected(spark, tmp_base):
+    t = LakehouseTable.create(
+        spark, tmp_base + "/t4",
+        TableConfig(name="t4", record_key=["id"], precombine="ver",
+                    partition_by=["grp"]),
+    )
+    t.insert(spark.createDataFrame(
+        [(1, 1, "x", 9)], "id int, ver int, grp string, v int"
+    ))
+    for bad in ("id", "ver", "grp"):
+        with pytest.raises(SchemaEvolutionError, match="cannot be renamed"):
+            t.rename_column(bad, "zz")
+        with pytest.raises(SchemaEvolutionError, match="cannot be dropped"):
+            t.drop_column(bad)
+    with pytest.raises(SchemaEvolutionError, match="already exists"):
+        t.rename_column("v", "id")
+    with pytest.raises(SchemaEvolutionError, match="no such column"):
+        t.rename_column("ghost", "zz")
+    # dropping the only non-key column is allowed — keys stay
+    t.drop_column("v")
+    assert {r.id for r in t.snapshot().collect()} == {1}
+
+
+def test_mor_merge_across_rename_and_compaction(spark, tmp_base):
+    """MOR log files written after the rename merge correctly against
+    base files written before it, and compaction preserves the result."""
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    t = LakehouseTable.create(
+        spark, tmp_base + "/t5",
+        TableConfig(name="t5", record_key=["id"], precombine="ver",
+                    table_type="mor"),
+    )
+    t.insert(spark.createDataFrame(
+        [(1, 1, "x"), (2, 1, "y")], "id int, ver int, tag string"
+    ))
+    t.rename_column("tag", "category")
+    t.upsert(spark.createDataFrame(
+        [(1, 2, "X2")], "id int, ver int, category string"
+    ))
+    expect = {(1, "X2"), (2, "y")}
+    assert {(r.id, r.category) for r in t.snapshot().collect()} == expect
+    assert {(r.id, r.category)
+            for r in t.read_optimized().collect()} == {(1, "x"), (2, "y")}
+    run_compaction(t)
+    assert {(r.id, r.category) for r in t.snapshot().collect()} == expect
+    assert {(r.id, r.category) for r in t.read_optimized().collect()} == expect
+
+
+def test_stats_pruning_translates_renamed_filter(spark, tmp_base):
+    """snapshot_filtered's file skipping probes col_stats by PHYSICAL
+    name after a rename — pruning stays sharp, results stay right."""
+    t = LakehouseTable.create(
+        spark, tmp_base + "/t6",
+        TableConfig(name="t6", record_key=["id"], precombine="ver",
+                    target_file_rows=10),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(i, 1, i * 10) for i in range(100)], "id int, ver int, amount int"
+    ))
+    t.rename_column("amount", "revenue")
+    got = {r.id for r in
+           t.snapshot_filtered([("revenue", ">=", 900)]).collect()}
+    assert got == set(range(90, 100))
+
+
+def test_sql_alter_rename_and_drop(spark, tmp_base):
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/wh")
+    eng.sql(
+        "CREATE TABLE rt (id INT, ver INT, name STRING, score INT) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    eng.sql("INSERT INTO rt VALUES (1, 1, 'a', 5), (2, 1, 'b', 6)")
+    eng.sql("ALTER TABLE rt RENAME COLUMN name TO label")
+    got = {(r.id, r.label) for r in
+           eng.sql("SELECT id, label FROM rt").collect()}
+    assert got == {(1, "a"), (2, "b")}
+    eng.sql("ALTER TABLE rt DROP COLUMN score")
+    assert "score" not in eng.sql("SELECT * FROM rt").columns
+    # DML through the renamed schema
+    eng.sql("UPDATE rt SET label = 'z' WHERE id = 1")
+    got = {(r.id, r.label) for r in
+           eng.sql("SELECT id, label FROM rt").collect()}
+    assert got == {(1, "z"), (2, "b")}
+
+
+def test_delta_personality_column_mapping(spark, tmp_base):
+    """Delta sync after a rename/drop: metaData bumps with
+    delta.columnMapping mode=name (physicalName = on-file name, stable
+    ids), protocol upgrades to reader 2 / writer 5, and the replay
+    reader resolves renamed columns to their original file bytes."""
+    from onehouse_demos_spark.tables.delta_export import (
+        read_delta_snapshot,
+        sync_delta_log,
+    )
+
+    t = _cow(spark, tmp_base + "/t7")
+    v0 = sync_delta_log(t, now_ms=1_000)
+    t.rename_column("name", "label")
+    t.drop_column("score")
+    v1 = sync_delta_log(t, now_ms=2_000)
+    assert v1 > v0  # metadata-only change still writes a version
+    last = os.path.join(
+        t.base_path, "_delta_log", f"{v1:020d}.json"
+    )
+    actions = [json.loads(line) for line in open(last)]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    assert meta["configuration"]["delta.columnMapping.mode"] == "name"
+    fields = {f["name"]: f for f in
+              json.loads(meta["schemaString"])["fields"]}
+    assert "score" not in fields
+    md = fields["label"]["metadata"]
+    assert md["delta.columnMapping.physicalName"] == "name"
+    assert isinstance(md["delta.columnMapping.id"], int)
+    got = {(r.id, r.label) for r in
+           read_delta_snapshot(spark, t.base_path)
+           .select("id", "label").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_delta_mapping_ids_stable_across_syncs(spark, tmp_base):
+    from onehouse_demos_spark.tables.delta_export import sync_delta_log
+
+    t = _cow(spark, tmp_base + "/t8")
+    sync_delta_log(t, now_ms=1_000)
+    t.rename_column("name", "label")
+    v1 = sync_delta_log(t, now_ms=2_000)
+    t.rename_column("label", "title")
+    v2 = sync_delta_log(t, now_ms=3_000)
+
+    def field_md(version, fname):
+        path = os.path.join(t.base_path, "_delta_log", f"{version:020d}.json")
+        actions = [json.loads(line) for line in open(path)]
+        meta = next(a["metaData"] for a in actions if "metaData" in a)
+        return next(
+            f["metadata"] for f in json.loads(meta["schemaString"])["fields"]
+            if f["name"] == fname
+        )
+
+    m1 = field_md(v1, "label")
+    m2 = field_md(v2, "title")
+    assert m1["delta.columnMapping.id"] == m2["delta.columnMapping.id"]
+    assert m2["delta.columnMapping.physicalName"] == "name"
+
+
+def test_iceberg_personality_name_mapping_and_stable_ids(spark, tmp_base):
+    from onehouse_demos_spark.tables.iceberg_export import (
+        read_iceberg_snapshot,
+        sync_iceberg_metadata,
+    )
+
+    t = _cow(spark, tmp_base + "/t9")
+    i0 = sync_iceberg_metadata(t, now_ms=1_000)
+    t.rename_column("name", "label")
+    t.drop_column("score")
+    i1 = sync_iceberg_metadata(t, now_ms=2_000)
+    assert i1 > i0
+    m0 = json.load(open(os.path.join(
+        t.base_path, "metadata", f"v{i0}.metadata.json")))
+    m1 = json.load(open(os.path.join(
+        t.base_path, "metadata", f"v{i1}.metadata.json")))
+    ids0 = {f["name"]: f["id"] for f in m0["schemas"][0]["fields"]}
+    ids1 = {f["name"]: f["id"] for f in m1["schemas"][0]["fields"]}
+    assert ids1["label"] == ids0["name"]  # rename keeps the field id
+    assert "score" not in ids1            # drop retires it
+    assert m1["last-column-id"] >= m0["last-column-id"]  # never reused
+    nm = json.loads(m1["properties"]["schema.name-mapping.default"])
+    assert {"field-id": ids1["label"], "names": ["name"]} in nm
+    got = {(r.id, r.label) for r in
+           read_iceberg_snapshot(spark, t.base_path)
+           .select("id", "label").collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_incremental_read_across_rename(spark, tmp_base):
+    """Changes-since reads resolve under the LATEST logical schema —
+    commits from before the rename surface with the new column name."""
+    t = _cow(spark, tmp_base + "/t10")
+    first = t.timeline.latest_instant()
+    t.rename_column("name", "label")
+    t.upsert(spark.createDataFrame(
+        [(3, 1, "c", 7)], "id int, ver int, label string, score int"
+    ))
+    inc = t.changes(first)
+    assert "label" in inc.columns and "name" not in inc.columns
+    assert {r.id for r in inc.collect()} == {3}
