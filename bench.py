@@ -281,7 +281,112 @@ def scaling_main() -> int:
     return 0
 
 
+def upsert_rate_main() -> int:
+    """`python bench.py --upsert-rate`: pure mutation-rate metric
+    (VERDICT r5 ask #9). The headline suite is read-heavy; this times
+    the WRITE path — the reference's core identity — directly:
+    bulk-load `orders` at each SF, then upsert a 20% modified batch
+    (every %5 key) and report records/sec plus the log-log growth
+    exponent of the upsert latency. Run per-round; a write-path
+    regression shows here before it shows anywhere else."""
+    import math
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark import LakehouseTable, TableConfig, get_spark
+
+    spark = get_spark(
+        app_name="onehouse-bench-upsert",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+
+    def build_and_upsert(sf_dir: str, tag: str):
+        tmp = tempfile.mkdtemp(prefix="oh_upsert_bench_")
+        try:
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                *cols
+            )
+            t = LakehouseTable.create(
+                spark,
+                f"{tmp}/t",
+                TableConfig(
+                    name=f"bench_orders_{tag}",
+                    record_key=["o_orderkey"],
+                    precombine="o_totalprice",
+                ),
+            )
+            n_base = orders.count()
+            t0 = time.time()
+            t.bulk_insert(orders)
+            load_s = time.time() - t0
+            batch = orders.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") + 1.0
+            )
+            n_batch = batch.count()
+            t0 = time.time()
+            t.upsert(batch)
+            upsert_s = time.time() - t0
+            return n_base, load_s, n_batch, upsert_s
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # warm codegen/classloading on the smallest SF (uncounted)
+    build_and_upsert(f"/root/testdata/sf{SCALING_SFS[0]}", "warm")
+
+    rates: dict[str, dict] = {}
+    for sf in SCALING_SFS:
+        sf_dir = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(sf_dir):
+            print(f"# upsert-rate: {sf_dir} missing, skipped",
+                  file=sys.stderr)
+            continue
+        n_base, load_s, n_batch, upsert_s = build_and_upsert(sf_dir, sf)
+        rates[sf] = {
+            "table_rows": n_base,
+            "bulk_load_sec": round(load_s, 3),
+            "bulk_load_rows_per_sec": round(n_base / load_s),
+            "upsert_batch_rows": n_batch,
+            "upsert_sec": round(upsert_s, 3),
+            "upsert_rows_per_sec": round(n_batch / upsert_s),
+        }
+        print(f"# sf{sf}: load {n_base} rows in {load_s:.2f}s, "
+              f"upsert {n_batch} rows in {upsert_s:.2f}s",
+              file=sys.stderr)
+
+    xy = [
+        (math.log(float(sf)), math.log(r["upsert_sec"]))
+        for sf, r in rates.items()
+        if r["upsert_sec"] > 0
+    ]
+    exponent = None
+    if len(xy) >= 2:
+        n = len(xy)
+        mx = sum(x for x, _ in xy) / n
+        my = sum(y for _, y in xy) / n
+        denom = sum((x - mx) ** 2 for x, _ in xy)
+        exponent = round(sum((x - mx) * (y - my) for x, y in xy) / denom, 3)
+    print(json.dumps({
+        "metric": "upsert_rate",
+        "unit": "rows/sec",
+        "sfs": list(rates),
+        "rates": rates,
+        "upsert_latency_exponent": exponent,
+    }))
+    return 0
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv[1:]:
         raise SystemExit(scaling_main())
+    if "--upsert-rate" in sys.argv[1:]:
+        raise SystemExit(upsert_rate_main())
     raise SystemExit(main())
