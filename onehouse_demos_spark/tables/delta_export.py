@@ -595,9 +595,19 @@ def write_delta_checkpoint(
             ("dataChange", pa.bool_()),
         ]
     )
+    mapping_on = (
+        (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+        == "name"
+    )
     rows = [
         {
-            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+            # Column mapping is a protocol table feature (reader 2 /
+            # writer 5); a checkpoint must not downgrade it.
+            "protocol": (
+                {"minReaderVersion": 2, "minWriterVersion": 5}
+                if mapping_on
+                else {"minReaderVersion": 1, "minWriterVersion": 2}
+            ),
             "metaData": None,
             "add": None,
             "remove": None,

@@ -277,3 +277,42 @@ def test_incremental_read_across_rename(spark, tmp_base):
     inc = t.changes(first)
     assert "label" in inc.columns and "name" not in inc.columns
     assert {r.id for r in inc.collect()} == {3}
+
+
+def test_delta_checkpoint_preserves_column_mapping(spark, tmp_base):
+    """A checkpoint cut after a rename must carry protocol 2/5 and the
+    columnMapping configuration — replay seeded from the checkpoint
+    still resolves the renamed column to its physical bytes."""
+    import pyarrow.parquet as pq
+
+    from onehouse_demos_spark.tables.delta_export import (
+        read_delta_snapshot,
+        sync_delta_log,
+        write_delta_checkpoint,
+    )
+
+    t = _cow(spark, tmp_base + "/t11")
+    sync_delta_log(t, now_ms=1_000)
+    t.rename_column("name", "label")
+    v = sync_delta_log(t, now_ms=2_000)
+    ck = write_delta_checkpoint(t, now_ms=3_000)
+    assert ck == v
+    ckpt = os.path.join(
+        t.base_path, "_delta_log", f"{ck:020d}.checkpoint.parquet"
+    )
+    rows = pq.read_table(ckpt).to_pylist()
+    proto = next(r["protocol"] for r in rows if r["protocol"] is not None)
+    assert proto == {"minReaderVersion": 2, "minWriterVersion": 5}
+    meta = next(r["metaData"] for r in rows if r["metaData"] is not None)
+    cfg = dict(meta["configuration"] or [])
+    assert cfg.get("delta.columnMapping.mode") == "name"
+    # delete the pre-checkpoint JSON versions: replay must seed from
+    # the checkpoint alone and still resolve the rename
+    for old in range(ck):
+        p = os.path.join(t.base_path, "_delta_log", f"{old:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    got = {(r.id, r.label) for r in
+           read_delta_snapshot(spark, t.base_path)
+           .select("id", "label").collect()}
+    assert got == {(1, "a"), (2, "b")}
