@@ -594,6 +594,75 @@ WHERE o_orderkey % 3 <> 2
 """
 
 
+_EVOLVE_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_evolved(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Destructive-schema-evolution pipeline (r6, VERDICT r5 ask #6):
+    insert under the original schema → ADD COLUMNS note → RENAME
+    o_totalprice → price (metadata-only; physical name in old files
+    unchanged) → upsert THROUGH the renamed schema (mixed-era files) →
+    DROP o_orderpriority. The final snapshot proves old files resolve
+    under the evolved logical schema: renamed column carries original
+    bytes, added column NULL-fills rows never rewritten, dropped
+    column is projected away everywhere."""
+    if sf_dir in _EVOLVE_CACHE:
+        return _EVOLVE_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_evolve_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_evolved",
+        TableConfig(
+            name="orders_evolved",
+            record_key=["o_orderkey"],
+            precombine="o_custkey",
+        ),
+    )
+    t.insert(
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+    )
+    t.evolve_schema([("note", "string")])
+    t.rename_column("o_totalprice", "price")
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") + 1000.0).alias("price"),
+            "o_orderpriority",
+            F.lit("upd").alias("note"),
+        )
+    )
+    t.drop_column("o_orderpriority")
+    _EVOLVE_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_schema_evolved_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after ADD + RENAME + mixed-era upsert + DROP — every
+    row's values re-derivable from `orders` by the oracle's CASE
+    logic (column mapping: rename/drop are metadata-only commits)."""
+    t = _build_evolved(spark, sf_dir)
+    return t.snapshot().select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("price", 2).alias("price_r"),
+        "note",
+    )
+
+
+TBL_SCHEMA_EVOLVED_READ_SQL = """
+SELECT o_orderkey, o_custkey,
+       ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS price_r,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'upd' ELSE NULL END AS note
+FROM orders
+"""
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -614,6 +683,7 @@ QUERIES = {
     "tbl_mor_read_optimized": tbl_mor_read_optimized,
     "tbl_mor_snapshot": tbl_mor_snapshot,
     "tbl_mor_compacted": tbl_mor_compacted,
+    "tbl_schema_evolved_read": tbl_schema_evolved_read,
     "cdc_apply_envelopes": cdc_apply_envelopes,
 }
 
@@ -637,5 +707,6 @@ ORACLES = {
     "tbl_mor_read_optimized": TBL_MOR_READ_OPTIMIZED_SQL,
     "tbl_mor_snapshot": TBL_MOR_SNAPSHOT_SQL,
     "tbl_mor_compacted": TBL_MOR_COMPACTED_SQL,
+    "tbl_schema_evolved_read": TBL_SCHEMA_EVOLVED_READ_SQL,
     "cdc_apply_envelopes": CDC_APPLY_ENVELOPES_SQL,
 }
