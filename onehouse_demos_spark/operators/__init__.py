@@ -114,9 +114,16 @@ _WINDOW = [
     # (zero-shuffle map stage, covered by doc_fingerprints), and
     # knn_bruteforce (covered by knn_batch_join). All three stay
     # registered past the window and green in the local sweep.
+    # r6 late swap: the destructive-schema-evolution pipeline
+    # (ADD + RENAME + mixed-era upsert + DROP through column mapping)
+    # is this round's signature table feature — driver-verify it in the
+    # slot of knn_ivf (hash-bucketed IVF; its similarity-suite row
+    # stays driver-covered by knn_ivf_trained, which subsumes the
+    # bucketed probe with a trained coarse quantizer).
     "tbl_delta_personality_read",
     "tbl_delta_pruned_read",
     "tbl_iceberg_personality_read",
+    "tbl_schema_evolved_read",
     "events_max_ts",
     "tbl_cdf_chain_read",
     "sql_call_pipeline",
@@ -140,7 +147,6 @@ _WINDOW = [
     "cross_source_overlap",
     # similarity suite
     "label_centroid_distance",
-    "knn_ivf",
     "knn_ivf_trained",
     "embedding_near_dup_pairs",
     "knn_batch_join",

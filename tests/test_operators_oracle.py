@@ -81,12 +81,12 @@ def test_driver_window_covers_distinct_operator_classes():
     assert len(ops._WINDOW) == 50
     assert window == ops._WINDOW
     must_have = {
-        "minhash_lsh_pairs", "near_dup_canonical", "knn_ivf",
+        "minhash_lsh_pairs", "near_dup_canonical",
         "text_stats", "multimodal_features", "streaming_hourly_counts",
         "sql_dml_pipeline", "sessionize_events", "events_json_extract",
         # r6 rotation: the signature work is driver-verified
         "tbl_iceberg_personality_read", "knn_ivf_trained",
-        "semantic_dedup_keep",
+        "semantic_dedup_keep", "tbl_schema_evolved_read",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()
