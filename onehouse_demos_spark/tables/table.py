@@ -692,20 +692,20 @@ class LakehouseTable:
             f.name: (f.metadata or {}).get(PHYSICAL_META_KEY)
             for f in prev.fields
         }
-        new_names = [
+        new_names = {
             f.name
             for f in schema.fields
             if f.name not in prev_meta and f.name not in (*META_COLS, PP_COL)
-        ]
-        retired: set[str] = set()
-        if new_names:
-            current_logical = set(prev_meta)
-            retired = {
-                p
-                for p in self._used_physical_names()
-                if p not in current_logical
-                and p not in set(prev_meta.values())
-            }
+        }
+        # A NEW column whose name matches ANY physical name ever put in
+        # a file needs a fresh physical name. That covers both a
+        # retired (dropped) column's physical AND the physical of a
+        # still-live RENAMED column (rename a->b then add a new 'a':
+        # binding the new 'a' to physical 'a' would collide with b's
+        # physical and resurrect/alias its data).
+        used: set[str] = (
+            self._used_physical_names() if new_names else set()
+        )
         changed = False
         fields = []
         for f in schema.fields:
@@ -714,8 +714,14 @@ class LakehouseTable:
             if phys and md.get(PHYSICAL_META_KEY) != phys:
                 md[PHYSICAL_META_KEY] = phys
                 changed = True
-            elif f.name in new_names and f.name in retired:
-                md[PHYSICAL_META_KEY] = f"{f.name}__v{len(self.timeline.instants())}"
+            elif f.name in new_names and f.name in used:
+                fresh = f"{f.name}__v{len(self.timeline.instants())}"
+                k = 0
+                while fresh in used:
+                    k += 1
+                    fresh = f"{f.name}__v{len(self.timeline.instants())}_{k}"
+                md[PHYSICAL_META_KEY] = fresh
+                used.add(fresh)
                 changed = True
             fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
         return T.StructType(fields) if changed else schema

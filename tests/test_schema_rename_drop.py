@@ -316,3 +316,21 @@ def test_delta_checkpoint_preserves_column_mapping(spark, tmp_base):
            read_delta_snapshot(spark, t.base_path)
            .select("id", "label").collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_readd_of_renamed_columns_old_name_never_aliases(spark, tmp_base):
+    """rename a->b then ADD a NEW column named 'a': the new 'a' must
+    get a fresh physical name — binding it to physical 'a' would alias
+    b's data (both logical columns reading the same file bytes)."""
+    t = _cow(spark, tmp_base + "/t12")
+    t.rename_column("name", "label")
+    t.evolve_schema([("name", "string")])  # NEW column, old logical name
+    rows = {(r.id, r.label, r.name) for r in t.snapshot().collect()}
+    # label still reads the original bytes; the new 'name' is NULL
+    assert rows == {(1, "a", None), (2, "b", None)}
+    t.upsert(spark.createDataFrame(
+        [(1, 2, "A", 50, "fresh")],
+        "id int, ver int, label string, score int, name string",
+    ))
+    rows = {(r.id, r.label, r.name) for r in t.snapshot().collect()}
+    assert rows == {(1, "A", "fresh"), (2, "b", None)}
