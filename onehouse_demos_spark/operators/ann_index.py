@@ -154,6 +154,75 @@ class AnnIndex:
             except Exception:
                 pass
 
+    # ------------------------------------------------------- incremental
+
+    def add_batch(self, emb: DataFrame) -> int:
+        """Append new vectors WITHOUT retraining — IVF insert
+        semantics: the coarse quantizer and PQ codebooks stay FROZEN
+        (real systems retrain/rebuild offline when drift warrants it;
+        until then inserts assign against the existing geometry, same
+        as FAISS `IndexIVF.add`). Returns the number of rows appended.
+
+        Scale shape: every job here is over the BATCH only — assign
+        cells (broadcast centroids), residual-encode with the existing
+        codebooks (broadcast), one shuffle on `cell`, and an APPEND of
+        new files inside the existing hive cell partitions, so
+        probed-cell file pruning keeps working unchanged and the
+        existing codes are never read or rewritten. Many small batches
+        leave a small-file tail per cell — rebuild (or re-write the
+        hot cells) on the usual maintenance cadence, exactly like
+        table file-sizing.
+
+        `vec_id`s must be new: the index never rescans itself to check
+        (that would read the whole corpus per insert) — dedupe
+        upstream like any append-only ingest."""
+        vecs = emb.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ).persist()
+        try:
+            n = vecs.count()
+            if n == 0:
+                return 0
+            assigned = _assign_to_centroids(
+                vecs.select("vec_id", "v"), self.centroids
+            ).withColumnRenamed("cid", "cell")
+            cdf = _centroid_df(vecs, self.centroids).withColumnRenamed(
+                "cid", "cell"
+            )
+            resid = assigned.join(F.broadcast(cdf), "cell").select(
+                "vec_id",
+                "cell",
+                F.zip_with("v", "c", lambda a, b: a - b).alias("v"),
+            )
+            codes = (
+                _pq_assign(
+                    _subvec_frame(resid.select("vec_id", "v"), self.meta["m"]),
+                    self.codebooks,
+                )
+                .groupBy("vec_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub", "cid"))
+                    ).alias("sc")
+                )
+                .select(
+                    "vec_id",
+                    F.transform("sc", lambda s: s["cid"]).alias("codes"),
+                )
+                .join(resid.select("vec_id", "cell"), "vec_id")
+            )
+            codes.repartition("cell").write.mode("append").partitionBy(
+                "cell"
+            ).parquet(f"{self.path}/codes")
+            self.meta["n_vectors"] = int(self.meta.get("n_vectors", 0)) + n
+            tmp = f"{self.path}/meta.json.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self.meta, fh)
+            os.replace(tmp, f"{self.path}/meta.json")
+            return n
+        finally:
+            vecs.unpersist()
+
     # ------------------------------------------------------------- load
 
     @staticmethod

@@ -179,18 +179,33 @@ def ann_index_search_sql(
     nprobe: int = 4,
     shortlist: int = 64,
     top_k: int = 10,
+    train_pred: str | None = None,
 ) -> str:
     """Mirror of ann_index.AnnIndex (IVFADC): coarse quantizer, PQ
     codebooks trained on RESIDUALS, per-probed-cell query LUTs over
     the query residual, ADC over codes in probed cells only, exact
     cosine re-rank. The persisted-index layout (parquet partitioning)
-    is storage, not semantics — the oracle replays the math."""
-    return f"""
+    is storage, not semantics — the oracle replays the math.
+
+    With `train_pred` (a predicate over `id`), the quantizers train on
+    ONLY the matching subset while codes cover the full corpus — the
+    `AnnIndex.add_batch` incremental-insert semantics (frozen
+    quantizers encode vectors they never saw in training)."""
+    train_src = "src"
+    rsub_train = "rsub"
+    extra = ""
+    if train_pred is not None:
+        train_src = "train_src"
+        rsub_train = "rsub_train"
+        extra = (
+            f"train_src AS (SELECT * FROM src WHERE {train_pred}),\n"
+        )
+    sql_head = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 src AS (SELECT 0 AS grp, vec_id AS id, v FROM e),
-{_kmeans_ctes("cc", "src", k_coarse, iters)},
+{extra}{_kmeans_ctes("cc", train_src, k_coarse, iters)},
 {_assign_cte("cells", "src", f"cc_c{iters}")},
 resid AS (
   SELECT a.id, a.cid AS cell,
@@ -198,8 +213,12 @@ resid AS (
            for i in generate_series(1, array_length(a.v)) ] AS v
   FROM cells a JOIN cc_c{iters} c ON c.cid = a.cid AND c.grp = 0
 ),
-{_subvec_cte("rsub", "resid", m)},
-{_kmeans_ctes("rb", "rsub", k_pq, iters)},
+{_subvec_cte("rsub", "resid", m)},"""
+    if train_pred is not None:
+        sql_head += f"""
+rsub_train AS (SELECT * FROM rsub WHERE {train_pred}),"""
+    return sql_head + f"""
+{_kmeans_ctes("rb", rsub_train, k_pq, iters)},
 {_assign_cte("rcodes", "rsub", f"rb_c{iters}")},
 q AS (SELECT v FROM e WHERE vec_id = 0),
 probe AS (

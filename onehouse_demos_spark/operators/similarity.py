@@ -921,6 +921,42 @@ def ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index maintenance (`AnnIndex.add_batch`): build the
+    persistent IVFADC index on HALF the corpus (vec_id % 2 = 0), then
+    append the other half with FROZEN quantizers — the FAISS
+    `IndexIVF.add` ingest shape: inserts assign against the existing
+    geometry, no retrain, no rewrite of existing code files — and
+    answer the vec_id=0 query over the full index. Fully
+    oracle-checked: `ann_index_search_sql(train_pred='id % 2 = 0')`
+    replays training on the build half and coding over the whole
+    corpus in DuckDB on the shared 6-decimal grid."""
+    import tempfile
+
+    from onehouse_demos_spark.operators.ann_index import AnnIndex
+
+    key = (id(spark), sf_dir, "incremental")
+    if key not in _ANN_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix="oh_annidx_incr_") + "/idx"
+        emb = load_emb(spark, sf_dir)
+        idx = AnnIndex.build(
+            emb.filter(F.col("vec_id") % 2 == 0), path, k_coarse=8, iters=3
+        )
+        idx.add_batch(emb.filter(F.col("vec_id") % 2 == 1))
+        _ANN_INDEX_CACHE[key] = path
+    idx = AnnIndex.load(spark, _ANN_INDEX_CACHE[key])
+    emb = load_emb(spark, sf_dir)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_as_double(F.col("embedding")).alias("v"))
+        .first()
+        .v
+    )
+    return idx.search(
+        list(q), top_k=10, nprobe=4, rerank_with=emb, exclude_vec_id=0
+    )
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "label_centroid_distance": label_centroid_distance,
@@ -937,6 +973,7 @@ QUERIES = {
     "pq_adc_topk": pq_adc_topk,
     "knn_ivf_trained": knn_ivf_trained,
     "ann_index_search": ann_index_search,
+    "ann_index_incremental": ann_index_incremental,
 }
 
 from onehouse_demos_spark.operators.ann_oracle_sql import (  # noqa: E402
@@ -956,4 +993,5 @@ ORACLES = {
     "knn_ivf_trained": knn_ivf_trained_sql(),
     "pq_adc_topk": pq_adc_topk_sql(),
     "ann_index_search": ann_index_search_sql(),
+    "ann_index_incremental": ann_index_search_sql(train_pred="id % 2 = 0"),
 }

@@ -119,3 +119,69 @@ def test_filtered_search_prefilters_candidates(spark, tmp_base):
         for r in emb.select("vec_id", "label").collect()
     }
     assert all(labels[r.vec_id] != qlabel for r in hits)
+
+
+def test_add_batch_incremental_insert(spark, tmp_base):
+    """r6: `add_batch` appends vectors with FROZEN quantizers — the
+    full index must contain every vector, recall vs brute force holds,
+    existing code files are never rewritten, and meta.n_vectors
+    tracks the appends across a reload."""
+    import json
+    import os
+
+    emb = load_emb(spark, SF_DIR)
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    idx = AnnIndex.build(
+        half_a, tmp_base + "/inc", k_coarse=8, m=8, k_pq=16, iters=3
+    )
+    before_files = sorted(
+        glob.glob(tmp_base + "/inc/codes/**/*.parquet", recursive=True)
+    )
+    before_mtimes = {p: os.path.getmtime(p) for p in before_files}
+    n_b = half_b.count()
+    assert idx.add_batch(half_b) == n_b
+    # append-only: no pre-existing file rewritten or removed
+    for p in before_files:
+        assert os.path.getmtime(p) == before_mtimes[p]
+    # every vector present exactly once in the codes table
+    codes = spark.read.parquet(tmp_base + "/inc/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    # reload from disk: meta carries the running total
+    idx2 = AnnIndex.load(spark, tmp_base + "/inc")
+    assert idx2.meta["n_vectors"] == emb.count()
+    # recall against brute force stays useful (same gate shape as the
+    # full-build test: >= 5 of exact top-10 inside the reranked top-10)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .first()
+        .v
+    )
+    hits = [
+        r.vec_id
+        for r in idx2.search(
+            list(q), top_k=10, nprobe=4, shortlist=64,
+            rerank_with=emb, exclude_vec_id=0,
+        ).collect()
+    ]
+    exact = [r.vec_id for r in knn_bruteforce(spark, SF_DIR).collect()]
+    assert len(set(hits) & set(exact)) >= 5
+    # appended rows land INSIDE existing cell partitions (pruning
+    # unaffected): no new top-level partition dirs beyond k_coarse
+    cells = {
+        d for d in os.listdir(tmp_base + "/inc/codes")
+        if d.startswith("cell=")
+    }
+    assert len(cells) <= 8
+
+
+def test_add_batch_empty_is_noop(spark, tmp_base):
+    emb = load_emb(spark, SF_DIR)
+    idx = AnnIndex.build(
+        emb, tmp_base + "/noop", k_coarse=8, m=8, k_pq=16, iters=3
+    )
+    n0 = idx.meta["n_vectors"]
+    assert idx.add_batch(emb.filter(F.lit(False))) == 0
+    assert AnnIndex.load(spark, tmp_base + "/noop").meta["n_vectors"] == n0
