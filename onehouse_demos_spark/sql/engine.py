@@ -1312,6 +1312,13 @@ class Engine:
                 cond = retarget_by_source(cond_src)
                 if re.fullmatch(r"DELETE", action, re.IGNORECASE):
                     by_source_clauses.append((cond, "delete", action))
+                elif re.fullmatch(
+                    r"UPDATE\s+SET\s*\*", action, re.IGNORECASE
+                ):
+                    raise SqlParseError(
+                        "UPDATE SET * is meaningless in WHEN NOT MATCHED "
+                        "BY SOURCE (the source side is NULL there)"
+                    )
                 elif re.match(r"^UPDATE\s+SET\b", action, re.IGNORECASE):
                     by_source_clauses.append((cond, "update", action))
                 else:
@@ -1406,6 +1413,29 @@ class Engine:
 
         def update_select(action: str, prefix_where: str) -> str:
             sets = {}
+            body = re.sub(
+                r"^UPDATE\s+SET\s*", "", action, flags=re.IGNORECASE
+            ).strip()
+            if body == "*":
+                # Delta's `UPDATE SET *`: every target column takes the
+                # same-named source column (columns only the target has
+                # keep their value).
+                src_cols = {
+                    c
+                    for c in joined.columns
+                    if not c.startswith("__t_")
+                    and c
+                    not in ("__matched", "__src_only", "__tgt_only",
+                            "__s_present")
+                }
+                sel = [
+                    f"{c} AS {c}" if c in src_cols else f"__t_{c} AS {c}"
+                    for c in tcols
+                ]
+                return (
+                    f"SELECT {', '.join(sel)} FROM __merge_joined "
+                    f"WHERE {prefix_where}"
+                )
             for kv in _split_top_level(
                 re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.IGNORECASE)
             ):

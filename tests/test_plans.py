@@ -392,3 +392,61 @@ def test_mor_merge_read_is_hash_aggregate_not_window(spark, tmp_path):
     assert "max_by" in txt, txt[:1200]
     # partial + final pair → map-side combine before the exchange
     assert txt.count("max_by") >= 2, txt[:1200]
+
+
+def test_renamed_column_filter_pushes_down_physical_name(spark, tmp_path):
+    """r6 column mapping: a filter on a RENAMED logical column must
+    reach the parquet scan as a pushed filter on the PHYSICAL name
+    (the alias projection is transparent to Catalyst), and the scan
+    must stay column-pruned."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    t = LakehouseTable.create(
+        spark, str(tmp_path / "ren"),
+        TableConfig(name="ren", record_key=["id"], precombine="ver",
+                    target_file_rows=10),
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(i, 1, i * 10) for i in range(100)], "id int, ver int, amount int"
+    ))
+    t.rename_column("amount", "revenue")
+    df = t.snapshot().filter(F.col("revenue") >= 900).select("id", "revenue")
+    pf = pushed_filters(df)
+    assert any("amount" in f for f in pf), pf  # physical name at the scan
+    cols = read_schema_columns(df)
+    assert cols and "ver" not in cols[0], cols  # pruning intact
+
+
+def test_merge_by_source_uses_full_outer_only_when_needed(spark, tmp_path):
+    """The BY SOURCE path needs target-only rows (full-outer join);
+    a MERGE WITHOUT a BY SOURCE clause must keep the cheaper
+    outer-join-from-source plan (no silent always-full-outer
+    regression)."""
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.sql(
+        "CREATE TABLE mp (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    eng.sql("INSERT INTO mp VALUES (1, 1), (2, 2)")
+    spark.createDataFrame([(1, 10)], "id int, v int").createOrReplaceTempView(
+        "mp_src"
+    )
+    eng.sql(
+        "MERGE INTO mp t USING mp_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    plain = spark.table("__merge_joined")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "FullOuter" not in plain, plain
+    eng.sql(
+        "MERGE INTO mp t USING mp_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    by_source = spark.table("__merge_joined")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "FullOuter" in by_source, by_source
+    assert {r.id: r.v for r in eng.sql("SELECT * FROM mp").collect()} \
+        == {1: 10}

@@ -303,3 +303,23 @@ def test_merge_by_source_on_matched_clause_rejected(eng, spark):
             "MERGE INTO pt t USING bym_src s ON t.id = s.id "
             "WHEN NOT MATCHED BY SOURCE THEN INSERT *"
         )
+
+
+def test_merge_update_set_star(eng, spark):
+    """Delta's `UPDATE SET *`: every same-named source column lands on
+    the matched target row; rejected under BY SOURCE (source is NULL)."""
+    spark.createDataFrame(
+        [(1, "s1", 111), (9, "s9", 999)], "id int, grade string, v int"
+    ).createOrReplaceTempView("star_src")
+    eng.sql(
+        "MERGE INTO pt t USING star_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _vals(eng) == {(1, "s1", 111), (2, "b", 20), (3, "c", 30),
+                          (9, "s9", 999)}
+    with pytest.raises(SqlParseError, match="meaningless"):
+        eng.sql(
+            "MERGE INTO pt t USING star_src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
+        )
