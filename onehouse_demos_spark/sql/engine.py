@@ -175,6 +175,20 @@ _MERGE_RE = re.compile(
     r"ON\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+def _parens_balanced(txt: str) -> bool:
+    """Literal-masked paren balance check (a ')' inside a string never
+    counts)."""
+    depth = 0
+    for ch in mask_literals(txt):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
 _MATCHED_RE = re.compile(
     r"^\s*(?P<not>NOT\s+)?MATCHED\b"
     r"(?:\s+BY\s+(?P<by>SOURCE|TARGET)\b)?(?P<tail>.*)$",
@@ -1203,9 +1217,48 @@ class Engine:
         t = self._tables[target_name]
         talias = m.group("talias") or target_name
         source = m.group("source")
-        salias = m.group("salias") or (
-            None if source.startswith("(") else self._norm(source)
-        )
+        salias = m.group("salias")
+        rest_override = None
+        if source.startswith("(") and not _parens_balanced(source):
+            # The header regex's lazy `\(.+?\)` cut a nested subquery
+            # short (a `) alias ON` sequence INSIDE the subquery — e.g.
+            # a join of a derived table). Re-extract with a
+            # literal-masked depth scan from the source's start.
+            stmt = m.group(0)
+            masked = mask_literals(stmt)
+            i = m.start("source")
+            depth = 0
+            j = i
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise SqlParseError(
+                    "unbalanced parentheses in MERGE USING source"
+                )
+            source = stmt[i : j + 1]
+            tail = stmt[j + 1 :]
+            tm = re.match(
+                r"\s*(?:AS\s+)?(?P<salias>\w+)?\s*\bON\b(?P<rest>.+)$",
+                mask_literals(tail),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if tm is None:
+                raise SqlParseError(
+                    "expected [alias] ON <condition> after MERGE USING "
+                    "(<subquery>)"
+                )
+            salias = tm.group("salias")
+            rest_override = tail[tm.start("rest") :]
+        if salias is None:
+            salias = (
+                None if source.startswith("(") else self._norm(source)
+            )
         if salias is None:
             raise ValueError("MERGE subquery source requires an alias")
         self.register_views()
@@ -1226,7 +1279,7 @@ class Engine:
             )
             return expr
 
-        rest = m.group("rest")
+        rest = rest_override if rest_override is not None else m.group("rest")
         wpos = find_top_level_keyword(rest, "WHEN")
         if wpos < 0:
             raise SqlParseError("MERGE requires at least one WHEN clause")

@@ -323,3 +323,26 @@ def test_merge_update_set_star(eng, spark):
             "MERGE INTO pt t USING star_src s ON t.id = s.id "
             "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *"
         )
+
+
+def test_merge_subquery_source_with_inner_join_on(eng, spark):
+    """r6: a USING (<subquery>) whose body itself contains
+    `) alias ON` (a join of a derived table) must not be cut short by
+    the lazy header regex — the balanced-paren re-extraction carries
+    the full subquery into the plan."""
+    spark.createDataFrame(
+        [(1, 100), (9, 900)], "id int, v int"
+    ).createOrReplaceTempView("outer_src")
+    spark.createDataFrame(
+        [(1, "j1"), (9, "j9")], "id int, grade string"
+    ).createOrReplaceTempView("grade_src")
+    eng.sql(
+        "MERGE INTO pt t USING ("
+        "  SELECT o.id, g.grade, o.v FROM outer_src o "
+        "  JOIN (SELECT id, grade FROM grade_src) g ON o.id = g.id"
+        ") s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET grade = s.grade, v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert _vals(eng) == {(1, "j1", 100), (2, "b", 20), (3, "c", 30),
+                          (9, "j9", 900)}
