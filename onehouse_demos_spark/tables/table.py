@@ -714,6 +714,13 @@ class LakehouseTable:
             if phys and md.get(PHYSICAL_META_KEY) != phys:
                 md[PHYSICAL_META_KEY] = phys
                 changed = True
+            elif md.get(PHYSICAL_META_KEY):
+                # Explicit mapping already on the incoming schema —
+                # rename_column introducing a new LOGICAL name for an
+                # existing physical column. Trust it: the fresh-name
+                # branch below must not clobber it (renaming to a
+                # once-used name like n2 -> n1 keeps physical 'n2').
+                pass
             elif f.name in new_names and f.name in used:
                 fresh = f"{f.name}__v{len(self.timeline.instants())}"
                 k = 0

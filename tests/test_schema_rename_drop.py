@@ -334,3 +334,91 @@ def test_readd_of_renamed_columns_old_name_never_aliases(spark, tmp_base):
     ))
     rows = {(r.id, r.label, r.name) for r in t.snapshot().collect()}
     assert rows == {(1, "A", "fresh"), (2, "b", None)}
+
+
+def test_schema_evolution_fuzz_model_check(spark, tmp_base):
+    """Model-based check over a seeded random sequence of
+    rename / drop / add / upsert: after every operation the snapshot
+    must equal a plain-dict model. Catches interaction bugs (rename
+    after drop, re-add of retired names, upserts through mixed
+    schemas) that single-shot tests cannot."""
+    import random
+
+    rng = random.Random(20260814)
+    t = LakehouseTable.create(
+        spark, tmp_base + "/fuzz",
+        TableConfig(name="fuzz", record_key=["id"], precombine="ver"),
+    )
+    # model: cols = current data columns (beyond id/ver); rows[id] =
+    # {col: value}; every historical name pool for re-add collisions
+    cols = ["c0", "c1"]
+    t.insert(spark.createDataFrame(
+        [(i, 1, f"v{i}", str(i * 10)) for i in range(8)],
+        "id int, ver int, c0 string, c1 string",
+    ))
+    rows = {i: {"c0": f"v{i}", "c1": str(i * 10)} for i in range(8)}
+    ver = {i: 1 for i in range(8)}
+    name_seq = 0
+
+    def fresh_name():
+        nonlocal name_seq
+        name_seq += 1
+        return f"n{name_seq}"
+
+    used_names = set(cols)
+    for step in range(14):
+        op = rng.choice(["rename", "drop", "add", "upsert", "upsert"])
+        if op == "rename" and cols:
+            old = rng.choice(cols)
+            new = rng.choice(
+                [fresh_name()]
+                + [u for u in used_names if u not in cols]
+            )
+            t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            used_names.add(new)
+            for r in rows.values():
+                r[new] = r.pop(old)
+        elif op == "drop" and len(cols) > 1:
+            victim = rng.choice(cols)
+            t.drop_column(victim)
+            cols.remove(victim)
+            for r in rows.values():
+                r.pop(victim, None)
+        elif op == "add":
+            new = rng.choice(
+                [fresh_name()]
+                + [u for u in used_names if u not in cols]
+            )
+            t.evolve_schema([(new, "string")])
+            cols.append(new)
+            used_names.add(new)
+            for r in rows.values():
+                r[new] = None
+        elif op == "upsert" and cols:
+            ids = rng.sample(sorted(rows) + [20 + step], k=3)
+            batch = []
+            for i in ids:
+                ver[i] = ver.get(i, 0) + 1
+                vals = {c: f"s{step}_{i}_{c}" for c in cols}
+                rows.setdefault(i, {})
+                rows[i] = vals
+                batch.append((i, ver[i], *[vals[c] for c in cols]))
+            schema = "id int, ver int, " + ", ".join(
+                f"{c} string" for c in cols
+            )
+            t.upsert(spark.createDataFrame(batch, schema))
+        # verify snapshot against the model
+        got = {}
+        for r in t.snapshot().collect():
+            d = r.asDict()
+            got[d["id"]] = {c: d[c] for c in cols}
+        want = {
+            i: {c: (None if v is None else str(v)) for c, v in r.items()}
+            for i, r in rows.items()
+        }
+        norm_got = {
+            i: {c: (None if v is None else str(v)) for c, v in r.items()}
+            for i, r in got.items()
+        }
+        assert norm_got == want, f"divergence at step {step} ({op})"
