@@ -336,18 +336,24 @@ def test_readd_of_renamed_columns_old_name_never_aliases(spark, tmp_base):
     assert rows == {(1, "A", "fresh"), (2, "b", None)}
 
 
-def test_schema_evolution_fuzz_model_check(spark, tmp_base):
+@pytest.mark.parametrize("table_type", ["cow", "mor"])
+def test_schema_evolution_fuzz_model_check(spark, tmp_base, table_type):
     """Model-based check over a seeded random sequence of
-    rename / drop / add / upsert: after every operation the snapshot
-    must equal a plain-dict model. Catches interaction bugs (rename
-    after drop, re-add of retired names, upserts through mixed
-    schemas) that single-shot tests cannot."""
+    rename / drop / add / upsert / delete (+ compaction on MOR): after
+    every operation the snapshot must equal a plain-dict model.
+    Catches interaction bugs (rename after drop, re-add of retired
+    names, upserts through mixed schemas, MOR merges across
+    mixed-schema log files) that single-shot tests cannot. This test
+    found the rename-to-retired-name physical clobber (r6)."""
     import random
+
+    from onehouse_demos_spark.tables.maintenance import run_compaction
 
     rng = random.Random(20260814)
     t = LakehouseTable.create(
         spark, tmp_base + "/fuzz",
-        TableConfig(name="fuzz", record_key=["id"], precombine="ver"),
+        TableConfig(name="fuzz", record_key=["id"], precombine="ver",
+                    table_type=table_type),
     )
     # model: cols = current data columns (beyond id/ver); rows[id] =
     # {col: value}; every historical name pool for re-add collisions
@@ -366,8 +372,11 @@ def test_schema_evolution_fuzz_model_check(spark, tmp_base):
         return f"n{name_seq}"
 
     used_names = set(cols)
+    ops = ["rename", "drop", "add", "upsert", "upsert", "delete"]
+    if table_type == "mor":
+        ops.append("compact")
     for step in range(14):
-        op = rng.choice(["rename", "drop", "add", "upsert", "upsert"])
+        op = rng.choice(ops)
         if op == "rename" and cols:
             old = rng.choice(cols)
             new = rng.choice(
@@ -408,6 +417,15 @@ def test_schema_evolution_fuzz_model_check(spark, tmp_base):
                 f"{c} string" for c in cols
             )
             t.upsert(spark.createDataFrame(batch, schema))
+        elif op == "delete" and len(rows) > 2:
+            victim_ids = rng.sample(sorted(rows), k=2)
+            t.delete(spark.createDataFrame(
+                [(i,) for i in victim_ids], "id int"
+            ))
+            for i in victim_ids:
+                rows.pop(i)
+        elif op == "compact":
+            run_compaction(t)
         # verify snapshot against the model
         got = {}
         for r in t.snapshot().collect():
@@ -422,3 +440,46 @@ def test_schema_evolution_fuzz_model_check(spark, tmp_base):
             for i, r in got.items()
         }
         assert norm_got == want, f"divergence at step {step} ({op})"
+
+
+def test_fuzz_final_state_syncs_to_both_personalities(spark, tmp_base):
+    """After an evolution sequence, both personality syncs must expose
+    exactly the engine snapshot through their replay readers (the
+    xTable contract: 'any updates to the table schema')."""
+    from onehouse_demos_spark.tables.delta_export import (
+        read_delta_snapshot,
+        sync_delta_log,
+    )
+    from onehouse_demos_spark.tables.iceberg_export import (
+        read_iceberg_snapshot,
+        sync_iceberg_metadata,
+    )
+
+    t = _cow(spark, tmp_base + "/ps")
+    t.rename_column("name", "label")
+    t.evolve_schema([("tier", "string")])
+    t.upsert(spark.createDataFrame(
+        [(2, 2, "B2", 60, "gold"), (3, 1, "c", 7, "silver")],
+        "id int, ver int, label string, score int, tier string",
+    ))
+    t.drop_column("score")
+    t.rename_column("label", "title")
+    sync_delta_log(t, now_ms=1_000)
+    sync_iceberg_metadata(t, now_ms=1_000)
+
+    want = sorted(
+        (r.id, r.title, r.tier) for r in t.snapshot().collect()
+    )
+    assert want == [(1, "a", None), (2, "B2", "gold"), (3, "c", "silver")]
+    got_delta = sorted(
+        (r.id, r.title, r.tier)
+        for r in read_delta_snapshot(spark, t.base_path)
+        .select("id", "title", "tier").collect()
+    )
+    got_ice = sorted(
+        (r.id, r.title, r.tier)
+        for r in read_iceberg_snapshot(spark, t.base_path)
+        .select("id", "title", "tier").collect()
+    )
+    assert got_delta == want
+    assert got_ice == want
