@@ -608,10 +608,12 @@ class LakehouseTable:
     def _abs(self, rel_paths: list[str]) -> list[str]:
         return [os.path.join(self.base_path, p) for p in rel_paths]
 
-    def _read_files(self, files: list[FileMeta]) -> DataFrame | None:
+    def _read_files(
+        self, files: list[FileMeta], as_of: str | None = None
+    ) -> DataFrame | None:
         if not files:
             return None
-        schema = self._latest_schema()
+        schema = self._latest_schema(as_of)
         reader = self.spark.read
         pmap: dict[str, str] = {}
         if schema is not None:
@@ -638,8 +640,14 @@ class LakehouseTable:
             )
         return df.drop(PP_COL)
 
-    def _latest_schema(self) -> T.StructType | None:
+    def _latest_schema(self, as_of: str | None = None) -> T.StructType | None:
+        """Newest committed schema, or — with `as_of` — the schema AS
+        OF that instant (Delta/Iceberg time-travel semantics: an old
+        version reads under its own schema, so a later DROP does not
+        hide historical data and a later RENAME does not relabel it)."""
         for inst in reversed(self.timeline.instants()):
+            if as_of is not None and inst.instant > as_of:
+                continue
             if inst.schema_json:
                 return T.StructType.fromJson(__import__("json").loads(inst.schema_json))
         return None
@@ -1251,7 +1259,7 @@ class LakehouseTable:
             # empty by definition; merging tombstone-only logs would
             # fail resolving the data columns.
             return self._empty_df(keep_meta)
-        df = self._read_files(files)
+        df = self._read_files(files, as_of=as_of)
         if df is None:
             return self._empty_df(keep_meta)
         has_logs = any(f.kind == "log" for f in files)

@@ -483,3 +483,23 @@ def test_fuzz_final_state_syncs_to_both_personalities(spark, tmp_base):
     )
     assert got_delta == want
     assert got_ice == want
+
+
+def test_time_travel_reads_version_schema(spark, tmp_base):
+    """Delta/Iceberg time-travel semantics: an old version reads under
+    ITS OWN schema — a later DROP does not hide historical data and a
+    later RENAME does not relabel it."""
+    t = _cow(spark, tmp_base + "/tt")
+    v_orig = t.timeline.latest_instant()
+    t.rename_column("name", "label")
+    t.drop_column("score")
+    t.upsert(spark.createDataFrame(
+        [(3, 1, "c")], "id int, ver int, label string"
+    ))
+    # latest: evolved schema
+    assert set(t.snapshot().columns) == {"id", "ver", "label"}
+    # as-of the original commit: original names AND the dropped column
+    old = t.snapshot(as_of=v_orig)
+    assert set(old.columns) == {"id", "ver", "name", "score"}
+    rows = {(r.id, r.name, r.score) for r in old.collect()}
+    assert rows == {(1, "a", 5), (2, "b", 6)}
