@@ -95,6 +95,12 @@ _ALTER_RENAME_RE = re.compile(
     r"(?P<old>[\w`]+)\s+TO\s+(?P<new>[\w`]+)\s*$",
     re.IGNORECASE,
 )
+_ALTER_TYPE_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+"
+    r"(?:ALTER|CHANGE)\s+COLUMN\s+(?P<col>[\w`]+)\s+TYPE\s+"
+    r"(?P<type>.+?)\s*$",
+    re.IGNORECASE,
+)
 _ALTER_DROP_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+DROP\s+COLUMNS?\s*"
     r"(?:\((?P<cols>[^)]+)\)|(?P<col>[\w`]+))\s*$",
@@ -490,6 +496,17 @@ class Engine:
             t.register_view(name)
             return self.spark.createDataFrame(
                 [(old, new)], "renamed_from string, renamed_to string"
+            )
+        m = match_masked(_ALTER_TYPE_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            name = self._norm(m.group("name"))
+            t = self._tables[name]
+            col = strip_ident_quotes(m.group("col"))
+            t.widen_column(col, m.group("type"))
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(col, m.group("type"))],
+                "altered_column string, new_type string",
             )
         m = match_masked(_ALTER_DROP_RE, s)
         if m and self._norm(m.group("name")) in self._tables:

@@ -802,6 +802,55 @@ class LakehouseTable:
             self.timeline.abort(instant)
             raise
 
+    def widen_column(self, name: str, ddl_type: str) -> Instant:
+        """ALTER TABLE ... ALTER COLUMN <c> TYPE <t> as a METADATA-ONLY
+        commit: only the parquet-readable widenings in
+        `_ALLOWED_WIDENINGS` are accepted (Spark's vectorized reader
+        upcasts those from existing files; anything else would corrupt
+        or fail old-file reads). Same-type is a no-op-shaped commit
+        rejection for clarity."""
+        schema = self._latest_schema()
+        if schema is None:
+            raise SchemaEvolutionError(
+                "cannot alter a column before the first write commit"
+            )
+        by_name = {f.name: f for f in schema.fields}
+        if name not in by_name:
+            raise SchemaEvolutionError(f"no such column {name!r}")
+        new_type = T.DataType.fromDDL(ddl_type)
+        old_type = by_name[name].dataType
+        pair = (old_type.simpleString(), new_type.simpleString())
+        if old_type == new_type:
+            raise SchemaEvolutionError(
+                f"column {name!r} already has type {ddl_type}"
+            )
+        if pair not in _ALLOWED_WIDENINGS:
+            raise SchemaEvolutionError(
+                f"column {name!r}: {pair[0]} -> {pair[1]} is not a "
+                f"parquet-readable widening "
+                f"(allowed: {sorted(_ALLOWED_WIDENINGS)})"
+            )
+        fields = [
+            T.StructField(f.name, new_type, True, f.metadata)
+            if f.name == name
+            else f
+            for f in schema.fields
+        ]
+        instant = self.timeline.begin("commit")
+        try:
+            return self._commit(
+                instant,
+                "commit",
+                "alter_schema",
+                [],
+                [],
+                T.StructType(fields),
+                extra={"widened_column": [name, pair[0], pair[1]]},
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
     def drop_column(self, name: str) -> Instant:
         """ALTER TABLE ... DROP COLUMN as a METADATA-ONLY commit: the
         logical schema loses the field; old files keep the physical

@@ -503,3 +503,35 @@ def test_time_travel_reads_version_schema(spark, tmp_base):
     assert set(old.columns) == {"id", "ver", "name", "score"}
     rows = {(r.id, r.name, r.score) for r in old.collect()}
     assert rows == {(1, "a", 5), (2, "b", 6)}
+
+
+def test_widen_column_type_metadata_only(spark, tmp_base):
+    """ALTER COLUMN TYPE: parquet-readable widenings only (int->bigint,
+    float->double, ...); old files upcast on read, narrowing and
+    cross-kind changes are rejected, and the widening composes with a
+    later rename."""
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/wh_w")
+    eng.sql(
+        "CREATE TABLE wt (id INT, ver INT, qty INT, note STRING) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    eng.sql("INSERT INTO wt VALUES (1, 1, 5, 'a'), (2, 1, 6, 'b')")
+    eng.sql("ALTER TABLE wt ALTER COLUMN qty TYPE BIGINT")
+    t = eng.table("wt")
+    assert dict(t.snapshot().dtypes)["qty"] == "bigint"
+    # old files read back upcast; new writes land as bigint
+    eng.sql("INSERT INTO wt VALUES (3, 1, 5000000000, 'c')")
+    got = {r.id: r.qty for r in eng.sql("SELECT id, qty FROM wt").collect()}
+    assert got == {1: 5, 2: 6, 3: 5_000_000_000}
+    with pytest.raises(SchemaEvolutionError, match="widening"):
+        t.widen_column("qty", "int")       # narrowing
+    with pytest.raises(SchemaEvolutionError, match="widening"):
+        t.widen_column("note", "int")      # cross-kind
+    with pytest.raises(SchemaEvolutionError, match="already has type"):
+        t.widen_column("qty", "bigint")
+    # composes with rename: widened column keeps its physical name
+    t.rename_column("qty", "quantity")
+    got = {r.id: r.quantity for r in t.snapshot().collect()}
+    assert got == {1: 5, 2: 6, 3: 5_000_000_000}
