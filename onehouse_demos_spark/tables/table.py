@@ -1525,4 +1525,13 @@ class LakehouseTable:
         return base
 
     def describe(self) -> dict:
-        return self.manifest.describe()
+        out = self.manifest.describe()
+        pmap = self._physical_map()
+        if pmap:
+            # Surface the column mapping (Delta DESCRIBE parity): an
+            # operator inspecting the table sees which logical columns
+            # read/write under a different on-file name.
+            out["column_mapping"] = ", ".join(
+                f"{lg}->{ph}" for lg, ph in sorted(pmap.items())
+            )
+        return out

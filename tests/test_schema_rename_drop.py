@@ -535,3 +535,19 @@ def test_widen_column_type_metadata_only(spark, tmp_base):
     t.rename_column("qty", "quantity")
     got = {r.id: r.quantity for r in t.snapshot().collect()}
     assert got == {1: 5, 2: 6, 3: 5_000_000_000}
+
+
+def test_describe_surfaces_column_mapping(spark, tmp_base):
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, tmp_base + "/wh_d")
+    eng.sql(
+        "CREATE TABLE dt (id INT, ver INT, name STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    eng.sql("INSERT INTO dt VALUES (1, 1, 'a')")
+    rows = {r.col_name for r in eng.sql("DESCRIBE dt").collect()}
+    assert "column_mapping" not in rows  # no mapping before a rename
+    eng.sql("ALTER TABLE dt RENAME COLUMN name TO label")
+    desc = {r.col_name: r.value for r in eng.sql("DESCRIBE dt").collect()}
+    assert desc.get("column_mapping") == "label->name"
