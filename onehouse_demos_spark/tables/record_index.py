@@ -1,0 +1,273 @@
+"""Record-level index: a persisted, hash-bucketed (record key -> file)
+mapping that turns the upsert/delete probe into a metadata lookup.
+
+Motivation (100 TB design): the COW merge path must answer "which live
+base files contain these incoming keys?". Partition + key-range + bloom
+pruning (``table.py:_candidate_files``) shrink the candidate set, but
+the remaining probe is still a key-column scan of candidate DATA files.
+On a multi-TB table with random-key point upserts — the dominant CDC
+shape — that scan dwarfs the write itself. A record-level index answers
+the same question by reading only index entries for the hash buckets
+the incoming keys occupy: O(batch) instead of O(candidate data).
+
+This mirrors the record-level index the reference stack exposes through
+Hudi's metadata table (``hoodie.metadata.record.index.enable``, cited
+in the reference's tuning walkthroughs); the layout here is our own:
+
+    {table}/_index/record_index/
+        delta_{instant}/_oh_bucket={b}/*.parquet   one dir per indexed commit
+        base_{instant}/_oh_bucket={b}/*.parquet    folded deltas (compact())
+        base_{instant}/_covered.json                instants folded into the base
+
+Entry columns: ``_oh_record_key`` (string), ``_oh_ipart`` (partition
+path string, HIVE_DEFAULT for unpartitioned), ``_oh_file`` (path
+relative to the table base), ``_oh_instant`` (adding commit).
+
+Correctness model — safe by construction:
+  * Data files are immutable: once (key, file) is written it stays true
+    for the file's lifetime, so entries never need in-place updates.
+  * Stale entries (file since rewritten/cleaned) are dropped at probe
+    time by joining against the CURRENT live file set from the
+    manifest — the index can only over-approximate, never lie.
+  * Coverage is tracked per instant (a ``delta_{instant}`` dir exists,
+    or the instant is listed in a base's ``_covered.json``). Any live
+    file whose adding commit is NOT covered makes ``probe_files``
+    return None and the caller falls back to the legacy scan probe —
+    a partially-maintained index degrades, it never corrupts.
+
+Scale posture: the probe reads only the buckets the incoming keys hash
+into (directory-level pruning — for a point lookup that is 1 of
+``buckets`` directories), filters entries to live files via a broadcast
+of the metadata-scale live path set, and joins the (broadcastable)
+incoming key set. No data file is opened. Index maintenance per commit
+reads back ONE column (the record key) of just-written, batch-sized
+files. ``compact()`` bounds the delta-dir count the same way the
+timeline archives commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_oh_bucket"
+IPART_COL = "_oh_ipart"
+FILE_COL = "_oh_file"
+INSTANT_COL = "_oh_instant"
+
+INDEX_REL_DIR = os.path.join("_index", "record_index")
+
+
+class RecordIndex:
+    def __init__(self, base_path: str, buckets: int):
+        self.table_base = base_path.rstrip("/")
+        self.dir = os.path.join(self.table_base, INDEX_REL_DIR)
+        self.buckets = max(1, int(buckets))
+
+    # ------------------------------------------------------------- layout
+
+    def _dirs(self) -> tuple[list[str], list[str]]:
+        """(delta dirs, base dirs) currently visible, sorted by instant."""
+        if not os.path.isdir(self.dir):
+            return [], []
+        deltas, bases = [], []
+        for name in sorted(os.listdir(self.dir)):
+            full = os.path.join(self.dir, name)
+            if not os.path.isdir(full) or name.startswith("."):
+                continue
+            if name.startswith("delta_"):
+                deltas.append(full)
+            elif name.startswith("base_"):
+                bases.append(full)
+        return deltas, bases
+
+    def covered_instants(self) -> set[str]:
+        deltas, bases = self._dirs()
+        covered = {os.path.basename(d)[len("delta_"):] for d in deltas}
+        for b in bases:
+            meta = os.path.join(b, "_covered.json")
+            try:
+                with open(meta) as f:
+                    covered.update(json.load(f)["instants"])
+            except (OSError, KeyError, ValueError):
+                # Unreadable base: claim nothing — the caller falls back.
+                continue
+        return covered
+
+    # ------------------------------------------------------------ maintain
+
+    def _bucket_expr(self, key_col):
+        return F.pmod(F.xxhash64(key_col), F.lit(self.buckets))
+
+    def update_for_commit(
+        self,
+        spark: SparkSession,
+        instant: str,
+        adds,  # list[FileMeta]
+        key_col: str,
+    ) -> None:
+        """Index the files a commit added: one key-column read of the
+        just-written (batch-sized) files, written as a bucket-partitioned
+        delta dir. Idempotent per instant (an existing dir wins)."""
+        out = os.path.join(self.dir, f"delta_{instant}")
+        if os.path.isdir(out):
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        adds = list(adds)
+        if not adds:
+            # Zero-file commits still need a coverage marker, otherwise
+            # probe_files would treat the instant as unindexed forever.
+            tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+            os.makedirs(tmp, exist_ok=True)
+            os.rename(tmp, out)
+            return
+        abs_paths = [os.path.join(self.table_base, f.path) for f in adds]
+        # Map each row back to its FileMeta by the unique "data/..."
+        # suffix of input_file_name(). The URI is percent-decoded JVM
+        # side (url_decode); paths here are commit-generated
+        # (data/{instant}_{hex}/[pp=value/]part-*.parquet) so the only
+        # user-influenced segment is the partition value, which the
+        # writer percent-encodes the same way.
+        mapping = spark.createDataFrame(
+            [(f.path, f.partition or "") for f in adds],
+            f"{FILE_COL} string, {IPART_COL} string",
+        )
+        entries = (
+            spark.read.parquet(*abs_paths)
+            .select(
+                F.col(key_col).alias(key_col),
+                F.url_decode(
+                    F.regexp_extract(F.input_file_name(), "(data/.*)$", 1)
+                ).alias(FILE_COL),
+            )
+            .join(F.broadcast(mapping), FILE_COL, "inner")
+            .select(
+                F.col(key_col),
+                F.col(IPART_COL),
+                F.col(FILE_COL),
+                F.lit(instant).alias(INSTANT_COL),
+                self._bucket_expr(F.col(key_col)).alias(BUCKET_COL),
+            )
+        )
+        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+        entries.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
+        os.rename(tmp, out)
+
+    def compact(self, spark: SparkSession, live_paths: set[str]) -> int:
+        """Fold every delta (and prior base) into one base dir, dropping
+        entries for dead files. Returns the number of dirs folded.
+        Liveness is still re-checked at probe time, so compacting
+        against a slightly-stale live set stays correct."""
+        deltas, bases = self._dirs()
+        dirs = bases + deltas
+        if len(dirs) <= 1 and not deltas:
+            return 0
+        covered = self.covered_instants()
+        if not covered:
+            return 0
+        top = max(covered)
+        df = self._read_dirs(spark, dirs)
+        if df is not None and live_paths:
+            live = spark.createDataFrame(
+                [(p,) for p in sorted(live_paths)], f"{FILE_COL} string"
+            )
+            df = df.join(F.broadcast(live), FILE_COL, "inner")
+        out = os.path.join(self.dir, f"base_{top}")
+        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+        if df is None:
+            os.makedirs(tmp, exist_ok=True)
+        else:
+            df.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
+        with open(os.path.join(tmp, "_covered.json"), "w") as f:
+            json.dump({"instants": sorted(covered)}, f)
+        if os.path.isdir(out):  # re-compact at the same top instant
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for d in dirs:
+            if os.path.abspath(d) != os.path.abspath(out):
+                shutil.rmtree(d, ignore_errors=True)
+        return len(dirs)
+
+    # --------------------------------------------------------------- probe
+
+    def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame | None:
+        # One read per index dir (each is its own partitioned root),
+        # unioned. Dir count is bounded by compact(); bucket-filter
+        # pushdown prunes _oh_bucket partitions inside every root.
+        parts = []
+        for d in dirs:
+            # Bucket dirs only — skips empty coverage markers and
+            # _covered.json without schema-inference surprises.
+            if any(n.startswith(BUCKET_COL + "=") for n in os.listdir(d)):
+                parts.append(spark.read.option("basePath", d).parquet(d))
+        if not parts:
+            return None
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    def probe_files(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        key_col: str,
+        live_files,  # list[FileMeta] (base files)
+        path_to_instant: dict[str, str],
+        on_partition: bool = False,
+        part_expr=None,
+    ) -> list | None:
+        """Exact set of live base files containing any incoming key, or
+        None when coverage is incomplete (caller falls back to the scan
+        probe). ``keys_df`` must be small-ish on the driver-collect side
+        ONLY for its distinct bucket set (≤ ``self.buckets`` ints).
+
+        on_partition: partition-scoped tables match (key, partition) —
+        a key living in an untouched partition must not be rewritten;
+        global scope matches the key alone."""
+        covered = self.covered_instants()
+        if any(
+            path_to_instant.get(f.path) not in covered for f in live_files
+        ):
+            return None
+        if not live_files:
+            return []
+        deltas, bases = self._dirs()
+        df = self._read_dirs(spark, bases + deltas)
+        if df is None:
+            return []
+        probe = keys_df.select(
+            F.col(key_col),
+            self._bucket_expr(F.col(key_col)).alias(BUCKET_COL),
+            *(
+                [part_expr.alias(IPART_COL)]
+                if on_partition and part_expr is not None
+                else []
+            ),
+        )
+        # Bucket pruning: a metadata-scale collect (≤ buckets ints)
+        # that turns the index read into a partition-pruned scan of
+        # only the touched bucket directories.
+        buckets = [
+            r[0] for r in probe.select(BUCKET_COL).distinct().collect()
+        ]
+        df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        live = spark.createDataFrame(
+            [(f.path,) for f in live_files], f"{FILE_COL} string"
+        )
+        join_cols = [key_col, BUCKET_COL]
+        if on_partition and part_expr is not None:
+            join_cols.append(IPART_COL)
+        hit = (
+            df.join(F.broadcast(live), FILE_COL, "inner")
+            .join(F.broadcast(probe.distinct()), join_cols, "inner")
+            .select(FILE_COL)
+            .distinct()
+        )
+        touched = {r[0] for r in hit.collect()}
+        return [f for f in live_files if f.path in touched]

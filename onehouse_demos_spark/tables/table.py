@@ -194,6 +194,12 @@ class TableConfig:
     # clustering target sizing): merge writes lay out ~this many rows
     # per file, range-sorted by (partition path, record key).
     target_file_rows: int = 5_000_000
+    # Record-level index (Hudi `hoodie.metadata.record.index.enable`
+    # analog): persist a hash-bucketed key->file mapping per commit so
+    # the COW upsert/delete probe becomes a bucket-pruned metadata
+    # lookup instead of a key-column scan of candidate data files.
+    record_index: bool = False
+    record_index_buckets: int = 64
 
     def to_json(self) -> dict:
         return {
@@ -206,6 +212,8 @@ class TableConfig:
             "soft_delete_col": self.soft_delete_col,
             "target_file_rows": self.target_file_rows,
             "index_scope": self.index_scope,
+            "record_index": self.record_index,
+            "record_index_buckets": self.record_index_buckets,
         }
 
     @staticmethod
@@ -225,6 +233,14 @@ class LakehouseTable:
         self.timeline = Timeline(self.base_path)
         self.manifest = Manifest(self.timeline)
         self._part_src_cols: set[str] | None = None
+        if config.record_index:
+            from onehouse_demos_spark.tables.record_index import RecordIndex
+
+            self.record_index: "RecordIndex | None" = RecordIndex(
+                self.base_path, config.record_index_buckets
+            )
+        else:
+            self.record_index = None
         self._write_config()
 
     # ---------------------------------------------------------------- create
@@ -437,6 +453,14 @@ class LakehouseTable:
             schema_json=df_schema.json() if df_schema is not None else None,
             extra=extra or {},
         )
+        if self.record_index is not None:
+            # Index BEFORE publishing the commit: if this instant later
+            # loses OCC, the orphan delta dir only ever references
+            # never-live files (filtered at probe, folded away by
+            # compact); if indexing fails, the commit aborts cleanly.
+            self.record_index.update_for_commit(
+                self.spark, instant, adds, KEY_COL
+            )
         self.timeline.complete(inst, conflict_check_from=planned_from)
         return inst
 
@@ -473,6 +497,42 @@ class LakehouseTable:
             self.timeline.abort(instant)
             raise
 
+    def _scoped_partition_expr(self, cols):
+        """Partition-identity expression completing the per-key
+        identity under partition scope (Hudi SIMPLE-index semantics: a
+        key is unique PER PARTITION, so the same key in two partitions
+        is two distinct records). None for global scope, unpartitioned
+        tables, or frames that cannot evaluate the partition expression
+        (bare key lists) — those keep key-only identity, which is
+        exactly the global behavior such probes already get."""
+        if self.config.index_scope == "global":
+            return None
+        pp = self._partition_path_expr()
+        if pp is None or not (self._partition_source_cols() <= set(cols)):
+            return None
+        return F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION))
+
+    def _anti_by_key(
+        self, carry: DataFrame, probe: DataFrame, n_rows: int
+    ) -> DataFrame:
+        """Drop carried rows whose per-key identity appears in the
+        probe frame. Partition scope matches (key, partition) so a
+        key's record in an untouched partition survives a rewrite of
+        its file; global scope — and bare-key probes — match the key."""
+        pe_c = self._scoped_partition_expr(carry.columns)
+        pe_p = self._scoped_partition_expr(probe.columns)
+        if pe_c is not None and pe_p is not None:
+            pcol = "_oh_probe_pp"
+            right = probe.select(F.col(KEY_COL), pe_p.alias(pcol)).distinct()
+            return (
+                carry.withColumn(pcol, pe_c)
+                .join(self._probe_side(right, n_rows), [KEY_COL, pcol], "left_anti")
+                .drop(pcol)
+            )
+        return carry.join(
+            self._probe_side(probe.select(KEY_COL), n_rows), KEY_COL, "left_anti"
+        )
+
     def _dedupe_incoming(self, prepared: DataFrame) -> DataFrame:
         """Within-batch precombine: newest per key wins (reference
         `--source-ordering-field ts`, README.md:226). Same
@@ -484,8 +544,12 @@ class LakehouseTable:
         if self.config.precombine:
             order = [F.col(self.config.precombine)] + order
         cols = prepared.columns
+        group = [F.col(KEY_COL)]
+        pe = self._scoped_partition_expr(cols)
+        if pe is not None:
+            group.append(pe)
         return (
-            prepared.groupBy(KEY_COL)
+            prepared.groupBy(*group)
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in cols if c != KEY_COL]),
@@ -580,6 +644,50 @@ class LakehouseTable:
             for i, f in enumerate(files)
             if f.key_bloom is None or i in keep_idx
         ]
+
+    def _path_instants(self) -> dict[str, str]:
+        """Live path -> adding instant (metadata-scale timeline replay);
+        feeds the record index's coverage check."""
+        m: dict[str, str] = {}
+        for inst in self.timeline.instants():
+            for p in inst.removes:
+                m.pop(p, None)
+            for fm in inst.adds:
+                m[fm.path] = inst.instant
+        return m
+
+    def _index_touched(
+        self, prepared_keys: DataFrame
+    ) -> tuple[list[FileMeta] | None, int]:
+        """Record-index probe: the EXACT set of live base files holding
+        any incoming key — no data file opened, only the touched index
+        bucket directories. Returns (None, n) when the index is absent
+        or has a coverage gap; the caller then takes the legacy
+        stats-prune + scan-probe path (degrade, never corrupt)."""
+        n = prepared_keys.count()
+        if self.record_index is None:
+            return None, n
+        pp = self._partition_path_expr()
+        on_partition = (
+            self.config.index_scope != "global"
+            and pp is not None
+            and self._partition_source_cols() <= set(prepared_keys.columns)
+        )
+        part_expr = (
+            F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION))
+            if on_partition
+            else None
+        )
+        files = self.record_index.probe_files(
+            self.spark,
+            prepared_keys,
+            KEY_COL,
+            self.manifest.live_files(include_logs=False),
+            self._path_instants(),
+            on_partition=on_partition,
+            part_expr=part_expr,
+        )
+        return files, n
 
     def _partition_source_cols(self) -> set[str]:
         """Columns the partition-path expression reads. Structural
@@ -907,12 +1015,23 @@ class LakehouseTable:
         # profiling caches the same way in production engines).
         prepared = self._dedupe_incoming(self._with_meta(df, instant)).persist()
         try:
-            candidates, batch_rows = self._candidate_files(prepared)
+            idx_files = None
+            batch_rows = 0
+            if self.record_index is not None:
+                idx_files, batch_rows = self._index_touched(prepared)
+            if idx_files is not None:
+                # Index-exact probe: `idx_files` IS the touched set —
+                # no candidate scan, no probe join, no heuristics.
+                candidates: list[FileMeta] = idx_files
+            else:
+                candidates, batch_rows = self._candidate_files(prepared)
             touched: list[str] = []
             merged = prepared
             carry_rows = 0
             existing = self._read_files(candidates)
-            if existing is not None:
+            if existing is not None and idx_files is not None:
+                touched = [f.path for f in candidates]
+            elif existing is not None:
                 cand_rows = sum(f.rows for f in candidates)
                 if cand_rows <= 4 * max(1, batch_rows):
                     # Probe-skip heuristic: the pruned candidate set is
@@ -944,22 +1063,18 @@ class LakehouseTable:
                     touched = [
                         os.path.relpath(p, self.base_path) for p in touched_abs
                     ]
-                if touched:
-                    by_path = {f.path: f for f in candidates}
-                    carry_rows = sum(by_path[p].rows for p in touched)
-                    carry = self._read_files([by_path[p] for p in touched])
-                    # Incoming-wins merge without a window sort: keep
-                    # carried rows whose key is NOT incoming (anti
-                    # join), then append the (already per-key-deduped)
-                    # batch. Equivalent to _merge_latest because the
-                    # new commit instant always outranks carried rows,
-                    # but avoids a full sort of the rewritten files.
-                    carry = carry.join(
-                        self._probe_side(prepared.select(KEY_COL), batch_rows),
-                        KEY_COL,
-                        "left_anti",
-                    )
-                    merged = carry.unionByName(prepared, allowMissingColumns=True)
+            if touched:
+                by_path = {f.path: f for f in candidates}
+                carry_rows = sum(by_path[p].rows for p in touched)
+                carry = self._read_files([by_path[p] for p in touched])
+                # Incoming-wins merge without a window sort: keep
+                # carried rows whose key is NOT incoming (anti
+                # join), then append the (already per-key-deduped)
+                # batch. Equivalent to _merge_latest because the
+                # new commit instant always outranks carried rows,
+                # but avoids a full sort of the rewritten files.
+                carry = self._anti_by_key(carry, prepared, batch_rows)
+                merged = carry.unionByName(prepared, allowMissingColumns=True)
             merged = merged.filter(~F.col(DELETED_COL))
             adds = self._write_files(
                 merged, instant, approx_rows=batch_rows + carry_rows
@@ -1005,11 +1120,20 @@ class LakehouseTable:
             .persist()
         )
         try:
-            candidates, n_keys = self._candidate_files(del_keys)
+            idx_files = None
+            n_keys = 0
+            if self.record_index is not None:
+                idx_files, n_keys = self._index_touched(del_keys)
+            if idx_files is not None:
+                candidates: list[FileMeta] = idx_files
+            else:
+                candidates, n_keys = self._candidate_files(del_keys)
             existing = self._read_files(candidates)
             adds: list[FileMeta] = []
             touched: list[str] = []
-            if existing is not None:
+            if existing is not None and idx_files is not None:
+                touched = [f.path for f in candidates]
+            elif existing is not None:
                 probe = (
                     existing.select(KEY_COL)
                     .withColumn("_oh_file", F.input_file_name())
@@ -1023,14 +1147,11 @@ class LakehouseTable:
                 )
                 touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
                 touched = [os.path.relpath(p, self.base_path) for p in touched_abs]
+            if existing is not None:
                 if touched:
                     by_path = {f.path: f for f in candidates}
                     carry = self._read_files([by_path[p] for p in touched])
-                    remaining = carry.join(
-                        self._probe_side(del_keys.select(KEY_COL), n_keys),
-                        KEY_COL,
-                        "left_anti",
-                    )
+                    remaining = self._anti_by_key(carry, del_keys, n_keys)
                     adds = self._write_files(
                         remaining,
                         instant,
@@ -1276,8 +1397,12 @@ class LakehouseTable:
         if self.config.precombine:
             order.append(F.col(self.config.precombine))
         cols = df.columns
+        group = [F.col(KEY_COL)]
+        pe = self._scoped_partition_expr(cols)
+        if pe is not None:
+            group.append(pe)
         out = (
-            df.groupBy(KEY_COL)
+            df.groupBy(*group)
             .agg(
                 F.max_by(
                     F.struct(*[F.col(c) for c in cols if c != KEY_COL]),
