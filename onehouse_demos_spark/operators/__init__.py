@@ -144,7 +144,13 @@ _WINDOW = [
     "near_dup_canonical",
     "semantic_dedup_keep",
     "contamination_check",
-    "cross_source_overlap",
+    # r7 window swap: the record-level index pipeline (key->file probe
+    # index with compaction + delete/re-insert cycle — this round's
+    # signature table feature) takes the slot of cross_source_overlap,
+    # a digest-keyed broadcast-join shape driver-covered by
+    # contamination_check; it stays registered past the window and
+    # green in the local sweep.
+    "tbl_rli_upsert_read",
     # similarity suite
     "label_centroid_distance",
     "knn_ivf_trained",

@@ -663,6 +663,75 @@ FROM orders
 """
 
 
+_RLI_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_rli(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Record-level-index pipeline: every probe after the first commit
+    is answered from the persisted key->file index (no data-file key
+    scans), including across an index compaction (base + delta probe)
+    and a delete/re-insert cycle."""
+    if sf_dir in _RLI_CACHE:
+        return _RLI_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_rli_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_rli",
+        TableConfig(
+            name="orders_rli",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="cow",
+            record_index=True,
+            record_index_buckets=16,
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    # Fold the per-commit index deltas; later probes read base + delta.
+    t.record_index.compact(
+        spark, {f.path for f in t.manifest.live_files(include_logs=False)}
+    )
+    # Re-inserts some deleted keys (%7 ∩ %13) and updates others.
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("ver", F.lit(3))
+    )
+    _RLI_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_rli_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after insert → upsert → delete → index-compact →
+    re-insert upsert on a record-indexed table (M3/M4 probes via the
+    record-level index; oracle re-derives every row from `orders`)."""
+    return _project(_build_rli(spark, sf_dir).snapshot())
+
+
+TBL_RLI_UPSERT_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderkey % 13 = 0 THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2
+            ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 3.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
+"""
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -684,6 +753,7 @@ QUERIES = {
     "tbl_mor_snapshot": tbl_mor_snapshot,
     "tbl_mor_compacted": tbl_mor_compacted,
     "tbl_schema_evolved_read": tbl_schema_evolved_read,
+    "tbl_rli_upsert_read": tbl_rli_upsert_read,
     "cdc_apply_envelopes": cdc_apply_envelopes,
 }
 
@@ -708,5 +778,6 @@ ORACLES = {
     "tbl_mor_snapshot": TBL_MOR_SNAPSHOT_SQL,
     "tbl_mor_compacted": TBL_MOR_COMPACTED_SQL,
     "tbl_schema_evolved_read": TBL_SCHEMA_EVOLVED_READ_SQL,
+    "tbl_rli_upsert_read": TBL_RLI_UPSERT_READ_SQL,
     "cdc_apply_envelopes": CDC_APPLY_ENVELOPES_SQL,
 }
