@@ -870,6 +870,22 @@ class Engine:
             return self.spark.createDataFrame(
                 [(p,) for p in removed], "removed_file string"
             )
+        if proc == "compact_record_index":
+            # Fold the record-level index's per-commit delta dirs into
+            # one base (Hudi metadata-table compaction analog); drops
+            # entries for dead files while folding.
+            if t.record_index is None:
+                raise ValueError(
+                    f"table {name} has no record-level index "
+                    "(create with record_index=True)"
+                )
+            folded = t.record_index.compact(
+                self.spark,
+                {f.path for f in t.manifest.live_files(include_logs=False)},
+            )
+            return self.spark.createDataFrame(
+                [(folded,)], "folded_index_dirs int"
+            )
         if proc == "archive_commits":
             from onehouse_demos_spark.tables.maintenance import run_archival
 
@@ -951,6 +967,7 @@ class Engine:
                 ("primaryKey", ",".join(cfg.record_key)),
                 ("preCombineField", cfg.precombine or ""),
                 ("partitionFields", ",".join(cfg.partition_by or [])),
+                ("recordIndex", str(cfg.record_index).lower()),
                 ("location", t.base_path),
             ]
             return self.spark.createDataFrame(
@@ -970,7 +987,7 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
-            "run_clean, archive_commits, create_savepoint, "
+            "run_clean, compact_record_index, archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "
             "rollback_to_instant, xtable_sync"
         )
@@ -1099,6 +1116,9 @@ class Engine:
             precombine=props.get("precombinefield") or None,
             partition_by=parts,
             table_type=props.get("type", "cow"),
+            # Hudi `hoodie.metadata.record.index.enable` analog.
+            record_index=props.get("recordindex", "").lower()
+            in ("true", "1"),
         )
         df = None
         if m.group("ctas"):

@@ -651,3 +651,40 @@ def test_parquet_registration_sees_in_place_rewrite(spark, tmp_base):
     pq.write_table(new, os.path.join(loc, part[0]))
 
     assert {r.v for r in eng.sql("SELECT v FROM ext_pq").collect()} == {2}
+
+
+def test_record_index_ddl_and_compact_procedure(spark, tmp_base):
+    """r7: recordIndex TBLPROPERTIES flag + CALL compact_record_index —
+    the SQL surface of the record-level index (Hudi
+    `hoodie.metadata.record.index.enable` analog)."""
+    eng = Engine(spark, f"{tmp_base}/wh_rli")
+    eng.sql(
+        "CREATE TABLE t_rli (id INT, grp STRING, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=v, type=cow, "
+        "recordIndex=true)"
+    )
+    t = eng.table("t_rli")
+    assert t.record_index is not None
+    _seed_rows(spark).createOrReplaceTempView("rli_rows")
+    eng.sql("INSERT INTO t_rli SELECT * FROM rli_rows")
+    eng.sql("UPDATE t_rli SET v = v + 10 WHERE id < 3")
+    props = {
+        r.key: r.value
+        for r in eng.sql("CALL show_table_properties(table => 't_rli')").collect()
+    }
+    assert props["recordIndex"] == "true"
+    folded = eng.sql(
+        "CALL compact_record_index(table => 't_rli')"
+    ).collect()[0].folded_index_dirs
+    assert folded >= 2  # the insert + update deltas folded into a base
+    # probes stay exact over the compacted index
+    eng.sql("UPDATE t_rli SET v = v + 100 WHERE id = 5")
+    got = {(r.id, r.v) for r in eng.sql("SELECT id, v FROM t_rli").collect()}
+    assert (5, 101) in got and (0, 11) in got and (4, 1) in got
+    # tables without the index fail loudly, not silently
+    eng.sql(
+        "CREATE TABLE t_plain (id INT, v INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id)"
+    )
+    with pytest.raises(ValueError, match="record-level index"):
+        eng.sql("CALL compact_record_index(table => 't_plain')")
