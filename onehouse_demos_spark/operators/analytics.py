@@ -1001,6 +1001,307 @@ LIMIT 50
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H-shaped decorrelation suite (r7): each query pins a DISTINCT
+# optimizer/decorrelation shape not covered above — window-decorrelated
+# scalar subquery (Q17), having-on-fact-agg top-N (Q18), EXISTS
+# semi-join with a non-equi conjunct (Q4), bi-dimensional fact rollup
+# (Q7), ratio-of-conditional-sums (Q8), disjunctive multi-column
+# pushdown (Q19), scalar-threshold + anti-join (Q22). All declared
+# DataFrame-first so Catalyst plans the decorrelation; oracles are the
+# textbook correlated-SQL forms, so the gate proves the rewrites.
+# --------------------------------------------------------------------------
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape. The correlated scalar subquery (per-part avg
+    quantity) decorrelates into an unbounded window over l_partkey:
+    ONE shuffle of the brand-filtered lineitem subset, no self-join,
+    no re-scan — the textbook plan joins lineitem against a re-scanned
+    per-part aggregate of itself."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    flt = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    w = Window.partitionBy("l_partkey")
+    return (
+        flt.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate, then the survivors
+    (top ~1% of orders) decorate from orders/customer. The post-filter
+    aggregate is tiny relative to lineitem, so AQE converts the
+    decoration joins to broadcasts at runtime — only the per-order
+    groupBy shuffles the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice_r, total_qty
+FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def priority_delayed_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS over the fact table becomes a LEFT SEMI
+    join on the order key with the non-equi lateness conjunct kept in
+    the join condition — one pass over each table, no correlated
+    re-execution, and the semi join short-circuits per key."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_DELAYED_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue by (customer nation, supplier nation)
+    pair. Supplier and nation broadcast (SF/10 and constant-size dims);
+    customer decorates via shuffle join — it scales with the fact
+    table. The pair rollup is at most nations² rows."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    cust_n = customer.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("cust_nation"), F.asc("supp_nation"))
+        .limit(20)
+    )
+
+
+NATION_TRADE_VOLUME_SQL = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY cust_nation, supp_nation
+ORDER BY revenue DESC, cust_nation ASC, supp_nation ASC
+LIMIT 20
+"""
+
+
+def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue per
+    year — a ratio of conditional sums computed in a single aggregate
+    pass (no second scan for the denominator)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust_asia = customer.join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp_n = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_asia, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+REGIONAL_MARKET_SHARE_SQL = """
+SELECT YEAR(o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    JOIN nation cn ON c_nationkey = cn.n_nationkey
+                    JOIN region ON cn.n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA')
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of (brand, size-range,
+    quantity-range) conjuncts. Declared as one OR expression so
+    Catalyst extracts the common l_quantity/p_size bounds for pushdown
+    and keeps the whole filter inside the joined codegen stage —
+    never three unioned scans."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(bracket).agg(F.round(F.sum(rev), 2).alias("revenue"))
+
+
+BRACKETED_REVENUE_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above the average positive balance
+    who never placed an urgent order (this corpus gives every customer
+    SOME order, so the classic no-orders form would pass vacuously).
+    The scalar threshold is computed EXACTLY in integer cents (sum,
+    count) so the boundary comparison can never straddle a float ulp
+    between engines; it rides in on a one-row broadcast cross join.
+    The never-urgent test is a LEFT ANTI join against the
+    priority-filtered orders subset (filter pushed below the join)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thresh = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(cents).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.crossJoin(F.broadcast(thresh))  # one-row threshold frame
+        .filter(cents * F.col("n_pos") > F.col("total_cents"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+IDLE_CUSTOMER_BALANCE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
+      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0) >
+      (SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -1024,6 +1325,13 @@ QUERIES = {
     "events_ohlc_bars": events_ohlc_bars,
     "events_gapfill": events_gapfill,
     "important_part_value": important_part_value,
+    "small_quantity_revenue": small_quantity_revenue,
+    "large_volume_customers": large_volume_customers,
+    "priority_delayed_orders": priority_delayed_orders,
+    "nation_trade_volume": nation_trade_volume,
+    "regional_market_share": regional_market_share,
+    "bracketed_revenue": bracketed_revenue,
+    "idle_customer_balance": idle_customer_balance,
 }
 
 ORACLES = {
@@ -1049,4 +1357,11 @@ ORACLES = {
     "events_ohlc_bars": EVENTS_OHLC_BARS_SQL,
     "events_gapfill": EVENTS_GAPFILL_SQL,
     "important_part_value": IMPORTANT_PART_VALUE_SQL,
+    "small_quantity_revenue": SMALL_QUANTITY_REVENUE_SQL,
+    "large_volume_customers": LARGE_VOLUME_CUSTOMERS_SQL,
+    "priority_delayed_orders": PRIORITY_DELAYED_ORDERS_SQL,
+    "nation_trade_volume": NATION_TRADE_VOLUME_SQL,
+    "regional_market_share": REGIONAL_MARKET_SHARE_SQL,
+    "bracketed_revenue": BRACKETED_REVENUE_SQL,
+    "idle_customer_balance": IDLE_CUSTOMER_BALANCE_SQL,
 }
