@@ -34,6 +34,7 @@ from onehouse_demos_spark.operators import (
     sql_ops,
     streaming_ops,
     text,
+    training_prep,
 )
 
 _MODULES = (
@@ -47,6 +48,7 @@ _MODULES = (
     text,
     analytics,
     curation,
+    training_prep,
 )
 
 # Duplicate shapes of already-windowed operators: same physical plan
