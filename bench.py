@@ -309,7 +309,7 @@ def upsert_rate_main() -> int:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
 
-    def build_and_upsert(sf_dir: str, tag: str):
+    def build_and_upsert(sf_dir: str, tag: str, record_index: bool = False):
         tmp = tempfile.mkdtemp(prefix="oh_upsert_bench_")
         try:
             orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -322,6 +322,7 @@ def upsert_rate_main() -> int:
                     name=f"bench_orders_{tag}",
                     record_key=["o_orderkey"],
                     precombine="o_totalprice",
+                    record_index=record_index,
                 ),
             )
             n_base = orders.count()
@@ -335,7 +336,15 @@ def upsert_rate_main() -> int:
             t0 = time.time()
             t.upsert(batch)
             upsert_s = time.time() - t0
-            return n_base, load_s, n_batch, upsert_s
+            # Point-upsert (the CDC trickle shape the record index
+            # targets): 512 random-ish keys against the full table.
+            point = orders.filter(F.col("o_orderkey") % 997 == 1).limit(
+                512
+            ).withColumn("o_totalprice", F.col("o_totalprice") + 2.0)
+            t0 = time.time()
+            t.upsert(point)
+            point_s = time.time() - t0
+            return n_base, load_s, n_batch, upsert_s, point_s
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -349,7 +358,12 @@ def upsert_rate_main() -> int:
             print(f"# upsert-rate: {sf_dir} missing, skipped",
                   file=sys.stderr)
             continue
-        n_base, load_s, n_batch, upsert_s = build_and_upsert(sf_dir, sf)
+        n_base, load_s, n_batch, upsert_s, point_s = build_and_upsert(
+            sf_dir, sf
+        )
+        (_, rli_load_s, _, rli_upsert_s, rli_point_s) = build_and_upsert(
+            sf_dir, f"{sf}_rli", record_index=True
+        )
         rates[sf] = {
             "table_rows": n_base,
             "bulk_load_sec": round(load_s, 3),
@@ -357,9 +371,17 @@ def upsert_rate_main() -> int:
             "upsert_batch_rows": n_batch,
             "upsert_sec": round(upsert_s, 3),
             "upsert_rows_per_sec": round(n_batch / upsert_s),
+            "point_upsert_sec": round(point_s, 3),
+            # record-index variant: load pays the index write, probes
+            # answer from the index (no data-file key scans)
+            "rli_bulk_load_sec": round(rli_load_s, 3),
+            "rli_upsert_sec": round(rli_upsert_s, 3),
+            "rli_point_upsert_sec": round(rli_point_s, 3),
         }
         print(f"# sf{sf}: load {n_base} rows in {load_s:.2f}s, "
-              f"upsert {n_batch} rows in {upsert_s:.2f}s",
+              f"upsert {n_batch} rows in {upsert_s:.2f}s, "
+              f"point {point_s:.2f}s (rli: load {rli_load_s:.2f}s, "
+              f"upsert {rli_upsert_s:.2f}s, point {rli_point_s:.2f}s)",
               file=sys.stderr)
 
     xy = [
