@@ -968,6 +968,7 @@ class Engine:
                 ("preCombineField", cfg.precombine or ""),
                 ("partitionFields", ",".join(cfg.partition_by or [])),
                 ("recordIndex", str(cfg.record_index).lower()),
+                ("secondaryIndexes", ",".join(cfg.secondary_indexes or [])),
                 ("location", t.base_path),
             ]
             return self.spark.createDataFrame(
@@ -1119,6 +1120,12 @@ class Engine:
             # Hudi `hoodie.metadata.record.index.enable` analog.
             record_index=props.get("recordindex", "").lower()
             in ("true", "1"),
+            # Hudi 1.0 secondary-index analog: comma-separated columns.
+            secondary_indexes=[
+                c.strip()
+                for c in props.get("secondaryindexes", "").split(",")
+                if c.strip()
+            ],
         )
         df = None
         if m.group("ctas"):

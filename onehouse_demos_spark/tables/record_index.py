@@ -59,6 +59,10 @@ BUCKET_COL = "_oh_bucket"
 IPART_COL = "_oh_ipart"
 FILE_COL = "_oh_file"
 INSTANT_COL = "_oh_instant"
+#: entry value column: the record key (record index) or the indexed
+#: column's value (secondary index), always string-cast so schema
+#: widenings never fork the entry type across delta dirs.
+VAL_COL = "_oh_val"
 
 INDEX_REL_DIR = os.path.join("_index", "record_index")
 
@@ -140,18 +144,18 @@ class RecordIndex:
         entries = (
             spark.read.parquet(*abs_paths)
             .select(
-                F.col(key_col).alias(key_col),
+                F.col(key_col).cast("string").alias(VAL_COL),
                 F.url_decode(
                     F.regexp_extract(F.input_file_name(), "(data/.*)$", 1)
                 ).alias(FILE_COL),
             )
             .join(F.broadcast(mapping), FILE_COL, "inner")
             .select(
-                F.col(key_col),
+                F.col(VAL_COL),
                 F.col(IPART_COL),
                 F.col(FILE_COL),
                 F.lit(instant).alias(INSTANT_COL),
-                self._bucket_expr(F.col(key_col)).alias(BUCKET_COL),
+                self._bucket_expr(F.col(VAL_COL)).alias(BUCKET_COL),
             )
         )
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
@@ -242,8 +246,8 @@ class RecordIndex:
         if df is None:
             return []
         probe = keys_df.select(
-            F.col(key_col),
-            self._bucket_expr(F.col(key_col)).alias(BUCKET_COL),
+            F.col(key_col).cast("string").alias(VAL_COL),
+            self._bucket_expr(F.col(key_col).cast("string")).alias(BUCKET_COL),
             *(
                 [part_expr.alias(IPART_COL)]
                 if on_partition and part_expr is not None
@@ -260,7 +264,7 @@ class RecordIndex:
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )
-        join_cols = [key_col, BUCKET_COL]
+        join_cols = [VAL_COL, BUCKET_COL]
         if on_partition and part_expr is not None:
             join_cols.append(IPART_COL)
         hit = (
@@ -271,3 +275,65 @@ class RecordIndex:
         )
         touched = {r[0] for r in hit.collect()}
         return [f for f in live_files if f.path in touched]
+
+
+class SecondaryIndex(RecordIndex):
+    """Secondary index on a non-key column (Hudi 1.0 secondary-index
+    analog): the same delta/base bucket layout, but entries map a
+    COLUMN VALUE (string-cast, so schema widenings never fork the
+    entry type) to the files containing it. Complements per-file
+    [min,max] stats skipping exactly where stats fail — high-churn
+    columns whose value ranges overlap across every file — by pruning
+    an equality predicate to the exact file set.
+
+    Same safety model as the record index: entries are immutable facts
+    about immutable files, liveness re-checked at probe, coverage gaps
+    force the caller back to stats-only pruning."""
+
+    def __init__(self, base_path: str, buckets: int, column: str):
+        super().__init__(base_path, buckets)
+        self.column = column
+        self.dir = os.path.join(
+            self.table_base, "_index", "secondary", column
+        )
+
+    def files_for_value(
+        self,
+        spark: SparkSession,
+        value,
+        live_files,  # list[FileMeta]
+        path_to_instant: dict[str, str],
+    ) -> set | None:
+        """Relative paths of live files that may contain `value` in the
+        indexed column (exact under full coverage), or None on a
+        coverage gap. A one-bucket partition-pruned index read."""
+        covered = self.covered_instants()
+        if any(
+            path_to_instant.get(f.path) not in covered for f in live_files
+        ):
+            return None
+        if not live_files:
+            return set()
+        deltas, bases = self._dirs()
+        df = self._read_dirs(spark, bases + deltas)
+        if df is None:
+            return set()
+        val = F.lit(value).cast("string")
+        one = spark.range(1).select(
+            val.alias(VAL_COL),
+            self._bucket_expr(val).alias(BUCKET_COL),
+        )
+        bucket_row = one.collect()[0]
+        if bucket_row[VAL_COL] is None:
+            return None  # NULL predicate: not indexable, fall back
+        live = spark.createDataFrame(
+            [(f.path,) for f in live_files], f"{FILE_COL} string"
+        )
+        hit = (
+            df.filter(F.col(BUCKET_COL) == int(bucket_row[BUCKET_COL]))
+            .filter(F.col(VAL_COL) == bucket_row[VAL_COL])
+            .join(F.broadcast(live), FILE_COL, "inner")
+            .select(FILE_COL)
+            .distinct()
+        )
+        return {r[0] for r in hit.collect()}

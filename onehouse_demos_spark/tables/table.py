@@ -200,6 +200,10 @@ class TableConfig:
     # lookup instead of a key-column scan of candidate data files.
     record_index: bool = False
     record_index_buckets: int = 64
+    # Secondary indexes (Hudi 1.0 analog): value -> file mapping per
+    # listed column, used by snapshot_filtered to prune equality
+    # predicates where overlapping per-file [min,max] stats cannot.
+    secondary_indexes: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -214,6 +218,7 @@ class TableConfig:
             "index_scope": self.index_scope,
             "record_index": self.record_index,
             "record_index_buckets": self.record_index_buckets,
+            "secondary_indexes": self.secondary_indexes,
         }
 
     @staticmethod
@@ -241,6 +246,16 @@ class LakehouseTable:
             )
         else:
             self.record_index = None
+        self.secondary_indexes = {}
+        if config.secondary_indexes:
+            from onehouse_demos_spark.tables.record_index import SecondaryIndex
+
+            self.secondary_indexes = {
+                c: SecondaryIndex(
+                    self.base_path, config.record_index_buckets, c
+                )
+                for c in config.secondary_indexes
+            }
         self._write_config()
 
     # ---------------------------------------------------------------- create
@@ -461,6 +476,13 @@ class LakehouseTable:
             self.record_index.update_for_commit(
                 self.spark, instant, adds, KEY_COL
             )
+        if self.secondary_indexes:
+            pmap = self._physical_map()
+            for col, idx in self.secondary_indexes.items():
+                # files carry PHYSICAL column names
+                idx.update_for_commit(
+                    self.spark, instant, adds, pmap.get(col, col)
+                )
         self.timeline.complete(inst, conflict_check_from=planned_from)
         return inst
 
@@ -1484,6 +1506,23 @@ class LakehouseTable:
             if pmap
             else filters,
         )
+        # Secondary-index pruning: equality predicates on indexed
+        # columns resolve to their exact file set (value -> files) —
+        # effective precisely where overlapping [min,max] ranges make
+        # stats skipping vacuous. `as_of` reads skip the index (it
+        # answers for the CURRENT live set only); coverage gaps fall
+        # back to stats-only pruning.
+        if self.secondary_indexes and as_of is None:
+            p2i = None
+            for col, op, val in filters:
+                idx = self.secondary_indexes.get(col)
+                if idx is None or op != "=":
+                    continue
+                if p2i is None:
+                    p2i = self._path_instants()
+                hits = idx.files_for_value(self.spark, val, files, p2i)
+                if hits is not None:
+                    files = [f for f in files if f.path in hits]
         df = self._read_files(files)
         if df is None:
             return self._empty_df(keep_meta)

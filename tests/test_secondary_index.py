@@ -1,0 +1,138 @@
+"""Secondary index (Hudi 1.0 analog): value -> file pruning for
+equality predicates on non-key columns, exactly where overlapping
+per-file [min,max] stats cannot skip anything."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+
+SCHEMA = "id int, ver int, grp string, v double"
+
+
+def make_table(spark, base, **kw):
+    cfg = TableConfig(
+        name="sec",
+        record_key=["id"],
+        precombine="ver",
+        record_index_buckets=8,
+        secondary_indexes=["grp"],
+        **kw,
+    )
+    return LakehouseTable.create(spark, base + "/sec", cfg)
+
+
+def interleaved(spark, lo, hi, ver=1):
+    """Every batch spans the whole grp domain -> every file's
+    [min,max] on grp covers all values; stats skipping is vacuous."""
+    rows = [(i, ver, f"g{i % 5}", float(i)) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def filtered_rows(t, val):
+    return {
+        (r.id, r.v)
+        for r in t.snapshot_filtered([("grp", "=", val)])
+        .select("id", "v")
+        .collect()
+    }
+
+
+def plain_rows(t, val):
+    return {
+        (r.id, r.v)
+        for r in t.snapshot().filter(F.col("grp") == val)
+        .select("id", "v")
+        .collect()
+    }
+
+
+def test_value_pruning_exact_and_correct(spark, tmp_base):
+    t = make_table(spark, tmp_base)
+    t.insert(interleaved(spark, 0, 50))
+    t.insert(interleaved(spark, 50, 100))
+    assert filtered_rows(t, "g3") == plain_rows(t, "g3")
+    assert len(filtered_rows(t, "g3")) == 20
+    # the index answers value -> files exactly
+    live = t.manifest.live_files(include_logs=False)
+    hits = t.secondary_indexes["grp"].files_for_value(
+        t.spark, "g3", live, t._path_instants()
+    )
+    assert hits is not None and 0 < len(hits) <= len(live)
+    # absent value: zero files, empty (not an error)
+    assert (
+        t.secondary_indexes["grp"].files_for_value(
+            t.spark, "nope", live, t._path_instants()
+        )
+        == set()
+    )
+    assert filtered_rows(t, "nope") == set()
+
+
+def test_stays_exact_across_upsert_and_delete(spark, tmp_base):
+    t = make_table(spark, tmp_base)
+    t.insert(interleaved(spark, 0, 40))
+    # move id=3 from g3 to g0 (upsert rewrites its file; old entry dies
+    # with the file, the value probe must follow the new mapping)
+    t.upsert(spark.createDataFrame([(3, 2, "g0", 3.5)], SCHEMA))
+    t.delete(spark.createDataFrame([(8,)], "id int"))
+    assert filtered_rows(t, "g3") == plain_rows(t, "g3")
+    assert (3, 3.5) in filtered_rows(t, "g0")
+    assert not any(i == 8 for i, _ in filtered_rows(t, "g3"))
+
+
+def test_coverage_gap_falls_back_to_stats(spark, tmp_base):
+    cfg = TableConfig(name="sec", record_key=["id"], precombine="ver")
+    base = tmp_base + "/sec"
+    t0 = LakehouseTable.create(spark, base, cfg)
+    t0.insert(interleaved(spark, 0, 30))
+    cfg2 = TableConfig(
+        **{**cfg.__dict__, "secondary_indexes": ["grp"],
+           "record_index_buckets": 8}
+    )
+    t1 = LakehouseTable(spark, base, cfg2)
+    live = t1.manifest.live_files(include_logs=False)
+    assert (
+        t1.secondary_indexes["grp"].files_for_value(
+            t1.spark, "g1", live, t1._path_instants()
+        )
+        is None
+    )  # gap detected
+    # snapshot_filtered still correct via the stats-prune fallback
+    assert filtered_rows(t1, "g1") == plain_rows(t1, "g1")
+    # new commits ARE indexed; probe covers them once old files rotate
+    t1.upsert(interleaved(spark, 0, 30, ver=2))
+    assert filtered_rows(t1, "g1") == plain_rows(t1, "g1")
+
+
+def test_compact_folds_secondary(spark, tmp_base):
+    t = make_table(spark, tmp_base)
+    t.insert(interleaved(spark, 0, 30))
+    t.insert(interleaved(spark, 30, 60))
+    idx = t.secondary_indexes["grp"]
+    live = {f.path for f in t.manifest.live_files(include_logs=False)}
+    assert idx.compact(t.spark, live) >= 2
+    assert filtered_rows(t, "g2") == plain_rows(t, "g2")
+
+
+def test_sql_tblproperties_and_show(spark, tmp_base):
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, f"{tmp_base}/wh_sec")
+    eng.sql(
+        "CREATE TABLE t_sec (id INT, ver INT, grp STRING, v DOUBLE) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=id, preCombineField=ver, "
+        "secondaryIndexes=grp)"
+    )
+    t = eng.table("t_sec")
+    assert set(t.secondary_indexes) == {"grp"}
+    interleaved(spark, 0, 20).createOrReplaceTempView("sec_rows")
+    eng.sql("INSERT INTO t_sec SELECT * FROM sec_rows")
+    props = {
+        r.key: r.value
+        for r in eng.sql(
+            "CALL show_table_properties(table => 't_sec')"
+        ).collect()
+    }
+    assert props["secondaryIndexes"] == "grp"
+    assert filtered_rows(t, "g1") == plain_rows(t, "g1")
