@@ -309,7 +309,7 @@ def upsert_rate_main() -> int:
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"]
 
-    def build_and_upsert(sf_dir: str, tag: str, record_index: bool = False):
+    def build_and_upsert(sf_dir: str, tag: str):
         tmp = tempfile.mkdtemp(prefix="oh_upsert_bench_")
         try:
             orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -322,7 +322,6 @@ def upsert_rate_main() -> int:
                     name=f"bench_orders_{tag}",
                     record_key=["o_orderkey"],
                     precombine="o_totalprice",
-                    record_index=record_index,
                 ),
             )
             n_base = orders.count()
@@ -336,15 +335,50 @@ def upsert_rate_main() -> int:
             t0 = time.time()
             t.upsert(batch)
             upsert_s = time.time() - t0
-            # Point-upsert (the CDC trickle shape the record index
-            # targets): 512 random-ish keys against the full table.
-            point = orders.filter(F.col("o_orderkey") % 997 == 1).limit(
-                512
+            return n_base, load_s, n_batch, upsert_s
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    #: CDC-fragmented point-upsert comparison: a table built from
+    #: FRAGMENTS interleaved key-slice commits (the state a
+    #: streaming-upsert table is in between clusterings — every file
+    #: spans the full key range, so range pruning is vacuous), probed
+    #: with a batch confined to FRAGMENTS/8 slices and sized ABOVE the
+    #: bloom probe cap (so the scan path must open every file's key
+    #: column; the index reads only the touched hash buckets and
+    #: returns exactly the touched slice files). Run once at the
+    #: largest SF — the gap grows with file count, which is the point.
+    FRAGMENTS = 64
+
+    def fragmented_point(sf_dir: str, tag: str, record_index: bool):
+        tmp = tempfile.mkdtemp(prefix="oh_frag_bench_")
+        try:
+            orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+                *cols
+            )
+            t = LakehouseTable.create(
+                spark,
+                f"{tmp}/t",
+                TableConfig(
+                    name=f"bench_frag_{tag}",
+                    record_key=["o_orderkey"],
+                    precombine="o_totalprice",
+                    record_index=record_index,
+                ),
+            )
+            t0 = time.time()
+            for i in range(FRAGMENTS):
+                t.insert(
+                    orders.filter(F.col("o_orderkey") % FRAGMENTS == i)
+                )
+            load_s = time.time() - t0
+            point = orders.filter(
+                F.col("o_orderkey") % FRAGMENTS < FRAGMENTS // 8
             ).withColumn("o_totalprice", F.col("o_totalprice") + 2.0)
             t0 = time.time()
             t.upsert(point)
             point_s = time.time() - t0
-            return n_base, load_s, n_batch, upsert_s, point_s
+            return load_s, point_s
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
@@ -358,12 +392,7 @@ def upsert_rate_main() -> int:
             print(f"# upsert-rate: {sf_dir} missing, skipped",
                   file=sys.stderr)
             continue
-        n_base, load_s, n_batch, upsert_s, point_s = build_and_upsert(
-            sf_dir, sf
-        )
-        (_, rli_load_s, _, rli_upsert_s, rli_point_s) = build_and_upsert(
-            sf_dir, f"{sf}_rli", record_index=True
-        )
+        n_base, load_s, n_batch, upsert_s = build_and_upsert(sf_dir, sf)
         rates[sf] = {
             "table_rows": n_base,
             "bulk_load_sec": round(load_s, 3),
@@ -371,17 +400,33 @@ def upsert_rate_main() -> int:
             "upsert_batch_rows": n_batch,
             "upsert_sec": round(upsert_s, 3),
             "upsert_rows_per_sec": round(n_batch / upsert_s),
-            "point_upsert_sec": round(point_s, 3),
-            # record-index variant: load pays the index write, probes
-            # answer from the index (no data-file key scans)
-            "rli_bulk_load_sec": round(rli_load_s, 3),
-            "rli_upsert_sec": round(rli_upsert_s, 3),
-            "rli_point_upsert_sec": round(rli_point_s, 3),
         }
         print(f"# sf{sf}: load {n_base} rows in {load_s:.2f}s, "
-              f"upsert {n_batch} rows in {upsert_s:.2f}s, "
-              f"point {point_s:.2f}s (rli: load {rli_load_s:.2f}s, "
-              f"upsert {rli_upsert_s:.2f}s, point {rli_point_s:.2f}s)",
+              f"upsert {n_batch} rows in {upsert_s:.2f}s",
+              file=sys.stderr)
+
+    frag = {}
+    top_sf = [sf for sf in SCALING_SFS
+              if os.path.isdir(f"/root/testdata/sf{sf}")][-1:]
+    for sf in top_sf:
+        sf_dir = f"/root/testdata/sf{sf}"
+        scan_load_s, scan_point_s = fragmented_point(
+            sf_dir, f"{sf}_scan", record_index=False
+        )
+        rli_load_s, rli_point_s = fragmented_point(
+            sf_dir, f"{sf}_rli", record_index=True
+        )
+        frag = {
+            "sf": sf,
+            "fragments": FRAGMENTS,
+            "scan_load_sec": round(scan_load_s, 3),
+            "scan_point_upsert_sec": round(scan_point_s, 3),
+            "rli_load_sec": round(rli_load_s, 3),
+            "rli_point_upsert_sec": round(rli_point_s, 3),
+        }
+        print(f"# fragmented sf{sf}: point upsert scan "
+              f"{scan_point_s:.2f}s vs rli {rli_point_s:.2f}s "
+              f"(load {scan_load_s:.2f}s vs {rli_load_s:.2f}s)",
               file=sys.stderr)
 
     xy = [
@@ -401,6 +446,7 @@ def upsert_rate_main() -> int:
         "unit": "rows/sec",
         "sfs": list(rates),
         "rates": rates,
+        "fragmented_point": frag,
         "upsert_latency_exponent": exponent,
     }))
     return 0

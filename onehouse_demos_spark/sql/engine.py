@@ -969,6 +969,7 @@ class Engine:
                 ("partitionFields", ",".join(cfg.partition_by or [])),
                 ("recordIndex", str(cfg.record_index).lower()),
                 ("secondaryIndexes", ",".join(cfg.secondary_indexes or [])),
+                ("payload", cfg.payload),
                 ("location", t.base_path),
             ]
             return self.spark.createDataFrame(
@@ -1126,6 +1127,8 @@ class Engine:
                 for c in props.get("secondaryindexes", "").split(",")
                 if c.strip()
             ],
+            # Hudi payload-class analog (overwrite | partial_update).
+            payload=props.get("payload", "overwrite"),
         )
         df = None
         if m.group("ctas"):

@@ -159,7 +159,12 @@ class RecordIndex:
             )
         )
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        entries.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
+        # Cluster by bucket first: ONE file per touched bucket instead
+        # of (write tasks × buckets) shards — commit-path index cost
+        # stays O(buckets) files however parallel the writing job was.
+        entries.repartition(F.col(BUCKET_COL)).write.partitionBy(
+            BUCKET_COL
+        ).parquet(tmp, mode="overwrite")
         os.rename(tmp, out)
 
     def compact(self, spark: SparkSession, live_paths: set[str]) -> int:
@@ -186,7 +191,9 @@ class RecordIndex:
         if df is None:
             os.makedirs(tmp, exist_ok=True)
         else:
-            df.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
+            df.repartition(F.col(BUCKET_COL)).write.partitionBy(
+                BUCKET_COL
+            ).parquet(tmp, mode="overwrite")
         with open(os.path.join(tmp, "_covered.json"), "w") as f:
             json.dump({"instants": sorted(covered)}, f)
         if os.path.isdir(out):  # re-compact at the same top instant

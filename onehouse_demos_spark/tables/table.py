@@ -202,8 +202,13 @@ class TableConfig:
     record_index_buckets: int = 64
     # Secondary indexes (Hudi 1.0 analog): value -> file mapping per
     # listed column, used by snapshot_filtered to prune equality
-    # predicates where overlapping per-file [min,max] stats cannot.
+    # predicates where overlapping [min,max] stats cannot.
     secondary_indexes: list[str] = field(default_factory=list)
+    # Merge payload (Hudi payload-class analog):
+    # "overwrite" — OverwriteWithLatest: the newest row wins whole.
+    # "partial_update" — PartialUpdateAvroPayload: per COLUMN, the
+    #   newest NON-NULL value wins; incoming NULLs never erase data.
+    payload: str = "overwrite"
 
     def to_json(self) -> dict:
         return {
@@ -219,6 +224,7 @@ class TableConfig:
             "record_index": self.record_index,
             "record_index_buckets": self.record_index_buckets,
             "secondary_indexes": self.secondary_indexes,
+            "payload": self.payload,
         }
 
     @staticmethod
@@ -555,6 +561,28 @@ class LakehouseTable:
             self._probe_side(probe.select(KEY_COL), n_rows), KEY_COL, "left_anti"
         )
 
+    def _partial_fold(self, df: DataFrame, order: list) -> DataFrame:
+        """partial_update payload fold: per COLUMN, the newest non-null
+        value wins. `max_by` skips rows whose ordering expression is
+        NULL, so wrapping the ordering in when(col.isNotNull(), ...)
+        selects each column's last non-null independently — ONE hash
+        aggregate (map-side combinable), no self-join, no per-column
+        window passes."""
+        cols = df.columns
+        group = [F.col(KEY_COL)]
+        pe = self._scoped_partition_expr(cols)
+        if pe is not None:
+            group.append(pe)
+        order_struct = F.struct(*order)
+        aggs = [
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), order_struct)
+            ).alias(c)
+            for c in cols
+            if c != KEY_COL
+        ]
+        return df.groupBy(*group).agg(*aggs).select(*cols)
+
     def _dedupe_incoming(self, prepared: DataFrame) -> DataFrame:
         """Within-batch precombine: newest per key wins (reference
         `--source-ordering-field ts`, README.md:226). Same
@@ -566,6 +594,8 @@ class LakehouseTable:
         if self.config.precombine:
             order = [F.col(self.config.precombine)] + order
         cols = prepared.columns
+        if self.config.payload == "partial_update":
+            return self._partial_fold(prepared, order)
         group = [F.col(KEY_COL)]
         pe = self._scoped_partition_expr(cols)
         if pe is not None:
@@ -1089,14 +1119,30 @@ class LakehouseTable:
                 by_path = {f.path: f for f in candidates}
                 carry_rows = sum(by_path[p].rows for p in touched)
                 carry = self._read_files([by_path[p] for p in touched])
-                # Incoming-wins merge without a window sort: keep
-                # carried rows whose key is NOT incoming (anti
-                # join), then append the (already per-key-deduped)
-                # batch. Equivalent to _merge_latest because the
-                # new commit instant always outranks carried rows,
-                # but avoids a full sort of the rewritten files.
-                carry = self._anti_by_key(carry, prepared, batch_rows)
-                merged = carry.unionByName(prepared, allowMissingColumns=True)
+                if self.config.payload == "partial_update":
+                    # Column-wise merge: carried ∪ incoming folded by
+                    # last-non-null per column (the new instant
+                    # outranks every carried commit). One aggregate
+                    # over batch+carry — same shuffle count as the
+                    # overwrite path's anti-join.
+                    both = carry.unionByName(
+                        prepared, allowMissingColumns=True
+                    )
+                    order = [F.col(COMMIT_COL)]
+                    if self.config.precombine:
+                        order.append(F.col(self.config.precombine))
+                    merged = self._partial_fold(both, order)
+                else:
+                    # Incoming-wins merge without a window sort: keep
+                    # carried rows whose key is NOT incoming (anti
+                    # join), then append the (already per-key-deduped)
+                    # batch. Equivalent to _merge_latest because the
+                    # new commit instant always outranks carried rows,
+                    # but avoids a full sort of the rewritten files.
+                    carry = self._anti_by_key(carry, prepared, batch_rows)
+                    merged = carry.unionByName(
+                        prepared, allowMissingColumns=True
+                    )
             merged = merged.filter(~F.col(DELETED_COL))
             adds = self._write_files(
                 merged, instant, approx_rows=batch_rows + carry_rows
@@ -1419,6 +1465,11 @@ class LakehouseTable:
         if self.config.precombine:
             order.append(F.col(self.config.precombine))
         cols = df.columns
+        if self.config.payload == "partial_update":
+            out = self._partial_fold(df, order)
+            if filter_deleted:
+                out = out.filter(~F.col(DELETED_COL))
+            return out
         group = [F.col(KEY_COL)]
         pe = self._scoped_partition_expr(cols)
         if pe is not None:
