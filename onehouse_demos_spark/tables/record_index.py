@@ -159,12 +159,16 @@ class RecordIndex:
             )
         )
         tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        # Cluster by bucket first: ONE file per touched bucket instead
-        # of (write tasks × buckets) shards — commit-path index cost
-        # stays O(buckets) files however parallel the writing job was.
-        entries.repartition(F.col(BUCKET_COL)).write.partitionBy(
-            BUCKET_COL
-        ).parquet(tmp, mode="overwrite")
+        # Cluster by bucket first: ~one file per touched bucket instead
+        # of (write tasks × buckets) shards. Small commits (few added
+        # files) coalesce without an exchange — the delta is tiny and
+        # a shuffle stage would cost more than it saves; big commits
+        # hash-cluster so no single task writes every bucket.
+        if len(adds) <= 8:
+            entries = entries.coalesce(len(adds))
+        else:
+            entries = entries.repartition(F.col(BUCKET_COL))
+        entries.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
         os.rename(tmp, out)
 
     def compact(self, spark: SparkSession, live_paths: set[str]) -> int:
@@ -204,7 +208,33 @@ class RecordIndex:
                 shutil.rmtree(d, ignore_errors=True)
         return len(dirs)
 
+    #: Fold delta dirs into a base once this many accumulate — bounds
+    #: both the probe's path-listing cost and the open-dir count, the
+    #: same way the timeline archives commits. Hudi's metadata table
+    #: is the same shape (an MOR table log-compacted on a cadence).
+    AUTO_COMPACT_DELTAS = 16
+
+    def maybe_compact(self, spark: SparkSession, live_paths: set[str]) -> int:
+        deltas, _bases = self._dirs()
+        if len(deltas) < self.AUTO_COMPACT_DELTAS:
+            return 0
+        return self.compact(spark, live_paths)
+
     # --------------------------------------------------------------- probe
+
+    def _bucket_leaf_paths(self, dirs: list[str], buckets) -> list[str]:
+        """Leaf bucket dirs for the probed buckets only — path-level
+        partition pruning resolved on the DRIVER, so the executor-side
+        read is ONE parquet load of exactly the touched buckets (never
+        a per-dir DataFrame union whose width grows with commit
+        count)."""
+        paths = []
+        for d in dirs:
+            for b in buckets:
+                p = os.path.join(d, f"{BUCKET_COL}={b}")
+                if os.path.isdir(p):
+                    paths.append(p)
+        return paths
 
     def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame | None:
         # One read per index dir (each is its own partitioned root),
@@ -248,10 +278,6 @@ class RecordIndex:
             return None
         if not live_files:
             return []
-        deltas, bases = self._dirs()
-        df = self._read_dirs(spark, bases + deltas)
-        if df is None:
-            return []
         probe = keys_df.select(
             F.col(key_col).cast("string").alias(VAL_COL),
             self._bucket_expr(F.col(key_col).cast("string")).alias(BUCKET_COL),
@@ -262,21 +288,29 @@ class RecordIndex:
             ),
         )
         # Bucket pruning: a metadata-scale collect (≤ buckets ints)
-        # that turns the index read into a partition-pruned scan of
-        # only the touched bucket directories.
+        # resolves the touched bucket set; the index read is then ONE
+        # parquet load of exactly those leaf dirs.
         buckets = [
             r[0] for r in probe.select(BUCKET_COL).distinct().collect()
         ]
-        df = df.filter(F.col(BUCKET_COL).isin(buckets))
+        deltas, bases = self._dirs()
+        paths = self._bucket_leaf_paths(bases + deltas, buckets)
+        if not paths:
+            return []
+        df = spark.read.parquet(*paths)
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )
-        join_cols = [VAL_COL, BUCKET_COL]
+        join_cols = [VAL_COL]
         if on_partition and part_expr is not None:
             join_cols.append(IPART_COL)
         hit = (
             df.join(F.broadcast(live), FILE_COL, "inner")
-            .join(F.broadcast(probe.distinct()), join_cols, "inner")
+            .join(
+                F.broadcast(probe.drop(BUCKET_COL).distinct()),
+                join_cols,
+                "inner",
+            )
             .select(FILE_COL)
             .distinct()
         )
@@ -321,10 +355,6 @@ class SecondaryIndex(RecordIndex):
             return None
         if not live_files:
             return set()
-        deltas, bases = self._dirs()
-        df = self._read_dirs(spark, bases + deltas)
-        if df is None:
-            return set()
         val = F.lit(value).cast("string")
         one = spark.range(1).select(
             val.alias(VAL_COL),
@@ -333,11 +363,17 @@ class SecondaryIndex(RecordIndex):
         bucket_row = one.collect()[0]
         if bucket_row[VAL_COL] is None:
             return None  # NULL predicate: not indexable, fall back
+        deltas, bases = self._dirs()
+        paths = self._bucket_leaf_paths(
+            bases + deltas, [int(bucket_row[BUCKET_COL])]
+        )
+        if not paths:
+            return set()
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )
         hit = (
-            df.filter(F.col(BUCKET_COL) == int(bucket_row[BUCKET_COL]))
+            spark.read.parquet(*paths)
             .filter(F.col(VAL_COL) == bucket_row[VAL_COL])
             .join(F.broadcast(live), FILE_COL, "inner")
             .select(FILE_COL)

@@ -490,6 +490,16 @@ class LakehouseTable:
                     self.spark, instant, adds, pmap.get(col, col)
                 )
         self.timeline.complete(inst, conflict_check_from=planned_from)
+        # Bound index delta-dir accumulation (post-publish so a compact
+        # failure can't fail the commit; entry GC uses the live set).
+        if self.record_index is not None or self.secondary_indexes:
+            live = {
+                f.path for f in self.manifest.live_files(include_logs=True)
+            }
+            if self.record_index is not None:
+                self.record_index.maybe_compact(self.spark, live)
+            for idx in self.secondary_indexes.values():
+                idx.maybe_compact(self.spark, live)
         return inst
 
     # -- public write ops -----------------------------------------------------
