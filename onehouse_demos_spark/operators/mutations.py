@@ -712,6 +712,54 @@ def _build_rli(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     return t
 
 
+_PU_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_partial(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """partial_update payload pipeline: the second upsert carries NULL
+    o_orderpriority / o_custkey, which must NOT erase the stored
+    values (Hudi PartialUpdateAvroPayload semantics)."""
+    if sf_dir in _PU_CACHE:
+        return _PU_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_pu_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_pu",
+        TableConfig(
+            name="orders_pu",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="cow",
+            payload="partial_update",
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0).select(
+            "o_orderkey",
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.lit(2).alias("ver"),
+        )
+    )
+    _PU_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_partial_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after a partial upsert: updated columns flip, NULLed
+    columns keep their stored values — re-derivable from `orders`."""
+    return _project(_build_partial(spark, sf_dir).snapshot())
+
+
+TBL_PARTIAL_UPDATE_READ_SQL = _SQL_BASE.format(where="", **_AFTER_UPSERT)
+
+
 def tbl_rli_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot after insert → upsert → delete → index-compact →
     re-insert upsert on a record-indexed table (M3/M4 probes via the
@@ -754,6 +802,7 @@ QUERIES = {
     "tbl_mor_compacted": tbl_mor_compacted,
     "tbl_schema_evolved_read": tbl_schema_evolved_read,
     "tbl_rli_upsert_read": tbl_rli_upsert_read,
+    "tbl_partial_update_read": tbl_partial_update_read,
     "cdc_apply_envelopes": cdc_apply_envelopes,
 }
 
@@ -779,5 +828,6 @@ ORACLES = {
     "tbl_mor_compacted": TBL_MOR_COMPACTED_SQL,
     "tbl_schema_evolved_read": TBL_SCHEMA_EVOLVED_READ_SQL,
     "tbl_rli_upsert_read": TBL_RLI_UPSERT_READ_SQL,
+    "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "cdc_apply_envelopes": CDC_APPLY_ENVELOPES_SQL,
 }
