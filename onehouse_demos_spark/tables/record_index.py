@@ -106,7 +106,83 @@ class RecordIndex:
     # ------------------------------------------------------------ maintain
 
     def _bucket_expr(self, key_col):
-        return F.pmod(F.xxhash64(key_col), F.lit(self.buckets))
+        # Portable 60-bit md5-prefix hash (same construction as the
+        # operators' _hash_mod): bit-identical on the JVM and in
+        # _bucket_py below, which is what lets small commits index on
+        # the driver without a Spark job.
+        return (
+            F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("long")
+            % self.buckets
+        )
+
+    def _bucket_py(self, value: str) -> int:
+        import hashlib
+
+        return (
+            int(hashlib.md5(value.encode("utf-8")).hexdigest()[:15], 16)
+            % self.buckets
+        )
+
+    #: Driver fast path bounds: commits at or below this size index on
+    #: the driver with pyarrow (one column read of batch-sized local
+    #: files — the same pattern as bloom harvesting in _harvest_one).
+    #: A distributed job costs ~seconds of fixed scheduling; for a CDC
+    #: trickle commit that overhead IS the write path, so metadata-
+    #: scale work must not pay it. Larger commits take the Spark path.
+    DRIVER_UPDATE_MAX_FILES = 16
+    DRIVER_UPDATE_MAX_ROWS = 2_000_000
+
+    def _update_driver(self, instant: str, adds, key_col: str, out: str) -> bool:
+        """Driver-side delta write. Returns False (caller falls back to
+        the Spark path) when a file is not locally readable or the
+        indexed column is not string-typed (the JVM cast-to-string of
+        non-strings is not replicated here)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        per_bucket: dict[int, list] = {}
+        for f in adds:
+            path = os.path.join(self.table_base, f.path)
+            try:
+                col = pq.read_table(path, columns=[key_col]).column(0)
+            except Exception:
+                return False
+            t = col.type
+            if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
+                return False
+            part = f.partition or ""
+            for v in set(col.to_pylist()):
+                if v is None:
+                    continue  # NULL never equality-matches a probe
+                per_bucket.setdefault(self._bucket_py(v), []).append(
+                    (v, part, f.path)
+                )
+        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        schema = pa.schema(
+            [
+                (VAL_COL, pa.string()),
+                (IPART_COL, pa.string()),
+                (FILE_COL, pa.string()),
+                (INSTANT_COL, pa.string()),
+            ]
+        )
+        for b, rows in per_bucket.items():
+            bdir = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            os.makedirs(bdir, exist_ok=True)
+            vals, parts, files = zip(*rows)
+            tbl = pa.table(
+                {
+                    VAL_COL: list(vals),
+                    IPART_COL: list(parts),
+                    FILE_COL: list(files),
+                    INSTANT_COL: [instant] * len(rows),
+                },
+                schema=schema,
+            )
+            pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
+        os.rename(tmp, out)
+        return True
 
     def update_for_commit(
         self,
@@ -123,6 +199,13 @@ class RecordIndex:
             return
         os.makedirs(self.dir, exist_ok=True)
         adds = list(adds)
+        if (
+            adds
+            and len(adds) <= self.DRIVER_UPDATE_MAX_FILES
+            and sum(f.rows for f in adds) <= self.DRIVER_UPDATE_MAX_ROWS
+            and self._update_driver(instant, adds, key_col, out)
+        ):
+            return
         if not adds:
             # Zero-file commits still need a coverage marker, otherwise
             # probe_files would treat the instant as unindexed forever.
@@ -253,6 +336,49 @@ class RecordIndex:
             df = df.unionByName(p)
         return df
 
+    #: Probe fast path: point batches (≤ this many keys, same spirit as
+    #: table.BLOOM_PROBE_MAX_KEYS) against index leaves totalling ≤ the
+    #: byte cap match on the driver with pyarrow — zero Spark jobs
+    #: beyond the one tiny probe collect.
+    DRIVER_PROBE_MAX_KEYS = 8192
+    DRIVER_PROBE_MAX_BYTES = 64 * 1024 * 1024
+
+    @staticmethod
+    def _leaf_bytes(paths: list[str]) -> int:
+        total = 0
+        for p in paths:
+            for name in os.listdir(p):
+                if name.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(p, name))
+        return total
+
+    def _match_driver(
+        self, paths: list[str], probe_rows: set, live_paths: set,
+        with_part: bool,
+    ) -> set:
+        """Pure-Python entry matching over locally-read index leaves."""
+        import pyarrow.parquet as pq
+
+        touched = set()
+        cols = [VAL_COL, IPART_COL, FILE_COL]
+        for p in paths:
+            for name in os.listdir(p):
+                if not name.endswith(".parquet"):
+                    continue
+                tbl = pq.read_table(os.path.join(p, name), columns=cols)
+                vals, parts, files = (
+                    tbl.column(0).to_pylist(),
+                    tbl.column(1).to_pylist(),
+                    tbl.column(2).to_pylist(),
+                )
+                for v, pt, fl in zip(vals, parts, files):
+                    if fl not in live_paths or fl in touched:
+                        continue
+                    key = (v, pt) if with_part else v
+                    if key in probe_rows:
+                        touched.add(fl)
+        return touched
+
     def probe_files(
         self,
         spark: SparkSession,
@@ -262,11 +388,14 @@ class RecordIndex:
         path_to_instant: dict[str, str],
         on_partition: bool = False,
         part_expr=None,
+        n_rows: int | None = None,
     ) -> list | None:
         """Exact set of live base files containing any incoming key, or
         None when coverage is incomplete (caller falls back to the scan
         probe). ``keys_df`` must be small-ish on the driver-collect side
-        ONLY for its distinct bucket set (≤ ``self.buckets`` ints).
+        ONLY for its distinct bucket set (≤ ``self.buckets`` ints) —
+        except on the point-batch fast path, which collects the (tiny)
+        probe itself.
 
         on_partition: partition-scoped tables match (key, partition) —
         a key living in an untouched partition must not be rewritten;
@@ -278,32 +407,45 @@ class RecordIndex:
             return None
         if not live_files:
             return []
+        with_part = on_partition and part_expr is not None
         probe = keys_df.select(
             F.col(key_col).cast("string").alias(VAL_COL),
             self._bucket_expr(F.col(key_col).cast("string")).alias(BUCKET_COL),
-            *(
-                [part_expr.alias(IPART_COL)]
-                if on_partition and part_expr is not None
-                else []
-            ),
+            *([part_expr.alias(IPART_COL)] if with_part else []),
         )
-        # Bucket pruning: a metadata-scale collect (≤ buckets ints)
-        # resolves the touched bucket set; the index read is then ONE
-        # parquet load of exactly those leaf dirs.
-        buckets = [
-            r[0] for r in probe.select(BUCKET_COL).distinct().collect()
-        ]
         deltas, bases = self._dirs()
-        paths = self._bucket_leaf_paths(bases + deltas, buckets)
-        if not paths:
-            return []
+        dirs = bases + deltas
+        if n_rows is not None and n_rows <= self.DRIVER_PROBE_MAX_KEYS:
+            rows = probe.collect()  # point batch: tiny by contract
+            buckets = sorted({r[BUCKET_COL] for r in rows})
+            paths = self._bucket_leaf_paths(dirs, buckets)
+            if not paths:
+                return []
+            if self._leaf_bytes(paths) <= self.DRIVER_PROBE_MAX_BYTES:
+                probe_rows = {
+                    (r[VAL_COL], r[IPART_COL]) if with_part else r[VAL_COL]
+                    for r in rows
+                }
+                live_paths = {f.path for f in live_files}
+                touched = self._match_driver(
+                    paths, probe_rows, live_paths, with_part
+                )
+                return [f for f in live_files if f.path in touched]
+        else:
+            # Bucket pruning: a metadata-scale collect (≤ buckets ints)
+            # resolves the touched bucket set.
+            buckets = [
+                r[0] for r in probe.select(BUCKET_COL).distinct().collect()
+            ]
+            paths = self._bucket_leaf_paths(dirs, buckets)
+            if not paths:
+                return []
+        # Spark path: ONE parquet load of exactly the touched leaves.
         df = spark.read.parquet(*paths)
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )
-        join_cols = [VAL_COL]
-        if on_partition and part_expr is not None:
-            join_cols.append(IPART_COL)
+        join_cols = [VAL_COL] + ([IPART_COL] if with_part else [])
         hit = (
             df.join(F.broadcast(live), FILE_COL, "inner")
             .join(
@@ -369,6 +511,13 @@ class SecondaryIndex(RecordIndex):
         )
         if not paths:
             return set()
+        if self._leaf_bytes(paths) <= self.DRIVER_PROBE_MAX_BYTES:
+            return self._match_driver(
+                paths,
+                {bucket_row[VAL_COL]},
+                {f.path for f in live_files},
+                with_part=False,
+            )
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )

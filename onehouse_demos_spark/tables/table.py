@@ -748,6 +748,7 @@ class LakehouseTable:
             self._path_instants(),
             on_partition=on_partition,
             part_expr=part_expr,
+            n_rows=n,
         )
         return files, n
 

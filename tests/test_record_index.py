@@ -211,11 +211,12 @@ def test_bucket_pruning_prunes(spark, tmp_base):
     t = make_table(spark, tmp_base)
     t.insert(spark.createDataFrame(ROWS1, SCHEMA))
     ri = t.record_index
+    # the portable md5-prefix bucket: JVM expr and _bucket_py agree
     probe = spark.createDataFrame([("K1",)], "_oh_record_key string").select(
-        F.col("_oh_record_key"),
-        F.pmod(F.xxhash64(F.col("_oh_record_key")), F.lit(ri.buckets)).alias("b"),
+        F.col("_oh_record_key"), ri._bucket_expr(F.col("_oh_record_key")).alias("b")
     )
     bucket = probe.collect()[0].b
+    assert bucket == ri._bucket_py("K1")
     files = ri.probe_files(
         spark,
         spark.createDataFrame([("K1",)], "_oh_record_key string"),
@@ -230,3 +231,34 @@ def test_bucket_pruning_prunes(spark, tmp_base):
              if d.startswith("delta_")][0]
     bdirs = os.listdir(os.path.join(t.base_path, INDEX_REL_DIR, delta))
     assert f"_oh_bucket={bucket}" in bdirs
+
+
+def test_spark_and_driver_paths_agree(spark, tmp_base, monkeypatch):
+    """Force the distributed update/probe paths and check they produce
+    the same index state and probe answers as the driver fast paths."""
+    from onehouse_demos_spark.tables.record_index import RecordIndex
+
+    def mutate(t):
+        t.insert(spark.createDataFrame(ROWS1, SCHEMA))
+        t.upsert(spark.createDataFrame(ROWS2, SCHEMA))
+        t.delete(spark.createDataFrame([("K3",)], "key string"))
+
+    t_fast = make_table(spark, tmp_base + "/fast")
+    mutate(t_fast)  # driver-side index updates + probes
+    monkeypatch.setattr(RecordIndex, "DRIVER_UPDATE_MAX_FILES", 0)
+    monkeypatch.setattr(RecordIndex, "DRIVER_PROBE_MAX_KEYS", -1)
+    t_slow = make_table(spark, tmp_base + "/slow")
+    mutate(t_slow)  # distributed index updates + probes
+    monkeypatch.undo()
+    assert rows(t_fast) == rows(t_slow)
+    # probe answers agree for a fresh probe frame on both tables
+    for t in (t_fast, t_slow):
+        got = t.record_index.probe_files(
+            spark,
+            spark.createDataFrame([("K1",)], "_oh_record_key string"),
+            "_oh_record_key",
+            t.manifest.live_files(include_logs=False),
+            t._path_instants(),
+            n_rows=1,
+        )
+        assert got and all("data/" in f.path for f in got)
