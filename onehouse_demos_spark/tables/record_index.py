@@ -254,6 +254,74 @@ class RecordIndex:
         entries.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
         os.rename(tmp, out)
 
+    def _compact_driver(
+        self, dirs: list[str], live_paths: set[str], covered: set[str],
+        top: str,
+    ) -> bool:
+        """Driver-side fold of small indexes (≤ DRIVER_PROBE_MAX_BYTES
+        of leaves): pyarrow read -> live filter -> per-bucket rewrite.
+        Returns False above the cap (Spark path handles it)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        all_leaves = []
+        for d in dirs:
+            for name in os.listdir(d):
+                if name.startswith(BUCKET_COL + "="):
+                    all_leaves.append(os.path.join(d, name))
+        if self._leaf_bytes(all_leaves) > self.DRIVER_PROBE_MAX_BYTES:
+            return False
+        per_bucket: dict[int, dict] = {}
+        cols = [VAL_COL, IPART_COL, FILE_COL, INSTANT_COL]
+        for leaf in all_leaves:
+            b = int(os.path.basename(leaf).split("=", 1)[1])
+            for name in os.listdir(leaf):
+                if not name.endswith(".parquet"):
+                    continue
+                tbl = pq.read_table(os.path.join(leaf, name), columns=cols)
+                rows = zip(*(tbl.column(i).to_pylist() for i in range(4)))
+                dedup = per_bucket.setdefault(b, {})
+                for v, pt, fl, inst in rows:
+                    if live_paths and fl not in live_paths:
+                        continue
+                    dedup[(v, pt, fl)] = inst
+        out = os.path.join(self.dir, f"base_{top}")
+        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp, exist_ok=True)
+        schema = pa.schema(
+            [
+                (VAL_COL, pa.string()),
+                (IPART_COL, pa.string()),
+                (FILE_COL, pa.string()),
+                (INSTANT_COL, pa.string()),
+            ]
+        )
+        for b, dedup in per_bucket.items():
+            if not dedup:
+                continue
+            bdir = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            os.makedirs(bdir, exist_ok=True)
+            keys = list(dedup)
+            tbl = pa.table(
+                {
+                    VAL_COL: [k[0] for k in keys],
+                    IPART_COL: [k[1] for k in keys],
+                    FILE_COL: [k[2] for k in keys],
+                    INSTANT_COL: [dedup[k] for k in keys],
+                },
+                schema=schema,
+            )
+            pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
+        with open(os.path.join(tmp, "_covered.json"), "w") as f:
+            json.dump({"instants": sorted(covered)}, f)
+        if os.path.isdir(out):
+            shutil.rmtree(out)
+        os.rename(tmp, out)
+        for d in dirs:
+            if os.path.abspath(d) != os.path.abspath(out):
+                shutil.rmtree(d, ignore_errors=True)
+        return True
+
     def compact(self, spark: SparkSession, live_paths: set[str]) -> int:
         """Fold every delta (and prior base) into one base dir, dropping
         entries for dead files. Returns the number of dirs folded.
@@ -267,6 +335,8 @@ class RecordIndex:
         if not covered:
             return 0
         top = max(covered)
+        if self._compact_driver(dirs, live_paths, covered, top):
+            return len(dirs)
         df = self._read_dirs(spark, dirs)
         if df is not None and live_paths:
             live = spark.createDataFrame(
