@@ -406,11 +406,11 @@ class RecordIndex:
             df = df.unionByName(p)
         return df
 
-    #: Probe fast path: point batches (≤ this many keys, same spirit as
-    #: table.BLOOM_PROBE_MAX_KEYS) against index leaves totalling ≤ the
-    #: byte cap match on the driver with pyarrow — zero Spark jobs
-    #: beyond the one tiny probe collect.
-    DRIVER_PROBE_MAX_KEYS = 8192
+    #: Probe fast path: point batches (≤ this many keys — a ~few-MB
+    #: driver collect, metadata-scale) against index leaves totalling
+    #: ≤ the byte cap match on the driver with pyarrow — zero Spark
+    #: jobs beyond the one tiny probe collect.
+    DRIVER_PROBE_MAX_KEYS = 65536
     DRIVER_PROBE_MAX_BYTES = 64 * 1024 * 1024
 
     @staticmethod
