@@ -870,6 +870,25 @@ class Engine:
             return self.spark.createDataFrame(
                 [(p,) for p in removed], "removed_file string"
             )
+        if proc == "show_indexes":
+            # Hudi 1.0 `SHOW INDEXES` analog: one row per index with
+            # its layout state (delta dirs pending fold, base presence).
+            rows = []
+            idxs = []
+            if t.record_index is not None:
+                idxs.append(("record_index", "record_key", t.record_index))
+            for col, ix in sorted(t.secondary_indexes.items()):
+                idxs.append((f"secondary_{col}", col, ix))
+            for name2, on_col, ix in idxs:
+                deltas, bases = ix._dirs()
+                rows.append(
+                    (name2, on_col, ix.buckets, len(deltas), len(bases))
+                )
+            return self.spark.createDataFrame(
+                rows or [],
+                "index string, on string, buckets int, "
+                "delta_dirs int, base_dirs int",
+            )
         if proc == "compact_record_index":
             # Fold the record-level index's per-commit delta dirs into
             # one base (Hudi metadata-table compaction analog); drops
@@ -989,7 +1008,8 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
-            "run_clean, compact_record_index, archive_commits, create_savepoint, "
+            "run_clean, show_indexes, compact_record_index, "
+            "archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "
             "rollback_to_instant, xtable_sync"
         )

@@ -1666,10 +1666,21 @@ class LakehouseTable:
         ]
         if pc:
             pre_cols.append(F.col(pc).alias(f"_pre_{pc}"))
+        # Scoped identity: under partition scope the same key in two
+        # partitions is two records, so the pre/post match must pair
+        # (key, partition) — a key-only full outer here would cross-
+        # multiply cross-partition duplicates.
+        pe = self._scoped_partition_expr(post.columns)
+        if pe is not None:
+            post_k = post_k.withColumn("_oh_chg_pp", pe)
+            pre_cols.append(pe.alias("_pre_pp"))
         pre_k = pre.withColumn(KEY_COL, key).select(*pre_cols)
-        joined = post_k.join(
-            pre_k, post_k[KEY_COL] == pre_k["_pre_key"], "full_outer"
-        )
+        cond = post_k[KEY_COL] == pre_k["_pre_key"]
+        if pe is not None:
+            cond = cond & (
+                post_k["_oh_chg_pp"].eqNullSafe(pre_k["_pre_pp"])
+            )
+        joined = post_k.join(pre_k, cond, "full_outer")
         change = (
             F.when(F.col("_pre_key").isNull(), F.lit("insert"))
             .when(F.col(KEY_COL).isNull(), F.lit("delete"))
@@ -1687,7 +1698,9 @@ class LakehouseTable:
             (F.col("_change_type") != "update")
             | (~F.col(COMMIT_COL).eqNullSafe(F.col("_pre_commit")))
         )
-        return out.drop("_pre_commit", COMMIT_COL, DELETED_COL)
+        return out.drop(
+            "_pre_commit", "_pre_pp", "_oh_chg_pp", COMMIT_COL, DELETED_COL
+        )
 
     def read(self, keep_meta: bool = False) -> DataFrame:
         """Session-conf-steered read (reference Q14: `set

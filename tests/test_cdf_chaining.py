@@ -18,13 +18,14 @@ def _rows(df, cols=("id", "ver", "city", "amt")):
     return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
-def _mk_pair(spark, base, upstream_type="mor"):
+def _mk_pair(spark, base, upstream_type="mor", index_scope="partition"):
     up = LakehouseTable.create(
         spark,
         f"{base}/up",
         TableConfig(
             name="up", record_key=["id"], precombine="ver",
             partition_by=["city"], table_type=upstream_type,
+            index_scope=index_scope,
         ),
     )
     down = LakehouseTable.create(
@@ -217,7 +218,12 @@ def test_randomized_mutation_sequence_chains_exactly(spark, tmp_base):
     )
 
     rng = random.Random(20260814)
-    up, down = _mk_pair(spark, tmp_base)
+    # The workload re-upserts keys with RANDOM city values — a mutable
+    # partition column. Key-global identity across partition moves is
+    # exactly what GLOBAL index scope provides (Hudi GLOBAL_SIMPLE);
+    # partition scope would correctly keep both (key, city) records
+    # (r7 scoped-identity semantics, pinned in test_record_index.py).
+    up, down = _mk_pair(spark, tmp_base, index_scope="global")
     src = ChangeFeedSource(up, f"{tmp_base}/ckpt/cdf_rand.json")
     live_keys: set[int] = set()
     next_ver: dict[int, int] = {}
@@ -306,3 +312,22 @@ def test_composite_string_keys_with_separator_chars(spark, tmp_base):
     assert _rows(down.snapshot(), cols) == _rows(up.snapshot(), cols)
     got = {(r.k1, r.k2) for r in down.snapshot().select("k1", "k2").collect()}
     assert got == {("a|b", "c"), ("x", "\\y"), ("p\\|q", "r"), ("plain", "keys")}
+
+
+def test_partition_scope_changes_pair_key_and_partition(spark, tmp_base):
+    """r7 scoped identity: under partition scope, changes() pairs
+    (key, partition) — a key duplicated across partitions yields two
+    independent change rows, and re-upserting one partition's record
+    leaves the other's untouched (no cross-multiplied join rows)."""
+    up, _down = _mk_pair(spark, tmp_base, upstream_type="cow")
+    b0 = up.timeline.latest_instant()
+    up.upsert(spark.createDataFrame(
+        [(1, 1, "sv", 10.0), (1, 1, "sj", 20.0)], DDL))
+    b1 = up.timeline.latest_instant()
+    ch1 = up.changes(b0, b1)
+    assert ch1.count() == 2  # two inserts, one per (key, city)
+    assert {r["_change_type"] for r in ch1.collect()} == {"insert"}
+    up.upsert(spark.createDataFrame([(1, 2, "sv", 11.0)], DDL))
+    ch2 = up.changes(b1)
+    got = [(r.city, r.amt, r["_change_type"]) for r in ch2.collect()]
+    assert got == [("sv", 11.0, "update")]  # sj record not a change row

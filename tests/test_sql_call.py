@@ -688,3 +688,28 @@ def test_record_index_ddl_and_compact_procedure(spark, tmp_base):
     )
     with pytest.raises(ValueError, match="record-level index"):
         eng.sql("CALL compact_record_index(table => 't_plain')")
+
+
+def test_show_indexes_procedure(spark, tmp_base):
+    """r7: CALL show_indexes lists the record + secondary indexes with
+    their delta/base layout state."""
+    eng = Engine(spark, f"{tmp_base}/wh_showidx")
+    eng.sql(
+        "CREATE TABLE t_idx (id INT, ver INT, grp STRING) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver, "
+        "recordIndex=true, secondaryIndexes=grp)"
+    )
+    spark.createDataFrame(
+        [(i, 1, f"g{i % 3}") for i in range(10)], "id int, ver int, grp string"
+    ).createOrReplaceTempView("idx_rows")
+    eng.sql("INSERT INTO t_idx SELECT * FROM idx_rows")
+    got = {r.index: r for r in eng.sql(
+        "CALL show_indexes(table => 't_idx')").collect()}
+    assert set(got) == {"record_index", "secondary_grp"}
+    assert got["record_index"].on == "record_key"
+    assert got["secondary_grp"].on == "grp"
+    assert got["record_index"].delta_dirs == 1  # the one insert commit
+    # unindexed table: empty result, not an error
+    eng.sql("CREATE TABLE t_noidx (id INT) USING lakehouse "
+            "TBLPROPERTIES (primaryKey=id)")
+    assert eng.sql("CALL show_indexes(table => 't_noidx')").count() == 0
