@@ -886,7 +886,7 @@ class Engine:
                 )
             return self.spark.createDataFrame(
                 rows or [],
-                "index string, on string, buckets int, "
+                "index_name string, on string, buckets int, "
                 "delta_dirs int, base_dirs int",
             )
         if proc == "compact_record_index":

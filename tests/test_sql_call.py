@@ -703,12 +703,14 @@ def test_show_indexes_procedure(spark, tmp_base):
         [(i, 1, f"g{i % 3}") for i in range(10)], "id int, ver int, grp string"
     ).createOrReplaceTempView("idx_rows")
     eng.sql("INSERT INTO t_idx SELECT * FROM idx_rows")
-    got = {r.index: r for r in eng.sql(
+    got = {r.index_name: r for r in eng.sql(
         "CALL show_indexes(table => 't_idx')").collect()}
     assert set(got) == {"record_index", "secondary_grp"}
     assert got["record_index"].on == "record_key"
     assert got["secondary_grp"].on == "grp"
-    assert got["record_index"].delta_dirs == 1  # the one insert commit
+    # 2 deltas: the schema-recording empty insert (a zero-adds
+    # coverage marker) + the data insert
+    assert got["record_index"].delta_dirs == 2
     # unindexed table: empty result, not an error
     eng.sql("CREATE TABLE t_noidx (id INT) USING lakehouse "
             "TBLPROPERTIES (primaryKey=id)")
