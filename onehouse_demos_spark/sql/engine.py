@@ -879,6 +879,8 @@ class Engine:
                 idxs.append(("record_index", "record_key", t.record_index))
             for col, ix in sorted(t.secondary_indexes.items()):
                 idxs.append((f"secondary_{col}", col, ix))
+            for expr2, ix in sorted(t.expression_indexes.items()):
+                idxs.append(("expression", expr2, ix))
             for name2, on_col, ix in idxs:
                 deltas, bases = ix._dirs()
                 rows.append(

@@ -123,6 +123,10 @@ class RecordIndex:
             % self.buckets
         )
 
+    def _value_expr(self, key_col: str):
+        """The indexed value as a Column; ExpressionIndex overrides."""
+        return F.col(key_col)
+
     #: Driver fast path bounds: commits at or below this size index on
     #: the driver with pyarrow (one column read of batch-sized local
     #: files — the same pattern as bloom harvesting in _harvest_one).
@@ -214,6 +218,7 @@ class RecordIndex:
             os.rename(tmp, out)
             return
         abs_paths = [os.path.join(self.table_base, f.path) for f in adds]
+        value_col = self._value_expr(key_col)
         # Map each row back to its FileMeta by the unique "data/..."
         # suffix of input_file_name(). The URI is percent-decoded JVM
         # side (url_decode); paths here are commit-generated
@@ -227,7 +232,7 @@ class RecordIndex:
         entries = (
             spark.read.parquet(*abs_paths)
             .select(
-                F.col(key_col).cast("string").alias(VAL_COL),
+                value_col.cast("string").alias(VAL_COL),
                 F.url_decode(
                     F.regexp_extract(F.input_file_name(), "(data/.*)$", 1)
                 ).alias(FILE_COL),
@@ -599,3 +604,35 @@ class SecondaryIndex(RecordIndex):
             .distinct()
         )
         return {r[0] for r in hit.collect()}
+
+
+class ExpressionIndex(SecondaryIndex):
+    """Expression index (Hudi 1.0 functional-index analog — `CREATE
+    INDEX ... ON t USING column_stats/bloom (expr)` family): the same
+    delta/base bucket layout, entries keyed by a SQL EXPRESSION of the
+    row (e.g. ``hour(ts)``, ``lower(email)``) cast to string.
+    `snapshot_filtered` prunes an equality predicate whose "column" IS
+    that expression text to the exact file set — predicates no
+    column-stat range can answer (a function of a column has no
+    harvested [min,max]).
+
+    Catalyst-only: the driver fast paths are disabled (a Python-side
+    evaluator for arbitrary SQL expressions would be a second engine),
+    and column-mapped tables skip maintenance (the expression names
+    LOGICAL columns; files carry physical) — the coverage check then
+    routes probes to the stats fallback, degrade-never-corrupt as
+    everywhere else."""
+
+    def __init__(self, base_path: str, buckets: int, expr: str):
+        import hashlib
+
+        RecordIndex.__init__(self, base_path, buckets)
+        self.expr = expr
+        slug = hashlib.md5(expr.encode("utf-8")).hexdigest()[:12]
+        self.dir = os.path.join(self.table_base, "_index", "expression", slug)
+
+    def _value_expr(self, key_col: str):
+        return F.expr(self.expr)
+
+    def _update_driver(self, *a, **k) -> bool:
+        return False  # expressions evaluate on the JVM only

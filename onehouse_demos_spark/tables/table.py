@@ -204,6 +204,11 @@ class TableConfig:
     # listed column, used by snapshot_filtered to prune equality
     # predicates where overlapping [min,max] stats cannot.
     secondary_indexes: list[str] = field(default_factory=list)
+    # Expression indexes (Hudi 1.0 functional-index analog): SQL
+    # expressions of the row (e.g. "hour(ts)") whose values index the
+    # files containing them; equality predicates on the exact
+    # expression text prune through snapshot_filtered.
+    expression_indexes: list[str] = field(default_factory=list)
     # Merge payload (Hudi payload-class analog):
     # "overwrite" — OverwriteWithLatest: the newest row wins whole.
     # "partial_update" — PartialUpdateAvroPayload: per COLUMN, the
@@ -224,6 +229,7 @@ class TableConfig:
             "record_index": self.record_index,
             "record_index_buckets": self.record_index_buckets,
             "secondary_indexes": self.secondary_indexes,
+            "expression_indexes": self.expression_indexes,
             "payload": self.payload,
         }
 
@@ -261,6 +267,18 @@ class LakehouseTable:
                     self.base_path, config.record_index_buckets, c
                 )
                 for c in config.secondary_indexes
+            }
+        self.expression_indexes = {}
+        if config.expression_indexes:
+            from onehouse_demos_spark.tables.record_index import (
+                ExpressionIndex,
+            )
+
+            self.expression_indexes = {
+                e: ExpressionIndex(
+                    self.base_path, config.record_index_buckets, e
+                )
+                for e in config.expression_indexes
             }
         self._write_config()
 
@@ -482,23 +500,32 @@ class LakehouseTable:
             self.record_index.update_for_commit(
                 self.spark, instant, adds, KEY_COL
             )
-        if self.secondary_indexes:
+        if self.secondary_indexes or self.expression_indexes:
             pmap = self._physical_map()
             for col, idx in self.secondary_indexes.items():
                 # files carry PHYSICAL column names
                 idx.update_for_commit(
                     self.spark, instant, adds, pmap.get(col, col)
                 )
+            if not pmap:
+                for idx in self.expression_indexes.values():
+                    # Expressions name LOGICAL columns; under column
+                    # mapping (renames) maintenance pauses and probes
+                    # fall back to stats pruning via the coverage gap.
+                    idx.update_for_commit(self.spark, instant, adds, KEY_COL)
         self.timeline.complete(inst, conflict_check_from=planned_from)
         # Bound index delta-dir accumulation (post-publish so a compact
         # failure can't fail the commit; entry GC uses the live set).
-        if self.record_index is not None or self.secondary_indexes:
+        all_idx = list(self.secondary_indexes.values()) + list(
+            self.expression_indexes.values()
+        )
+        if self.record_index is not None:
+            all_idx.append(self.record_index)
+        if all_idx:
             live = {
                 f.path for f in self.manifest.live_files(include_logs=True)
             }
-            if self.record_index is not None:
-                self.record_index.maybe_compact(self.spark, live)
-            for idx in self.secondary_indexes.values():
+            for idx in all_idx:
                 idx.maybe_compact(self.spark, live)
         return inst
 
@@ -1548,7 +1575,9 @@ class LakehouseTable:
         files = self.manifest.live_files(as_of=as_of)
         pred = None
         for col, op, val in filters:
-            c = F.col(col)
+            # A non-identifier "column" is an SQL expression (e.g.
+            # "hour(ts)") — expression-index predicates arrive this way.
+            c = F.col(col) if col.isidentifier() else F.expr(col)
             clause = {
                 "=": c == F.lit(val),
                 "<": c < F.lit(val),
@@ -1574,10 +1603,12 @@ class LakehouseTable:
         # stats skipping vacuous. `as_of` reads skip the index (it
         # answers for the CURRENT live set only); coverage gaps fall
         # back to stats-only pruning.
-        if self.secondary_indexes and as_of is None:
+        if (self.secondary_indexes or self.expression_indexes) and as_of is None:
             p2i = None
             for col, op, val in filters:
-                idx = self.secondary_indexes.get(col)
+                idx = self.secondary_indexes.get(
+                    col
+                ) or self.expression_indexes.get(col)
                 if idx is None or op != "=":
                     continue
                 if p2i is None:

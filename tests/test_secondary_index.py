@@ -136,3 +136,67 @@ def test_sql_tblproperties_and_show(spark, tmp_base):
     }
     assert props["secondaryIndexes"] == "grp"
     assert filtered_rows(t, "g1") == plain_rows(t, "g1")
+
+
+def test_expression_index_prunes_hour_predicate(spark, tmp_base):
+    """Expression index on hour(ts): an equality predicate on the
+    expression text prunes to the exact file set — no column stat
+    covers a FUNCTION of a column."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    cfg = TableConfig(
+        name="eidx",
+        record_key=["id"],
+        precombine="ver",
+        record_index_buckets=8,
+        expression_indexes=["hour(ts)"],
+    )
+    t = LakehouseTable.create(spark, tmp_base + "/eidx", cfg)
+    ddl = "id int, ver int, ts timestamp, v double"
+    import datetime as dt
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, 1, dt.datetime(2026, 1, 1, i % 24, 30), float(i))
+             for i in range(lo, hi)], ddl)
+
+    t.insert(batch(0, 48))   # hours 0..23, twice
+    t.insert(batch(48, 96))
+    got = {
+        r.id
+        for r in t.snapshot_filtered([("hour(ts)", "=", 5)])
+        .select("id").collect()
+    }
+    assert got == {5, 29, 53, 77}
+    # the index resolves the value to a file subset
+    idx = t.expression_indexes["hour(ts)"]
+    hits = idx.files_for_value(
+        t.spark, 5, t.manifest.live_files(include_logs=False),
+        t._path_instants(),
+    )
+    assert hits is not None and len(hits) > 0
+    # absent hour: empty, fast
+    assert t.snapshot_filtered([("hour(ts)", "=", 99)]).count() == 0
+
+
+def test_expression_index_survives_upsert(spark, tmp_base):
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    import datetime as dt
+
+    cfg = TableConfig(
+        name="eidx2", record_key=["id"], precombine="ver",
+        record_index_buckets=8, expression_indexes=["hour(ts)"],
+    )
+    t = LakehouseTable.create(spark, tmp_base + "/eidx2", cfg)
+    ddl = "id int, ver int, ts timestamp, v double"
+    t.insert(spark.createDataFrame(
+        [(1, 1, dt.datetime(2026, 1, 1, 3, 0), 1.0),
+         (2, 1, dt.datetime(2026, 1, 1, 7, 0), 2.0)], ddl))
+    # move id=1 to hour 9: its file is rewritten; the stale hour-3
+    # entry dies with the file
+    t.upsert(spark.createDataFrame(
+        [(1, 2, dt.datetime(2026, 1, 1, 9, 0), 1.5)], ddl))
+    assert t.snapshot_filtered([("hour(ts)", "=", 3)]).count() == 0
+    got = {(r.id, r.v) for r in t.snapshot_filtered(
+        [("hour(ts)", "=", 9)]).select("id", "v").collect()}
+    assert got == {(1, 1.5)}
