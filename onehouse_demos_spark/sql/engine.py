@@ -113,6 +113,18 @@ _DROP_RE = re.compile(
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
+# Hudi 1.0 index DDL analog: CREATE INDEX ON t (record_key | col |
+# expr(...)); DROP INDEX ON t (target). The optional index name is
+# accepted and ignored (the target defines identity here).
+_CREATE_INDEX_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:[\w`]+\s+)?ON\s+(?P<name>[\w.`]+)\s*"
+    r"\((?P<target>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_INDEX_RE = re.compile(
+    r"^\s*DROP\s+INDEX\s+ON\s+(?P<name>[\w.`]+)\s*\((?P<target>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _COMPACT_RE = re.compile(
     r"^\s*COMPACT\s+TABLE\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
@@ -416,6 +428,29 @@ class Engine:
         if m and (m.group("format") or "").lower() in ("lakehouse", "oh", ""):
             if m.group("format") or m.group("props") or m.group("ctas"):
                 return self._create(m)
+        m = match_masked(_CREATE_INDEX_RE, s) or None
+        if m and self._norm(m.group("name")) in self._tables:
+            t = self._tables[self._norm(m.group("name"))]
+            target = strip_ident_quotes(m.group("target").strip())
+            if target.lower() == "record_key":
+                t.enable_record_index()
+            elif target.isidentifier():
+                t.create_secondary_index(target)
+            else:
+                t.create_expression_index(target)
+            return self.spark.createDataFrame(
+                [(target,)], "indexed string"
+            )
+        m = match_masked(_DROP_INDEX_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            t = self._tables[self._norm(m.group("name"))]
+            target = strip_ident_quotes(m.group("target").strip())
+            t.drop_index(
+                "record_key" if target.lower() == "record_key" else target
+            )
+            return self.spark.createDataFrame(
+                [(target,)], "dropped string"
+            )
         m = match_masked(_TRUNCATE_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             # TRUNCATE TABLE (Hudi spark-sql surface): one replace

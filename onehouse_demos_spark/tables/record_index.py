@@ -136,7 +136,10 @@ class RecordIndex:
     DRIVER_UPDATE_MAX_FILES = 16
     DRIVER_UPDATE_MAX_ROWS = 2_000_000
 
-    def _update_driver(self, instant: str, adds, key_col: str, out: str) -> bool:
+    def _update_driver(
+        self, instant: str, adds, key_col: str, out: str,
+        covered: set | None = None,
+    ) -> bool:
         """Driver-side delta write. Returns False (caller falls back to
         the Spark path) when a file is not locally readable or the
         indexed column is not string-typed (the JVM cast-to-string of
@@ -185,6 +188,9 @@ class RecordIndex:
                 schema=schema,
             )
             pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
+        if covered is not None:
+            with open(os.path.join(tmp, "_covered.json"), "w") as f:
+                json.dump({"instants": sorted(covered)}, f)
         os.rename(tmp, out)
         return True
 
@@ -194,11 +200,17 @@ class RecordIndex:
         instant: str,
         adds,  # list[FileMeta]
         key_col: str,
+        out_name: str | None = None,
+        covered: set | None = None,
     ) -> None:
         """Index the files a commit added: one key-column read of the
         just-written (batch-sized) files, written as a bucket-partitioned
-        delta dir. Idempotent per instant (an existing dir wins)."""
-        out = os.path.join(self.dir, f"delta_{instant}")
+        delta dir. Idempotent per instant (an existing dir wins).
+
+        ``backfill`` reuses this writer with ``out_name="base_..."`` and
+        an explicit ``covered`` instant set (stamped as _covered.json
+        before the atomic publish)."""
+        out = os.path.join(self.dir, out_name or f"delta_{instant}")
         if os.path.isdir(out):
             return
         os.makedirs(self.dir, exist_ok=True)
@@ -207,7 +219,9 @@ class RecordIndex:
             adds
             and len(adds) <= self.DRIVER_UPDATE_MAX_FILES
             and sum(f.rows for f in adds) <= self.DRIVER_UPDATE_MAX_ROWS
-            and self._update_driver(instant, adds, key_col, out)
+            and self._update_driver(
+                instant, adds, key_col, out, covered=covered
+            )
         ):
             return
         if not adds:
@@ -215,6 +229,9 @@ class RecordIndex:
             # probe_files would treat the instant as unindexed forever.
             tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
             os.makedirs(tmp, exist_ok=True)
+            if covered is not None:
+                with open(os.path.join(tmp, "_covered.json"), "w") as f:
+                    json.dump({"instants": sorted(covered)}, f)
             os.rename(tmp, out)
             return
         abs_paths = [os.path.join(self.table_base, f.path) for f in adds]
@@ -257,7 +274,45 @@ class RecordIndex:
         else:
             entries = entries.repartition(F.col(BUCKET_COL))
         entries.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
+        if covered is not None:
+            with open(os.path.join(tmp, "_covered.json"), "w") as f:
+                json.dump({"instants": sorted(covered)}, f)
         os.rename(tmp, out)
+
+    def backfill(
+        self,
+        spark: SparkSession,
+        live_files,  # list[FileMeta]: ALL live files (logs included)
+        all_instants,  # every instant id in the timeline
+        key_col: str,
+    ) -> None:
+        """Build the index for an EXISTING table in one pass: entries
+        for every live file, published as a base covering every
+        timeline instant — this is what makes enabling an index on a
+        table with history practical (without it, coverage gaps route
+        probes to the scan path until every old file rotates).
+        Pre-existing partial delta/base dirs are superseded and
+        removed after the atomic publish."""
+        instants = sorted(set(all_instants))
+        if not instants:
+            return
+        top = instants[-1]
+        out_name = f"base_{top}"
+        out = os.path.join(self.dir, out_name)
+        if os.path.isdir(out):
+            shutil.rmtree(out)  # re-backfill replaces the base
+        self.update_for_commit(
+            spark,
+            top,
+            list(live_files),
+            key_col,
+            out_name=out_name,
+            covered=set(instants),
+        )
+        deltas, bases = self._dirs()
+        for d in deltas + bases:
+            if os.path.basename(d) != out_name:
+                shutil.rmtree(d, ignore_errors=True)
 
     def _compact_driver(
         self, dirs: list[str], live_paths: set[str], covered: set[str],

@@ -308,6 +308,111 @@ class LakehouseTable:
                 json.dump(self.config.to_json(), f)
             os.rename(tmp, cfg_path)
 
+    def _rewrite_config(self) -> None:
+        """Persist a config CHANGE (index management) atomically."""
+        import json
+
+        cfg_path = os.path.join(
+            self.base_path, Timeline.COMMITS_DIR, "table_config.json"
+        )
+        tmp = cfg_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.config.to_json(), f)
+        os.rename(tmp, cfg_path)
+
+    # ------------------------------------------------------- index mgmt
+
+    def _all_instant_ids(self) -> list[str]:
+        return [i.instant for i in self.timeline.instants()]
+
+    def enable_record_index(self) -> None:
+        """CREATE INDEX (record key) on an existing table: persist the
+        flag and BACKFILL one base covering the whole timeline, so the
+        very next upsert probes through the index (no waiting for old
+        files to rotate past the coverage check)."""
+        from onehouse_demos_spark.tables.record_index import RecordIndex
+
+        if self.record_index is None:
+            self.config.record_index = True
+            self._rewrite_config()
+            self.record_index = RecordIndex(
+                self.base_path, self.config.record_index_buckets
+            )
+        self.record_index.backfill(
+            self.spark,
+            self.manifest.live_files(include_logs=True),
+            self._all_instant_ids(),
+            KEY_COL,
+        )
+
+    def create_secondary_index(self, column: str) -> None:
+        from onehouse_demos_spark.tables.record_index import SecondaryIndex
+
+        if column not in self.secondary_indexes:
+            self.config.secondary_indexes = list(
+                self.config.secondary_indexes
+            ) + [column]
+            self._rewrite_config()
+            self.secondary_indexes[column] = SecondaryIndex(
+                self.base_path, self.config.record_index_buckets, column
+            )
+        pmap = self._physical_map()
+        self.secondary_indexes[column].backfill(
+            self.spark,
+            self.manifest.live_files(include_logs=True),
+            self._all_instant_ids(),
+            pmap.get(column, column),
+        )
+
+    def create_expression_index(self, expr: str) -> None:
+        from onehouse_demos_spark.tables.record_index import ExpressionIndex
+
+        if self._physical_map():
+            raise ValueError(
+                "expression indexes are not supported on column-mapped "
+                "tables (the expression names logical columns; files "
+                "carry physical names)"
+            )
+        if expr not in self.expression_indexes:
+            self.config.expression_indexes = list(
+                self.config.expression_indexes
+            ) + [expr]
+            self._rewrite_config()
+            self.expression_indexes[expr] = ExpressionIndex(
+                self.base_path, self.config.record_index_buckets, expr
+            )
+        self.expression_indexes[expr].backfill(
+            self.spark,
+            self.manifest.live_files(include_logs=True),
+            self._all_instant_ids(),
+            KEY_COL,
+        )
+
+    def drop_index(self, target: str) -> None:
+        """DROP INDEX: `record_key`, a secondary column, or an
+        expression text. Removes the persisted flag AND the index
+        dirs."""
+        import shutil
+
+        if target == "record_key" and self.record_index is not None:
+            d = self.record_index.dir
+            self.record_index = None
+            self.config.record_index = False
+        elif target in self.secondary_indexes:
+            d = self.secondary_indexes.pop(target).dir
+            self.config.secondary_indexes = [
+                c for c in self.config.secondary_indexes if c != target
+            ]
+        elif target in self.expression_indexes:
+            d = self.expression_indexes.pop(target).dir
+            self.config.expression_indexes = [
+                e for e in self.config.expression_indexes if e != target
+            ]
+        else:
+            raise ValueError(f"no index on {target!r}")
+        self._rewrite_config()
+        shutil.rmtree(d, ignore_errors=True)
+
     # ------------------------------------------------------------- meta cols
 
     def _key_expr(self):

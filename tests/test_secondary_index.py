@@ -200,3 +200,67 @@ def test_expression_index_survives_upsert(spark, tmp_base):
     got = {(r.id, r.v) for r in t.snapshot_filtered(
         [("hour(ts)", "=", 9)]).select("id", "v").collect()}
     assert got == {(1, 1.5)}
+
+
+def test_create_index_ddl_backfills_existing_table(spark, tmp_base):
+    """CREATE INDEX on a table WITH history backfills one base
+    covering the whole timeline — the next probe is index-answered
+    (no waiting for old files to rotate past the coverage check)."""
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, f"{tmp_base}/wh_cidx")
+    eng.sql(
+        "CREATE TABLE t_cidx (id INT, ver INT, grp STRING, v DOUBLE) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    t = eng.table("t_cidx")
+    t.insert(interleaved(spark, 0, 30))
+    t.upsert(interleaved(spark, 0, 10, ver=2))
+    assert t.record_index is None
+    eng.sql("CREATE INDEX ON t_cidx (record_key)")
+    eng.sql("CREATE INDEX ON t_cidx (grp)")
+    assert t.record_index is not None
+    # full coverage immediately: probe answers (not None)
+    probed = t.record_index.probe_files(
+        spark,
+        spark.createDataFrame([("3",)], "_oh_record_key string"),
+        "_oh_record_key",
+        t.manifest.live_files(include_logs=False),
+        t._path_instants(),
+        n_rows=1,
+    )
+    assert probed is not None and len(probed) >= 1
+    assert filtered_rows(t, "g1") == plain_rows(t, "g1")
+    # the persisted config survives a reload
+    t2 = LakehouseTable.load(spark, t.base_path)
+    assert t2.record_index is not None and "grp" in t2.secondary_indexes
+    # further mutations keep both indexes exact
+    t2.upsert(interleaved(spark, 5, 15, ver=3))
+    assert filtered_rows(t2, "g2") == plain_rows(t2, "g2")
+    # DROP INDEX removes flag + dirs
+    eng.sql("DROP INDEX ON t_cidx (grp)")
+    t3 = LakehouseTable.load(spark, t.base_path)
+    assert "grp" not in t3.secondary_indexes
+    import os as _os
+    assert not _os.path.isdir(
+        _os.path.join(t.base_path, "_index", "secondary", "grp"))
+
+
+def test_create_expression_index_ddl(spark, tmp_base):
+    from onehouse_demos_spark.sql import Engine
+    import datetime as dt
+
+    eng = Engine(spark, f"{tmp_base}/wh_eddl")
+    eng.sql(
+        "CREATE TABLE t_eddl (id INT, ver INT, ts TIMESTAMP) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=id, preCombineField=ver)"
+    )
+    t = eng.table("t_eddl")
+    ddl = "id int, ver int, ts timestamp"
+    t.insert(spark.createDataFrame(
+        [(i, 1, dt.datetime(2026, 1, 1, i % 24, 0)) for i in range(48)], ddl))
+    eng.sql("CREATE INDEX ON t_eddl (hour(ts))")
+    assert "hour(ts)" in t.expression_indexes
+    got = {r.id for r in t.snapshot_filtered(
+        [("hour(ts)", "=", 4)]).select("id").collect()}
+    assert got == {4, 28}
