@@ -760,6 +760,92 @@ def tbl_partial_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_PARTIAL_UPDATE_READ_SQL = _SQL_BASE.format(where="", **_AFTER_UPSERT)
 
 
+_IDX_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_indexed(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Secondary + expression index read pipeline: orders inserted in
+    FOUR interleaved key-slice batches, so every file's [min,max] on
+    o_orderpriority (and on year(o_orderdate)) spans the full domain —
+    stats skipping is vacuous and only the value/expression indexes
+    can prune. The expression index is created AFTER the data lands
+    (the CREATE INDEX backfill path)."""
+    if sf_dir in _IDX_CACHE:
+        return _IDX_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_idx_")
+    _TMPDIRS.append(tmp)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_orderdate",
+    )
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_idx",
+        TableConfig(
+            name="orders_idx",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            table_type="cow",
+            record_index_buckets=16,
+            secondary_indexes=["o_orderpriority"],
+        ),
+    )
+    for i in range(4):
+        t.insert(
+            orders.filter(F.col("o_orderkey") % 4 == i).withColumn(
+                "ver", F.lit(1)
+            )
+        )
+    t.create_expression_index("year(o_orderdate)")  # backfill path
+    _IDX_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_secondary_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality read through the secondary index: value->file pruning
+    where every file's priority range overlaps (stats can't skip)."""
+    t = _build_indexed(spark, sf_dir)
+    return t.snapshot_filtered(
+        [("o_orderpriority", "=", "1-URGENT")]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+    )
+
+
+TBL_SECONDARY_PRUNED_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       ROUND(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def tbl_expr_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality read through the expression index (backfilled by
+    CREATE INDEX after the data landed): year(o_orderdate) = 1997."""
+    t = _build_indexed(spark, sf_dir)
+    return t.snapshot_filtered(
+        [("year(o_orderdate)", "=", 1997)]
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.year("o_orderdate").alias("o_year"),
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+    )
+
+
+TBL_EXPR_PRUNED_READ_SQL = """
+SELECT o_orderkey, o_orderstatus, YEAR(o_orderdate) AS o_year,
+       ROUND(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+WHERE YEAR(o_orderdate) = 1997
+"""
+
+
 def tbl_rli_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot after insert → upsert → delete → index-compact →
     re-insert upsert on a record-indexed table (M3/M4 probes via the
@@ -803,6 +889,8 @@ QUERIES = {
     "tbl_schema_evolved_read": tbl_schema_evolved_read,
     "tbl_rli_upsert_read": tbl_rli_upsert_read,
     "tbl_partial_update_read": tbl_partial_update_read,
+    "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
+    "tbl_expr_pruned_read": tbl_expr_pruned_read,
     "cdc_apply_envelopes": cdc_apply_envelopes,
 }
 
@@ -829,5 +917,7 @@ ORACLES = {
     "tbl_schema_evolved_read": TBL_SCHEMA_EVOLVED_READ_SQL,
     "tbl_rli_upsert_read": TBL_RLI_UPSERT_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
+    "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
+    "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,
     "cdc_apply_envelopes": CDC_APPLY_ENVELOPES_SQL,
 }
