@@ -759,8 +759,122 @@ LIMIT {_PPL_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Gopher-style per-rule quality heuristics (Rae et al. 2021 §A1.1,
+# public thresholds): unlike quality_filter_gate's composite score,
+# each rule is an independent flag so a curation run can see WHICH
+# filter bites. All rules are JVM expressions (higher-order array
+# functions — no explode, no shuffle until the single summary
+# aggregate); counts are exact integers so the oracle matches
+# bit-for-bit.
+# --------------------------------------------------------------------------
+
+# Function-word set adapted to the corpus (the canonical Gopher list
+# keys on English function words; this synthetic corpus carries
+# "the"/"a" as its function words, so the rule stays discriminative).
+_GOPHER_STOPS = ("the", "a", "and", "of", "to", "in", "is", "that")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_docs(spark, sf_dir)
+    text = F.col("text")
+    words = F.split(F.trim(text), r"\s+")
+    n_words = token_count(text)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    hash_cnt = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    ellipsis_cnt = (
+        F.length(text) - F.length(F.expr("replace(text, '...', '')"))
+    ) / 3
+    lines = F.split(text, "\n")
+    n_lines = F.nullif(
+        F.size(F.filter(lines, lambda l: F.length(F.trim(l)) > 0)).cast(
+            "double"
+        ),
+        F.lit(0.0),
+    )
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[-*•]"))
+    )
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_distinct = sum(
+        F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        for w in _GOPHER_STOPS
+    )
+    fails = {
+        "fail_len": ~n_words.between(50, 100000),
+        "fail_word_len": ~(nonspace / nw).between(3.0, 10.0),
+        "fail_symbol": (hash_cnt + ellipsis_cnt) / nw > 0.1,
+        "fail_bullet": bullet_lines / n_lines > 0.9,
+        "fail_alpha": alpha_words / nw < 0.8,
+        "fail_stop": stop_distinct < 2,
+    }
+    flagged = docs.select(
+        *[
+            F.when(cond, 1).otherwise(0).alias(name)
+            for name, cond in fails.items()
+        ]
+    )
+    keep = sum(F.col(n) for n in fails) == 0
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(n).alias(f"n_{n}") for n in fails],
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+    )
+
+
+_G_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+)
+_G_STOP = " + ".join(
+    f"(CASE WHEN ' ' || lower(text) || ' ' LIKE '% {w} %' THEN 1 ELSE 0 END)"
+    for w in _GOPHER_STOPS
+)
+
+GOPHER_QUALITY_FLAGS_SQL = f"""
+WITH g AS (
+  SELECT
+    (CASE WHEN NOT ({_G_TOKS}) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+      AS fail_len,
+    (CASE WHEN NOT (length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                    / NULLIF(({_G_TOKS})::DOUBLE, 0.0)) BETWEEN 3.0 AND 10.0
+          THEN 1 ELSE 0 END) AS fail_word_len,
+    (CASE WHEN ((length(text) - length(regexp_replace(text, '#', '', 'g')))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / NULLIF(({_G_TOKS})::DOUBLE, 0.0) > 0.1
+          THEN 1 ELSE 0 END) AS fail_symbol,
+    (CASE WHEN len(list_filter(regexp_split_to_array(text, '\\n'),
+                               x -> x ~ '^\\s*[-*•]'))::DOUBLE
+               / NULLIF(len(list_filter(regexp_split_to_array(text, '\\n'),
+                                        x -> length(trim(x)) > 0))::DOUBLE,
+                        0.0) > 0.9
+          THEN 1 ELSE 0 END) AS fail_bullet,
+    (CASE WHEN len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / NULLIF(({_G_TOKS})::DOUBLE, 0.0) < 0.8
+          THEN 1 ELSE 0 END) AS fail_alpha,
+    (CASE WHEN ({_G_STOP}) < 2 THEN 1 ELSE 0 END) AS fail_stop
+  FROM documents
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(fail_len) AS BIGINT) AS n_fail_len,
+       CAST(SUM(fail_word_len) AS BIGINT) AS n_fail_word_len,
+       CAST(SUM(fail_symbol) AS BIGINT) AS n_fail_symbol,
+       CAST(SUM(fail_bullet) AS BIGINT) AS n_fail_bullet,
+       CAST(SUM(fail_alpha) AS BIGINT) AS n_fail_alpha,
+       CAST(SUM(fail_stop) AS BIGINT) AS n_fail_stop,
+       CAST(SUM(CASE WHEN fail_len + fail_word_len + fail_symbol
+                          + fail_bullet + fail_alpha + fail_stop = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM g
+"""
+
+
 QUERIES = {
     "text_stats": text_stats,
+    "gopher_quality_flags": gopher_quality_flags,
     "lang_id_confusion": lang_id_confusion,
     "doc_fingerprints": doc_fingerprints,
     "dataset_split_summary": dataset_split_summary,
@@ -779,6 +893,7 @@ QUERIES = {
 
 ORACLES = {
     "text_stats": TEXT_STATS_SQL,
+    "gopher_quality_flags": GOPHER_QUALITY_FLAGS_SQL,
     "lang_id_confusion": LANG_ID_CONFUSION_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
     "dataset_split_summary": DATASET_SPLIT_SUMMARY_SQL,
