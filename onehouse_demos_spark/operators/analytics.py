@@ -1302,6 +1302,53 @@ ORDER BY c_mktsegment
 """
 
 
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) achieving MAX quarterly revenue
+    — an argmax over an aggregate with ties preserved. The textbook
+    form re-evaluates the revenue view inside a scalar subquery; here
+    the aggregate computes once, its one-row MAX rides in on a
+    broadcast cross join (never a whole-frame window, which would pull
+    every group onto a single task), and the fact table is scanned and
+    shuffled exactly once."""
+    li = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))  # one-row max frame
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -1332,6 +1379,7 @@ QUERIES = {
     "regional_market_share": regional_market_share,
     "bracketed_revenue": bracketed_revenue,
     "idle_customer_balance": idle_customer_balance,
+    "top_supplier_revenue": top_supplier_revenue,
 }
 
 ORACLES = {
@@ -1364,4 +1412,5 @@ ORACLES = {
     "regional_market_share": REGIONAL_MARKET_SHARE_SQL,
     "bracketed_revenue": BRACKETED_REVENUE_SQL,
     "idle_customer_balance": IDLE_CUSTOMER_BALANCE_SQL,
+    "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
 }
