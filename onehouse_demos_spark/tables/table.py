@@ -1909,4 +1909,11 @@ class LakehouseTable:
             out["column_mapping"] = ", ".join(
                 f"{lg}->{ph}" for lg, ph in sorted(pmap.items())
             )
+        idx = []
+        if self.record_index is not None:
+            idx.append("record_index")
+        idx += [f"secondary({c})" for c in sorted(self.secondary_indexes)]
+        idx += [f"expression({e})" for e in sorted(self.expression_indexes)]
+        if idx:
+            out["indexes"] = ", ".join(idx)
         return out

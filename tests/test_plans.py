@@ -450,3 +450,55 @@ def test_merge_by_source_uses_full_outer_only_when_needed(spark, tmp_path):
     assert "FullOuter" in by_source, by_source
     assert {r.id: r.v for r in eng.sql("SELECT * FROM mp").collect()} \
         == {1: 10}
+
+
+def test_partial_update_fold_is_hash_aggregate(spark, tmp_base):
+    """r7: the partial_update payload fold must be ONE hash aggregate
+    (null-gated max_by) — no window, no sort, no self-join."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    from onehouse_demos_spark.plans import explain_str
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/pu_plan",
+        TableConfig(name="pu_plan", record_key=["id"], precombine="ver",
+                    payload="partial_update", table_type="mor"),
+    )
+    t.insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t.upsert(spark.createDataFrame([(1, 2, None)], "id int, ver int, v string"))
+    df = t.snapshot()  # MOR _rt: read-time fold over base + log
+    txt = explain_str(df)
+    assert "Aggregate" in txt or "HashAggregate" in txt
+    assert "Window" not in txt
+    assert "SortMergeJoin" not in txt
+    # COW control: the fold ran at WRITE time — the snapshot is a pure
+    # scan, no merge operator at all
+    t2 = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/pu_plan_cow",
+        TableConfig(name="pu_plan_cow", record_key=["id"], precombine="ver",
+                    payload="partial_update"),
+    )
+    t2.insert(spark.createDataFrame([(1, 1, "a")], "id int, ver int, v string"))
+    t2.upsert(spark.createDataFrame([(1, 2, None)], "id int, ver int, v string"))
+    txt2 = explain_str(t2.snapshot())
+    assert "Aggregate" not in txt2 and "Window" not in txt2
+
+
+def test_scoped_changes_join_carries_partition(spark, tmp_base):
+    """r7: partition-scoped changes() pairs (key, partition); the join
+    must not be key-only (cross-partition dup keys would explode)."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/chg_plan",
+        TableConfig(name="chg_plan", record_key=["id"], precombine="ver",
+                    partition_by=["p"]),
+    )
+    ddl = "id int, ver int, p string"
+    b0 = t.timeline.latest_instant()
+    t.insert(spark.createDataFrame([(1, 1, "x"), (1, 1, "y")], ddl))
+    ch = t.changes(b0)
+    rows = [(r.id, r.p, r["_change_type"]) for r in ch.collect()]
+    assert sorted(rows) == [(1, "x", "insert"), (1, "y", "insert")]
