@@ -301,3 +301,29 @@ def test_occ_two_writers_indexed(spark, tmp_base):
     # further probes stay exact across both writers' commits
     t1.delete(spark.createDataFrame([("K2",)], "key string"))
     assert ("K2", "t2", 22.0) not in rows(t1)
+
+
+def test_streaming_ingest_maintains_index(spark, tmp_base):
+    """foreachBatch upsert loop on an indexed table: every micro-batch
+    commit indexes, and the probe stays exact across batches."""
+    t = make_table(spark, tmp_base)
+    for i in range(5):  # five micro-batch-sized upserts
+        t.upsert(spark.createDataFrame(
+            [(f"K{j}", f"t{i}", "S", float(i * 10 + j), "2018/08/31")
+             for j in range(i, i + 3)], SCHEMA))
+    # final state: latest ts per key
+    got = rows(t)
+    assert len(got) == 7  # K0..K6
+    assert ("K4", "t4", 44.0) in got  # overwritten by the last batch
+    assert ("K0", "t0", 0.0) in got   # first batch, never touched again
+    # coverage complete: probe answers for every key
+    probed = t.record_index.probe_files(
+        t.spark,
+        spark.createDataFrame([(f"K{j}",) for j in range(7)],
+                              "_oh_record_key string"),
+        "_oh_record_key",
+        t.manifest.live_files(include_logs=False),
+        t._path_instants(),
+        n_rows=7,
+    )
+    assert probed is not None and len(probed) >= 1
