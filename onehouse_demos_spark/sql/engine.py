@@ -156,6 +156,12 @@ _TIMESTAMP_AS_OF_RE = re.compile(
 )
 
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+# Hudi spark-sql `SHOW INDEXES FROM t` parity (same result shape as
+# CALL show_indexes).
+_SHOW_INDEXES_RE = re.compile(
+    r"^\s*SHOW\s+INDEXES\s+(?:FROM|ON|IN)\s+(?P<name>[\w.`]+)\s*$",
+    re.IGNORECASE,
+)
 _SHOW_PARTS_RE = re.compile(
     r"^\s*SHOW\s+PARTITIONS\s+(?P<name>[\w.`]+)\s*$", re.IGNORECASE
 )
@@ -502,6 +508,11 @@ class Engine:
         m = match_masked(_SHOW_PARTS_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             return self._show_partitions(self._norm(m.group("name")))
+        m = _SHOW_INDEXES_RE.match(s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self.sql(
+                f"CALL show_indexes(table => '{self._norm(m.group('name'))}')"
+            )
         if _SHOW_TABLES_RE.match(s):
             return self._show_tables()
         m = match_masked(_CHANGES_RE, s)

@@ -715,3 +715,14 @@ def test_show_indexes_procedure(spark, tmp_base):
     eng.sql("CREATE TABLE t_noidx (id INT) USING lakehouse "
             "TBLPROPERTIES (primaryKey=id)")
     assert eng.sql("CALL show_indexes(table => 't_noidx')").count() == 0
+
+
+def test_show_indexes_sql_statement(spark, tmp_base):
+    """Hudi spark-sql parity: SHOW INDEXES FROM t == CALL show_indexes."""
+    eng = Engine(spark, f"{tmp_base}/wh_showidx2")
+    eng.sql(
+        "CREATE TABLE t_si (id INT, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey=id, preCombineField=ver, recordIndex=true)"
+    )
+    rows = eng.sql("SHOW INDEXES FROM t_si").collect()
+    assert [r.index_name for r in rows] == ["record_index"]
