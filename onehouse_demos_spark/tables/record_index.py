@@ -12,16 +12,31 @@ the incoming keys occupy: O(batch) instead of O(candidate data).
 
 This mirrors the record-level index the reference stack exposes through
 Hudi's metadata table (``hoodie.metadata.record.index.enable``, cited
-in the reference's tuning walkthroughs); the layout here is our own:
+in the reference's tuning walkthroughs); the layout here is our own,
+and — unlike a directory-rename protocol — it is OBJECT-STORE REAL:
 
     {table}/_index/record_index/
-        delta_{instant}/_oh_bucket={b}/*.parquet   one dir per indexed commit
-        base_{instant}/_oh_bucket={b}/*.parquet    folded deltas (compact())
-        base_{instant}/_covered.json                instants folded into the base
+        _store/                 control plane: one JSON manifest object
+                                per index version, published through
+                                the ObjectStoreClient S3 contract
+                                (PutObject + If-None-Match:* is the
+                                atomic commit point — no dir rename)
+        data/{name}-{uuid}/     immutable bucket-partitioned parquet
+            _oh_bucket={b}/*.parquet   leaves; written once under a
+                                unique name, NEVER renamed, invisible
+                                until a manifest references them
 
-Entry columns: ``_oh_record_key`` (string), ``_oh_ipart`` (partition
-path string, HIVE_DEFAULT for unpartitioned), ``_oh_file`` (path
-relative to the table base), ``_oh_instant`` (adding commit).
+Manifest object (key ``manifest/{delta_X|base_X-uuid}``):
+``{"kind", "instant", "covered": [instants], "data_dir": rel|null,
+"leaves": {bucket: [[file, bytes], ...]}}``. Readers list+read
+manifests (metadata-scale: delta count is bounded by auto-compaction)
+and never LIST the data plane — leaf paths and byte sizes come from
+the manifest, so a probe is: read N small JSON objects, then open
+exactly the touched bucket leaves.
+
+Entry columns: ``_oh_val`` (string-cast indexed value), ``_oh_ipart``
+(partition path string), ``_oh_file`` (path relative to the table
+base), ``_oh_instant`` (adding commit).
 
 Correctness model — safe by construction:
   * Data files are immutable: once (key, file) is written it stays true
@@ -29,31 +44,42 @@ Correctness model — safe by construction:
   * Stale entries (file since rewritten/cleaned) are dropped at probe
     time by joining against the CURRENT live file set from the
     manifest — the index can only over-approximate, never lie.
-  * Coverage is tracked per instant (a ``delta_{instant}`` dir exists,
-    or the instant is listed in a base's ``_covered.json``). Any live
-    file whose adding commit is NOT covered makes ``probe_files``
-    return None and the caller falls back to the legacy scan probe —
-    a partially-maintained index degrades, it never corrupts.
+  * Coverage is tracked per instant (a delta manifest exists, or the
+    instant is in a base manifest's ``covered`` list). Any live file
+    whose adding commit is NOT covered makes ``probe_files`` return
+    None and the caller falls back to the legacy scan probe — a
+    partially-maintained index degrades, it never corrupts.
+  * A crashed writer leaves at most an unreferenced data dir (GC'd at
+    the next compact) — never a partial index version: the manifest
+    appears atomically with its full content or not at all.
+  * A probe racing a concurrent compaction's manifest deletes may hit
+    a vanished leaf — it returns None and the caller scan-probes.
 
 Scale posture: the probe reads only the buckets the incoming keys hash
-into (directory-level pruning — for a point lookup that is 1 of
-``buckets`` directories), filters entries to live files via a broadcast
-of the metadata-scale live path set, and joins the (broadcastable)
-incoming key set. No data file is opened. Index maintenance per commit
-reads back ONE column (the record key) of just-written, batch-sized
-files. ``compact()`` bounds the delta-dir count the same way the
-timeline archives commits.
+into (leaf pruning resolved on the DRIVER from manifest metadata — for
+a point lookup that is 1 of ``buckets`` leaf sets), filters entries to
+live files via a broadcast of the metadata-scale live path set, and
+joins the (broadcastable) incoming key set. No data file is opened.
+Index maintenance per commit reads back ONE column (the record key) of
+just-written, batch-sized files. ``compact()`` bounds the manifest
+count the same way the timeline archives commits.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from onehouse_demos_spark.tables.locks import (
+    FSObjectStoreEmulator,
+    ObjectStoreClient,
+)
 
 BUCKET_COL = "_oh_bucket"
 IPART_COL = "_oh_ipart"
@@ -61,46 +87,79 @@ FILE_COL = "_oh_file"
 INSTANT_COL = "_oh_instant"
 #: entry value column: the record key (record index) or the indexed
 #: column's value (secondary index), always string-cast so schema
-#: widenings never fork the entry type across delta dirs.
+#: widenings never fork the entry type across delta versions.
 VAL_COL = "_oh_val"
 
 INDEX_REL_DIR = os.path.join("_index", "record_index")
+MANIFEST_PREFIX = "manifest/"
+STORE_DIR = "_store"
+DATA_DIR = "data"
+
+_ENTRY_COLS = [VAL_COL, IPART_COL, FILE_COL, INSTANT_COL]
+
+
+def _default_store(index_dir: str) -> ObjectStoreClient:
+    """Control-plane client for an index rooted at ``index_dir``.
+    Tests monkeypatch this (or pass ``store=``) to spy on the seam;
+    a real deployment swaps in a boto3-backed ObjectStoreClient —
+    the index uses NOTHING beyond the S3 contract for its atomic
+    publish / list / read / delete control operations."""
+    return FSObjectStoreEmulator(os.path.join(index_dir, STORE_DIR))
 
 
 class RecordIndex:
-    def __init__(self, base_path: str, buckets: int):
+    def __init__(
+        self,
+        base_path: str,
+        buckets: int,
+        store: ObjectStoreClient | None = None,
+    ):
         self.table_base = base_path.rstrip("/")
         self.dir = os.path.join(self.table_base, INDEX_REL_DIR)
         self.buckets = max(1, int(buckets))
+        self._store = store
+
+    @property
+    def store(self) -> ObjectStoreClient:
+        if self._store is None:
+            self._store = _default_store(self.dir)
+        return self._store
 
     # ------------------------------------------------------------- layout
 
-    def _dirs(self) -> tuple[list[str], list[str]]:
-        """(delta dirs, base dirs) currently visible, sorted by instant."""
-        if not os.path.isdir(self.dir):
-            return [], []
-        deltas, bases = [], []
-        for name in sorted(os.listdir(self.dir)):
-            full = os.path.join(self.dir, name)
-            if not os.path.isdir(full) or name.startswith("."):
+    def _manifests(self) -> list[tuple[str, dict]]:
+        """(key, parsed manifest) for every published index version —
+        ONE control-plane LIST plus one small GET per manifest (count
+        bounded by auto-compaction). A key deleted between LIST and
+        GET (concurrent compact) is simply skipped: its entries were
+        folded into the base that replaced it."""
+        out = []
+        for key in self.store.list_keys(MANIFEST_PREFIX):
+            raw = self.store.get_object(key)
+            if raw is None:
                 continue
-            if name.startswith("delta_"):
-                deltas.append(full)
-            elif name.startswith("base_"):
-                bases.append(full)
+            try:
+                m = json.loads(raw)
+            except ValueError:
+                continue  # unreadable manifest claims nothing
+            out.append((key, m))
+        # bases first then deltas, each by instant (stable fold order)
+        out.sort(key=lambda km: (km[1].get("kind") != "base",
+                                 km[1].get("instant", "")))
+        return out
+
+    def _dirs(self) -> tuple[list[str], list[str]]:
+        """(delta manifest keys, base manifest keys) — the layout-state
+        view `CALL show_indexes` reports."""
+        deltas, bases = [], []
+        for key, m in self._manifests():
+            (bases if m.get("kind") == "base" else deltas).append(key)
         return deltas, bases
 
     def covered_instants(self) -> set[str]:
-        deltas, bases = self._dirs()
-        covered = {os.path.basename(d)[len("delta_"):] for d in deltas}
-        for b in bases:
-            meta = os.path.join(b, "_covered.json")
-            try:
-                with open(meta) as f:
-                    covered.update(json.load(f)["instants"])
-            except (OSError, KeyError, ValueError):
-                # Unreadable base: claim nothing — the caller falls back.
-                continue
+        covered: set[str] = set()
+        for _key, m in self._manifests():
+            covered.update(m.get("covered", []))
         return covered
 
     # ------------------------------------------------------------ maintain
@@ -127,6 +186,60 @@ class RecordIndex:
         """The indexed value as a Column; ExpressionIndex overrides."""
         return F.col(key_col)
 
+    def _new_data_dir(self, name: str) -> tuple[str, str]:
+        """(abs path, rel path) of a fresh immutable data dir. The
+        unique suffix is what makes rename-free publishing safe: the
+        dir is never visible to readers until a manifest names it."""
+        rel = os.path.join(DATA_DIR, f"{name}-{uuid.uuid4().hex[:8]}")
+        return os.path.join(self.dir, rel), rel
+
+    @staticmethod
+    def _harvest_leaves(data_abs: str) -> dict[str, list]:
+        """bucket -> [[file, bytes], ...] of a just-written data dir.
+        The WRITER lists its own output exactly once to build the
+        manifest (the same pattern as Delta's commit protocol building
+        add-actions); readers never list."""
+        leaves: dict[str, list] = {}
+        for name in os.listdir(data_abs):
+            if not name.startswith(BUCKET_COL + "="):
+                continue
+            b = name.split("=", 1)[1]
+            bdir = os.path.join(data_abs, name)
+            files = [
+                [f, os.path.getsize(os.path.join(bdir, f))]
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                leaves[b] = files
+        return leaves
+
+    def _publish(
+        self,
+        name: str,
+        kind: str,
+        instant: str,
+        covered: set,
+        data_rel: str | None,
+        leaves: dict[str, list],
+        replaceable: bool = False,
+    ) -> bool:
+        """Atomic commit point: ONE conditional object put. Returns
+        False when another writer already published this version (the
+        caller discards its data dir — entries are equivalent)."""
+        payload = json.dumps(
+            {
+                "kind": kind,
+                "instant": instant,
+                "covered": sorted(covered),
+                "data_dir": data_rel if leaves else None,
+                "leaves": leaves,
+            }
+        ).encode("utf-8")
+        return self.store.put_object(
+            MANIFEST_PREFIX + name, payload, if_none_match=not replaceable
+        )
+
     #: Driver fast path bounds: commits at or below this size index on
     #: the driver with pyarrow (one column read of batch-sized local
     #: files — the same pattern as bloom harvesting in _harvest_one).
@@ -136,14 +249,14 @@ class RecordIndex:
     DRIVER_UPDATE_MAX_FILES = 16
     DRIVER_UPDATE_MAX_ROWS = 2_000_000
 
-    def _update_driver(
-        self, instant: str, adds, key_col: str, out: str,
-        covered: set | None = None,
-    ) -> bool:
-        """Driver-side delta write. Returns False (caller falls back to
-        the Spark path) when a file is not locally readable or the
-        indexed column is not string-typed (the JVM cast-to-string of
-        non-strings is not replicated here)."""
+    def _write_leaves_driver(
+        self, instant: str, adds, key_col: str, data_abs: str
+    ) -> dict[str, list] | None:
+        """Driver-side leaf write into ``data_abs``. Returns None
+        (caller falls back to the Spark path) when a file is not
+        locally readable or the indexed column is not string-typed
+        (the JVM cast-to-string of non-strings is not replicated
+        here)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -153,10 +266,10 @@ class RecordIndex:
             try:
                 col = pq.read_table(path, columns=[key_col]).column(0)
             except Exception:
-                return False
+                return None
             t = col.type
             if not (pa.types.is_string(t) or pa.types.is_large_string(t)):
-                return False
+                return None
             part = f.partition or ""
             for v in set(col.to_pylist()):
                 if v is None:
@@ -164,8 +277,6 @@ class RecordIndex:
                 per_bucket.setdefault(self._bucket_py(v), []).append(
                     (v, part, f.path)
                 )
-        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp, exist_ok=True)
         schema = pa.schema(
             [
                 (VAL_COL, pa.string()),
@@ -175,7 +286,7 @@ class RecordIndex:
             ]
         )
         for b, rows in per_bucket.items():
-            bdir = os.path.join(tmp, f"{BUCKET_COL}={b}")
+            bdir = os.path.join(data_abs, f"{BUCKET_COL}={b}")
             os.makedirs(bdir, exist_ok=True)
             vals, parts, files = zip(*rows)
             tbl = pa.table(
@@ -188,11 +299,72 @@ class RecordIndex:
                 schema=schema,
             )
             pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
-        if covered is not None:
-            with open(os.path.join(tmp, "_covered.json"), "w") as f:
-                json.dump({"instants": sorted(covered)}, f)
-        os.rename(tmp, out)
-        return True
+        return self._harvest_leaves(data_abs) if per_bucket else {}
+
+    def _write_leaves_spark(
+        self, spark: SparkSession, instant: str, adds, key_col: str,
+        data_abs: str,
+    ) -> dict[str, list]:
+        abs_paths = [os.path.join(self.table_base, f.path) for f in adds]
+        value_col = self._value_expr(key_col)
+        # Map each row back to its FileMeta via the table-relative
+        # suffix of input_file_name(). The extraction is ANCHORED to
+        # the table base path (not a bare "data/" search — a base path
+        # that itself contains a data/ segment must not shift the
+        # match), and any row whose suffix misses the adds mapping
+        # raises instead of silently dropping: a dropped entry would
+        # make the index under-approximate, the one failure mode the
+        # safety model cannot absorb.
+        suffix_re = re.escape(self.table_base.lstrip("/")) + "/(data/.*)$"
+        mapping = spark.createDataFrame(
+            [(f.path, f.partition or "") for f in adds],
+            f"{FILE_COL} string, _oh_map_part string",
+        )
+        entries = (
+            spark.read.parquet(*abs_paths)
+            .select(
+                value_col.cast("string").alias(VAL_COL),
+                F.url_decode(
+                    F.regexp_extract(F.input_file_name(), suffix_re, 1)
+                ).alias(FILE_COL),
+            )
+            .join(F.broadcast(mapping), FILE_COL, "left")
+            .select(
+                F.col(VAL_COL),
+                F.when(
+                    F.col("_oh_map_part").isNotNull(),
+                    F.col("_oh_map_part"),
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "record-index: file suffix not in commit "
+                                "adds: "
+                            ),
+                            F.col(FILE_COL),
+                        )
+                    )
+                )
+                .alias(IPART_COL),
+                F.col(FILE_COL),
+                F.lit(instant).alias(INSTANT_COL),
+                self._bucket_expr(F.col(VAL_COL)).alias(BUCKET_COL),
+            )
+        )
+        # Cluster by bucket first: ~one file per touched bucket instead
+        # of (write tasks × buckets) shards. Small commits (few added
+        # files) coalesce without an exchange — the delta is tiny and
+        # a shuffle stage would cost more than it saves; big commits
+        # hash-cluster so no single task writes every bucket.
+        if len(adds) <= 8:
+            entries = entries.coalesce(len(adds))
+        else:
+            entries = entries.repartition(F.col(BUCKET_COL))
+        entries.write.partitionBy(BUCKET_COL).parquet(
+            data_abs, mode="overwrite"
+        )
+        return self._harvest_leaves(data_abs)
 
     def update_for_commit(
         self,
@@ -204,80 +376,51 @@ class RecordIndex:
         covered: set | None = None,
     ) -> None:
         """Index the files a commit added: one key-column read of the
-        just-written (batch-sized) files, written as a bucket-partitioned
-        delta dir. Idempotent per instant (an existing dir wins).
+        just-written (batch-sized) files, written as immutable bucket
+        leaves + ONE manifest object (the atomic commit point).
+        Idempotent per instant (an existing manifest wins the
+        conditional put; the loser's leaves are discarded).
 
-        ``backfill`` reuses this writer with ``out_name="base_..."`` and
-        an explicit ``covered`` instant set (stamped as _covered.json
-        before the atomic publish)."""
-        out = os.path.join(self.dir, out_name or f"delta_{instant}")
-        if os.path.isdir(out):
+        ``backfill`` reuses this writer with ``out_name="base_..."``
+        and an explicit ``covered`` instant set."""
+        name = out_name or f"delta_{instant}"
+        if self.store.head_object(MANIFEST_PREFIX + name) is not None:
             return
-        os.makedirs(self.dir, exist_ok=True)
         adds = list(adds)
-        if (
-            adds
-            and len(adds) <= self.DRIVER_UPDATE_MAX_FILES
-            and sum(f.rows for f in adds) <= self.DRIVER_UPDATE_MAX_ROWS
-            and self._update_driver(
-                instant, adds, key_col, out, covered=covered
-            )
-        ):
-            return
         if not adds:
             # Zero-file commits still need a coverage marker, otherwise
             # probe_files would treat the instant as unindexed forever.
-            tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-            os.makedirs(tmp, exist_ok=True)
-            if covered is not None:
-                with open(os.path.join(tmp, "_covered.json"), "w") as f:
-                    json.dump({"instants": sorted(covered)}, f)
-            os.rename(tmp, out)
+            self._publish(
+                name, "base" if name.startswith("base_") else "delta",
+                instant, covered or {instant}, None, {},
+            )
             return
-        abs_paths = [os.path.join(self.table_base, f.path) for f in adds]
-        value_col = self._value_expr(key_col)
-        # Map each row back to its FileMeta by the unique "data/..."
-        # suffix of input_file_name(). The URI is percent-decoded JVM
-        # side (url_decode); paths here are commit-generated
-        # (data/{instant}_{hex}/[pp=value/]part-*.parquet) so the only
-        # user-influenced segment is the partition value, which the
-        # writer percent-encodes the same way.
-        mapping = spark.createDataFrame(
-            [(f.path, f.partition or "") for f in adds],
-            f"{FILE_COL} string, {IPART_COL} string",
+        data_abs, data_rel = self._new_data_dir(name)
+        os.makedirs(data_abs, exist_ok=True)
+        try:
+            leaves = None
+            if (
+                len(adds) <= self.DRIVER_UPDATE_MAX_FILES
+                and sum(f.rows for f in adds) <= self.DRIVER_UPDATE_MAX_ROWS
+            ):
+                leaves = self._write_leaves_driver(
+                    instant, adds, key_col, data_abs
+                )
+            if leaves is None:
+                leaves = self._write_leaves_spark(
+                    spark, instant, adds, key_col, data_abs
+                )
+        except Exception:
+            # A failed write leaves only an unreferenced data dir
+            # (GC'd at compact) — remove it eagerly when we can.
+            shutil.rmtree(data_abs, ignore_errors=True)
+            raise
+        ok = self._publish(
+            name, "base" if name.startswith("base_") else "delta",
+            instant, covered or {instant}, data_rel, leaves,
         )
-        entries = (
-            spark.read.parquet(*abs_paths)
-            .select(
-                value_col.cast("string").alias(VAL_COL),
-                F.url_decode(
-                    F.regexp_extract(F.input_file_name(), "(data/.*)$", 1)
-                ).alias(FILE_COL),
-            )
-            .join(F.broadcast(mapping), FILE_COL, "inner")
-            .select(
-                F.col(VAL_COL),
-                F.col(IPART_COL),
-                F.col(FILE_COL),
-                F.lit(instant).alias(INSTANT_COL),
-                self._bucket_expr(F.col(VAL_COL)).alias(BUCKET_COL),
-            )
-        )
-        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        # Cluster by bucket first: ~one file per touched bucket instead
-        # of (write tasks × buckets) shards. Small commits (few added
-        # files) coalesce without an exchange — the delta is tiny and
-        # a shuffle stage would cost more than it saves; big commits
-        # hash-cluster so no single task writes every bucket.
-        if len(adds) <= 8:
-            entries = entries.coalesce(len(adds))
-        else:
-            entries = entries.repartition(F.col(BUCKET_COL))
-        entries.write.partitionBy(BUCKET_COL).parquet(tmp, mode="overwrite")
-        if covered is not None:
-            with open(os.path.join(tmp, "_covered.json"), "w") as f:
-                json.dump({"instants": sorted(covered)}, f)
-        os.rename(tmp, out)
+        if not ok:  # concurrent writer published this version first
+            shutil.rmtree(data_abs, ignore_errors=True)
 
     def backfill(
         self,
@@ -291,140 +434,192 @@ class RecordIndex:
         timeline instant — this is what makes enabling an index on a
         table with history practical (without it, coverage gaps route
         probes to the scan path until every old file rotates).
-        Pre-existing partial delta/base dirs are superseded and
-        removed after the atomic publish."""
+        Pre-existing partial versions are superseded and removed after
+        the atomic publish."""
         instants = sorted(set(all_instants))
         if not instants:
             return
         top = instants[-1]
-        out_name = f"base_{top}"
-        out = os.path.join(self.dir, out_name)
-        if os.path.isdir(out):
-            shutil.rmtree(out)  # re-backfill replaces the base
+        before = [k for k, _m in self._manifests()]
+        name = f"base_{top}-{uuid.uuid4().hex[:8]}"
         self.update_for_commit(
             spark,
             top,
             list(live_files),
             key_col,
-            out_name=out_name,
+            out_name=name,
             covered=set(instants),
         )
-        deltas, bases = self._dirs()
-        for d in deltas + bases:
-            if os.path.basename(d) != out_name:
-                shutil.rmtree(d, ignore_errors=True)
+        self._retire(before)
 
-    def _compact_driver(
-        self, dirs: list[str], live_paths: set[str], covered: set[str],
-        top: str,
-    ) -> bool:
+    def _retire(self, manifest_keys: list[str]) -> None:
+        """Delete superseded manifests (control plane) then their data
+        dirs (best-effort GC — an unreferenced dir is invisible)."""
+        rels = []
+        for key in manifest_keys:
+            raw = self.store.get_object(key)
+            if raw is not None:
+                try:
+                    rel = json.loads(raw).get("data_dir")
+                    if rel:
+                        rels.append(rel)
+                except ValueError:
+                    pass
+            self.store.delete_object(key)
+        for rel in rels:
+            shutil.rmtree(os.path.join(self.dir, rel), ignore_errors=True)
+        self._gc_orphans()
+
+    def _gc_orphans(self) -> None:
+        """Remove data dirs no manifest references (crashed writers,
+        conditional-put losers). Data-plane listing is writer-side
+        housekeeping only — probes never list."""
+        root = os.path.join(self.dir, DATA_DIR)
+        try:
+            present = set(os.listdir(root))
+        except OSError:
+            return
+        live = {
+            os.path.basename(m["data_dir"])
+            for _k, m in self._manifests()
+            if m.get("data_dir")
+        }
+        for name in present - live:
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+    def _leaf_files(
+        self, manifests: list[tuple[str, dict]], buckets=None
+    ) -> tuple[list[str], int]:
+        """(abs parquet paths, total bytes) for the probed buckets —
+        resolved entirely from manifest metadata on the DRIVER, so the
+        read opens exactly the touched leaves (never a listing, never
+        a per-version DataFrame union whose width grows with commit
+        count)."""
+        want = None if buckets is None else {str(b) for b in buckets}
+        paths, total = [], 0
+        for _key, m in manifests:
+            rel = m.get("data_dir")
+            if not rel:
+                continue
+            for b, files in m.get("leaves", {}).items():
+                if want is not None and b not in want:
+                    continue
+                leaf = os.path.join(self.dir, rel, f"{BUCKET_COL}={b}")
+                for fname, size in files:
+                    paths.append(os.path.join(leaf, fname))
+                    total += size
+        return paths, total
+
+    def _fold_entries(
+        self, manifests, live_paths: set[str]
+    ) -> dict[int, dict] | None:
         """Driver-side fold of small indexes (≤ DRIVER_PROBE_MAX_BYTES
-        of leaves): pyarrow read -> live filter -> per-bucket rewrite.
-        Returns False above the cap (Spark path handles it)."""
+        of leaves): pyarrow read -> live filter. Returns None above
+        the cap (Spark path handles it)."""
+        import pyarrow.parquet as pq
+
+        paths, total = self._leaf_files(manifests)
+        if total > self.DRIVER_PROBE_MAX_BYTES:
+            return None
+        per_bucket: dict[int, dict] = {}
+        for p in paths:
+            b = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+            tbl = pq.read_table(p, columns=_ENTRY_COLS)
+            rows = zip(*(tbl.column(i).to_pylist() for i in range(4)))
+            dedup = per_bucket.setdefault(b, {})
+            for v, pt, fl, inst in rows:
+                if live_paths and fl not in live_paths:
+                    continue
+                dedup[(v, pt, fl)] = inst
+        return per_bucket
+
+    def compact(self, spark: SparkSession, live_paths: set[str]) -> int:
+        """Fold every delta (and prior base) into one base version,
+        dropping entries for dead files. Returns the number of index
+        versions folded. Liveness is still re-checked at probe time,
+        so compacting against a slightly-stale live set stays correct.
+
+        Concurrency: two simultaneous compactors publish two
+        uniquely-named base manifests with equivalent folded content —
+        probes tolerate the overlap (file hits dedup), and the next
+        compact folds the survivors."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        all_leaves = []
-        for d in dirs:
-            for name in os.listdir(d):
-                if name.startswith(BUCKET_COL + "="):
-                    all_leaves.append(os.path.join(d, name))
-        if self._leaf_bytes(all_leaves) > self.DRIVER_PROBE_MAX_BYTES:
-            return False
-        per_bucket: dict[int, dict] = {}
-        cols = [VAL_COL, IPART_COL, FILE_COL, INSTANT_COL]
-        for leaf in all_leaves:
-            b = int(os.path.basename(leaf).split("=", 1)[1])
-            for name in os.listdir(leaf):
-                if not name.endswith(".parquet"):
-                    continue
-                tbl = pq.read_table(os.path.join(leaf, name), columns=cols)
-                rows = zip(*(tbl.column(i).to_pylist() for i in range(4)))
-                dedup = per_bucket.setdefault(b, {})
-                for v, pt, fl, inst in rows:
-                    if live_paths and fl not in live_paths:
-                        continue
-                    dedup[(v, pt, fl)] = inst
-        out = os.path.join(self.dir, f"base_{top}")
-        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        os.makedirs(tmp, exist_ok=True)
-        schema = pa.schema(
-            [
-                (VAL_COL, pa.string()),
-                (IPART_COL, pa.string()),
-                (FILE_COL, pa.string()),
-                (INSTANT_COL, pa.string()),
-            ]
-        )
-        for b, dedup in per_bucket.items():
-            if not dedup:
-                continue
-            bdir = os.path.join(tmp, f"{BUCKET_COL}={b}")
-            os.makedirs(bdir, exist_ok=True)
-            keys = list(dedup)
-            tbl = pa.table(
-                {
-                    VAL_COL: [k[0] for k in keys],
-                    IPART_COL: [k[1] for k in keys],
-                    FILE_COL: [k[2] for k in keys],
-                    INSTANT_COL: [dedup[k] for k in keys],
-                },
-                schema=schema,
-            )
-            pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
-        with open(os.path.join(tmp, "_covered.json"), "w") as f:
-            json.dump({"instants": sorted(covered)}, f)
-        if os.path.isdir(out):
-            shutil.rmtree(out)
-        os.rename(tmp, out)
-        for d in dirs:
-            if os.path.abspath(d) != os.path.abspath(out):
-                shutil.rmtree(d, ignore_errors=True)
-        return True
-
-    def compact(self, spark: SparkSession, live_paths: set[str]) -> int:
-        """Fold every delta (and prior base) into one base dir, dropping
-        entries for dead files. Returns the number of dirs folded.
-        Liveness is still re-checked at probe time, so compacting
-        against a slightly-stale live set stays correct."""
-        deltas, bases = self._dirs()
-        dirs = bases + deltas
-        if len(dirs) <= 1 and not deltas:
+        manifests = self._manifests()
+        n_deltas = sum(1 for _k, m in manifests if m.get("kind") != "base")
+        if len(manifests) <= 1 and n_deltas == 0:
             return 0
-        covered = self.covered_instants()
+        covered = set()
+        for _k, m in manifests:
+            covered.update(m.get("covered", []))
         if not covered:
             return 0
         top = max(covered)
-        if self._compact_driver(dirs, live_paths, covered, top):
-            return len(dirs)
-        df = self._read_dirs(spark, dirs)
-        if df is not None and live_paths:
-            live = spark.createDataFrame(
-                [(p,) for p in sorted(live_paths)], f"{FILE_COL} string"
+        name = f"base_{top}-{uuid.uuid4().hex[:8]}"
+        per_bucket = self._fold_entries(manifests, live_paths)
+        data_abs, data_rel = self._new_data_dir(name)
+        if per_bucket is not None:
+            # driver fold
+            schema = pa.schema(
+                [
+                    (VAL_COL, pa.string()),
+                    (IPART_COL, pa.string()),
+                    (FILE_COL, pa.string()),
+                    (INSTANT_COL, pa.string()),
+                ]
             )
-            df = df.join(F.broadcast(live), FILE_COL, "inner")
-        out = os.path.join(self.dir, f"base_{top}")
-        tmp = out + f".tmp-{uuid.uuid4().hex[:8]}"
-        if df is None:
-            os.makedirs(tmp, exist_ok=True)
+            os.makedirs(data_abs, exist_ok=True)
+            wrote = False
+            for b, dedup in per_bucket.items():
+                if not dedup:
+                    continue
+                wrote = True
+                bdir = os.path.join(data_abs, f"{BUCKET_COL}={b}")
+                os.makedirs(bdir, exist_ok=True)
+                keys = list(dedup)
+                tbl = pa.table(
+                    {
+                        VAL_COL: [k[0] for k in keys],
+                        IPART_COL: [k[1] for k in keys],
+                        FILE_COL: [k[2] for k in keys],
+                        INSTANT_COL: [dedup[k] for k in keys],
+                    },
+                    schema=schema,
+                )
+                pq.write_table(tbl, os.path.join(bdir, "part-0.parquet"))
+            leaves = self._harvest_leaves(data_abs) if wrote else {}
         else:
+            # Spark fold: ONE read of every leaf, live-filtered,
+            # re-clustered by bucket.
+            paths, _total = self._leaf_files(manifests)
+            df = spark.read.parquet(*paths)
+            b_from_path = (
+                F.conv(F.substring(F.md5(F.col(VAL_COL)), 1, 15), 16, 10)
+                .cast("long") % self.buckets
+            )
+            df = df.withColumn(BUCKET_COL, b_from_path)
+            if live_paths:
+                live = spark.createDataFrame(
+                    [(p,) for p in sorted(live_paths)], f"{FILE_COL} string"
+                )
+                df = df.join(F.broadcast(live), FILE_COL, "inner")
+            df = df.dropDuplicates([VAL_COL, IPART_COL, FILE_COL])
             df.repartition(F.col(BUCKET_COL)).write.partitionBy(
                 BUCKET_COL
-            ).parquet(tmp, mode="overwrite")
-        with open(os.path.join(tmp, "_covered.json"), "w") as f:
-            json.dump({"instants": sorted(covered)}, f)
-        if os.path.isdir(out):  # re-compact at the same top instant
-            shutil.rmtree(out)
-        os.rename(tmp, out)
-        for d in dirs:
-            if os.path.abspath(d) != os.path.abspath(out):
-                shutil.rmtree(d, ignore_errors=True)
-        return len(dirs)
+            ).parquet(data_abs, mode="overwrite")
+            leaves = self._harvest_leaves(data_abs)
+        self._publish(
+            name, "base", top, covered, data_rel, leaves, replaceable=True
+        )
+        self._retire([k for k, _m in manifests])
+        return len(manifests)
 
-    #: Fold delta dirs into a base once this many accumulate — bounds
-    #: both the probe's path-listing cost and the open-dir count, the
-    #: same way the timeline archives commits. Hudi's metadata table
-    #: is the same shape (an MOR table log-compacted on a cadence).
+    #: Fold delta versions into a base once this many accumulate —
+    #: bounds both the probe's manifest-read cost and the leaf count,
+    #: the same way the timeline archives commits. Hudi's metadata
+    #: table is the same shape (an MOR table log-compacted on a
+    #: cadence).
     AUTO_COMPACT_DELTAS = 16
 
     def maybe_compact(self, spark: SparkSession, live_paths: set[str]) -> int:
@@ -435,37 +630,6 @@ class RecordIndex:
 
     # --------------------------------------------------------------- probe
 
-    def _bucket_leaf_paths(self, dirs: list[str], buckets) -> list[str]:
-        """Leaf bucket dirs for the probed buckets only — path-level
-        partition pruning resolved on the DRIVER, so the executor-side
-        read is ONE parquet load of exactly the touched buckets (never
-        a per-dir DataFrame union whose width grows with commit
-        count)."""
-        paths = []
-        for d in dirs:
-            for b in buckets:
-                p = os.path.join(d, f"{BUCKET_COL}={b}")
-                if os.path.isdir(p):
-                    paths.append(p)
-        return paths
-
-    def _read_dirs(self, spark: SparkSession, dirs: list[str]) -> DataFrame | None:
-        # One read per index dir (each is its own partitioned root),
-        # unioned. Dir count is bounded by compact(); bucket-filter
-        # pushdown prunes _oh_bucket partitions inside every root.
-        parts = []
-        for d in dirs:
-            # Bucket dirs only — skips empty coverage markers and
-            # _covered.json without schema-inference surprises.
-            if any(n.startswith(BUCKET_COL + "=") for n in os.listdir(d)):
-                parts.append(spark.read.option("basePath", d).parquet(d))
-        if not parts:
-            return None
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        return df
-
     #: Probe fast path: point batches (≤ this many keys — a ~few-MB
     #: driver collect, metadata-scale) against index leaves totalling
     #: ≤ the byte cap match on the driver with pyarrow — zero Spark
@@ -473,40 +637,33 @@ class RecordIndex:
     DRIVER_PROBE_MAX_KEYS = 65536
     DRIVER_PROBE_MAX_BYTES = 64 * 1024 * 1024
 
-    @staticmethod
-    def _leaf_bytes(paths: list[str]) -> int:
-        total = 0
-        for p in paths:
-            for name in os.listdir(p):
-                if name.endswith(".parquet"):
-                    total += os.path.getsize(os.path.join(p, name))
-        return total
-
     def _match_driver(
         self, paths: list[str], probe_rows: set, live_paths: set,
         with_part: bool,
-    ) -> set:
-        """Pure-Python entry matching over locally-read index leaves."""
+    ) -> set | None:
+        """Pure-Python entry matching over locally-read index leaves.
+        Returns None when a leaf vanished mid-read (concurrent
+        compaction retired it) — the caller falls back."""
         import pyarrow.parquet as pq
 
         touched = set()
         cols = [VAL_COL, IPART_COL, FILE_COL]
         for p in paths:
-            for name in os.listdir(p):
-                if not name.endswith(".parquet"):
+            try:
+                tbl = pq.read_table(p, columns=cols)
+            except (OSError, FileNotFoundError):
+                return None
+            vals, parts, files = (
+                tbl.column(0).to_pylist(),
+                tbl.column(1).to_pylist(),
+                tbl.column(2).to_pylist(),
+            )
+            for v, pt, fl in zip(vals, parts, files):
+                if fl not in live_paths or fl in touched:
                     continue
-                tbl = pq.read_table(os.path.join(p, name), columns=cols)
-                vals, parts, files = (
-                    tbl.column(0).to_pylist(),
-                    tbl.column(1).to_pylist(),
-                    tbl.column(2).to_pylist(),
-                )
-                for v, pt, fl in zip(vals, parts, files):
-                    if fl not in live_paths or fl in touched:
-                        continue
-                    key = (v, pt) if with_part else v
-                    if key in probe_rows:
-                        touched.add(fl)
+                key = (v, pt) if with_part else v
+                if key in probe_rows:
+                    touched.add(fl)
         return touched
 
     def probe_files(
@@ -543,15 +700,14 @@ class RecordIndex:
             self._bucket_expr(F.col(key_col).cast("string")).alias(BUCKET_COL),
             *([part_expr.alias(IPART_COL)] if with_part else []),
         )
-        deltas, bases = self._dirs()
-        dirs = bases + deltas
+        manifests = self._manifests()
         if n_rows is not None and n_rows <= self.DRIVER_PROBE_MAX_KEYS:
             rows = probe.collect()  # point batch: tiny by contract
             buckets = sorted({r[BUCKET_COL] for r in rows})
-            paths = self._bucket_leaf_paths(dirs, buckets)
+            paths, total = self._leaf_files(manifests, buckets)
             if not paths:
                 return []
-            if self._leaf_bytes(paths) <= self.DRIVER_PROBE_MAX_BYTES:
+            if total <= self.DRIVER_PROBE_MAX_BYTES:
                 probe_rows = {
                     (r[VAL_COL], r[IPART_COL]) if with_part else r[VAL_COL]
                     for r in rows
@@ -560,6 +716,8 @@ class RecordIndex:
                 touched = self._match_driver(
                     paths, probe_rows, live_paths, with_part
                 )
+                if touched is None:  # leaf vanished: scan-probe instead
+                    return None
                 return [f for f in live_files if f.path in touched]
         else:
             # Bucket pruning: a metadata-scale collect (≤ buckets ints)
@@ -567,11 +725,14 @@ class RecordIndex:
             buckets = [
                 r[0] for r in probe.select(BUCKET_COL).distinct().collect()
             ]
-            paths = self._bucket_leaf_paths(dirs, buckets)
+            paths, _total = self._leaf_files(manifests, buckets)
             if not paths:
                 return []
         # Spark path: ONE parquet load of exactly the touched leaves.
-        df = spark.read.parquet(*paths)
+        try:
+            df = spark.read.parquet(*paths)
+        except Exception:
+            return None  # leaf retired by a concurrent compact
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )
@@ -586,7 +747,10 @@ class RecordIndex:
             .select(FILE_COL)
             .distinct()
         )
-        touched = {r[0] for r in hit.collect()}
+        try:
+            touched = {r[0] for r in hit.collect()}
+        except Exception:
+            return None  # leaf retired mid-scan: fall back
         return [f for f in live_files if f.path in touched]
 
 
@@ -601,25 +765,45 @@ class SecondaryIndex(RecordIndex):
 
     Same safety model as the record index: entries are immutable facts
     about immutable files, liveness re-checked at probe, coverage gaps
-    force the caller back to stats-only pruning."""
+    force the caller back to stats-only pruning.
 
-    def __init__(self, base_path: str, buckets: int, column: str):
-        super().__init__(base_path, buckets)
+    The index directory (and store) is keyed by the column's PHYSICAL
+    name, so `ALTER TABLE RENAME COLUMN` — which freezes physical
+    names — leaves every persisted entry valid."""
+
+    def __init__(
+        self,
+        base_path: str,
+        buckets: int,
+        column: str,
+        store: ObjectStoreClient | None = None,
+    ):
+        super().__init__(base_path, buckets, store=store)
         self.column = column
         self.dir = os.path.join(
             self.table_base, "_index", "secondary", column
         )
 
-    def files_for_value(
+    def files_for_values(
         self,
         spark: SparkSession,
-        value,
+        values: list,
         live_files,  # list[FileMeta]
         path_to_instant: dict[str, str],
+        col_type=None,
     ) -> set | None:
-        """Relative paths of live files that may contain `value` in the
-        indexed column (exact under full coverage), or None on a
-        coverage gap. A one-bucket partition-pruned index read."""
+        """Relative paths of live files that may contain ANY of
+        ``values`` in the indexed column (exact under full coverage;
+        serves both `=` and `IN (v1..vk)` predicates), or None on a
+        coverage gap / unindexable literal.
+
+        ``col_type``: the indexed column's CURRENT data type. Probe
+        literals are cast to it BEFORE the string cast, so a
+        type-coerced predicate (`int_col = 5.0`) hashes exactly like
+        the entries (written as cast(col as string)) — without it,
+        '5.0' vs '5' would silently match nothing. A literal the
+        column type cannot represent falls back (None) rather than
+        guessing at Spark's coercion."""
         covered = self.covered_instants()
         if any(
             path_to_instant.get(f.path) not in covered for f in live_files
@@ -627,38 +811,80 @@ class SecondaryIndex(RecordIndex):
             return None
         if not live_files:
             return set()
-        val = F.lit(value).cast("string")
-        one = spark.range(1).select(
-            val.alias(VAL_COL),
-            self._bucket_expr(val).alias(BUCKET_COL),
-        )
-        bucket_row = one.collect()[0]
-        if bucket_row[VAL_COL] is None:
-            return None  # NULL predicate: not indexable, fall back
-        deltas, bases = self._dirs()
-        paths = self._bucket_leaf_paths(
-            bases + deltas, [int(bucket_row[BUCKET_COL])]
-        )
+        if not values:
+            return set()
+        probe_vals: list[str] = []
+        if col_type is not None and getattr(
+            col_type, "typeName", lambda: ""
+        )() == "string":
+            # String column: the JVM string-cast is the identity, so
+            # the bucket resolves driver-side with zero Spark jobs.
+            for v in values:
+                if v is None or not isinstance(v, str):
+                    return None
+                probe_vals.append(v)
+        else:
+            exprs = []
+            for i, v in enumerate(values):
+                lit = F.lit(v)
+                if col_type is not None:
+                    # try_cast: an unrepresentable literal (int_col =
+                    # 'abc') yields NULL -> fall back, instead of an
+                    # ANSI cast error killing the read.
+                    lit = lit.try_cast(col_type)
+                exprs.append(lit.cast("string").alias(f"v{i}"))
+            row = spark.range(1).select(*exprs).collect()[0]
+            for i, v in enumerate(values):
+                s = row[f"v{i}"]
+                if s is None:
+                    # NULL literal or uncastable coercion: not
+                    # indexable, fall back to stats-only pruning.
+                    return None
+                probe_vals.append(s)
+        buckets = sorted({self._bucket_py(s) for s in probe_vals})
+        manifests = self._manifests()
+        paths, total = self._leaf_files(manifests, buckets)
         if not paths:
             return set()
-        if self._leaf_bytes(paths) <= self.DRIVER_PROBE_MAX_BYTES:
-            return self._match_driver(
+        if total <= self.DRIVER_PROBE_MAX_BYTES:
+            hits = self._match_driver(
                 paths,
-                {bucket_row[VAL_COL]},
+                set(probe_vals),
                 {f.path for f in live_files},
                 with_part=False,
             )
+            if hits is not None:
+                return hits
+            return None  # leaf vanished: stats-only pruning instead
         live = spark.createDataFrame(
             [(f.path,) for f in live_files], f"{FILE_COL} string"
         )
-        hit = (
-            spark.read.parquet(*paths)
-            .filter(F.col(VAL_COL) == bucket_row[VAL_COL])
-            .join(F.broadcast(live), FILE_COL, "inner")
-            .select(FILE_COL)
-            .distinct()
+        try:
+            hit = (
+                spark.read.parquet(*paths)
+                .filter(F.col(VAL_COL).isin(probe_vals))
+                .join(F.broadcast(live), FILE_COL, "inner")
+                .select(FILE_COL)
+                .distinct()
+            )
+            return {r[0] for r in hit.collect()}
+        except Exception:
+            return None
+
+    def files_for_value(
+        self,
+        spark: SparkSession,
+        value,
+        live_files,
+        path_to_instant: dict[str, str],
+        col_type=None,
+    ) -> set | None:
+        """Single-value convenience over files_for_values."""
+        if value is None:
+            return None
+        return self.files_for_values(
+            spark, [value], live_files, path_to_instant, col_type=col_type
         )
-        return {r[0] for r in hit.collect()}
 
 
 class ExpressionIndex(SecondaryIndex):
@@ -678,10 +904,16 @@ class ExpressionIndex(SecondaryIndex):
     routes probes to the stats fallback, degrade-never-corrupt as
     everywhere else."""
 
-    def __init__(self, base_path: str, buckets: int, expr: str):
+    def __init__(
+        self,
+        base_path: str,
+        buckets: int,
+        expr: str,
+        store: ObjectStoreClient | None = None,
+    ):
         import hashlib
 
-        RecordIndex.__init__(self, base_path, buckets)
+        RecordIndex.__init__(self, base_path, buckets, store=store)
         self.expr = expr
         slug = hashlib.md5(expr.encode("utf-8")).hexdigest()[:12]
         self.dir = os.path.join(self.table_base, "_index", "expression", slug)
@@ -689,5 +921,5 @@ class ExpressionIndex(SecondaryIndex):
     def _value_expr(self, key_col: str):
         return F.expr(self.expr)
 
-    def _update_driver(self, *a, **k) -> bool:
-        return False  # expressions evaluate on the JVM only
+    def _write_leaves_driver(self, *a, **k):
+        return None  # expressions evaluate on the JVM only

@@ -262,9 +262,16 @@ class LakehouseTable:
         if config.secondary_indexes:
             from onehouse_demos_spark.tables.record_index import SecondaryIndex
 
+            # Index dirs are keyed by the column's PHYSICAL name so
+            # ALTER TABLE RENAME COLUMN (which freezes physical names)
+            # re-attaches the same persisted entries under the new
+            # logical name — no rebuild, no coverage gap.
+            pmap = self._physical_map()
             self.secondary_indexes = {
                 c: SecondaryIndex(
-                    self.base_path, config.record_index_buckets, c
+                    self.base_path,
+                    config.record_index_buckets,
+                    pmap.get(c, c),
                 )
                 for c in config.secondary_indexes
             }
@@ -348,15 +355,37 @@ class LakehouseTable:
     def create_secondary_index(self, column: str) -> None:
         from onehouse_demos_spark.tables.record_index import SecondaryIndex
 
+        pmap = self._physical_map()
         if column not in self.secondary_indexes:
+            # Validate the column and run the backfill BEFORE the
+            # config change persists: a typo'd CREATE INDEX must fail
+            # the statement, not poison every later commit's index
+            # maintenance with a missing-column read.
+            schema = self._latest_schema()
+            if schema is not None and column not in {
+                f.name for f in schema.fields
+            }:
+                raise ValueError(
+                    f"cannot index {column!r}: no such column in the "
+                    "table schema"
+                )
+            idx = SecondaryIndex(
+                self.base_path,
+                self.config.record_index_buckets,
+                pmap.get(column, column),
+            )
+            idx.backfill(
+                self.spark,
+                self.manifest.live_files(include_logs=True),
+                self._all_instant_ids(),
+                pmap.get(column, column),
+            )
+            self.secondary_indexes[column] = idx
             self.config.secondary_indexes = list(
                 self.config.secondary_indexes
             ) + [column]
             self._rewrite_config()
-            self.secondary_indexes[column] = SecondaryIndex(
-                self.base_path, self.config.record_index_buckets, column
-            )
-        pmap = self._physical_map()
+            return
         self.secondary_indexes[column].backfill(
             self.spark,
             self.manifest.live_files(include_logs=True),
@@ -374,13 +403,28 @@ class LakehouseTable:
                 "carry physical names)"
             )
         if expr not in self.expression_indexes:
+            # Validate the expression against the current schema (a
+            # zero-row analysis — nothing executes) and backfill BEFORE
+            # persisting: a malformed CREATE INDEX expression must fail
+            # here, not on every later commit.
+            schema = self._latest_schema()
+            if schema is not None:
+                self.spark.createDataFrame([], schema).select(F.expr(expr))
+            idx = ExpressionIndex(
+                self.base_path, self.config.record_index_buckets, expr
+            )
+            idx.backfill(
+                self.spark,
+                self.manifest.live_files(include_logs=True),
+                self._all_instant_ids(),
+                KEY_COL,
+            )
+            self.expression_indexes[expr] = idx
             self.config.expression_indexes = list(
                 self.config.expression_indexes
             ) + [expr]
             self._rewrite_config()
-            self.expression_indexes[expr] = ExpressionIndex(
-                self.base_path, self.config.record_index_buckets, expr
-            )
+            return
         self.expression_indexes[expr].backfill(
             self.spark,
             self.manifest.live_files(include_logs=True),
@@ -631,7 +675,14 @@ class LakehouseTable:
                 f.path for f in self.manifest.live_files(include_logs=True)
             }
             for idx in all_idx:
-                idx.maybe_compact(self.spark, live)
+                try:
+                    idx.maybe_compact(self.spark, live)
+                except Exception:
+                    # The commit IS published; a failed housekeeping
+                    # fold must not make the caller abort a commit
+                    # that already succeeded. The un-folded deltas
+                    # stay probe-correct and the next commit retries.
+                    pass
         return inst
 
     # -- public write ops -----------------------------------------------------
@@ -1092,7 +1143,7 @@ class LakehouseTable:
                 fields.append(f)
         instant = self.timeline.begin("commit")
         try:
-            return self._commit(
+            inst = self._commit(
                 instant,
                 "commit",
                 "alter_schema",
@@ -1104,6 +1155,18 @@ class LakehouseTable:
         except Exception:
             self.timeline.abort(instant)
             raise
+        if old in self.secondary_indexes:
+            # The index directory is keyed by the PHYSICAL name (which
+            # a rename never changes), so the persisted entries stay
+            # valid verbatim — re-key the registration to the new
+            # logical name and the next probe/maintenance cycle
+            # continues without a gap.
+            self.secondary_indexes[new] = self.secondary_indexes.pop(old)
+            self.config.secondary_indexes = [
+                new if c == old else c for c in self.config.secondary_indexes
+            ]
+            self._rewrite_config()
+        return inst
 
     def widen_column(self, name: str, ddl_type: str) -> Instant:
         """ALTER TABLE ... ALTER COLUMN <c> TYPE <t> as a METADATA-ONLY
@@ -1683,13 +1746,16 @@ class LakehouseTable:
             # A non-identifier "column" is an SQL expression (e.g.
             # "hour(ts)") — expression-index predicates arrive this way.
             c = F.col(col) if col.isidentifier() else F.expr(col)
-            clause = {
-                "=": c == F.lit(val),
-                "<": c < F.lit(val),
-                "<=": c <= F.lit(val),
-                ">": c > F.lit(val),
-                ">=": c >= F.lit(val),
-            }[op]
+            if op == "in":
+                clause = c.isin(list(val))
+            else:
+                clause = {
+                    "=": c == F.lit(val),
+                    "<": c < F.lit(val),
+                    "<=": c <= F.lit(val),
+                    ">": c > F.lit(val),
+                    ">=": c >= F.lit(val),
+                }[op]
             pred = clause if pred is None else (pred & clause)
         has_logs = any(f.kind == "log" for f in files)
         if has_logs:
@@ -1710,15 +1776,41 @@ class LakehouseTable:
         # back to stats-only pruning.
         if (self.secondary_indexes or self.expression_indexes) and as_of is None:
             p2i = None
+            schema = self._latest_schema()
+            types = (
+                {f.name: f.dataType for f in schema.fields}
+                if schema is not None
+                else {}
+            )
             for col, op, val in filters:
                 idx = self.secondary_indexes.get(
                     col
                 ) or self.expression_indexes.get(col)
-                if idx is None or op != "=":
+                if idx is None or op not in ("=", "in"):
                     continue
                 if p2i is None:
                     p2i = self._path_instants()
-                hits = idx.files_for_value(self.spark, val, files, p2i)
+                # Probe literals are cast to the indexed column's (or
+                # expression's) CURRENT type before the string-cast, so
+                # a type-coerced predicate (int_col = 5.0) hashes like
+                # the persisted entries instead of silently matching
+                # nothing. Conjunctions intersect naturally (each
+                # indexed predicate prunes the surviving file list).
+                if col in types:
+                    col_type = types[col]
+                elif schema is not None:
+                    col_type = (
+                        self.spark.createDataFrame([], schema)
+                        .select(F.expr(col))
+                        .schema[0]
+                        .dataType
+                    )
+                else:
+                    col_type = None
+                values = list(val) if op == "in" else [val]
+                hits = idx.files_for_values(
+                    self.spark, values, files, p2i, col_type=col_type
+                )
                 if hits is not None:
                     files = [f for f in files if f.path in hits]
         df = self._read_files(files)

@@ -70,8 +70,7 @@ def test_index_upsert_delete_matches_scan_path(spark, tmp_base):
         ("K4", "t1", 400.0),
         ("K5", "t2", 500.0),
     }
-    idx_dir = os.path.join(t_idx.base_path, INDEX_REL_DIR)
-    deltas = [d for d in os.listdir(idx_dir) if d.startswith("delta_")]
+    deltas, _bases = t_idx.record_index._dirs()
     assert len(deltas) == 3  # insert, upsert, delete each indexed
 
 
@@ -126,10 +125,9 @@ def test_compact_folds_and_stays_exact(spark, tmp_base):
     live = {f.path for f in t.manifest.live_files(include_logs=False)}
     folded = t.record_index.compact(spark, live)
     assert folded >= 2
-    idx_dir = os.path.join(t.base_path, INDEX_REL_DIR)
-    names = os.listdir(idx_dir)
-    assert not [n for n in names if n.startswith("delta_")]
-    assert [n for n in names if n.startswith("base_")]
+    deltas, bases = t.record_index._dirs()
+    assert not deltas
+    assert bases
     # coverage preserved; further mutations (new deltas over the base)
     # still probe exactly
     t.delete(spark.createDataFrame([("K1",)], "key string"))
@@ -196,14 +194,35 @@ def test_survives_overwrite_and_clustering(spark, tmp_base):
 
 
 def test_orphan_delta_from_aborted_commit_harmless(spark, tmp_base):
-    """A delta dir for an instant that never completed (OCC loser)
-    references never-live files — probes ignore it."""
+    """A published index version for an instant that never completed
+    (OCC loser) references never-live files — probes ignore it. An
+    UNpublished data dir (crashed writer: leaves written, manifest
+    never put) is invisible entirely and GC'd at the next compact."""
+    import json
+
     t = make_table(spark, tmp_base)
     t.insert(spark.createDataFrame(ROWS1, SCHEMA))
-    idx_dir = os.path.join(t.base_path, INDEX_REL_DIR)
-    os.makedirs(os.path.join(idx_dir, "delta_99999999999999"), exist_ok=True)
+    # OCC loser: manifest published for an instant with no commit
+    t.record_index.store.put_object(
+        "manifest/delta_99999999999999",
+        json.dumps({
+            "kind": "delta", "instant": "99999999999999",
+            "covered": ["99999999999999"], "data_dir": None, "leaves": {},
+        }).encode(),
+        if_none_match=True,
+    )
+    # crashed writer: orphan data dir, no manifest
+    orphan = os.path.join(
+        t.base_path, INDEX_REL_DIR, "data", "delta_bogus-deadbeef"
+    )
+    os.makedirs(orphan, exist_ok=True)
     t.upsert(spark.createDataFrame(ROWS2, SCHEMA))
     assert ("K1", "t2", 105.0) in rows(t)
+    live = {f.path for f in t.manifest.live_files(include_logs=False)}
+    t.record_index.compact(spark, live)
+    assert not os.path.isdir(orphan)  # GC'd, never read
+    t.delete(spark.createDataFrame([("K2",)], "key string"))
+    assert ("K2", "t1", 200.0) not in rows(t)
 
 
 def test_bucket_pruning_prunes(spark, tmp_base):
@@ -226,11 +245,14 @@ def test_bucket_pruning_prunes(spark, tmp_base):
     )
     # K1 lives in exactly one file of the 2018/08/31 partition set
     assert files and all("data/" in f.path for f in files)
-    # and the entries for that key are under its own bucket dir
-    delta = [d for d in os.listdir(os.path.join(t.base_path, INDEX_REL_DIR))
-             if d.startswith("delta_")][0]
-    bdirs = os.listdir(os.path.join(t.base_path, INDEX_REL_DIR, delta))
-    assert f"_oh_bucket={bucket}" in bdirs
+    # and the entries for that key are under its own bucket leaf in
+    # the published manifest (probes never list the data plane)
+    manifests = ri._manifests()
+    assert manifests
+    leaf_buckets = set()
+    for _key, m in manifests:
+        leaf_buckets.update(m.get("leaves", {}).keys())
+    assert str(bucket) in leaf_buckets
 
 
 def test_spark_and_driver_paths_agree(spark, tmp_base, monkeypatch):
@@ -301,6 +323,42 @@ def test_occ_two_writers_indexed(spark, tmp_base):
     # further probes stay exact across both writers' commits
     t1.delete(spark.createDataFrame([("K2",)], "key string"))
     assert ("K2", "t2", 22.0) not in rows(t1)
+
+
+def test_base_path_containing_data_segment(spark, tmp_base, monkeypatch):
+    """ADVICE r7 (high): a table base path that itself contains a
+    'data/' segment must not shift the input_file_name() suffix
+    extraction — the regex is anchored to the base path. Forced onto
+    the Spark update path (the driver fast path never extracts)."""
+    from onehouse_demos_spark.tables.record_index import RecordIndex
+
+    monkeypatch.setattr(RecordIndex, "DRIVER_UPDATE_MAX_FILES", 0)
+    base = tmp_base + "/data/nested/data"  # adversarial base path
+    cfg = TableConfig(
+        name="rli", record_key=["key"], precombine="ts",
+        partition_by=["date"], table_type="cow",
+        record_index=True, record_index_buckets=8,
+    )
+    t = LakehouseTable.create(spark, base + "/rli", cfg)
+    t.insert(spark.createDataFrame(ROWS1, SCHEMA))
+    # coverage is real (the delta carries mapped entries, not an
+    # empty join result silently counted as covered)
+    p2i = t._path_instants()
+    probed = t.record_index.probe_files(
+        spark,
+        spark.createDataFrame([("K1",)], "_oh_record_key string"),
+        "_oh_record_key",
+        t.manifest.live_files(include_logs=False),
+        p2i,
+        n_rows=1,
+    )
+    assert probed is not None and len(probed) == 1
+    t.upsert(spark.createDataFrame(ROWS2, SCHEMA))
+    t.delete(spark.createDataFrame([("K2",)], "key string"))
+    assert rows(t) == {
+        ("K1", "t2", 105.0), ("K3", "t1", 300.0),
+        ("K4", "t1", 400.0), ("K5", "t2", 500.0),
+    }
 
 
 def test_streaming_ingest_maintains_index(spark, tmp_base):

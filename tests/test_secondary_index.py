@@ -264,3 +264,101 @@ def test_create_expression_index_ddl(spark, tmp_base):
     got = {r.id for r in t.snapshot_filtered(
         [("hour(ts)", "=", 4)]).select("id").collect()}
     assert got == {4, 28}
+
+
+def test_in_list_prunes_to_union_of_value_sets(spark, tmp_base):
+    """IN (v1..vk) predicates prune through the index to the UNION of
+    per-value file sets (VERDICT r7 #5 — Hudi's secondary index
+    serves IN and ANDed equalities, not just single `=`)."""
+    t = make_table(spark, tmp_base)
+    t.insert(interleaved(spark, 0, 50))
+    t.insert(interleaved(spark, 50, 100))
+    want = plain_rows(t, "g1") | plain_rows(t, "g4")
+    got = {
+        (r.id, r.v)
+        for r in t.snapshot_filtered([("grp", "in", ("g1", "g4"))])
+        .select("id", "v")
+        .collect()
+    }
+    assert got == want and len(got) == 40
+    # multi-value probe is exact at the file level too
+    live = t.manifest.live_files(include_logs=False)
+    hits = t.secondary_indexes["grp"].files_for_values(
+        t.spark, ["g1", "g4"], live, t._path_instants()
+    )
+    single = t.secondary_indexes["grp"].files_for_value(
+        t.spark, "g1", live, t._path_instants()
+    ) | t.secondary_indexes["grp"].files_for_value(
+        t.spark, "g4", live, t._path_instants()
+    )
+    assert hits == single
+    # empty IN-list: no file can match
+    assert (
+        t.secondary_indexes["grp"].files_for_values(
+            t.spark, [], live, t._path_instants()
+        )
+        == set()
+    )
+
+
+def test_conjunction_of_indexed_equalities_intersects(spark, tmp_base):
+    """col_a = x AND col_b = y with both columns indexed: each
+    predicate prunes the surviving file list (set intersection),
+    and the row filter still applies — identical to the unpruned
+    read."""
+    cfg = TableConfig(
+        name="sec2",
+        record_key=["id"],
+        precombine="ver",
+        record_index_buckets=8,
+        secondary_indexes=["grp", "oddity"],
+    )
+    t = LakehouseTable.create(spark, tmp_base + "/sec2", cfg)
+    rows = [
+        (i, 1, f"g{i % 5}", float(i), "odd" if i % 2 else "even")
+        for i in range(100)
+    ]
+    t.insert(spark.createDataFrame(
+        rows, "id int, ver int, grp string, v double, oddity string"
+    ))
+    got = {
+        r.id
+        for r in t.snapshot_filtered(
+            [("grp", "=", "g3"), ("oddity", "=", "odd")]
+        ).collect()
+    }
+    assert got == {i for i in range(100) if i % 5 == 3 and i % 2 == 1}
+
+
+def test_typed_literal_coercion_matches_entries(spark, tmp_base):
+    """ADVICE r7: an int-typed indexed column probed with a FLOAT
+    literal (5.0) or a string literal ('5') must prune to the same
+    files as the exact-typed literal — the probe casts to the
+    column's type before the string-cast, so '5.0' never hashes to a
+    different bucket than the persisted '5' entries."""
+    cfg = TableConfig(
+        name="sec3",
+        record_key=["id"],
+        precombine="ver",
+        record_index_buckets=8,
+        secondary_indexes=["num"],
+    )
+    t = LakehouseTable.create(spark, tmp_base + "/sec3", cfg)
+    t.insert(spark.createDataFrame(
+        [(i, 1, i % 10) for i in range(100)], "id int, ver int, num int"
+    ))
+    want = {i for i in range(100) if i % 10 == 5}
+    for probe in (5, 5.0, "5"):
+        got = {
+            r.id for r in t.snapshot_filtered([("num", "=", probe)]).collect()
+        }
+        assert got == want, (probe, got)
+    # an uncastable literal falls back to the row filter (empty, but
+    # never a silent wrong-bucket miss presented as exact pruning)
+    live = t.manifest.live_files(include_logs=False)
+    from pyspark.sql import types as T
+
+    hits = t.secondary_indexes["num"].files_for_value(
+        t.spark, "abc", live, t._path_instants(), col_type=T.IntegerType()
+    )
+    assert hits is None  # fallback, not a wrong empty-set claim
