@@ -141,7 +141,6 @@ _WINDOW = [
     "multimodal_features",
     # dedup suite
     "dedup_exact",
-    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "near_dup_canonical",
     "semantic_dedup_keep",
@@ -153,16 +152,29 @@ _WINDOW = [
     # contamination_check; it stays registered past the window and
     # green in the local sweep.
     "tbl_rli_upsert_read",
+    # r8 window swap (VERDICT r7 ask #2): rotate the driver toward
+    # never-driver-checked signatures — the partial_update merge
+    # payload (per-column newest-non-null fold), the secondary-index
+    # pruned read (CREATE INDEX backfill + value->file probe), the
+    # hashed-feature quality scorer (training-prep tier), and the
+    # Q17-shaped window-decorrelated scalar subquery — in the slots of
+    # four plan-shape duplicates: ngram_jaccard_pairs (pair-generation
+    # shape of minhash_lsh_pairs), label_centroid_distance and
+    # embedding_quantization (JVM HOF-arithmetic shapes covered by
+    # knn_batch_join), and doc_fingerprints (map-stage text shape
+    # covered by text_stats). All four stay registered past the window
+    # and green in the local sweep.
+    "tbl_partial_update_read",
+    "tbl_secondary_pruned_read",
+    "quality_classifier_scores",
+    "small_quantity_revenue",
     # similarity suite
-    "label_centroid_distance",
     "knn_ivf_trained",
     "embedding_near_dup_pairs",
     "knn_batch_join",
-    "embedding_quantization",
     # text suite representatives
     "text_stats",
     "lang_id_confusion",
-    "doc_fingerprints",
     # analytics: custom AS-OF join operator + the sessionizer
     # (hash-fix proof)
     "asof_prior_click",
