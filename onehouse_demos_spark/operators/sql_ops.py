@@ -122,6 +122,111 @@ WHERE (NOT was_deleted
 """
 
 
+_IDX_CACHE: dict[str, Engine] = {}
+
+
+def _build_indexed(spark: SparkSession, sf_dir: str) -> Engine:
+    """Point-DML chain on a record-indexed table (r8, VERDICT r7 ask
+    #6): UPDATE / DELETE / MERGE whose predicates pin the record key
+    must take the record-index probe — a key→file metadata lookup, no
+    data-file key-column scan — through the SQL surface exactly like
+    the DataFrame API. The builder RAISES if any statement fell off the
+    index path, so this query's green oracle row proves the routing,
+    not just the final state."""
+    if sf_dir in _IDX_CACHE:
+        return _IDX_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_sqlidx_")
+    _TMPDIRS.append(tmp)
+    eng = Engine(spark, f"{tmp}/wh")
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        *[c.strip() for c in _COLS.split(",")]
+    )
+    orders.createOrReplaceTempView("idx_orders_src")
+    # The three smallest keys, resolved from data so the chain is
+    # SF-independent; the oracle recomputes them in SQL.
+    k1, k2, k3 = [
+        r[0]
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(3)
+        .collect()
+    ]
+
+    eng.sql(
+        "CREATE TABLE idx_orders (o_orderkey BIGINT, o_custkey BIGINT, "
+        "o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=o_orderkey, "
+        "recordIndex='true')"
+    )
+    eng.sql(f"INSERT INTO idx_orders SELECT {_COLS} FROM idx_orders_src")
+
+    def assert_indexed(stmt: str) -> None:
+        probe = eng.last_dml_probe
+        if probe.get("mode") != "keys-index":
+            raise RuntimeError(
+                f"{stmt} did not take the record-index probe: {probe}"
+            )
+        if probe["files_read"] > probe["files_live"]:
+            raise RuntimeError(f"{stmt} probe read too many files: {probe}")
+
+    eng.sql(
+        "UPDATE idx_orders SET o_orderpriority = 'X-POINT' "
+        f"WHERE o_orderkey = {k1}"
+    )
+    assert_indexed("point UPDATE")
+    eng.sql(f"DELETE FROM idx_orders WHERE o_orderkey IN ({k2}, {k3})")
+    assert_indexed("point DELETE")
+    # Point MERGE: k1 matched (priority rewritten again), k2 deleted
+    # above and resurrected by the NOT MATCHED insert. The source casts
+    # its key to the target's exact type — a coercing ON comparison
+    # would (correctly) fall back to the unpruned path and trip the
+    # assertion.
+    eng.sql(
+        "MERGE INTO idx_orders t USING ("
+        f"SELECT CAST({k1} AS BIGINT) AS o_orderkey, 'X-MERGED' AS p "
+        f"UNION ALL SELECT CAST({k2} AS BIGINT), 'X-RESURRECT') s "
+        "ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET o_orderpriority = s.p "
+        "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderpriority) "
+        "VALUES (s.o_orderkey, 0, 'X', 0.0, s.p)"
+    )
+    assert_indexed("point MERGE")
+    _IDX_CACHE[sf_dir] = eng
+    return eng
+
+
+def sql_dml_indexed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state after the index-routed point-DML chain."""
+    eng = _build_indexed(spark, sf_dir)
+    return eng.table("idx_orders").snapshot().select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+    )
+
+
+SQL_DML_INDEXED_PIPELINE_SQL = """
+WITH k AS (
+  SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+)
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+       CASE WHEN o.o_orderkey = (SELECT o_orderkey FROM k WHERE rn = 1)
+            THEN 'X-MERGED' ELSE o.o_orderpriority END AS o_orderpriority,
+       ROUND(o.o_totalprice, 2) AS o_totalprice_r
+FROM orders o
+WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM k WHERE rn >= 2)
+UNION ALL
+SELECT o_orderkey, CAST(0 AS BIGINT), 'X', 'X-RESURRECT',
+       ROUND(CAST(0.0 AS DOUBLE), 2)
+FROM k WHERE rn = 2
+"""
+
+
 _CALL_CACHE: dict[str, Engine] = {}
 
 
@@ -219,10 +324,12 @@ FROM orders
 
 QUERIES = {
     "sql_dml_pipeline": sql_dml_pipeline,
+    "sql_dml_indexed_pipeline": sql_dml_indexed_pipeline,
     "sql_call_pipeline": sql_call_pipeline,
 }
 
 ORACLES = {
     "sql_dml_pipeline": SQL_DML_PIPELINE_SQL,
+    "sql_dml_indexed_pipeline": SQL_DML_INDEXED_PIPELINE_SQL,
     "sql_call_pipeline": SQL_CALL_PIPELINE_SQL,
 }

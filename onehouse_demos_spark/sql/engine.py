@@ -219,6 +219,77 @@ _MATCHED_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+#: left-hand sides the prunable-filter extractor accepts: a bare
+#: column, or a single-argument function call of a column (the shape
+#: expression indexes key on, e.g. `hour(ts)`).
+_PRUNE_LHS = r"[A-Za-z_]\w*(?:\(\s*[A-Za-z_]\w*\s*\))?"
+_PRUNE_CMP_RE = re.compile(
+    rf"^(?P<lhs>{_PRUNE_LHS})\s*(?P<op><=|>=|=|<|>)\s*(?P<lit>.+)$",
+    re.DOTALL,
+)
+_PRUNE_IN_RE = re.compile(
+    rf"^(?P<lhs>{_PRUNE_LHS})\s+IN\s*\((?P<vals>.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_LIT_STR_RE = re.compile(r"^'(?:[^']|'')*'$", re.DOTALL)
+
+
+def _sql_literal(s: str) -> tuple[bool, object]:
+    """Parse an SQL literal fragment to its Python value. Returns
+    (ok, value); non-literal fragments (column refs, subqueries,
+    functions) report ok=False and are simply not pruned on."""
+    s = s.strip()
+    if _LIT_STR_RE.match(s):
+        return True, s[1:-1].replace("''", "'")
+    if re.fullmatch(r"[+-]?\d+", s):
+        return True, int(s)
+    if re.fullmatch(r"[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?", s):
+        return True, float(s)
+    if s.upper() == "TRUE":
+        return True, True
+    if s.upper() == "FALSE":
+        return True, False
+    return False, None
+
+
+def _prunable_filters(where: str) -> list[tuple[str, str, object]]:
+    """Extract the top-level AND conjuncts of a WHERE that have the
+    shape `<column | f(column)> <op> <literal>` (ops = < <= > >= =) or
+    `<column> IN (<literals>)` — exactly the fragment the manifest's
+    min/max stats and the secondary/expression indexes can prune files
+    with. Conservative by construction: a conjunct that doesn't match
+    (OR trees, NOT, subqueries, non-literal operands) contributes no
+    filter, and the caller ALWAYS re-applies the full WHERE row-level,
+    so partial extraction only costs pruning opportunity — never rows.
+    """
+    out: list[tuple[str, str, object]] = []
+    for conj in split_top_level_keyword(where, "AND"):
+        conj = conj.strip()
+        if not conj:
+            continue
+        if conj.startswith("(") and conj.endswith(")") and _parens_balanced(
+            conj[1:-1]
+        ):
+            conj = conj[1:-1].strip()
+        m = _PRUNE_IN_RE.match(conj)
+        if m:
+            vals = []
+            for part in _split_top_level(m.group("vals")):
+                ok, v = _sql_literal(part)
+                if not ok:
+                    vals = None
+                    break
+                vals.append(v)
+            if vals:
+                out.append((m.group("lhs"), "in", tuple(vals)))
+            continue
+        m = _PRUNE_CMP_RE.match(conj)
+        if m:
+            ok, v = _sql_literal(m.group("lit"))
+            if ok:
+                out.append((m.group("lhs"), m.group("op"), v))
+    return out
+
 
 class Engine:
     """One warehouse of lakehouse tables + a SparkSession."""
@@ -1266,6 +1337,74 @@ class Engine:
                 out.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*out)
 
+    def _pruned_dml_read(
+        self, t: LakehouseTable, where: str | None, stmt: str
+    ) -> DataFrame:
+        """Index/stats-routed snapshot for UPDATE/DELETE (reference
+        M4/M5 point-mutation shape): WHERE conjuncts that pin the FULL
+        record key by equality become a record-index point probe —
+        the same key→file metadata lookup the DataFrame upsert/delete
+        path uses, so a point statement opens only the files that hold
+        the keys instead of scanning the table. Other prunable
+        conjuncts route through snapshot_filtered (secondary/expression
+        index + min/max stats skipping). The caller re-applies the full
+        WHERE row-level in every case; an unextractable WHERE degrades
+        to the full snapshot — never corrupts. Diagnostics land in
+        ``self.last_dml_probe``."""
+        self.last_dml_probe = {
+            "stmt": stmt,
+            "table": t.config.name,
+            "mode": "full",
+        }
+        if not where:
+            return t.snapshot()
+        filters = _prunable_filters(where)
+        if not filters:
+            return t.snapshot()
+        rk = t.config.record_key
+        eq: dict[str, list] = {}
+        for col, op, val in filters:
+            if op == "=":
+                eq.setdefault(col, []).append(val)
+            elif op == "in" and len(rk) == 1 and col == rk[0]:
+                eq.setdefault(col, []).extend(val)
+        covered = rk and all(k in eq for k in rk)
+        single_valued = all(len(eq[k]) == 1 for k in rk[1:] if k in eq)
+        if covered and (len(rk) == 1 or single_valued):
+            part_eq = {
+                c: v[0]
+                for c, v in eq.items()
+                if c in (t.config.partition_by or []) and len(v) == 1
+            }
+            cols = list(rk) + [c for c in part_eq if c not in rk]
+            if len(rk) == 1:
+                rows = [
+                    tuple([v] + [part_eq[c] for c in cols[1:]])
+                    for v in dict.fromkeys(eq[rk[0]])
+                ]
+            else:
+                rows = [
+                    tuple(
+                        [eq[k][0] for k in rk]
+                        + [part_eq[c] for c in cols[len(rk):]]
+                    )
+                ]
+            try:
+                keys_df = self.spark.createDataFrame(rows, cols)
+            except Exception:
+                keys_df = None
+            if keys_df is not None:
+                df = t.snapshot_for_keys(keys_df)
+                probe = getattr(t, "last_key_read_probe", None) or {}
+                self.last_dml_probe.update(probe)
+                self.last_dml_probe["mode"] = "keys-" + probe.get(
+                    "mode", "?"
+                )
+                return df
+        df = t.snapshot_filtered(filters)
+        self.last_dml_probe["mode"] = "filtered"
+        return df
+
     def _update(self, m: re.Match) -> DataFrame:
         name = self._norm(m.group("name"))
         t = self._tables[name]
@@ -1273,7 +1412,7 @@ class Engine:
         where = m.group("where")
         if where:
             validate_expression(where, "UPDATE WHERE condition")
-        snap = t.snapshot()
+        snap = self._pruned_dml_read(t, where, "update")
         changed = snap.filter(F.expr(where)) if where else snap
         assignments: dict[str, str] = {}
         for part in _split_top_level(sets):
@@ -1316,13 +1455,118 @@ class Engine:
         where = m.group("where")
         if where:
             validate_expression(where, "DELETE WHERE condition")
-        snap = t.snapshot()
+        snap = self._pruned_dml_read(t, where, "delete")
         doomed = snap.filter(F.expr(where)) if where else snap
         keep = t.config.record_key + [
             c for c in t.config.partition_by if c in snap.columns
         ]
         t.delete(doomed.select(*dict.fromkeys(keep)))
         return self.spark.createDataFrame([], "result string")
+
+    def _merge_source_keys(
+        self,
+        t: LakehouseTable,
+        talias: str,
+        salias: str,
+        src_sql: str,
+        on_cond: str,
+    ) -> DataFrame | None:
+        """When the MERGE ON condition's top-level AND conjuncts equate
+        EVERY record-key column of the target with a source-side
+        expression, return the source's key frame (one column per key,
+        named as the target's key columns); else None. Safety gates,
+        each degrading to the unpruned path:
+        - a top-level OR (or any conjunct we can't read) disables
+          pruning — a disjunct could match rows outside the key set;
+        - the source expression must resolve to the EXACT type of its
+          target key column — a coercing comparison (string source vs
+          int key) would hash differently than the persisted index
+          entries and silently miss files."""
+        rk = t.config.record_key
+        if not rk:
+            return None
+        if find_top_level_keyword(on_cond, "OR") >= 0:
+            return None
+        rhs_by_key: dict[str, str] = {}
+        for conj in split_top_level_keyword(on_cond, "AND"):
+            conj = conj.strip()
+            if not conj:
+                continue
+            sp = split_once_top_level(conj, "=")
+            if sp is None:
+                continue
+            a, b = sp[0].strip(), sp[1].strip()
+            # reject <= / >= / <=> / != mis-splits: the fragment left of
+            # the '=' would end with the operator's first char
+            if a.endswith(("<", ">", "!")) or b.startswith(
+                ("=", ">")
+            ):
+                continue
+            for lhs, rhs in ((a, b), (b, a)):
+                km = re.fullmatch(
+                    rf"{re.escape(talias)}\.(\w+)", lhs
+                )
+                if (
+                    km
+                    and km.group(1) in rk
+                    and not re.search(
+                        rf"\b{re.escape(talias)}\.",
+                        mask_literals(rhs),
+                    )
+                ):
+                    rhs_by_key.setdefault(km.group(1), rhs)
+        if set(rhs_by_key) != set(rk):
+            return None
+        sel = ", ".join(f"({rhs_by_key[k]}) AS {k}" for k in rk)
+        try:
+            keys_df = self.spark.sql(
+                f"SELECT {sel} FROM {src_sql} {salias}"
+            )
+        except Exception:
+            return None
+        tgt_types = {f.name: f.dataType for f in self._data_schema(t)}
+        for k in rk:
+            if keys_df.schema[k].dataType != tgt_types.get(k):
+                return None
+        return keys_df
+
+    def _register_merge_target(
+        self,
+        t: LakehouseTable,
+        target_name: str,
+        talias: str,
+        salias: str,
+        src_sql: str,
+        on_cond: str,
+        prunable: bool,
+    ) -> None:
+        """Register `__merge_target_<name>`: the record-index-pruned
+        point read when the MERGE shape allows it (key-equality ON, no
+        NOT MATCHED BY SOURCE clause — those need the target-only
+        rows), else the full snapshot. Sound because the pruned frame
+        holds EVERY target row whose key appears in the source (the
+        probe file set is a superset per key), so matched-row detection
+        and all MATCHED/NOT MATCHED populations are unchanged."""
+        self.last_dml_probe = {
+            "stmt": "merge",
+            "table": t.config.name,
+            "mode": "full",
+        }
+        target_df = None
+        if prunable:
+            keys_df = self._merge_source_keys(
+                t, talias, salias, src_sql, on_cond
+            )
+            if keys_df is not None:
+                target_df = t.snapshot_for_keys(keys_df)
+                probe = getattr(t, "last_key_read_probe", None) or {}
+                self.last_dml_probe.update(probe)
+                self.last_dml_probe["mode"] = "keys-" + probe.get(
+                    "mode", "?"
+                )
+        if target_df is None:
+            target_df = t.snapshot()
+        target_df.createOrReplaceTempView(f"__merge_target_{target_name}")
 
     def _merge(self, m: re.Match) -> DataFrame:
         """MERGE = one joined frame annotated with the winning clause,
@@ -1377,7 +1621,11 @@ class Engine:
         if salias is None:
             raise ValueError("MERGE subquery source requires an alias")
         self.register_views()
-        t.snapshot().createOrReplaceTempView(f"__merge_target_{target_name}")
+        # Target registration is deferred until the WHEN clauses are
+        # parsed: a MERGE with no NOT MATCHED BY SOURCE clause never
+        # reads target rows whose key is absent from the source, so the
+        # target view can be the record-index-pruned point read
+        # (_register_merge_target below).
 
         def unqual(expr: str | None) -> str | None:
             """Rewrite alias-qualified refs for the joined frame:
@@ -1535,6 +1783,15 @@ class Engine:
         key0 = t.config.record_key[0]
         src_sql = source
         tproj = ", ".join(f"{talias}.{c} AS __t_{c}" for c in tcols)
+        self._register_merge_target(
+            t,
+            target_name,
+            talias,
+            salias,
+            src_sql,
+            on_cond,
+            prunable=not by_source_clauses,
+        )
         if by_source_clauses:
             # BY SOURCE needs the target-only rows: full-outer join with
             # an explicit source-presence marker (a key-null probe alone

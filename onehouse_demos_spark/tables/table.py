@@ -1821,6 +1821,71 @@ class LakehouseTable:
             df = df.filter(pred)
         return self._strip_meta(df, keep_meta)
 
+    def snapshot_for_keys(
+        self, keys_df: DataFrame, keep_meta: bool = False
+    ) -> DataFrame:
+        """Snapshot view restricted to the live files that can hold the
+        given record keys — the READ-side twin of the upsert/delete
+        write probe, feeding the SQL DML engine's point
+        UPDATE/DELETE/MERGE. With a covering record index the file set
+        is EXACT (key→file metadata lookup; no data-file key-column
+        scan); otherwise partition + key-range + bloom stats pruning
+        applies.
+
+        Contract: every live row whose key appears in `keys_df` is
+        returned (possibly together with other rows co-located in the
+        same files — callers apply their own join/filter row-level), so
+        the result is a superset of the matching rows and a subset of
+        `snapshot()`. MOR tables with live log files fall back to the
+        full merged snapshot (file skipping does not commute with the
+        version merge); index coverage gaps degrade to stats pruning —
+        never corrupt.
+
+        `keys_df` needs the record-key columns (extra columns ignored;
+        partition columns, when present, additionally enable
+        partition pruning). Diagnostics land in
+        ``self.last_key_read_probe`` = {mode, files_read, files_live}.
+        """
+        files_all = self.manifest.live_files()
+        if self._latest_schema() is None:
+            self.last_key_read_probe = {
+                "mode": "full",
+                "files_read": 0,
+                "files_live": len(files_all),
+            }
+            return self._empty_df(keep_meta)
+        if any(f.kind == "log" for f in files_all):
+            self.last_key_read_probe = {
+                "mode": "full",
+                "files_read": len(files_all),
+                "files_live": len(files_all),
+            }
+            return self.snapshot(keep_meta=keep_meta)
+        part_cols = [
+            c for c in self.config.partition_by if c in keys_df.columns
+        ]
+        probe = keys_df.select(
+            self._key_expr().alias(KEY_COL), *part_cols
+        ).distinct()
+        idx_files = None
+        if self.record_index is not None:
+            idx_files, _n = self._index_touched(probe)
+        if idx_files is not None:
+            files: list[FileMeta] = idx_files
+            mode = "index"
+        else:
+            files, _n = self._candidate_files(probe)
+            mode = "stats"
+        self.last_key_read_probe = {
+            "mode": mode,
+            "files_read": len(files),
+            "files_live": len(files_all),
+        }
+        df = self._read_files(files)
+        if df is None:
+            return self._empty_df(keep_meta)
+        return self._strip_meta(df.filter(~F.col(DELETED_COL)), keep_meta)
+
     def read_optimized(
         self, as_of: str | None = None, keep_meta: bool = False
     ) -> DataFrame:
