@@ -452,9 +452,136 @@ def upsert_rate_main() -> int:
     return 0
 
 
+def upsert_crossover_main() -> int:
+    """`python bench.py --upsert-crossover` (VERDICT r7 ask #8): the
+    indexed-vs-scan point-upsert CROSSOVER as a measured curve over
+    live-file count, not a one-size extrapolation. Fixed batch (the
+    first 8 of 64 interleaved key slices — above the bloom probe cap,
+    so the scan path must open every file's key column), fixed SF
+    (largest present), file count swept by repartitioning each of the
+    64 slice commits into 1 / 8 / 64 files (~64 / 512 / 4096 live
+    files; insert preserves incoming partitioning by design). Reports per-path point-upsert
+    seconds and the log-log file-count exponent of each path: the scan
+    probe is expected near-linear in files, the index probe near-flat
+    (touched buckets only)."""
+    import math
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark import LakehouseTable, TableConfig, get_spark
+
+    spark = get_spark(
+        app_name="onehouse-bench-crossover",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    SLICES = 64
+
+    sf = [s for s in SCALING_SFS if os.path.isdir(f"/root/testdata/sf{s}")][-1]
+    orders = spark.read.parquet(f"/root/testdata/sf{sf}/orders.parquet").select(
+        *cols
+    ).persist()
+    n_rows = orders.count()
+    rows_per_commit = max(1, n_rows // SLICES)
+    batch = orders.filter(
+        F.col("o_orderkey") % SLICES < SLICES // 8
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 2.0).persist()
+    n_batch = batch.count()
+
+    def run(files_per_commit: int, record_index: bool):
+        tmp = tempfile.mkdtemp(prefix="oh_xover_bench_")
+        try:
+            t = LakehouseTable.create(
+                spark,
+                f"{tmp}/t",
+                TableConfig(
+                    name=f"xover_{files_per_commit}_{record_index}",
+                    record_key=["o_orderkey"],
+                    precombine="o_totalprice",
+                    record_index=record_index,
+                ),
+            )
+            t0 = time.time()
+            for i in range(SLICES):
+                frag = orders.filter(F.col("o_orderkey") % SLICES == i)
+                if files_per_commit > 1:
+                    frag = frag.repartition(files_per_commit)
+                t.insert(frag)
+            load_s = time.time() - t0
+            n_files = len(t.manifest.live_files())
+            t0 = time.time()
+            t.upsert(batch)
+            point_s = time.time() - t0
+            return n_files, load_s, point_s
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # warm (uncounted): smallest layout, both paths
+    run(1, False)
+    run(1, True)
+
+    def slope(pts):
+        if len(pts) < 2:
+            return None
+        n = len(pts)
+        mx = sum(math.log(x) for x, _ in pts) / n
+        my = sum(math.log(y) for _, y in pts) / n
+        denom = sum((math.log(x) - mx) ** 2 for x, _ in pts)
+        if denom == 0:
+            return None
+        return round(
+            sum(
+                (math.log(x) - mx) * (math.log(y) - my) for x, y in pts
+            )
+            / denom,
+            3,
+        )
+
+    curve = []
+    for fpc in (1, 8, 64):
+        sc_files, sc_load, sc_point = run(fpc, record_index=False)
+        ix_files, ix_load, ix_point = run(fpc, record_index=True)
+        curve.append({
+            "files_per_commit": fpc,
+            "scan_files": sc_files,
+            "scan_point_upsert_sec": round(sc_point, 3),
+            "scan_load_sec": round(sc_load, 3),
+            "rli_files": ix_files,
+            "rli_point_upsert_sec": round(ix_point, 3),
+            "rli_load_sec": round(ix_load, 3),
+        })
+        print(f"# files~{sc_files}: point upsert scan {sc_point:.2f}s "
+              f"vs rli {ix_point:.2f}s (load {sc_load:.1f}s / "
+              f"{ix_load:.1f}s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "upsert_crossover",
+        "unit": "sec",
+        "sf": sf,
+        "batch_rows": n_batch,
+        "curve": curve,
+        "scan_file_exponent": slope(
+            [(c["scan_files"], c["scan_point_upsert_sec"]) for c in curve]
+        ),
+        "rli_file_exponent": slope(
+            [(c["rli_files"], c["rli_point_upsert_sec"]) for c in curve]
+        ),
+    }))
+    return 0
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv[1:]:
         raise SystemExit(scaling_main())
     if "--upsert-rate" in sys.argv[1:]:
         raise SystemExit(upsert_rate_main())
+    if "--upsert-crossover" in sys.argv[1:]:
+        raise SystemExit(upsert_crossover_main())
     raise SystemExit(main())

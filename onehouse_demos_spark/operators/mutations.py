@@ -866,6 +866,99 @@ WHERE o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
 """
 
 
+_BUCKET_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_bucket(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Bucket-index layout pipeline (r8; Hudi `hoodie.index.type=BUCKET`
+    analog — the index-type family surfaces at the reference's
+    `hudi-spark-minio-trino/spark/conf/hudi-defaults.conf:25`): the
+    same insert → upsert → delete → re-insert chain as the RLI
+    pipeline, but candidate resolution is a pure hash of the incoming
+    keys (touched buckets), with NO probe join and NO index read. The
+    final single-key upsert asserts bucket pruning engaged: it must
+    rewrite a strict minority of the live files."""
+    if sf_dir in _BUCKET_CACHE:
+        return _BUCKET_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_bkt_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_bucket",
+        TableConfig(
+            name="orders_bucket",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="cow",
+            bucket_index_buckets=8,
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("ver", F.lit(3))
+    )
+    # Point upsert of the smallest live key, built from its own
+    # snapshot row (price preserved): the bucket route must confine the
+    # rewrite to the key's (partition, bucket) files.
+    k0 = t.snapshot().agg(F.min("o_orderkey")).collect()[0][0]
+    live_before = len(t.manifest.live_files())
+    point = (
+        t.snapshot_for_keys(
+            spark.createDataFrame([(k0,)], "o_orderkey bigint")
+        )
+        .filter(F.col("o_orderkey") == k0)
+        .withColumn("o_orderpriority", F.lit("X-BUCKET"))
+        .withColumn("ver", F.lit(4))
+    )
+    inst = t.upsert(point)
+    if len(inst.removes) > max(1, live_before // 2):
+        raise RuntimeError(
+            f"bucket pruning did not engage: point upsert rewrote "
+            f"{len(inst.removes)} of {live_before} live files"
+        )
+    _BUCKET_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_bucket_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after the bucket-layout mutation chain; the oracle
+    re-derives every row from `orders` (the point upsert's key is the
+    smallest surviving key, recomputed in SQL)."""
+    return _project(_build_bucket(spark, sf_dir).snapshot())
+
+
+TBL_BUCKET_UPSERT_READ_SQL = """
+WITH k0 AS (
+  SELECT MIN(o_orderkey) AS k FROM orders
+  WHERE o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey = (SELECT k FROM k0) THEN 'X-BUCKET'
+            ELSE o_orderpriority END AS o_orderpriority,
+       CASE WHEN o_orderkey = (SELECT k FROM k0) THEN 4
+            WHEN o_orderkey % 13 = 0 THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2
+            ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 3.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
+"""
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -888,6 +981,7 @@ QUERIES = {
     "tbl_mor_compacted": tbl_mor_compacted,
     "tbl_schema_evolved_read": tbl_schema_evolved_read,
     "tbl_rli_upsert_read": tbl_rli_upsert_read,
+    "tbl_bucket_upsert_read": tbl_bucket_upsert_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -916,6 +1010,7 @@ ORACLES = {
     "tbl_mor_compacted": TBL_MOR_COMPACTED_SQL,
     "tbl_schema_evolved_read": TBL_SCHEMA_EVOLVED_READ_SQL,
     "tbl_rli_upsert_read": TBL_RLI_UPSERT_READ_SQL,
+    "tbl_bucket_upsert_read": TBL_BUCKET_UPSERT_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,

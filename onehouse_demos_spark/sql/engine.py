@@ -1108,6 +1108,7 @@ class Engine:
                 ("recordIndex", str(cfg.record_index).lower()),
                 ("secondaryIndexes", ",".join(cfg.secondary_indexes or [])),
                 ("payload", cfg.payload),
+                ("bucketIndexBuckets", str(cfg.bucket_index_buckets or "")),
                 ("location", t.base_path),
             ]
             return self.spark.createDataFrame(
@@ -1268,6 +1269,14 @@ class Engine:
             ],
             # Hudi payload-class analog (overwrite | partial_update).
             payload=props.get("payload", "overwrite"),
+            # Hudi `hoodie.index.type=BUCKET` +
+            # `hoodie.bucket.index.num.buckets` analog: probe-free
+            # hash routing of keys to a fixed per-partition bucket set.
+            bucket_index_buckets=(
+                int(props["bucketindexbuckets"])
+                if props.get("bucketindexbuckets")
+                else None
+            ),
         )
         df = None
         if m.group("ctas"):

@@ -37,6 +37,7 @@ KEY_COL = "_oh_record_key"
 COMMIT_COL = "_oh_commit_time"
 DELETED_COL = "_oh_is_deleted"
 PP_COL = "_oh_pp"  # on-disk partition-path directory column
+BUCKET_COL = "_oh_bucket"  # bucket-layout directory column
 META_COLS = (KEY_COL, COMMIT_COL, DELETED_COL)
 #: Files above this row count skip bloom construction (range pruning
 #: still applies); keeps per-file bloom bytes bounded (1 MiB max:
@@ -147,9 +148,15 @@ def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
 
     rel_path = os.path.relpath(abs_path, base_path)
     partition = None
+    bucket = None
     for seg in rel_path.split(os.sep):
         if seg.startswith(PP_COL + "="):
             partition = unquote(seg[len(PP_COL) + 1 :])
+        elif seg.startswith(BUCKET_COL + "="):
+            try:
+                bucket = int(seg[len(BUCKET_COL) + 1 :])
+            except ValueError:
+                bucket = None
     pf = pq.ParquetFile(abs_path)
     col_stats = _footer_col_stats(pf)
     key_rng = col_stats.get(KEY_COL)
@@ -171,6 +178,7 @@ def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
         kind=kind,
         col_stats={k: v for k, v in col_stats.items() if k != KEY_COL},
         key_bloom=bloom_b64,
+        bucket=bucket,
     )
 
 
@@ -214,6 +222,17 @@ class TableConfig:
     # "partial_update" — PartialUpdateAvroPayload: per COLUMN, the
     #   newest NON-NULL value wins; incoming NULLs never erase data.
     payload: str = "overwrite"
+    # Bucket-index layout (Hudi `hoodie.index.type=BUCKET` analog —
+    # the index-type family surfaces at `hudi-defaults.conf:25`; with
+    # `hoodie.bucket.index.num.buckets` this is Hudi's probe-free
+    # index): rows are hashed to a fixed number of buckets per
+    # partition, every write lays files out per bucket, and
+    # upsert/delete candidate resolution becomes a pure hash of the
+    # incoming keys — no probe join, no index read, no stats
+    # dependence. The tradeoff vs the record index: a point write
+    # rewrites its whole bucket (write amplification 1/N of the
+    # partition), and the bucket count is fixed at create. COW only.
+    bucket_index_buckets: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -231,6 +250,7 @@ class TableConfig:
             "secondary_indexes": self.secondary_indexes,
             "expression_indexes": self.expression_indexes,
             "payload": self.payload,
+            "bucket_index_buckets": self.bucket_index_buckets,
         }
 
     @staticmethod
@@ -250,6 +270,24 @@ class LakehouseTable:
         self.timeline = Timeline(self.base_path)
         self.manifest = Manifest(self.timeline)
         self._part_src_cols: set[str] | None = None
+        if config.bucket_index_buckets:
+            if config.table_type != "cow":
+                raise ValueError(
+                    "bucket-index layout is COW-only (MOR log routing "
+                    "is not implemented)"
+                )
+            if not config.record_key:
+                raise ValueError(
+                    "bucket-index layout requires a record key"
+                )
+            if config.record_index:
+                raise ValueError(
+                    "bucket-index layout and the record-level index are "
+                    "mutually exclusive (they are alternative key->file "
+                    "resolution strategies)"
+                )
+            if config.bucket_index_buckets < 1:
+                raise ValueError("bucket_index_buckets must be >= 1")
         if config.record_index:
             from onehouse_demos_spark.tables.record_index import RecordIndex
 
@@ -532,6 +570,17 @@ class LakehouseTable:
 
     # ---------------------------------------------------------------- write
 
+    def _bucket_layout_expr(self, key_col=None):
+        """Bucket id of a record key under the bucket-index layout:
+        the same portable 60-bit md5-prefix hash the record index
+        buckets on (identical on JVM, Python, and DuckDB), mod the
+        table's fixed bucket count."""
+        n = self.config.bucket_index_buckets
+        c = F.col(KEY_COL) if key_col is None else key_col
+        return (
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % n
+        ).cast("int")
+
     def _write_files(
         self,
         df: DataFrame,
@@ -555,7 +604,38 @@ class LakehouseTable:
         writer = df
         if pp is not None:
             writer = writer.withColumn(PP_COL, F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)))
-        if approx_rows is not None:
+        bucketed = (
+            self.config.bucket_index_buckets
+            and kind == "base"
+            and KEY_COL in writer.columns
+        )
+        if bucketed:
+            # Bucket layout: one file per (partition, bucket) per
+            # commit. Rows hash-route to their bucket; partitionBy
+            # splits buckets that share a shuffle task, so the file-
+            # per-bucket invariant holds regardless of task count.
+            # Key-sorted within each bucket file — range/bloom stats
+            # stay sharp as secondary pruning within a bucket.
+            n_tasks = min(
+                self.config.bucket_index_buckets,
+                self.spark.sparkContext.defaultParallelism,
+            )
+            writer = (
+                writer.withColumn(BUCKET_COL, self._bucket_layout_expr())
+                .repartition(max(1, n_tasks), F.col(BUCKET_COL))
+                .sortWithinPartitions(
+                    *[
+                        c
+                        for c in (
+                            PP_COL if pp is not None else None,
+                            BUCKET_COL,
+                            KEY_COL,
+                        )
+                        if c is not None
+                    ]
+                )
+            )
+        elif approx_rows is not None:
             # File count = max(size-ideal, parallelism floor): big
             # merges split at target_file_rows; small merges still fan
             # out across the cluster as long as no file drops under
@@ -584,8 +664,13 @@ class LakehouseTable:
             writer = writer.select(
                 *[F.col(c).alias(pmap.get(c, c)) for c in writer.columns]
             )
-        if pp is not None:
-            writer.write.partitionBy(PP_COL).parquet(out_dir, mode="errorifexists")
+        part_by = [c for c in (PP_COL if pp is not None else None,) if c]
+        if bucketed:
+            part_by.append(BUCKET_COL)
+        if part_by:
+            writer.write.partitionBy(*part_by).parquet(
+                out_dir, mode="errorifexists"
+            )
         else:
             writer.write.parquet(out_dir, mode="errorifexists")
         return self._harvest_stats(out_dir, rel_dir, kind)
@@ -843,9 +928,24 @@ class LakehouseTable:
                     F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION))
                 ).alias("parts")
             )
+        # Bucket layout: the batch's touched buckets come out of the
+        # SAME single aggregation job (≤bucket_index_buckets distinct
+        # ints — metadata-scale). Pure hash of the keys: no probe, no
+        # index read, no stats dependence.
+        if self.config.bucket_index_buckets:
+            aggs.append(
+                F.collect_set(self._bucket_layout_expr()).alias("buckets")
+            )
         row = prepared_keys.agg(*aggs).collect()[0]
         if can_prune_parts:
             files = Manifest.prune_by_partition(files, set(row["parts"]))
+        if self.config.bucket_index_buckets:
+            touched = set(row["buckets"])
+            # Files without a bucket id (written before the layout, or
+            # by a path that couldn't route) are conservatively kept.
+            files = [
+                f for f in files if f.bucket is None or f.bucket in touched
+            ]
         if row["lo"] is not None:
             files = Manifest.prune_by_key_range(files, row["lo"], row["hi"])
         files = self._prune_by_bloom(files, prepared_keys, int(row["n"]))
@@ -1875,7 +1975,9 @@ class LakehouseTable:
             mode = "index"
         else:
             files, _n = self._candidate_files(probe)
-            mode = "stats"
+            mode = (
+                "bucket" if self.config.bucket_index_buckets else "stats"
+            )
         self.last_key_read_probe = {
             "mode": mode,
             "files_read": len(files),

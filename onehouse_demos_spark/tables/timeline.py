@@ -56,6 +56,13 @@ class FileMeta:
     #: probe pruning where [key_min, key_max] ranges overlap; None for
     #: log files and oversized files (range pruning still applies).
     key_bloom: str | None = None
+    #: hash-bucket id under the bucket-index layout (Hudi
+    #: `hoodie.index.type=BUCKET` analog; `hudi-defaults.conf:25` names
+    #: the index-type surface): every row's file is a pure hash of its
+    #: record key, so upsert/delete candidate resolution is O(touched
+    #: buckets) with NO probe or index read. None for tables without
+    #: the layout and for pre-layout files (always kept as candidates).
+    bucket: int | None = None
 
     def to_json(self) -> dict:
         return {
@@ -67,6 +74,7 @@ class FileMeta:
             "kind": self.kind,
             "col_stats": self.col_stats,
             "key_bloom": self.key_bloom,
+            "bucket": self.bucket,
         }
 
     @staticmethod

@@ -1,0 +1,212 @@
+"""Bucket-index layout (r8): Hudi `hoodie.index.type=BUCKET` analog —
+the index-type family surfaces at the reference's
+`hudi-spark-minio-trino/spark/conf/hudi-defaults.conf:25`. Rows
+hash-route to a fixed per-partition bucket set; upsert/delete
+candidate resolution is a pure hash of the incoming keys (touched
+buckets) — no probe join, no index read, no stats dependence. The
+tradeoff vs the record index: a point write rewrites its whole bucket,
+and the bucket count is fixed at table creation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.sql.engine import Engine
+
+
+def _py_bucket(key: str, n: int) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % n
+
+
+def _mk(spark, tmp_base, n_buckets=8, partition_by=("part",)):
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/t",
+        TableConfig(
+            name="bt",
+            record_key=["id"],
+            precombine="ver",
+            partition_by=list(partition_by),
+            bucket_index_buckets=n_buckets,
+        ),
+    )
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", f"v{i}", 1) for i in range(200)],
+        "id int, part string, v string, ver int",
+    )
+    t.insert(df)
+    return t
+
+
+def test_write_routing_invariant(spark, tmp_base):
+    """Every file carries its bucket id, and every row in a file
+    hashes to exactly that bucket (the invariant candidate resolution
+    relies on)."""
+    t = _mk(spark, tmp_base)
+    files = t.manifest.live_files()
+    assert len(files) == 16  # 2 partitions x 8 buckets
+    assert {f.bucket for f in files} == set(range(8))
+    for f in files[:4]:
+        ids = [
+            r.id
+            for r in spark.read.parquet(f"{t.base_path}/{f.path}")
+            .select("id")
+            .collect()
+        ]
+        assert ids, f.path
+        assert {_py_bucket(str(i), 8) for i in ids} == {f.bucket}
+
+
+def test_point_upsert_rewrites_touched_buckets_only(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    up = spark.createDataFrame(
+        [(5, "p1", "NEW5", 2), (6, "p0", "NEW6", 2)],
+        "id int, part string, v string, ver int",
+    )
+    inst = t.upsert(up)
+    expect = {
+        (f"p{i % 2}", _py_bucket(str(i), 8)) for i in (5, 6)
+    }
+    by_path = {f.path: f for f in t.timeline.instants()[0].adds}
+    removed = {(by_path[p].partition, by_path[p].bucket) for p in inst.removes}
+    assert removed == expect
+    got = {r.id: r.v for r in t.snapshot().filter("id in (5,6,7)").collect()}
+    assert got == {5: "NEW5", 6: "NEW6", 7: "v7"}
+    assert t.snapshot().count() == 200
+    assert (
+        t.snapshot().groupBy("id").count().filter("count > 1").count() == 0
+    )
+
+
+def test_delete_routes_by_bucket(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    live = len(t.manifest.live_files())
+    inst = t.delete(spark.createDataFrame([(9, "p1")], "id int, part string"))
+    assert 0 < len(inst.removes) <= 2 < live
+    assert t.snapshot().filter("id = 9").count() == 0
+    assert t.snapshot().count() == 199
+
+
+def test_snapshot_for_keys_bucket_mode(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    df = t.snapshot_for_keys(spark.createDataFrame([(7,)], "id int"))
+    probe = t.last_key_read_probe
+    assert probe["mode"] == "bucket"
+    assert probe["files_read"] < probe["files_live"]
+    assert len(df.inputFiles()) == probe["files_read"]
+    assert {r.v for r in df.filter("id = 7").collect()} == {"v7"}
+
+
+def test_layout_survives_reload_and_clustering(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    t2 = LakehouseTable.load(spark, t.base_path)
+    assert t2.config.bucket_index_buckets == 8
+    assert {f.bucket for f in t2.manifest.live_files()} == set(range(8))
+    # clustering goes through _write_files -> output stays bucketed,
+    # so routing stays exact afterwards
+    from onehouse_demos_spark.tables.maintenance import run_clustering
+
+    run_clustering(t2, sort_columns=["id"])
+    assert all(f.bucket is not None for f in t2.manifest.live_files())
+    inst = t2.upsert(
+        spark.createDataFrame(
+            [(3, "p1", "POST", 2)], "id int, part string, v string, ver int"
+        )
+    )
+    assert len(inst.removes) <= 2
+    assert {r.v for r in t2.snapshot().filter("id = 3").collect()} == {
+        "POST"
+    }
+    assert t2.snapshot().count() == 200
+
+
+def test_config_validation(spark, tmp_base):
+    with pytest.raises(ValueError, match="COW-only"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/m",
+            TableConfig(
+                name="m",
+                record_key=["id"],
+                table_type="mor",
+                bucket_index_buckets=4,
+            ),
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/r",
+            TableConfig(
+                name="r",
+                record_key=["id"],
+                record_index=True,
+                bucket_index_buckets=4,
+            ),
+        )
+    with pytest.raises(ValueError, match="record key"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/k",
+            TableConfig(name="k", bucket_index_buckets=4),
+        )
+
+
+def test_sql_ddl_and_point_merge_routes_bucket(spark, tmp_base):
+    eng = Engine(spark, f"{tmp_base}/wh")
+    eng.sql(
+        "CREATE TABLE bt (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "bucketIndexBuckets='8')"
+    )
+    vals = ", ".join(f"({i}, 'v{i}', 1)" for i in range(100))
+    eng.sql(f"INSERT INTO bt VALUES {vals}")
+    eng.sql(f"INSERT INTO bt VALUES {vals.replace('v', 'w')}")
+    props = {
+        r.key: r.value
+        for r in eng.sql("CALL show_table_properties(table => 'bt')")
+        .collect()
+    }
+    assert props["bucketIndexBuckets"] == "8"
+    eng.sql(
+        "MERGE INTO bt USING (SELECT 42 AS id, 'M' AS v) s ON bt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    probe = eng.last_dml_probe
+    assert probe["mode"] == "keys-bucket"
+    assert probe["files_read"] < probe["files_live"]
+    assert eng.sql("SELECT v FROM bt WHERE id = 42").collect()[0][0] == "M"
+    # point UPDATE through the same routing
+    eng.sql("UPDATE bt SET v = 'U' WHERE id = 43")
+    assert eng.last_dml_probe["mode"] == "keys-bucket"
+    assert eng.sql("SELECT v FROM bt WHERE id = 43").collect()[0][0] == "U"
+
+
+def test_unpartitioned_bucket_table(spark, tmp_base):
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/u",
+        TableConfig(
+            name="u",
+            record_key=["id"],
+            precombine="ver",
+            bucket_index_buckets=4,
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, f"v{i}", 1) for i in range(50)], "id int, v string, ver int"
+        )
+    )
+    files = t.manifest.live_files()
+    assert {f.bucket for f in files} == set(range(4))
+    inst = t.upsert(
+        spark.createDataFrame([(1, "X", 2)], "id int, v string, ver int")
+    )
+    assert len(inst.removes) == 1
+    assert {r.v for r in t.snapshot().filter("id = 1").collect()} == {"X"}
+    assert t.snapshot().count() == 50
