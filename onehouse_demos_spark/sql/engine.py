@@ -1277,6 +1277,34 @@ class Engine:
                 if props.get("bucketindexbuckets")
                 else None
             ),
+            # Hudi hoodie.precommit.validators analog. Formats mirror
+            # Hudi's: ';'-separated SQL with <TABLE> placeholders;
+            # single-result entries are 'query#expected'.
+            pre_commit_validators=(
+                [
+                    {"type": "equality", "query": q.strip()}
+                    for q in props.get("precommitequalitysql", "").split(";")
+                    if q.strip()
+                ]
+                + [
+                    {"type": "inequality", "query": q.strip()}
+                    for q in props.get(
+                        "precommitinequalitysql", ""
+                    ).split(";")
+                    if q.strip()
+                ]
+                + [
+                    {
+                        "type": "single_result",
+                        "query": q.rsplit("#", 1)[0].strip(),
+                        "expected": q.rsplit("#", 1)[1].strip(),
+                    }
+                    for q in props.get(
+                        "precommitsingleresultsql", ""
+                    ).split(";")
+                    if q.strip() and "#" in q
+                ]
+            ),
         )
         df = None
         if m.group("ctas"):
@@ -1432,8 +1460,13 @@ class Engine:
             assignments[strip_ident_quotes(k.strip())] = validate_expression(
                 v.strip(), f"UPDATE SET {k.strip()}"
             )
+        # ANSI UPDATE semantics: each assignment casts to its column's
+        # declared type (so `SET c = NULL` is a typed NULL, not void).
+        types = {f.name: f.dataType for f in changed.schema.fields}
         exprs = [
-            F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+            F.expr(assignments[c]).cast(types[c]).alias(c)
+            if c in assignments
+            else F.col(c)
             for c in changed.columns
         ]
         t.upsert(changed.select(*exprs))

@@ -83,6 +83,16 @@ class SchemaEvolutionError(ValueError):
     incompatible type changes must fail loudly, not corrupt reads)."""
 
 
+class PreCommitValidationError(RuntimeError):
+    """A pre-commit validator rejected the write: the commit aborts
+    before publishing, the table state is untouched, and the written
+    files stay orphaned (never live). Hudi
+    `hoodie.precommit.validators` analog — the engine-side counterpart
+    of the reference test suite's self-validating nodes
+    (`test-suite/spark-long-running.yaml:44-68`,
+    ValidateDatasetNode / ValidateAsyncOperations)."""
+
+
 #: Type changes readable over existing parquet without rewrite
 #: (Spark's vectorized reader upcasts these).
 _ALLOWED_WIDENINGS = {
@@ -233,6 +243,16 @@ class TableConfig:
     # rewrites its whole bucket (write amplification 1/N of the
     # partition), and the bucket count is fixed at create. COW only.
     bucket_index_buckets: int | None = None
+    # Pre-commit validators (Hudi `hoodie.precommit.validators` +
+    # `hoodie.precommit.validators.*.sql.queries` analog): each entry
+    # is {"type": "equality" | "inequality" | "single_result",
+    # "query": "... <TABLE> ...", ["expected": value]}. Queries run
+    # between write and commit publish — "equality" must return the
+    # same result over the pre- and post-commit view, "inequality"
+    # must differ, "single_result" must return exactly `expected` over
+    # the post-commit view. A failed validator aborts the commit; the
+    # table state is untouched.
+    pre_commit_validators: list = field(default_factory=list)
 
     def to_json(self) -> dict:
         return {
@@ -251,6 +271,7 @@ class TableConfig:
             "expression_indexes": self.expression_indexes,
             "payload": self.payload,
             "bucket_index_buckets": self.bucket_index_buckets,
+            "pre_commit_validators": self.pre_commit_validators,
         }
 
     @staticmethod
@@ -702,6 +723,126 @@ class LakehouseTable:
             .collect()
         )
 
+    def _pre_commit_snapshot(
+        self,
+        adds: list[FileMeta],
+        removes: list[str],
+        new_schema: T.StructType | None,
+    ) -> DataFrame:
+        """The snapshot the table WOULD expose if this commit
+        published: current live set minus `removes` plus `adds`, read
+        under the incoming schema (so validators see newly added
+        columns), MOR-merged when log files are live. Built from
+        uncommitted metadata only — nothing is published."""
+        removed = set(removes)
+        files = [
+            f
+            for f in self.manifest.live_files(include_logs=True)
+            if f.path not in removed
+        ] + list(adds)
+        schema = new_schema or self._latest_schema()
+        if not files or schema is None:
+            if schema is None:
+                return self._empty_df(False)
+            df = self.spark.createDataFrame([], schema)
+            if PP_COL in df.columns:
+                df = df.drop(PP_COL)
+            return self._strip_meta(df, False)
+        df = self._read_files(files, schema_override=schema)
+        if any(f.kind == "log" for f in files):
+            df = self._merge_latest(df)
+        else:
+            df = df.filter(~F.col(DELETED_COL))
+        return self._strip_meta(df, False)
+
+    def _run_pre_commit_validators(
+        self,
+        adds: list[FileMeta],
+        removes: list[str],
+        new_schema: T.StructType | None,
+    ) -> None:
+        """Hudi `hoodie.precommit.validators` analog: SQL assertions
+        over the pre-/post-commit views, run AFTER the data files are
+        written but BEFORE the commit publishes. `<TABLE>` in a query
+        resolves to the view under test. A failure raises
+        PreCommitValidationError → the caller aborts the instant and
+        the written files stay orphaned (never live) — the same
+        degrade-never-corrupt shape as every other write-path guard.
+        Validator queries are aggregates by contract (their results
+        are collected for comparison)."""
+        vs = self.config.pre_commit_validators
+        if not vs:
+            return
+        tag = uuid.uuid4().hex[:8]
+        post_view = f"__precommit_post_{tag}"
+        pre_view = f"__precommit_pre_{tag}"
+        post = self._pre_commit_snapshot(adds, removes, new_schema)
+        post.createOrReplaceTempView(post_view)
+        pre_registered = False
+        try:
+            for v in vs:
+                typ = (v.get("type") or "single_result").lower()
+                q = v["query"]
+                post_rows = sorted(
+                    tuple(r)
+                    for r in self.spark.sql(
+                        q.replace("<TABLE>", post_view)
+                    ).collect()
+                )
+                if typ == "single_result":
+                    exp = v.get("expected")
+                    ok = (
+                        len(post_rows) == 1
+                        and len(post_rows[0]) == 1
+                        and str(post_rows[0][0]) == str(exp)
+                    )
+                    if not ok:
+                        raise PreCommitValidationError(
+                            f"single_result validator failed: {q!r} "
+                            f"returned {post_rows!r}, expected {exp!r}"
+                        )
+                    continue
+                if typ not in ("equality", "inequality"):
+                    raise ValueError(
+                        f"unknown pre-commit validator type {typ!r}"
+                    )
+                if not pre_registered:
+                    pre = (
+                        self.snapshot()
+                        if self._latest_schema() is not None
+                        else post.limit(0)
+                    )
+                    pre.createOrReplaceTempView(pre_view)
+                    pre_registered = True
+                pre_rows = sorted(
+                    tuple(r)
+                    for r in self.spark.sql(
+                        q.replace("<TABLE>", pre_view)
+                    ).collect()
+                )
+                if typ == "equality" and pre_rows != post_rows:
+                    raise PreCommitValidationError(
+                        f"equality validator failed: {q!r} changed from "
+                        f"{pre_rows!r} to {post_rows!r}"
+                    )
+                if typ == "inequality" and pre_rows == post_rows:
+                    raise PreCommitValidationError(
+                        f"inequality validator failed: {q!r} returned the "
+                        f"same result before and after the write: "
+                        f"{post_rows!r}"
+                    )
+        finally:
+            self.spark.catalog.dropTempView(post_view)
+            if pre_registered:
+                self.spark.catalog.dropTempView(pre_view)
+
+    def set_pre_commit_validators(self, validators: list) -> None:
+        """Install (or clear, with []) the table's pre-commit
+        validators; persisted in table_config.json like every other
+        table property."""
+        self.config.pre_commit_validators = list(validators)
+        self._rewrite_config()
+
     def _commit(
         self,
         instant: str,
@@ -717,6 +858,13 @@ class LakehouseTable:
             # Carry column-mapping metadata (renames; resurrection
             # guard for re-added names) onto every committed schema.
             df_schema = self._stamp_column_mapping(df_schema)
+        if action != "replacecommit":
+            # Data commits only: clustering/compaction replacecommits
+            # are logically no-ops and skip validation (Hudi scopes
+            # hoodie.precommit.validators to data writes the same way).
+            # Runs on the STAMPED schema so the hypothetical post-view
+            # resolves physical column names under column mapping.
+            self._run_pre_commit_validators(adds, removes, df_schema)
         inst = Instant(
             instant=instant,
             action=action,
@@ -1063,11 +1211,18 @@ class LakehouseTable:
         return [os.path.join(self.base_path, p) for p in rel_paths]
 
     def _read_files(
-        self, files: list[FileMeta], as_of: str | None = None
+        self,
+        files: list[FileMeta],
+        as_of: str | None = None,
+        schema_override: T.StructType | None = None,
     ) -> DataFrame | None:
         if not files:
             return None
-        schema = self._latest_schema(as_of)
+        schema = (
+            schema_override
+            if schema_override is not None
+            else self._latest_schema(as_of)
+        )
         reader = self.spark.read
         pmap: dict[str, str] = {}
         if schema is not None:
