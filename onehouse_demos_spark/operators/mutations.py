@@ -866,6 +866,75 @@ WHERE o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
 """
 
 
+_BOOT_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_bootstrap(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Metadata-only bootstrap pipeline (r8; Hudi bootstrap /
+    Delta CONVERT analog — the reference registers existing locations
+    read-only at demo.md:208-229, bootstrap upgrades that to full
+    DML): lay `orders` out as a PRE-EXISTING 8-file parquet dataset,
+    onboard it with ONE metadata commit (no rewrite), then upsert and
+    delete through the managed write path. The builder raises if the
+    onboard referenced anything but the source files in place, or if
+    any source file was physically deleted by the chain."""
+    if sf_dir in _BOOT_CACHE:
+        return _BOOT_CACHE[sf_dir]
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="oh_boot_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    src = f"{tmp}/existing_orders"
+    orders.repartition(8).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_boot",
+        TableConfig(name="orders_boot", record_key=["o_orderkey"]),
+    )
+    inst = t.bootstrap(src)
+    if len(inst.adds) != n_src or not all(f.bootstrap for f in inst.adds):
+        raise RuntimeError("bootstrap did not reference the source in place")
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 1000.0
+        )
+    )
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    )
+    if (
+        len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        != n_src
+    ):
+        raise RuntimeError("a source file was deleted — ownership violated")
+    _BOOT_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_bootstrap_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after onboarding an existing dataset metadata-only and
+    mutating it through the managed write path; oracle over `orders`."""
+    t = _build_bootstrap(spark, sf_dir)
+    return t.snapshot().select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+    )
+
+
+TBL_BOOTSTRAP_UPSERT_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0
+"""
+
+
 _BUCKET_CACHE: dict[str, LakehouseTable] = {}
 
 
@@ -982,6 +1051,7 @@ QUERIES = {
     "tbl_schema_evolved_read": tbl_schema_evolved_read,
     "tbl_rli_upsert_read": tbl_rli_upsert_read,
     "tbl_bucket_upsert_read": tbl_bucket_upsert_read,
+    "tbl_bootstrap_upsert_read": tbl_bootstrap_upsert_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -1011,6 +1081,7 @@ ORACLES = {
     "tbl_schema_evolved_read": TBL_SCHEMA_EVOLVED_READ_SQL,
     "tbl_rli_upsert_read": TBL_RLI_UPSERT_READ_SQL,
     "tbl_bucket_upsert_read": TBL_BUCKET_UPSERT_READ_SQL,
+    "tbl_bootstrap_upsert_read": TBL_BOOTSTRAP_UPSERT_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,

@@ -869,6 +869,34 @@ class Engine:
             return self._register_table(
                 req("table", "0"), req("metadata_file", "1")
             )
+        if proc == "bootstrap_table":
+            # Metadata-only onboarding of an existing parquet dataset
+            # into a NEW managed table (Hudi bootstrap analog):
+            # CALL bootstrap_table(table => 't', location => '/data',
+            #   primary_key => 'id'[, precombine => 'ver']).
+            tname = self._norm(req("table", "0"))
+            if tname in self._tables or tname in self._external:
+                raise ValueError(f"table {tname} already exists")
+            t = LakehouseTable.create(
+                self.spark,
+                f"{self.warehouse_dir}/{tname}",
+                TableConfig(
+                    name=tname,
+                    record_key=[
+                        c.strip()
+                        for c in req("primary_key", "primarykey").split(",")
+                        if c.strip()
+                    ],
+                    precombine=arg("precombine") or None,
+                ),
+            )
+            inst = t.bootstrap(req("location", "1"))
+            self._tables[tname] = t
+            t.register_view(tname)
+            return self.spark.createDataFrame(
+                [(tname, inst.instant, len(inst.adds))],
+                "table string, instant string, files int",
+            )
 
         name = self._norm(req("table", "0"))
         if name not in self._tables:

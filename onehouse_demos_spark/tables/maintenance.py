@@ -578,6 +578,10 @@ def run_restore(table: LakehouseTable, instant: str) -> dict:
     deleted: list[str] = []
     for i in after:
         for fm in i.adds:
+            if fm.bootstrap:
+                # referenced, not owned — restore drops the reference
+                # (via remove_after below) but never the user's data
+                continue
             abs_path = os.path.join(table.base_path, fm.path)
             if os.path.exists(abs_path):
                 os.remove(abs_path)
@@ -606,6 +610,12 @@ def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
         if inst.action == "clean":
             already_cleaned.update(inst.extra.get("deleted", []))
     pinned = _savepointed_paths(table)
+    # Bootstrapped files are referenced, not owned (metadata-only
+    # onboarding): the cleaner must never physically delete the user's
+    # source data, even after an upsert migrated its rows away.
+    not_owned = {
+        fm.path for inst in instants for fm in inst.adds if fm.bootstrap
+    }
     doomed: list[str] = []
     for inst in instants:
         # A file replaced at instant X is only needed by snapshots
@@ -615,7 +625,9 @@ def run_clean(table: LakehouseTable, keep_last_commits: int = 10) -> list[str]:
             doomed.extend(
                 p
                 for p in inst.removes
-                if p not in already_cleaned and p not in pinned
+                if p not in already_cleaned
+                and p not in pinned
+                and p not in not_owned
             )
     if not doomed:
         return []

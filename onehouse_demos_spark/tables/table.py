@@ -192,6 +192,38 @@ def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
     )
 
 
+def _harvest_bootstrap(abs_path: str, string_key_col: str | None) -> FileMeta:
+    """Footer-only stats for a file the table references but does not
+    own (metadata-only bootstrap). Module-level so large onboards
+    harvest in parallel on executors. Key range stats are synthesized
+    ONLY for a single STRING record key: the manifest's key range is
+    lexicographic over the string-cast key, and a numeric footer
+    min/max does NOT bound that order (str(5) > str(12)) — synthesizing
+    it would let range pruning drop a file that holds a probe key."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(abs_path)
+    col_stats = _footer_col_stats(pf)
+    key_rng = None
+    if string_key_col is not None:
+        key_rng = col_stats.get(string_key_col)
+        if key_rng is not None and not all(
+            isinstance(v, str) for v in key_rng
+        ):
+            key_rng = None
+    return FileMeta(
+        path=abs_path,
+        partition=None,
+        rows=pf.metadata.num_rows,
+        key_min=key_rng[0] if key_rng else None,
+        key_max=key_rng[1] if key_rng else None,
+        kind="base",
+        col_stats=col_stats,
+        key_bloom=None,
+        bootstrap=True,
+    )
+
+
 @dataclass
 class TableConfig:
     name: str
@@ -932,6 +964,95 @@ class LakehouseTable:
             self.timeline.abort(instant)
             raise
 
+    def bootstrap(self, source_dir: str) -> Instant:
+        """Metadata-only onboarding of an existing parquet dataset
+        (Hudi bootstrap METADATA_ONLY / Delta `CONVERT TO DELTA` /
+        Iceberg `add_files` analog; the reference registers existing
+        locations read-only at `demo.md:208-229` — bootstrap upgrades
+        that to FULL DML without rewriting a byte): ONE commit
+        references the source files in place, with footer-harvested
+        stats. At 100 TB this is the difference between onboarding in
+        seconds of metadata work and re-writing the entire dataset.
+
+        Ownership contract: the table references but does not own the
+        source files — cleaning and restore never physically delete
+        them. Reads synthesize the missing meta columns; the first
+        upsert/delete that touches a file migrates its rows into
+        managed storage (incremental rewrite, Hudi-style).
+
+        v1 scope: unpartitioned tables without record/bucket indexes;
+        key range stats are harvested only for single STRING record
+        keys (numeric footer ranges do not bound the manifest's
+        lexicographic key order), other keys stay un-pruned but exact.
+        """
+        if self.timeline.instants():
+            raise ValueError("bootstrap requires an empty table (no commits)")
+        if self.config.partition_by or self.config.partition_expr:
+            raise ValueError("bootstrap supports unpartitioned tables only")
+        if self.record_index is not None or self.config.bucket_index_buckets:
+            raise ValueError(
+                "bootstrap does not support record/bucket indexes (no "
+                "index entries exist for the onboarded files)"
+            )
+        if not self.config.record_key:
+            raise ValueError("bootstrap requires a record key")
+        if os.path.isfile(source_dir) and source_dir.endswith(".parquet"):
+            paths = [os.path.abspath(source_dir)]
+        else:
+            paths = []
+            for root, _dirs, names in os.walk(source_dir):
+                for name in sorted(names):
+                    if name.endswith(".parquet"):
+                        paths.append(
+                            os.path.abspath(os.path.join(root, name))
+                        )
+        if not paths:
+            raise ValueError(f"no parquet files under {source_dir!r}")
+        src_schema = self.spark.read.parquet(*paths).schema
+        names = {f.name for f in src_schema.fields}
+        missing = [k for k in self.config.record_key if k not in names]
+        if missing:
+            raise ValueError(
+                f"record key column(s) {missing} not in the source schema"
+            )
+        string_key_col = None
+        if len(self.config.record_key) == 1:
+            k = self.config.record_key[0]
+            if isinstance(src_schema[k].dataType, T.StringType):
+                string_key_col = k
+        instant = self.timeline.begin("commit")
+        try:
+            if len(paths) <= self.DRIVER_HARVEST_MAX_FILES:
+                adds = [_harvest_bootstrap(p, string_key_col) for p in paths]
+            else:
+                sc = self.spark.sparkContext
+                n = max(1, min(len(paths), sc.defaultParallelism))
+                adds = (
+                    sc.parallelize(paths, n)
+                    .map(lambda p: _harvest_bootstrap(p, string_key_col))
+                    .collect()
+                )
+            full_schema = T.StructType(
+                list(src_schema.fields)
+                + [
+                    T.StructField(KEY_COL, T.StringType(), True),
+                    T.StructField(COMMIT_COL, T.StringType(), True),
+                    T.StructField(DELETED_COL, T.BooleanType(), True),
+                ]
+            )
+            return self._commit(
+                instant, "commit", "bootstrap", adds, [], full_schema
+            )
+        except Exception:
+            self.timeline.abort(instant)
+            raise
+
+    def _bootstrap_instant(self) -> str | None:
+        for inst in self.timeline.instants():
+            if inst.operation == "bootstrap":
+                return inst.instant
+        return None
+
     def bulk_insert(self, df: DataFrame, num_files: int | None = None) -> Instant:
         """Sorted large-batch load (reference M2 `BulkInsertNode`):
         range-partition + sort by record key so parquet min/max stats
@@ -1246,6 +1367,28 @@ class LakehouseTable:
         if any(pmap[n] != n for n in pmap):
             df = df.select(
                 *[F.col(pmap[f.name]).alias(f.name) for f in schema.fields]
+            )
+        if any(f.bootstrap for f in files) and KEY_COL in df.columns:
+            # Bootstrapped files carry no meta columns (the table does
+            # not own them) — synthesize: key from the record-key
+            # expression, commit time from the bootstrap instant,
+            # deleted = false. coalesce keeps managed files' real
+            # values untouched in a mixed read.
+            df = (
+                df.withColumn(
+                    KEY_COL, F.coalesce(F.col(KEY_COL), self._key_expr())
+                )
+                .withColumn(
+                    COMMIT_COL,
+                    F.coalesce(
+                        F.col(COMMIT_COL),
+                        F.lit(self._bootstrap_instant() or ""),
+                    ),
+                )
+                .withColumn(
+                    DELETED_COL,
+                    F.coalesce(F.col(DELETED_COL), F.lit(False)),
+                )
             )
         return df.drop(PP_COL)
 
@@ -1573,8 +1716,17 @@ class LakehouseTable:
                         .distinct()
                     )
                     touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
+                    # abs->manifest-path map (NOT relpath): bootstrap
+                    # files live outside the base path under absolute
+                    # manifest paths.
+                    abs_map = {
+                        os.path.abspath(
+                            os.path.join(self.base_path, f.path)
+                        ): f.path
+                        for f in candidates
+                    }
                     touched = [
-                        os.path.relpath(p, self.base_path) for p in touched_abs
+                        abs_map[os.path.abspath(p)] for p in touched_abs
                     ]
             if touched:
                 by_path = {f.path: f for f in candidates}
@@ -1675,7 +1827,13 @@ class LakehouseTable:
                     .distinct()
                 )
                 touched_abs = [_uri_to_path(r[0]) for r in probe.collect()]
-                touched = [os.path.relpath(p, self.base_path) for p in touched_abs]
+                abs_map = {
+                    os.path.abspath(
+                        os.path.join(self.base_path, f.path)
+                    ): f.path
+                    for f in candidates
+                }
+                touched = [abs_map[os.path.abspath(p)] for p in touched_abs]
             if existing is not None:
                 if touched:
                     by_path = {f.path: f for f in candidates}

@@ -63,6 +63,11 @@ class FileMeta:
     #: buckets) with NO probe or index read. None for tables without
     #: the layout and for pre-layout files (always kept as candidates).
     bucket: int | None = None
+    #: True for files onboarded by a metadata-only bootstrap (Hudi
+    #: bootstrap / Delta CONVERT analog): the table references but does
+    #: NOT own them — cleaning and restore never physically delete
+    #: them, and reads synthesize the missing meta columns.
+    bootstrap: bool = False
 
     def to_json(self) -> dict:
         return {
@@ -75,6 +80,7 @@ class FileMeta:
             "col_stats": self.col_stats,
             "key_bloom": self.key_bloom,
             "bucket": self.bucket,
+            "bootstrap": self.bootstrap,
         }
 
     @staticmethod

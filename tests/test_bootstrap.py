@@ -1,0 +1,195 @@
+"""Metadata-only bootstrap (r8): onboard an existing parquet dataset
+into a managed table WITHOUT rewriting a byte — Hudi bootstrap
+METADATA_ONLY / Delta `CONVERT TO DELTA` / Iceberg `add_files` analog.
+The reference registers existing locations read-only
+(`demo.md:208-229`); bootstrap upgrades that story to full DML.
+
+Ownership contract under test: the table references but does NOT own
+the source files — cleaning and restore never physically delete them,
+reads synthesize the missing meta columns, and the first mutation that
+touches a file migrates its rows into managed storage.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.sql.engine import Engine
+
+
+def _mk_source(spark, tmp_base, n=400, files=4, key_type="int"):
+    src = f"{tmp_base}/existing"
+    if key_type == "int":
+        df = spark.createDataFrame(
+            [(i, f"v{i}", i % 5) for i in range(n)],
+            "id int, v string, grp int",
+        )
+    else:
+        df = spark.createDataFrame(
+            [(f"k{i:05d}", f"v{i}", i % 5) for i in range(n)],
+            "id string, v string, grp int",
+        )
+    df.repartition(files).write.parquet(src)
+    return src
+
+
+def _bootstrapped(spark, tmp_base, **src_kw):
+    src = _mk_source(spark, tmp_base, **src_kw)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/t",
+        TableConfig(name="bt", record_key=["id"], precombine="grp"),
+    )
+    t.bootstrap(src)
+    return t, src
+
+
+def test_bootstrap_snapshot_equals_source(spark, tmp_base):
+    t, src = _bootstrapped(spark, tmp_base)
+    assert t.snapshot().count() == 400
+    assert sorted(t.snapshot().columns) == ["grp", "id", "v"]
+    assert {r.v for r in t.snapshot().filter("id = 7").collect()} == {"v7"}
+    # metadata-only: every referenced file IS a source file, in place
+    files = t.manifest.live_files()
+    assert len(files) == 4
+    assert all(f.bootstrap and f.path.startswith(src) for f in files)
+
+
+def test_upsert_migrates_touched_files_only(spark, tmp_base):
+    t, src = _bootstrapped(spark, tmp_base)
+    i2 = t.upsert(
+        spark.createDataFrame(
+            [(7, "NEW7", 9), (8, "NEW8", 9)], "id int, v string, grp int"
+        )
+    )
+    # only the files holding keys 7/8 were de-referenced; their rows
+    # migrated into managed storage
+    assert 1 <= len(i2.removes) <= 2
+    live = t.manifest.live_files()
+    assert sum(1 for f in live if f.bootstrap) == 4 - len(i2.removes)
+    got = {r.id: r.v for r in t.snapshot().filter("id in (7,8,9)").collect()}
+    assert got == {7: "NEW7", 8: "NEW8", 9: "v9"}
+    assert t.snapshot().count() == 400
+    assert (
+        t.snapshot().groupBy("id").count().filter("count > 1").count() == 0
+    )
+    # the de-referenced source files still exist on disk
+    assert (
+        len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 4
+    )
+
+
+def test_clean_and_restore_never_delete_source_files(spark, tmp_base):
+    from onehouse_demos_spark.tables.maintenance import run_clean, run_restore
+
+    t, src = _bootstrapped(spark, tmp_base)
+    boot_instant = t.timeline.instants()[0].instant
+    for i in range(3):
+        t.upsert(
+            spark.createDataFrame(
+                [(i * 3, f"U{i}", 9)], "id int, v string, grp int"
+            )
+        )
+    run_clean(t, keep_last_commits=1)
+    assert (
+        len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 4
+    )
+    run_restore(t, boot_instant)
+    assert (
+        len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 4
+    )
+    # restored to the pure-bootstrap view
+    assert t.snapshot().count() == 400
+    assert {r.v for r in t.snapshot().filter("id = 0").collect()} == {"v0"}
+
+
+def test_string_key_harvests_range_stats(spark, tmp_base):
+    t, _src = _bootstrapped(spark, tmp_base, key_type="string")
+    files = t.manifest.live_files()
+    assert all(f.key_min is not None for f in files)
+    # stats are the lexicographic string range, so range pruning is
+    # sound: a point upsert prunes to the file(s) whose range covers it
+    i2 = t.upsert(
+        spark.createDataFrame(
+            [("k00007", "NEW", 9)], "id string, v string, grp int"
+        )
+    )
+    assert len(i2.removes) < 4
+    assert {
+        r.v for r in t.snapshot().filter("id = 'k00007'").collect()
+    } == {"NEW"}
+
+
+def test_int_key_skips_range_stats(spark, tmp_base):
+    """Numeric footer min/max does not bound the lexicographic
+    string-cast key order — stats must be absent (file always a
+    candidate), never wrong."""
+    t, _src = _bootstrapped(spark, tmp_base, key_type="int")
+    assert all(f.key_min is None for f in t.manifest.live_files())
+
+
+def test_incremental_and_time_travel(spark, tmp_base):
+    t, _src = _bootstrapped(spark, tmp_base)
+    boot = t.timeline.instants()[0].instant
+    t.upsert(
+        spark.createDataFrame([(7, "NEW", 9)], "id int, v string, grp int")
+    )
+    assert t.incremental(None, boot).count() == 400
+    inc = t.incremental(boot)
+    assert {r.id for r in inc.collect()} >= {7}
+    snap0 = t.snapshot(as_of=boot)
+    assert snap0.count() == 400
+    assert {r.v for r in snap0.filter("id = 7").collect()} == {"v7"}
+
+
+def test_validation_gates(spark, tmp_base):
+    src = _mk_source(spark, tmp_base)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/p",
+            TableConfig(
+                name="p", record_key=["id"], partition_by=["grp"]
+            ),
+        ).bootstrap(src)
+    with pytest.raises(ValueError, match="record/bucket indexes"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/r",
+            TableConfig(name="r", record_key=["id"], record_index=True),
+        ).bootstrap(src)
+    with pytest.raises(ValueError, match="not in the source schema"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/k",
+            TableConfig(name="k", record_key=["nope"]),
+        ).bootstrap(src)
+    t = LakehouseTable.create(
+        spark, f"{tmp_base}/e", TableConfig(name="e", record_key=["id"])
+    )
+    t.insert(spark.createDataFrame([(1, "a", 1)], "id int, v string, grp int"))
+    with pytest.raises(ValueError, match="empty table"):
+        t.bootstrap(src)
+
+
+def test_sql_call_bootstrap_table(spark, tmp_base):
+    src = _mk_source(spark, tmp_base)
+    eng = Engine(spark, f"{tmp_base}/wh")
+    res = eng.sql(
+        f"CALL bootstrap_table(table => 'bt', location => '{src}', "
+        "primary_key => 'id', precombine => 'grp')"
+    ).collect()[0]
+    assert res.files == 4
+    assert eng.sql("SELECT count(*) AS c FROM bt").collect()[0][0] == 400
+    # full DML through the SQL surface on the onboarded table
+    eng.sql("UPDATE bt SET v = 'U' WHERE id = 3")
+    assert eng.sql("SELECT v FROM bt WHERE id = 3").collect()[0][0] == "U"
+    eng.sql("DELETE FROM bt WHERE id = 4")
+    assert eng.sql("SELECT count(*) AS c FROM bt").collect()[0][0] == 399
+    # the registration persists across an engine restart (discovery)
+    eng2 = Engine(spark, f"{tmp_base}/wh")
+    assert eng2.sql("SELECT count(*) AS c FROM bt").collect()[0][0] == 399
