@@ -1349,6 +1349,117 @@ ORDER BY s_suppkey
 """
 
 
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (r8): revenue lost to returned items per
+    customer in one quarter, top 20. One shuffle joins the
+    date-pruned orders slice to the returnflag-pruned lineitem slice
+    (both predicates push to the scans); customer and nation are
+    broadcast dims; the top-20 is a TakeOrdered with an explicit
+    c_custkey tiebreak so the selected SET is deterministic under
+    revenue ties in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    l = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            # decimal-exact sum, ROUNDed while still decimal (a .x95
+            # half-case rounds identically in both engines only before
+            # the binary-double cast), then surfaced as double
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,2)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .join(
+            F.broadcast(customer),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_REPORT_SQL = """
+SELECT c_custkey, c_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(1 - l_discount AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue,
+       ROUND(c_acctbal, 2) AS acctbal, n_name AS nation
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (r8): the canonical single-scan filter-aggregate
+    — every predicate (date range, discount band, quantity cap) pushes
+    to the parquet scan, the whole plan is one WholeStageCodegen span
+    with a map-side partial sum. The plan-shape canary for predicate
+    pushdown regressions."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(18,2)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES = {
     "rollup_status_priority": rollup_status_priority,
     "cube_returnflag_linestatus": cube_returnflag_linestatus,
@@ -1380,6 +1491,8 @@ QUERIES = {
     "bracketed_revenue": bracketed_revenue,
     "idle_customer_balance": idle_customer_balance,
     "top_supplier_revenue": top_supplier_revenue,
+    "returned_item_report": returned_item_report,
+    "forecast_revenue_change": forecast_revenue_change,
 }
 
 ORACLES = {
@@ -1413,4 +1526,6 @@ ORACLES = {
     "bracketed_revenue": BRACKETED_REVENUE_SQL,
     "idle_customer_balance": IDLE_CUSTOMER_BALANCE_SQL,
     "top_supplier_revenue": TOP_SUPPLIER_REVENUE_SQL,
+    "returned_item_report": RETURNED_ITEM_REPORT_SQL,
+    "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
 }
