@@ -1015,6 +1015,22 @@ class Engine:
             return self.spark.createDataFrame(
                 [(p,) for p in removed], "removed_file string"
             )
+        if proc == "run_partition_ttl":
+            from onehouse_demos_spark.tables.maintenance import (
+                run_partition_ttl,
+            )
+
+            days = arg("retain_days")
+            commits = arg("retain_commits")
+            expired = run_partition_ttl(
+                t,
+                retain_days=float(days) if days else None,
+                retain_commits=int(commits) if commits else None,
+            )
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(p,) for p in expired], "expired_partition string"
+            )
         if proc == "show_indexes":
             # Hudi 1.0 `SHOW INDEXES` analog: one row per index with
             # its layout state (delta dirs pending fold, base presence).

@@ -687,6 +687,72 @@ def run_orphan_clean(table: LakehouseTable, min_age_s: float = 3600.0) -> list[s
     return doomed
 
 
+def run_partition_ttl(
+    table: LakehouseTable,
+    retain_days: float | None = None,
+    retain_commits: int | None = None,
+    now_ms: int | None = None,
+) -> list[str]:
+    """Expire partitions whose last DATA modification is older than
+    the retention horizon (Hudi `hoodie.partition.ttl.*` analog,
+    KEEP_BY_TIME / KEEP_BY_COMMITS strategies): the engine-side
+    lifecycle for time-partitioned 100 TB tables, where old partitions
+    stop receiving writes and must eventually leave the live set
+    without a human issuing per-partition deletes.
+
+    A partition's last-modified instant is the newest DATA commit
+    (insert/upsert/delete — maintenance replacecommits never refresh
+    a TTL) that added a file to it. Expired partitions are dropped via
+    ONE ordinary `delete_partition` replacecommit, so incremental /
+    CDF readers and time travel see the standard M9 semantics, and the
+    files themselves are reclaimed later by the normal cleaner.
+
+    Exactly one of `retain_days` (wall-clock, instants encode epoch
+    ms) or `retain_commits` (survive if modified within the last N
+    data commits) must be given. Returns the expired partition values
+    (empty = nothing to do, no commit published).
+    """
+    import time as _time
+
+    if (retain_days is None) == (retain_commits is None):
+        raise ValueError(
+            "exactly one of retain_days / retain_commits is required"
+        )
+    data_instants = [
+        i
+        for i in table.timeline.instants()
+        if i.action != "replacecommit" and i.adds
+    ]
+    if not data_instants:
+        return []
+    last_mod: dict[str, str] = {}
+    for inst in data_instants:
+        for fm in inst.adds:
+            if fm.partition is not None:
+                last_mod[fm.partition] = inst.instant
+    if retain_days is not None:
+        now = now_ms if now_ms is not None else int(_time.time() * 1000)
+        cutoff = f"{now - int(retain_days * 86_400_000):017d}000"
+    else:
+        if len(data_instants) <= retain_commits:
+            return []
+        cutoff = data_instants[-retain_commits].instant
+    live_parts = {
+        f.partition
+        for f in table.manifest.live_files()
+        if f.partition is not None
+    }
+    expired = sorted(
+        p
+        for p, last in last_mod.items()
+        if p in live_parts and last < cutoff
+    )
+    if not expired:
+        return []
+    table.delete_partition(expired)
+    return expired
+
+
 def run_archival(table: LakehouseTable, keep_last: int = 50) -> int:
     """Fold old timeline instants into the archive (reference archival,
     `validate_archival: true`)."""
