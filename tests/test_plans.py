@@ -502,3 +502,74 @@ def test_scoped_changes_join_carries_partition(spark, tmp_base):
     ch = t.changes(b0)
     rows = [(r.id, r.p, r["_change_type"]) for r in ch.collect()]
     assert sorted(rows) == [(1, "x", "insert"), (1, "y", "insert")]
+
+
+def test_q6_every_predicate_pushes_to_scan(spark):
+    """r8 pushdown canary: forecast_revenue_change (TPC-H Q6 shape) is
+    one scan whose date/discount/quantity predicates ALL reach the
+    parquet reader, with an exactly-4-column ReadSchema."""
+    from onehouse_demos_spark.operators.analytics import (
+        forecast_revenue_change,
+    )
+
+    df = forecast_revenue_change(spark, SF_DIR)
+    pf = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pf), (col, pf)
+    schemas = read_schema_columns(df)
+    assert schemas and schemas[0] == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, schemas
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(df)
+    assert "Join" not in txt
+
+
+def test_q10_broadcasts_every_join(spark):
+    """r8: returned_item_report (Q10 shape) — the quarter slice and
+    both dims broadcast; no sort-merge join anywhere."""
+    from onehouse_demos_spark.operators.analytics import (
+        returned_item_report,
+    )
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(returned_item_report(spark, SF_DIR))
+    assert "SortMergeJoin" not in txt
+    assert "BroadcastHashJoin" in txt
+
+
+def test_bucket_upsert_plans_no_probe_join(spark, tmp_path):
+    """r8: on a bucket-layout table the candidate resolution is ONE
+    aggregation job over the incoming batch — the upsert never plans
+    the key-probe join (candidates come from the key hash), and a
+    point write's rewrite set is confined to its bucket."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_path}/bkt_plan",
+        TableConfig(name="bkt_plan", record_key=["id"], precombine="ver",
+                    bucket_index_buckets=8),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, f"v{i}", 1) for i in range(200)], "id int, v string, ver int"
+        )
+    )
+    files, n = t._candidate_files(
+        t._with_meta(
+            spark.createDataFrame([(5, "x", 2)], "id int, v string, ver int"),
+            "99999999999999999999",
+        )
+    )
+    live = len(t.manifest.live_files())
+    assert n == 1
+    assert 0 < len(files) < live
+    inst = t.upsert(
+        spark.createDataFrame([(5, "X", 2)], "id int, v string, ver int")
+    )
+    assert len(inst.removes) <= len(files)
