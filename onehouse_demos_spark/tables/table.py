@@ -273,7 +273,10 @@ class TableConfig:
     # incoming keys — no probe join, no index read, no stats
     # dependence. The tradeoff vs the record index: a point write
     # rewrites its whole bucket (write amplification 1/N of the
-    # partition), and the bucket count is fixed at create. COW only.
+    # partition), and the bucket count is fixed at create. MOR tables
+    # route LOG files by the same hash, so every version of a key
+    # stays in its bucket's files and bucket-pruned point reads
+    # commute with the version merge.
     bucket_index_buckets: int | None = None
     # Pre-commit validators (Hudi `hoodie.precommit.validators` +
     # `hoodie.precommit.validators.*.sql.queries` analog): each entry
@@ -324,11 +327,6 @@ class LakehouseTable:
         self.manifest = Manifest(self.timeline)
         self._part_src_cols: set[str] | None = None
         if config.bucket_index_buckets:
-            if config.table_type != "cow":
-                raise ValueError(
-                    "bucket-index layout is COW-only (MOR log routing "
-                    "is not implemented)"
-                )
             if not config.record_key:
                 raise ValueError(
                     "bucket-index layout requires a record key"
@@ -659,12 +657,14 @@ class LakehouseTable:
             writer = writer.withColumn(PP_COL, F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)))
         bucketed = (
             self.config.bucket_index_buckets
-            and kind == "base"
             and KEY_COL in writer.columns
         )
         if bucketed:
             # Bucket layout: one file per (partition, bucket) per
-            # commit. Rows hash-route to their bucket; partitionBy
+            # commit — for BASE and LOG files alike, so every version
+            # of a key (MOR logs included) lives in its bucket's files
+            # and bucket-pruned point reads commute with the version
+            # merge. Rows hash-route to their bucket; partitionBy
             # splits buckets that share a shuffle task, so the file-
             # per-bucket invariant holds regardless of task count.
             # Key-sorted within each bucket file — range/bloom stats
@@ -2268,6 +2268,37 @@ class LakehouseTable:
             }
             return self._empty_df(keep_meta)
         if any(f.kind == "log" for f in files_all):
+            # MOR with live logs: file skipping commutes with the
+            # version merge ONLY under the bucket layout, where every
+            # version of a key (base and log) lives in its bucket's
+            # files — reading ALL files of the touched buckets gives
+            # complete version sets for every key they contain, so the
+            # merged result is exact. Any un-routed file (bucket=None)
+            # breaks the attribution and forces the full merge.
+            if self.config.bucket_index_buckets and all(
+                f.bucket is not None for f in files_all
+            ):
+                touched = {
+                    r[0]
+                    for r in keys_df.select(
+                        self._bucket_layout_expr(
+                            self._key_expr()
+                        ).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                }
+                files = [f for f in files_all if f.bucket in touched]
+                self.last_key_read_probe = {
+                    "mode": "bucket",
+                    "files_read": len(files),
+                    "files_live": len(files_all),
+                }
+                df = self._read_files(files)
+                if df is None:
+                    return self._empty_df(keep_meta)
+                df = self._merge_latest(df)
+                return self._strip_meta(df, keep_meta)
             self.last_key_read_probe = {
                 "mode": "full",
                 "files_read": len(files_all),

@@ -125,18 +125,54 @@ def test_layout_survives_reload_and_clustering(spark, tmp_base):
     assert t2.snapshot().count() == 200
 
 
-def test_config_validation(spark, tmp_base):
-    with pytest.raises(ValueError, match="COW-only"):
-        LakehouseTable.create(
-            spark,
-            f"{tmp_base}/m",
-            TableConfig(
-                name="m",
-                record_key=["id"],
-                table_type="mor",
-                bucket_index_buckets=4,
-            ),
+def test_mor_bucket_layout_point_read_merges_exactly(spark, tmp_base):
+    """MOR + buckets (r8): log files hash-route like base files, so a
+    point read prunes to the touched buckets' files (base AND logs)
+    and the version merge over that subset is exact."""
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/m",
+        TableConfig(
+            name="m",
+            record_key=["id"],
+            precombine="ver",
+            table_type="mor",
+            bucket_index_buckets=8,
+        ),
+    )
+    df = spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(100)], "id int, v string, ver int"
+    )
+    t.insert(df)  # first MOR write lays base files
+    t.upsert(
+        spark.createDataFrame(
+            [(5, "NEW5", 2), (6, "NEW6", 2)], "id int, v string, ver int"
         )
+    )  # lands in log files, bucket-routed
+    files = t.manifest.live_files()
+    assert all(f.bucket is not None for f in files)
+    assert any(f.kind == "log" for f in files)
+    out = t.snapshot_for_keys(spark.createDataFrame([(5,)], "id int"))
+    probe = t.last_key_read_probe
+    assert probe["mode"] == "bucket"
+    assert probe["files_read"] < probe["files_live"]
+    # exact merged values for the probed key AND for co-bucketed keys
+    got = {r.id: r.v for r in out.collect()}
+    assert got[5] == "NEW5"
+    full = {r.id: r.v for r in t.snapshot().collect()}
+    assert all(full[k] == v for k, v in got.items())
+    # compaction folds logs into bucketed bases; routing stays exact
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    run_compaction(t)
+    assert all(f.bucket is not None for f in t.manifest.live_files())
+    out2 = t.snapshot_for_keys(spark.createDataFrame([(6,)], "id int"))
+    assert t.last_key_read_probe["mode"] == "bucket"
+    assert {r.v for r in out2.filter("id = 6").collect()} == {"NEW6"}
+    assert t.snapshot().count() == 100
+
+
+def test_config_validation(spark, tmp_base):
     with pytest.raises(ValueError, match="mutually exclusive"):
         LakehouseTable.create(
             spark,
