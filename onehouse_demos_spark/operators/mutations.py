@@ -1001,6 +1001,67 @@ def _build_bucket(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     return t
 
 
+_BUCKET_MOR_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_bucket_mor(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Bucketed MOR pipeline (r8): base files AND log files hash-route
+    by key, so the point read prunes to the touched buckets and merges
+    exactly. The builder asserts every live file carries a bucket id
+    and that a single-key probe read is bucket-pruned."""
+    if sf_dir in _BUCKET_MOR_CACHE:
+        return _BUCKET_MOR_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_bktmor_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_bkt_mor",
+        TableConfig(
+            name="orders_bkt_mor",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            table_type="mor",
+            bucket_index_buckets=8,
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    files = t.manifest.live_files()
+    if not all(f.bucket is not None for f in files):
+        raise RuntimeError("a MOR file escaped bucket routing")
+    k0 = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    t.snapshot_for_keys(
+        spark.createDataFrame([(int(k0),)], "o_orderkey bigint")
+    ).collect()
+    probe = t.last_key_read_probe
+    if probe["mode"] != "bucket" or probe["files_read"] >= probe["files_live"]:
+        raise RuntimeError(f"MOR point read was not bucket-pruned: {probe}")
+    _BUCKET_MOR_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_bucket_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged `_rt` snapshot of the bucketed MOR table (log merge over
+    hash-routed files); the builder raises unless the point read was
+    bucket-pruned, so the green oracle row proves the routing."""
+    t = _build_bucket_mor(spark, sf_dir)
+    return _project(t.snapshot())
+
+
+TBL_BUCKET_MOR_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+"""
+
+
 def tbl_bucket_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot after the bucket-layout mutation chain; the oracle
     re-derives every row from `orders` (the point upsert's key is the
@@ -1052,6 +1113,7 @@ QUERIES = {
     "tbl_rli_upsert_read": tbl_rli_upsert_read,
     "tbl_bucket_upsert_read": tbl_bucket_upsert_read,
     "tbl_bootstrap_upsert_read": tbl_bootstrap_upsert_read,
+    "tbl_bucket_mor_read": tbl_bucket_mor_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -1082,6 +1144,7 @@ ORACLES = {
     "tbl_rli_upsert_read": TBL_RLI_UPSERT_READ_SQL,
     "tbl_bucket_upsert_read": TBL_BUCKET_UPSERT_READ_SQL,
     "tbl_bootstrap_upsert_read": TBL_BOOTSTRAP_UPSERT_READ_SQL,
+    "tbl_bucket_mor_read": TBL_BUCKET_MOR_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,
