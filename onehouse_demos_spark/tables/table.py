@@ -421,6 +421,20 @@ class LakehouseTable:
     def _all_instant_ids(self) -> list[str]:
         return [i.instant for i in self.timeline.instants()]
 
+    def _reject_bootstrap_indexing(self) -> None:
+        """Index backfills read the key/indexed columns straight from
+        the data files; bootstrapped files carry no meta columns and
+        are not rewritten on onboard, so indexing them would either
+        crash or silently under-cover. Clean error now beats a
+        coverage gap later; the indexes become available once every
+        bootstrap file has been migrated by mutations."""
+        if any(f.bootstrap for f in self.manifest.live_files()):
+            raise ValueError(
+                "cannot create an index while bootstrapped (metadata-"
+                "only onboarded) files are live; mutate them into "
+                "managed storage first"
+            )
+
     def enable_record_index(self) -> None:
         """CREATE INDEX (record key) on an existing table: persist the
         flag and BACKFILL one base covering the whole timeline, so the
@@ -428,6 +442,7 @@ class LakehouseTable:
         files to rotate past the coverage check)."""
         from onehouse_demos_spark.tables.record_index import RecordIndex
 
+        self._reject_bootstrap_indexing()
         if self.record_index is None:
             self.config.record_index = True
             self._rewrite_config()
@@ -444,6 +459,7 @@ class LakehouseTable:
     def create_secondary_index(self, column: str) -> None:
         from onehouse_demos_spark.tables.record_index import SecondaryIndex
 
+        self._reject_bootstrap_indexing()
         pmap = self._physical_map()
         if column not in self.secondary_indexes:
             # Validate the column and run the backfill BEFORE the
@@ -485,6 +501,7 @@ class LakehouseTable:
     def create_expression_index(self, expr: str) -> None:
         from onehouse_demos_spark.tables.record_index import ExpressionIndex
 
+        self._reject_bootstrap_indexing()
         if self._physical_map():
             raise ValueError(
                 "expression indexes are not supported on column-mapped "

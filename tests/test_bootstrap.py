@@ -174,6 +174,16 @@ def test_validation_gates(spark, tmp_base):
     t.insert(spark.createDataFrame([(1, "a", 1)], "id int, v string, grp int"))
     with pytest.raises(ValueError, match="empty table"):
         t.bootstrap(src)
+    # index backfill over un-migrated bootstrap files is rejected
+    # cleanly (they carry no meta columns to index)
+    tb = LakehouseTable.create(
+        spark, f"{tmp_base}/bi", TableConfig(name="bi", record_key=["id"])
+    )
+    tb.bootstrap(src)
+    with pytest.raises(ValueError, match="bootstrapped"):
+        tb.enable_record_index()
+    with pytest.raises(ValueError, match="bootstrapped"):
+        tb.create_secondary_index("v")
 
 
 def test_sql_call_bootstrap_table(spark, tmp_base):
