@@ -141,7 +141,14 @@ _WINDOW = [
     "multimodal_features",
     # dedup suite
     "dedup_exact",
-    "minhash_lsh_pairs",
+    # r8 late swap: the index-routed SQL point-DML pipeline (this
+    # round's flagship SQL-surface feature; its builder raises off the
+    # keys-index path, so the driver row proves the routing) takes the
+    # slot of minhash_lsh_pairs — the banded-LSH pair-generation stage
+    # that near_dup_canonical recomputes and verifies internally (the
+    # same subsumption that demoted minhash_signatures in r5). It
+    # stays registered past the window and green in the local sweep.
+    "sql_dml_indexed_pipeline",
     "near_dup_canonical",
     "semantic_dedup_keep",
     "contamination_check",
@@ -170,7 +177,15 @@ _WINDOW = [
     "small_quantity_revenue",
     # similarity suite
     "knn_ivf_trained",
-    "embedding_near_dup_pairs",
+    # r8 late swap: the bucket-index layout pipeline (this round's
+    # flagship write-path feature; builder raises unless bucket
+    # pruning confined the point rewrite) takes the slot of
+    # embedding_near_dup_pairs, whose driver row is VACUOUS at the
+    # gate SF (0 rows — the threshold correctly finds no near-dups in
+    # the synthetic embeddings); it stays registered past the window,
+    # green in the local sweep, and its operator class remains
+    # driver-covered by knn_batch_join + semantic_dedup_keep.
+    "tbl_bucket_upsert_read",
     "knn_batch_join",
     # text suite representatives
     "text_stats",
