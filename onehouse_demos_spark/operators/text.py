@@ -373,6 +373,48 @@ FROM per GROUP BY doc_id
 """
 
 
+def doc_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: the repetition-REMOVAL transform the stats above only
+    measure — drop repeated units within each document, preserving
+    first-occurrence order, and emit the CLEANED content (verified by
+    md5, not just counts). Unit = whitespace token on this corpus;
+    line / paragraph / n-gram-window units are the same plan with a
+    different split pattern. Pure JVM expressions (split /
+    array_distinct / array_join / md5): one scan, zero shuffles, zero
+    UDFs — embarrassingly parallel at 100 TB."""
+    docs = load_docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    kept = F.array_distinct(toks)
+    cleaned = F.array_join(kept, " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_units"),
+        F.size(kept).alias("n_kept"),
+        F.length(cleaned).alias("cleaned_chars"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+# DuckDB's list_distinct does NOT preserve order; the indexed
+# list_filter keeps exactly the first occurrence of each unit, which
+# is what array_distinct does on the Spark side.
+DOC_REPETITION_REMOVAL_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), k AS (
+  SELECT doc_id, l,
+         list_filter(l, (x, i) -> list_position(l, x) = i) AS kept
+  FROM t
+)
+SELECT doc_id,
+       len(l) AS n_units,
+       len(kept) AS n_kept,
+       length(array_to_string(kept, ' ')) AS cleaned_chars,
+       md5(array_to_string(kept, ' ')) AS cleaned_md5
+FROM k
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus vocabulary statistics: document frequency + total occurrences of
 # the top terms. Integer-only output with a total-order tiebreak
@@ -883,6 +925,7 @@ QUERIES = {
     "quality_filter_gate": quality_filter_gate,
     "corpus_build": corpus_build,
     "doc_repetition_stats": doc_repetition_stats,
+    "doc_repetition_removal": doc_repetition_removal,
     "corpus_vocab_stats": corpus_vocab_stats,
     "stratified_sample_summary": stratified_sample_summary,
     "doc_chunking": doc_chunking,
@@ -902,6 +945,7 @@ ORACLES = {
     "quality_filter_gate": QUALITY_FILTER_GATE_SQL,
     "corpus_build": CORPUS_BUILD_SQL,
     "doc_repetition_stats": DOC_REPETITION_STATS_SQL,
+    "doc_repetition_removal": DOC_REPETITION_REMOVAL_SQL,
     "corpus_vocab_stats": CORPUS_VOCAB_STATS_SQL,
     "stratified_sample_summary": STRATIFIED_SAMPLE_SUMMARY_SQL,
     "doc_chunking": DOC_CHUNKING_SQL,
