@@ -605,3 +605,53 @@ def test_replay_reader_consumes_real_delta_spark_table(spark):
     assert agg.lo == stats["minValues"]["ContinentName"]
     assert agg.hi == stats["maxValues"]["ContinentName"]
     assert agg.n_null == stats["nullCount"]["CityName"]
+
+
+def test_personality_over_bucketed_table(spark, tmp_base):
+    """r8: the Delta personality of a bucket-layout table — add paths
+    carry the `_oh_bucket=N` directory segment, partitionValues stay
+    the HIVE partition only (buckets are a physical layout, not a
+    logical partition), and the replayed view matches the snapshot
+    across a point upsert."""
+    t = _mk(spark, tmp_base, bucket_index_buckets=4)
+    sync_delta_log(t)
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_delta_log(t)
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
+        t.snapshot()
+    )
+    live = _delta_live_paths(t.base_path)
+    assert any("_oh_bucket=" in p for p in live)
+    for p, add in live.items():
+        assert set(add.get("partitionValues", {})) <= {"sym"}
+        fp = os.path.join(t.base_path, unquote(p))
+        assert os.path.exists(fp) and os.path.getsize(fp) == add["size"]
+
+
+def test_personality_over_bootstrapped_table(spark, tmp_base):
+    """r8: the Delta personality of a metadata-only bootstrapped table
+    — the log references the user's source files IN PLACE (absolute
+    paths, allowed by the Delta spec), no byte is copied, and the
+    replayed view matches the snapshot before and after a first-touch
+    migration upsert."""
+    src = f"{tmp_base}/existing"
+    rows = [(f"k{i:02d}", 1, "GOOG" if i % 2 else "MSFT", 100.0 + i)
+            for i in range(20)]
+    spark.createDataFrame(rows, DDL).repartition(3).write.parquet(src)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/boot_src",
+        TableConfig(name="boot_src", record_key=["key"], precombine="ver"),
+    )
+    t.bootstrap(src)
+    sync_delta_log(t)
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
+        t.snapshot()
+    )
+    live = _delta_live_paths(t.base_path)
+    assert all(unquote(p).startswith(src) for p in live)
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_delta_log(t)
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
+        t.snapshot()
+    )
