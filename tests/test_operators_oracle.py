@@ -81,12 +81,19 @@ def test_driver_window_covers_distinct_operator_classes():
     assert len(ops._WINDOW) == 50
     assert window == ops._WINDOW
     must_have = {
-        "minhash_lsh_pairs", "near_dup_canonical",
+        "near_dup_canonical",
         "text_stats", "multimodal_features", "streaming_hourly_counts",
         "sql_dml_pipeline", "sessionize_events", "events_json_extract",
         # r6 rotation: the signature work is driver-verified
         "tbl_iceberg_personality_read", "knn_ivf_trained",
         "semantic_dedup_keep", "tbl_schema_evolved_read",
+        # r8 rotation: index-routed SQL DML, bucket layout, the
+        # partial_update payload and the secondary-index read
+        # (minhash_lsh_pairs demoted — near_dup_canonical recomputes
+        # and verifies the LSH pair stage internally)
+        "sql_dml_indexed_pipeline", "tbl_bucket_upsert_read",
+        "tbl_partial_update_read", "tbl_secondary_pruned_read",
+        "quality_classifier_scores", "small_quantity_revenue",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()
