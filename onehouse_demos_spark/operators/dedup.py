@@ -798,6 +798,76 @@ GROUP BY source
 """
 
 
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: dedup-aware train/valid/test split — near-duplicate GROUPS
+    are assigned to splits atomically, so a document can never leak an
+    eval answer through a near-copy in the training set (the classic
+    contamination channel naive per-doc hashing leaves open). Group =
+    the near-dup canonical component (singleton docs are their own
+    group); split = portable md5 bucket of the group id (8/1/1), so
+    the assignment is deterministic, resumable, and identical on JVM,
+    Python, and DuckDB. One extra broadcast-size join over the plain
+    per-doc split — group count ≪ doc count at 100 TB."""
+    labels = near_dup_canonical(spark, sf_dir)
+    docs = load_docs(spark, sf_dir).select("doc_id")
+    assigned = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("grp"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("grp").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return (
+        assigned.withColumn(
+            "split",
+            F.when(bucket <= 7, "train")
+            .when(bucket == 8, "valid")
+            .otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("grp").alias("n_groups"),
+        )
+    )
+
+
+LEAKAGE_FREE_SPLIT_SQL = (
+    "WITH RECURSIVE lsh_pairs AS ("
+    + MINHASH_LSH_PAIRS_SQL
+    + """
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM lsh_pairs
+), reach(doc, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.lab FROM edges e JOIN reach r ON r.doc = e.b
+), canon AS (
+  SELECT doc AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY doc
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS grp
+  FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id
+), s AS (
+  SELECT doc_id, grp,
+         (('0x' || substr(md5(CAST(grp AS VARCHAR)), 1, 15))::BIGINT % 10)
+           AS b
+  FROM assigned
+)
+SELECT CASE WHEN b <= 7 THEN 'train'
+            WHEN b = 8 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT grp) AS n_groups
+FROM s GROUP BY 1
+"""
+)
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_exact_summary": dedup_exact_summary,
@@ -807,6 +877,7 @@ QUERIES = {
     "simhash64": simhash64,
     "near_dup_canonical": near_dup_canonical,
     "near_dup_components_star": near_dup_components_star,
+    "leakage_free_split": leakage_free_split,
     "duplicate_passage_stats": duplicate_passage_stats,
     "contamination_check": contamination_check,
     "cross_source_overlap": cross_source_overlap,
@@ -822,6 +893,7 @@ ORACLES = {
     "near_dup_canonical": NEAR_DUP_CANONICAL_SQL,
     # identical output contract, different (diameter-independent) algorithm
     "near_dup_components_star": NEAR_DUP_CANONICAL_SQL,
+    "leakage_free_split": LEAKAGE_FREE_SPLIT_SQL,
     "duplicate_passage_stats": DUPLICATE_PASSAGE_STATS_SQL,
     "contamination_check": CONTAMINATION_CHECK_SQL,
     "cross_source_overlap": CROSS_SOURCE_OVERLAP_SQL,
