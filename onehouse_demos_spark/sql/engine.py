@@ -106,6 +106,15 @@ _ALTER_DROP_RE = re.compile(
     r"(?:\((?P<cols>[^)]+)\)|(?P<col>[\w`]+))\s*$",
     re.IGNORECASE,
 )
+_ALTER_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.`]+)\s+SET\s+TBLPROPERTIES\s*"
+    r"\((?P<props>[^)]*)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SHOW_CREATE_RE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.`]+)\s*$",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[\w.`]+)\s*$",
     re.IGNORECASE,
@@ -199,6 +208,40 @@ _MERGE_RE = re.compile(
     r"ON\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+#: TBLPROPERTIES key (lowercased) -> pre-commit validator type.
+_VALIDATOR_PROP_TYPES = {
+    "precommitequalitysql": "equality",
+    "precommitinequalitysql": "inequality",
+    "precommitsingleresultsql": "single_result",
+}
+
+
+def _validators_from_props(props: dict) -> list[dict]:
+    """Pre-commit validators from TBLPROPERTIES (Hudi
+    hoodie.precommit.validators formats): ';'-separated SQL with
+    <TABLE> placeholders; single-result entries are 'query#expected'."""
+    out: list[dict] = []
+    for key, typ in _VALIDATOR_PROP_TYPES.items():
+        for q in props.get(key, "").split(";"):
+            q = q.strip()
+            if not q:
+                continue
+            if typ == "single_result":
+                if "#" not in q:
+                    continue
+                query, expected = q.rsplit("#", 1)
+                out.append(
+                    {
+                        "type": typ,
+                        "query": query.strip(),
+                        "expected": expected.strip(),
+                    }
+                )
+            else:
+                out.append({"type": typ, "query": q})
+    return out
+
+
 def _parens_balanced(txt: str) -> bool:
     """Literal-masked paren balance check (a ')' inside a string never
     counts)."""
@@ -641,6 +684,12 @@ class Engine:
                 [(strip_ident_quotes(c),) for c in cols],
                 "dropped_column string",
             )
+        m = match_masked(_ALTER_PROPS_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._alter_props(m)
+        m = match_masked(_SHOW_CREATE_RE, s)
+        if m and self._norm(m.group("name")) in self._tables:
+            return self._show_create(self._norm(m.group("name")))
         m = match_masked(_COMPACT_RE, s)
         if m and self._norm(m.group("name")) in self._tables:
             from onehouse_demos_spark.tables.maintenance import run_compaction
@@ -1324,31 +1373,7 @@ class Engine:
             # Hudi hoodie.precommit.validators analog. Formats mirror
             # Hudi's: ';'-separated SQL with <TABLE> placeholders;
             # single-result entries are 'query#expected'.
-            pre_commit_validators=(
-                [
-                    {"type": "equality", "query": q.strip()}
-                    for q in props.get("precommitequalitysql", "").split(";")
-                    if q.strip()
-                ]
-                + [
-                    {"type": "inequality", "query": q.strip()}
-                    for q in props.get(
-                        "precommitinequalitysql", ""
-                    ).split(";")
-                    if q.strip()
-                ]
-                + [
-                    {
-                        "type": "single_result",
-                        "query": q.rsplit("#", 1)[0].strip(),
-                        "expected": q.rsplit("#", 1)[1].strip(),
-                    }
-                    for q in props.get(
-                        "precommitsingleresultsql", ""
-                    ).split(";")
-                    if q.strip() and "#" in q
-                ]
-            ),
+            pre_commit_validators=_validators_from_props(props),
         )
         df = None
         if m.group("ctas"):
@@ -1515,6 +1540,90 @@ class Engine:
         ]
         t.upsert(changed.select(*exprs))
         return self.spark.createDataFrame([], "result string")
+
+    def _alter_props(self, m: re.Match) -> DataFrame:
+        """ALTER TABLE t SET TBLPROPERTIES (...): MUTABLE properties
+        only — the merge payload, pre-commit validator SQL, and the
+        small-file sizing target. Identity-defining properties
+        (primaryKey, type, partition fields, index layout, scope) are
+        fixed at create; changing them would silently invalidate the
+        on-disk layout, so they are rejected loudly instead."""
+        name = self._norm(m.group("name"))
+        t = self._tables[name]
+        props = self._parse_props(m.group("props"))
+        changed: list[tuple[str, str]] = []
+        for k, v in props.items():
+            if k == "payload":
+                if v not in ("overwrite", "partial_update"):
+                    raise ValueError(f"unknown payload {v!r}")
+                t.config.payload = v
+            elif k == "targetfilerows":
+                t.config.target_file_rows = int(v)
+            elif k in _VALIDATOR_PROP_TYPES:
+                typ = _VALIDATOR_PROP_TYPES[k]
+                keep = [
+                    x
+                    for x in t.config.pre_commit_validators
+                    if x.get("type") != typ
+                ]
+                t.config.pre_commit_validators = keep + _validators_from_props(
+                    {k: v}
+                )
+            else:
+                raise ValueError(
+                    f"table property {k!r} is immutable or unknown; "
+                    "mutable: payload, targetFileRows, "
+                    "preCommitEqualitySql, preCommitInequalitySql, "
+                    "preCommitSingleResultSql"
+                )
+            changed.append((k, v))
+        t._rewrite_config()
+        return self.spark.createDataFrame(
+            changed, "property string, value string"
+        )
+
+    def _show_create(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE: a re-runnable DDL statement reconstructed
+        from the persisted table config + latest schema."""
+        from onehouse_demos_spark.tables.table import META_COLS, PP_COL
+
+        t = self._tables[name]
+        cfg = t.config
+        schema = t._latest_schema()
+        hidden = set(META_COLS) | {PP_COL}
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in (schema.fields if schema is not None else [])
+            if f.name not in hidden
+        )
+        props = [("primaryKey", ",".join(cfg.record_key))]
+        if cfg.precombine:
+            props.append(("preCombineField", cfg.precombine))
+        if cfg.table_type != "cow":
+            props.append(("type", cfg.table_type))
+        if cfg.payload != "overwrite":
+            props.append(("payload", cfg.payload))
+        if cfg.record_index:
+            props.append(("recordIndex", "true"))
+        if cfg.secondary_indexes:
+            props.append(
+                ("secondaryIndexes", ",".join(cfg.secondary_indexes))
+            )
+        if cfg.bucket_index_buckets:
+            props.append(
+                ("bucketIndexBuckets", str(cfg.bucket_index_buckets))
+            )
+        stmt = f"CREATE TABLE {name}"
+        if cols:
+            stmt += f" ({cols})"
+        stmt += " USING lakehouse"
+        if cfg.partition_by:
+            stmt += f" PARTITIONED BY ({', '.join(cfg.partition_by)})"
+        stmt += " TBLPROPERTIES (" + ", ".join(
+            f"{k}='{v}'" for k, v in props
+        ) + ")"
+        stmt += f" LOCATION '{t.base_path}'"
+        return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
     def _alter_add(self, m: re.Match) -> DataFrame:
         """ALTER TABLE t ADD COLUMNS (a INT, b STRING ...): a

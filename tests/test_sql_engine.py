@@ -334,3 +334,48 @@ def test_timestamp_as_of_naive_uses_session_timezone(spark, tmp_base):
         assert rows2 == {1: 2}
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_alter_set_tblproperties_and_show_create(spark, tmp_base):
+    """r8: ALTER TABLE SET TBLPROPERTIES mutates exactly the mutable
+    properties (payload, validator SQL, sizing target), persists them,
+    and rejects identity-defining keys; SHOW CREATE TABLE reconstructs
+    a re-runnable DDL."""
+    from onehouse_demos_spark.tables.table import PreCommitValidationError
+
+    eng = Engine(spark, tmp_base + "/wh")
+    eng.sql(
+        "CREATE TABLE st (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver')"
+    )
+    eng.sql("INSERT INTO st VALUES (1, 'a', 1)")
+    eng.sql(
+        "ALTER TABLE st SET TBLPROPERTIES (preCommitSingleResultSql="
+        "'select count(*) from <TABLE> where v is null#0')"
+    )
+    with pytest.raises(PreCommitValidationError):
+        eng.sql("INSERT INTO st VALUES (2, CAST(NULL AS STRING), 1)")
+    eng.sql(
+        "ALTER TABLE st SET TBLPROPERTIES (payload='partial_update', "
+        "targetFileRows='123456')"
+    )
+    t = eng.table("st")
+    assert t.config.payload == "partial_update"
+    assert t.config.target_file_rows == 123456
+    with pytest.raises(ValueError, match="immutable"):
+        eng.sql("ALTER TABLE st SET TBLPROPERTIES (primaryKey='v')")
+    with pytest.raises(ValueError, match="unknown payload"):
+        eng.sql("ALTER TABLE st SET TBLPROPERTIES (payload='bogus')")
+    # clearing a validator class re-admits writes
+    eng.sql("ALTER TABLE st SET TBLPROPERTIES (preCommitSingleResultSql='')")
+    eng.sql("INSERT INTO st VALUES (2, CAST(NULL AS STRING), 1)")
+    # everything persisted across an engine restart
+    eng2 = Engine(spark, tmp_base + "/wh")
+    assert eng2.table("st").config.payload == "partial_update"
+    assert eng2.table("st").config.pre_commit_validators == []
+    stmt = eng.sql("SHOW CREATE TABLE st").collect()[0][0]
+    assert stmt.startswith("CREATE TABLE st (")
+    assert "USING lakehouse" in stmt
+    assert "primaryKey='id'" in stmt
+    assert "payload='partial_update'" in stmt
+    assert "LOCATION '" in stmt
