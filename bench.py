@@ -577,6 +577,112 @@ def upsert_crossover_main() -> int:
     return 0
 
 
+def point_latency_main() -> int:
+    """`python bench.py --point-latency` (r8): single-record CDC write
+    latency across the THREE key→file resolution strategies on the
+    same fragmented ~4096-file table at the largest SF — stats+bloom
+    scan probe, record-level index, bucket layout. Five sequential
+    single-key upserts per variant (median + min reported) plus one
+    16-key micro-batch. This is the shape a CDC tailer produces all
+    day; the resolution strategy is the whole difference at high file
+    counts."""
+    import math  # noqa: F401  (kept for parity with sibling modes)
+    import shutil
+    import statistics
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark import LakehouseTable, TableConfig, get_spark
+
+    spark = get_spark(
+        app_name="onehouse-bench-pointlat",
+        extra_confs={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    SLICES = 64
+    FPC = 64  # files per commit (scan/rli); bucket writes 1/bucket
+
+    sf = [s for s in SCALING_SFS if os.path.isdir(f"/root/testdata/sf{s}")][-1]
+    orders = spark.read.parquet(
+        f"/root/testdata/sf{sf}/orders.parquet"
+    ).select(*cols).persist()
+    orders.count()
+    keys = [
+        int(r[0])
+        for r in orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(6)
+        .collect()
+    ]
+    micro = orders.orderBy("o_orderkey").limit(16).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 7.0
+    ).persist()
+    micro.count()
+
+    def build(variant: str) -> tuple[str, "LakehouseTable"]:
+        tmp = tempfile.mkdtemp(prefix=f"oh_plat_{variant}_")
+        t = LakehouseTable.create(
+            spark,
+            f"{tmp}/t",
+            TableConfig(
+                name=f"plat_{variant}",
+                record_key=["o_orderkey"],
+                precombine="o_totalprice",
+                record_index=(variant == "rli"),
+                bucket_index_buckets=64 if variant == "bucket" else None,
+            ),
+        )
+        for i in range(SLICES):
+            frag = orders.filter(F.col("o_orderkey") % SLICES == i)
+            if variant != "bucket":
+                frag = frag.repartition(FPC)
+            t.insert(frag)
+        return tmp, t
+
+    results = {}
+    for variant in ("scan", "rli", "bucket"):
+        tmp, t = build(variant)
+        try:
+            n_files = len(t.manifest.live_files())
+            lat = []
+            for k in keys[:5]:
+                one = orders.filter(F.col("o_orderkey") == k).withColumn(
+                    "o_totalprice", F.col("o_totalprice") + 5.0
+                )
+                t0 = time.time()
+                t.upsert(one)
+                lat.append(time.time() - t0)
+            t0 = time.time()
+            t.upsert(micro)
+            micro_s = time.time() - t0
+            results[variant] = {
+                "files": n_files,
+                "single_key_sec_median": round(statistics.median(lat), 3),
+                "single_key_sec_min": round(min(lat), 3),
+                "single_key_runs": [round(x, 3) for x in lat],
+                "micro_batch16_sec": round(micro_s, 3),
+            }
+            print(f"# {variant}: files={n_files} single-key median "
+                  f"{statistics.median(lat):.2f}s min {min(lat):.2f}s "
+                  f"micro16 {micro_s:.2f}s", file=sys.stderr)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({
+        "metric": "point_latency",
+        "unit": "sec",
+        "sf": sf,
+        "variants": results,
+    }))
+    return 0
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv[1:]:
         raise SystemExit(scaling_main())
@@ -584,4 +690,6 @@ if __name__ == "__main__":
         raise SystemExit(upsert_rate_main())
     if "--upsert-crossover" in sys.argv[1:]:
         raise SystemExit(upsert_crossover_main())
+    if "--point-latency" in sys.argv[1:]:
+        raise SystemExit(point_latency_main())
     raise SystemExit(main())
