@@ -79,20 +79,27 @@ def check(table, expected, step):
     assert dups == 0, f"step {step}: duplicate keys"
 
 
-@pytest.mark.parametrize("table_type,seed", [
-    ("cow", 42), ("mor", 42), ("cow", 1337), ("mor", 1337),
+@pytest.mark.parametrize("table_type,seed,buckets", [
+    ("cow", 42, None), ("mor", 42, None),
+    ("cow", 1337, None), ("mor", 1337, None),
+    # r8: the bucket-index layout through the FULL op matrix —
+    # hash-routed writes must survive delete_partition, overwrite,
+    # compaction, clustering, sizing, clean, and restore with the
+    # same exact state as the dict oracle at every step.
+    ("cow", 42, 8), ("mor", 1337, 8),
 ])
-def test_dag_replay(spark, tmp_base, table_type, seed):
+def test_dag_replay(spark, tmp_base, table_type, seed, buckets):
     rng = random.Random(seed)
     table = LakehouseTable.create(
         spark,
-        f"{tmp_base}/dag_{table_type}_{seed}",
+        f"{tmp_base}/dag_{table_type}_{seed}_{buckets}",
         TableConfig(
             name=f"dag_{table_type}",
             record_key=["rk"],
             precombine="ver",
             partition_by=["part"],
             table_type=table_type,
+            bucket_index_buckets=buckets,
         ),
     )
     expected: dict[str, tuple] = {}
