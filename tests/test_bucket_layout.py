@@ -305,3 +305,56 @@ def test_concurrent_writers_disjoint_buckets_both_commit(spark, tmp_base):
         raw.groupBy("_oh_record_key").count().filter("count > 1").count()
         == 0
     )
+
+
+def test_bucket_with_partial_update_payload(spark, tmp_base):
+    """Composition: bucket routing with the partial_update payload —
+    the per-column newest-non-null fold runs inside the touched
+    bucket's rewrite, and incoming NULLs never erase stored values."""
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/pu",
+        TableConfig(
+            name="pu",
+            record_key=["id"],
+            precombine="ver",
+            payload="partial_update",
+            bucket_index_buckets=4,
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, f"a{i}", f"b{i}", 1) for i in range(40)],
+            "id int, x string, y string, ver int",
+        )
+    )
+    inst = t.upsert(
+        spark.createDataFrame(
+            [(7, None, "B7", 2)], "id int, x string, y string, ver int"
+        )
+    )
+    assert len(inst.removes) == 1  # one bucket file rewritten
+    row = t.snapshot().filter("id = 7").collect()[0]
+    assert (row.x, row.y, row.ver) == ("a7", "B7", 2)
+    assert t.snapshot().count() == 40
+
+
+def test_bucket_with_column_rename(spark, tmp_base):
+    """Composition: bucket routing is keyed on the meta key column, so
+    ALTER-style column renames (physical names frozen) change nothing
+    about candidate resolution."""
+    t = _mk(spark, tmp_base)
+    t.rename_column("v", "label")
+    inst = t.upsert(
+        spark.createDataFrame(
+            [(5, "p1", "REN", 2)], "id int, part string, label string, ver int"
+        )
+    )
+    assert len(inst.removes) == 1
+    assert {r.label for r in t.snapshot().filter("id = 5").collect()} == {
+        "REN"
+    }
+    assert t.snapshot().count() == 200
+    df = t.snapshot_for_keys(spark.createDataFrame([(5,)], "id int"))
+    assert t.last_key_read_probe["mode"] == "bucket"
+    assert {r.label for r in df.filter("id = 5").collect()} == {"REN"}
