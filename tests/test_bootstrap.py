@@ -203,3 +203,39 @@ def test_sql_call_bootstrap_table(spark, tmp_base):
     # the registration persists across an engine restart (discovery)
     eng2 = Engine(spark, f"{tmp_base}/wh")
     assert eng2.sql("SELECT count(*) AS c FROM bt").collect()[0][0] == 399
+
+
+def test_validator_gates_the_onboard_itself(spark, tmp_base):
+    """Composition: pre-commit validators run on the bootstrap commit
+    too — a dirty source dataset (nulls in a guarded column) is
+    rejected BEFORE it ever enters the lake, with nothing referenced;
+    a clean dataset onboards normally under the same contract."""
+    from onehouse_demos_spark.tables.table import PreCommitValidationError
+
+    dirty = f"{tmp_base}/dirty"
+    spark.createDataFrame(
+        [(1, "a", 1), (2, None, 1)], "id int, v string, grp int"
+    ).write.parquet(dirty)
+    guard = [
+        {
+            "type": "single_result",
+            "query": "select count(*) from <TABLE> where v is null",
+            "expected": 0,
+        }
+    ]
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/t",
+        TableConfig(name="g", record_key=["id"], pre_commit_validators=guard),
+    )
+    with pytest.raises(PreCommitValidationError):
+        t.bootstrap(dirty)
+    assert t.timeline.instants() == []
+    assert t.snapshot().count() == 0
+    # a clean source onboards under the same table + contract
+    clean = f"{tmp_base}/clean"
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "id int, v string, grp int"
+    ).write.parquet(clean)
+    t.bootstrap(clean)
+    assert t.snapshot().count() == 2
