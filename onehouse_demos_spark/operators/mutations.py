@@ -372,6 +372,27 @@ def tbl_iceberg_personality_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_ICEBERG_PERSONALITY_READ_SQL = TBL_CLUSTERED_SNAPSHOT_SQL
 
 
+def tbl_hudi_personality_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 driver face (xTable Hudi personality — the reference's
+    PRIMARY format, `xtable/xtable_hudi.yaml:17-25` sourceFormat HUDI,
+    `notebook/demo.ipynb` cell 15): write the `.hoodie` timeline over
+    the COW table's live files (Hudi-named hardlinked slices, zero
+    data copies), then read back THROUGH THE TIMELINE — the same
+    completed-instant replay a Hudi client's snapshot query performs.
+    Must equal the latest snapshot."""
+    from onehouse_demos_spark.tables.interop import (
+        read_hudi_snapshot,
+        sync_hudi_metadata,
+    )
+
+    st = _build(spark, sf_dir)
+    sync_hudi_metadata(st["cow"])
+    return _project(read_hudi_snapshot(spark, st["cow"].base_path))
+
+
+TBL_HUDI_PERSONALITY_READ_SQL = TBL_CLUSTERED_SNAPSHOT_SQL
+
+
 def tbl_delta_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M15 partition-spec face (r4): the Delta personality declares
     `partitionColumns: [o_orderstatus]` with per-file partitionValues
@@ -1098,6 +1119,7 @@ QUERIES = {
     "tbl_clustered_snapshot": tbl_clustered_snapshot,
     "tbl_delta_personality_read": tbl_delta_personality_read,
     "tbl_iceberg_personality_read": tbl_iceberg_personality_read,
+    "tbl_hudi_personality_read": tbl_hudi_personality_read,
     "tbl_delta_pruned_read": tbl_delta_pruned_read,
     "tbl_cdf_chain_read": tbl_cdf_chain_read,
     "tbl_matview_rollup": tbl_matview_rollup,
@@ -1128,6 +1150,7 @@ ORACLES = {
     "tbl_delete_partition_snapshot": TBL_DELETE_PARTITION_SNAPSHOT_SQL,
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
     "tbl_delta_personality_read": TBL_DELTA_PERSONALITY_READ_SQL,
+    "tbl_hudi_personality_read": TBL_HUDI_PERSONALITY_READ_SQL,
     "tbl_iceberg_personality_read": TBL_ICEBERG_PERSONALITY_READ_SQL,
     "tbl_delta_pruned_read": TBL_DELTA_PRUNED_READ_SQL,
     "tbl_cdf_chain_read": TBL_CDF_CHAIN_READ_SQL,

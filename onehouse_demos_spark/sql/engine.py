@@ -36,6 +36,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from onehouse_demos_spark.sql.lexer import (
     finditer_masked,
@@ -214,6 +215,98 @@ _VALIDATOR_PROP_TYPES = {
     "precommitinequalitysql": "inequality",
     "precommitsingleresultsql": "single_result",
 }
+
+
+#: Sentinel: a literal cannot be losslessly represented in the
+#: target column's type — the point probe must stand down.
+_NO_COERCE = object()
+
+_INT_RANGES = {
+    T.ByteType: (-(2**7), 2**7 - 1),
+    T.ShortType: (-(2**15), 2**15 - 1),
+    T.IntegerType: (-(2**31), 2**31 - 1),
+    T.LongType: (-(2**63), 2**63 - 1),
+}
+
+
+def _losslessly_typed(v, dt: T.DataType):
+    """Coerce a WHERE-literal Python value to the exact value the
+    column type `dt` persists, ONLY when the coercion provably keeps
+    the set of matching rows identical to Spark's own comparison
+    coercion; returns _NO_COERCE otherwise. Rules:
+    - integer-family target: int (range-checked) or integral float —
+      a fractional literal can't equal any integer row anyway, but
+      its truncation probes the WRONG value, so it stands down;
+    - double target: int/float exactly representable in a double;
+    - string/boolean targets: exact Python type only (a numeric
+      literal on a STRING key coerces the COLUMN — '5.00' matches 5 —
+      which no single probe value covers);
+    - anything else (decimal, date, timestamp, ...): stand down."""
+    if v is None:
+        return _NO_COERCE
+    cls = type(dt)
+    if cls in _INT_RANGES:
+        if isinstance(v, bool):
+            return _NO_COERCE
+        if isinstance(v, float):
+            if not v.is_integer():
+                return _NO_COERCE
+            v = int(v)
+        if isinstance(v, int):
+            lo, hi = _INT_RANGES[cls]
+            return v if lo <= v <= hi else _NO_COERCE
+        return _NO_COERCE
+    if cls is T.DoubleType:
+        if isinstance(v, bool):
+            return _NO_COERCE
+        if isinstance(v, float):
+            return v
+        if isinstance(v, int):
+            f = float(v)
+            return f if int(f) == v else _NO_COERCE
+        return _NO_COERCE
+    if cls is T.StringType:
+        return v if isinstance(v, str) else _NO_COERCE
+    if cls is T.BooleanType:
+        return v if isinstance(v, bool) else _NO_COERCE
+    return _NO_COERCE
+
+
+#: Expression markers that make two EXECUTIONS of the same query
+#: disagree: truly nondeterministic ones (deterministic=false in
+#: Catalyst) plus per-execution-constant time functions (deterministic
+#: WITHIN one execution, re-evaluated for the next).
+_EXEC_VARYING_RE = re.compile(
+    r"\b(rand|randn|uuid|shuffle|random|monotonically_increasing_id|"
+    r"current_timestamp|current_date|now|localtimestamp|"
+    r"current_timezone)\(|\bunix_timestamp\(\)",
+    re.IGNORECASE,
+)
+
+
+def _plan_deterministic(df: DataFrame) -> bool:
+    """True iff re-executing `df`'s plan provably yields the same
+    rows: every expression in every node of the analyzed plan reports
+    deterministic to Catalyst, and the plan mentions no
+    per-execution-varying time function. Fails CLOSED (False) if the
+    JVM walk breaks — callers use this to gate an optimization."""
+    try:
+        root = df._jdf.queryExecution().analyzed()
+        if _EXEC_VARYING_RE.search(root.toString()):
+            return False
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                if not exprs.apply(i).deterministic():
+                    return False
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        return True
+    except Exception:
+        return False
 
 
 def _validators_from_props(props: dict) -> list[dict]:
@@ -513,6 +606,10 @@ class Engine:
                 hint = os.path.join(loc, "metadata", "version-hint.text")
                 with open(hint) as fh:
                     return (fmt, fh.read())
+            if fmt == "hudi":
+                d = os.path.join(loc, ".hoodie")
+                names = sorted(os.listdir(d))
+                return (fmt, tuple(names))
             # Generic formats (parquet/csv dirs) have no metadata log
             # to version-probe: a file rewritten IN PLACE changes
             # neither the directory mtime nor its entry list, so any
@@ -1171,6 +1268,12 @@ class Engine:
                     )
 
                     rows.append(("iceberg", sync_iceberg_metadata(t)))
+                elif fmt == "hudi":
+                    from onehouse_demos_spark.tables.hudi_export import (
+                        sync_hudi_metadata,
+                    )
+
+                    rows.append(("hudi", sync_hudi_metadata(t)))
                 else:
                     raise ValueError(
                         f"xtable_sync: unsupported target format {fmt!r}"
@@ -1274,24 +1377,99 @@ class Engine:
             )
 
             return read_delta_snapshot(self.spark, loc)
+        if fmt == "hudi":
+            from onehouse_demos_spark.tables.hudi_export import (
+                read_hudi_snapshot,
+            )
+
+            return read_hudi_snapshot(self.spark, loc)
         return self.spark.read.parquet(loc)
 
     def _create_at_location(self, m) -> DataFrame:
         """CREATE TABLE name USING <fmt> LOCATION 'path' — attach an
         existing table (reference demo.md:208 Delta register; lakehouse
-        format re-attaches an engine table written elsewhere). Data
-        definition clauses are rejected: LOCATION means the table
-        already exists on disk."""
+        format re-attaches an engine table written elsewhere). For the
+        lakehouse format, a location with NO table yet plus a column
+        list / TBLPROPERTIES creates a managed table AT that path —
+        the shape SHOW CREATE TABLE emits, so its output is
+        re-runnable in a fresh warehouse. For existing locations and
+        external formats, data-definition clauses are rejected: the
+        table already exists on disk."""
         name = self._norm(m.group("name"))
         fmt = (m.group("format") or "parquet").lower()
         loc = m.group("location").rstrip("/")
+        if name in self._tables or name in self._external:
+            raise ValueError(f"table {name} already exists")
+        exists = os.path.exists(os.path.join(loc, "table_config.json"))
+        if (
+            fmt in ("lakehouse", "oh", "hudi")
+            and not exists
+            and (m.group("cols") or m.group("props"))
+            and not m.group("ctas")
+        ):
+            props = self._parse_props(m.group("props"))
+            parts = [
+                strip_ident_quotes(p.strip().split()[0])
+                for p in _split_top_level(m.group("parts") or "")
+                if p.strip()
+            ]
+            cfg = self._config_from_props(name, props, parts)
+            t = LakehouseTable.create(self.spark, loc, cfg)
+            self._tables[name] = t
+            self._attached[name] = t.base_path
+            self._persist_external()
+            if m.group("cols"):
+                from pyspark.sql.types import StructType
+
+                schema = StructType.fromDDL(m.group("cols"))
+                t.insert(self.spark.createDataFrame([], schema))
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(name, cfg.table_type, loc)],
+                "tableName string, format string, location string",
+            )
+        if (
+            fmt in ("lakehouse", "oh", "hudi")
+            and exists
+            and (m.group("cols") or m.group("props"))
+            and not m.group("ctas")
+        ):
+            # Replaying a SHOW CREATE statement over the live location:
+            # attach the existing table, but refuse a DDL that claims a
+            # DIFFERENT identity than what's on disk.
+            props = self._parse_props(m.group("props"))
+            t = LakehouseTable.load(self.spark, loc)
+            declared_rk = [
+                k.strip()
+                for k in props.get("primarykey", "").split(",")
+                if k.strip()
+            ]
+            if declared_rk and declared_rk != t.config.record_key:
+                raise ValueError(
+                    f"primaryKey {declared_rk} does not match the "
+                    f"table at {loc} ({t.config.record_key})"
+                )
+            self._tables[name] = t
+            self._attached[name] = t.base_path
+            self._quarantined.pop(name, None)
+            self._persist_external()
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [(name, t.config.table_type, loc)],
+                "tableName string, format string, location string",
+            )
         if m.group("ctas") or m.group("cols") or m.group("props"):
             raise ValueError(
                 "CREATE TABLE ... LOCATION registers an existing table; "
                 "column lists, TBLPROPERTIES and CTAS are not supported"
             )
-        if name in self._tables or name in self._external:
-            raise ValueError(f"table {name} already exists")
+        if fmt == "hudi" and not exists and os.path.isdir(
+            os.path.join(loc, ".hoodie")
+        ):
+            # a GENUINE Hudi table (e.g. the reference's committed
+            # hudi_dimCustomer fixture): register as an external
+            # timeline-replayed personality, like delta/iceberg
+            fmt = "hudi-external"
         if fmt in ("lakehouse", "oh", "hudi"):
             t = LakehouseTable.load(self.spark, loc)
             self._tables[name] = t
@@ -1302,6 +1480,16 @@ class Engine:
             self._persist_external()
             t.register_view(name)
             kind = t.config.table_type
+        elif fmt == "hudi-external":
+            self._external[name] = ("hudi", loc)
+            try:
+                df = self._external_df(name)
+            except Exception:
+                del self._external[name]
+                raise
+            self._persist_external()
+            df.createOrReplaceTempView(name)
+            kind = "external-hudi"
         elif fmt in ("delta", "iceberg", "parquet"):
             self._external[name] = (fmt, loc)
             try:
@@ -1330,18 +1518,20 @@ class Engine:
             split = split_once_top_level(kv, "=")
             if split is not None:
                 k, v = split
-                out[k.strip().strip("'\"").lower()] = v.strip().strip("'\"")
+                v = v.strip()
+                if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+                    # SQL-standard doubled-quote escape inside the
+                    # literal ('it''s' → it's) — SHOW CREATE TABLE
+                    # emits this form, so CREATE must read it back.
+                    v = v[1:-1].replace(v[0] * 2, v[0])
+                out[k.strip().strip("'\"").lower()] = v
         return out
 
-    def _create(self, m: re.Match) -> DataFrame:
-        name = self._norm(m.group("name"))
-        props = self._parse_props(m.group("props"))
-        parts = [
-            strip_ident_quotes(p.strip().split()[0])
-            for p in _split_top_level(m.group("parts") or "")
-            if p.strip()
-        ]
-        cfg = TableConfig(
+    @staticmethod
+    def _config_from_props(
+        name: str, props: dict[str, str], parts: list[str]
+    ) -> TableConfig:
+        return TableConfig(
             name=name,
             record_key=[
                 k.strip()
@@ -1350,7 +1540,22 @@ class Engine:
             ],
             precombine=props.get("precombinefield") or None,
             partition_by=parts,
+            # SQL expr → partition path (expr-partitioned tables);
+            # surfaced here so SHOW CREATE TABLE output is re-runnable.
+            partition_expr=props.get("partitionexpr") or None,
             table_type=props.get("type", "cow"),
+            index_scope=props.get("indexscope", "partition"),
+            soft_delete_col=props.get("softdeletecol") or None,
+            target_file_rows=(
+                int(props["targetfilerows"])
+                if props.get("targetfilerows")
+                else TableConfig.target_file_rows
+            ),
+            expression_indexes=[
+                e.strip()
+                for e in props.get("expressionindexes", "").split(";")
+                if e.strip()
+            ],
             # Hudi `hoodie.metadata.record.index.enable` analog.
             record_index=props.get("recordindex", "").lower()
             in ("true", "1"),
@@ -1375,6 +1580,16 @@ class Engine:
             # single-result entries are 'query#expected'.
             pre_commit_validators=_validators_from_props(props),
         )
+
+    def _create(self, m: re.Match) -> DataFrame:
+        name = self._norm(m.group("name"))
+        props = self._parse_props(m.group("props"))
+        parts = [
+            strip_ident_quotes(p.strip().split()[0])
+            for p in _split_top_level(m.group("parts") or "")
+            if p.strip()
+        ]
+        cfg = self._config_from_props(name, props, parts)
         df = None
         if m.group("ctas"):
             self.register_views()
@@ -1495,10 +1710,40 @@ class Engine:
                         + [part_eq[c] for c in cols[len(rk):]]
                     )
                 ]
-            try:
-                keys_df = self.spark.createDataFrame(rows, cols)
-            except Exception:
-                keys_df = None
+            # Same hazard class _merge_source_keys gates against: the
+            # probe hashes/range-prunes on the key column's PERSISTED
+            # type, so a coercing literal (5.0 on a BIGINT key,
+            # numeric on a STRING key) would probe a value the index
+            # never stored and silently skip rows the full-snapshot
+            # path would mutate. Coerce each literal to its column's
+            # exact type where provably lossless; any other mismatch
+            # disables the point probe (degrade, never corrupt).
+            tgt_types = {f.name: f.dataType for f in self._data_schema(t)}
+            fields, coerced_rows = [], [list(r) for r in rows]
+            ok = True
+            for ci, c in enumerate(cols):
+                dt = tgt_types.get(c)
+                if dt is None:
+                    ok = False
+                    break
+                fields.append(T.StructField(c, dt, True))
+                for r in coerced_rows:
+                    got = _losslessly_typed(r[ci], dt)
+                    if got is _NO_COERCE:
+                        ok = False
+                        break
+                    r[ci] = got
+                if not ok:
+                    break
+            keys_df = None
+            if ok:
+                try:
+                    keys_df = self.spark.createDataFrame(
+                        [tuple(r) for r in coerced_rows],
+                        T.StructType(fields),
+                    )
+                except Exception:
+                    keys_df = None
             if keys_df is not None:
                 df = t.snapshot_for_keys(keys_df)
                 probe = getattr(t, "last_key_read_probe", None) or {}
@@ -1551,24 +1796,40 @@ class Engine:
         name = self._norm(m.group("name"))
         t = self._tables[name]
         props = self._parse_props(m.group("props"))
+        # Two phases so a bad property leaves NO session state behind:
+        # validate every entry into staged thunks first, then apply
+        # all of them and persist once. (A mid-loop raise used to
+        # leave earlier properties active in-memory while nothing was
+        # written to table_config.json.)
+        staged: list = []
         changed: list[tuple[str, str]] = []
         for k, v in props.items():
             if k == "payload":
                 if v not in ("overwrite", "partial_update"):
                     raise ValueError(f"unknown payload {v!r}")
-                t.config.payload = v
+                staged.append(
+                    lambda v=v: setattr(t.config, "payload", v)
+                )
             elif k == "targetfilerows":
-                t.config.target_file_rows = int(v)
+                rows = int(v)
+                staged.append(
+                    lambda rows=rows: setattr(
+                        t.config, "target_file_rows", rows
+                    )
+                )
             elif k in _VALIDATOR_PROP_TYPES:
                 typ = _VALIDATOR_PROP_TYPES[k]
-                keep = [
-                    x
-                    for x in t.config.pre_commit_validators
-                    if x.get("type") != typ
-                ]
-                t.config.pre_commit_validators = keep + _validators_from_props(
-                    {k: v}
-                )
+                new = _validators_from_props({k: v})
+
+                def _apply(typ=typ, new=new):
+                    keep = [
+                        x
+                        for x in t.config.pre_commit_validators
+                        if x.get("type") != typ
+                    ]
+                    t.config.pre_commit_validators = keep + new
+
+                staged.append(_apply)
             else:
                 raise ValueError(
                     f"table property {k!r} is immutable or unknown; "
@@ -1577,6 +1838,8 @@ class Engine:
                     "preCommitSingleResultSql"
                 )
             changed.append((k, v))
+        for apply_one in staged:
+            apply_one()
         t._rewrite_config()
         return self.spark.createDataFrame(
             changed, "property string, value string"
@@ -1609,10 +1872,41 @@ class Engine:
             props.append(
                 ("secondaryIndexes", ",".join(cfg.secondary_indexes))
             )
+        if cfg.expression_indexes:
+            props.append(
+                ("expressionIndexes", ";".join(cfg.expression_indexes))
+            )
         if cfg.bucket_index_buckets:
             props.append(
                 ("bucketIndexBuckets", str(cfg.bucket_index_buckets))
             )
+        if cfg.partition_expr:
+            props.append(("partitionExpr", cfg.partition_expr))
+        if cfg.index_scope != "partition":
+            props.append(("indexScope", cfg.index_scope))
+        if cfg.soft_delete_col:
+            props.append(("softDeleteCol", cfg.soft_delete_col))
+        if cfg.target_file_rows != TableConfig.target_file_rows:
+            props.append(("targetFileRows", str(cfg.target_file_rows)))
+        # Validators serialize back to the same TBLPROPERTIES formats
+        # the CREATE parser reads (';'-joined; single_result as
+        # 'query#expected'), keeping the statement round-trippable.
+        val_props: dict[str, list[str]] = {}
+        for v in cfg.pre_commit_validators:
+            typ = v.get("type")
+            key = {
+                "equality": "preCommitEqualitySql",
+                "inequality": "preCommitInequalitySql",
+                "single_result": "preCommitSingleResultSql",
+            }.get(typ)
+            if key is None:
+                continue
+            q = v["query"]
+            if typ == "single_result":
+                q = f"{q}#{v.get('expected')}"
+            val_props.setdefault(key, []).append(q)
+        for key, qs in val_props.items():
+            props.append((key, ";".join(qs)))
         stmt = f"CREATE TABLE {name}"
         if cols:
             stmt += f" ({cols})"
@@ -1620,7 +1914,8 @@ class Engine:
         if cfg.partition_by:
             stmt += f" PARTITIONED BY ({', '.join(cfg.partition_by)})"
         stmt += " TBLPROPERTIES (" + ", ".join(
-            f"{k}='{v}'" for k, v in props
+            "{}='{}'".format(k, str(v).replace("'", "''"))
+            for k, v in props
         ) + ")"
         stmt += f" LOCATION '{t.base_path}'"
         return self.spark.createDataFrame([(stmt,)], "createtab_stmt string")
@@ -1723,6 +2018,16 @@ class Engine:
         for k in rk:
             if keys_df.schema[k].dataType != tgt_types.get(k):
                 return None
+        # The MERGE join re-executes the source query; if the source
+        # is nondeterministic (rand(), uuid()) or query-varying
+        # (current_timestamp is fixed PER execution, and the probe and
+        # the join are separate executions), the keys used to prune
+        # the target can differ from the join's own evaluation — a
+        # matched target row could be pruned away and re-inserted via
+        # NOT MATCHED, duplicating its key. Disable pruning for such
+        # sources.
+        if not _plan_deterministic(keys_df):
+            return None
         return keys_df
 
     def _register_merge_target(

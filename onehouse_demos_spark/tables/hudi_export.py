@@ -1,0 +1,478 @@
+"""Public-spec Apache Hudi metadata writer + replay reader — the
+third leg of the xTable triangle (reference M15). Hudi is the
+reference's PRIMARY format (`notebook/demo.ipynb` cell 15
+`read.format("hudi")`, `xtable/xtable_hudi.yaml:17-25`
+`sourceFormat: HUDI`), and the reference ships a committed Hudi COW
+fixture (`hudi-spark-minio-trino/data/db/hudi_dimCustomer/.hoodie/
+20231105172136406.commit`, `hoodie.properties`) whose exact on-disk
+shape pins this module the same way `delta_dimGeography` pins
+`delta_export.py`.
+
+Like the Delta/Iceberg exporters, this is a **personality over the
+same parquet** — no data copies. But Hudi differs from Delta in one
+structural way: Hudi base files are discovered by NAME
+(`<fileId>_<writeToken>_<instantTime>.parquet` under the partition
+path), not by log-listed paths, and the name's instant must be a
+COMPLETED timeline instant for the file to be visible. The engine's
+own layout (`data/<instant>_<uuid>/part-*.parquet`) can't satisfy
+that, so each sync HARDLINKS every newly-live base file to a
+Hudi-named sibling under its hive-style partition directory — one
+inode, two names, zero data bytes copied.
+
+Sync semantics (mirrors `sync_delta_log`'s snapshot-diff contract):
+
+- **First sync** writes `.hoodie/hoodie.properties` (table version 6,
+  `hoodie.populate.meta.fields=false` — the fixture's own choice, so
+  base files need no `_hoodie_*` columns), per-partition
+  `.hoodie_partition_metadata`, and ONE completed `commit` instant
+  whose `partitionToWriteStats` lists every live base file.
+- **Incremental syncs** diff the live base set against
+  `.hoodie/sync_state.json` (a non-instant-patterned sidecar Hudi
+  readers ignore). New files land as new file groups in a fresh
+  instant; vanished files mean their file groups were rewritten, so
+  the instant becomes a `replacecommit` carrying
+  `partitionToReplaceFileIds` — exactly how Hudi's own clustering
+  retires file groups. Timeline transition files
+  (`.requested` → `.inflight` → completed) are written in Hudi's
+  order so the completed instant is the last thing to appear.
+- **Read-optimized personality** for MOR (log files are engine
+  internal), tombstone-checked like the Delta exporter: a sync that
+  would resurrect un-compacted deletes refuses.
+
+`read_hudi_snapshot` is the replay half: walk the completed timeline,
+fold `partitionToWriteStats` adds into per-(partition, fileId) file
+groups keeping the newest slice, drop groups retired by completed
+replacecommits, and read the surviving parquet. Metadata-driven (no
+listing), which is also what proves the fixture: replaying the
+reference's committed `hudi_dimCustomer` timeline yields exactly the
+rows of its one base file.
+
+Scale notes: sync cost is O(changed files) metadata ops (one
+`os.link` + one `os.stat` per new file); the timeline JSON is
+metadata-scale. The replay reader resolves the file list driver-side
+from the timeline (Hudi semantics) and hands Spark a plain
+multi-path parquet scan — pushdown/pruning untouched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+import zlib
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from onehouse_demos_spark.tables.delta_export import (
+    _assert_no_tombstones,
+    _partition_columns,
+    _partition_values,
+)
+from onehouse_demos_spark.tables.table import (
+    HIVE_DEFAULT_PARTITION,
+    LakehouseTable,
+)
+
+_HOODIE_DIR = ".hoodie"
+_STATE_FILE = "sync_state.json"  # not instant-patterned: Hudi ignores it
+_WRITE_TOKEN = "0-0-0"
+
+#: completed-instant timeline files: `<17+ digits>.<action>`
+_COMPLETED_RE = re.compile(r"^(\d{14,20})\.(commit|replacecommit|deltacommit)$")
+
+
+# -- Avro schema (commit metadata `extraMetadata.schema`) -----------------
+
+_AVRO_PRIMITIVES = {
+    T.StringType: "string",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.BooleanType: "boolean",
+    T.BinaryType: "bytes",
+}
+
+
+def _avro_type(dt: T.DataType):
+    cls = type(dt)
+    if cls in _AVRO_PRIMITIVES:
+        return _AVRO_PRIMITIVES[cls]
+    if cls is T.DateType:
+        return {"type": "int", "logicalType": "date"}
+    if cls is T.TimestampType:
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if cls is T.DecimalType:
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
+    # containers/structs: string-encode (personality schema is
+    # informational; the parquet footer remains the source of truth)
+    return "string"
+
+
+def _avro_schema(schema: T.StructType, name: str) -> str:
+    fields = []
+    for f in schema.fields:
+        at = _avro_type(f.dataType)
+        if f.nullable:
+            fields.append(
+                {"name": f.name, "type": ["null", at], "default": None}
+            )
+        else:
+            fields.append({"name": f.name, "type": at})
+    return json.dumps(
+        {"type": "record", "name": name or "Record", "fields": fields}
+    )
+
+
+# -- hoodie.properties ----------------------------------------------------
+
+
+def _table_checksum(props: dict[str, str]) -> str:
+    """CRC32 over the sorted key=value concatenation — a stable
+    integrity stamp in the spirit of `hoodie.table.checksum` (the
+    replay reader treats it as advisory, matching Hudi's own
+    recompute-on-mismatch behavior)."""
+    blob = "".join(f"{k}{props[k]}" for k in sorted(props))
+    return str(zlib.crc32(blob.encode("utf-8")))
+
+
+def _hoodie_properties(table: LakehouseTable, part_cols: list[str]) -> str:
+    cfg = table.config
+    keygen = (
+        "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
+        if not part_cols
+        else (
+            "org.apache.hudi.keygen.SimpleKeyGenerator"
+            if len(cfg.record_key) <= 1
+            else "org.apache.hudi.keygen.ComplexKeyGenerator"
+        )
+    )
+    props = {
+        "hoodie.table.name": cfg.name,
+        "hoodie.table.type": "COPY_ON_WRITE",  # RO personality even for MOR
+        "hoodie.table.version": "6",
+        "hoodie.timeline.layout.version": "1",
+        "hoodie.table.base.file.format": "PARQUET",
+        "hoodie.table.recordkey.fields": ",".join(cfg.record_key),
+        "hoodie.table.partition.fields": ",".join(part_cols),
+        "hoodie.table.precombine.field": cfg.precombine or "",
+        "hoodie.table.keygenerator.class": keygen,
+        "hoodie.table.timeline.timezone": "UTC",
+        "hoodie.database.name": "",
+        "hoodie.datasource.write.hive_style_partitioning": (
+            "true" if part_cols else "false"
+        ),
+        "hoodie.datasource.write.partitionpath.urlencode": "false",
+        "hoodie.datasource.write.drop.partition.columns": "false",
+        # no metadata table: readers fall back to listing/timeline —
+        # the always-valid degraded mode of Hudi's own reader
+        "hoodie.table.metadata.partitions": "",
+        "hoodie.table.metadata.partitions.inflight": "",
+        "hoodie.populate.meta.fields": "false",
+        "hoodie.partition.metafile.use.base.format": "false",
+        "hoodie.table.cdc.enabled": "false",
+        "hoodie.archivelog.folder": "archived",
+    }
+    props["hoodie.table.checksum"] = _table_checksum(props)
+    lines = [f"#Updated at {datetime.now(timezone.utc).isoformat()}"]
+    lines += [f"{k}={v}" for k, v in sorted(props.items())]
+    return "\n".join(lines) + "\n"
+
+
+# -- sync state -----------------------------------------------------------
+
+
+def _hoodie_dir(table_or_path) -> str:
+    base = (
+        table_or_path
+        if isinstance(table_or_path, str)
+        else table_or_path.base_path
+    )
+    return os.path.join(base, _HOODIE_DIR)
+
+
+def _load_state(hoodie: str) -> dict:
+    p = os.path.join(hoodie, _STATE_FILE)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {"files": {}, "instants": []}
+
+
+def _save_state(hoodie: str, state: dict) -> None:
+    tmp = os.path.join(hoodie, _STATE_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=1)
+    os.replace(tmp, os.path.join(hoodie, _STATE_FILE))
+
+
+def _next_instant(state: dict) -> str:
+    """17-digit `yyyyMMddHHmmssSSS` (table version 6), strictly above
+    every instant this exporter has minted for the table."""
+    now = datetime.now(timezone.utc)
+    cand = now.strftime("%Y%m%d%H%M%S") + f"{now.microsecond // 1000:03d}"
+    prev = state["instants"][-1] if state["instants"] else ""
+    if prev and cand <= prev:
+        bumped = datetime.strptime(prev[:14], "%Y%m%d%H%M%S") + timedelta(
+            seconds=0
+        )
+        ms = int(prev[14:17]) + 1
+        if ms > 999:
+            ms = 0
+            bumped += timedelta(seconds=1)
+        cand = bumped.strftime("%Y%m%d%H%M%S") + f"{ms:03d}"
+    return cand
+
+
+def _file_id_for(rel_path: str) -> str:
+    """Deterministic Hudi file-group id for an engine file: same
+    engine file always maps to the same group, so re-syncs are
+    idempotent."""
+    return f"{uuid.uuid5(uuid.NAMESPACE_URL, 'oh-hudi:' + rel_path)}-0"
+
+
+def _partition_rel_dir(part_cols: list[str], values: dict) -> str:
+    """Hive-style partition directory relative to the table base
+    ('' for unpartitioned) — matches
+    `hoodie.datasource.write.hive_style_partitioning=true`."""
+    if not part_cols:
+        return ""
+    return "/".join(
+        f"{c}={values.get(c) if values.get(c) is not None else HIVE_DEFAULT_PARTITION}"
+        for c in part_cols
+    )
+
+
+def _write_stat(partition: str, file_id: str, rel_path: str, rows: int,
+                size: int, op_rows_key: str) -> dict:
+    """One HoodieWriteStat, field-for-field the fixture's commit shape
+    (`hudi_dimCustomer/.hoodie/20231105172136406.commit`)."""
+    stat = {
+        "fileId": file_id,
+        "path": rel_path,
+        "cdcStats": None,
+        "prevCommit": "null",
+        "numWrites": rows,
+        "numDeletes": 0,
+        "numUpdateWrites": 0,
+        "numInserts": 0,
+        "totalWriteBytes": size,
+        "totalWriteErrors": 0,
+        "tempPath": None,
+        "partitionPath": partition,
+        "totalLogRecords": 0,
+        "totalLogFilesCompacted": 0,
+        "totalLogSizeCompacted": 0,
+        "totalUpdatedRecordsCompacted": 0,
+        "totalLogBlocks": 0,
+        "totalCorruptLogBlock": 0,
+        "totalRollbackBlocks": 0,
+        "fileSizeInBytes": size,
+        "minEventTime": None,
+        "maxEventTime": None,
+        "runtimeStats": None,
+    }
+    stat[op_rows_key] = rows
+    return stat
+
+
+def sync_hudi_metadata(table: LakehouseTable) -> int:
+    """Write/refresh the `.hoodie` personality over the table's live
+    BASE files. Returns the number of completed Hudi instants after
+    the sync (0-change syncs write nothing). Raises if the
+    read-optimized view would resurrect tombstoned rows (un-compacted
+    MOR deletes) — compact first, same contract as the Delta
+    exporter."""
+    live = [
+        f
+        for f in table.manifest.live_files(include_logs=False)
+        if f.kind == "base"
+    ]
+    _assert_no_tombstones(live)
+    part_cols = _partition_columns(table)
+    hoodie = _hoodie_dir(table)
+    os.makedirs(hoodie, exist_ok=True)
+    state = _load_state(hoodie)
+    known = state["files"]
+    live_by_path = {f.path: f for f in live}
+    adds = [f for p, f in sorted(live_by_path.items()) if p not in known]
+    removed = [p for p in sorted(known) if p not in live_by_path]
+    props_path = os.path.join(hoodie, "hoodie.properties")
+    if not adds and not removed and os.path.exists(props_path):
+        return len(state["instants"])
+    if not os.path.exists(props_path):
+        with open(props_path, "w") as fh:
+            fh.write(_hoodie_properties(table, part_cols))
+
+    instant = _next_instant(state)
+    part_stats: dict[str, list[dict]] = {}
+    replace_ids: dict[str, list[str]] = {}
+    seen_partitions = {
+        known[p]["partition"] for p in known if p not in set(removed)
+    }
+    for fm in adds:
+        values = _partition_values(fm, part_cols)
+        partition = _partition_rel_dir(part_cols, values)
+        file_id = _file_id_for(fm.path)
+        hudi_name = f"{file_id}_{_WRITE_TOKEN}_{instant}.parquet"
+        part_dir = os.path.join(table.base_path, partition) if partition else table.base_path
+        os.makedirs(part_dir, exist_ok=True)
+        src = os.path.join(table.base_path, fm.path)
+        dst = os.path.join(part_dir, hudi_name)
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)  # one inode, zero copied bytes
+            except OSError:
+                import shutil
+
+                shutil.copy2(src, dst)
+        if partition not in seen_partitions:
+            meta = os.path.join(part_dir, ".hoodie_partition_metadata")
+            if not os.path.exists(meta):
+                depth = partition.count("/") + 1 if partition else 0
+                with open(meta, "w") as fh:
+                    fh.write(
+                        "#partition metadata\n"
+                        f"commitTime={instant}\n"
+                        f"partitionDepth={depth}\n"
+                    )
+            seen_partitions.add(partition)
+        rel = f"{partition}/{hudi_name}" if partition else hudi_name
+        size = os.stat(src).st_size
+        part_stats.setdefault(partition, []).append(
+            _write_stat(
+                partition,
+                file_id,
+                rel,
+                fm.rows,
+                size,
+                "numInserts" if not removed else "numUpdateWrites",
+            )
+        )
+        known[fm.path] = {
+            "file_id": file_id,
+            "hudi_path": rel,
+            "partition": partition,
+            "instant": instant,
+        }
+    for p in removed:
+        ent = known.pop(p)
+        replace_ids.setdefault(ent["partition"], []).append(ent["file_id"])
+        stale = os.path.join(table.base_path, ent["hudi_path"])
+        if os.path.exists(stale):
+            os.remove(stale)  # eager clean: one engine copy stays live
+
+    schema = table._latest_schema()
+    meta = {
+        "partitionToWriteStats": part_stats,
+        "compacted": False,
+        "extraMetadata": {
+            "schema": _avro_schema(schema, table.config.name)
+            if schema is not None
+            else "{}"
+        },
+        "operationType": "INSERT" if not state["instants"] else "UPSERT",
+    }
+    action = "commit" if not replace_ids else "replacecommit"
+    if action == "replacecommit":
+        meta["partitionToReplaceFileIds"] = replace_ids
+    # Hudi transition order: requested -> inflight -> completed, so a
+    # reader can never observe the completed file without its content.
+    req_name = (
+        f"{instant}.commit.requested"
+        if action == "commit"
+        else f"{instant}.replacecommit.requested"
+    )
+    inflight_name = (
+        f"{instant}.inflight"
+        if action == "commit"
+        else f"{instant}.replacecommit.inflight"
+    )
+    with open(os.path.join(hoodie, req_name), "w") as fh:
+        fh.write("")
+    with open(os.path.join(hoodie, inflight_name), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {},
+                "compacted": False,
+                "extraMetadata": {},
+                "operationType": meta["operationType"],
+            },
+            fh,
+            indent=2,
+        )
+    tmp = os.path.join(hoodie, f".{instant}.{action}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    os.replace(tmp, os.path.join(hoodie, f"{instant}.{action}"))
+    state["instants"].append(instant)
+    _save_state(hoodie, state)
+    return len(state["instants"])
+
+
+# -- replay reader --------------------------------------------------------
+
+
+def _completed_instants(hoodie: str) -> list[tuple[str, str]]:
+    out = []
+    for name in os.listdir(hoodie):
+        m = _COMPLETED_RE.match(name)
+        if m:
+            out.append((m.group(1), m.group(2)))
+    out.sort()
+    return out
+
+
+def hudi_live_files(base_path: str) -> list[str]:
+    """Resolve the current file slices of a Hudi COW table from its
+    completed timeline alone (the metadata-driven half of Hudi's
+    file-system view): newest base-file slice per (partition, fileId)
+    group, minus groups retired by completed replacecommits."""
+    hoodie = _hoodie_dir(base_path)
+    if not os.path.isdir(hoodie):
+        raise FileNotFoundError(f"no .hoodie directory under {base_path}")
+    groups: dict[tuple[str, str], tuple[str, str]] = {}
+    for instant, action in _completed_instants(hoodie):
+        with open(os.path.join(hoodie, f"{instant}.{action}")) as fh:
+            meta = json.load(fh)
+        for partition, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                path = st.get("path")
+                file_id = st.get("fileId")
+                if not path or not file_id or not path.endswith(".parquet"):
+                    continue  # log files / placeholder stats
+                key = (partition, file_id)
+                if key not in groups or groups[key][0] < instant:
+                    groups[key] = (instant, path)
+        for partition, ids in (
+            meta.get("partitionToReplaceFileIds") or {}
+        ).items():
+            for file_id in ids:
+                groups.pop((partition, file_id), None)
+    return sorted(
+        os.path.join(base_path, rel) for _, rel in groups.values()
+    )
+
+
+def read_hudi_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read a Hudi COW table the way a Hudi client's snapshot query
+    resolves it — timeline replay, newest slice per file group — and
+    return the data columns (`_hoodie_*` meta columns, present only
+    when the writer populated them, are dropped)."""
+    paths = hudi_live_files(base_path)
+    if not paths:
+        schema = T.StructType([])
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*paths)
+    meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
+    return df.drop(*meta_cols) if meta_cols else df

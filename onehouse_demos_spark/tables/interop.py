@@ -34,6 +34,11 @@ from onehouse_demos_spark.tables.delta_export import (  # noqa: F401
     sync_delta_log,
     write_delta_checkpoint,
 )
+from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
+    hudi_live_files,
+    read_hudi_snapshot,
+    sync_hudi_metadata,
+)
 from onehouse_demos_spark.tables.iceberg_export import (  # noqa: F401
     read_iceberg_snapshot,
     sync_iceberg_metadata,

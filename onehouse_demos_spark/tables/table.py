@@ -106,6 +106,14 @@ _ALLOWED_WIDENINGS = {
 }
 
 
+def _null_safe_sort_key(t: tuple) -> tuple:
+    """Total-order key for validator result rows: NULLs sort first
+    within a column (Python can't order None against values), and
+    cross-type cells fall back to repr so a legitimate heterogeneous
+    validator result compares instead of raising TypeError."""
+    return tuple((v is None, type(v).__name__, repr(v)) for v in t)
+
+
 def _uri_to_path(uri: str) -> str:
     """Normalize Spark's input_file_name URIs (file:///x or file:/x,
     possibly %-encoded) to a local filesystem path."""
@@ -833,10 +841,13 @@ class LakehouseTable:
                 typ = (v.get("type") or "single_result").lower()
                 q = v["query"]
                 post_rows = sorted(
-                    tuple(r)
-                    for r in self.spark.sql(
-                        q.replace("<TABLE>", post_view)
-                    ).collect()
+                    (
+                        tuple(r)
+                        for r in self.spark.sql(
+                            q.replace("<TABLE>", post_view)
+                        ).collect()
+                    ),
+                    key=_null_safe_sort_key,
                 )
                 if typ == "single_result":
                     exp = v.get("expected")
@@ -864,10 +875,13 @@ class LakehouseTable:
                     pre.createOrReplaceTempView(pre_view)
                     pre_registered = True
                 pre_rows = sorted(
-                    tuple(r)
-                    for r in self.spark.sql(
-                        q.replace("<TABLE>", pre_view)
-                    ).collect()
+                    (
+                        tuple(r)
+                        for r in self.spark.sql(
+                            q.replace("<TABLE>", pre_view)
+                        ).collect()
+                    ),
+                    key=_null_safe_sort_key,
                 )
                 if typ == "equality" and pre_rows != post_rows:
                     raise PreCommitValidationError(
