@@ -894,10 +894,13 @@ def _build_bootstrap(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     """Metadata-only bootstrap pipeline (r8; Hudi bootstrap /
     Delta CONVERT analog — the reference registers existing locations
     read-only at demo.md:208-229, bootstrap upgrades that to full
-    DML): lay `orders` out as a PRE-EXISTING 8-file parquet dataset,
-    onboard it with ONE metadata commit (no rewrite), then upsert and
-    delete through the managed write path. The builder raises if the
-    onboard referenced anything but the source files in place, or if
+    DML): lay `orders` out as a PRE-EXISTING hive-partitioned parquet
+    dataset (o_orderstatus=X/... — r9's partitioned-bootstrap shape,
+    the most common onboarding layout for date-partitioned 100 TB
+    datasets), onboard it with ONE metadata commit (no rewrite), then
+    upsert and delete through the managed write path. The builder
+    raises if the onboard referenced anything but the source files in
+    place, if any manifest entry lacks its decoded partition, or if
     any source file was physically deleted by the chain."""
     if sf_dir in _BOOT_CACHE:
         return _BOOT_CACHE[sf_dir]
@@ -907,28 +910,42 @@ def _build_bootstrap(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     _TMPDIRS.append(tmp)
     orders = _orders(spark, sf_dir)
     src = f"{tmp}/existing_orders"
-    orders.repartition(8).write.parquet(src)
-    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    orders.repartition(8).write.partitionBy("o_orderstatus").parquet(src)
+
+    def _src_files():
+        return [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    n_src = len(_src_files())
     t = LakehouseTable.create(
         spark,
         f"{tmp}/orders_boot",
-        TableConfig(name="orders_boot", record_key=["o_orderkey"]),
+        TableConfig(
+            name="orders_boot",
+            record_key=["o_orderkey"],
+            partition_by=["o_orderstatus"],
+        ),
     )
     inst = t.bootstrap(src)
     if len(inst.adds) != n_src or not all(f.bootstrap for f in inst.adds):
         raise RuntimeError("bootstrap did not reference the source in place")
+    if not all(f.partition in ("F", "O", "P") for f in inst.adds):
+        raise RuntimeError("hive partition decode failed on the manifest")
     t.upsert(
         orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") + 1000.0
         )
     )
     t.delete(
-        orders.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+        orders.filter(F.col("o_orderkey") % 7 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
     )
-    if (
-        len([f for f in os.listdir(src) if f.endswith(".parquet")])
-        != n_src
-    ):
+    if len(_src_files()) != n_src:
         raise RuntimeError("a source file was deleted — ownership violated")
     _BOOT_CACHE[sf_dir] = t
     return t

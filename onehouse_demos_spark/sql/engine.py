@@ -1019,7 +1019,9 @@ class Engine:
             # Metadata-only onboarding of an existing parquet dataset
             # into a NEW managed table (Hudi bootstrap analog):
             # CALL bootstrap_table(table => 't', location => '/data',
-            #   primary_key => 'id'[, precombine => 'ver']).
+            #   primary_key => 'id'[, precombine => 'ver']
+            #   [, partition_by => 'dt,region']  -- r9: hive-layout
+            #   sources decode col=val dirs into real partitions).
             tname = self._norm(req("table", "0"))
             if tname in self._tables or tname in self._external:
                 raise ValueError(f"table {tname} already exists")
@@ -1034,6 +1036,11 @@ class Engine:
                         if c.strip()
                     ],
                     precombine=arg("precombine") or None,
+                    partition_by=[
+                        c.strip()
+                        for c in (arg("partition_by") or "").split(",")
+                        if c.strip()
+                    ],
                 ),
             )
             inst = t.bootstrap(req("location", "1"))

@@ -148,12 +148,24 @@ def test_incremental_and_time_travel(spark, tmp_base):
 
 def test_validation_gates(spark, tmp_base):
     src = _mk_source(spark, tmp_base)
-    with pytest.raises(ValueError, match="unpartitioned"):
+    # r9: partition_by is now supported — but only over a hive-style
+    # col=val source layout; a flat source raises the layout error
+    with pytest.raises(ValueError, match="hive-style"):
         LakehouseTable.create(
             spark,
             f"{tmp_base}/p",
             TableConfig(
                 name="p", record_key=["id"], partition_by=["grp"]
+            ),
+        ).bootstrap(src)
+    # derived-expression partitioning stays unsupported (the value is
+    # not recoverable from the path)
+    with pytest.raises(ValueError, match="identity partition_by"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/px",
+            TableConfig(
+                name="px", record_key=["id"], partition_expr="grp % 2"
             ),
         ).bootstrap(src)
     with pytest.raises(ValueError, match="record/bucket indexes"):
@@ -239,3 +251,123 @@ def test_validator_gates_the_onboard_itself(spark, tmp_base):
     ).write.parquet(clean)
     t.bootstrap(clean)
     assert t.snapshot().count() == 2
+
+
+# ------------------------------------------- r9: partitioned bootstrap
+
+
+def _mk_hive_source(spark, tmp_base, n=400):
+    """Hive-layout source: grp=K/part-*.parquet, partition column NOT
+    in the files (Spark partitionBy drops it) — the standard shape a
+    date-partitioned 100 TB dataset arrives in."""
+    src = f"{tmp_base}/hive_src"
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 3) for i in range(n)],
+        "id int, v string, grp int",
+    )
+    df.write.partitionBy("grp").parquet(src)
+    return src
+
+
+def _bootstrapped_part(spark, tmp_base, **cfg):
+    src = _mk_hive_source(spark, tmp_base)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/tp",
+        TableConfig(
+            name="btp", record_key=["id"], partition_by=["grp"], **cfg
+        ),
+    )
+    t.bootstrap(src)
+    return t, src
+
+
+def test_partitioned_bootstrap_snapshot_and_manifest(spark, tmp_base):
+    t, src = _bootstrapped_part(spark, tmp_base)
+    snap = t.snapshot()
+    assert snap.count() == 400
+    # partition column materialized from the directory values
+    assert {r.grp for r in snap.select("grp").distinct().collect()} == {
+        0, 1, 2,
+    }
+    assert {r.v for r in snap.filter("id = 7").collect()} == {"v7"}
+    # manifest carries decoded partition strings -> pruning works
+    files = t.manifest.live_files()
+    assert all(f.bootstrap and f.partition in {"0", "1", "2"} for f in files)
+
+
+def test_partitioned_bootstrap_partition_pruned_read(spark, tmp_base):
+    t, _ = _bootstrapped_part(spark, tmp_base)
+    df = t.snapshot_filtered([("grp", "=", 1)])
+    got = {r.id for r in df.collect()}
+    assert got == {i for i in range(400) if i % 3 == 1}
+
+
+def test_partitioned_bootstrap_upsert_migrates_partition_scoped(
+    spark, tmp_base
+):
+    """First-touch migration under partition scope: an upsert into ONE
+    partition rewrites only that partition's files; other partitions'
+    source files stay live un-migrated."""
+    t, _ = _bootstrapped_part(spark, tmp_base)
+    live0 = t.manifest.live_files()
+    before = {f.path for f in live0}
+    other = [f.path for f in live0 if f.partition != "0"]
+    i2 = t.upsert(
+        spark.createDataFrame([(3, "NEW", 0)], "id int, v string, grp int")
+    )
+    files = t.manifest.live_files()
+    # only partition-0 files (holding key 3) were de-referenced; every
+    # other partition's bootstrap reference is untouched
+    assert i2.removes
+    assert all(p not in other for p in i2.removes)
+    assert {f.path for f in files if f.bootstrap} >= set(other)
+    snap = t.snapshot()
+    assert snap.count() == 400
+    assert {r.v for r in snap.filter("id = 3").collect()} == {"NEW"}
+    # mixed read: un-migrated partitions still resolve their values
+    assert {r.v for r in snap.filter("id = 4").collect()} == {"v4"}
+    # no source file was deleted
+    for p in before:
+        assert os.path.exists(p)
+
+
+def test_partitioned_bootstrap_delete_partition_and_ttl(spark, tmp_base):
+    """delete_partition / partition TTL over bootstrapped partitions:
+    the references drop from the manifest in one metadata commit, the
+    SOURCE FILES survive on disk (the table never owned them), and
+    run_clean past the horizon still leaves them untouched."""
+    from onehouse_demos_spark.tables.maintenance import run_clean
+
+    t, _ = _bootstrapped_part(spark, tmp_base)
+    doomed = [f for f in t.manifest.live_files() if f.partition == "2"]
+    assert doomed
+    t.delete_partition("2")
+    assert t.snapshot().count() == 400 - sum(f.rows for f in doomed)
+    assert not [
+        f for f in t.manifest.live_files() if f.partition == "2"
+    ]
+    # a mutation generates managed history, then clean runs
+    t.upsert(
+        spark.createDataFrame([(3, "X", 0)], "id int, v string, grp int")
+    )
+    run_clean(t, keep_last_commits=1)
+    for f in doomed:
+        assert os.path.exists(f.path), "clean must never delete source files"
+
+
+def test_partitioned_bootstrap_sql_call(spark, tmp_base):
+    """CALL bootstrap_table over a hive-layout location (reference
+    demo.md:208-229 register-by-location, upgraded to DML)."""
+    src = _mk_hive_source(spark, tmp_base)
+    eng = Engine(spark, f"{tmp_base}/wh")
+    eng.sql(
+        f"CALL bootstrap_table(table => 'bp', location => '{src}', "
+        "primary_key => 'id', partition_by => 'grp')"
+    )
+    assert (
+        eng.sql("SELECT count(*) AS c FROM bp WHERE grp = 1").collect()[0][0]
+        == 133
+    )
+    eng.sql("UPDATE bp SET v = 'U' WHERE id = 10")
+    assert eng.sql("SELECT v FROM bp WHERE id = 10").collect()[0][0] == "U"
