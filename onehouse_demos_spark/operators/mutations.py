@@ -818,6 +818,24 @@ def _build_indexed(spark: SparkSession, sf_dir: str) -> LakehouseTable:
             )
         )
     t.create_expression_index("year(o_orderdate)")  # backfill path
+    # r9 (VERDICT r8 ask #8): RENAME an unrelated column, then commit
+    # again — expression-index maintenance must stay live under column
+    # mapping (the leaf writer aliases physical names back). The
+    # builder raises if the post-rename commit opened a coverage gap,
+    # so the driver row proves mapping-aware maintenance, not the
+    # fallback.
+    t.rename_column("o_totalprice", "price")
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumn("ver", F.lit(2))
+    )
+    idx = t.expression_indexes["year(o_orderdate)"]
+    if not (idx.covered_instants() >= set(t._path_instants().values())):
+        raise RuntimeError(
+            "expression index opened a coverage gap after a rename — "
+            "mapping-aware maintenance did not engage"
+        )
     _IDX_CACHE[sf_dir] = t
     return t
 
@@ -833,7 +851,7 @@ def tbl_secondary_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderstatus",
         "o_orderpriority",
-        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        F.round("price", 2).alias("o_totalprice_r"),
     )
 
 
@@ -855,7 +873,7 @@ def tbl_expr_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         F.year("o_orderdate").alias("o_year"),
-        F.round("o_totalprice", 2).alias("o_totalprice_r"),
+        F.round("price", 2).alias("o_totalprice_r"),
     )
 
 

@@ -99,7 +99,10 @@ def test_snapshot_for_keys_stats_fallback_without_index(spark, tmp_base):
     assert {r.v for r in df.filter(F.col("id") == 105).collect()} == {"v105"}
 
 
-def test_snapshot_for_keys_mor_logs_full_fallback(spark, tmp_base):
+def test_snapshot_for_keys_mor_logs_exact_and_fallback(spark, tmp_base):
+    """r9: MOR point reads prune by stats when stats CAN drop a file,
+    and fall back to the full merge when they can't — exact merged
+    result (log version wins) either way."""
     eng = Engine(spark, f"{tmp_base}/wh")
     eng.sql(
         "CREATE TABLE mt (id INT, v STRING, ver INT) USING lakehouse "
@@ -110,9 +113,74 @@ def test_snapshot_for_keys_mor_logs_full_fallback(spark, tmp_base):
     t = eng.table("mt")
     keys = spark.createDataFrame([(1,)], "id int")
     df = t.snapshot_for_keys(keys)
-    assert t.last_key_read_probe["mode"] == "full"
-    # the full merged view — the log row wins
+    assert t.last_key_read_probe["mode"] in ("mor-stats", "full")
+    # the merged view — the log row wins
     assert {r.v for r in df.filter(F.col("id") == 1).collect()} == {"a2"}
+    # a probe spanning every file's range prunes nothing -> full merge
+    both = t.snapshot_for_keys(spark.createDataFrame([(1,), (2,)], "id int"))
+    assert t.last_key_read_probe["mode"] == "full"
+    assert {(r.id, r.v) for r in both.collect()} == {(1, "a2"), (2, "b")}
+
+
+def test_snapshot_for_keys_mor_stats_pruned(spark, tmp_base):
+    """r9 (VERDICT r8 wrong #1): point reads on a fragmented
+    NON-bucketed MOR table with live logs prune by per-file key-range
+    stats — files_read < files_live, merged result still exact."""
+    eng = Engine(spark, f"{tmp_base}/wh")
+    eng.sql(
+        "CREATE TABLE mf (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', type=mor)"
+    )
+    # three disjoint-range base files (one per insert commit)
+    for lo in (0, 100, 200):
+        vals = ", ".join(f"({lo + i}, 'v{lo + i}', 1)" for i in range(30))
+        eng.sql(f"INSERT INTO mf VALUES {vals}")
+    t = eng.table("mf")
+    # three narrow log files from point updates in distinct ranges
+    for k in (5, 105, 205):
+        t.upsert(
+            spark.createDataFrame(
+                [(k, f"L{k}", 2)], "id int, v string, ver int"
+            )
+        )
+    live = t.manifest.live_files()
+    assert sum(1 for f in live if f.kind == "log") >= 3
+    keys = spark.createDataFrame([(105,)], "id int")
+    df = t.snapshot_for_keys(keys)
+    probe = t.last_key_read_probe
+    assert probe["mode"] == "mor-stats"
+    assert probe["files_read"] < probe["files_live"]
+    # exact merged view: the log version wins for the probe key
+    assert {(r.id, r.v) for r in df.collect()} == {(105, "L105")}
+    # point SQL UPDATE rides the same pruned path and stays exact
+    eng.sql("UPDATE mf SET v = 'U' WHERE id = 105")
+    assert eng.last_dml_probe["mode"] == "keys-mor-stats"
+    assert eng.sql("SELECT v FROM mf_rt WHERE id = 105").collect()[0][0] == "U"
+    # untouched keys unchanged, no duplicates
+    assert eng.sql("SELECT v FROM mf_rt WHERE id = 5").collect()[0][0] == "L5"
+    assert (
+        eng.sql("SELECT count(*) AS c FROM mf_rt").collect()[0][0] == 90
+    )
+
+
+def test_snapshot_for_keys_mor_delete_tombstone_pruned(spark, tmp_base):
+    """The pruned MOR point read must honor un-compacted delete
+    tombstones in log files (a pruned read that missed the tombstone
+    would resurrect the row)."""
+    eng = Engine(spark, f"{tmp_base}/wh")
+    eng.sql(
+        "CREATE TABLE md (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', type=mor)"
+    )
+    for lo in (0, 100):
+        vals = ", ".join(f"({lo + i}, 'v{lo + i}', 1)" for i in range(30))
+        eng.sql(f"INSERT INTO md VALUES {vals}")
+    t = eng.table("md")
+    t.delete(spark.createDataFrame([(105,)], "id int"))
+    df = t.snapshot_for_keys(spark.createDataFrame([(105,)], "id int"))
+    assert df.count() == 0  # tombstone wins, never resurrected
+    df2 = t.snapshot_for_keys(spark.createDataFrame([(104,)], "id int"))
+    assert {(r.id, r.v) for r in df2.collect()} == {(104, "v104")}
 
 
 # ------------------------------------------------- engine routing

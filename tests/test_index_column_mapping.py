@@ -125,11 +125,11 @@ def test_create_index_after_rename_uses_physical_column(spark, tmp_base):
     assert idx.covered_instants() >= set(p2i.values())
 
 
-def test_expression_index_pauses_under_mapping_but_never_lies(spark, tmp_base):
-    """An expression index created before a rename: maintenance pauses
-    on column-mapped tables, so the first post-rename DATA commit
-    opens a coverage gap and probes fall back to the row-level filter
-    — results stay identical to snapshot().filter()."""
+def test_expression_index_survives_unrelated_rename(spark, tmp_base):
+    """r9 (VERDICT r8 ask #8): renaming a column the expression does
+    NOT reference keeps maintenance live — the leaf writer aliases
+    physical file columns back to logical names, post-rename commits
+    stay covered, and the probe still prunes through the index."""
     t = _table(spark, tmp_base)
     t.insert(spark.createDataFrame(ROWS, SCHEMA))
     t.create_expression_index("upper(symbol)")
@@ -147,12 +147,40 @@ def test_expression_index_pauses_under_mapping_but_never_lies(spark, tmp_base):
     )
     idx = t.expression_indexes["upper(symbol)"]
     p2i = t._path_instants()
-    assert not (idx.covered_instants() >= set(p2i.values()))  # gap open
+    assert idx.covered_instants() >= set(p2i.values())  # NO gap
     got = {
         r.key
         for r in t.snapshot_filtered([("upper(symbol)", "=", "GOOG")]).collect()
     }
-    assert got == {"K1", "K3", "K5"}  # fallback returned the new row
+    assert got == {"K1", "K3", "K5"}  # index-pruned read, new row seen
+
+
+def test_expression_index_survives_referenced_rename_roundtrip(
+    spark, tmp_base
+):
+    """Renaming the column the expression references AND BACK: while
+    broken, maintenance pauses (coverage gap → fallback, never a lie);
+    once the name resolves again, maintenance resumes."""
+    t = _table(spark, tmp_base)
+    t.insert(spark.createDataFrame(ROWS, SCHEMA))
+    t.create_expression_index("upper(symbol)")
+    t.rename_column("symbol", "ticker")  # breaks the stored expression
+    t.upsert(
+        spark.createDataFrame(
+            [("K5", "t2", "GOOG", 500.0)],
+            "key string, ts string, ticker string, close double",
+        )
+    )
+    idx = t.expression_indexes["upper(symbol)"]
+    p2i = t._path_instants()
+    assert not (idx.covered_instants() >= set(p2i.values()))  # gap open
+    # the analogous predicate on the NEW name still answers exactly
+    # (row-level filter; the stale index text can't serve it)
+    got = {
+        r.key
+        for r in t.snapshot_filtered([("upper(ticker)", "=", "GOOG")]).collect()
+    }
+    assert got == {"K1", "K3", "K5"}
 
 
 def test_create_index_validation_failure_leaves_config_clean(spark, tmp_base):
