@@ -1250,6 +1250,24 @@ class Engine:
             return self.spark.createDataFrame(
                 [(removed,)], "deleted_savepoint string"
             )
+        if proc == "resize_buckets":
+            # r9: re-bucket a bucket-layout table (Hudi consistent-
+            # hashing resize analog, one atomic replacecommit rewrite)
+            from onehouse_demos_spark.tables.maintenance import (
+                resize_buckets,
+            )
+
+            done = resize_buckets(t, int(req("buckets", "1")))
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        done.instant if done is not None else "",
+                        t.config.bucket_index_buckets,
+                    )
+                ],
+                "instant string, buckets int",
+            )
         if proc == "xtable_sync":
             # one-command multi-format conversion — the reference runs
             # `java -jar xtable-utilities --datasetConfig xtable_hudi.
@@ -1331,7 +1349,7 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
-            "run_clean, show_indexes, compact_record_index, "
+            "run_clean, resize_buckets, show_indexes, compact_record_index, "
             "archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "
             "rollback_to_instant, xtable_sync"
