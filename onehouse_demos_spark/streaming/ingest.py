@@ -116,6 +116,12 @@ class Streamer:
                 )
 
                 sync_iceberg_metadata(self.table)
+            if "hudi" in self.xtable_formats:
+                from onehouse_demos_spark.tables.hudi_export import (
+                    sync_hudi_metadata,
+                )
+
+                sync_hudi_metadata(self.table)
 
     def start(
         self,

@@ -433,11 +433,18 @@ def _completed_instants(hoodie: str) -> list[tuple[str, str]]:
     return out
 
 
-def hudi_live_files(base_path: str) -> list[str]:
+def hudi_live_files(
+    base_path: str, partitions: list[str] | None = None
+) -> list[str]:
     """Resolve the current file slices of a Hudi COW table from its
     completed timeline alone (the metadata-driven half of Hudi's
     file-system view): newest base-file slice per (partition, fileId)
-    group, minus groups retired by completed replacecommits."""
+    group, minus groups retired by completed replacecommits.
+
+    `partitions` (hive-style relative paths, e.g. ``["sym=GOOG"]``)
+    prunes at the METADATA level — the planner-side partition pruning
+    an external engine performs from the timeline without touching a
+    single data file (mirrors `delta_pruned_files`)."""
     hoodie = _hoodie_dir(base_path)
     if not os.path.isdir(hoodie):
         raise FileNotFoundError(f"no .hoodie directory under {base_path}")
@@ -459,17 +466,27 @@ def hudi_live_files(base_path: str) -> list[str]:
         ).items():
             for file_id in ids:
                 groups.pop((partition, file_id), None)
+    if partitions is not None:
+        keep = set(partitions)
+        groups = {
+            (p, fid): v for (p, fid), v in groups.items() if p in keep
+        }
     return sorted(
         os.path.join(base_path, rel) for _, rel in groups.values()
     )
 
 
-def read_hudi_snapshot(spark: SparkSession, base_path: str) -> DataFrame:
+def read_hudi_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    partitions: list[str] | None = None,
+) -> DataFrame:
     """Read a Hudi COW table the way a Hudi client's snapshot query
     resolves it — timeline replay, newest slice per file group — and
     return the data columns (`_hoodie_*` meta columns, present only
-    when the writer populated them, are dropped)."""
-    paths = hudi_live_files(base_path)
+    when the writer populated them, are dropped). `partitions` prunes
+    file groups from the timeline metadata before any data IO."""
+    paths = hudi_live_files(base_path, partitions=partitions)
     if not paths:
         schema = T.StructType([])
         return spark.createDataFrame([], schema)

@@ -182,9 +182,26 @@ class RecordIndex:
             % self.buckets
         )
 
+    #: Optional Column synthesizing the indexed key when a file lacks
+    #: the key column entirely (metadata-only bootstrapped files carry
+    #: no meta columns) — set by the owning table from its record-key
+    #: expression over the DATA columns, which every file has.
+    fallback_key = None
+
     def _value_expr(self, key_col: str):
         """The indexed value as a Column; ExpressionIndex overrides."""
         return F.col(key_col)
+
+    def _value_expr_over(self, key_col: str, columns: list[str]):
+        """The indexed value, resolvable against `columns`: uses the
+        fallback synthesis for files missing the key column (and
+        coalesces for mixed managed/bootstrap reads, where the
+        missing column NULL-fills)."""
+        if self.fallback_key is not None:
+            if key_col in columns:
+                return F.coalesce(F.col(key_col), self.fallback_key)
+            return self.fallback_key
+        return self._value_expr(key_col)
 
     def _prepare_frame(self, df):
         """Hook applied to the raw file read before the value
@@ -312,7 +329,6 @@ class RecordIndex:
         data_abs: str,
     ) -> dict[str, list]:
         abs_paths = [os.path.join(self.table_base, f.path) for f in adds]
-        value_col = self._value_expr(key_col)
         # Map each row back to its FileMeta via the table-relative
         # suffix of input_file_name(). The extraction is ANCHORED to
         # the table base path (not a bare "data/" search — a base path
@@ -320,19 +336,26 @@ class RecordIndex:
         # match), and any row whose suffix misses the adds mapping
         # raises instead of silently dropping: a dropped entry would
         # make the index under-approximate, the one failure mode the
-        # safety model cannot absorb.
+        # safety model cannot absorb. Bootstrapped files live OUTSIDE
+        # the table base under absolute manifest paths, so a
+        # non-matching suffix falls back to the full decoded path —
+        # which is exactly their FileMeta.path.
         suffix_re = re.escape(self.table_base.lstrip("/")) + "/(data/.*)$"
         mapping = spark.createDataFrame(
             [(f.path, f.partition or "") for f in adds],
             f"{FILE_COL} string, _oh_map_part string",
         )
+        decoded = F.url_decode(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+        )
+        rel = F.regexp_extract(decoded, suffix_re, 1)
+        file_expr = F.when(rel != "", rel).otherwise(decoded)
+        src = self._prepare_frame(spark.read.parquet(*abs_paths))
+        value_col = self._value_expr_over(key_col, src.columns)
         entries = (
-            self._prepare_frame(spark.read.parquet(*abs_paths))
-            .select(
+            src.select(
                 value_col.cast("string").alias(VAL_COL),
-                F.url_decode(
-                    F.regexp_extract(F.input_file_name(), suffix_re, 1)
-                ).alias(FILE_COL),
+                file_expr.alias(FILE_COL),
             )
             .join(F.broadcast(mapping), FILE_COL, "left")
             .select(

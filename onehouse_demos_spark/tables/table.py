@@ -384,6 +384,12 @@ class LakehouseTable:
             self.record_index: "RecordIndex | None" = RecordIndex(
                 self.base_path, config.record_index_buckets
             )
+            if config.record_key:
+                # r9: synthesize the key for files that lack the meta
+                # column (metadata-only bootstrapped files) — the same
+                # expression the read path synthesizes with, so index
+                # entries match probes exactly.
+                self.record_index.fallback_key = self._key_expr()
         else:
             self.record_index = None
         self.secondary_indexes = {}
@@ -463,34 +469,25 @@ class LakehouseTable:
     def _all_instant_ids(self) -> list[str]:
         return [i.instant for i in self.timeline.instants()]
 
-    def _reject_bootstrap_indexing(self) -> None:
-        """Index backfills read the key/indexed columns straight from
-        the data files; bootstrapped files carry no meta columns and
-        are not rewritten on onboard, so indexing them would either
-        crash or silently under-cover. Clean error now beats a
-        coverage gap later; the indexes become available once every
-        bootstrap file has been migrated by mutations."""
-        if any(f.bootstrap for f in self.manifest.live_files()):
-            raise ValueError(
-                "cannot create an index while bootstrapped (metadata-"
-                "only onboarded) files are live; mutate them into "
-                "managed storage first"
-            )
-
     def enable_record_index(self) -> None:
         """CREATE INDEX (record key) on an existing table: persist the
         flag and BACKFILL one base covering the whole timeline, so the
         very next upsert probes through the index (no waiting for old
-        files to rotate past the coverage check)."""
+        files to rotate past the coverage check). r9: works over
+        bootstrapped (metadata-only onboarded) files too — the leaf
+        writer synthesizes the missing key column from the record-key
+        expression over the data columns, exactly like the read
+        path."""
         from onehouse_demos_spark.tables.record_index import RecordIndex
 
-        self._reject_bootstrap_indexing()
         if self.record_index is None:
             self.config.record_index = True
             self._rewrite_config()
             self.record_index = RecordIndex(
                 self.base_path, self.config.record_index_buckets
             )
+            if self.config.record_key:
+                self.record_index.fallback_key = self._key_expr()
         self.record_index.backfill(
             self.spark,
             self.manifest.live_files(include_logs=True),
@@ -501,7 +498,6 @@ class LakehouseTable:
     def create_secondary_index(self, column: str) -> None:
         from onehouse_demos_spark.tables.record_index import SecondaryIndex
 
-        self._reject_bootstrap_indexing()
         pmap = self._physical_map()
         if column not in self.secondary_indexes:
             # Validate the column and run the backfill BEFORE the
@@ -543,7 +539,6 @@ class LakehouseTable:
     def create_expression_index(self, expr: str) -> None:
         from onehouse_demos_spark.tables.record_index import ExpressionIndex
 
-        self._reject_bootstrap_indexing()
         if expr not in self.expression_indexes:
             # Validate the expression against the current LOGICAL
             # schema (a zero-row analysis — nothing executes) and
@@ -1076,10 +1071,15 @@ class LakehouseTable:
                 "(a derived partition_expr value is not recoverable "
                 "from the source layout)"
             )
-        if self.record_index is not None or self.config.bucket_index_buckets:
+        if self.config.bucket_index_buckets:
+            # bucket layout demands hash-routed file placement; source
+            # files were laid out by someone else. (The record index is
+            # fine — r9's key-synthesis indexes onboarded files like
+            # any commit.)
             raise ValueError(
-                "bootstrap does not support record/bucket indexes (no "
-                "index entries exist for the onboarded files)"
+                "bootstrap does not support the bucket-index layout "
+                "(source files are not hash-routed); use the record "
+                "index instead"
             )
         if not self.config.record_key:
             raise ValueError("bootstrap requires a record key")

@@ -168,11 +168,13 @@ def test_validation_gates(spark, tmp_base):
                 name="px", record_key=["id"], partition_expr="grp % 2"
             ),
         ).bootstrap(src)
-    with pytest.raises(ValueError, match="record/bucket indexes"):
+    with pytest.raises(ValueError, match="bucket-index layout"):
         LakehouseTable.create(
             spark,
             f"{tmp_base}/r",
-            TableConfig(name="r", record_key=["id"], record_index=True),
+            TableConfig(
+                name="r", record_key=["id"], bucket_index_buckets=4
+            ),
         ).bootstrap(src)
     with pytest.raises(ValueError, match="not in the source schema"):
         LakehouseTable.create(
@@ -186,16 +188,9 @@ def test_validation_gates(spark, tmp_base):
     t.insert(spark.createDataFrame([(1, "a", 1)], "id int, v string, grp int"))
     with pytest.raises(ValueError, match="empty table"):
         t.bootstrap(src)
-    # index backfill over un-migrated bootstrap files is rejected
-    # cleanly (they carry no meta columns to index)
-    tb = LakehouseTable.create(
-        spark, f"{tmp_base}/bi", TableConfig(name="bi", record_key=["id"])
-    )
-    tb.bootstrap(src)
-    with pytest.raises(ValueError, match="bootstrapped"):
-        tb.enable_record_index()
-    with pytest.raises(ValueError, match="bootstrapped"):
-        tb.create_secondary_index("v")
+    # r9: index backfill over un-migrated bootstrap files now WORKS —
+    # the key synthesizes from the record-key expression (see
+    # test_record_index_over_bootstrap_files below)
 
 
 def test_sql_call_bootstrap_table(spark, tmp_base):
@@ -371,3 +366,58 @@ def test_partitioned_bootstrap_sql_call(spark, tmp_base):
     )
     eng.sql("UPDATE bp SET v = 'U' WHERE id = 10")
     assert eng.sql("SELECT v FROM bp WHERE id = 10").collect()[0][0] == "U"
+
+
+# --------------------------------------- r9: indexes over bootstrap
+
+
+def test_record_index_over_bootstrap_files(spark, tmp_base):
+    """r9: enable_record_index AFTER a metadata-only bootstrap — the
+    leaf writer synthesizes the missing key column from the
+    record-key expression, so the very next point upsert probes
+    through the index (mode=index) and touches only the file holding
+    the key."""
+    t, _src = _bootstrapped(spark, tmp_base)
+    t.enable_record_index()
+    keys = spark.createDataFrame([(7,)], "id int")
+    df = t.snapshot_for_keys(keys)
+    probe = t.last_key_read_probe
+    assert probe["mode"] == "index"
+    assert probe["files_read"] < probe["files_live"]
+    assert {r.v for r in df.filter(F.col("id") == 7).collect()} == {"v7"}
+    # index-probed upsert migrates exactly the touched file
+    i2 = t.upsert(
+        spark.createDataFrame([(7, "NEW", 9)], "id int, v string, grp int")
+    )
+    assert len(i2.removes) == 1
+    assert {r.v for r in t.snapshot().filter("id = 7").collect()} == {"NEW"}
+    assert t.snapshot().count() == 400
+
+
+def test_record_index_at_bootstrap_time(spark, tmp_base):
+    """A record-indexed table can bootstrap directly: the onboard
+    commit indexes the source files through key synthesis."""
+    src = _mk_source(spark, tmp_base)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/t",
+        TableConfig(
+            name="bri", record_key=["id"], precombine="grp",
+            record_index=True,
+        ),
+    )
+    t.bootstrap(src)
+    df = t.snapshot_for_keys(spark.createDataFrame([(7,)], "id int"))
+    assert t.last_key_read_probe["mode"] == "index"
+    assert {r.v for r in df.filter(F.col("id") == 7).collect()} == {"v7"}
+    assert t.snapshot().count() == 400
+
+
+def test_secondary_index_over_bootstrap_files(spark, tmp_base):
+    """Secondary indexes backfill over bootstrapped files (the data
+    column exists in every file; entries key the ABSOLUTE manifest
+    paths)."""
+    t, _src = _bootstrapped(spark, tmp_base)
+    t.create_secondary_index("v")
+    df = t.snapshot_filtered([("v", "=", "v7")])
+    assert {r.id for r in df.collect()} == {7}

@@ -311,3 +311,107 @@ def test_register_real_hudi_location_in_sql(spark, tmp_base):
     eng.sql(f"CREATE TABLE dim_cust USING hudi LOCATION '{REF_HUDI}'")
     n = eng.sql("SELECT count(*) AS c FROM dim_cust").collect()[0][0]
     assert n == 5000
+
+
+def test_metadata_partition_pruning(spark, tmp_base):
+    """Planner-side partition pruning from the timeline alone
+    (mirrors delta_pruned_files): the pruned read's file list is the
+    partition's exact slice set, resolved without opening any data
+    file."""
+    t = _mk(spark, tmp_base, partitioned=True)
+    sync_hudi_metadata(t)
+    all_files = hudi_live_files(t.base_path)
+    goog = hudi_live_files(t.base_path, partitions=["sym=GOOG"])
+    assert goog and len(goog) < len(all_files)
+    assert all("sym=GOOG" in p for p in goog)
+    df = read_hudi_snapshot(spark, t.base_path, partitions=["sym=GOOG"])
+    assert {r.sym for r in df.select("sym").distinct().collect()} == {"GOOG"}
+    assert df.count() == 10
+
+
+def test_streaming_inline_hudi_sync(spark, tmp_base):
+    """foreachBatch ingest with inline xtable sync including the hudi
+    personality: after the stream drains, the .hoodie replay equals
+    the table snapshot (composition proof in the r8 style)."""
+    import os as _os
+
+    from onehouse_demos_spark.streaming.ingest import Streamer
+
+    src = f"{tmp_base}/drop"
+    _os.makedirs(src)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/st",
+        TableConfig(name="st", record_key=["key"], precombine="ver"),
+    )
+    spark.createDataFrame(
+        [("a", 1, "x"), ("b", 1, "y")], "key string, ver int, v string"
+    ).write.json(f"{src}/b1")
+    stream = (
+        spark.readStream.schema("key string, ver int, v string")
+        .json(f"{src}/*")
+    )
+    s = Streamer(
+        t,
+        mode="upsert",
+        inline_xtable_sync_every=1,
+        xtable_formats=("hudi",),
+    )
+    q = s.start(stream, f"{tmp_base}/ckpt", trigger_once=True)
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in read_hudi_snapshot(spark, t.base_path)
+        .select("key", "ver", "v")
+        .collect()
+    )
+    assert got == sorted(
+        tuple(r) for r in t.snapshot().select("key", "ver", "v").collect()
+    )
+    assert len(got) == 2
+
+
+def test_personality_over_bucketed_table(spark, tmp_base):
+    """Hudi personality of a bucket-layout table: bucket subdirs are a
+    physical layout, not a logical partition — slices land under the
+    hive partition dir only, and the replay equals the snapshot
+    across a point upsert (same composition proof as the Delta leg)."""
+    t = _mk(spark, tmp_base, partitioned=True, bucket_index_buckets=4)
+    sync_hudi_metadata(t)
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_hudi_metadata(t)
+    got = _rows(read_hudi_snapshot(spark, t.base_path))
+    assert got == _rows(t.snapshot())
+    assert ("k03", 2, "GOOG", 999.0) in got
+    # no _oh_bucket= segment leaks into the personality layout
+    for p in hudi_live_files(t.base_path):
+        assert "_oh_bucket=" not in p and "_oh_pp=" not in p
+
+
+def test_personality_over_partitioned_bootstrap(spark, tmp_base):
+    """Hudi personality over a metadata-only PARTITIONED bootstrap:
+    the onboarded (absolute-path) source files hardlink into the
+    personality's hive layout and the replay equals the snapshot —
+    one dataset, never copied, readable as engine table AND Hudi."""
+    src = f"{tmp_base}/ext"
+    spark.createDataFrame(
+        [(i, f"v{i}", "a" if i % 2 else "b") for i in range(40)],
+        "id int, v string, grp string",
+    ).write.partitionBy("grp").parquet(src)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/bp",
+        TableConfig(
+            name="bp", record_key=["id"], partition_by=["grp"]
+        ),
+    )
+    t.bootstrap(src)
+    sync_hudi_metadata(t)
+    df = read_hudi_snapshot(spark, t.base_path)
+    # bootstrap parquet lacks engine meta columns; data columns exact
+    assert df.count() == 40
+    got = {(r.id, r.v) for r in df.select("id", "v").collect()}
+    assert got == {(i, f"v{i}") for i in range(40)}
+    # partition pruning through the personality metadata
+    a_only = read_hudi_snapshot(spark, t.base_path, partitions=["grp=a"])
+    assert a_only.count() == 20

@@ -83,7 +83,7 @@ def test_driver_window_covers_distinct_operator_classes():
     must_have = {
         "near_dup_canonical",
         "text_stats", "multimodal_features", "streaming_hourly_counts",
-        "sql_dml_pipeline", "sessionize_events", "events_json_extract",
+        "sql_dml_pipeline", "asof_prior_click",
         # r6 rotation: the signature work is driver-verified
         "tbl_iceberg_personality_read", "knn_ivf_trained",
         "semantic_dedup_keep", "tbl_schema_evolved_read",
@@ -93,7 +93,14 @@ def test_driver_window_covers_distinct_operator_classes():
         # and verifies the LSH pair stage internally)
         "sql_dml_indexed_pipeline", "tbl_bucket_upsert_read",
         "tbl_partial_update_read", "tbl_secondary_pruned_read",
-        "quality_classifier_scores", "small_quantity_revenue",
+        "quality_classifier_scores",
+        # r9 rotation: never-driver-checked signatures take the slots
+        # of r8-green plan-shape-covered rows (VERDICT r8 ask #4)
+        "tbl_hudi_personality_read", "tbl_bootstrap_upsert_read",
+        "tbl_bucket_mor_read", "tbl_expr_pruned_read",
+        "leakage_free_split", "doc_repetition_removal",
+        "returned_item_report", "forecast_revenue_change",
+        "epoch_shuffle_order", "length_bucket_batches",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()

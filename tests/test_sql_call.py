@@ -211,8 +211,13 @@ def test_call_xtable_sync_both_personalities(spark, tmp_base):
         "CALL xtable_sync(table => 'xsrc', formats => 'delta')"
     ).collect()
     assert [r.format for r in only] == ["delta"]
+    # r9: hudi is a REAL target now (tables/hudi_export.py)
+    hud = eng.sql(
+        "CALL xtable_sync(table => 'xsrc', formats => 'hudi')"
+    ).collect()
+    assert [r.format for r in hud] == ["hudi"] and hud[0].version >= 1
     with pytest.raises(ValueError, match="unsupported target format"):
-        eng.sql("CALL xtable_sync(table => 'xsrc', formats => 'hudi')")
+        eng.sql("CALL xtable_sync(table => 'xsrc', formats => 'orc')")
 
 
 def test_create_table_using_delta_location(spark, tmp_base):
