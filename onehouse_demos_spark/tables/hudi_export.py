@@ -476,6 +476,53 @@ def hudi_live_files(
     )
 
 
+def read_hudi_incremental(
+    spark: SparkSession,
+    base_path: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    skip_replacecommits: bool = False,
+) -> DataFrame:
+    """Incremental query over the personality timeline (reference
+    `README.md:954-984` shape: rows from instants AFTER
+    `begin_instant`, resolved purely from commit metadata — file
+    groups untouched in the range are never opened).
+
+    Contract: this is a PHYSICAL-change feed — the rows of every file
+    added by instants in (begin, end]. Because this exporter maps any
+    rewrite (upsert-carried rows included) to a `replacecommit`, a
+    rewritten file re-surfaces its carried rows alongside the real
+    updates; consumers needing exact logical changes use the engine's
+    own `LakehouseTable.incremental`/`changes` (CDF). With
+    `skip_replacecommits=True` you get Hudi's own incremental rule —
+    correct for timelines whose replacecommits are pure rewrites
+    (genuine Hudi tables, or personalities synced only after
+    insert-only commits)."""
+    hoodie = _hoodie_dir(base_path)
+    if not os.path.isdir(hoodie):
+        raise FileNotFoundError(f"no .hoodie directory under {base_path}")
+    paths: list[str] = []
+    for instant, action in _completed_instants(hoodie):
+        if instant <= begin_instant:
+            continue
+        if end_instant is not None and instant > end_instant:
+            continue
+        if action == "replacecommit" and skip_replacecommits:
+            continue
+        with open(os.path.join(hoodie, f"{instant}.{action}")) as fh:
+            meta = json.load(fh)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                p = st.get("path")
+                if p and p.endswith(".parquet"):
+                    paths.append(os.path.join(base_path, p))
+    if not paths:
+        return spark.createDataFrame([], T.StructType([]))
+    df = spark.read.parquet(*sorted(paths))
+    meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
+    return df.drop(*meta_cols) if meta_cols else df
+
+
 def read_hudi_snapshot(
     spark: SparkSession,
     base_path: str,

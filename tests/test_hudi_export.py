@@ -415,3 +415,43 @@ def test_personality_over_partitioned_bootstrap(spark, tmp_base):
     # partition pruning through the personality metadata
     a_only = read_hudi_snapshot(spark, t.base_path, partitions=["grp=a"])
     assert a_only.count() == 20
+
+
+def test_incremental_read_through_personality(spark, tmp_base):
+    """Physical-change incremental feed from the personality timeline:
+    inserts after the begin instant surface; files from before don't;
+    a rewrite replacecommit re-surfaces its file's rows (documented
+    superset) unless skip_replacecommits."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        _completed_instants,
+        read_hudi_incremental,
+    )
+
+    t = _mk(spark, tmp_base, partitioned=False)
+    sync_hudi_metadata(t)
+    hoodie = os.path.join(t.base_path, ".hoodie")
+    (first, _a) = _completed_instants(hoodie)[-1]
+    # pure insert of new keys -> a plain commit
+    t.insert(
+        spark.createDataFrame(
+            [(f"n{i}", 1, "NEWCO", 1.0) for i in range(5)], DDL
+        )
+    )
+    sync_hudi_metadata(t)
+    inc = read_hudi_incremental(spark, t.base_path, first)
+    got = {r.key for r in inc.select("key").collect()}
+    assert got == {f"n{i}" for i in range(5)}  # old files not re-read
+    # an upsert rewrite -> replacecommit; its file re-surfaces rows
+    (second, _a2) = _completed_instants(hoodie)[-1]
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_hudi_metadata(t)
+    inc2 = read_hudi_incremental(spark, t.base_path, second)
+    keys2 = {r.key for r in inc2.select("key").collect()}
+    assert "k03" in keys2  # the update is in the physical feed
+    # Hudi's own rule skips the rewrite instant entirely
+    assert (
+        read_hudi_incremental(
+            spark, t.base_path, second, skip_replacecommits=True
+        ).count()
+        == 0
+    )
