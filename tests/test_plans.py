@@ -573,3 +573,34 @@ def test_bucket_upsert_plans_no_probe_join(spark, tmp_path):
         spark.createDataFrame([(5, "X", 2)], "id int, v string, ver int")
     )
     assert len(inst.removes) <= len(files)
+
+
+def test_hudi_replay_read_pushes_down(spark, tmp_path):
+    """r9: the Hudi personality replay is a plain multi-path parquet
+    scan — predicates and projections must reach the scan exactly
+    like a native read (the personality adds zero plan overhead)."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    from onehouse_demos_spark.tables.hudi_export import (
+        read_hudi_snapshot,
+        sync_hudi_metadata,
+    )
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_path}/h",
+        TableConfig(name="h", record_key=["k"], precombine="ver"),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(f"k{i}", 1, float(i)) for i in range(50)],
+            "k string, ver int, px double",
+        )
+    )
+    sync_hudi_metadata(t)
+    df = read_hudi_snapshot(spark, t.base_path).filter(
+        F.col("px") > 40.0
+    ).select("k")
+    pf = pushed_filters(df)
+    assert any("px" in f for f in pf), pf
+    schemas = read_schema_columns(df)
+    assert schemas and schemas[0] <= {"k", "px"}, schemas
