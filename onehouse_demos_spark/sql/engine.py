@@ -1250,6 +1250,24 @@ class Engine:
             return self.spark.createDataFrame(
                 [(removed,)], "deleted_savepoint string"
             )
+        if proc == "split_bucket":
+            # r9: consistent-engine hot-bucket split — O(one bucket)
+            from onehouse_demos_spark.tables.maintenance import (
+                split_bucket,
+            )
+
+            b = arg("bucket")
+            done = split_bucket(t, int(b) if b is not None else None)
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        done.instant if done is not None else "",
+                        len(t._bucket_prefix_list()),
+                    )
+                ],
+                "instant string, buckets int",
+            )
         if proc == "resize_buckets":
             # r9: re-bucket a bucket-layout table (Hudi consistent-
             # hashing resize analog, one atomic replacecommit rewrite)
@@ -1349,7 +1367,8 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
-            "run_clean, resize_buckets, show_indexes, compact_record_index, "
+            "run_clean, resize_buckets, split_bucket, show_indexes, "
+            "compact_record_index, "
             "archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "
             "rollback_to_instant, xtable_sync"
@@ -1600,6 +1619,10 @@ class Engine:
                 if props.get("bucketindexbuckets")
                 else None
             ),
+            # r9: "modulo" (fixed count) | "consistent" (prefix-range
+            # buckets; hot buckets split in O(bucket) via
+            # CALL split_bucket)
+            bucket_engine=props.get("bucketindexengine", "modulo"),
             # Hudi hoodie.precommit.validators analog. Formats mirror
             # Hudi's: ';'-separated SQL with <TABLE> placeholders;
             # single-result entries are 'query#expected'.
@@ -1905,6 +1928,8 @@ class Engine:
             props.append(
                 ("bucketIndexBuckets", str(cfg.bucket_index_buckets))
             )
+        if cfg.bucket_engine != "modulo":
+            props.append(("bucketIndexEngine", cfg.bucket_engine))
         if cfg.partition_expr:
             props.append(("partitionExpr", cfg.partition_expr))
         if cfg.index_scope != "partition":

@@ -419,6 +419,96 @@ def run_clustering(
         raise
 
 
+def split_bucket(table: LakehouseTable, bucket: int | None = None):
+    """Split ONE bucket of a consistent-engine bucket table into its
+    two slot-prefix children (r9; Hudi CONSISTENT_HASHING bucket-index
+    resize analog): a single replacecommit rewrites ONLY that bucket's
+    files — O(one bucket), never O(table) — then the persisted prefix
+    map flips. This is what keeps the layout viable as a table grows
+    100×: hot buckets split as they grow, cold buckets never rewrite.
+
+    `bucket` is the encoded id ((len << 16) | prefix, what
+    FileMeta.bucket carries); None splits the HOTTEST bucket (most
+    live rows). MOR log files of the bucket fold through the version
+    merge, so the split doubles as a per-bucket compaction. Probe-free
+    routing stays correct across the boundary: candidate resolution
+    pairs the current prefix map with the current live files, which
+    the replacecommit made consistent atomically; time travel before
+    the split replays the old files."""
+    if (
+        not table.config.bucket_index_buckets
+        or table.config.bucket_engine != "consistent"
+    ):
+        raise ValueError(
+            "split_bucket needs the consistent bucket engine "
+            "(bucketIndexEngine='consistent'); modulo tables resize "
+            "via resize_buckets"
+        )
+    prefixes = table._bucket_prefix_list()
+    live = table.manifest.live_files()
+    if bucket is None:
+        rows_by_bucket: dict[int, int] = {}
+        for f in live:
+            if f.bucket is not None:
+                rows_by_bucket[f.bucket] = (
+                    rows_by_bucket.get(f.bucket, 0) + f.rows
+                )
+        if not rows_by_bucket:
+            raise ValueError("no routed live files to split")
+        bucket = max(rows_by_bucket, key=rows_by_bucket.__getitem__)
+    if bucket not in prefixes:
+        raise ValueError(
+            f"bucket {bucket} is not in the current prefix map"
+        )
+    length, prefix = bucket >> 16, bucket & 0xFFFF
+    if length >= LakehouseTable.SLOT_BITS:
+        raise ValueError(
+            f"bucket {bucket} is at maximum split depth "
+            f"({LakehouseTable.SLOT_BITS} bits)"
+        )
+    children = [
+        ((length + 1) << 16) | (prefix << 1),
+        ((length + 1) << 16) | ((prefix << 1) | 1),
+    ]
+    new_map = sorted(
+        [p for p in prefixes if p != bucket] + children
+    )
+    files = [f for f in live if f.bucket == bucket]
+    old_map = list(table.config.bucket_prefixes)
+    if not files:
+        # splitting an empty bucket is a pure metadata change
+        table.config.bucket_prefixes = new_map
+        table._rewrite_config()
+        return None
+    planned_from = table.timeline.latest_instant()
+    instant = table.timeline.begin("replacecommit")
+    table.config.bucket_prefixes = new_map  # routes the rewrite
+    try:
+        df = table._read_files(files)
+        if any(f.kind == "log" for f in files):
+            df = table._merge_latest(df)
+        from onehouse_demos_spark.tables.table import DELETED_COL
+
+        df = df.filter(~F.col(DELETED_COL))
+        adds = table._write_files(df, instant, kind="base")
+        done = table._commit(
+            instant,
+            "replacecommit",
+            "split_bucket",
+            adds,
+            [f.path for f in files],
+            df.schema,
+            extra={"split": bucket, "children": children},
+            planned_from=planned_from,
+        )
+        table._rewrite_config()  # persist the new map only on success
+        return done
+    except Exception:
+        table.config.bucket_prefixes = old_map
+        table.timeline.abort(instant)
+        raise
+
+
 def resize_buckets(table: LakehouseTable, new_buckets: int):
     """Re-bucket a bucket-index-layout table to `new_buckets` (r9,
     VERDICT r8 ask #7 — the viability valve Hudi's consistent-hashing
@@ -439,6 +529,12 @@ def resize_buckets(table: LakehouseTable, new_buckets: int):
     replacecommit publishes atomically."""
     if not table.config.bucket_index_buckets:
         raise ValueError("resize_buckets needs a bucket-layout table")
+    if table.config.bucket_engine == "consistent":
+        raise ValueError(
+            "consistent-engine tables grow via split_bucket "
+            "(O(one bucket)); resize_buckets is the modulo engine's "
+            "full-rewrite path"
+        )
     new_buckets = int(new_buckets)
     if new_buckets < 1:
         raise ValueError(f"bucket count must be >= 1, got {new_buckets}")

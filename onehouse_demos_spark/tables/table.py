@@ -317,6 +317,22 @@ class TableConfig:
     # stays in its bucket's files and bucket-pruned point reads
     # commute with the version merge.
     bucket_index_buckets: int | None = None
+    # Bucket engine (r9; Hudi BUCKET index `hoodie.index.bucket.engine`
+    # SIMPLE vs CONSISTENT_HASHING analog):
+    # "modulo" — bucket = hash(key) % N. Probe-free and trivially
+    #   portable, but the count is fixed: growing a table 100× means
+    #   resize_buckets' full-table rewrite.
+    # "consistent" — buckets own PREFIX RANGES of a 16-bit slot space
+    #   (slot = hash % 65536). A HOT bucket splits into two children
+    #   with an O(one bucket) rewrite (`split_bucket`) — the layout
+    #   stays viable as the table grows without ever rewriting the
+    #   whole table. Requires a power-of-two initial bucket count.
+    bucket_engine: str = "modulo"
+    # Consistent-engine bucket set: each bucket is a slot-space prefix
+    # (value, bit-length) encoded as (len << 16) | prefix. Empty =
+    # the initial equal split of bucket_index_buckets; splits persist
+    # the explicit list.
+    bucket_prefixes: list[int] = field(default_factory=list)
     # Pre-commit validators (Hudi `hoodie.precommit.validators` +
     # `hoodie.precommit.validators.*.sql.queries` analog): each entry
     # is {"type": "equality" | "inequality" | "single_result",
@@ -345,6 +361,8 @@ class TableConfig:
             "expression_indexes": self.expression_indexes,
             "payload": self.payload,
             "bucket_index_buckets": self.bucket_index_buckets,
+            "bucket_engine": self.bucket_engine,
+            "bucket_prefixes": self.bucket_prefixes,
             "pre_commit_validators": self.pre_commit_validators,
         }
 
@@ -378,6 +396,18 @@ class LakehouseTable:
                 )
             if config.bucket_index_buckets < 1:
                 raise ValueError("bucket_index_buckets must be >= 1")
+            if config.bucket_engine not in ("modulo", "consistent"):
+                raise ValueError(
+                    f"unknown bucket_engine {config.bucket_engine!r}; "
+                    "one of: modulo, consistent"
+                )
+            if config.bucket_engine == "consistent":
+                n = config.bucket_index_buckets
+                if n & (n - 1):
+                    raise ValueError(
+                        "the consistent bucket engine needs a "
+                        f"power-of-two initial bucket count, got {n}"
+                    )
         if config.record_index:
             from onehouse_demos_spark.tables.record_index import RecordIndex
 
@@ -674,16 +704,55 @@ class LakehouseTable:
 
     # ---------------------------------------------------------------- write
 
+    #: Consistent-engine slot space: slot = hash % 2^SLOT_BITS; a
+    #: bucket owns a slot-space bit-prefix and splits by extending it.
+    SLOT_BITS = 16
+
+    def _bucket_prefix_list(self) -> list[int]:
+        """Current consistent-engine bucket set (encoded
+        (len << 16) | prefix). Empty persisted list = the initial
+        equal split of the power-of-two create count — deterministic,
+        so it needs no persistence until the first split."""
+        if self.config.bucket_prefixes:
+            return list(self.config.bucket_prefixes)
+        n = self.config.bucket_index_buckets or 1
+        depth = n.bit_length() - 1
+        return [(depth << 16) | p for p in range(n)]
+
     def _bucket_layout_expr(self, key_col=None):
         """Bucket id of a record key under the bucket-index layout:
         the same portable 60-bit md5-prefix hash the record index
-        buckets on (identical on JVM, Python, and DuckDB), mod the
-        table's fixed bucket count."""
+        buckets on (identical on JVM, Python, and DuckDB). Modulo
+        engine: hash % N. Consistent engine: the row's 16-bit slot
+        resolves through the bucket prefix trie — one WHEN branch per
+        DISTINCT prefix LENGTH (a handful even after many splits), so
+        the expression stays codegen-friendly as buckets multiply."""
         n = self.config.bucket_index_buckets
         c = F.col(KEY_COL) if key_col is None else key_col
-        return (
-            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long") % n
-        ).cast("int")
+        h = F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+        if self.config.bucket_engine == "consistent":
+            slot = (h % (1 << self.SLOT_BITS)).cast("int")
+            by_len: dict[int, list[int]] = {}
+            for enc in self._bucket_prefix_list():
+                by_len.setdefault(enc >> 16, []).append(enc & 0xFFFF)
+            expr = None
+            for length in sorted(by_len):
+                cand = (
+                    F.shiftright(slot, self.SLOT_BITS - length)
+                    if length < self.SLOT_BITS
+                    else slot
+                )
+                cond = cand.isin(by_len[length])
+                val = (F.lit(length << 16) + cand).cast("int")
+                expr = (
+                    F.when(cond, val)
+                    if expr is None
+                    else expr.when(cond, val)
+                )
+            # the prefix set covers the whole slot space by invariant;
+            # -1 would mean a corrupted map and routes nothing silently
+            return expr.otherwise(F.lit(-1))
+        return (h % n).cast("int")
 
     def _write_files(
         self,
@@ -722,9 +791,13 @@ class LakehouseTable:
             # per-bucket invariant holds regardless of task count.
             # Key-sorted within each bucket file — range/bloom stats
             # stay sharp as secondary pruning within a bucket.
+            n_buckets = (
+                len(self._bucket_prefix_list())
+                if self.config.bucket_engine == "consistent"
+                else self.config.bucket_index_buckets
+            )
             n_tasks = min(
-                self.config.bucket_index_buckets,
-                self.spark.sparkContext.defaultParallelism,
+                n_buckets, self.spark.sparkContext.defaultParallelism
             )
             writer = (
                 writer.withColumn(BUCKET_COL, self._bucket_layout_expr())

@@ -469,3 +469,173 @@ def test_resize_buckets_sql_call_and_validation(spark, tmp_base):
     )
     with pytest.raises(ValueError, match="bucket-layout"):
         resize_buckets(t_plain, 8)
+
+
+# --------------------------------- r9: consistent-hashing engine
+
+
+def _py_slot(key: str) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 65536
+
+
+def _mk_consistent(spark, tmp_base, n=4, table_type="cow", n_rows=400):
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/ct",
+        TableConfig(
+            name="ct",
+            record_key=["id"],
+            precombine="ver",
+            table_type=table_type,
+            bucket_index_buckets=n,
+            bucket_engine="consistent",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, f"v{i}", 1) for i in range(n_rows)],
+            "id int, v string, ver int",
+        )
+    )
+    return t
+
+
+def test_consistent_routing_invariant(spark, tmp_base):
+    """Every file's rows fall inside its bucket's slot prefix, and the
+    initial map is the equal power-of-two split."""
+    t = _mk_consistent(spark, tmp_base, n=4)
+    assert t._bucket_prefix_list() == [(2 << 16) | p for p in range(4)]
+    files = t.manifest.live_files()
+    assert {f.bucket for f in files} == set(t._bucket_prefix_list())
+    for f in files:
+        length, prefix = f.bucket >> 16, f.bucket & 0xFFFF
+        ids = [
+            r.id
+            for r in spark.read.parquet(f"{t.base_path}/{f.path}").collect()
+        ]
+        assert ids
+        assert {
+            _py_slot(str(i)) >> (16 - length) for i in ids
+        } == {prefix}
+
+
+def test_split_bucket_rewrites_one_bucket_only(spark, tmp_base):
+    """The selling point: a split's replacecommit removes ONLY the
+    split bucket's files; every other bucket's files stay live
+    untouched — O(bucket), not O(table)."""
+    from onehouse_demos_spark.tables.maintenance import split_bucket
+
+    t = _mk_consistent(spark, tmp_base, n=4)
+    before = {f.path: f.bucket for f in t.manifest.live_files()}
+    want = sorted(tuple(r) for r in t.snapshot().collect())
+    pre_instant = t.timeline.latest_instant()
+    done = split_bucket(t)  # hottest
+    split_enc = done.extra["split"] if hasattr(done, "extra") else None
+    removed = set(done.removes)
+    # only the split bucket's files were removed
+    split_buckets = {before[p] for p in removed}
+    assert len(split_buckets) == 1
+    (victim,) = split_buckets
+    untouched = {p for p, b in before.items() if b != victim}
+    live_now = {f.path for f in t.manifest.live_files()}
+    assert untouched <= live_now
+    # map: victim replaced by its two children
+    prefixes = t._bucket_prefix_list()
+    assert victim not in prefixes and len(prefixes) == 5
+    length, prefix = victim >> 16, victim & 0xFFFF
+    kids = {
+        ((length + 1) << 16) | (prefix << 1),
+        ((length + 1) << 16) | ((prefix << 1) | 1),
+    }
+    assert kids <= set(prefixes)
+    # new files land in the children and hold the same rows
+    new_files = [f for f in t.manifest.live_files() if f.path not in before]
+    assert {f.bucket for f in new_files} <= kids
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == want
+    # routing after the split: point upsert of a key in a child bucket
+    # touches one file
+    i2 = t.upsert(
+        spark.createDataFrame([(3, "SPLIT", 2)], "id int, v string, ver int")
+    )
+    assert len(i2.removes) == 1
+    assert {r.v for r in t.snapshot().filter("id = 3").collect()} == {"SPLIT"}
+    # time travel before the split reads the old layout
+    assert (
+        sorted(tuple(r) for r in t.snapshot(as_of=pre_instant).collect())
+        == want
+    )
+    # persisted map reloads
+    t2 = LakehouseTable.load(spark, t.base_path)
+    assert t2._bucket_prefix_list() == prefixes
+
+
+def test_split_bucket_mor_folds_logs(spark, tmp_base):
+    from onehouse_demos_spark.tables.maintenance import split_bucket
+
+    t = _mk_consistent(spark, tmp_base, n=2, table_type="mor", n_rows=60)
+    t.upsert(
+        spark.createDataFrame([(7, "LOG", 2)], "id int, v string, ver int")
+    )
+    log_bucket = [
+        f.bucket for f in t.manifest.live_files() if f.kind == "log"
+    ][0]
+    want = sorted(tuple(r) for r in t.snapshot().collect())
+    split_bucket(t, log_bucket)
+    # the split bucket's logs folded into its children's BASE files
+    assert not [
+        f for f in t.manifest.live_files() if f.bucket == log_bucket
+    ]
+    assert all(
+        f.kind == "base"
+        for f in t.manifest.live_files()
+        if (f.bucket >> 16) == (log_bucket >> 16) + 1
+    )
+    assert sorted(tuple(r) for r in t.snapshot().collect()) == want
+    # bucket-pruned MOR point read still exact across the boundary
+    df = t.snapshot_for_keys(spark.createDataFrame([(7,)], "id int"))
+    assert t.last_key_read_probe["mode"] == "bucket"
+    assert {(r.id, r.v) for r in df.filter("id = 7").collect()} == {
+        (7, "LOG")
+    }
+
+
+def test_split_bucket_validation_and_sql_call(spark, tmp_base):
+    from onehouse_demos_spark.tables.maintenance import (
+        resize_buckets,
+        split_bucket,
+    )
+
+    # modulo tables can't split; consistent tables can't modulo-resize
+    t_mod = _mk(spark, tmp_base, n_buckets=4)
+    with pytest.raises(ValueError, match="consistent bucket engine"):
+        split_bucket(t_mod)
+    tc = _mk_consistent(spark, f"{tmp_base}/c2", n=2, n_rows=40)
+    with pytest.raises(ValueError, match="split_bucket"):
+        resize_buckets(tc, 8)
+    with pytest.raises(ValueError, match="power-of-two"):
+        LakehouseTable.create(
+            spark,
+            f"{tmp_base}/bad",
+            TableConfig(
+                name="bad",
+                record_key=["id"],
+                bucket_index_buckets=3,
+                bucket_engine="consistent",
+            ),
+        )
+    # SQL surface end to end
+    eng = Engine(spark, f"{tmp_base}/wh")
+    eng.sql(
+        "CREATE TABLE cs (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "bucketIndexBuckets='2', bucketIndexEngine='consistent')"
+    )
+    eng.sql(
+        "INSERT INTO cs VALUES "
+        + ", ".join(f"({i}, 'v{i}', 1)" for i in range(40))
+    )
+    row = eng.sql("CALL split_bucket(table => 'cs')").collect()[0]
+    assert row.buckets == 3 and row.instant
+    assert eng.sql("SELECT count(*) AS c FROM cs").collect()[0][0] == 40
+    stmt = eng.sql("SHOW CREATE TABLE cs").collect()[0][0]
+    assert "bucketIndexEngine='consistent'" in stmt
