@@ -1145,6 +1145,78 @@ WHERE o_orderkey % 7 <> 0 OR o_orderkey % 13 = 0
 """
 
 
+_SPLIT_CACHE: dict[str, LakehouseTable] = {}
+
+
+def _build_bucket_split(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """Consistent-hashing bucket pipeline (r9; Hudi CONSISTENT_HASHING
+    bucket-index analog): insert → upsert on a consistent-engine
+    table, SPLIT the hottest bucket (one replacecommit that must
+    remove only that bucket's files — the builder raises otherwise),
+    then a post-split upsert that must route probe-free into the new
+    prefix map. The oracle re-derives the final state from `orders`,
+    so the driver row verifies the split preserved every row exactly."""
+    if sf_dir in _SPLIT_CACHE:
+        return _SPLIT_CACHE[sf_dir]
+    tmp = tempfile.mkdtemp(prefix="oh_split_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_split",
+        TableConfig(
+            name="orders_split",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            bucket_index_buckets=8,
+            bucket_engine="consistent",
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    from onehouse_demos_spark.tables.maintenance import split_bucket
+
+    before = {f.path: f.bucket for f in t.manifest.live_files()}
+    done = split_bucket(t)  # hottest bucket
+    victims = {before[p] for p in done.removes}
+    if len(victims) != 1:
+        raise RuntimeError(
+            f"split rewrote files from {len(victims)} buckets — must "
+            "touch exactly one"
+        )
+    if len(t._bucket_prefix_list()) != 9:
+        raise RuntimeError("prefix map did not gain exactly one bucket")
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+        .withColumn("ver", F.lit(3))
+    )
+    _SPLIT_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_bucket_split_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot after a consistent-engine hot-bucket split with
+    upserts on both sides of the boundary; oracle over `orders`."""
+    return _project(_build_bucket_split(spark, sf_dir).snapshot())
+
+
+TBL_BUCKET_SPLIT_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderkey % 13 = 0 THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2
+            ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 3.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+"""
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -1171,6 +1243,7 @@ QUERIES = {
     "tbl_bucket_upsert_read": tbl_bucket_upsert_read,
     "tbl_bootstrap_upsert_read": tbl_bootstrap_upsert_read,
     "tbl_bucket_mor_read": tbl_bucket_mor_read,
+    "tbl_bucket_split_read": tbl_bucket_split_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -1203,6 +1276,7 @@ ORACLES = {
     "tbl_bucket_upsert_read": TBL_BUCKET_UPSERT_READ_SQL,
     "tbl_bootstrap_upsert_read": TBL_BOOTSTRAP_UPSERT_READ_SQL,
     "tbl_bucket_mor_read": TBL_BUCKET_MOR_READ_SQL,
+    "tbl_bucket_split_read": TBL_BUCKET_SPLIT_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,
