@@ -1348,6 +1348,7 @@ class Engine:
                 ("secondaryIndexes", ",".join(cfg.secondary_indexes or [])),
                 ("payload", cfg.payload),
                 ("bucketIndexBuckets", str(cfg.bucket_index_buckets or "")),
+                ("bucketIndexEngine", cfg.bucket_engine),
                 ("location", t.base_path),
             ]
             return self.spark.createDataFrame(
