@@ -639,3 +639,36 @@ def test_split_bucket_validation_and_sql_call(spark, tmp_base):
     assert eng.sql("SELECT count(*) AS c FROM cs").collect()[0][0] == 40
     stmt = eng.sql("SHOW CREATE TABLE cs").collect()[0][0]
     assert "bucketIndexEngine='consistent'" in stmt
+
+
+def test_successive_splits_stay_exact(spark, tmp_base):
+    """Three successive hottest-bucket splits with upserts in between:
+    the prefix map stays a partition of the slot space, every write
+    routes probe-free, and the snapshot equals the accumulated state."""
+    from onehouse_demos_spark.tables.maintenance import split_bucket
+
+    t = _mk_consistent(spark, tmp_base, n=2, n_rows=300)
+    expect = {i: (f"v{i}", 1) for i in range(300)}
+    for gen in range(3):
+        split_bucket(t)
+        # map remains a disjoint exact cover of the slot space
+        total = sum(
+            1 << (16 - (enc >> 16)) for enc in t._bucket_prefix_list()
+        )
+        assert total == 65536
+        k = 10 + gen
+        t.upsert(
+            spark.createDataFrame(
+                [(k, f"g{gen}", 2 + gen)], "id int, v string, ver int"
+            )
+        )
+        expect[k] = (f"g{gen}", 2 + gen)
+    assert len(t._bucket_prefix_list()) == 5
+    got = {r.id: (r.v, r.ver) for r in t.snapshot().collect()}
+    assert got == expect
+    # reload sees the final map and routes a point upsert to one file
+    t2 = LakehouseTable.load(spark, t.base_path)
+    i = t2.upsert(
+        spark.createDataFrame([(10, "FINAL", 9)], "id int, v string, ver int")
+    )
+    assert len(i.removes) == 1
