@@ -431,10 +431,14 @@ def split_bucket(table: LakehouseTable, bucket: int | None = None):
     FileMeta.bucket carries); None splits the HOTTEST bucket (most
     live rows). MOR log files of the bucket fold through the version
     merge, so the split doubles as a per-bucket compaction. Probe-free
-    routing stays correct across the boundary: candidate resolution
-    pairs the current prefix map with the current live files, which
-    the replacecommit made consistent atomically; time travel before
-    the split replays the old files."""
+    routing stays correct across the boundary — ATOMICALLY with the
+    replacecommit (r10): the commit's extra {"split", "children"} IS
+    the map flip, and `_replay_bucket_layout` derives the effective
+    map from the committed timeline at load and before every routed
+    write, so a crash (or a concurrent reader) between the commit and
+    the `table_config.json` cache rewrite can never pair the old map
+    with the new files. Time travel before the split replays the old
+    files (reads never consult the map)."""
     if (
         not table.config.bucket_index_buckets
         or table.config.bucket_engine != "consistent"
@@ -444,6 +448,7 @@ def split_bucket(table: LakehouseTable, bucket: int | None = None):
             "(bucketIndexEngine='consistent'); modulo tables resize "
             "via resize_buckets"
         )
+    table._replay_bucket_layout()  # fold any concurrent committed flip
     prefixes = table._bucket_prefix_list()
     live = table.manifest.live_files()
     if bucket is None:
@@ -475,12 +480,32 @@ def split_bucket(table: LakehouseTable, bucket: int | None = None):
     )
     files = [f for f in live if f.bucket == bucket]
     old_map = list(table.config.bucket_prefixes)
-    if not files:
-        # splitting an empty bucket is a pure metadata change
-        table.config.bucket_prefixes = new_map
-        table._rewrite_config()
-        return None
     planned_from = table.timeline.latest_instant()
+    if not files:
+        # Splitting an empty bucket moves no data, but the flip still
+        # publishes as a (zero-file) replacecommit: the timeline is
+        # the source of truth for the routing map (r10 —
+        # `_replay_bucket_layout` derives the effective map from
+        # committed split extras), so an uncommitted flip would be
+        # invisible to other processes and lost on reload.
+        instant = table.timeline.begin("replacecommit")
+        table.config.bucket_prefixes = new_map
+        try:
+            done = table._commit(
+                instant,
+                "replacecommit",
+                "split_bucket",
+                [],
+                [],
+                extra={"split": bucket, "children": children},
+                planned_from=planned_from,
+            )
+            table._rewrite_config()  # sidecar cache of the new map
+            return done
+        except Exception:
+            table.config.bucket_prefixes = old_map
+            table.timeline.abort(instant)
+            raise
     instant = table.timeline.begin("replacecommit")
     table.config.bucket_prefixes = new_map  # routes the rewrite
     try:
@@ -501,7 +526,11 @@ def split_bucket(table: LakehouseTable, bucket: int | None = None):
             extra={"split": bucket, "children": children},
             planned_from=planned_from,
         )
-        table._rewrite_config()  # persist the new map only on success
+        # The replacecommit IS the flip (its extra carries the split;
+        # `_replay_bucket_layout` folds it at load and before every
+        # routed write) — the sidecar rewrite is only the fast-path
+        # cache, and a crash right here is healed on next open.
+        table._rewrite_config()
         return done
     except Exception:
         table.config.bucket_prefixes = old_map
@@ -513,14 +542,17 @@ def resize_buckets(table: LakehouseTable, new_buckets: int):
     """Re-bucket a bucket-index-layout table to `new_buckets` (r9,
     VERDICT r8 ask #7 — the viability valve Hudi's consistent-hashing
     bucket index provides for its simple cousin): ONE replacecommit
-    rewrites every live file hash-routed under the new count, then
-    the persisted bucket count flips. Probe-free upsert routing works
-    across the boundary because candidate resolution always pairs the
-    CURRENT config count with the CURRENT live files — which the
-    rewrite made consistent atomically — and time travel before the
-    resize instant replays the old files (reads never consult the
-    bucket count). MOR log files fold in through the version merge,
-    so the rewrite doubles as a compaction.
+    rewrites every live file hash-routed under the new count, and the
+    count flips ATOMICALLY with that replacecommit (r10): the commit's
+    extra {"buckets_before", "buckets_after"} is the authoritative
+    flip — `_replay_bucket_layout` folds the last resize extra over
+    the config at load and before every routed write, so candidate
+    resolution always pairs the count with the live files it routed
+    even across a crash between the commit and the config-cache
+    rewrite. Time travel before the resize instant replays the old
+    files (reads never consult the bucket count). MOR log files fold
+    in through the version merge, so the rewrite doubles as a
+    compaction.
 
     Cost is a full-table rewrite (the simple-bucket tradeoff; Hudi's
     consistent hashing splits hot buckets instead). At 100 TB, run it
@@ -538,15 +570,34 @@ def resize_buckets(table: LakehouseTable, new_buckets: int):
     new_buckets = int(new_buckets)
     if new_buckets < 1:
         raise ValueError(f"bucket count must be >= 1, got {new_buckets}")
+    table._replay_bucket_layout()  # fold any concurrent committed flip
     old = table.config.bucket_index_buckets
     if new_buckets == old:
         return None
     planned_from = table.timeline.latest_instant()
     files = table.manifest.live_files()
     if not files:
+        # Empty table: no rewrite, but the count flip still publishes
+        # as a zero-file replacecommit — the timeline is the source of
+        # truth for the routing map (r10, `_replay_bucket_layout`).
+        instant = table.timeline.begin("replacecommit")
         table.config.bucket_index_buckets = new_buckets
-        table._rewrite_config()
-        return None
+        try:
+            done = table._commit(
+                instant,
+                "replacecommit",
+                "resize_buckets",
+                [],
+                [],
+                extra={"buckets_before": old, "buckets_after": new_buckets},
+                planned_from=planned_from,
+            )
+            table._rewrite_config()  # sidecar cache of the new count
+            return done
+        except Exception:
+            table.config.bucket_index_buckets = old
+            table.timeline.abort(instant)
+            raise
     instant = table.timeline.begin("replacecommit")
     table.config.bucket_index_buckets = new_buckets  # routes the rewrite
     try:
@@ -569,7 +620,10 @@ def resize_buckets(table: LakehouseTable, new_buckets: int):
             extra={"buckets_before": old, "buckets_after": new_buckets},
             planned_from=planned_from,
         )
-        table._rewrite_config()  # persist the new count only on success
+        # The replacecommit IS the flip (r10): `_replay_bucket_layout`
+        # derives the effective count from the last resize extra, so a
+        # crash before this sidecar rewrite self-heals on next open.
+        table._rewrite_config()
         return done
     except Exception:
         table.config.bucket_index_buckets = old
@@ -744,7 +798,39 @@ def run_restore(table: LakehouseTable, instant: str) -> dict:
             if os.path.exists(abs_path):
                 os.remove(abs_path)
                 deleted.append(fm.path)
+    # Bucket layout is timeline-derived (r10): compute the create-time
+    # count BEFORE dropping instants (the first resize's before-count
+    # is the create count), then re-derive the effective map from the
+    # surviving timeline so routing matches the restored files.
+    create_count = None
+    if table.config.bucket_index_buckets:
+        resizes_all = [
+            i
+            for i in insts
+            if i.action == "replacecommit"
+            and i.operation == "resize_buckets"
+            and i.extra.get("buckets_before")
+        ]
+        create_count = (
+            int(resizes_all[0].extra["buckets_before"])
+            if resizes_all
+            else table.config.bucket_index_buckets
+        )
     removed = tl.remove_after(instant)
+    if table.config.bucket_index_buckets:
+        remaining = tl.instants()
+        if not any(
+            i.action == "replacecommit" and i.operation == "split_bucket"
+            for i in remaining
+        ):
+            table.config.bucket_prefixes = []
+        if not any(
+            i.action == "replacecommit" and i.operation == "resize_buckets"
+            for i in remaining
+        ):
+            table.config.bucket_index_buckets = create_count
+        table._replay_bucket_layout()
+        table._rewrite_config()
     return {
         "restored_to": instant,
         "removed_instants": removed,

@@ -455,6 +455,10 @@ class LakehouseTable:
                 for e in config.expression_indexes
             }
         self._write_config()
+        # Fold committed split/resize layout changes over the config —
+        # the sidecar may be one flip behind the timeline after a
+        # crash between replacecommit publish and config rewrite.
+        self._replay_bucket_layout()
 
     # ---------------------------------------------------------------- create
 
@@ -689,6 +693,13 @@ class LakehouseTable:
             )
 
     def _with_meta(self, df: DataFrame, instant: str) -> DataFrame:
+        if self.config.bucket_index_buckets:
+            # Every routed write stamps through here (split/resize
+            # rewrites do NOT — their in-flight map must route the
+            # rewrite): fold any split/resize another process has
+            # committed since this handle opened, so this write lays
+            # files out under the map its bucket ids will be read with.
+            self._replay_bucket_layout()
         self._check_schema_compat(df.schema)
         out = df.withColumn(KEY_COL, self._key_expr()).withColumn(
             COMMIT_COL, F.lit(instant)
@@ -718,6 +729,76 @@ class LakehouseTable:
         n = self.config.bucket_index_buckets or 1
         depth = n.bit_length() - 1
         return [(depth << 16) | p for p in range(n)]
+
+    def _replay_bucket_layout(self) -> None:
+        """Derive the EFFECTIVE bucket routing map from the committed
+        timeline (r10; closes the split/resize crash window): every
+        `split_bucket` / `resize_buckets` replacecommit carries its
+        layout change in `extra` ({"split", "children"} /
+        {"buckets_before", "buckets_after"}), so the routing map the
+        timeline implies — not the `table_config.json` sidecar — is
+        the source of truth. A crash (or a concurrent process opening
+        the table) between the replacecommit publish and the config
+        rewrite previously left the OLD map paired with the NEW live
+        files, making bucket candidate pruning drop the very files
+        holding a probe's keys → duplicate inserts. Now `load()` and
+        every candidate resolution fold the timeline extras over the
+        config; the sidecar is only the fast-path cache, self-healed
+        here when stale. Metadata-scale: one timeline replay, no jobs.
+        """
+        if not self.config.bucket_index_buckets:
+            return
+        instants = self.timeline.instants()
+        resizes = [
+            i
+            for i in instants
+            if i.action == "replacecommit"
+            and i.operation == "resize_buckets"
+            and i.extra.get("buckets_after")
+        ]
+        # Modulo engine: the LAST resize's after-count is effective
+        # (the create count never reappears; resizes are the only
+        # count changes, so no-resize == config count is current).
+        count = (
+            int(resizes[-1].extra["buckets_after"])
+            if resizes
+            else self.config.bucket_index_buckets
+        )
+        splits = [
+            i
+            for i in instants
+            if i.action == "replacecommit"
+            and i.operation == "split_bucket"
+            and i.extra.get("children")
+        ]
+        if splits:
+            # Consistent engine: the count never changes (splits only
+            # refine prefixes), so the create count in the config is
+            # the replay base; apply every committed split in instant
+            # order. A parent absent from the working map is a replay
+            # of an already-applied lineage (defensive; valid timelines
+            # never hit it — a split id can never recur).
+            n = count
+            depth = n.bit_length() - 1
+            prefixes = [(depth << 16) | p for p in range(n)]
+            for s in splits:
+                parent = s.extra.get("split")
+                if parent in prefixes:
+                    prefixes = [p for p in prefixes if p != parent] + [
+                        int(c) for c in s.extra["children"]
+                    ]
+            prefixes = sorted(prefixes)
+        else:
+            # No committed splits: keep the persisted map (pre-r10
+            # metadata-only splits wrote config without a commit; a
+            # crash artifact is impossible without a commit).
+            prefixes = list(self.config.bucket_prefixes)
+        if count != self.config.bucket_index_buckets or prefixes != list(
+            self.config.bucket_prefixes
+        ):
+            self.config.bucket_index_buckets = count
+            self.config.bucket_prefixes = prefixes
+            self._rewrite_config()  # self-heal the sidecar cache
 
     def _bucket_layout_expr(self, key_col=None):
         """Bucket id of a record key under the bucket-index layout:
@@ -1390,6 +1471,12 @@ class LakehouseTable:
         pruning conservatively keeps them) — every file that COULD
         hold any version of a probe key survives, which is what makes
         a pruned MOR merge exact for the probe keys."""
+        if self.config.bucket_index_buckets:
+            # Another process may have split/resized since this handle
+            # opened: re-derive the routing map from the timeline so
+            # bucket pruning always pairs the map with the live files
+            # it routed (metadata-scale replay, no jobs).
+            self._replay_bucket_layout()
         files = self.manifest.live_files(include_logs=include_logs)
         pp = self._partition_path_expr()
         # Partition pruning is opportunistic: possible only when the
@@ -2126,6 +2213,9 @@ class LakehouseTable:
             raise
 
     def _mor_delete(self, keys_df: DataFrame) -> Instant:
+        if self.config.bucket_index_buckets:
+            # tombstones route by bucket but skip _with_meta
+            self._replay_bucket_layout()
         instant = self.timeline.begin("deltacommit")
         try:
             schema = self._latest_schema()
