@@ -1316,7 +1316,13 @@ class Engine:
                         sync_hudi_metadata,
                     )
 
-                    rows.append(("hudi", sync_hudi_metadata(t)))
+                    # The hudi leg auto-compacts MOR tables first (r10)
+                    # so the personality is `_rt`-fresh — the documented
+                    # compact-on-sync contract for the reference's MOR
+                    # freshness demo (README.md:756-776).
+                    rows.append(
+                        ("hudi", sync_hudi_metadata(t, compact_mor=True))
+                    )
                 else:
                     raise ValueError(
                         f"xtable_sync: unsupported target format {fmt!r}"

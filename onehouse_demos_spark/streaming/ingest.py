@@ -121,7 +121,9 @@ class Streamer:
                     sync_hudi_metadata,
                 )
 
-                sync_hudi_metadata(self.table)
+                # compact-on-sync (r10): the inline hudi leg folds MOR
+                # logs first so external readers see the `_rt` state
+                sync_hudi_metadata(self.table, compact_mor=True)
 
     def start(
         self,

@@ -35,7 +35,10 @@ from onehouse_demos_spark.tables.delta_export import (  # noqa: F401
     write_delta_checkpoint,
 )
 from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
+    clean_hudi_personality,
     hudi_live_files,
+    hudi_metadata_listing,
+    read_hudi_incremental,
     read_hudi_snapshot,
     sync_hudi_metadata,
 )
