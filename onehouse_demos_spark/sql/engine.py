@@ -1268,6 +1268,26 @@ class Engine:
                 ],
                 "instant string, buckets int",
             )
+        if proc == "auto_split":
+            # r10: the service form — split every over-target bucket,
+            # hottest first, until the layout is healthy (the policy
+            # `run_auto_split` applies during inline ingest services)
+            from onehouse_demos_spark.tables.maintenance import (
+                run_auto_split,
+            )
+
+            m = arg("max_bucket_rows")
+            done = run_auto_split(t, int(m) if m is not None else None)
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        len(done),
+                        len(t._bucket_prefix_list()),
+                    )
+                ],
+                "splits int, buckets int",
+            )
         if proc == "resize_buckets":
             # r9: re-bucket a bucket-layout table (Hudi consistent-
             # hashing resize analog, one atomic replacecommit rewrite)
@@ -1374,7 +1394,7 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
-            "run_clean, resize_buckets, split_bucket, show_indexes, "
+            "run_clean, resize_buckets, split_bucket, auto_split, show_indexes, "
             "compact_record_index, "
             "archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "

@@ -45,6 +45,7 @@ class Streamer:
         mode: str = "upsert",
         inline_compact_every: int | None = None,
         inline_sizing_every: int | None = None,
+        inline_split_every: int | None = None,
         inline_xtable_sync_every: int | None = None,
         xtable_formats: tuple[str, ...] = ("delta",),
         doc_schema=None,
@@ -60,6 +61,11 @@ class Streamer:
         self.doc_schema = doc_schema
         self.inline_compact_every = inline_compact_every
         self.inline_sizing_every = inline_sizing_every
+        #: consistent-engine hot-bucket auto-split (r10): every Nth
+        #: batch, split any bucket whose live rows exceed the table's
+        #: target — ingest alone keeps the layout healthy, no operator
+        #: watching bucket sizes (the split_bucket service form).
+        self.inline_split_every = inline_split_every
         #: inline xTable personality sync (the reference runs the
         #: conversion as a sidecar utility after ingest, xtable.md:
         #: 24-33; inline_every=N keeps the Delta/Iceberg personalities
@@ -100,6 +106,10 @@ class Streamer:
             from onehouse_demos_spark.tables.maintenance import run_file_sizing
 
             run_file_sizing(self.table)
+        if self.inline_split_every and n % self.inline_split_every == 0:
+            from onehouse_demos_spark.tables.maintenance import run_auto_split
+
+            run_auto_split(self.table)
         if (
             self.inline_xtable_sync_every
             and n % self.inline_xtable_sync_every == 0

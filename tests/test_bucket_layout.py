@@ -826,3 +826,92 @@ def test_restore_across_split_rolls_back_the_map(spark, tmp_base):
     snap = t2.snapshot()
     assert snap.count() == 300
     assert snap.groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_auto_split_keeps_buckets_under_target(spark, tmp_base):
+    """r10 auto-split policy (the split_bucket service form): a long
+    ingest DAG with run_auto_split in the loop keeps EVERY bucket
+    under the row target, the prefix map stays an exact slot-space
+    partition, and routing stays exact throughout — no operator
+    watching bucket sizes."""
+    from onehouse_demos_spark.tables.maintenance import run_auto_split
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/auto",
+        TableConfig(
+            name="auto",
+            record_key=["id"],
+            precombine="ver",
+            bucket_index_buckets=2,
+            bucket_engine="consistent",
+            target_file_rows=120,
+        ),
+    )
+    expect: dict[int, tuple[str, int]] = {}
+    nxt = 0
+    for batch in range(6):
+        rows = [(nxt + i, f"b{batch}", 1) for i in range(100)]
+        nxt += 100
+        t.insert(
+            spark.createDataFrame(rows, "id int, v string, ver int")
+        )
+        for i, v, ver in rows:
+            expect[i] = (v, ver)
+        splits = run_auto_split(t)
+        # after the policy runs, every bucket is under target
+        rows_by_bucket: dict[int, int] = {}
+        for f in t.manifest.live_files(include_logs=True):
+            rows_by_bucket[f.bucket] = (
+                rows_by_bucket.get(f.bucket, 0) + f.rows
+            )
+        assert all(r <= 120 for r in rows_by_bucket.values()), (
+            batch,
+            splits,
+            rows_by_bucket,
+        )
+        # prefix map remains an exact disjoint cover of the slot space
+        total = sum(
+            1 << (16 - (enc >> 16)) for enc in t._bucket_prefix_list()
+        )
+        assert total == 65536
+        # mid-DAG point upsert routes to exactly one file
+        k = nxt - 7
+        inst = t.upsert(
+            spark.createDataFrame(
+                [(k, "UP", 2)], "id int, v string, ver int"
+            )
+        )
+        assert len(inst.removes) == 1
+        expect[k] = ("UP", 2)
+    assert len(t._bucket_prefix_list()) > 2  # it actually split
+    got = {r.id: (r.v, r.ver) for r in t.snapshot().collect()}
+    assert got == expect
+    assert (
+        t.snapshot().groupBy("id").count().filter("count > 1").count() == 0
+    )
+    # a healthy layout is a fixed point: no further splits
+    assert run_auto_split(t) == []
+
+
+def test_auto_split_sql_call_and_modulo_noop(spark, tmp_base):
+    from onehouse_demos_spark.tables.maintenance import run_auto_split
+
+    # modulo tables: explicit resize is the contract; auto-split no-ops
+    t_mod = _mk(spark, tmp_base, n_buckets=4)
+    assert run_auto_split(t_mod) == []
+    eng = Engine(spark, f"{tmp_base}/wh_auto")
+    eng.sql(
+        "CREATE TABLE ca (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "bucketIndexBuckets='2', bucketIndexEngine='consistent')"
+    )
+    eng.sql(
+        "INSERT INTO ca VALUES "
+        + ", ".join(f"({i}, 'v{i}', 1)" for i in range(60))
+    )
+    row = eng.sql(
+        "CALL auto_split(table => 'ca', max_bucket_rows => 20)"
+    ).collect()[0]
+    assert row.splits >= 1 and row.buckets > 2
+    assert eng.sql("SELECT count(*) AS c FROM ca").collect()[0][0] == 60
