@@ -1473,6 +1473,24 @@ class Engine:
             raise ValueError(f"table {name} already exists")
         exists = os.path.exists(os.path.join(loc, "table_config.json"))
         if (
+            fmt == "hudi"
+            and not exists
+            and os.path.isdir(os.path.join(loc, ".hoodie"))
+            and (m.group("cols") or m.group("props"))
+            and not m.group("ctas")
+        ):
+            # A GENUINE Hudi table lives here (`.hoodie`, no engine
+            # config): creating a managed table would write engine
+            # metadata inside the foreign table directory (ADVICE r9).
+            # Data-definition clauses are rejected like any
+            # already-exists location; the no-cols form attaches it.
+            raise ValueError(
+                f"location {loc} already holds a Hudi table (.hoodie "
+                "present); drop the column list / TBLPROPERTIES to "
+                f"register it: CREATE TABLE {name} USING hudi "
+                f"LOCATION '{loc}'"
+            )
+        if (
             fmt in ("lakehouse", "oh", "hudi")
             and not exists
             and (m.group("cols") or m.group("props"))

@@ -212,10 +212,28 @@ def _decode_hive_partition(
     could not describe, so it raises instead of guessing."""
     rel = os.path.relpath(abs_path, source_base)
     found: dict[str, str] = {}
+    order: list[str] = []
     for seg in rel.split(os.sep)[:-1]:
         if "=" in seg:
             k, v = seg.split("=", 1)
+            if k in found:
+                # duplicate col=val segments (e.g. a=1/x/a=2/...) are a
+                # nested/foreign layout — last-write-wins would onboard
+                # wrong partition attribution silently (ADVICE r9)
+                raise ValueError(
+                    f"source file {abs_path!r} repeats partition "
+                    f"segment {k!r}; the layout is not a single "
+                    "hive-style tree"
+                )
             found[k] = unquote(v)
+            if k in part_cols:
+                order.append(k)
+    if order != [c for c in part_cols if c in found]:
+        raise ValueError(
+            f"source file {abs_path!r} declares partition segments "
+            f"out of order ({order}, declared {part_cols}); refusing "
+            "to guess the layout"
+        )
     missing = [c for c in part_cols if c not in found]
     if missing:
         raise ValueError(
