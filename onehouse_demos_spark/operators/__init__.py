@@ -73,16 +73,34 @@ _DEMOTED = {
 # beyond-reference analytics/text surface.
 _WINDOW = [
     # table mutations + views (M1-M16, O16-O19, S2/S7/S8, Q3/Q7/Q14)
-    "tbl_insert_snapshot",
+    # r10 window rotation (VERDICT r9 ask #6): driver-verify this
+    # round's flagships — the Hudi-personality MOR leg
+    # (tbl_hudi_mor_read, compact-on-sync `_rt` read) and the r9
+    # consistent-engine split pipeline (tbl_bucket_split_read, which
+    # had no driver row) — plus the long-unchecked
+    # tbl_clustered_snapshot, sessionize_events, minhash_lsh_pairs,
+    # bm25_topk, sole_late_supplier, gopher_quality_flags and
+    # contamination_check, in the slots of nine multi-round-green
+    # plan-shape-covered rows (tbl_insert_snapshot, tbl_delete_snapshot,
+    # tbl_matview_rollup, tbl_incremental_read, tbl_bucket_mor_read,
+    # events_max_ts, top_revenue_orders, knn_batch_join,
+    # doc_repetition_removal — all stay registered past the window and
+    # green in the local sweep; each plan class keeps an in-window
+    # representative: COW snapshot via tbl_upsert_snapshot, the delete
+    # path via tbl_rli_upsert_read + tbl_hudi_mor_read's post-delete
+    # oracle, incremental via tbl_cdf_chain_read/tbl_mor_compacted,
+    # bucket layout via tbl_bucket_upsert_read + tbl_bucket_split_read,
+    # scan+agg via pricing_summary, topN via bm25_topk, kNN via
+    # knn_ivf_trained, text map-stage via text_stats).
     "tbl_upsert_snapshot",
-    "tbl_delete_snapshot",
     "tbl_insert_overwrite_snapshot",
     "tbl_delete_partition_snapshot",
-    "tbl_matview_rollup",
-    "tbl_incremental_read",
     "tbl_dup_key_invariant",
     "tbl_mor_snapshot",
     "tbl_mor_compacted",
+    "tbl_hudi_mor_read",
+    "tbl_bucket_split_read",
+    "tbl_clustered_snapshot",
     "cdc_apply_envelopes",
     # r9 window rotation (VERDICT r8 ask #4): driver-verify the
     # never-checked r8/r9 signatures — the Hudi personality (M15's
@@ -99,19 +117,19 @@ _WINDOW = [
     # plan class keeps at least one in-window representative).
     "tbl_hudi_personality_read",
     "tbl_bootstrap_upsert_read",
-    "tbl_bucket_mor_read",
     "tbl_expr_pruned_read",
     "leakage_free_split",
-    "doc_repetition_removal",
     "returned_item_report",
     "forecast_revenue_change",
     "epoch_shuffle_order",
     "length_bucket_batches",
-    # relational surface (Q1-Q13 + flagship)
+    # relational surface (Q1-Q13 + flagship; r10 adds the TPC-H-Q20-
+    # shaped sole_late_supplier and the sessionizer)
     "pricing_summary",
     "filter_project",
     "join_dim_rollup",
-    "top_revenue_orders",
+    "sole_late_supplier",
+    "sessionize_events",
     # r4 window swap: the reference's SIGNATURE features (the xTable
     # Delta personality, M15, and the delete-propagating incremental
     # chain, S4) take the slots of two trivial scan/agg shapes
@@ -145,7 +163,6 @@ _WINDOW = [
     "tbl_delta_pruned_read",
     "tbl_iceberg_personality_read",
     "tbl_schema_evolved_read",
-    "events_max_ts",
     "tbl_cdf_chain_read",
     "sql_call_pipeline",
     "customers_without_orders",
@@ -167,6 +184,8 @@ _WINDOW = [
     # stays registered past the window and green in the local sweep.
     "sql_dml_indexed_pipeline",
     "near_dup_canonical",
+    "minhash_lsh_pairs",
+    "contamination_check",
     "semantic_dedup_keep",
     # r7 window swap: the record-level index pipeline (key->file probe
     # index with compaction + delete/re-insert cycle — this round's
@@ -190,6 +209,7 @@ _WINDOW = [
     "tbl_partial_update_read",
     "tbl_secondary_pruned_read",
     "quality_classifier_scores",
+    "gopher_quality_flags",
     # similarity suite
     "knn_ivf_trained",
     # r8 late swap: the bucket-index layout pipeline (this round's
@@ -201,9 +221,9 @@ _WINDOW = [
     # green in the local sweep, and its operator class remains
     # driver-covered by knn_batch_join + semantic_dedup_keep.
     "tbl_bucket_upsert_read",
-    "knn_batch_join",
     # text suite representatives
     "text_stats",
+    "bm25_topk",
     # analytics: custom AS-OF join operator + the sessionizer
     # (hash-fix proof)
     "asof_prior_click",
