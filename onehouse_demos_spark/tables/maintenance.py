@@ -50,6 +50,10 @@ def schedule_compaction(table: LakehouseTable) -> CompactionPlan:
     must participate in the merge."""
     from onehouse_demos_spark.tables.table import HIVE_DEFAULT_PARTITION
 
+    # Maintenance rewrites route buckets through _write_files without
+    # the _with_meta stamp — fold any concurrent committed split/resize
+    # first so the rewrite lays files out under the effective map (r10).
+    table._replay_bucket_layout()
     # OCC anchor FIRST, then list: a commit landing between the two is
     # then > planned_from and the publish-time conflict check sees it.
     planned_from = table.timeline.latest_instant()
@@ -339,6 +343,8 @@ def run_clustering(
     With `instant=...`, executes the persisted REQUESTED plan of that
     id (same OCC planned_from staleness abort as compaction) and
     clears the request marker on success."""
+    table._replay_bucket_layout()  # route the rewrite under the
+    # effective (timeline-derived) bucket map, r10
     request_to_clear = None
     if instant is not None:
         req = load_clustering_request(table, instant)
@@ -693,6 +699,7 @@ def run_file_sizing(
     rewritten, and the result is ONE replace-commit (invisible to
     incremental readers, OCC-checked like compaction/clustering).
     """
+    table._replay_bucket_layout()  # effective bucket map first (r10)
     planned_from = table.timeline.latest_instant()
     if target_file_rows is None:
         target_file_rows = table.config.target_file_rows

@@ -915,3 +915,60 @@ def test_auto_split_sql_call_and_modulo_noop(spark, tmp_base):
     ).collect()[0]
     assert row.splits >= 1 and row.buckets > 2
     assert eng.sql("SELECT count(*) AS c FROM ca").collect()[0][0] == 60
+
+
+def test_split_loses_occ_to_concurrent_upsert(spark, tmp_base):
+    """A split racing a concurrent upsert that rewrote the same
+    bucket's files must LOSE OCC (reference multi-writer semantics,
+    multi-writer-1.properties:38-44): the replacecommit aborts, the
+    in-memory map rolls back, the table stays exact, and a retried
+    split succeeds over the new state."""
+    from onehouse_demos_spark.tables.maintenance import split_bucket
+    from onehouse_demos_spark.tables.timeline import ConflictError
+
+    t = _mk_consistent(spark, tmp_base, n=2, n_rows=300)
+    old_map = t._bucket_prefix_list()
+    # the hottest bucket (what split_bucket picks) and a key inside it
+    rows_by_bucket: dict[int, int] = {}
+    for f in t.manifest.live_files():
+        rows_by_bucket[f.bucket] = rows_by_bucket.get(f.bucket, 0) + f.rows
+    hot = max(rows_by_bucket, key=rows_by_bucket.__getitem__)
+    length, prefix = hot >> 16, hot & 0xFFFF
+    victim_key = next(
+        i
+        for i in range(300)
+        if (_py_slot(str(i)) >> (16 - length)) == prefix
+    )
+    other = LakehouseTable.load(spark, t.base_path)
+    orig = t._write_files
+
+    def hijack(df, instant, kind="base", approx_rows=None):
+        adds = orig(df, instant, kind=kind, approx_rows=approx_rows)
+        # concurrent writer lands a commit rewriting the same bucket
+        # BETWEEN the split's write and its publish
+        other.upsert(
+            spark.createDataFrame(
+                [(victim_key, "RACE", 2)], "id int, v string, ver int"
+            )
+        )
+        return adds
+
+    t._write_files = hijack
+    try:
+        with pytest.raises(ConflictError):
+            split_bucket(t)
+    finally:
+        t._write_files = orig
+    # the in-memory map rolled back; the concurrent write won
+    assert t._bucket_prefix_list() == old_map
+    assert {r.v for r in t.snapshot().filter(
+        F.col("id") == victim_key
+    ).collect()} == {"RACE"}
+    assert t.snapshot().count() == 300
+    assert t.snapshot().groupBy("id").count().filter("count > 1").count() == 0
+    # retried split over the post-race state succeeds and stays exact
+    done = split_bucket(t)
+    assert done is not None
+    assert len(t._bucket_prefix_list()) == 3
+    assert t.snapshot().count() == 300
+    assert t.snapshot().groupBy("id").count().filter("count > 1").count() == 0

@@ -95,12 +95,23 @@ def test_driver_window_covers_distinct_operator_classes():
         "tbl_partial_update_read", "tbl_secondary_pruned_read",
         "quality_classifier_scores",
         # r9 rotation: never-driver-checked signatures take the slots
-        # of r8-green plan-shape-covered rows (VERDICT r8 ask #4)
+        # of r8-green plan-shape-covered rows (VERDICT r8 ask #4);
+        # r10 moved tbl_bucket_mor_read and doc_repetition_removal
+        # back out (driver-green in r9, plan classes stay covered by
+        # tbl_bucket_upsert_read/tbl_bucket_split_read and
+        # text_stats/gopher_quality_flags)
         "tbl_hudi_personality_read", "tbl_bootstrap_upsert_read",
-        "tbl_bucket_mor_read", "tbl_expr_pruned_read",
-        "leakage_free_split", "doc_repetition_removal",
+        "tbl_expr_pruned_read",
+        "leakage_free_split",
         "returned_item_report", "forecast_revenue_change",
         "epoch_shuffle_order", "length_bucket_batches",
+        # r10 rotation (VERDICT r9 ask #6): this round's flagships —
+        # the Hudi MOR compact-on-sync read and the consistent-engine
+        # split pipeline — plus the long-unchecked signatures
+        "tbl_hudi_mor_read", "tbl_bucket_split_read",
+        "tbl_clustered_snapshot", "sessionize_events",
+        "minhash_lsh_pairs", "bm25_topk", "sole_late_supplier",
+        "gopher_quality_flags", "contamination_check",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()
