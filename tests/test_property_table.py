@@ -206,3 +206,100 @@ def test_sql_dml_sequence_matches_dict_model(spark, seq):
             assert got == model, (op, key, val, got, model)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_bucket_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _upsert_rows),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.sampled_from(KEYS), min_size=1, max_size=3, unique=True),
+        ),
+        st.tuples(st.just("split"), st.none()),
+        st.tuples(st.just("split_crash"), st.none()),
+        st.tuples(st.just("auto_split"), st.none()),
+    ),
+    min_size=2,
+    max_size=7,
+)
+
+
+@given(ops=_bucket_ops)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bucket_splits_interleaved_with_mutations_match_model(spark, ops):
+    """r10: arbitrary interleavings of upsert / delete with
+    consistent-engine hot-bucket splits, CRASHED splits (replacecommit
+    published, sidecar config rewrite skipped, table reloaded from the
+    stale sidecar) and the auto-split policy. After every op the
+    snapshot must equal the dict model, no key may appear twice, and
+    the prefix map must remain an exact partition of the slot space —
+    the strongest generated stress on the timeline-derived routing
+    map."""
+    from onehouse_demos_spark.tables.maintenance import (
+        run_auto_split,
+        split_bucket,
+    )
+
+    base = tempfile.mkdtemp(prefix="oh_bprop_")
+    try:
+        t = LakehouseTable.create(
+            spark,
+            base + "/t",
+            TableConfig(
+                name="t",
+                record_key=["id"],
+                precombine="ver",
+                bucket_index_buckets=2,
+                bucket_engine="consistent",
+            ),
+        )
+        model: dict = {}
+        for op, payload in ops:
+            if op == "upsert":
+                payload = _dedup_batch(payload)
+                t.upsert(
+                    spark.createDataFrame(payload, "id int, ver int, v string")
+                )
+                _apply_model(model, "upsert", payload)
+            elif op == "delete":
+                t.delete(spark.createDataFrame([(k,) for k in payload], "id int"))
+                _apply_model(model, "delete", payload)
+            elif op == "split":
+                try:
+                    split_bucket(t)  # hottest
+                except ValueError:
+                    pass  # nothing routed yet
+            elif op == "split_crash":
+                saved = t._rewrite_config
+                t._rewrite_config = lambda: None
+                try:
+                    split_bucket(t)
+                except ValueError:
+                    pass
+                finally:
+                    t._rewrite_config = saved
+                # reopen from the STALE sidecar: the timeline must win
+                t = LakehouseTable.load(spark, base + "/t")
+            else:  # auto_split with a tiny target to force activity
+                run_auto_split(t, max_bucket_rows=3)
+            # prefix map stays an exact disjoint cover of the slot space
+            total = sum(
+                1 << (16 - (enc >> 16)) for enc in t._bucket_prefix_list()
+            )
+            assert total == 65536
+            snap = t.snapshot()
+            if not {"id", "ver", "v"}.issubset(set(snap.columns)):
+                assert model == {} and snap.count() == 0
+                continue
+            got = {
+                r.id: (r.ver, r.v)
+                for r in snap.select("id", "ver", "v").collect()
+            }
+            assert got == model, (op, payload, got, model)
+            assert snap.count() == len(model)  # no duplicate keys, ever
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
