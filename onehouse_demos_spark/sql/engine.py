@@ -1268,6 +1268,46 @@ class Engine:
                 ],
                 "instant string, buckets int",
             )
+        if proc == "show_bucket_layout":
+            # r10 observability for the bucket layouts: one row per
+            # bucket — encoded id, prefix (consistent engine), live
+            # files and rows — straight from the manifest, no data IO.
+            if not t.config.bucket_index_buckets:
+                raise ValueError(
+                    f"{name} has no bucket-index layout"
+                )
+            by_bucket: dict[int, list] = {}
+            for fm in t.manifest.live_files(include_logs=True):
+                if fm.bucket is not None:
+                    by_bucket.setdefault(fm.bucket, []).append(fm)
+            consistent = t.config.bucket_engine == "consistent"
+            ids = (
+                t._bucket_prefix_list()
+                if consistent
+                else list(range(t.config.bucket_index_buckets))
+            )
+            rows = []
+            for b in sorted(set(ids) | set(by_bucket)):
+                files = by_bucket.get(b, [])
+                if consistent:
+                    length, prefix = b >> 16, b & 0xFFFF
+                    label = format(prefix, f"0{length}b") if length else "*"
+                else:
+                    label = str(b)
+                rows.append(
+                    (
+                        b,
+                        label,
+                        len(files),
+                        sum(f.rows for f in files),
+                        b in set(ids),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "bucket int, prefix string, files int, rows bigint, "
+                "routed boolean",
+            )
         if proc == "auto_split":
             # r10: the service form — split every over-target bucket,
             # hottest first, until the layout is healthy (the policy
@@ -1394,7 +1434,8 @@ class Engine:
             f"unknown procedure {proc!r}; supported: register_table, "
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
-            "run_clean, resize_buckets, split_bucket, auto_split, show_indexes, "
+            "run_clean, resize_buckets, split_bucket, auto_split, "
+            "show_bucket_layout, show_indexes, "
             "compact_record_index, "
             "archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "

@@ -907,6 +907,7 @@ def read_hudi_snapshot(
     base_path: str,
     partitions: list[str] | None = None,
     as_of: str | None = None,
+    via_metadata: bool = False,
 ) -> DataFrame:
     """Read a Hudi COW table the way a Hudi client's snapshot query
     resolves it — timeline replay, newest slice per file group — and
@@ -914,8 +915,31 @@ def read_hudi_snapshot(
     when the writer populated them, are dropped). `partitions` prunes
     file groups from the timeline metadata before any data IO;
     `as_of` time-travels the replay (valid within the clean
-    retention window, r10)."""
-    paths = hudi_live_files(base_path, partitions=partitions, as_of=as_of)
+    retention window, r10). `via_metadata=True` plans from the
+    metadata table's `files` partition instead of replaying the
+    timeline — ONE small parquet read however long the timeline grows
+    (what a metadata-enabled Hudi reader does; current snapshot only,
+    so it excludes `as_of`)."""
+    if via_metadata:
+        if as_of is not None:
+            raise ValueError(
+                "via_metadata plans the CURRENT snapshot only; "
+                "time travel replays the timeline (as_of without "
+                "via_metadata)"
+            )
+        listing = hudi_metadata_listing(base_path)
+        if partitions is not None:
+            keep = {p or _MDT_ROOT_PARTITION for p in partitions}
+            listing = {p: v for p, v in listing.items() if p in keep}
+        paths = sorted(
+            os.path.join(base_path, name)
+            if part == _MDT_ROOT_PARTITION
+            else os.path.join(base_path, part, name)
+            for part, files in listing.items()
+            for name in files
+        )
+    else:
+        paths = hudi_live_files(base_path, partitions=partitions, as_of=as_of)
     if not paths:
         schema = T.StructType([])
         return spark.createDataFrame([], schema)

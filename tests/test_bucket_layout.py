@@ -972,3 +972,32 @@ def test_split_loses_occ_to_concurrent_upsert(spark, tmp_base):
     assert len(t._bucket_prefix_list()) == 3
     assert t.snapshot().count() == 300
     assert t.snapshot().groupBy("id").count().filter("count > 1").count() == 0
+
+
+def test_show_bucket_layout_call(spark, tmp_base):
+    """CALL show_bucket_layout: per-bucket manifest introspection for
+    both engines — encoded id, slot prefix, live files/rows."""
+    eng = Engine(spark, f"{tmp_base}/wh_layout")
+    eng.sql(
+        "CREATE TABLE lay (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "bucketIndexBuckets='2', bucketIndexEngine='consistent')"
+    )
+    eng.sql(
+        "INSERT INTO lay VALUES "
+        + ", ".join(f"({i}, 'v{i}', 1)" for i in range(60))
+    )
+    rows = eng.sql("CALL show_bucket_layout(table => 'lay')").collect()
+    assert len(rows) == 2
+    assert {r.prefix for r in rows} == {"0", "1"}
+    assert sum(r.rows for r in rows) == 60
+    assert all(r.routed for r in rows)
+    eng.sql("CALL split_bucket(table => 'lay')")
+    rows2 = eng.sql("CALL show_bucket_layout(table => 'lay')").collect()
+    assert len(rows2) == 3
+    assert sum(r.rows for r in rows2) == 60
+    assert {len(r.prefix) for r in rows2} == {1, 2}
+    with pytest.raises(ValueError, match="no bucket-index layout"):
+        eng.sql("CREATE TABLE plainl (id INT) USING lakehouse "
+                "TBLPROPERTIES (primaryKey='id')")
+        eng.sql("CALL show_bucket_layout(table => 'plainl')")

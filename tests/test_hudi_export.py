@@ -685,3 +685,27 @@ def test_metadata_listing_matches_live_files(spark, tmp_base):
         for name, size in files.items():
             rel = name if part == "." else f"{part}/{name}"
             assert size == os.stat(os.path.join(t.base_path, rel)).st_size
+
+
+def test_snapshot_via_metadata_table(spark, tmp_base):
+    """via_metadata=True plans the read from the metadata table's
+    files partition (one small parquet read, no timeline replay, no
+    listing) — and must equal the timeline-replayed snapshot,
+    including after a rewrite and with partition pruning."""
+    t = _mk(spark, tmp_base, partitioned=True)
+    sync_hudi_metadata(t)
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_hudi_metadata(t)
+    want = _rows(read_hudi_snapshot(spark, t.base_path))
+    got = _rows(read_hudi_snapshot(spark, t.base_path, via_metadata=True))
+    assert got == want
+    goog = read_hudi_snapshot(
+        spark, t.base_path, partitions=["sym=GOOG"], via_metadata=True
+    )
+    assert {r.sym for r in goog.select("sym").distinct().collect()} == {
+        "GOOG"
+    }
+    with pytest.raises(ValueError, match="CURRENT snapshot"):
+        read_hudi_snapshot(
+            spark, t.base_path, as_of="0", via_metadata=True
+        )
