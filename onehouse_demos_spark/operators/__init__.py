@@ -99,6 +99,13 @@ _WINDOW = [
     "tbl_mor_snapshot",
     "tbl_mor_compacted",
     "tbl_hudi_mor_read",
+    # r10 late swap: the genuine `_rt` leg — REAL HoodieLogFormat log
+    # blocks merged at read, no compaction anywhere (this round's
+    # flagship; builder raises if anything compacted) — takes the slot
+    # of tbl_delta_pruned_read, whose personality-read plan class
+    # stays driver-covered by tbl_delta_personality_read (it remains
+    # registered past the window and green in the local sweep).
+    "tbl_hudi_rt_read",
     "tbl_bucket_split_read",
     "tbl_clustered_snapshot",
     "cdc_apply_envelopes",
@@ -160,7 +167,6 @@ _WINDOW = [
     # stays driver-covered by knn_ivf_trained, which subsumes the
     # bucketed probe with a trained coarse quantizer).
     "tbl_delta_personality_read",
-    "tbl_delta_pruned_read",
     "tbl_iceberg_personality_read",
     "tbl_schema_evolved_read",
     "tbl_cdf_chain_read",

@@ -1293,6 +1293,84 @@ def tbl_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_HUDI_MOR_READ_SQL = TBL_DELETE_SNAPSHOT_SQL
 
 
+_HUDI_RT_CACHE: dict = {}
+
+
+def _build_hudi_rt(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """MOR pipeline for the GENUINE `_rt` personality leg (r10):
+    insert -> log upserts -> log deletes, then
+    `sync_hudi_metadata(mor_rt=True)` publishes the un-compacted logs
+    as real HoodieLogFormat AVRO data blocks under a deltacommit — NO
+    compaction anywhere, so the read must merge base + log blocks
+    itself (the reference's `_rt` freshness demo,
+    `README.md:756-776`). The builder raises unless the engine logs
+    are STILL live after the sync (proving nothing compacted) and
+    unless real `.log.` files exist in the personality."""
+    if sf_dir in _HUDI_RT_CACHE:
+        return _HUDI_RT_CACHE[sf_dir]
+    import os as _os
+
+    from onehouse_demos_spark.tables.hudi_export import sync_hudi_metadata
+
+    tmp = tempfile.mkdtemp(prefix="oh_hudirt_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_hudi_rt",
+        TableConfig(
+            name="orders_hudi_rt",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="mor",
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    sync_hudi_metadata(t, mor_rt=True)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+    )
+    sync_hudi_metadata(t, mor_rt=True)
+    if not any(
+        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
+    ):
+        raise RuntimeError(
+            "tbl_hudi_rt_read: engine logs vanished — something "
+            "compacted; the rt read would be vacuous"
+        )
+    hoodie = _os.path.join(t.base_path, ".hoodie")
+    if not any(
+        n.endswith(".deltacommit") for n in _os.listdir(hoodie)
+    ):
+        raise RuntimeError("tbl_hudi_rt_read: no deltacommit published")
+    _HUDI_RT_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_hudi_rt_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 MOR `_rt` driver face: merge base slices with REAL
+    HoodieLogFormat log blocks (no compaction anywhere) — upserts
+    applied, deletes dropped; oracle recomputes the merged state from
+    `orders`."""
+    from onehouse_demos_spark.tables.hudi_export import read_hudi_rt
+
+    t = _build_hudi_rt(spark, sf_dir)
+    return _project(read_hudi_rt(spark, t.base_path))
+
+
+TBL_HUDI_RT_READ_SQL = _SQL_BASE.format(
+    where="WHERE o_orderkey % 9 <> 0", **_AFTER_UPSERT
+)
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -1321,6 +1399,7 @@ QUERIES = {
     "tbl_bucket_mor_read": tbl_bucket_mor_read,
     "tbl_bucket_split_read": tbl_bucket_split_read,
     "tbl_hudi_mor_read": tbl_hudi_mor_read,
+    "tbl_hudi_rt_read": tbl_hudi_rt_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -1355,6 +1434,7 @@ ORACLES = {
     "tbl_bucket_mor_read": TBL_BUCKET_MOR_READ_SQL,
     "tbl_bucket_split_read": TBL_BUCKET_SPLIT_READ_SQL,
     "tbl_hudi_mor_read": TBL_HUDI_MOR_READ_SQL,
+    "tbl_hudi_rt_read": TBL_HUDI_RT_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,

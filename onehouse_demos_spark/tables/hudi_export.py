@@ -178,7 +178,9 @@ def _table_checksum(props: dict[str, str]) -> str:
     return str(zlib.crc32(blob.encode("utf-8")))
 
 
-def _hoodie_properties(table: LakehouseTable, part_cols: list[str]) -> str:
+def _hoodie_properties(
+    table: LakehouseTable, part_cols: list[str], mor_rt: bool = False
+) -> str:
     cfg = table.config
     keygen = (
         "org.apache.hudi.keygen.NonpartitionedKeyGenerator"
@@ -191,7 +193,10 @@ def _hoodie_properties(table: LakehouseTable, part_cols: list[str]) -> str:
     )
     props = {
         "hoodie.table.name": cfg.name,
-        "hoodie.table.type": "COPY_ON_WRITE",  # RO personality even for MOR
+        # rt mode (r10): a genuine MERGE_ON_READ personality — base
+        # slices + real HoodieLogFormat log files; otherwise the
+        # read-optimized COPY_ON_WRITE face
+        "hoodie.table.type": "MERGE_ON_READ" if mor_rt else "COPY_ON_WRITE",
         "hoodie.table.version": "6",
         "hoodie.timeline.layout.version": "1",
         "hoodie.table.base.file.format": "PARQUET",
@@ -354,10 +359,18 @@ def _mor_log_guard(table: LakehouseTable, compact_mor: bool) -> None:
             )
 
 
+#: rt-mode log-sync size gate: the driver encodes the un-compacted
+#: tail into log blocks, so the tail must be bounded — bigger tails
+#: take the compaction path, Hudi's own inline-compact pressure valve.
+RT_LOG_GATE_ROWS = 100_000
+
+
 def sync_hudi_metadata(
     table: LakehouseTable,
     compact_mor: bool = False,
     metadata_table: bool = True,
+    mor_rt: bool = False,
+    rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
 ) -> int:
     """Write/refresh the `.hoodie` personality over the table's live
     BASE files. Returns the number of completed Hudi instants after
@@ -371,8 +384,17 @@ def sync_hudi_metadata(
     semantics, so timeline-referenced reads and external readers
     mid-scan never lose a file. With `metadata_table` (default), each
     sync also refreshes `.hoodie/metadata/files` so readers plan from
-    metadata instead of listing."""
-    if table.config.table_type == "mor":
+    metadata instead of listing.
+
+    `mor_rt=True` (r10, the genuine `_rt` leg): the personality
+    declares MERGE_ON_READ and each sync ALSO publishes the engine's
+    un-compacted log files as real HoodieLogFormat AVRO data blocks
+    attached to their exact file groups, under deltacommit instants —
+    external readers get the reference's headline `_rt` freshness
+    (`README.md:343-344,756-776`) with no forced compaction. The log
+    tail is size-gated (`rt_log_gate_rows`); a bigger tail takes the
+    compaction path, Hudi's own inline-compact pressure valve."""
+    if table.config.table_type == "mor" and not mor_rt:
         _mor_log_guard(table, compact_mor)
     live = [
         f
@@ -390,10 +412,12 @@ def sync_hudi_metadata(
     removed = [p for p in sorted(known) if p not in live_by_path]
     props_path = os.path.join(hoodie, "hoodie.properties")
     if not adds and not removed and os.path.exists(props_path):
+        if mor_rt:
+            _sync_rt_logs(table, hoodie, state, part_cols, rt_log_gate_rows)
         return len(state["instants"])
     if not os.path.exists(props_path):
         with open(props_path, "w") as fh:
-            fh.write(_hoodie_properties(table, part_cols))
+            fh.write(_hoodie_properties(table, part_cols, mor_rt=mor_rt))
 
     instant = _next_instant(state)
     part_stats: dict[str, list[dict]] = {}
@@ -508,7 +532,207 @@ def sync_hudi_metadata(
     _save_state(hoodie, state)
     if metadata_table:
         _sync_metadata_table(table, hoodie, instant, known)
+    if mor_rt:
+        _sync_rt_logs(table, hoodie, state, part_cols, rt_log_gate_rows)
     return len(state["instants"])
+
+
+def _sync_rt_logs(
+    table: LakehouseTable,
+    hoodie: str,
+    state: dict,
+    part_cols: list[str],
+    gate_rows: int,
+) -> int:
+    """Publish the engine's un-compacted log files as real
+    HoodieLogFormat AVRO data blocks under ONE deltacommit instant
+    (r10 `_rt` leg). Each engine log file becomes one Hudi log file
+    attached to its EXACT file group — single-group partitions attach
+    directly; multi-group partitions resolve key->group with one
+    column-pruned Spark probe of the partition's base keys (exact
+    under the engine's dup-key invariant; new keys attach to the
+    first group, which is where Hudi's index puts log-borne inserts).
+    File versions increase in engine-commit order per group, so a
+    sequential log reader applies blocks in the same order the engine
+    committed them. Records carry the engine row (meta columns
+    included — the same columns the hardlinked base slices already
+    expose) plus Hudi's public `_hoodie_is_deleted` soft-delete flag.
+
+    Driver-side encoding is size-gated (`gate_rows` across the
+    un-synced tail): the tail is the fresh un-compacted delta by
+    construction, and bigger tails take the compaction path —
+    exactly Hudi's inline-compaction pressure valve."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.tables.hudi_log import (
+        encode_records,
+        write_avro_log_file,
+    )
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    known = state["files"]
+    synced = state.setdefault("logs", {})
+    versions = state.setdefault("log_versions", {})
+    live_logs = {
+        f.path: f
+        for f in table.manifest.live_files(include_logs=True)
+        if f.kind == "log"
+    }
+    # engine logs that vanished (compaction/overwrite retired their
+    # groups): retire the published slices to the clean horizon
+    vanish_instant = state["instants"][-1] if state["instants"] else "0"
+    for p in sorted(set(synced) - set(live_logs)):
+        for sl in synced.pop(p)["slices"]:
+            state["retired"][sl["hudi_path"]] = {
+                "instant": vanish_instant,
+                "file_id": sl["file_id"],
+                "partition": sl["partition"],
+            }
+    new_paths = sorted(set(live_logs) - set(synced))  # path ⇒ commit order
+    if not new_paths:
+        _save_state(hoodie, state)
+        return 0
+    total_rows = sum(live_logs[p].rows for p in new_paths)
+    if total_rows > gate_rows:
+        raise RuntimeError(
+            f"rt log sync: {total_rows} un-synced log rows exceed the "
+            f"{gate_rows}-row gate; run compaction (or "
+            "sync_hudi_metadata(compact_mor=True)) instead — the rt "
+            "leg is for the fresh tail, not bulk history"
+        )
+    # file groups per partition, from the personality's own base map
+    groups: dict[str, list[tuple[str, str]]] = {}
+    for ent in known.values():
+        groups.setdefault(ent["partition"], []).append(
+            (ent["file_id"], ent["instant"])
+        )
+    for part in groups:
+        groups[part].sort()
+    base_by_fid = {
+        ent["file_id"]: p for p, ent in known.items()
+    }
+    schema_df = None
+    instant = _next_instant(state)
+    part_stats: dict[str, list[dict]] = {}
+    for p in new_paths:
+        fm = live_logs[p]
+        partition = _partition_rel_dir(
+            part_cols, _partition_values(fm, part_cols)
+        )
+        part_groups = groups.get(partition)
+        if not part_groups:
+            raise RuntimeError(
+                f"rt log sync: engine log {p} has no synced base file "
+                f"group in partition {partition!r}; sync after the "
+                "first base commit"
+            )
+        df = table.spark.read.parquet(os.path.join(table.base_path, p))
+        schema_df = df
+        if len(part_groups) == 1:
+            assigned = [(part_groups[0], r) for r in df.collect()]
+        else:
+            # exact key->group probe: column-pruned scan of the
+            # partition's base keys, one small broadcast join
+            probes = None
+            for fid, _binst in part_groups:
+                b = table.spark.read.parquet(
+                    os.path.join(table.base_path, base_by_fid[fid])
+                ).select(KEY_COL, F.lit(fid).alias("_fid"))
+                probes = b if probes is None else probes.unionByName(b)
+            joined = df.join(
+                probes, KEY_COL, "left"
+            ).withColumn("_fid", F.coalesce(F.col("_fid"), F.lit(part_groups[0][0])))
+            by_fid = dict(part_groups)
+            assigned = [
+                ((r["_fid"], by_fid[r["_fid"]]), r)
+                for r in joined.collect()
+            ]
+        # group rows per target file group, preserving row order
+        per_group: dict[tuple[str, str], list] = {}
+        for grp, row in assigned:
+            per_group.setdefault(grp, []).append(row)
+        avro_schema = _avro_schema(
+            T.StructType(
+                [f for f in df.schema.fields]
+                + [T.StructField("_hoodie_is_deleted", T.BooleanType(), False)]
+            ),
+            table.config.name,
+        )
+        slices = []
+        for (fid, binst), rows in sorted(per_group.items()):
+            version = versions.get(fid, 0) + 1
+            versions[fid] = version
+            name = f".{fid}_{binst}.log.{version}_{_WRITE_TOKEN}"
+            part_dir = (
+                os.path.join(table.base_path, partition)
+                if partition
+                else table.base_path
+            )
+            os.makedirs(part_dir, exist_ok=True)
+            dicts = []
+            for r in rows:
+                d = r.asDict(recursive=True)
+                d.pop("_fid", None)
+                d["_hoodie_is_deleted"] = bool(d.get(DELETED_COL))
+                dicts.append(d)
+            write_avro_log_file(
+                os.path.join(part_dir, name),
+                instant,
+                avro_schema,
+                encode_records(dicts, avro_schema),
+            )
+            rel = f"{partition}/{name}" if partition else name
+            stat = _write_stat(
+                partition, fid, rel, 0, os.stat(
+                    os.path.join(part_dir, name)
+                ).st_size, "numUpdateWrites"
+            )
+            stat["totalLogRecords"] = len(dicts)
+            stat["totalLogBlocks"] = 1
+            part_stats.setdefault(partition, []).append(stat)
+            slices.append(
+                {
+                    "hudi_path": rel,
+                    "file_id": fid,
+                    "partition": partition,
+                    "version": version,
+                }
+            )
+        synced[p] = {"slices": slices}
+    meta = {
+        "partitionToWriteStats": part_stats,
+        "compacted": False,
+        "extraMetadata": {
+            "schema": _avro_schema(schema_df.schema, table.config.name)
+            if schema_df is not None
+            else "{}"
+        },
+        "operationType": "UPSERT",
+    }
+    with open(
+        os.path.join(hoodie, f"{instant}.deltacommit.requested"), "w"
+    ) as fh:
+        fh.write("")
+    with open(
+        os.path.join(hoodie, f"{instant}.deltacommit.inflight"), "w"
+    ) as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {},
+                "compacted": False,
+                "extraMetadata": {},
+                "operationType": "UPSERT",
+            },
+            fh,
+            indent=2,
+        )
+    tmp = os.path.join(hoodie, f".{instant}.deltacommit.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    os.replace(tmp, os.path.join(hoodie, f"{instant}.deltacommit"))
+    state["instants"].append(instant)
+    _save_state(hoodie, state)
+    return len(new_paths)
 
 
 # -- metadata table (`.hoodie/metadata/files`) ------------------------------
@@ -822,10 +1046,29 @@ def hudi_live_files(
     replay at that instant (Hudi time travel) — the r10 retention
     contract keeps replaced slices readable until
     `clean_hudi_personality` ages them past the horizon."""
+    groups, _logs = _live_file_groups(base_path, as_of=as_of)
+    if partitions is not None:
+        keep = set(partitions)
+        groups = {
+            (p, fid): v for (p, fid), v in groups.items() if p in keep
+        }
+    return sorted(
+        os.path.join(base_path, rel) for _, rel in groups.values()
+    )
+
+
+def _live_file_groups(
+    base_path: str, as_of: str | None = None
+) -> tuple[dict, dict]:
+    """Timeline replay core: newest base slice per live (partition,
+    fileId) group, plus each live group's log slices (r10 rt leg,
+    from deltacommit write stats) ordered by file version. Replaced
+    groups drop with their logs — exactly Hudi's file-system view."""
     hoodie = _hoodie_dir(base_path)
     if not os.path.isdir(hoodie):
         raise FileNotFoundError(f"no .hoodie directory under {base_path}")
     groups: dict[tuple[str, str], tuple[str, str]] = {}
+    logs: dict[tuple[str, str], list[tuple[int, str]]] = {}
     for instant, action in _completed_instants(hoodie):
         if as_of is not None and instant > as_of:
             continue
@@ -835,9 +1078,18 @@ def hudi_live_files(
             for st in stats:
                 path = st.get("path")
                 file_id = st.get("fileId")
-                if not path or not file_id or not path.endswith(".parquet"):
-                    continue  # log files / placeholder stats
+                if not path or not file_id:
+                    continue
                 key = (partition, file_id)
+                if ".log." in os.path.basename(path):
+                    # `.{fid}_{baseInstant}.log.{version}_{token}`
+                    ver = int(
+                        os.path.basename(path).split(".log.")[1].split("_")[0]
+                    )
+                    logs.setdefault(key, []).append((ver, path))
+                    continue
+                if not path.endswith(".parquet"):
+                    continue  # placeholder stats
                 if key not in groups or groups[key][0] < instant:
                     groups[key] = (instant, path)
         for partition, ids in (
@@ -845,14 +1097,9 @@ def hudi_live_files(
         ).items():
             for file_id in ids:
                 groups.pop((partition, file_id), None)
-    if partitions is not None:
-        keep = set(partitions)
-        groups = {
-            (p, fid): v for (p, fid), v in groups.items() if p in keep
-        }
-    return sorted(
-        os.path.join(base_path, rel) for _, rel in groups.values()
-    )
+                logs.pop((partition, file_id), None)
+    logs = {k: sorted(v) for k, v in logs.items() if k in groups}
+    return groups, logs
 
 
 def read_hudi_incremental(
@@ -900,6 +1147,92 @@ def read_hudi_incremental(
     df = spark.read.parquet(*sorted(paths))
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
     return df.drop(*meta_cols) if meta_cols else df
+
+
+def _from_avro_value(v, spark_type: T.DataType):
+    """Decode an Avro-decoded scalar back to the Spark-side Python
+    value its base-file column carries (logical types ride base
+    types in the codec)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if v is None:
+        return None
+    if isinstance(spark_type, T.DecimalType) and isinstance(v, (bytes, bytearray)):
+        return _Dec(int.from_bytes(v, "big", signed=True)).scaleb(
+            -spark_type.scale
+        )
+    if isinstance(spark_type, T.TimestampType) and isinstance(v, int):
+        return _dt.datetime.fromtimestamp(v / 1_000_000, _dt.timezone.utc)
+    if isinstance(spark_type, T.DateType) and isinstance(v, int):
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    return v
+
+
+def read_hudi_rt(
+    spark: SparkSession,
+    base_path: str,
+    partitions: list[str] | None = None,
+) -> DataFrame:
+    """The `_rt` (real-time) view of a MERGE_ON_READ personality (r10
+    — the reference's headline freshness demo, `README.md:756-776`):
+    newest base slice per live file group MERGED with its
+    HoodieLogFormat log blocks, applied in file-version order (the
+    engine-commit order the sync preserved), newest commit per record
+    key wins, `_hoodie_is_deleted` rows drop. The log tail is
+    size-gated at sync time, so the driver-side block decode here is
+    bounded by construction; the base scan stays a plain distributed
+    parquet read."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.tables.hudi_log import parse_log_file
+    from onehouse_demos_spark.tables.table import (
+        COMMIT_COL,
+        KEY_COL,
+    )
+
+    groups, logs = _live_file_groups(base_path)
+    if partitions is not None:
+        keep = set(partitions)
+        groups = {k: v for k, v in groups.items() if k[0] in keep}
+        logs = {k: v for k, v in logs.items() if k[0] in keep}
+    base_paths = sorted(
+        os.path.join(base_path, rel) for _, rel in groups.values()
+    )
+    if not base_paths:
+        return spark.createDataFrame([], T.StructType([]))
+    base_df = spark.read.parquet(*base_paths)
+    records: list[dict] = []
+    for key in sorted(logs):
+        for _ver, rel in logs[key]:
+            for block in parse_log_file(os.path.join(base_path, rel)):
+                records.extend(block.get("records") or [])
+    hoodie_cols = [c for c in base_df.columns if c.startswith("_hoodie_")]
+    if not records:
+        out = base_df
+        if DELETED_COL in out.columns:
+            out = out.filter(~F.col(DELETED_COL))
+        return out.drop(*hoodie_cols) if hoodie_cols else out
+    rows = []
+    for rec in records:
+        rows.append(
+            tuple(
+                _from_avro_value(rec.get(f.name), f.dataType)
+                for f in base_df.schema.fields
+            )
+        )
+    log_df = spark.createDataFrame(rows, base_df.schema)
+    merged = base_df.unionByName(log_df)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(KEY_COL).orderBy(F.col(COMMIT_COL).desc())
+    out = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .filter(~F.col(DELETED_COL))
+    )
+    return out.drop(*hoodie_cols) if hoodie_cols else out
 
 
 def read_hudi_snapshot(

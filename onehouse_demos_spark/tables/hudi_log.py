@@ -1,0 +1,244 @@
+"""HoodieLogFormat writer + parser (pure Python) — real Hudi log
+files for the personality's MERGE_ON_READ leg (r10, VERDICT r9
+missing #2 option A: the reference's flagship MOR story registers a
+`_rt` view whose freshness comes from log files, `README.md:343-344,
+756-776`).
+
+Format (public Hudi on-disk spec, version 1), pinned structurally
+against the reference's COMMITTED log files
+(`hudi_dimCustomer/.hoodie/metadata/files/.files-0000-0_...log.*` —
+written by real Hudi 0.14; see tests/test_hudi_log.py):
+
+    #HUDI#                                  6-byte magic
+    u64  blocksize                          bytes after this field,
+                                            INCLUDING the u64 trailer
+    u32  log format version (1)
+    u32  block type ordinal                 0=COMMAND 1=DELETE
+                                            2=CORRUPT 3=AVRO_DATA
+                                            4=HFILE_DATA 5=PARQUET_DATA
+    u32  header count
+      per header: u32 key ordinal           0=INSTANT_TIME 1=TARGET_
+                                            INSTANT_TIME 2=SCHEMA ...
+                  u32 length + UTF-8 bytes
+    u64  content length
+    content
+    u32  footer count (0)
+    u64  total block length                 bytes from magic through
+                                            footer count (file length
+                                            minus this trailer) — lets
+                                            readers walk backwards
+
+AVRO_DATA_BLOCK content (HoodieAvroDataBlock):
+
+    u32  content format version (3)
+    u32  record count
+      per record: u32 length + Avro binary-encoded record bytes
+
+Records are encoded/decoded with the repo's pure-Python Avro codec
+(`sources/avro_codec.py`) — the same codec the CDC decoders use.
+Deletes ride as `_hoodie_is_deleted=true` rows inside data blocks
+(Hudi's public soft-delete convention), so no version-fragile
+DELETE_BLOCK serialization is needed.
+
+Scale note: a log file is inherently a single-writer artifact (Hudi
+writes one per task); the personality's log sync is size-gated (see
+hudi_export.sync_hudi_metadata) so the driver only ever encodes the
+bounded un-compacted tail — the big-tail path is compaction, exactly
+like Hudi's own inline-compaction pressure valve.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from datetime import date, datetime, timezone
+from decimal import Decimal
+
+MAGIC = b"#HUDI#"
+LOG_FORMAT_VERSION = 1
+
+BLOCK_COMMAND = 0
+BLOCK_DELETE = 1
+BLOCK_CORRUPT = 2
+BLOCK_AVRO_DATA = 3
+BLOCK_HFILE_DATA = 4
+BLOCK_PARQUET_DATA = 5
+
+HEADER_INSTANT_TIME = 0
+HEADER_TARGET_INSTANT_TIME = 1
+HEADER_SCHEMA = 2
+HEADER_COMMAND_BLOCK_TYPE = 3
+
+AVRO_CONTENT_VERSION = 3
+
+
+def _avro_ready(v, field_schema):
+    """Coerce a Spark/Python value to what the Avro codec encodes for
+    the personality schemas (logical types ride their base types):
+    Decimal -> two's-complement unscaled big-endian bytes, datetime ->
+    micros since epoch, date -> days since epoch."""
+    if isinstance(v, Decimal):
+        scale = 0
+        if isinstance(field_schema, dict):
+            scale = int(field_schema.get("scale", 0))
+        unscaled = int(v.scaleb(scale))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
+    if isinstance(v, datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, date):
+        return (v - date(1970, 1, 1)).days
+    if (
+        field_schema == "string"
+        and v is not None
+        and not isinstance(v, str)
+    ):
+        # containers/structs string-encode in the personality schema
+        # (the parquet footer stays the source of truth)
+        return str(v)
+    return v
+
+
+def _field_value_schema(field_type):
+    """The non-null branch of a field type (for logical-type params)."""
+    if isinstance(field_type, list):
+        for t in field_type:
+            if t != "null":
+                return t
+        return "null"
+    return field_type
+
+
+def encode_records(rows: list[dict], schema_json: str) -> list[bytes]:
+    """Avro-binary encode dict rows under the given record schema."""
+    from onehouse_demos_spark.sources.avro_codec import AvroSchema, encode
+
+    sch_dict = json.loads(schema_json)
+    sch = AvroSchema(sch_dict)
+    by_name = {f["name"]: f["type"] for f in sch_dict["fields"]}
+    out = []
+    for row in rows:
+        prepared = {
+            name: _avro_ready(
+                row.get(name), _field_value_schema(ftype)
+            )
+            for name, ftype in by_name.items()
+        }
+        out.append(encode(prepared, sch))
+    return out
+
+
+def write_avro_log_file(
+    path: str,
+    instant: str,
+    schema_json: str,
+    records: list[bytes],
+) -> None:
+    """One log file holding one AVRO_DATA_BLOCK (Hudi writes one block
+    per appended batch; the personality maps one engine log file to
+    one Hudi log file, preserving engine-commit order in the file
+    version number)."""
+    content = struct.pack(">II", AVRO_CONTENT_VERSION, len(records))
+    content += b"".join(
+        struct.pack(">I", len(r)) + r for r in records
+    )
+    headers = [
+        (HEADER_INSTANT_TIME, instant.encode()),
+        (HEADER_SCHEMA, schema_json.encode()),
+    ]
+    body = struct.pack(">II", LOG_FORMAT_VERSION, BLOCK_AVRO_DATA)
+    body += struct.pack(">I", len(headers))
+    for k, v in headers:
+        body += struct.pack(">II", k, len(v)) + v
+    body += struct.pack(">Q", len(content)) + content
+    body += struct.pack(">I", 0)  # footer count
+    # blocksize counts everything after its own field INCLUDING the
+    # u64 trailer; the trailer counts everything BEFORE itself
+    # (fixture framing: size = filelen-14, total = filelen-8).
+    blob = MAGIC + struct.pack(">Q", len(body) + 8) + body
+    blob += struct.pack(">Q", len(blob))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    import os
+
+    os.replace(tmp, path)
+
+
+def parse_log_file(path: str) -> list[dict]:
+    """Parse every block of a HoodieLogFormat file: [{version, type,
+    headers: {ordinal: bytes}, content: bytes, records: [dict] (for
+    AVRO_DATA blocks)}]. Consumes REAL Hudi files (fixture-tested) and
+    this module's own output alike."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    blocks = []
+    pos = 0
+    while pos < len(buf):
+        if buf[pos : pos + 6] != MAGIC:
+            raise ValueError(
+                f"{path}: expected #HUDI# magic at offset {pos}"
+            )
+        start = pos
+        pos += 6
+        blocksize = struct.unpack(">Q", buf[pos : pos + 8])[0]
+        pos += 8
+        end = pos + blocksize  # includes the u64 trailer
+        version, btype = struct.unpack(">II", buf[pos : pos + 8])
+        pos += 8
+        nhdr = struct.unpack(">I", buf[pos : pos + 4])[0]
+        pos += 4
+        headers: dict[int, bytes] = {}
+        for _ in range(nhdr):
+            k, ln = struct.unpack(">II", buf[pos : pos + 8])
+            pos += 8
+            headers[k] = buf[pos : pos + ln]
+            pos += ln
+        clen = struct.unpack(">Q", buf[pos : pos + 8])[0]
+        pos += 8
+        content = buf[pos : pos + clen]
+        pos += clen
+        nfoot = struct.unpack(">I", buf[pos : pos + 4])[0]
+        pos += 4
+        for _ in range(nfoot):
+            _k, ln = struct.unpack(">II", buf[pos : pos + 8])
+            pos += 8 + ln
+        total = struct.unpack(">Q", buf[pos : pos + 8])[0]
+        pos += 8
+        if total != pos - 8 - start:
+            raise ValueError(
+                f"{path}: trailer total {total} != block span "
+                f"{pos - 8 - start}"
+            )
+        if pos != end:
+            raise ValueError(
+                f"{path}: blocksize {blocksize} inconsistent with "
+                f"parsed block end ({pos} != {end})"
+            )
+        block = {
+            "version": version,
+            "type": btype,
+            "headers": headers,
+            "content": content,
+        }
+        if btype == BLOCK_AVRO_DATA and HEADER_SCHEMA in headers:
+            from onehouse_demos_spark.sources.avro_codec import (
+                AvroSchema,
+                decode,
+            )
+
+            sch = AvroSchema(json.loads(headers[HEADER_SCHEMA].decode()))
+            cver, nrec = struct.unpack(">II", content[:8])
+            cp = 8
+            records = []
+            for _ in range(nrec):
+                rl = struct.unpack(">I", content[cp : cp + 4])[0]
+                cp += 4
+                records.append(decode(content[cp : cp + rl], sch))
+                cp += rl
+            block["content_version"] = cver
+            block["records"] = records
+        blocks.append(block)
+    return blocks

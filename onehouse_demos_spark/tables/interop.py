@@ -39,6 +39,7 @@ from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
     hudi_live_files,
     hudi_metadata_listing,
     read_hudi_incremental,
+    read_hudi_rt,
     read_hudi_snapshot,
     sync_hudi_metadata,
 )

@@ -108,7 +108,7 @@ def test_driver_window_covers_distinct_operator_classes():
         # r10 rotation (VERDICT r9 ask #6): this round's flagships —
         # the Hudi MOR compact-on-sync read and the consistent-engine
         # split pipeline — plus the long-unchecked signatures
-        "tbl_hudi_mor_read", "tbl_bucket_split_read",
+        "tbl_hudi_mor_read", "tbl_hudi_rt_read", "tbl_bucket_split_read",
         "tbl_clustered_snapshot", "sessionize_events",
         "minhash_lsh_pairs", "bm25_topk", "sole_late_supplier",
         "gopher_quality_flags", "contamination_check",
