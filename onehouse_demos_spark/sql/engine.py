@@ -589,8 +589,36 @@ class Engine:
                     pass
                 continue
             df.createOrReplaceTempView(name)
+            self._register_hudi_mor_pair(name)
             if token is not None:
                 self._external_view_tokens[name] = token
+
+    def _register_hudi_mor_pair(self, name: str) -> None:
+        """A registered MERGE_ON_READ Hudi personality gets the
+        reference's hive-sync view pair (README.md:343-344):
+        `<name>_ro` (base slices only) and `<name>_rt` (base + real
+        HoodieLogFormat log blocks merged at read — r10 rt leg)."""
+        fmt, loc = self._external[name]
+        if fmt != "hudi":
+            return
+        props = os.path.join(loc, ".hoodie", "hoodie.properties")
+        try:
+            with open(props) as fh:
+                if "hoodie.table.type=MERGE_ON_READ" not in fh.read():
+                    return
+        except OSError:
+            return
+        from onehouse_demos_spark.tables.hudi_export import (
+            read_hudi_rt,
+            read_hudi_snapshot,
+        )
+
+        read_hudi_snapshot(self.spark, loc).createOrReplaceTempView(
+            f"{name}_ro"
+        )
+        read_hudi_rt(self.spark, loc).createOrReplaceTempView(
+            f"{name}_rt"
+        )
 
     def _external_token(self, name: str):
         """Cheap metadata-version probe for an external registration:
@@ -1376,12 +1404,28 @@ class Engine:
                         sync_hudi_metadata,
                     )
 
-                    # The hudi leg auto-compacts MOR tables first (r10)
-                    # so the personality is `_rt`-fresh — the documented
-                    # compact-on-sync contract for the reference's MOR
-                    # freshness demo (README.md:756-776).
+                    # MOR freshness (README.md:756-776), two modes
+                    # (r10): 'compact' (default) folds logs through
+                    # the engine's compaction; 'rt' publishes them as
+                    # real HoodieLogFormat blocks under deltacommits —
+                    # no rewrite, a genuine `_rt` personality.
+                    hudi_mode = (
+                        arg("hudi_mode", default="compact") or "compact"
+                    ).lower()
+                    if hudi_mode not in ("compact", "rt"):
+                        raise ValueError(
+                            f"xtable_sync: hudi_mode {hudi_mode!r}; "
+                            "one of: compact, rt"
+                        )
                     rows.append(
-                        ("hudi", sync_hudi_metadata(t, compact_mor=True))
+                        (
+                            "hudi",
+                            sync_hudi_metadata(
+                                t,
+                                compact_mor=hudi_mode == "compact",
+                                mor_rt=hudi_mode == "rt",
+                            ),
+                        )
                     )
                 else:
                     raise ValueError(
@@ -1619,6 +1663,9 @@ class Engine:
                 raise
             self._persist_external()
             df.createOrReplaceTempView(name)
+            # MERGE_ON_READ personalities get the reference's
+            # hive-sync `_ro`/`_rt` pair (README.md:343-344)
+            self._register_hudi_mor_pair(name)
             kind = "external-hudi"
         elif fmt in ("delta", "iceberg", "parquet"):
             self._external[name] = (fmt, loc)

@@ -48,6 +48,7 @@ class Streamer:
         inline_split_every: int | None = None,
         inline_xtable_sync_every: int | None = None,
         xtable_formats: tuple[str, ...] = ("delta",),
+        hudi_rt: bool = False,
         doc_schema=None,
     ):
         assert mode in ("upsert", "insert", "cdc", "cdc_mongo")
@@ -73,6 +74,10 @@ class Streamer:
         #: inline-service pattern as hoodie.compact.inline.*)
         self.inline_xtable_sync_every = inline_xtable_sync_every
         self.xtable_formats = tuple(xtable_formats)
+        #: r10: the inline hudi leg's MOR mode — False folds logs via
+        #: compaction (rewrite, `_rt`-equal base), True publishes them
+        #: as real HoodieLogFormat blocks (no rewrite, genuine `_rt`)
+        self.hudi_rt = hudi_rt
         self._applied_batches = 0
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -131,9 +136,14 @@ class Streamer:
                     sync_hudi_metadata,
                 )
 
-                # compact-on-sync (r10): the inline hudi leg folds MOR
-                # logs first so external readers see the `_rt` state
-                sync_hudi_metadata(self.table, compact_mor=True)
+                # r10: external readers see the `_rt` state either way
+                # — compact-on-sync folds the logs (rewrite), hudi_rt
+                # publishes them as real log blocks (no rewrite)
+                sync_hudi_metadata(
+                    self.table,
+                    compact_mor=not self.hudi_rt,
+                    mor_rt=self.hudi_rt,
+                )
 
     def start(
         self,

@@ -1128,6 +1128,7 @@ def read_hudi_incremental(
     if not os.path.isdir(hoodie):
         raise FileNotFoundError(f"no .hoodie directory under {base_path}")
     paths: list[str] = []
+    log_paths: list[str] = []
     for instant, action in _completed_instants(hoodie):
         if instant <= begin_instant:
             continue
@@ -1140,11 +1141,54 @@ def read_hudi_incremental(
         for stats in (meta.get("partitionToWriteStats") or {}).values():
             for st in stats:
                 p = st.get("path")
-                if p and p.endswith(".parquet"):
+                if not p:
+                    continue
+                if p.endswith(".parquet"):
                     paths.append(os.path.join(base_path, p))
-    if not paths:
+                elif ".log." in os.path.basename(p):
+                    # rt-leg deltacommits (r10): log-borne rows are part
+                    # of the physical-change feed
+                    log_paths.append(os.path.join(base_path, p))
+    if not paths and not log_paths:
         return spark.createDataFrame([], T.StructType([]))
-    df = spark.read.parquet(*sorted(paths))
+    df = spark.read.parquet(*sorted(paths)) if paths else None
+    if log_paths:
+        from onehouse_demos_spark.tables.hudi_log import parse_log_file
+
+        records: list[dict] = []
+        for lp in sorted(log_paths):
+            for block in parse_log_file(lp):
+                records.extend(block.get("records") or [])
+        schema = df.schema if df is not None else None
+        if schema is None:
+            # no base files in range: borrow the live base schema so
+            # logical types (decimals/timestamps) decode consistently
+            groups, _logs = _live_file_groups(base_path)
+            if groups:
+                any_rel = next(iter(sorted(groups.values())))[1]
+                schema = spark.read.parquet(
+                    os.path.join(base_path, any_rel)
+                ).schema
+        if schema is None:
+            from onehouse_demos_spark.sources.avro_codec import (
+                avro_to_spark_type,
+            )
+
+            blocks = parse_log_file(sorted(log_paths)[0])
+            schema = avro_to_spark_type(
+                json.loads(blocks[0]["headers"][2].decode())
+            )
+        rows = [
+            tuple(
+                _from_avro_value(rec.get(f.name), f.dataType)
+                for f in schema.fields
+            )
+            for rec in records
+        ]
+        log_df = spark.createDataFrame(rows, schema)
+        df = log_df if df is None else df.unionByName(
+            log_df, allowMissingColumns=True
+        )
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
     return df.drop(*meta_cols) if meta_cols else df
 

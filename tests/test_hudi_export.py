@@ -832,3 +832,89 @@ def test_mor_rt_log_gate_refuses_bulk_tail(spark, tmp_base):
     assert _rows(read_hudi_snapshot(spark, t.base_path)) == _rows(
         t.snapshot()
     )
+
+
+def test_incremental_includes_rt_log_rows(spark, tmp_base):
+    """The physical-change feed over an rt personality includes the
+    log-borne rows of deltacommits in range (decoded from the real
+    log blocks), unioned with base-file rows."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        _completed_instants,
+        read_hudi_incremental,
+    )
+
+    t = _mk(spark, tmp_base, partitioned=False, table_type="mor")
+    sync_hudi_metadata(t, mor_rt=True)
+    (first, _a) = _completed_instants(os.path.join(t.base_path, ".hoodie"))[-1]
+    t.upsert(spark.createDataFrame([("k05", 2, "GOOG", 555.0)], DDL))
+    sync_hudi_metadata(t, mor_rt=True)
+    inc = read_hudi_incremental(spark, t.base_path, first)
+    got = {(r.key, r.ver) for r in inc.select("key", "ver").collect()}
+    assert ("k05", 2) in got  # the log-borne update surfaced
+    assert all(k == "k05" for k, _ in got)  # untouched groups not re-read
+
+
+def test_sql_registers_mor_personality_ro_rt_pair(spark, tmp_base):
+    """CREATE TABLE x USING hudi LOCATION over a MERGE_ON_READ
+    personality registers the reference's hive-sync view pair
+    (README.md:343-344): x_ro serves the base-only view, x_rt the
+    log-merged view."""
+    from onehouse_demos_spark.sql.engine import Engine
+
+    t = _mk(spark, tmp_base, partitioned=False, table_type="mor")
+    sync_hudi_metadata(t, mor_rt=True)
+    t.upsert(spark.createDataFrame([("k05", 2, "GOOG", 555.0)], DDL))
+    t.delete(spark.createDataFrame([("k03",)], "key string"))
+    sync_hudi_metadata(t, mor_rt=True)
+    # simulate a foreign MOR hudi table: engine config out of the way
+    foreign = f"{tmp_base}/foreign_mor"
+    os.makedirs(foreign)
+    for n in os.listdir(t.base_path):
+        if n != "_commits":
+            os.rename(
+                os.path.join(t.base_path, n), os.path.join(foreign, n)
+            )
+    eng = Engine(spark, f"{tmp_base}/wh_rt")
+    eng.sql(f"CREATE TABLE ticks USING hudi LOCATION '{foreign}'")
+    ro = {
+        r.key: r.ver
+        for r in eng.sql("SELECT key, ver FROM ticks_ro").collect()
+    }
+    rt = {
+        r.key: r.ver
+        for r in eng.sql("SELECT key, ver FROM ticks_rt").collect()
+    }
+    assert ro["k05"] == 1 and ro["k03"] == 1  # base-only staleness
+    assert rt["k05"] == 2 and "k03" not in rt  # merged freshness
+    assert len(rt) == len(ro) - 1
+
+
+def test_call_xtable_sync_hudi_mode_rt(spark, tmp_base):
+    """CALL xtable_sync(formats => 'hudi', hudi_mode => 'rt') syncs
+    the genuine rt leg — deltacommit published, engine logs NOT
+    compacted."""
+    from onehouse_demos_spark.sql.engine import Engine
+
+    eng = Engine(spark, f"{tmp_base}/wh_callrt")
+    eng.sql(
+        "CREATE TABLE m (key STRING, ver INT, sym STRING, px DOUBLE) "
+        "USING lakehouse TBLPROPERTIES (primaryKey='key', "
+        "preCombineField='ver', type='mor')"
+    )
+    eng.sql(
+        "INSERT INTO m VALUES "
+        + ", ".join(f"('k{i:02d}', 1, 'GOOG', {100.0 + i})" for i in range(10))
+    )
+    eng.sql("CALL xtable_sync(table => 'm', formats => 'hudi', hudi_mode => 'rt')")
+    eng.sql("UPDATE m SET px = 1.5, ver = 2 WHERE key = 'k03'")
+    eng.sql("CALL xtable_sync(table => 'm', formats => 'hudi', hudi_mode => 'rt')")
+    t = eng._tables["m"]
+    assert any(
+        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
+    ), "rt mode must not compact"
+    hoodie = os.path.join(t.base_path, ".hoodie")
+    assert any(n.endswith(".deltacommit") for n in os.listdir(hoodie))
+    from onehouse_demos_spark.tables.hudi_export import read_hudi_rt
+
+    got = {r.key: r.px for r in read_hudi_rt(spark, t.base_path).collect()}
+    assert got["k03"] == 1.5 and len(got) == 10
