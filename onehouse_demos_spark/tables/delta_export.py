@@ -356,6 +356,25 @@ def _assert_no_tombstones(files) -> None:
             )
 
 
+def _assert_no_log_tombstones(table) -> None:
+    """r10 (the hudi leg's ADVICE r9 #3 fix, applied to every
+    base-files-only personality): MOR deletes live in LOG files, which
+    base-file stats never see — a Delta/Iceberg personality over raw
+    base files would serve the deleted rows with no refusal. Plain log
+    UPDATES remain documented read-optimized staleness; TOMBSTONES
+    refuse."""
+    for fm in table.manifest.live_files(include_logs=True):
+        if fm.kind != "log":
+            continue
+        st = (fm.col_stats or {}).get(DELETED_COL)
+        if st is not None and st[1] is True:
+            raise RuntimeError(
+                f"live log file {fm.path} carries un-compacted delete "
+                "tombstones; a base-files-only personality would serve "
+                "the deleted rows. Run compaction first."
+            )
+
+
 def sync_delta_log(
     table: LakehouseTable,
     now_ms: int | None = None,
@@ -372,6 +391,7 @@ def sync_delta_log(
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
+    _assert_no_log_tombstones(table)
     log_dir = _log_dir(table)
     last_version, synced, last_meta, _ = _read_log_state(log_dir)
 

@@ -348,15 +348,11 @@ def _mor_log_guard(table: LakehouseTable, compact_mor: bool) -> None:
 
         run_compaction(table)
         return
-    for fm in logs:
-        st = (fm.col_stats or {}).get(DELETED_COL)
-        if st is not None and st[1] is True:
-            raise RuntimeError(
-                f"live log file {fm.path} carries un-compacted delete "
-                "tombstones; the read-optimized Hudi personality would "
-                "serve the deleted rows. Run compaction first or sync "
-                "with compact_mor=True."
-            )
+    from onehouse_demos_spark.tables.delta_export import (
+        _assert_no_log_tombstones,
+    )
+
+    _assert_no_log_tombstones(table)
 
 
 #: rt-mode log-sync size gate: the driver encodes the un-compacted

@@ -53,7 +53,10 @@ import time
 import uuid
 
 from onehouse_demos_spark.sources.avro_codec import read_ocf, write_ocf
-from onehouse_demos_spark.tables.delta_export import _assert_no_tombstones
+from onehouse_demos_spark.tables.delta_export import (
+    _assert_no_log_tombstones,
+    _assert_no_tombstones,
+)
 from onehouse_demos_spark.tables.table import (
     HIVE_DEFAULT_PARTITION,
     PP_COL,
@@ -378,6 +381,7 @@ def sync_iceberg_metadata(
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
+    _assert_no_log_tombstones(table)
     meta_dir = _meta_dir(table)
     os.makedirs(meta_dir, exist_ok=True)
     version = _current_version(meta_dir)

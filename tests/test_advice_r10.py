@@ -70,3 +70,41 @@ def test_decode_hive_partition_rejects_duplicates_and_disorder():
     assert (
         _decode_hive_partition("/b/x=9/a=1/f.parquet", "/b", ["a"]) == "1"
     )
+
+
+def test_delta_iceberg_personalities_refuse_mor_log_tombstones(
+    spark, tmp_base
+):
+    """The hudi leg's log-tombstone refusal applies to every
+    base-files-only personality: a MOR table with un-compacted log
+    deletes must refuse Delta and Iceberg syncs instead of serving
+    the deleted rows (base-file stats cannot see log tombstones)."""
+    from onehouse_demos_spark.tables.delta_export import sync_delta_log
+    from onehouse_demos_spark.tables.iceberg_export import (
+        sync_iceberg_metadata,
+    )
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/morlogs",
+        TableConfig(
+            name="morlogs",
+            record_key=["id"],
+            precombine="ver",
+            table_type="mor",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(i, 1, "a") for i in range(10)], "id int, ver int, v string"
+        )
+    )
+    t.delete(spark.createDataFrame([(3,)], "id int"))
+    with pytest.raises(RuntimeError, match="tombstones"):
+        sync_delta_log(t)
+    with pytest.raises(RuntimeError, match="tombstones"):
+        sync_iceberg_metadata(t)
+    run_compaction(t)
+    assert sync_delta_log(t) >= 0  # compacted state syncs cleanly
+    assert sync_iceberg_metadata(t) >= 1
