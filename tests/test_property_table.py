@@ -303,3 +303,89 @@ def test_bucket_splits_interleaved_with_mutations_match_model(spark, ops):
             assert snap.count() == len(model)  # no duplicate keys, ever
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+_hudi_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _upsert_rows),
+        st.tuples(
+            st.just("delete"),
+            st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True),
+        ),
+        st.tuples(st.just("sync"), st.none()),
+        st.tuples(st.just("compact"), st.none()),
+    ),
+    min_size=3,
+    max_size=7,
+)
+
+
+@given(ops=_hudi_ops)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_hudi_rt_personality_tracks_engine_under_random_ops(spark, ops):
+    """r10 generative check on the personality's MOR legs: random
+    upsert/delete/compaction sequences on a MOR table, with rt syncs
+    interleaved — after EVERY sync the `_rt` replay (base slices +
+    real HoodieLogFormat blocks) must equal the engine's merged
+    snapshot, and the read-optimized replay must equal the engine's
+    `_ro` view."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        read_hudi_rt,
+        read_hudi_snapshot,
+        sync_hudi_metadata,
+    )
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    base = tempfile.mkdtemp(prefix="oh_hudiprop_")
+    try:
+        t = LakehouseTable.create(
+            spark,
+            base + "/t",
+            TableConfig(
+                name="t",
+                record_key=["id"],
+                precombine="ver",
+                table_type="mor",
+            ),
+        )
+        t.insert(
+            spark.createDataFrame(
+                [(k, 0, "init") for k in KEYS], "id int, ver int, v string"
+            )
+        )
+        sync_hudi_metadata(t, mor_rt=True)
+        for op, payload in ops:
+            if op == "upsert":
+                t.upsert(
+                    spark.createDataFrame(
+                        _dedup_batch(payload), "id int, ver int, v string"
+                    )
+                )
+                continue
+            if op == "delete":
+                t.delete(
+                    spark.createDataFrame([(k,) for k in payload], "id int")
+                )
+                continue
+            if op == "compact":
+                run_compaction(t)
+            sync_hudi_metadata(t, mor_rt=True)
+
+            def rows(df):
+                return sorted(
+                    tuple(r)
+                    for r in df.select("id", "ver", "v").collect()
+                )
+
+            assert rows(read_hudi_rt(spark, t.base_path)) == rows(
+                t.snapshot()
+            ), op
+            assert rows(read_hudi_snapshot(spark, t.base_path)) == rows(
+                t.read_optimized()
+            ), op
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
