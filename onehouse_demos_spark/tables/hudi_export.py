@@ -409,7 +409,13 @@ def sync_hudi_metadata(
     props_path = os.path.join(hoodie, "hoodie.properties")
     if not adds and not removed and os.path.exists(props_path):
         if mor_rt:
-            _sync_rt_logs(table, hoodie, state, part_cols, rt_log_gate_rows)
+            n = _sync_rt_logs(
+                table, hoodie, state, part_cols, rt_log_gate_rows
+            )
+            if n and metadata_table:
+                _sync_metadata_table(
+                    table, hoodie, state["instants"][-1], known, state
+                )
         return len(state["instants"])
     if not os.path.exists(props_path):
         with open(props_path, "w") as fh:
@@ -526,10 +532,14 @@ def sync_hudi_metadata(
     os.replace(tmp, os.path.join(hoodie, f"{instant}.{action}"))
     state["instants"].append(instant)
     _save_state(hoodie, state)
-    if metadata_table:
-        _sync_metadata_table(table, hoodie, instant, known)
     if mor_rt:
         _sync_rt_logs(table, hoodie, state, part_cols, rt_log_gate_rows)
+    if metadata_table:
+        # after the rt log publication so the files partition lists
+        # base AND log slices, like Hudi's own metadata table
+        _sync_metadata_table(
+            table, hoodie, state["instants"][-1], known, state
+        )
     return len(state["instants"])
 
 
@@ -814,7 +824,11 @@ def _mdt_write_timeline(mdt_hoodie: str, instant: str, stat: dict) -> None:
 
 
 def _sync_metadata_table(
-    table: LakehouseTable, hoodie: str, instant: str, known: dict
+    table: LakehouseTable,
+    hoodie: str,
+    instant: str,
+    known: dict,
+    state: dict | None = None,
 ) -> None:
     """Refresh `.hoodie/metadata/files`: one newest-wins base slice of
     the `files-0000-0` file group holding the complete partition->file
@@ -845,13 +859,22 @@ def _sync_metadata_table(
                 "partitionDepth=1\n"
             )
     # Build the listing from the personality's own live-file map: one
-    # record per data partition + the partition-list record.
+    # record per data partition + the partition-list record. Log
+    # slices (rt leg) list alongside base slices, like Hudi's own
+    # files partition.
     by_partition: dict[str, dict[str, int]] = {}
-    for ent in known.values():
-        part = ent["partition"] or _MDT_ROOT_PARTITION
-        name = os.path.basename(ent["hudi_path"])
+    entries = [
+        (ent["partition"], ent["hudi_path"]) for ent in known.values()
+    ]
+    if state is not None:
+        for log_ent in state.get("logs", {}).values():
+            for sl in log_ent["slices"]:
+                entries.append((sl["partition"], sl["hudi_path"]))
+    for partition, rel in entries:
+        part = partition or _MDT_ROOT_PARTITION
+        name = os.path.basename(rel)
         size = 0
-        abs_path = os.path.join(table.base_path, ent["hudi_path"])
+        abs_path = os.path.join(table.base_path, rel)
         if os.path.exists(abs_path):
             size = os.stat(abs_path).st_size
         by_partition.setdefault(part, {})[name] = size
@@ -1213,6 +1236,7 @@ def read_hudi_rt(
     spark: SparkSession,
     base_path: str,
     partitions: list[str] | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """The `_rt` (real-time) view of a MERGE_ON_READ personality (r10
     — the reference's headline freshness demo, `README.md:756-776`):
@@ -1222,7 +1246,9 @@ def read_hudi_rt(
     key wins, `_hoodie_is_deleted` rows drop. The log tail is
     size-gated at sync time, so the driver-side block decode here is
     bounded by construction; the base scan stays a plain distributed
-    parquet read."""
+    parquet read. `as_of` time-travels the replay (groups AND log
+    slices cap at the instant) — valid within the clean retention
+    window, like the ro read."""
     from pyspark.sql import functions as F
 
     from onehouse_demos_spark.tables.hudi_log import parse_log_file
@@ -1231,7 +1257,7 @@ def read_hudi_rt(
         KEY_COL,
     )
 
-    groups, logs = _live_file_groups(base_path)
+    groups, logs = _live_file_groups(base_path, as_of=as_of)
     if partitions is not None:
         keep = set(partitions)
         groups = {k: v for k, v in groups.items() if k[0] in keep}
@@ -1310,6 +1336,7 @@ def read_hudi_snapshot(
             else os.path.join(base_path, part, name)
             for part, files in listing.items()
             for name in files
+            if name.endswith(".parquet")  # ro planning: base slices
         )
     else:
         paths = hudi_live_files(base_path, partitions=partitions, as_of=as_of)

@@ -918,3 +918,47 @@ def test_call_xtable_sync_hudi_mode_rt(spark, tmp_base):
 
     got = {r.key: r.px for r in read_hudi_rt(spark, t.base_path).collect()}
     assert got["k03"] == 1.5 and len(got) == 10
+
+
+def test_metadata_listing_includes_rt_log_slices(spark, tmp_base):
+    """Hudi's files partition lists log slices alongside base slices;
+    the rt leg keeps that contract so metadata-enabled readers plan
+    the merge without listing."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_metadata_listing,
+    )
+
+    t = _mk(spark, tmp_base, partitioned=False, table_type="mor")
+    sync_hudi_metadata(t, mor_rt=True)
+    t.upsert(spark.createDataFrame([("k05", 2, "GOOG", 555.0)], DDL))
+    sync_hudi_metadata(t, mor_rt=True)
+    listing = hudi_metadata_listing(t.base_path)
+    names = set(listing["."])
+    assert any(".log." in n for n in names), names
+    assert any(n.endswith(".parquet") for n in names)
+    # the ro metadata planner uses base slices only and stays exact
+    got = _rows(read_hudi_snapshot(spark, t.base_path, via_metadata=True))
+    assert got == _rows(t.read_optimized())
+
+
+def test_rt_read_as_of_time_travel(spark, tmp_base):
+    """as_of on the rt view: groups AND log slices cap at the
+    instant, so the replay reproduces the merged state as of any
+    retained sync."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        _completed_instants,
+        read_hudi_rt,
+    )
+
+    t = _mk(spark, tmp_base, partitioned=False, table_type="mor")
+    sync_hudi_metadata(t, mor_rt=True)
+    t.upsert(spark.createDataFrame([("k05", 2, "GOOG", 555.0)], DDL))
+    sync_hudi_metadata(t, mor_rt=True)
+    (mid, _a) = _completed_instants(os.path.join(t.base_path, ".hoodie"))[-1]
+    want_mid = _rows(t.snapshot())
+    t.delete(spark.createDataFrame([("k03",)], "key string"))
+    sync_hudi_metadata(t, mor_rt=True)
+    assert _rows(read_hudi_rt(spark, t.base_path, as_of=mid)) == want_mid
+    now = _rows(read_hudi_rt(spark, t.base_path))
+    assert now == _rows(t.snapshot())
+    assert len(now) == len(want_mid) - 1
