@@ -962,3 +962,44 @@ def test_rt_read_as_of_time_travel(spark, tmp_base):
     now = _rows(read_hudi_rt(spark, t.base_path))
     assert now == _rows(t.snapshot())
     assert len(now) == len(want_mid) - 1
+
+
+def test_clean_ages_rt_log_slices_after_compaction(spark, tmp_base):
+    """Engine compaction retires file groups; the rt personality's
+    published log slices retire with them (recorded, not unlinked)
+    and age out through clean_hudi_personality while the rt read
+    stays exact throughout."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        _hoodie_dir,
+        _load_state,
+        clean_hudi_personality,
+        read_hudi_rt,
+    )
+    from onehouse_demos_spark.tables.maintenance import run_compaction
+
+    t = _mk(spark, tmp_base, partitioned=False, table_type="mor")
+    sync_hudi_metadata(t, mor_rt=True)
+    t.upsert(spark.createDataFrame([("k05", 2, "GOOG", 555.0)], DDL))
+    sync_hudi_metadata(t, mor_rt=True)
+    log_rels = [
+        sl["hudi_path"]
+        for ent in _load_state(_hoodie_dir(t))["logs"].values()
+        for sl in ent["slices"]
+    ]
+    assert log_rels
+    run_compaction(t)
+    sync_hudi_metadata(t, mor_rt=True)  # replacecommit retires groups
+    state = _load_state(_hoodie_dir(t))
+    assert state["logs"] == {}  # engine logs folded; slices retired
+    for rel in log_rels:
+        assert rel in state["retired"]
+        assert os.path.exists(os.path.join(t.base_path, rel))  # retained
+    for i in range(4):
+        t.insert(spark.createDataFrame([(f"x{i}", 1, "NEW", 1.0)], DDL))
+        sync_hudi_metadata(t, mor_rt=True)
+    want = _rows(t.snapshot())
+    res = clean_hudi_personality(t, keep_last_instants=2)
+    for rel in log_rels:
+        assert rel in res["deleted_files"]
+        assert not os.path.exists(os.path.join(t.base_path, rel))
+    assert _rows(read_hudi_rt(spark, t.base_path)) == want
