@@ -1296,6 +1296,26 @@ class Engine:
                 ],
                 "instant string, buckets int",
             )
+        if proc == "hudi_clean":
+            # r10: the personality's clean/archive service — age
+            # retired Hudi-named slices past the keep-last-instants
+            # horizon and archive their timeline instants (retention
+            # semantics mirroring Hudi's own clean).
+            from onehouse_demos_spark.tables.hudi_export import (
+                clean_hudi_personality,
+            )
+
+            keep = int(arg("keep_last_instants", default="10") or "10")
+            res = clean_hudi_personality(t, keep_last_instants=keep)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        len(res["deleted_files"]),
+                        len(res["archived_instants"]),
+                    )
+                ],
+                "deleted_slices int, archived_instants int",
+            )
         if proc == "show_bucket_layout":
             # r10 observability for the bucket layouts: one row per
             # bucket — encoded id, prefix (consistent engine), live

@@ -1003,3 +1003,32 @@ def test_clean_ages_rt_log_slices_after_compaction(spark, tmp_base):
         assert rel in res["deleted_files"]
         assert not os.path.exists(os.path.join(t.base_path, rel))
     assert _rows(read_hudi_rt(spark, t.base_path)) == want
+
+
+def test_call_hudi_clean(spark, tmp_base):
+    """CALL hudi_clean(table => 't', keep_last_instants => n): the
+    personality's retention service through the SQL surface."""
+    from onehouse_demos_spark.sql.engine import Engine
+
+    eng = Engine(spark, f"{tmp_base}/wh_hclean")
+    eng.sql(
+        "CREATE TABLE hc (key STRING, ver INT, px DOUBLE) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='key', preCombineField='ver')"
+    )
+    eng.sql(
+        "INSERT INTO hc VALUES "
+        + ", ".join(f"('k{i}', 1, {float(i)})" for i in range(10))
+    )
+    eng.sql("CALL xtable_sync(table => 'hc', formats => 'hudi')")
+    for v in range(2, 8):
+        eng.sql(f"UPDATE hc SET px = {v}.0, ver = {v} WHERE key = 'k3'")
+        eng.sql("CALL xtable_sync(table => 'hc', formats => 'hudi')")
+    row = eng.sql(
+        "CALL hudi_clean(table => 'hc', keep_last_instants => 2)"
+    ).collect()[0]
+    assert row.deleted_slices >= 1 and row.archived_instants >= 1
+    t = eng._tables["hc"]
+    from onehouse_demos_spark.tables.hudi_export import read_hudi_snapshot
+
+    got = {r.key: r.px for r in read_hudi_snapshot(spark, t.base_path).collect()}
+    assert got["k3"] == 7.0 and len(got) == 10
