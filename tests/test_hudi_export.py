@@ -1032,3 +1032,38 @@ def test_call_hudi_clean(spark, tmp_base):
 
     got = {r.key: r.px for r in read_hudi_snapshot(spark, t.base_path).collect()}
     assert got["k3"] == 7.0 and len(got) == 10
+
+
+def test_sync_crash_between_commit_and_state_save_stays_exact(
+    spark, tmp_base
+):
+    """Crash window inside the sync itself: the completed instant
+    published but sync_state.json was never saved. The next sync
+    re-diffs from the stale state, re-publishes the slice under the
+    SAME deterministic file group id (uuid5 of the engine path) and a
+    new instant — newest-slice-wins replay stays exact, nothing
+    resurrects, retirement bookkeeping catches up."""
+    from onehouse_demos_spark.tables import hudi_export as he
+
+    t = _mk(spark, tmp_base, partitioned=False)
+    sync_hudi_metadata(t)
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    saved = he._save_state
+    he._save_state = lambda hoodie, state: None  # crash before save
+    try:
+        sync_hudi_metadata(t)
+    finally:
+        he._save_state = saved
+    # the commit IS on the timeline, the state is stale
+    want = _rows(t.snapshot())
+    assert _rows(read_hudi_snapshot(spark, t.base_path)) == want
+    # next sync re-converges: still exact, one group per engine file
+    t.insert(spark.createDataFrame([("z1", 1, "NEW", 1.0)], DDL))
+    sync_hudi_metadata(t)
+    want2 = _rows(t.snapshot())
+    assert _rows(read_hudi_snapshot(spark, t.base_path)) == want2
+    got = {r.key: r.ver for r in read_hudi_snapshot(spark, t.base_path).collect()}
+    assert got["k03"] == 2 and "z1" in got
+    # no duplicate keys through the personality
+    df = read_hudi_snapshot(spark, t.base_path)
+    assert df.count() == df.select("key").distinct().count()
