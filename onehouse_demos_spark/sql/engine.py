@@ -597,7 +597,12 @@ class Engine:
         """A registered MERGE_ON_READ Hudi personality gets the
         reference's hive-sync view pair (README.md:343-344):
         `<name>_ro` (base slices only) and `<name>_rt` (base + real
-        HoodieLogFormat log blocks merged at read — r10 rt leg)."""
+        HoodieLogFormat log blocks merged at read — r10 rt leg).
+        The `_rt` merge needs the personality's engine columns
+        (`_oh_key`/`_oh_commit`), so FOREIGN Hudi MOR tables — a real
+        `.hoodie` attached by location, no `sync_state.json` — get
+        `_ro` only instead of a view that raises once log records
+        decode (r11 advisor item)."""
         fmt, loc = self._external[name]
         if fmt != "hudi":
             return
@@ -616,6 +621,10 @@ class Engine:
         read_hudi_snapshot(self.spark, loc).createOrReplaceTempView(
             f"{name}_ro"
         )
+        if not os.path.exists(
+            os.path.join(loc, ".hoodie", "sync_state.json")
+        ):
+            return  # foreign MOR table: _ro only
         read_hudi_rt(self.spark, loc).createOrReplaceTempView(
             f"{name}_rt"
         )
@@ -637,7 +646,16 @@ class Engine:
             if fmt == "hudi":
                 d = os.path.join(loc, ".hoodie")
                 names = sorted(os.listdir(d))
-                return (fmt, tuple(names))
+                # A COW->MOR mode upgrade rewrites hoodie.properties
+                # IN PLACE (same name set) — fold its mtime in so the
+                # `_ro`/`_rt` pair re-registers on the flip (r11).
+                try:
+                    pm = os.stat(
+                        os.path.join(d, "hoodie.properties")
+                    ).st_mtime_ns
+                except OSError:
+                    pm = 0
+                return (fmt, pm, tuple(names))
             # Generic formats (parquet/csv dirs) have no metadata log
             # to version-probe: a file rewritten IN PLACE changes
             # neither the directory mtime nor its entry list, so any

@@ -49,9 +49,12 @@ like Hudi's own inline-compaction pressure valve.
 
 from __future__ import annotations
 
+import base64
+import calendar
 import json
 import struct
-from datetime import date, datetime, timezone
+import time
+from datetime import date, datetime
 from decimal import Decimal
 
 MAGIC = b"#HUDI#"
@@ -72,11 +75,51 @@ HEADER_COMMAND_BLOCK_TYPE = 3
 AVRO_CONTENT_VERSION = 3
 
 
+def timestamp_micros(v: datetime) -> int:
+    """PySpark `TimestampType.toInternal` micros, integer arithmetic
+    only (no float seconds, so no 1-μs drift): `collect()` hands the
+    driver NAIVE datetimes in the host OS timezone
+    (`TimestampType.fromInternal`), so naive values convert through
+    the local epoch exactly like toInternal does; aware values carry
+    their own offset. Symmetric with `_from_avro_value`'s aware-UTC
+    decode, so a log record's timestamp equals the base-file column's
+    internal value on ANY host timezone (r11 advisor item)."""
+    if v.tzinfo is not None:
+        seconds = calendar.timegm(v.utctimetuple())
+    else:
+        seconds = int(time.mktime(v.timetuple()))
+    return seconds * 1_000_000 + v.microsecond
+
+
+def _json_container_ready(v):
+    """Recursively coerce a collected container value (array/map/
+    struct-as-dict) to exact JSON-safe scalars: timestamps -> internal
+    micros (int), dates -> epoch days, Decimal -> lossless string,
+    bytes -> base64. The reader (`hudi_export._container_from_json`)
+    reverses each against the Spark element type, so nested columns
+    round-trip the rt log exactly (r11 advisor item)."""
+    if isinstance(v, dict):
+        return {k: _json_container_ready(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_container_ready(x) for x in v]
+    if isinstance(v, datetime):
+        return timestamp_micros(v)
+    if isinstance(v, date):
+        return (v - date(1970, 1, 1)).days
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(bytes(v)).decode("ascii")
+    return v
+
+
 def _avro_ready(v, field_schema):
     """Coerce a Spark/Python value to what the Avro codec encodes for
     the personality schemas (logical types ride their base types):
     Decimal -> two's-complement unscaled big-endian bytes, datetime ->
-    micros since epoch, date -> days since epoch."""
+    micros since epoch (integer arithmetic, local-tz-correct for the
+    naive datetimes collect() returns), date -> days since epoch,
+    containers -> lossless JSON under the "string" branch."""
     if isinstance(v, Decimal):
         scale = 0
         if isinstance(field_schema, dict):
@@ -85,9 +128,7 @@ def _avro_ready(v, field_schema):
         n = max(1, (unscaled.bit_length() + 8) // 8)
         return unscaled.to_bytes(n, "big", signed=True)
     if isinstance(v, datetime):
-        if v.tzinfo is None:
-            v = v.replace(tzinfo=timezone.utc)
-        return int(v.timestamp() * 1_000_000)
+        return timestamp_micros(v)
     if isinstance(v, date):
         return (v - date(1970, 1, 1)).days
     if (
@@ -95,8 +136,12 @@ def _avro_ready(v, field_schema):
         and v is not None
         and not isinstance(v, str)
     ):
-        # containers/structs string-encode in the personality schema
-        # (the parquet footer stays the source of truth)
+        # containers/structs ride the "string" branch of the
+        # personality schema as LOSSLESS JSON (the parquet footer
+        # stays the source of truth for the Spark-side type); the rt
+        # reader parses them back through the base schema.
+        if isinstance(v, (dict, list, tuple)):
+            return json.dumps(_json_container_ready(v), sort_keys=True)
         return str(v)
     return v
 

@@ -128,19 +128,43 @@ def _uri_to_path(uri: str) -> str:
 def _footer_col_stats(pf) -> dict:
     """Per-column [min, max] across row groups, JSON-safe primitives
     only (str/int/float/bool). Metadata-only footer read — this is
-    the write-time harvest that makes read-time data skipping free."""
+    the write-time harvest that makes read-time data skipping free.
+
+    Parquet footers carry stats per physical LEAF column; with nested
+    columns (array/map/struct) the leaf count exceeds the top-level
+    field count, so indexing leaves by top-level name position would
+    MISATTRIBUTE stats to the wrong column (r11 fix — before this, a
+    nested column ordered before the record key could hand key-range
+    pruning another column's bounds). Leaves are resolved by
+    `path_in_schema`: only dot-free paths (top-level primitives) are
+    harvested, and per-leaf statistics access is exception-guarded —
+    pyarrow raises ArrowNotImplementedError casting stats for some
+    physical types."""
     out: dict = {}
     meta = pf.metadata
-    names = pf.schema_arrow.names
-    for idx, name in enumerate(names):
+    if meta.num_row_groups == 0:
+        return out
+    rg0 = meta.row_group(0)
+    leaves = []
+    for i in range(rg0.num_columns):
+        path = rg0.column(i).path_in_schema
+        leaves.append((i, path) if "." not in path else None)
+    for leaf in leaves:
+        if leaf is None:
+            continue  # nested leaf: stats don't describe the column
+        idx, name = leaf
         mins, maxs = [], []
         ok = True
         for rg in range(meta.num_row_groups):
-            st = meta.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo, hi = st.min, st.max  # lazy cast: may also raise
+            except Exception:
                 ok = False
                 break
-            lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
