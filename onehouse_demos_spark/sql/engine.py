@@ -1394,6 +1394,29 @@ class Engine:
                 ],
                 "splits int, buckets int",
             )
+        if proc == "auto_resize":
+            # r11: the modulo engine's layout-health service — the
+            # `run_auto_split` counterpart for tables that grow by
+            # re-bucketing (manifest-arithmetic trigger, one atomic
+            # replacecommit when over target)
+            from onehouse_demos_spark.tables.maintenance import (
+                run_auto_resize,
+            )
+
+            m = arg("max_bucket_rows")
+            before = t.config.bucket_index_buckets or 0
+            done = run_auto_resize(t, int(m) if m is not None else None)
+            t.register_view(name)
+            return self.spark.createDataFrame(
+                [
+                    (
+                        len(done),
+                        before,
+                        t.config.bucket_index_buckets or 0,
+                    )
+                ],
+                "resizes int, buckets_before int, buckets_after int",
+            )
         if proc == "resize_buckets":
             # r9: re-bucket a bucket-layout table (Hudi consistent-
             # hashing resize analog, one atomic replacecommit rewrite)
@@ -1517,6 +1540,7 @@ class Engine:
             "show_commits, show_compactions, show_clustering, show_fsview_all, "
             "show_table_properties, run_compaction, run_clustering, "
             "run_clean, resize_buckets, split_bucket, auto_split, "
+            "auto_resize, "
             "show_bucket_layout, show_indexes, "
             "compact_record_index, "
             "archive_commits, create_savepoint, "

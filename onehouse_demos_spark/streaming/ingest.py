@@ -112,9 +112,18 @@ class Streamer:
 
             run_file_sizing(self.table)
         if self.inline_split_every and n % self.inline_split_every == 0:
-            from onehouse_demos_spark.tables.maintenance import run_auto_split
+            # one layout-health hook for BOTH bucket engines (r11):
+            # consistent tables split the hot bucket (O(one bucket)),
+            # modulo tables re-bucket when over target (their
+            # documented full-rewrite tradeoff) — each policy no-ops
+            # on the other engine
+            from onehouse_demos_spark.tables.maintenance import (
+                run_auto_resize,
+                run_auto_split,
+            )
 
             run_auto_split(self.table)
+            run_auto_resize(self.table)
         if (
             self.inline_xtable_sync_every
             and n % self.inline_xtable_sync_every == 0

@@ -381,6 +381,33 @@ def sync_hudi_metadata(
     mor_rt: bool = False,
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
 ) -> int:
+    """Serialized entry point for the personality sync (r11, VERDICT
+    r10 next #5): the `.hoodie` sync state is read-modify-write JSON,
+    so two concurrent syncers (Streamer inline sync racing a manual
+    CALL) could lose slices. The whole sync runs under the table's
+    lock-provider mutex re-scoped to the `.hoodie` namespace — same
+    store as the engine timeline's OCC lock, no silent fallback — the
+    exact seam the Delta exporter's conditional version publish uses.
+    See `_sync_hudi_metadata_locked` for the sync semantics."""
+    hoodie = _hoodie_dir(table)
+    os.makedirs(hoodie, exist_ok=True)
+    provider = table.timeline.lock_provider.scoped(hoodie)
+    provider.acquire_mutex("hudi_sync")
+    try:
+        return _sync_hudi_metadata_locked(
+            table, compact_mor, metadata_table, mor_rt, rt_log_gate_rows
+        )
+    finally:
+        provider.release_mutex("hudi_sync")
+
+
+def _sync_hudi_metadata_locked(
+    table: LakehouseTable,
+    compact_mor: bool = False,
+    metadata_table: bool = True,
+    mor_rt: bool = False,
+    rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
+) -> int:
     """Write/refresh the `.hoodie` personality over the table's live
     BASE files. Returns the number of completed Hudi instants after
     the sync (0-change syncs write nothing). MOR tables: see
@@ -1238,6 +1265,22 @@ def hudi_metadata_listing(base_path: str) -> dict[str, dict[str, int]]:
 
 
 def clean_hudi_personality(
+    table: LakehouseTable, keep_last_instants: int = 10
+) -> dict:
+    """Serialized like the sync (same `.hoodie`-scoped mutex, r11):
+    clean rewrites the shared sync state, so it must not interleave
+    with a concurrent syncer's read-modify-write."""
+    hoodie = _hoodie_dir(table)
+    os.makedirs(hoodie, exist_ok=True)
+    provider = table.timeline.lock_provider.scoped(hoodie)
+    provider.acquire_mutex("hudi_sync")
+    try:
+        return _clean_hudi_personality_locked(table, keep_last_instants)
+    finally:
+        provider.release_mutex("hudi_sync")
+
+
+def _clean_hudi_personality_locked(
     table: LakehouseTable, keep_last_instants: int = 10
 ) -> dict:
     """Age out retired Hudi-named slices and archive their timeline

@@ -1001,3 +1001,108 @@ def test_show_bucket_layout_call(spark, tmp_base):
         eng.sql("CREATE TABLE plainl (id INT) USING lakehouse "
                 "TBLPROPERTIES (primaryKey='id')")
         eng.sql("CALL show_bucket_layout(table => 'plainl')")
+
+
+def test_auto_resize_keeps_modulo_buckets_under_target(spark, tmp_base):
+    """r11 auto-resize policy (the resize_buckets service form,
+    VERDICT r10 next #6): a long ingest DAG with run_auto_resize in
+    the loop keeps EVERY modulo bucket under the row target via
+    policy alone — no operator watching — and routing/content stay
+    exact throughout. The consistent engine's counterpart is
+    test_auto_split_keeps_buckets_under_target."""
+    from onehouse_demos_spark.tables.maintenance import run_auto_resize
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/autor",
+        TableConfig(
+            name="autor",
+            record_key=["id"],
+            precombine="ver",
+            bucket_index_buckets=2,
+            target_file_rows=120,
+        ),
+    )
+    expect: dict[int, tuple[str, int]] = {}
+    nxt = 0
+    resizes = 0
+    for batch in range(6):
+        rows = [(nxt + i, f"b{batch}", 1) for i in range(100)]
+        nxt += 100
+        t.insert(
+            spark.createDataFrame(rows, "id int, v string, ver int")
+        )
+        for i, v, ver in rows:
+            expect[i] = (v, ver)
+        done = run_auto_resize(t)
+        resizes += len(done)
+        # after the policy runs, every bucket is under target
+        rows_by_bucket: dict[int, int] = {}
+        for f in t.manifest.live_files(include_logs=True):
+            rows_by_bucket[f.bucket] = (
+                rows_by_bucket.get(f.bucket, 0) + f.rows
+            )
+        assert all(r <= 120 for r in rows_by_bucket.values()), (
+            batch,
+            rows_by_bucket,
+        )
+        # mid-DAG point upsert still routes to exactly one file
+        k = nxt - 7
+        inst = t.upsert(
+            spark.createDataFrame(
+                [(k, "UP", 2)], "id int, v string, ver int"
+            )
+        )
+        assert len(inst.removes) == 1
+        expect[k] = ("UP", 2)
+    assert resizes >= 1 and t.config.bucket_index_buckets > 2
+    got = {r.id: (r.v, r.ver) for r in t.snapshot().collect()}
+    assert got == expect
+    assert (
+        t.snapshot().groupBy("id").count().filter("count > 1").count() == 0
+    )
+    # a healthy layout is a fixed point: no further resizes
+    assert run_auto_resize(t) == []
+
+
+def test_auto_resize_sql_call_and_engine_noops(spark, tmp_base):
+    """CALL auto_resize drives the policy through SQL; consistent
+    tables and non-bucket tables no-op."""
+    from onehouse_demos_spark.tables.maintenance import (
+        run_auto_resize,
+        run_auto_split,
+    )
+
+    # consistent tables: auto_resize no-ops (auto_split is their path)
+    t_cons = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/cons",
+        TableConfig(
+            name="cons",
+            record_key=["id"],
+            precombine="ver",
+            bucket_index_buckets=2,
+            bucket_engine="consistent",
+        ),
+    )
+    assert run_auto_resize(t_cons) == []
+
+    eng = Engine(spark, f"{tmp_base}/wh_autor")
+    eng.sql(
+        "CREATE TABLE car (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver', "
+        "bucketIndexBuckets='2')"
+    )
+    vals = ", ".join(f"({i}, 'v{i}', 1)" for i in range(300))
+    eng.sql(f"INSERT INTO car VALUES {vals}")
+    [r] = eng.sql(
+        "CALL auto_resize(table => 'car', max_bucket_rows => 100)"
+    ).collect()
+    assert r.resizes >= 1
+    assert r.buckets_after > r.buckets_before == 2
+    assert eng.sql("SELECT count(*) AS c FROM car").collect()[0][0] == 300
+    # healthy now: a second call is a no-op
+    [r2] = eng.sql(
+        "CALL auto_resize(table => 'car', max_bucket_rows => 100)"
+    ).collect()
+    assert r2.resizes == 0 and r2.buckets_after == r.buckets_after
