@@ -72,6 +72,25 @@ _DEMOTED = {
 # LLM-pipeline north-star suite, then representatives of the
 # beyond-reference analytics/text surface.
 _WINDOW = [
+    # r11 window rotation (VERDICT r10 ask #4): driver-verify the
+    # long-never-checked ANN/curation flagships — pq_adc_topk,
+    # ann_index_search, ann_index_incremental, cluster_balanced_sample,
+    # dsir_importance_weights, near_dup_components_star, events_gapfill,
+    # corpus_build, value_quantile_sketch, top_supplier_revenue — in
+    # the slots of ten multi-round-green plan-shape-covered rows
+    # (tbl_clustered_snapshot, returned_item_report,
+    # forecast_revenue_change, epoch_shuffle_order,
+    # length_bucket_batches, sessionize_events, leakage_free_split,
+    # minhash_lsh_pairs, contamination_check, gopher_quality_flags —
+    # all stay registered past the window and green in the local
+    # sweep; each plan class keeps an in-window representative:
+    # clustering layout via tbl_bucket_split_read's split
+    # replaycommits, Q10/Q6 relational shapes via join_dim_rollup +
+    # pricing_summary, training-prep via quality_classifier_scores,
+    # window analytics via asof_prior_click, dedup via dedup_exact +
+    # near_dup_canonical + semantic_dedup_keep, text flags via
+    # text_stats). The r10 flagships tbl_hudi_rt_read and
+    # tbl_bucket_split_read stay pinned per the verdict.
     # table mutations + views (M1-M16, O16-O19, S2/S7/S8, Q3/Q7/Q14)
     # r10 window rotation (VERDICT r9 ask #6): driver-verify this
     # round's flagships — the Hudi-personality MOR leg
@@ -107,7 +126,7 @@ _WINDOW = [
     # registered past the window and green in the local sweep).
     "tbl_hudi_rt_read",
     "tbl_bucket_split_read",
-    "tbl_clustered_snapshot",
+    "value_quantile_sketch",
     "cdc_apply_envelopes",
     # r9 window rotation (VERDICT r8 ask #4): driver-verify the
     # never-checked r8/r9 signatures — the Hudi personality (M15's
@@ -125,18 +144,18 @@ _WINDOW = [
     "tbl_hudi_personality_read",
     "tbl_bootstrap_upsert_read",
     "tbl_expr_pruned_read",
-    "leakage_free_split",
-    "returned_item_report",
-    "forecast_revenue_change",
-    "epoch_shuffle_order",
-    "length_bucket_batches",
+    "near_dup_components_star",
+    "top_supplier_revenue",
+    "events_gapfill",
+    "cluster_balanced_sample",
+    "dsir_importance_weights",
     # relational surface (Q1-Q13 + flagship; r10 adds the TPC-H-Q20-
     # shaped sole_late_supplier and the sessionizer)
     "pricing_summary",
     "filter_project",
     "join_dim_rollup",
     "sole_late_supplier",
-    "sessionize_events",
+    "corpus_build",
     # r4 window swap: the reference's SIGNATURE features (the xTable
     # Delta personality, M15, and the delete-propagating incremental
     # chain, S4) take the slots of two trivial scan/agg shapes
@@ -190,8 +209,8 @@ _WINDOW = [
     # stays registered past the window and green in the local sweep.
     "sql_dml_indexed_pipeline",
     "near_dup_canonical",
-    "minhash_lsh_pairs",
-    "contamination_check",
+    "ann_index_search",
+    "ann_index_incremental",
     "semantic_dedup_keep",
     # r7 window swap: the record-level index pipeline (key->file probe
     # index with compaction + delete/re-insert cycle — this round's
@@ -215,9 +234,9 @@ _WINDOW = [
     "tbl_partial_update_read",
     "tbl_secondary_pruned_read",
     "quality_classifier_scores",
-    "gopher_quality_flags",
     # similarity suite
     "knn_ivf_trained",
+    "pq_adc_topk",
     # r8 late swap: the bucket-index layout pipeline (this round's
     # flagship write-path feature; builder raises unless bucket
     # pruning confined the point rewrite) takes the slot of
