@@ -157,16 +157,15 @@ def main() -> int:
         )
         return time.time() - t0
 
-    def calibrate(tag: str) -> float:
-        runs = [calibration_run() for _ in range(3)]
-        runs.sort()
+    def calibrate(tag: str) -> tuple[float, list[float]]:
+        runs = sorted(calibration_run() for _ in range(3))
         med = runs[1]
         print(
             f"# [{tag}] calibration: median {med:.3f}s runs="
             f"{[round(r, 3) for r in runs]}",
             file=sys.stderr,
         )
-        return med
+        return med, runs
 
     def run_pass(tag: str) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -195,11 +194,19 @@ def main() -> int:
                   file=sys.stderr)
         return timings
 
-    cal1 = calibrate("c1")
+    cal1, cal1_runs = calibrate("c1")
     pass1 = run_pass("p1")
+    calm, calm_runs = calibrate("cm")  # mid-suite sample (r11)
     pass2 = run_pass("p2")
-    cal2 = calibrate("c2")
+    cal2, cal2_runs = calibrate("c2")
     calibration = round(min(cal1, cal2), 3)
+    # r11: the r10->r11 A/B (SCALING.md) showed the min-of-two-medians
+    # divisor swings ~±40% on IDENTICAL code while the suite total
+    # moves ±5% — a 9-sample pooled median across three points in the
+    # suite window is the stabler normalizer; legacy fields stay for
+    # cross-round comparability.
+    pooled_runs = sorted(cal1_runs + calm_runs + cal2_runs)
+    pooled = round(pooled_runs[len(pooled_runs) // 2], 3)
     best = {n: min(pass1[n], pass2[n]) for n in pass1}
     total1 = round(sum(pass1.values()), 3)
     total2 = round(sum(pass2.values()), 3)
@@ -220,9 +227,20 @@ def main() -> int:
                 # value_min_norm (= value_min / calibration_sec) across
                 # rounds; wall-second drift from box load divides out.
                 "calibration_sec": calibration,
-                "calibration_runs": [round(cal1, 3), round(cal2, 3)],
+                "calibration_runs": [
+                    round(cal1, 3),
+                    round(calm, 3),
+                    round(cal2, 3),
+                ],
                 "value_min_norm": (
                     round(value_min / calibration, 2) if calibration else None
+                ),
+                # r11: pooled-median calibration (9 samples across the
+                # suite window) — the stabler divisor; compare this
+                # across rounds alongside raw value_min
+                "calibration_pooled": pooled,
+                "value_min_norm_pooled": (
+                    round(value_min / pooled, 2) if pooled else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
