@@ -143,7 +143,13 @@ _WINDOW = [
     # plan class keeps at least one in-window representative).
     "tbl_hudi_personality_read",
     "tbl_bootstrap_upsert_read",
-    "tbl_expr_pruned_read",
+    # r11 late swap: the column_stats metadata-index planned read
+    # (this round's second flagship — external-reader data skipping
+    # from published stats) takes the slot of tbl_expr_pruned_read,
+    # whose expression-index plan class stays driver-covered by
+    # tbl_secondary_pruned_read; it remains registered past the
+    # window and green in the local sweep.
+    "tbl_hudi_stats_planned_read",
     "near_dup_components_star",
     "top_supplier_revenue",
     "events_gapfill",

@@ -393,6 +393,48 @@ def tbl_hudi_personality_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 TBL_HUDI_PERSONALITY_READ_SQL = TBL_CLUSTERED_SNAPSHOT_SQL
 
 
+def tbl_hudi_stats_planned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16/S7 r11 driver face: the Hudi metadata table's
+    `column_stats` partition as the data-skipping planner. Sync with
+    `column_stats=True` (publishes the engine's write-time footer
+    stats as type-3 HoodieMetadataRecords in HoodieLogFormat delta
+    chains under `.hoodie/metadata/column_stats/`), then plan a
+    key-range read PURELY from metadata: `stats_filter` drops every
+    file whose stored [min,max] misses the range without opening a
+    single parquet footer — on this clustered table (files sorted by
+    o_orderkey) that skips most of the table. The residual per-row
+    filter makes the result exact; the oracle recomputes the same
+    range over the final state. File-level skipping is additionally
+    pinned in tests/test_hudi_export.py."""
+    from onehouse_demos_spark.tables.interop import (
+        read_hudi_snapshot,
+        sync_hudi_metadata,
+    )
+
+    st = _build(spark, sf_dir)
+    sync_hudi_metadata(st["cow"], column_stats=True)
+    df = read_hudi_snapshot(
+        spark,
+        st["cow"].base_path,
+        via_metadata=True,
+        stats_filter=("o_orderkey", 1, 1000),
+    )
+    return _project(df).filter(F.col("o_orderkey").between(1, 1000))
+
+
+TBL_HUDI_STATS_PLANNED_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       CASE WHEN o_orderstatus = 'F' THEN 3
+            WHEN o_orderkey % 10 = 0 THEN 2 ELSE 1 END AS ver,
+       ROUND(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2.0
+                  WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
+  AND o_orderkey BETWEEN 1 AND 1000
+"""
+
+
 def tbl_delta_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M15 partition-spec face (r4): the Delta personality declares
     `partitionColumns: [o_orderstatus]` with per-file partitionValues
@@ -1381,6 +1423,7 @@ QUERIES = {
     "tbl_delta_personality_read": tbl_delta_personality_read,
     "tbl_iceberg_personality_read": tbl_iceberg_personality_read,
     "tbl_hudi_personality_read": tbl_hudi_personality_read,
+    "tbl_hudi_stats_planned_read": tbl_hudi_stats_planned_read,
     "tbl_delta_pruned_read": tbl_delta_pruned_read,
     "tbl_cdf_chain_read": tbl_cdf_chain_read,
     "tbl_matview_rollup": tbl_matview_rollup,
@@ -1415,6 +1458,7 @@ ORACLES = {
     "tbl_clustered_snapshot": TBL_CLUSTERED_SNAPSHOT_SQL,
     "tbl_delta_personality_read": TBL_DELTA_PERSONALITY_READ_SQL,
     "tbl_hudi_personality_read": TBL_HUDI_PERSONALITY_READ_SQL,
+    "tbl_hudi_stats_planned_read": TBL_HUDI_STATS_PLANNED_READ_SQL,
     "tbl_iceberg_personality_read": TBL_ICEBERG_PERSONALITY_READ_SQL,
     "tbl_delta_pruned_read": TBL_DELTA_PRUNED_READ_SQL,
     "tbl_cdf_chain_read": TBL_CDF_CHAIN_READ_SQL,

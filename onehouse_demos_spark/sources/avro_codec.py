@@ -125,6 +125,20 @@ def _type_name(s: Any) -> str:
 # ---------------------------------------------------------------- encode
 
 
+class Tagged:
+    """Explicit union-branch selection for encode: wraps a value with
+    the NAME of the union branch it must take (r11 — needed for
+    unions of several record types, e.g. HoodieMetadataColumnStats'
+    minValue union of IntWrapper/LongWrapper/..., where the value
+    alone cannot disambiguate int-width branches)."""
+
+    __slots__ = ("branch", "value")
+
+    def __init__(self, branch: str, value: Any):
+        self.branch = branch
+        self.value = value
+
+
 def encode(value: Any, schema: AvroSchema, s: Any = None) -> bytes:
     out = bytearray()
     _enc(out, value, schema, schema.root if s is None else s)
@@ -134,6 +148,16 @@ def encode(value: Any, schema: AvroSchema, s: Any = None) -> bytes:
 def _enc(out: bytearray, v: Any, sc: AvroSchema, s: Any) -> None:
     s = sc.resolve(s)
     if isinstance(s, list):  # union: pick first matching branch
+        if isinstance(v, Tagged):
+            for idx, branch in enumerate(s):
+                rb = sc.resolve(branch)
+                if isinstance(rb, dict) and rb.get("name") == v.branch:
+                    _write_long(out, idx)
+                    _enc(out, v.value, sc, branch)
+                    return
+            raise ValueError(
+                f"no union branch named {v.branch!r} in {s}"
+            )
         for idx, branch in enumerate(s):
             if _matches(v, sc, sc.resolve(branch)):
                 _write_long(out, idx)
@@ -181,13 +205,24 @@ def _enc(out: bytearray, v: Any, sc: AvroSchema, s: Any) -> None:
 
 
 def _matches(v: Any, sc: AvroSchema, s: Any) -> bool:
+    if isinstance(s, list):  # nested union (record-field structural match)
+        return any(_matches(v, sc, sc.resolve(b)) for b in s)
     t = _type_name(s)
     if t == "null":
         return v is None
     if v is None:
         return False
     if t == "record":
-        return isinstance(v, dict)
+        # structural match (r11): with several record branches in one
+        # union, "any dict" would always take the first branch — check
+        # each field's value against its schema instead
+        if not isinstance(v, dict):
+            return False
+        return all(
+            _matches(v.get(f["name"]), sc, sc.resolve(f["type"]))
+            or isinstance(v.get(f["name"]), Tagged)
+            for f in s["fields"]
+        )
     if t in ("int", "long"):
         return isinstance(v, int) and not isinstance(v, bool)
     if t in ("float", "double"):

@@ -1478,6 +1478,11 @@ class Engine:
                             f"xtable_sync: hudi_mode {hudi_mode!r}; "
                             "one of: compact, rt"
                         )
+                    # r11: hudi_column_stats => true publishes the
+                    # column_stats metadata partition alongside files
+                    cs_arg = str(
+                        arg("hudi_column_stats", default="false") or "false"
+                    ).lower() in ("true", "1", "yes")
                     rows.append(
                         (
                             "hudi",
@@ -1485,6 +1490,7 @@ class Engine:
                                 t,
                                 compact_mor=hudi_mode == "compact",
                                 mor_rt=hudi_mode == "rt",
+                                column_stats=cs_arg,
                             ),
                         )
                     )

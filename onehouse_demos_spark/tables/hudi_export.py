@@ -178,8 +178,24 @@ def _table_checksum(props: dict[str, str]) -> str:
     return str(zlib.crc32(blob.encode("utf-8")))
 
 
+def _declares_colstats(props_path: str) -> bool:
+    """Whether hoodie.properties already lists the column_stats
+    metadata partition."""
+    try:
+        with open(props_path) as fh:
+            for line in fh:
+                if line.startswith("hoodie.table.metadata.partitions="):
+                    return "column_stats" in line
+    except OSError:
+        return False
+    return False
+
+
 def _hoodie_properties(
-    table: LakehouseTable, part_cols: list[str], mor_rt: bool = False
+    table: LakehouseTable,
+    part_cols: list[str],
+    mor_rt: bool = False,
+    column_stats: bool = False,
 ) -> str:
     cfg = table.config
     keygen = (
@@ -215,7 +231,9 @@ def _hoodie_properties(
         # from metadata instead of listing — the fixture declares the
         # same (`hudi_dimCustomer/.hoodie/hoodie.properties`:
         # hoodie.table.metadata.partitions=files)
-        "hoodie.table.metadata.partitions": "files",
+        "hoodie.table.metadata.partitions": (
+            "column_stats,files" if column_stats else "files"
+        ),
         "hoodie.table.metadata.partitions.inflight": "",
         "hoodie.populate.meta.fields": "false",
         "hoodie.partition.metafile.use.base.format": "false",
@@ -380,6 +398,7 @@ def sync_hudi_metadata(
     metadata_table: bool = True,
     mor_rt: bool = False,
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
+    column_stats: bool = False,
 ) -> int:
     """Serialized entry point for the personality sync (r11, VERDICT
     r10 next #5): the `.hoodie` sync state is read-modify-write JSON,
@@ -395,7 +414,12 @@ def sync_hudi_metadata(
     provider.acquire_mutex("hudi_sync")
     try:
         return _sync_hudi_metadata_locked(
-            table, compact_mor, metadata_table, mor_rt, rt_log_gate_rows
+            table,
+            compact_mor,
+            metadata_table,
+            mor_rt,
+            rt_log_gate_rows,
+            column_stats,
         )
     finally:
         provider.release_mutex("hudi_sync")
@@ -407,6 +431,7 @@ def _sync_hudi_metadata_locked(
     metadata_table: bool = True,
     mor_rt: bool = False,
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
+    column_stats: bool = False,
 ) -> int:
     """Write/refresh the `.hoodie` personality over the table's live
     BASE files. Returns the number of completed Hudi instants after
@@ -458,20 +483,56 @@ def _sync_hudi_metadata_locked(
     existing_type = _read_table_type(props_path)
     if mor_rt and existing_type == "COPY_ON_WRITE":
         with open(props_path, "w") as fh:
-            fh.write(_hoodie_properties(table, part_cols, mor_rt=True))
+            fh.write(
+                _hoodie_properties(
+                    table,
+                    part_cols,
+                    mor_rt=True,
+                    column_stats=_declares_colstats(props_path)
+                    or column_stats,
+                )
+            )
+    if column_stats and os.path.exists(props_path) and not _declares_colstats(
+        props_path
+    ):
+        # first colstats enablement on an existing personality:
+        # declare the partition (recomputed checksum), preserving the
+        # declared table type
+        with open(props_path, "w") as fh:
+            fh.write(
+                _hoodie_properties(
+                    table,
+                    part_cols,
+                    mor_rt=mor_rt or existing_type == "MERGE_ON_READ",
+                    column_stats=True,
+                )
+            )
     if not adds and not removed and os.path.exists(props_path):
+        n = 0
         if mor_rt:
             n = _sync_rt_logs(
                 table, hoodie, state, part_cols, rt_log_gate_rows
             )
-            if n and metadata_table:
-                _sync_metadata_table(
-                    table, hoodie, state["instants"][-1], known, state
-                )
+        needs_cs = column_stats and state.get("mdt", {}).get(
+            "colstats_listing"
+        ) is None
+        if (n or needs_cs) and metadata_table and state["instants"]:
+            _sync_metadata_table(
+                table,
+                hoodie,
+                state["instants"][-1],
+                known,
+                state,
+                column_stats=column_stats,
+            )
         return len(state["instants"])
     if not os.path.exists(props_path):
         with open(props_path, "w") as fh:
-            fh.write(_hoodie_properties(table, part_cols, mor_rt=mor_rt))
+            fh.write(
+                _hoodie_properties(
+                    table, part_cols, mor_rt=mor_rt, column_stats=column_stats
+                )
+            )
 
     instant = _next_instant(state)
     part_stats: dict[str, list[dict]] = {}
@@ -590,7 +651,12 @@ def _sync_hudi_metadata_locked(
         # after the rt log publication so the files partition lists
         # base AND log slices, like Hudi's own metadata table
         _sync_metadata_table(
-            table, hoodie, state["instants"][-1], known, state
+            table,
+            hoodie,
+            state["instants"][-1],
+            known,
+            state,
+            column_stats=column_stats,
         )
     return len(state["instants"])
 
@@ -843,13 +909,16 @@ def _mdt_properties(table_name: str) -> str:
 
 
 def _mdt_write_timeline(
-    mdt_hoodie: str, instant: str, stat: dict, action: str = "deltacommit"
+    mdt_hoodie: str,
+    instant: str,
+    stats_by_partition: dict,
+    action: str = "deltacommit",
 ) -> None:
     """One instant lifecycle (requested -> inflight -> completed) in
     the metadata table's own timeline — the fixture's exact
-    transition-file set per instant. Delta publications are
-    `deltacommit`s (the fixture's shape); chain compactions publish a
-    `commit`, like Hudi's own MDT compaction."""
+    transition-file set per instant. One instant covers EVERY metadata
+    partition written by the sync (files + column_stats), like Hudi's
+    own MDT deltacommits. Chain compactions publish a `commit`."""
     compacted = action == "commit"
     with open(
         os.path.join(mdt_hoodie, f"{instant}.{action}.requested"), "w"
@@ -872,7 +941,7 @@ def _mdt_write_timeline(
             indent=2,
         )
     meta = {
-        "partitionToWriteStats": {"files": [stat]},
+        "partitionToWriteStats": stats_by_partition,
         "compacted": compacted,
         "extraMetadata": {},
         "operationType": "UPSERT_PREPPED",
@@ -1068,12 +1137,333 @@ def _mdt_delta_records(
     return records
 
 
+#: column_stats metadata partition (r11): HoodieMetadataRecord type 3,
+#: its own file group, log-chain container (no parquet base — the
+#: roll-up writes a fresh full-stats chain; documented deviation from
+#: Hudi's HFile base slices).
+_MDT_COLSTATS_FILE_GROUP = "col-stats-0000-0"
+_MDT_TYPE_COLUMN_STATS = 3
+#: record-key separator inside column-stats keys (documented
+#: deviation: Hudi hashes column+partition+file into the key; this
+#: personality keeps the readable triple so the reader needs no
+#: reverse index)
+_MDT_CS_SEP = "\x1f"
+
+#: wrapper record per Python stat type — the fixture's exact wrapper
+#: names (BooleanWrapper/LongWrapper/DoubleWrapper/StringWrapper);
+#: engine footer stats are JSON-safe primitives, so int widths all
+#: ride LongWrapper.
+_CS_WRAPPERS = [
+    ("BooleanWrapper", "boolean"),
+    ("IntWrapper", "int"),
+    ("LongWrapper", "long"),
+    ("FloatWrapper", "float"),
+    ("DoubleWrapper", "double"),
+    ("StringWrapper", "string"),
+]
+
+
+def _wrap_stat_value(v):
+    """Tag a footer-stat primitive with its fixture wrapper branch."""
+    from onehouse_demos_spark.sources.avro_codec import Tagged
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return Tagged("BooleanWrapper", {"value": v})
+    if isinstance(v, int):
+        return Tagged("LongWrapper", {"value": v})
+    if isinstance(v, float):
+        return Tagged("DoubleWrapper", {"value": v})
+    return Tagged("StringWrapper", {"value": str(v)})
+
+
+def _mdt_colstats_schema() -> str:
+    """HoodieMetadataRecord schema for the column_stats partition —
+    the files-partition schema plus the fixture's ColumnStatsMetadata
+    field (HoodieMetadataColumnStats with the wrapper-union
+    minValue/maxValue; Bytes/Date/Decimal/Time wrappers omitted —
+    engine footer stats are primitive-typed)."""
+    base = json.loads(_mdt_record_schema())
+    wrappers = [
+        {
+            "type": "record",
+            "name": name,
+            "doc": (
+                f"A record wrapping {prim} type to be able to be "
+                "used it w/in Avro's Union"
+            ),
+            "fields": [{"name": "value", "type": prim}],
+        }
+        for name, prim in _CS_WRAPPERS
+    ]
+    wrapper_names = [w["name"] for w in wrappers]
+    base["fields"].append(
+        {
+            "name": "ColumnStatsMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieMetadataColumnStats",
+                    "doc": "Data file column statistics",
+                    "fields": [
+                        {
+                            "name": "fileName",
+                            "type": ["null", "string"],
+                            "default": None,
+                        },
+                        {
+                            "name": "columnName",
+                            "type": ["null", "string"],
+                            "default": None,
+                        },
+                        {
+                            "name": "minValue",
+                            "type": ["null"] + wrappers,
+                            "default": None,
+                        },
+                        {
+                            "name": "maxValue",
+                            "type": ["null"] + wrapper_names,
+                            "default": None,
+                        },
+                        {
+                            "name": "valueCount",
+                            "type": ["null", "long"],
+                            "default": None,
+                        },
+                        {
+                            "name": "nullCount",
+                            "type": ["null", "long"],
+                            "default": None,
+                        },
+                        {
+                            "name": "totalSize",
+                            "type": ["null", "long"],
+                            "default": None,
+                        },
+                        {
+                            "name": "totalUncompressedSize",
+                            "type": ["null", "long"],
+                            "default": None,
+                        },
+                        {"name": "isDeleted", "type": "boolean"},
+                    ],
+                },
+            ],
+            "default": None,
+        }
+    )
+    return json.dumps(base)
+
+
+def _colstats_current(table: LakehouseTable, known: dict) -> dict:
+    """Current column-stats snapshot from the ENGINE's write-time
+    footer harvest — zero extra IO (the same [min,max] the engine's
+    own data skipping uses), keyed `col\\x1fpartition\\x1ffileName` ->
+    [min, max, rows, size]. Base slices only, data columns only."""
+    out: dict[str, list] = {}
+    by_path = {p: ent for p, ent in known.items()}
+    for f in table.manifest.live_files(include_logs=False):
+        if f.kind != "base" or f.path not in by_path:
+            continue
+        ent = by_path[f.path]
+        name = os.path.basename(ent["hudi_path"])
+        part = ent["partition"] or _MDT_ROOT_PARTITION
+        size = 0
+        abs_path = os.path.join(table.base_path, ent["hudi_path"])
+        if os.path.exists(abs_path):
+            size = os.stat(abs_path).st_size
+        stats = dict(f.col_stats or {})
+        if f.key_min is not None:
+            stats.setdefault("_oh_key", [f.key_min, f.key_max])
+        for col, (mn, mx) in sorted(stats.items()):
+            if col.startswith("_oh_") and col != "_oh_key":
+                continue  # engine-internal commit metadata
+            key = f"{col}{_MDT_CS_SEP}{part}{_MDT_CS_SEP}{name}"
+            out[key] = [mn, mx, f.rows, size]
+    return out
+
+
+def _colstats_record(key: str, stat: list | None) -> dict:
+    """One HoodieMetadataRecord (type 3). `stat=None` emits the
+    isDeleted tombstone for a retired file's column entry."""
+    col, part, name = key.split(_MDT_CS_SEP)
+    cs = {
+        "fileName": name,
+        "columnName": col,
+        "minValue": None,
+        "maxValue": None,
+        "valueCount": None,
+        "nullCount": None,
+        "totalSize": None,
+        "totalUncompressedSize": None,
+        "isDeleted": stat is None,
+    }
+    if stat is not None:
+        mn, mx, rows, size = stat
+        cs["minValue"] = _wrap_stat_value(mn)
+        cs["maxValue"] = _wrap_stat_value(mx)
+        cs["valueCount"] = rows
+        cs["totalSize"] = size
+    return {
+        "_hoodie_partition_path": part,
+        "key": key,
+        "type": _MDT_TYPE_COLUMN_STATS,
+        "filesystemMetadata": None,
+        "ColumnStatsMetadata": cs,
+    }
+
+
+def _sync_colstats_partition(
+    table: LakehouseTable,
+    hoodie: str,
+    instant: str,
+    known: dict,
+    mdt_state: dict,
+) -> dict | None:
+    """Refresh `.hoodie/metadata/column_stats` (r11): Hudi's
+    column-stats metadata index as HoodieLogFormat delta chains —
+    per sync, type-3 records for files whose stats appeared/changed
+    and isDeleted tombstones for retired files; every
+    `_MDT_COMPACT_EVERY` deltas the chain rolls up into a fresh
+    full-stats chain under a new attachment instant. External readers
+    (and `read_hudi_snapshot(stats_filter=...)`) skip files from
+    these metadata-scale stats without opening a single footer — at
+    100 TB that is Hudi's data-skipping index, not a footer-read
+    storm. Returns the write stat for the MDT timeline (None when
+    stats are unchanged)."""
+    from onehouse_demos_spark.tables.hudi_log import (
+        encode_records,
+        write_avro_log_file,
+    )
+
+    cs_dir = os.path.join(hoodie, "metadata", "column_stats")
+    first = not os.path.isdir(cs_dir)
+    os.makedirs(cs_dir, exist_ok=True)
+    if first:
+        with open(
+            os.path.join(cs_dir, ".hoodie_partition_metadata"), "w"
+        ) as fh:
+            fh.write(
+                "#partition metadata\n"
+                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+                "partitionDepth=1\n"
+            )
+    cur = _colstats_current(table, known)
+    prev = mdt_state.get("colstats_listing")
+    rollup = (
+        prev is not None
+        and mdt_state.get("colstats_version", 0) >= _MDT_COMPACT_EVERY
+    )
+    if prev is None or rollup:
+        # fresh chain: full current stats under a new attachment
+        # instant (bootstrap on first enablement, the data instant on
+        # roll-up); the superseded chain ages out via clean
+        attach = _MDT_BOOTSTRAP_INSTANT if prev is None else instant
+        records = [_colstats_record(k, v) for k, v in sorted(cur.items())]
+        version = 1
+    else:
+        attach = mdt_state.get(
+            "colstats_instant", _MDT_BOOTSTRAP_INSTANT
+        )
+        records = [
+            _colstats_record(k, v)
+            for k, v in sorted(cur.items())
+            if prev.get(k) != v
+        ] + [
+            _colstats_record(k, None)
+            for k in sorted(set(prev) - set(cur))
+        ]
+        if not records:
+            return None
+        version = mdt_state.get("colstats_version", 0) + 1
+    log_name = (
+        f".{_MDT_COLSTATS_FILE_GROUP}_{attach}.log.{version}_{_WRITE_TOKEN}"
+    )
+    schema = _mdt_colstats_schema()
+    write_avro_log_file(
+        os.path.join(cs_dir, log_name),
+        instant,
+        schema,
+        encode_records(records, schema),
+    )
+    stat = _write_stat(
+        "column_stats",
+        _MDT_COLSTATS_FILE_GROUP,
+        f"column_stats/{log_name}",
+        0,
+        os.stat(os.path.join(cs_dir, log_name)).st_size,
+        "numUpdateWrites",
+    )
+    stat["totalLogRecords"] = len(records)
+    stat["totalLogBlocks"] = 1
+    mdt_state["colstats_instant"] = attach
+    mdt_state["colstats_version"] = version
+    mdt_state["colstats_listing"] = cur
+    return stat
+
+
+def hudi_metadata_column_stats(base_path: str) -> dict:
+    """Read the metadata table's `column_stats` partition: newest
+    chain (max attachment instant), folded in version order with
+    payload merge semantics. Returns {(partition, file_name, column):
+    {"min", "max", "value_count", "total_size"}} — '.'-keyed root
+    partition, wrapper values unwrapped. Metadata-scale read; no data
+    file is opened."""
+    from onehouse_demos_spark.tables.hudi_log import parse_log_file
+
+    cs_dir = os.path.join(
+        _hoodie_dir(base_path), "metadata", "column_stats"
+    )
+    if not os.path.isdir(cs_dir):
+        raise FileNotFoundError(
+            f"no metadata/column_stats partition under {base_path}"
+        )
+    prefix = f".{_MDT_COLSTATS_FILE_GROUP}_"
+    chains: dict[str, list[tuple[int, str]]] = {}
+    for n in os.listdir(cs_dir):
+        if not n.startswith(prefix) or ".log." not in n:
+            continue
+        attach = n[len(prefix) :].split(".log.")[0]
+        ver = int(n.split(".log.")[1].split("_")[0])
+        chains.setdefault(attach, []).append((ver, n))
+    if not chains:
+        raise FileNotFoundError(f"no column_stats chain under {cs_dir}")
+    newest = max(chains)
+    out: dict = {}
+    for _ver, n in sorted(chains[newest]):
+        for block in parse_log_file(os.path.join(cs_dir, n)):
+            for rec in block.get("records") or []:
+                if rec.get("type") != _MDT_TYPE_COLUMN_STATS:
+                    continue
+                cs = rec.get("ColumnStatsMetadata") or {}
+                col, part, name = rec["key"].split(_MDT_CS_SEP)
+                k = (part, name, col)
+                if cs.get("isDeleted"):
+                    out.pop(k, None)
+                    continue
+
+                def _unwrap(w):
+                    return None if w is None else w.get("value")
+
+                out[k] = {
+                    "min": _unwrap(cs.get("minValue")),
+                    "max": _unwrap(cs.get("maxValue")),
+                    "value_count": cs.get("valueCount"),
+                    "total_size": cs.get("totalSize"),
+                }
+    return out
+
+
 def _sync_metadata_table(
     table: LakehouseTable,
     hoodie: str,
     instant: str,
     known: dict,
     state: dict | None = None,
+    column_stats: bool = False,
 ) -> None:
     """Refresh `.hoodie/metadata/files` — Hudi's own base+log shape
     (r11, VERDICT r10 missing #2): the bootstrap sync writes ONE
@@ -1115,84 +1505,95 @@ def _sync_metadata_table(
     by_partition = _mdt_build_listing(table, known, state)
     mdt_state = (state or {}).setdefault("mdt", {}) if state is not None else {}
     prev = mdt_state.get("listing")
+    action = "deltacommit"
+    files_stat = None
+    tl_instant = instant
     if first or prev is None:
         # bootstrap (or legacy state missing the listing snapshot):
         # full base slice at the bootstrap instant, fresh chain
         mdt_instant = _MDT_BOOTSTRAP_INSTANT if first else instant
+        tl_instant = mdt_instant
         slice_name, n = _mdt_write_base_slice(
             files_dir, mdt_instant, by_partition
         )
-        _mdt_write_timeline(
-            mdt_hoodie,
-            mdt_instant,
-            _write_stat(
-                "files",
-                _MDT_FILE_GROUP,
-                f"files/{slice_name}",
-                n,
-                os.stat(os.path.join(files_dir, slice_name)).st_size,
-                "numInserts" if first else "numUpdateWrites",
-            ),
+        files_stat = _write_stat(
+            "files",
+            _MDT_FILE_GROUP,
+            f"files/{slice_name}",
+            n,
+            os.stat(os.path.join(files_dir, slice_name)).st_size,
+            "numInserts" if first else "numUpdateWrites",
         )
         mdt_state["base_instant"] = mdt_instant
         mdt_state["log_version"] = 0
         mdt_state["listing"] = by_partition
-        if state is not None:
-            _save_state(hoodie, state)
-        return
-    records = _mdt_delta_records(prev, by_partition)
-    if not records:
-        return  # listing unchanged: no metadata instant
-    if mdt_state.get("log_version", 0) >= _MDT_COMPACT_EVERY:
-        # chain compaction: fresh full-listing base, new attachment
-        # instant, MDT-timeline `commit`
-        slice_name, n = _mdt_write_base_slice(
-            files_dir, instant, by_partition
-        )
-        _mdt_write_timeline(
-            mdt_hoodie,
-            instant,
-            _write_stat(
+    else:
+        records = _mdt_delta_records(prev, by_partition)
+        if records and mdt_state.get("log_version", 0) >= _MDT_COMPACT_EVERY:
+            # chain compaction: fresh full-listing base, new
+            # attachment instant, MDT-timeline `commit`
+            slice_name, n = _mdt_write_base_slice(
+                files_dir, instant, by_partition
+            )
+            files_stat = _write_stat(
                 "files",
                 _MDT_FILE_GROUP,
                 f"files/{slice_name}",
                 n,
                 os.stat(os.path.join(files_dir, slice_name)).st_size,
                 "numUpdateWrites",
-            ),
-            action="commit",
+            )
+            action = "commit"
+            mdt_state["base_instant"] = instant
+            mdt_state["log_version"] = 0
+            mdt_state["listing"] = by_partition
+        elif records:
+            version = mdt_state.get("log_version", 0) + 1
+            base_instant = mdt_state.get(
+                "base_instant", _MDT_BOOTSTRAP_INSTANT
+            )
+            log_name = (
+                f".{_MDT_FILE_GROUP}_{base_instant}"
+                f".log.{version}_{_WRITE_TOKEN}"
+            )
+            schema = _mdt_record_schema()
+            write_avro_log_file(
+                os.path.join(files_dir, log_name),
+                instant,
+                schema,
+                encode_records(records, schema),
+            )
+            files_stat = _write_stat(
+                "files",
+                _MDT_FILE_GROUP,
+                f"files/{log_name}",
+                0,
+                os.stat(os.path.join(files_dir, log_name)).st_size,
+                "numUpdateWrites",
+            )
+            files_stat["totalLogRecords"] = len(records)
+            files_stat["totalLogBlocks"] = 1
+            mdt_state["log_version"] = version
+            mdt_state["listing"] = by_partition
+    cs_stat = None
+    if column_stats:
+        cs_stat = _sync_colstats_partition(
+            table, hoodie, tl_instant, known, mdt_state
         )
-        mdt_state["base_instant"] = instant
-        mdt_state["log_version"] = 0
-        mdt_state["listing"] = by_partition
-        if state is not None:
-            _save_state(hoodie, state)
-        return
-    version = mdt_state.get("log_version", 0) + 1
-    base_instant = mdt_state.get("base_instant", _MDT_BOOTSTRAP_INSTANT)
-    log_name = (
-        f".{_MDT_FILE_GROUP}_{base_instant}.log.{version}_{_WRITE_TOKEN}"
-    )
-    schema = _mdt_record_schema()
-    write_avro_log_file(
-        os.path.join(files_dir, log_name),
-        instant,
-        schema,
-        encode_records(records, schema),
-    )
-    stat = _write_stat(
-        "files",
-        _MDT_FILE_GROUP,
-        f"files/{log_name}",
-        0,
-        os.stat(os.path.join(files_dir, log_name)).st_size,
-        "numUpdateWrites",
-    )
-    stat["totalLogRecords"] = len(records)
-    stat["totalLogBlocks"] = 1
-    _mdt_write_timeline(mdt_hoodie, instant, stat)
-    mdt_state["log_version"] = version
-    mdt_state["listing"] = by_partition
+    parts: dict[str, list] = {}
+    if files_stat is not None:
+        parts["files"] = [files_stat]
+    if cs_stat is not None:
+        parts["column_stats"] = [cs_stat]
+    if parts:
+        # MDT instants must be unique: a colstats-only sync re-using
+        # the latest data instant could collide with that instant's
+        # already-written files deltacommit — bump past it.
+        while os.path.exists(
+            os.path.join(mdt_hoodie, f"{tl_instant}.deltacommit")
+        ) or os.path.exists(os.path.join(mdt_hoodie, f"{tl_instant}.commit")):
+            tl_instant = _next_instant({"instants": [tl_instant]})
+        _mdt_write_timeline(mdt_hoodie, tl_instant, parts, action)
     if state is not None:
         _save_state(hoodie, state)
 
@@ -1352,6 +1753,22 @@ def _clean_hudi_personality_locked(
                 attached = n[len(_MDT_FILE_GROUP) + 2 :].split(".log.")[0]
                 if attached != newest_inst and attached < boundary:
                     os.remove(os.path.join(files_dir, n))
+    # column_stats partition (r11): chains superseded by a roll-up
+    # (attachment instant older than the newest chain's) age out the
+    # same way
+    cs_dir = os.path.join(hoodie, "metadata", "column_stats")
+    if os.path.isdir(cs_dir):
+        attach_of = {}
+        for n in os.listdir(cs_dir):
+            if n.startswith(f".{_MDT_COLSTATS_FILE_GROUP}_") and ".log." in n:
+                attach_of[n] = n[
+                    len(_MDT_COLSTATS_FILE_GROUP) + 2 :
+                ].split(".log.")[0]
+        if attach_of:
+            newest_attach = max(attach_of.values())
+            for n, attached in attach_of.items():
+                if attached != newest_attach and attached < boundary:
+                    os.remove(os.path.join(cs_dir, n))
     _save_state(hoodie, state)
     return {"deleted_files": deleted, "archived_instants": archived}
 
@@ -1738,6 +2155,7 @@ def read_hudi_snapshot(
     partitions: list[str] | None = None,
     as_of: str | None = None,
     via_metadata: bool = False,
+    stats_filter: tuple | None = None,
 ) -> DataFrame:
     """Read a Hudi COW table the way a Hudi client's snapshot query
     resolves it — timeline replay, newest slice per file group — and
@@ -1761,15 +2179,40 @@ def read_hudi_snapshot(
         if partitions is not None:
             keep = {p or _MDT_ROOT_PARTITION for p in partitions}
             listing = {p: v for p, v in listing.items() if p in keep}
+        pairs = [
+            (part, name)
+            for part, files in listing.items()
+            for name in files
+            if name.endswith(".parquet")  # ro planning: base slices
+        ]
+        if stats_filter is not None:
+            # r11: Hudi's column_stats metadata index as the
+            # data-skipping planner — drop files whose stored
+            # [min,max] window cannot intersect the predicate range,
+            # without opening a single parquet footer. Files with no
+            # stats for the column are kept (safe).
+            col, lo, hi = stats_filter
+            cs = hudi_metadata_column_stats(base_path)
+
+            def _keep(part: str, name: str) -> bool:
+                ent = cs.get((part, name, col))
+                if ent is None or ent["min"] is None:
+                    return True
+                return not (ent["max"] < lo or ent["min"] > hi)
+
+            pairs = [(p, n) for p, n in pairs if _keep(p, n)]
         paths = sorted(
             os.path.join(base_path, name)
             if part == _MDT_ROOT_PARTITION
             else os.path.join(base_path, part, name)
-            for part, files in listing.items()
-            for name in files
-            if name.endswith(".parquet")  # ro planning: base slices
+            for part, name in pairs
         )
     else:
+        if stats_filter is not None:
+            raise ValueError(
+                "stats_filter plans from the metadata table's "
+                "column_stats partition — use via_metadata=True"
+            )
         paths = hudi_live_files(base_path, partitions=partitions, as_of=as_of)
     if not paths:
         schema = T.StructType([])

@@ -880,6 +880,191 @@ def test_mdt_delta_marks_partition_removal(spark, tmp_base):
     assert {r.sym for r in snap.collect()} == {"MSFT"}
 
 
+def test_colstats_partition_schema_parity_with_fixture(spark, tmp_base):
+    """The column_stats partition's record schema matches the
+    fixture's HoodieMetadataColumnStats: same field set, same wrapper
+    record shapes (value-typed single-field records), wrapper union a
+    strict subset of the fixture's (Bytes/Date/Decimal/Time wrappers
+    omitted — engine footer stats are primitive-typed)."""
+    from onehouse_demos_spark.tables.hudi_log import (
+        HEADER_SCHEMA,
+        parse_log_file,
+    )
+
+    ref_log = (
+        f"{REF_HUDI}/.hoodie/metadata/files/"
+        ".files-0000-0_00000000000000010.log.2_0-87-178"
+    )
+    if not os.path.exists(ref_log):
+        pytest.skip("reference fixture unavailable")
+    t = _mk(spark, tmp_base, partitioned=False)
+    sync_hudi_metadata(t, column_stats=True)
+    cs_dir = os.path.join(
+        t.base_path, ".hoodie", "metadata", "column_stats"
+    )
+    log_name = [n for n in os.listdir(cs_dir) if ".log." in n][0]
+    ours = json.loads(
+        parse_log_file(os.path.join(cs_dir, log_name))[0]["headers"][
+            HEADER_SCHEMA
+        ].decode()
+    )
+    ref = json.loads(
+        parse_log_file(ref_log)[0]["headers"][HEADER_SCHEMA].decode()
+    )
+    our_cs = [
+        f for f in ours["fields"] if f["name"] == "ColumnStatsMetadata"
+    ][0]["type"][1]
+    ref_cs = [
+        f for f in ref["fields"] if f["name"] == "ColumnStatsMetadata"
+    ][0]["type"][1]
+    assert our_cs["name"] == ref_cs["name"] == "HoodieMetadataColumnStats"
+    our_fields = {f["name"] for f in our_cs["fields"]}
+    ref_fields = {f["name"] for f in ref_cs["fields"]}
+    assert our_fields == ref_fields  # full field-set parity
+
+    def wrappers_of(cs_rec):
+        mv = [f for f in cs_rec["fields"] if f["name"] == "minValue"][0]
+        return {
+            b["name"]: b["fields"]
+            for b in mv["type"]
+            if isinstance(b, dict)
+        }
+
+    ours_w, ref_w = wrappers_of(our_cs), wrappers_of(ref_cs)
+    assert set(ours_w) <= set(ref_w)  # strict subset of fixture union
+    for name, fields in ours_w.items():
+        ref_f = ref_w[name]
+        assert [f["name"] for f in fields] == [
+            f["name"] for f in ref_f
+        ] == ["value"]
+
+        def prim(ft):
+            return ft["type"] if isinstance(ft, dict) else ft
+
+        assert prim(fields[0]["type"]) == prim(ref_f[0]["type"]), name
+    # maxValue references the SAME wrapper definitions by name —
+    # decoded records round-trip through the codec's named-type index
+    blocks = parse_log_file(os.path.join(cs_dir, log_name))
+    recs = blocks[0]["records"]
+    assert recs and all(r["type"] == 3 for r in recs)
+    got = [r for r in recs if r["ColumnStatsMetadata"]["columnName"] == "px"]
+    assert got
+    cs0 = got[0]["ColumnStatsMetadata"]
+    assert isinstance(cs0["minValue"]["value"], float)
+    assert cs0["maxValue"]["value"] >= cs0["minValue"]["value"]
+
+
+def test_colstats_planned_read_skips_files(spark, tmp_base):
+    """The stats-filtered metadata-planned read must SKIP files whose
+    published [min,max] misses the range — pinned by inputFiles()
+    count — while staying exact. Files are key-range-disjoint by
+    construction (one insert per key slice)."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_metadata_column_stats,
+    )
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/csplan",
+        TableConfig(name="csplan", record_key=["key"], precombine="ver"),
+    )
+    for lo in range(0, 400, 100):  # 4 disjoint key-range files
+        rows = [
+            (f"k{i:03d}", 1, "S", float(i)) for i in range(lo, lo + 100)
+        ]
+        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    sync_hudi_metadata(t, column_stats=True)
+    n_live = len(hudi_live_files(t.base_path))
+    assert n_live == 4
+    stats = hudi_metadata_column_stats(t.base_path)
+    assert len({k[1] for k in stats}) == 4  # stats for every file
+    df = read_hudi_snapshot(
+        spark,
+        t.base_path,
+        via_metadata=True,
+        stats_filter=("key", "k150", "k249"),
+    )
+    opened = df.inputFiles()
+    assert len(opened) == 2, opened  # only the two overlapping slices
+    got = sorted(
+        r.key for r in df.filter(F.col("key").between("k150", "k249")).collect()
+    )
+    assert got == [f"k{i:03d}" for i in range(150, 250)]
+
+
+def test_colstats_delta_tombstones_across_rewrite(spark, tmp_base):
+    """A rewrite retires a file: the next colstats sync publishes
+    isDeleted tombstones for its entries and the folded view tracks
+    ONLY live files — across an upsert and a delete_partition."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_metadata_column_stats,
+    )
+
+    t = _mk(spark, tmp_base, partitioned=True)
+    sync_hudi_metadata(t, column_stats=True)
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_hudi_metadata(t, column_stats=True)
+    stats = hudi_metadata_column_stats(t.base_path)
+    live_names = {
+        os.path.basename(p) for p in hudi_live_files(t.base_path)
+    }
+    assert {k[1] for k in stats} == live_names
+    # the upserted slice's px max reflects the new value
+    mx = max(
+        v["max"]
+        for k, v in stats.items()
+        if k[0] == "sym=GOOG" and k[2] == "px"
+    )
+    assert mx == 999.0
+    t.delete_partition(["GOOG"])
+    sync_hudi_metadata(t, column_stats=True)
+    stats = hudi_metadata_column_stats(t.base_path)
+    assert {k[0] for k in stats} == {"sym=MSFT"}
+
+
+def test_colstats_rollup_and_clean(spark, tmp_base):
+    """Every _MDT_COMPACT_EVERY colstats deltas the chain rolls up
+    into a fresh full-stats chain under a new attachment instant;
+    clean ages the superseded chain; the folded view stays exact."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        _MDT_COMPACT_EVERY,
+        clean_hudi_personality,
+        hudi_metadata_column_stats,
+    )
+
+    t = _mk(spark, tmp_base, partitioned=False)
+    sync_hudi_metadata(t, column_stats=True)
+    for i in range(_MDT_COMPACT_EVERY + 2):
+        t.upsert(
+            spark.createDataFrame([("k00", 2 + i, "MSFT", float(i))], DDL)
+        )
+        sync_hudi_metadata(t, column_stats=True)
+    cs_dir = os.path.join(
+        t.base_path, ".hoodie", "metadata", "column_stats"
+    )
+    attaches = {
+        n[len("col-stats-0000-0") + 2 :].split(".log.")[0]
+        for n in os.listdir(cs_dir)
+        if ".log." in n
+    }
+    assert len(attaches) == 2  # bootstrap chain + rolled-up chain
+    stats = hudi_metadata_column_stats(t.base_path)
+    live_names = {
+        os.path.basename(p) for p in hudi_live_files(t.base_path)
+    }
+    assert {k[1] for k in stats} == live_names
+    clean_hudi_personality(t, keep_last_instants=2)
+    left = {
+        n[len("col-stats-0000-0") + 2 :].split(".log.")[0]
+        for n in os.listdir(cs_dir)
+        if ".log." in n
+    }
+    assert len(left) == 1  # superseded chain aged out
+    assert {
+        k[1] for k in hudi_metadata_column_stats(t.base_path)
+    } == live_names
+
+
 def test_snapshot_via_metadata_table(spark, tmp_base):
     """via_metadata=True plans the read from the metadata table's
     files partition (one small parquet read, no timeline replay, no
@@ -1488,3 +1673,29 @@ def test_sync_crash_between_commit_and_state_save_stays_exact(
     # no duplicate keys through the personality
     df = read_hudi_snapshot(spark, t.base_path)
     assert df.count() == df.select("key").distinct().count()
+
+
+def test_call_xtable_sync_hudi_column_stats(spark, tmp_base):
+    """CALL xtable_sync(..., hudi_column_stats => true) publishes the
+    column_stats metadata partition through the SQL surface."""
+    from onehouse_demos_spark.sql.engine import Engine
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_metadata_column_stats,
+    )
+
+    eng = Engine(spark, f"{tmp_base}/wh_cs")
+    eng.sql(
+        "CREATE TABLE cstat (id INT, v STRING, ver INT) USING lakehouse "
+        "TBLPROPERTIES (primaryKey='id', preCombineField='ver')"
+    )
+    eng.sql("INSERT INTO cstat VALUES (1, 'a', 1), (2, 'b', 1)")
+    [r] = eng.sql(
+        "CALL xtable_sync(table => 'cstat', formats => 'hudi', "
+        "hudi_column_stats => true)"
+    ).collect()
+    assert r.format == "hudi" and r.version >= 1
+    base = eng._tables["cstat"].base_path
+    stats = hudi_metadata_column_stats(base)
+    assert any(k[2] == "id" for k in stats)
+    props = open(os.path.join(base, ".hoodie", "hoodie.properties")).read()
+    assert "hoodie.table.metadata.partitions=column_stats,files" in props
