@@ -435,6 +435,43 @@ WHERE o_orderkey % 7 <> 0 AND o_orderstatus <> 'P'
 """
 
 
+def tbl_hudi_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16/S7 r11 driver face: the Hudi metadata table's
+    `bloom_filters` partition as the point-read planner. Sync the
+    bulk table with `bloom_filters=True` (publishes the engine's
+    write-time per-file key blooms as type-4 HoodieMetadataRecords),
+    then answer a point read planned PURELY from metadata:
+    `read_hudi_point` scans only the files whose bloom might contain
+    the key — on the 8-file bulk layout that is 1-2 files, pinned in
+    tests/test_hudi_export.py. The probed key is the smallest
+    orderkey (present at every SF); the oracle selects the same key
+    relationally."""
+    from onehouse_demos_spark.tables.interop import (
+        read_hudi_point,
+        sync_hudi_metadata,
+    )
+
+    st = _build(spark, sf_dir)
+    bulk = st["bulk"]
+    sync_hudi_metadata(bulk, bloom_filters=True)
+    k = (
+        _orders(spark, sf_dir)
+        .agg(F.min("o_orderkey").alias("k"))
+        .first()
+        .k
+    )
+    return _project(read_hudi_point(spark, bulk.base_path, [str(k)]))
+
+
+TBL_HUDI_BLOOM_POINT_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       1 AS ver,
+       ROUND(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+"""
+
+
 def tbl_delta_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M15 partition-spec face (r4): the Delta personality declares
     `partitionColumns: [o_orderstatus]` with per-file partitionValues
@@ -1424,6 +1461,7 @@ QUERIES = {
     "tbl_iceberg_personality_read": tbl_iceberg_personality_read,
     "tbl_hudi_personality_read": tbl_hudi_personality_read,
     "tbl_hudi_stats_planned_read": tbl_hudi_stats_planned_read,
+    "tbl_hudi_bloom_point_read": tbl_hudi_bloom_point_read,
     "tbl_delta_pruned_read": tbl_delta_pruned_read,
     "tbl_cdf_chain_read": tbl_cdf_chain_read,
     "tbl_matview_rollup": tbl_matview_rollup,
@@ -1459,6 +1497,7 @@ ORACLES = {
     "tbl_delta_personality_read": TBL_DELTA_PERSONALITY_READ_SQL,
     "tbl_hudi_personality_read": TBL_HUDI_PERSONALITY_READ_SQL,
     "tbl_hudi_stats_planned_read": TBL_HUDI_STATS_PLANNED_READ_SQL,
+    "tbl_hudi_bloom_point_read": TBL_HUDI_BLOOM_POINT_READ_SQL,
     "tbl_iceberg_personality_read": TBL_ICEBERG_PERSONALITY_READ_SQL,
     "tbl_delta_pruned_read": TBL_DELTA_PRUNED_READ_SQL,
     "tbl_cdf_chain_read": TBL_CDF_CHAIN_READ_SQL,

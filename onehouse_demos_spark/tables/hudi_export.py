@@ -178,17 +178,22 @@ def _table_checksum(props: dict[str, str]) -> str:
     return str(zlib.crc32(blob.encode("utf-8")))
 
 
-def _declares_colstats(props_path: str) -> bool:
-    """Whether hoodie.properties already lists the column_stats
-    metadata partition."""
+def _declared_partitions(props_path: str) -> set[str]:
+    """The metadata partitions hoodie.properties currently lists."""
     try:
         with open(props_path) as fh:
             for line in fh:
                 if line.startswith("hoodie.table.metadata.partitions="):
-                    return "column_stats" in line
+                    return {
+                        p
+                        for p in line.strip()
+                        .split("=", 1)[1]
+                        .split(",")
+                        if p
+                    }
     except OSError:
-        return False
-    return False
+        return set()
+    return set()
 
 
 def _hoodie_properties(
@@ -196,6 +201,7 @@ def _hoodie_properties(
     part_cols: list[str],
     mor_rt: bool = False,
     column_stats: bool = False,
+    bloom_filters: bool = False,
 ) -> str:
     cfg = table.config
     keygen = (
@@ -231,8 +237,12 @@ def _hoodie_properties(
         # from metadata instead of listing — the fixture declares the
         # same (`hudi_dimCustomer/.hoodie/hoodie.properties`:
         # hoodie.table.metadata.partitions=files)
-        "hoodie.table.metadata.partitions": (
-            "column_stats,files" if column_stats else "files"
+        "hoodie.table.metadata.partitions": ",".join(
+            sorted(
+                {"files"}
+                | ({"column_stats"} if column_stats else set())
+                | ({"bloom_filters"} if bloom_filters else set())
+            )
         ),
         "hoodie.table.metadata.partitions.inflight": "",
         "hoodie.populate.meta.fields": "false",
@@ -399,6 +409,7 @@ def sync_hudi_metadata(
     mor_rt: bool = False,
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
     column_stats: bool = False,
+    bloom_filters: bool = False,
 ) -> int:
     """Serialized entry point for the personality sync (r11, VERDICT
     r10 next #5): the `.hoodie` sync state is read-modify-write JSON,
@@ -420,6 +431,7 @@ def sync_hudi_metadata(
             mor_rt,
             rt_log_gate_rows,
             column_stats,
+            bloom_filters,
         )
     finally:
         provider.release_mutex("hudi_sync")
@@ -432,6 +444,7 @@ def _sync_hudi_metadata_locked(
     mor_rt: bool = False,
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
     column_stats: bool = False,
+    bloom_filters: bool = False,
 ) -> int:
     """Write/refresh the `.hoodie` personality over the table's live
     BASE files. Returns the number of completed Hudi instants after
@@ -481,30 +494,26 @@ def _sync_hudi_metadata_locked(
     # syncs stay MOR (plain commits are valid MOR instants; the
     # deltacommits already in the timeline make COW a lie).
     existing_type = _read_table_type(props_path)
-    if mor_rt and existing_type == "COPY_ON_WRITE":
-        with open(props_path, "w") as fh:
-            fh.write(
-                _hoodie_properties(
-                    table,
-                    part_cols,
-                    mor_rt=True,
-                    column_stats=_declares_colstats(props_path)
-                    or column_stats,
-                )
-            )
-    if column_stats and os.path.exists(props_path) and not _declares_colstats(
-        props_path
-    ):
-        # first colstats enablement on an existing personality:
-        # declare the partition (recomputed checksum), preserving the
-        # declared table type
+    declared = _declared_partitions(props_path)
+    want_cs = column_stats or "column_stats" in declared
+    want_bf = bloom_filters or "bloom_filters" in declared
+    needs_rewrite = os.path.exists(props_path) and (
+        (mor_rt and existing_type == "COPY_ON_WRITE")
+        or (column_stats and "column_stats" not in declared)
+        or (bloom_filters and "bloom_filters" not in declared)
+    )
+    if needs_rewrite:
+        # declaration upgrade (recomputed checksum): MOR flip and/or
+        # first enablement of a metadata-index partition, preserving
+        # whatever the personality already declares
         with open(props_path, "w") as fh:
             fh.write(
                 _hoodie_properties(
                     table,
                     part_cols,
                     mor_rt=mor_rt or existing_type == "MERGE_ON_READ",
-                    column_stats=True,
+                    column_stats=want_cs,
+                    bloom_filters=want_bf,
                 )
             )
     if not adds and not removed and os.path.exists(props_path):
@@ -516,7 +525,10 @@ def _sync_hudi_metadata_locked(
         needs_cs = column_stats and state.get("mdt", {}).get(
             "colstats_listing"
         ) is None
-        if (n or needs_cs) and metadata_table and state["instants"]:
+        needs_bf = bloom_filters and state.get("mdt", {}).get(
+            "bloom_listing"
+        ) is None
+        if (n or needs_cs or needs_bf) and metadata_table and state["instants"]:
             _sync_metadata_table(
                 table,
                 hoodie,
@@ -524,13 +536,18 @@ def _sync_hudi_metadata_locked(
                 known,
                 state,
                 column_stats=column_stats,
+                bloom_filters=bloom_filters,
             )
         return len(state["instants"])
     if not os.path.exists(props_path):
         with open(props_path, "w") as fh:
             fh.write(
                 _hoodie_properties(
-                    table, part_cols, mor_rt=mor_rt, column_stats=column_stats
+                    table,
+                    part_cols,
+                    mor_rt=mor_rt,
+                    column_stats=column_stats,
+                    bloom_filters=bloom_filters,
                 )
             )
 
@@ -657,6 +674,7 @@ def _sync_hudi_metadata_locked(
             known,
             state,
             column_stats=column_stats,
+            bloom_filters=bloom_filters,
         )
     return len(state["instants"])
 
@@ -1258,6 +1276,255 @@ def _mdt_colstats_schema() -> str:
     return json.dumps(base)
 
 
+#: bloom_filters metadata partition (r11): HoodieMetadataRecord
+#: type 4, one entry per (partition, base file), carrying the
+#: engine's write-time key bloom — Hudi's bloom-filter metadata
+#: index, serving external point-read planning without footer reads.
+_MDT_BLOOM_FILE_GROUP = "bloom-filters-0000-0"
+_MDT_TYPE_BLOOM_FILTER = 4
+#: bloom type code (documented deviation: Hudi stores its own
+#: DYNAMIC_V0 serialization; this personality stores the engine's
+#: portable KeyBloom bytes under its own code)
+_MDT_BLOOM_TYPE_CODE = "OH_KEYBLOOM_V1"
+
+
+def _mdt_bloom_schema() -> str:
+    """HoodieMetadataRecord schema for the bloom_filters partition —
+    the files-partition schema plus the fixture's BloomFilterMetadata
+    field (HoodieMetadataBloomFilter: type/timestamp/bloomFilter/
+    isDeleted, exactly the committed Hudi-0.14 shape)."""
+    base = json.loads(_mdt_record_schema())
+    base["fields"].append(
+        {
+            "name": "BloomFilterMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieMetadataBloomFilter",
+                    "doc": "Data file bloom filter details",
+                    "fields": [
+                        {"name": "type", "type": "string"},
+                        {"name": "timestamp", "type": "string"},
+                        {"name": "bloomFilter", "type": "bytes"},
+                        {"name": "isDeleted", "type": "boolean"},
+                    ],
+                },
+            ],
+            "default": None,
+        }
+    )
+    return json.dumps(base)
+
+
+def _bloom_current(table: LakehouseTable, known: dict) -> dict:
+    """Current bloom snapshot from the ENGINE's write-time key blooms
+    (FileMeta.key_bloom, built at harvest — zero extra IO), keyed
+    `partition\\x1ffileName` -> b64 bloom. Files without a bloom
+    (over the build cap) simply have no entry — readers keep them."""
+    out: dict[str, str] = {}
+    for f in table.manifest.live_files(include_logs=False):
+        if f.kind != "base" or f.path not in known or not f.key_bloom:
+            continue
+        ent = known[f.path]
+        part = ent["partition"] or _MDT_ROOT_PARTITION
+        name = os.path.basename(ent["hudi_path"])
+        out[f"{part}{_MDT_CS_SEP}{name}"] = f.key_bloom
+    return out
+
+
+def _bloom_record(key: str, b64: str | None, instant: str) -> dict:
+    """One HoodieMetadataRecord (type 4); `b64=None` emits the
+    isDeleted tombstone."""
+    import base64 as _b64mod
+
+    part, name = key.split(_MDT_CS_SEP)
+    return {
+        "_hoodie_partition_path": part,
+        "key": key,
+        "type": _MDT_TYPE_BLOOM_FILTER,
+        "filesystemMetadata": None,
+        "BloomFilterMetadata": {
+            "type": _MDT_BLOOM_TYPE_CODE,
+            "timestamp": instant,
+            "bloomFilter": (
+                b"" if b64 is None else _b64mod.b64decode(b64)
+            ),
+            "isDeleted": b64 is None,
+        },
+    }
+
+
+def _sync_bloom_partition(
+    table: LakehouseTable,
+    hoodie: str,
+    instant: str,
+    known: dict,
+    mdt_state: dict,
+) -> dict | None:
+    """Refresh `.hoodie/metadata/bloom_filters` (r11): Hudi's
+    bloom-filter metadata index as HoodieLogFormat delta chains —
+    the same base-less chain + roll-up + clean lifecycle as
+    column_stats. External readers (and `read_hudi_point`) prune a
+    point read to the files whose bloom might contain the key, from
+    metadata alone. Returns the MDT-timeline write stat (None when
+    unchanged)."""
+    from onehouse_demos_spark.tables.hudi_log import (
+        encode_records,
+        write_avro_log_file,
+    )
+
+    bf_dir = os.path.join(hoodie, "metadata", "bloom_filters")
+    first = not os.path.isdir(bf_dir)
+    os.makedirs(bf_dir, exist_ok=True)
+    if first:
+        with open(
+            os.path.join(bf_dir, ".hoodie_partition_metadata"), "w"
+        ) as fh:
+            fh.write(
+                "#partition metadata\n"
+                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+                "partitionDepth=1\n"
+            )
+    cur = _bloom_current(table, known)
+    prev = mdt_state.get("bloom_listing")
+    rollup = (
+        prev is not None
+        and mdt_state.get("bloom_version", 0) >= _MDT_COMPACT_EVERY
+    )
+    if prev is None or rollup:
+        attach = _MDT_BOOTSTRAP_INSTANT if prev is None else instant
+        records = [
+            _bloom_record(k, v, instant) for k, v in sorted(cur.items())
+        ]
+        version = 1
+    else:
+        attach = mdt_state.get("bloom_instant", _MDT_BOOTSTRAP_INSTANT)
+        records = [
+            _bloom_record(k, v, instant)
+            for k, v in sorted(cur.items())
+            if prev.get(k) != v
+        ] + [
+            _bloom_record(k, None, instant)
+            for k in sorted(set(prev) - set(cur))
+        ]
+        if not records:
+            return None
+        version = mdt_state.get("bloom_version", 0) + 1
+    log_name = (
+        f".{_MDT_BLOOM_FILE_GROUP}_{attach}.log.{version}_{_WRITE_TOKEN}"
+    )
+    schema = _mdt_bloom_schema()
+    write_avro_log_file(
+        os.path.join(bf_dir, log_name),
+        instant,
+        schema,
+        encode_records(records, schema),
+    )
+    stat = _write_stat(
+        "bloom_filters",
+        _MDT_BLOOM_FILE_GROUP,
+        f"bloom_filters/{log_name}",
+        0,
+        os.stat(os.path.join(bf_dir, log_name)).st_size,
+        "numUpdateWrites",
+    )
+    stat["totalLogRecords"] = len(records)
+    stat["totalLogBlocks"] = 1
+    mdt_state["bloom_instant"] = attach
+    mdt_state["bloom_version"] = version
+    mdt_state["bloom_listing"] = cur
+    return stat
+
+
+def hudi_metadata_bloom_filters(base_path: str) -> dict:
+    """Read the metadata table's `bloom_filters` partition: newest
+    chain folded in version order. Returns {(partition, file_name):
+    KeyBloom}. Metadata-scale read; no data file is opened."""
+    from onehouse_demos_spark.tables.bloom import KeyBloom
+    from onehouse_demos_spark.tables.hudi_log import parse_log_file
+
+    bf_dir = os.path.join(
+        _hoodie_dir(base_path), "metadata", "bloom_filters"
+    )
+    if not os.path.isdir(bf_dir):
+        raise FileNotFoundError(
+            f"no metadata/bloom_filters partition under {base_path}"
+        )
+    import base64 as _b64mod
+
+    prefix = f".{_MDT_BLOOM_FILE_GROUP}_"
+    chains: dict[str, list[tuple[int, str]]] = {}
+    for n in os.listdir(bf_dir):
+        if not n.startswith(prefix) or ".log." not in n:
+            continue
+        attach = n[len(prefix) :].split(".log.")[0]
+        ver = int(n.split(".log.")[1].split("_")[0])
+        chains.setdefault(attach, []).append((ver, n))
+    if not chains:
+        raise FileNotFoundError(f"no bloom_filters chain under {bf_dir}")
+    out: dict = {}
+    for _ver, n in sorted(chains[max(chains)]):
+        for block in parse_log_file(os.path.join(bf_dir, n)):
+            for rec in block.get("records") or []:
+                if rec.get("type") != _MDT_TYPE_BLOOM_FILTER:
+                    continue
+                bf = rec.get("BloomFilterMetadata") or {}
+                part, name = rec["key"].split(_MDT_CS_SEP)
+                if bf.get("isDeleted"):
+                    out.pop((part, name), None)
+                    continue
+                out[(part, name)] = KeyBloom.from_b64(
+                    _b64mod.b64encode(bf["bloomFilter"]).decode("ascii")
+                )
+    return out
+
+
+def hudi_files_for_keys(base_path: str, keys: list[str]) -> list[str]:
+    """Point-read planning from metadata alone (r11): the files
+    partition gives the live base set, the bloom_filters partition
+    drops every file whose bloom excludes ALL probed keys. Files
+    without a published bloom are kept (safe). Returns absolute
+    parquet paths — no footer or data read happens here; at 100 TB
+    this is Hudi's bloom index turning a point read into a
+    few-file scan."""
+    listing = hudi_metadata_listing(base_path)
+    blooms = hudi_metadata_bloom_filters(base_path)
+    out = []
+    for part, files in listing.items():
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            kb = blooms.get((part, name))
+            if kb is not None and not kb.might_contain_any(keys):
+                continue
+            out.append(
+                os.path.join(base_path, name)
+                if part == _MDT_ROOT_PARTITION
+                else os.path.join(base_path, part, name)
+            )
+    return sorted(out)
+
+
+def read_hudi_point(
+    spark: SparkSession, base_path: str, keys: list[str]
+) -> DataFrame:
+    """Metadata-planned point read over a personality: scan ONLY the
+    bloom-kept files and filter to the probed record keys (the
+    engine-format `_oh_key` strings). The personality analog of the
+    engine's `snapshot_for_keys`."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    paths = hudi_files_for_keys(base_path, keys)
+    if not paths:
+        return spark.createDataFrame([], T.StructType([]))
+    df = spark.read.parquet(*paths).filter(F.col(KEY_COL).isin(keys))
+    meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
+    return df.drop(*meta_cols) if meta_cols else df
+
+
 def _colstats_current(table: LakehouseTable, known: dict) -> dict:
     """Current column-stats snapshot from the ENGINE's write-time
     footer harvest — zero extra IO (the same [min,max] the engine's
@@ -1464,6 +1731,7 @@ def _sync_metadata_table(
     known: dict,
     state: dict | None = None,
     column_stats: bool = False,
+    bloom_filters: bool = False,
 ) -> None:
     """Refresh `.hoodie/metadata/files` — Hudi's own base+log shape
     (r11, VERDICT r10 missing #2): the bootstrap sync writes ONE
@@ -1580,11 +1848,18 @@ def _sync_metadata_table(
         cs_stat = _sync_colstats_partition(
             table, hoodie, tl_instant, known, mdt_state
         )
+    bf_stat = None
+    if bloom_filters:
+        bf_stat = _sync_bloom_partition(
+            table, hoodie, tl_instant, known, mdt_state
+        )
     parts: dict[str, list] = {}
     if files_stat is not None:
         parts["files"] = [files_stat]
     if cs_stat is not None:
         parts["column_stats"] = [cs_stat]
+    if bf_stat is not None:
+        parts["bloom_filters"] = [bf_stat]
     if parts:
         # MDT instants must be unique: a colstats-only sync re-using
         # the latest data instant could collide with that instant's
@@ -1753,22 +2028,25 @@ def _clean_hudi_personality_locked(
                 attached = n[len(_MDT_FILE_GROUP) + 2 :].split(".log.")[0]
                 if attached != newest_inst and attached < boundary:
                     os.remove(os.path.join(files_dir, n))
-    # column_stats partition (r11): chains superseded by a roll-up
+    # metadata-index partitions (r11): chains superseded by a roll-up
     # (attachment instant older than the newest chain's) age out the
     # same way
-    cs_dir = os.path.join(hoodie, "metadata", "column_stats")
-    if os.path.isdir(cs_dir):
+    for part_name, group in (
+        ("column_stats", _MDT_COLSTATS_FILE_GROUP),
+        ("bloom_filters", _MDT_BLOOM_FILE_GROUP),
+    ):
+        idx_dir = os.path.join(hoodie, "metadata", part_name)
+        if not os.path.isdir(idx_dir):
+            continue
         attach_of = {}
-        for n in os.listdir(cs_dir):
-            if n.startswith(f".{_MDT_COLSTATS_FILE_GROUP}_") and ".log." in n:
-                attach_of[n] = n[
-                    len(_MDT_COLSTATS_FILE_GROUP) + 2 :
-                ].split(".log.")[0]
+        for n in os.listdir(idx_dir):
+            if n.startswith(f".{group}_") and ".log." in n:
+                attach_of[n] = n[len(group) + 2 :].split(".log.")[0]
         if attach_of:
             newest_attach = max(attach_of.values())
             for n, attached in attach_of.items():
                 if attached != newest_attach and attached < boundary:
-                    os.remove(os.path.join(cs_dir, n))
+                    os.remove(os.path.join(idx_dir, n))
     _save_state(hoodie, state)
     return {"deleted_files": deleted, "archived_instants": archived}
 

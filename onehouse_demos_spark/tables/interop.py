@@ -36,9 +36,13 @@ from onehouse_demos_spark.tables.delta_export import (  # noqa: F401
 )
 from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
     clean_hudi_personality,
+    hudi_files_for_keys,
     hudi_live_files,
+    hudi_metadata_bloom_filters,
+    hudi_metadata_column_stats,
     hudi_metadata_listing,
     read_hudi_incremental,
+    read_hudi_point,
     read_hudi_rt,
     read_hudi_snapshot,
     sync_hudi_metadata,

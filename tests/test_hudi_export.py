@@ -1022,6 +1022,108 @@ def test_colstats_delta_tombstones_across_rewrite(spark, tmp_base):
     assert {k[0] for k in stats} == {"sym=MSFT"}
 
 
+def test_bloom_partition_schema_parity_and_point_read(spark, tmp_base):
+    """The bloom_filters partition's BloomFilterMetadata record
+    matches the fixture's field set/shapes, and a point read planned
+    PURELY from metadata (files + blooms) opens only the files whose
+    bloom might contain the key — pinned by inputFiles()."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_files_for_keys,
+        hudi_metadata_bloom_filters,
+        read_hudi_point,
+    )
+    from onehouse_demos_spark.tables.hudi_log import (
+        HEADER_SCHEMA,
+        parse_log_file,
+    )
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/bfplan",
+        TableConfig(name="bfplan", record_key=["key"], precombine="ver"),
+    )
+    for lo in range(0, 400, 100):  # 4 files, disjoint key slices
+        rows = [
+            (f"k{i:03d}", 1, "S", float(i)) for i in range(lo, lo + 100)
+        ]
+        t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    sync_hudi_metadata(t, bloom_filters=True)
+    assert len(hudi_metadata_bloom_filters(t.base_path)) == 4
+    # schema parity with the fixture's BloomFilterMetadata
+    ref_log = (
+        f"{REF_HUDI}/.hoodie/metadata/files/"
+        ".files-0000-0_00000000000000010.log.2_0-87-178"
+    )
+    bf_dir = os.path.join(
+        t.base_path, ".hoodie", "metadata", "bloom_filters"
+    )
+    our_log = [n for n in os.listdir(bf_dir) if ".log." in n][0]
+    ours = json.loads(
+        parse_log_file(os.path.join(bf_dir, our_log))[0]["headers"][
+            HEADER_SCHEMA
+        ].decode()
+    )
+    our_bf = [
+        f for f in ours["fields"] if f["name"] == "BloomFilterMetadata"
+    ][0]["type"][1]
+    assert our_bf["name"] == "HoodieMetadataBloomFilter"
+    if os.path.exists(ref_log):
+        ref = json.loads(
+            parse_log_file(ref_log)[0]["headers"][HEADER_SCHEMA].decode()
+        )
+        ref_bf = [
+            f for f in ref["fields"] if f["name"] == "BloomFilterMetadata"
+        ][0]["type"][1]
+        assert [f["name"] for f in our_bf["fields"]] == [
+            f["name"] for f in ref_bf["fields"]
+        ]
+    # metadata-only point planning: 1 of 4 files
+    assert len(hudi_files_for_keys(t.base_path, ["k150"])) == 1
+    df = read_hudi_point(spark, t.base_path, ["k150", "k350"])
+    assert len(df.inputFiles()) == 2
+    assert sorted((r.key, r.px) for r in df.collect()) == [
+        ("k150", 150.0),
+        ("k350", 350.0),
+    ]
+
+
+def test_bloom_partition_tracks_rewrites(spark, tmp_base):
+    """A rewrite retires a file's bloom (isDeleted) and publishes the
+    replacement's — point reads stay exact and planned."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_metadata_bloom_filters,
+        read_hudi_point,
+    )
+
+    from onehouse_demos_spark.tables.hudi_export import _load_state
+
+    def _bloomable() -> set[str]:
+        # live base files with rows (0-row files carry no bloom)
+        known = _load_state(os.path.join(t.base_path, ".hoodie"))["files"]
+        return {
+            os.path.basename(known[f.path]["hudi_path"])
+            for f in t.manifest.live_files(include_logs=False)
+            if f.kind == "base" and f.rows > 0 and f.path in known
+        }
+
+    t = _mk(spark, tmp_base, partitioned=False)
+    sync_hudi_metadata(t, bloom_filters=True)
+    assert {
+        k[1] for k in hudi_metadata_bloom_filters(t.base_path)
+    } == _bloomable()
+    t.upsert(spark.createDataFrame([("k05", 2, "GOOG", 555.0)], DDL))
+    t.delete(spark.createDataFrame([("k03",)], "key string"))
+    sync_hudi_metadata(t, bloom_filters=True)
+    assert {
+        k[1] for k in hudi_metadata_bloom_filters(t.base_path)
+    } == _bloomable()
+    got = {
+        r.key: (r.ver, r.px)
+        for r in read_hudi_point(spark, t.base_path, ["k05"]).collect()
+    }
+    assert got == {"k05": (2, 555.0)}
+
+
 def test_colstats_rollup_and_clean(spark, tmp_base):
     """Every _MDT_COMPACT_EVERY colstats deltas the chain rolls up
     into a fresh full-stats chain under a new attachment instant;
