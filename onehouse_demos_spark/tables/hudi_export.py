@@ -1519,6 +1519,26 @@ def read_hudi_point(
 
     paths = hudi_files_for_keys(base_path, keys)
     if not paths:
+        # bloom-excluded everywhere: keep the table schema (one
+        # footer-only read of any live base file) so downstream
+        # column references still resolve
+        listing = hudi_metadata_listing(base_path)
+        for part, files in listing.items():
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                p = (
+                    os.path.join(base_path, name)
+                    if part == _MDT_ROOT_PARTITION
+                    else os.path.join(base_path, part, name)
+                )
+                df = spark.createDataFrame(
+                    [], spark.read.parquet(p).schema
+                )
+                drop = [
+                    c for c in df.columns if c.startswith("_hoodie_")
+                ]
+                return df.drop(*drop) if drop else df
         return spark.createDataFrame([], T.StructType([]))
     df = spark.read.parquet(*paths).filter(F.col(KEY_COL).isin(keys))
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
@@ -2478,7 +2498,25 @@ def read_hudi_snapshot(
                     return True
                 return not (ent["max"] < lo or ent["min"] > hi)
 
-            pairs = [(p, n) for p, n in pairs if _keep(p, n)]
+            kept = [(p, n) for p, n in pairs if _keep(p, n)]
+            if not kept and pairs:
+                # pruned to ZERO files: keep the table schema (one
+                # footer-only read of a listed file) so downstream
+                # filters still resolve columns
+                p0, n0 = pairs[0]
+                schema_path = (
+                    os.path.join(base_path, n0)
+                    if p0 == _MDT_ROOT_PARTITION
+                    else os.path.join(base_path, p0, n0)
+                )
+                df = spark.createDataFrame(
+                    [], spark.read.parquet(schema_path).schema
+                )
+                meta_cols = [
+                    c for c in df.columns if c.startswith("_hoodie_")
+                ]
+                return df.drop(*meta_cols) if meta_cols else df
+            pairs = kept
         paths = sorted(
             os.path.join(base_path, name)
             if part == _MDT_ROOT_PARTITION

@@ -18,6 +18,7 @@ arbitrary interleavings — the reference's integ-test-suite model
 from __future__ import annotations
 
 import shutil
+import os
 import tempfile
 
 import pytest
@@ -387,5 +388,114 @@ def test_hudi_rt_personality_tracks_engine_under_random_ops(spark, ops):
             assert rows(read_hudi_snapshot(spark, t.base_path)) == rows(
                 t.read_optimized()
             ), op
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_mdt_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("upsert"), _upsert_rows),
+        st.tuples(
+            st.just("delete"),
+            st.lists(
+                st.sampled_from(KEYS), min_size=1, max_size=2, unique=True
+            ),
+        ),
+    ),
+    min_size=3,
+    max_size=6,
+)
+
+
+@given(ops=_mdt_ops)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_metadata_index_suite_tracks_engine_under_random_ops(spark, ops):
+    """r11 generative check on the metadata-index partitions: random
+    upsert/delete sequences with files+column_stats+bloom_filters
+    syncs after every op — the folded listing must equal the live
+    slice set, metadata-planned point reads must equal the engine's
+    per-key truth for EVERY key (bloom false negatives would silently
+    drop rows), and a stats-filtered planned read must equal the
+    engine's filtered snapshot."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        hudi_live_files,
+        hudi_metadata_listing,
+        read_hudi_point,
+        read_hudi_snapshot,
+        sync_hudi_metadata,
+    )
+
+    base = tempfile.mkdtemp(prefix="oh_mdtprop_")
+    try:
+        t = LakehouseTable.create(
+            spark,
+            base + "/t",
+            TableConfig(name="mdtprop", record_key=["id"], precombine="ver"),
+        )
+        t.insert(
+            spark.createDataFrame(
+                [(k, 0, "seed") for k in KEYS], "id int, ver int, v string"
+            )
+        )
+        for op, payload in ops:
+            if op == "upsert":
+                newest = {}
+                for k, ver, v in payload:
+                    newest[k] = (k, ver, v)
+                t.upsert(
+                    spark.createDataFrame(
+                        list(newest.values()), "id int, ver int, v string"
+                    )
+                )
+            else:
+                t.delete(
+                    spark.createDataFrame([(k,) for k in payload], "id int")
+                )
+            sync_hudi_metadata(t, column_stats=True, bloom_filters=True)
+            live = {
+                os.path.basename(p) for p in hudi_live_files(t.base_path)
+            }
+            listing = hudi_metadata_listing(t.base_path)
+            assert {
+                n for files in listing.values() for n in files
+            } == live, op
+            engine = {
+                r.id: (r.ver, r.v)
+                for r in t.snapshot().select("id", "ver", "v").collect()
+            }
+            got = {
+                r.id: (r.ver, r.v)
+                for r in read_hudi_point(
+                    spark, t.base_path, [str(k) for k in KEYS]
+                ).collect()
+            }
+            assert got == engine, op
+            want = sorted(
+                (r.id, r.ver)
+                for r in t.snapshot()
+                .filter("ver >= 3")
+                .select("id", "ver")
+                .collect()
+            )
+            planned = read_hudi_snapshot(
+                spark,
+                t.base_path,
+                via_metadata=True,
+                stats_filter=("ver", 3, 999),
+            )
+            got2 = sorted(
+                (r.id, r.ver)
+                for r in planned.filter("ver >= 3")
+                .select("id", "ver")
+                .collect()
+            )
+            assert got2 == want, op
     finally:
         shutil.rmtree(base, ignore_errors=True)
