@@ -523,10 +523,10 @@ def _sync_hudi_metadata_locked(
                 table, hoodie, state, part_cols, rt_log_gate_rows
             )
         needs_cs = column_stats and state.get("mdt", {}).get(
-            "colstats_listing"
+            "colstats_files"
         ) is None
         needs_bf = bloom_filters and state.get("mdt", {}).get(
-            "bloom_listing"
+            "bloom_files"
         ) is None
         if (n or needs_cs or needs_bf) and metadata_table and state["instants"]:
             _sync_metadata_table(
@@ -1333,6 +1333,20 @@ def _bloom_current(table: LakehouseTable, known: dict) -> dict:
     return out
 
 
+def _digest(payload) -> str:
+    """Stable content digest for delta detection. The sync STATE
+    stores only these digests — never the bloom bytes or the stat
+    values themselves — so `sync_state.json` stays O(files) small
+    however wide the schema or large the blooms (100 TB posture:
+    a million-file table costs ~50 MB of digests, not gigabytes of
+    inlined index payloads)."""
+    import hashlib
+
+    return hashlib.md5(
+        json.dumps(payload, sort_keys=True, default=str).encode("utf-8")
+    ).hexdigest()
+
+
 def _bloom_record(key: str, b64: str | None, instant: str) -> dict:
     """One HoodieMetadataRecord (type 4); `b64=None` emits the
     isDeleted tombstone."""
@@ -1387,13 +1401,16 @@ def _sync_bloom_partition(
                 "partitionDepth=1\n"
             )
     cur = _bloom_current(table, known)
-    prev = mdt_state.get("bloom_listing")
+    cur_digests = {k: _digest(v) for k, v in cur.items()}
+    prev = mdt_state.get("bloom_files")
     rollup = (
         prev is not None
         and mdt_state.get("bloom_version", 0) >= _MDT_COMPACT_EVERY
     )
     if prev is None or rollup:
-        attach = _MDT_BOOTSTRAP_INSTANT if prev is None else instant
+        # fresh chain (bootstrap only when the dir is new — see
+        # column_stats note on version collisions)
+        attach = _MDT_BOOTSTRAP_INSTANT if first else instant
         records = [
             _bloom_record(k, v, instant) for k, v in sorted(cur.items())
         ]
@@ -1401,9 +1418,9 @@ def _sync_bloom_partition(
     else:
         attach = mdt_state.get("bloom_instant", _MDT_BOOTSTRAP_INSTANT)
         records = [
-            _bloom_record(k, v, instant)
-            for k, v in sorted(cur.items())
-            if prev.get(k) != v
+            _bloom_record(k, cur[k], instant)
+            for k in sorted(cur)
+            if prev.get(k) != cur_digests[k]
         ] + [
             _bloom_record(k, None, instant)
             for k in sorted(set(prev) - set(cur))
@@ -1433,7 +1450,9 @@ def _sync_bloom_partition(
     stat["totalLogBlocks"] = 1
     mdt_state["bloom_instant"] = attach
     mdt_state["bloom_version"] = version
-    mdt_state["bloom_listing"] = cur
+    # digests only — the bloom bytes live in the chain, not the state
+    mdt_state["bloom_files"] = cur_digests
+    mdt_state.pop("bloom_listing", None)  # pre-digest format
     return stat
 
 
@@ -1548,14 +1567,14 @@ def read_hudi_point(
 def _colstats_current(table: LakehouseTable, known: dict) -> dict:
     """Current column-stats snapshot from the ENGINE's write-time
     footer harvest — zero extra IO (the same [min,max] the engine's
-    own data skipping uses), keyed `col\\x1fpartition\\x1ffileName` ->
-    [min, max, rows, size]. Base slices only, data columns only."""
-    out: dict[str, list] = {}
-    by_path = {p: ent for p, ent in known.items()}
+    own data skipping uses), keyed per FILE:
+    `partition\\x1ffileName` -> {col: [min, max, rows, size]}.
+    Base slices only, data columns only."""
+    out: dict[str, dict] = {}
     for f in table.manifest.live_files(include_logs=False):
-        if f.kind != "base" or f.path not in by_path:
+        if f.kind != "base" or f.path not in known:
             continue
-        ent = by_path[f.path]
+        ent = known[f.path]
         name = os.path.basename(ent["hudi_path"])
         part = ent["partition"] or _MDT_ROOT_PARTITION
         size = 0
@@ -1565,17 +1584,20 @@ def _colstats_current(table: LakehouseTable, known: dict) -> dict:
         stats = dict(f.col_stats or {})
         if f.key_min is not None:
             stats.setdefault("_oh_key", [f.key_min, f.key_max])
-        for col, (mn, mx) in sorted(stats.items()):
-            if col.startswith("_oh_") and col != "_oh_key":
-                continue  # engine-internal commit metadata
-            key = f"{col}{_MDT_CS_SEP}{part}{_MDT_CS_SEP}{name}"
-            out[key] = [mn, mx, f.rows, size]
+        by_col = {
+            col: [mn, mx, f.rows, size]
+            for col, (mn, mx) in sorted(stats.items())
+            if not col.startswith("_oh_") or col == "_oh_key"
+        }
+        if by_col:
+            out[f"{part}{_MDT_CS_SEP}{name}"] = by_col
     return out
 
 
 def _colstats_record(key: str, stat: list | None) -> dict:
-    """One HoodieMetadataRecord (type 3). `stat=None` emits the
-    isDeleted tombstone for a retired file's column entry."""
+    """One HoodieMetadataRecord (type 3), keyed
+    `col\\x1fpartition\\x1ffileName`. `stat=None` emits the isDeleted
+    tombstone for a retired file's column entry."""
     col, part, name = key.split(_MDT_CS_SEP)
     cs = {
         "fileName": name,
@@ -1639,30 +1661,54 @@ def _sync_colstats_partition(
                 "partitionDepth=1\n"
             )
     cur = _colstats_current(table, known)
-    prev = mdt_state.get("colstats_listing")
+    prev = mdt_state.get("colstats_files")
     rollup = (
         prev is not None
         and mdt_state.get("colstats_version", 0) >= _MDT_COMPACT_EVERY
     )
+
+    def _full_records():
+        return [
+            _colstats_record(f"{col}{_MDT_CS_SEP}{fk}", stat)
+            for fk, by_col in sorted(cur.items())
+            for col, stat in sorted(by_col.items())
+        ]
+
     if prev is None or rollup:
         # fresh chain: full current stats under a new attachment
-        # instant (bootstrap on first enablement, the data instant on
-        # roll-up); the superseded chain ages out via clean
-        attach = _MDT_BOOTSTRAP_INSTANT if prev is None else instant
-        records = [_colstats_record(k, v) for k, v in sorted(cur.items())]
+        # instant (bootstrap only when the partition dir is NEW —
+        # a lost/legacy state over an existing dir re-chains at the
+        # data instant so versions never collide); the superseded
+        # chain ages out via clean
+        attach = _MDT_BOOTSTRAP_INSTANT if first else instant
+        records = _full_records()
         version = 1
     else:
         attach = mdt_state.get(
             "colstats_instant", _MDT_BOOTSTRAP_INSTANT
         )
-        records = [
-            _colstats_record(k, v)
-            for k, v in sorted(cur.items())
-            if prev.get(k) != v
-        ] + [
-            _colstats_record(k, None)
-            for k in sorted(set(prev) - set(cur))
-        ]
+        records = []
+        for fk, by_col in sorted(cur.items()):
+            old = prev.get(fk)
+            if old is not None and old[0] == _digest(by_col):
+                continue  # unchanged file: no records
+            for col, stat in sorted(by_col.items()):
+                records.append(
+                    _colstats_record(f"{col}{_MDT_CS_SEP}{fk}", stat)
+                )
+            if old is not None:
+                for col in old[1]:
+                    if col not in by_col:  # column dropped
+                        records.append(
+                            _colstats_record(
+                                f"{col}{_MDT_CS_SEP}{fk}", None
+                            )
+                        )
+        for fk in sorted(set(prev) - set(cur)):
+            for col in prev[fk][1]:
+                records.append(
+                    _colstats_record(f"{col}{_MDT_CS_SEP}{fk}", None)
+                )
         if not records:
             return None
         version = mdt_state.get("colstats_version", 0) + 1
@@ -1688,7 +1734,12 @@ def _sync_colstats_partition(
     stat["totalLogBlocks"] = 1
     mdt_state["colstats_instant"] = attach
     mdt_state["colstats_version"] = version
-    mdt_state["colstats_listing"] = cur
+    # digests only — never the stat values (state stays O(files))
+    mdt_state["colstats_files"] = {
+        fk: [_digest(by_col), sorted(by_col)]
+        for fk, by_col in cur.items()
+    }
+    mdt_state.pop("colstats_listing", None)  # pre-digest format
     return stat
 
 

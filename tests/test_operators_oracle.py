@@ -94,24 +94,21 @@ def test_driver_window_covers_distinct_operator_classes():
         "sql_dml_indexed_pipeline", "tbl_bucket_upsert_read",
         "tbl_partial_update_read", "tbl_secondary_pruned_read",
         "quality_classifier_scores",
-        # r9 rotation: never-driver-checked signatures take the slots
-        # of r8-green plan-shape-covered rows (VERDICT r8 ask #4);
-        # r10 moved tbl_bucket_mor_read and doc_repetition_removal
-        # back out (driver-green in r9, plan classes stay covered by
-        # tbl_bucket_upsert_read/tbl_bucket_split_read and
-        # text_stats/gopher_quality_flags)
+        # r9 rotation survivors still in-window (several r9/r10 rows
+        # rotated back out in r11 — driver-green for 1-2 rounds, plan
+        # classes covered by in-window representatives)
         "tbl_hudi_personality_read", "tbl_bootstrap_upsert_read",
-        "tbl_expr_pruned_read",
-        "leakage_free_split",
-        "returned_item_report", "forecast_revenue_change",
-        "epoch_shuffle_order", "length_bucket_batches",
-        # r10 rotation (VERDICT r9 ask #6): this round's flagships —
-        # the Hudi MOR compact-on-sync read and the consistent-engine
-        # split pipeline — plus the long-unchecked signatures
+        # r10 rotation survivors (VERDICT r9 ask #6): the Hudi MOR
+        # legs and the consistent-engine split pipeline stay PINNED
         "tbl_hudi_mor_read", "tbl_hudi_rt_read", "tbl_bucket_split_read",
-        "tbl_clustered_snapshot", "sessionize_events",
-        "minhash_lsh_pairs", "bm25_topk", "sole_late_supplier",
-        "gopher_quality_flags", "contamination_check",
+        "bm25_topk", "sole_late_supplier",
+        # r11 rotation (VERDICT r10 ask #4): the ten never-checked
+        # ANN/curation flagships + this round's metadata-index read
+        "pq_adc_topk", "ann_index_search", "ann_index_incremental",
+        "cluster_balanced_sample", "dsir_importance_weights",
+        "near_dup_components_star", "events_gapfill", "corpus_build",
+        "value_quantile_sketch", "top_supplier_revenue",
+        "tbl_hudi_stats_planned_read",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()
