@@ -238,7 +238,18 @@ _WINDOW = [
     # covered by text_stats). All four stay registered past the window
     # and green in the local sweep.
     "tbl_partial_update_read",
-    "tbl_secondary_pruned_read",
+    # r11 late swap: the record_index metadata partition's exact
+    # point-read planning (this session's flagship — the LAST
+    # metadata-partition deviation closed, with a genuinely
+    # distributed shard writer) takes the slot of
+    # tbl_secondary_pruned_read, whose index-pruned-read plan class
+    # stays driver-covered by tbl_rli_upsert_read (the engine-side
+    # record index) and by this row (the published metadata-side one);
+    # it stays registered past the window and green in the local
+    # sweep. tbl_hudi_bloom_point_read remains sweep-verified outside
+    # the window — the RLI row is the sharper representative of the
+    # metadata-planned point-read class.
+    "tbl_hudi_rli_point_read",
     "quality_classifier_scores",
     # similarity suite
     "knn_ivf_trained",

@@ -460,7 +460,9 @@ def tbl_hudi_bloom_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()
         .k
     )
-    return _project(read_hudi_point(spark, bulk.base_path, [str(k)]))
+    return _project(
+        read_hudi_point(spark, bulk.base_path, [str(k)], via="bloom")
+    )
 
 
 TBL_HUDI_BLOOM_POINT_READ_SQL = """
@@ -469,6 +471,47 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
        ROUND(o_totalprice, 2) AS o_totalprice_r
 FROM orders
 WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+"""
+
+
+def tbl_hudi_rli_point_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16/S7 r11 driver face: the Hudi metadata table's
+    `record_index` partition — Hudi's record-level index published as
+    SHARDED HoodieLogFormat chains (`record-index-0000-0`.. file
+    groups, type-5 HoodieMetadataRecords with the 0.14
+    HoodieRecordIndexInfo UUID fileId encoding) — as the EXACT
+    point-read planner. Sync the bulk table with `record_index=True`,
+    then answer a two-key point read planned purely from metadata:
+    each key hashes to ONE shard chain, the fold names exactly the
+    file that holds it, and `read_hudi_point(via='record_index')`
+    scans only those files — zero bloom false positives, pinned in
+    tests/test_hudi_rli.py. The probes are the smallest and largest
+    orderkeys (present at every SF); the oracle selects the same two
+    keys relationally."""
+    from onehouse_demos_spark.tables.interop import (
+        read_hudi_point,
+        sync_hudi_metadata,
+    )
+
+    st = _build(spark, sf_dir)
+    bulk = st["bulk"]
+    sync_hudi_metadata(bulk, record_index=True)
+    rng = _orders(spark, sf_dir).agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).first()
+    keys = [str(rng.lo), str(rng.hi)]
+    return _project(
+        read_hudi_point(spark, bulk.base_path, keys, via="record_index")
+    )
+
+
+TBL_HUDI_RLI_POINT_READ_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+       1 AS ver,
+       ROUND(o_totalprice, 2) AS o_totalprice_r
+FROM orders
+WHERE o_orderkey IN ((SELECT MIN(o_orderkey) FROM orders),
+                     (SELECT MAX(o_orderkey) FROM orders))
 """
 
 
@@ -1462,6 +1505,7 @@ QUERIES = {
     "tbl_hudi_personality_read": tbl_hudi_personality_read,
     "tbl_hudi_stats_planned_read": tbl_hudi_stats_planned_read,
     "tbl_hudi_bloom_point_read": tbl_hudi_bloom_point_read,
+    "tbl_hudi_rli_point_read": tbl_hudi_rli_point_read,
     "tbl_delta_pruned_read": tbl_delta_pruned_read,
     "tbl_cdf_chain_read": tbl_cdf_chain_read,
     "tbl_matview_rollup": tbl_matview_rollup,
@@ -1498,6 +1542,7 @@ ORACLES = {
     "tbl_hudi_personality_read": TBL_HUDI_PERSONALITY_READ_SQL,
     "tbl_hudi_stats_planned_read": TBL_HUDI_STATS_PLANNED_READ_SQL,
     "tbl_hudi_bloom_point_read": TBL_HUDI_BLOOM_POINT_READ_SQL,
+    "tbl_hudi_rli_point_read": TBL_HUDI_RLI_POINT_READ_SQL,
     "tbl_iceberg_personality_read": TBL_ICEBERG_PERSONALITY_READ_SQL,
     "tbl_delta_pruned_read": TBL_DELTA_PRUNED_READ_SQL,
     "tbl_cdf_chain_read": TBL_CDF_CHAIN_READ_SQL,

@@ -1483,6 +1483,17 @@ class Engine:
                     cs_arg = str(
                         arg("hudi_column_stats", default="false") or "false"
                     ).lower() in ("true", "1", "yes")
+                    bf_arg = str(
+                        arg("hudi_bloom_filters", default="false")
+                        or "false"
+                    ).lower() in ("true", "1", "yes")
+                    # r11: hudi_record_index => true publishes the
+                    # record-level index partition (sharded type-5
+                    # chains; exact point-read planning)
+                    rli_arg = str(
+                        arg("hudi_record_index", default="false")
+                        or "false"
+                    ).lower() in ("true", "1", "yes")
                     rows.append(
                         (
                             "hudi",
@@ -1491,6 +1502,8 @@ class Engine:
                                 compact_mor=hudi_mode == "compact",
                                 mor_rt=hudi_mode == "rt",
                                 column_stats=cs_arg,
+                                bloom_filters=bf_arg,
+                                record_index=rli_arg,
                             ),
                         )
                     )

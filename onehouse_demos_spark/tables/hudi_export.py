@@ -111,6 +111,9 @@ from onehouse_demos_spark.tables.table import (
 _HOODIE_DIR = ".hoodie"
 _STATE_FILE = "sync_state.json"  # not instant-patterned: Hudi ignores it
 _WRITE_TOKEN = "0-0-0"
+#: record_index metadata partition shard (file group) count at first
+#: enablement — sticky per table thereafter (see _sync_rli_partition)
+_MDT_RLI_DEFAULT_SHARDS = 4
 
 #: completed-instant timeline files: `<17+ digits>.<action>`
 _COMPLETED_RE = re.compile(r"^(\d{14,20})\.(commit|replacecommit|deltacommit)$")
@@ -202,6 +205,7 @@ def _hoodie_properties(
     mor_rt: bool = False,
     column_stats: bool = False,
     bloom_filters: bool = False,
+    record_index: bool = False,
 ) -> str:
     cfg = table.config
     keygen = (
@@ -242,6 +246,7 @@ def _hoodie_properties(
                 {"files"}
                 | ({"column_stats"} if column_stats else set())
                 | ({"bloom_filters"} if bloom_filters else set())
+                | ({"record_index"} if record_index else set())
             )
         ),
         "hoodie.table.metadata.partitions.inflight": "",
@@ -410,6 +415,8 @@ def sync_hudi_metadata(
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
     column_stats: bool = False,
     bloom_filters: bool = False,
+    record_index: bool = False,
+    record_index_shards: int = _MDT_RLI_DEFAULT_SHARDS,
 ) -> int:
     """Serialized entry point for the personality sync (r11, VERDICT
     r10 next #5): the `.hoodie` sync state is read-modify-write JSON,
@@ -432,6 +439,8 @@ def sync_hudi_metadata(
             rt_log_gate_rows,
             column_stats,
             bloom_filters,
+            record_index,
+            record_index_shards,
         )
     finally:
         provider.release_mutex("hudi_sync")
@@ -445,6 +454,8 @@ def _sync_hudi_metadata_locked(
     rt_log_gate_rows: int = RT_LOG_GATE_ROWS,
     column_stats: bool = False,
     bloom_filters: bool = False,
+    record_index: bool = False,
+    record_index_shards: int = _MDT_RLI_DEFAULT_SHARDS,
 ) -> int:
     """Write/refresh the `.hoodie` personality over the table's live
     BASE files. Returns the number of completed Hudi instants after
@@ -497,10 +508,12 @@ def _sync_hudi_metadata_locked(
     declared = _declared_partitions(props_path)
     want_cs = column_stats or "column_stats" in declared
     want_bf = bloom_filters or "bloom_filters" in declared
+    want_rli = record_index or "record_index" in declared
     needs_rewrite = os.path.exists(props_path) and (
         (mor_rt and existing_type == "COPY_ON_WRITE")
         or (column_stats and "column_stats" not in declared)
         or (bloom_filters and "bloom_filters" not in declared)
+        or (record_index and "record_index" not in declared)
     )
     if needs_rewrite:
         # declaration upgrade (recomputed checksum): MOR flip and/or
@@ -514,6 +527,7 @@ def _sync_hudi_metadata_locked(
                     mor_rt=mor_rt or existing_type == "MERGE_ON_READ",
                     column_stats=want_cs,
                     bloom_filters=want_bf,
+                    record_index=want_rli,
                 )
             )
     if not adds and not removed and os.path.exists(props_path):
@@ -522,21 +536,28 @@ def _sync_hudi_metadata_locked(
             n = _sync_rt_logs(
                 table, hoodie, state, part_cols, rt_log_gate_rows
             )
-        needs_cs = column_stats and state.get("mdt", {}).get(
-            "colstats_files"
-        ) is None
-        needs_bf = bloom_filters and state.get("mdt", {}).get(
-            "bloom_files"
-        ) is None
-        if (n or needs_cs or needs_bf) and metadata_table and state["instants"]:
+        # DECLARED metadata-index partitions are self-maintaining
+        # (the `hoodie.table.metadata.partitions` contract: a reader
+        # that sees the declaration trusts the partition): once a
+        # partition is declared, every sync refreshes it — each
+        # partition sync no-ops cheaply when its content is unchanged.
+        # column_stats/bloom_filters degrade SAFELY when stale (files
+        # without entries are kept), but record_index does NOT — a
+        # stale location names a cleaned file — so want_rli especially
+        # must not depend on this call's flags alone.
+        if (
+            n or want_cs or want_bf or want_rli
+        ) and metadata_table and state["instants"]:
             _sync_metadata_table(
                 table,
                 hoodie,
                 state["instants"][-1],
                 known,
                 state,
-                column_stats=column_stats,
-                bloom_filters=bloom_filters,
+                column_stats=want_cs,
+                bloom_filters=want_bf,
+                record_index=want_rli,
+                record_index_shards=record_index_shards,
             )
         return len(state["instants"])
     if not os.path.exists(props_path):
@@ -548,6 +569,7 @@ def _sync_hudi_metadata_locked(
                     mor_rt=mor_rt,
                     column_stats=column_stats,
                     bloom_filters=bloom_filters,
+                    record_index=record_index,
                 )
             )
 
@@ -673,8 +695,10 @@ def _sync_hudi_metadata_locked(
             state["instants"][-1],
             known,
             state,
-            column_stats=column_stats,
-            bloom_filters=bloom_filters,
+            column_stats=want_cs,
+            bloom_filters=want_bf,
+            record_index=want_rli,
+            record_index_shards=record_index_shards,
         )
     return len(state["instants"])
 
@@ -1526,17 +1550,42 @@ def hudi_files_for_keys(base_path: str, keys: list[str]) -> list[str]:
 
 
 def read_hudi_point(
-    spark: SparkSession, base_path: str, keys: list[str]
+    spark: SparkSession, base_path: str, keys: list[str],
+    via: str = "auto",
 ) -> DataFrame:
     """Metadata-planned point read over a personality: scan ONLY the
-    bloom-kept files and filter to the probed record keys (the
-    engine-format `_oh_key` strings). The personality analog of the
-    engine's `snapshot_for_keys`."""
+    files the metadata index keeps and filter to the probed record
+    keys (the engine-format `_oh_key` strings). The personality
+    analog of the engine's `snapshot_for_keys`. `via` picks the
+    index: 'record_index' plans the EXACT file per key from the
+    record-level index (one shard chain per key, zero false
+    positives), 'bloom' keeps every file whose bloom might contain a
+    key, 'auto' (default) prefers record_index when the partition
+    exists."""
     from pyspark.sql import functions as F
 
     from onehouse_demos_spark.tables.table import KEY_COL
 
-    paths = hudi_files_for_keys(base_path, keys)
+    if via not in ("auto", "record_index", "bloom"):
+        raise ValueError(
+            f"read_hudi_point: via {via!r}; one of: auto, "
+            "record_index, bloom"
+        )
+    rli_dir = os.path.join(
+        _hoodie_dir(base_path), "metadata", "record_index"
+    )
+    if via == "record_index" or (via == "auto" and os.path.isdir(rli_dir)):
+        locs = hudi_metadata_record_locations(base_path, keys)
+        paths = sorted(
+            {
+                os.path.join(base_path, name)
+                if part == _MDT_ROOT_PARTITION
+                else os.path.join(base_path, part, name)
+                for part, name in locs.values()
+            }
+        )
+    else:
+        paths = hudi_files_for_keys(base_path, keys)
     if not paths:
         # bloom-excluded everywhere: keep the table schema (one
         # footer-only read of any live base file) so downstream
@@ -1562,6 +1611,676 @@ def read_hudi_point(
     df = spark.read.parquet(*paths).filter(F.col(KEY_COL).isin(keys))
     meta_cols = [c for c in df.columns if c.startswith("_hoodie_")]
     return df.drop(*meta_cols) if meta_cols else df
+
+
+#: record_index metadata partition (r11 — closing the last documented
+#: metadata-partition deviation): Hudi's record-level index as SHARDED
+#: HoodieLogFormat delta chains, file groups `record-index-0000-0` ..
+#: `record-index-NNNN-0` (the reference fixture's committed
+#: `hoodie.properties` names the same partition when RLI is enabled;
+#: real Hudi shards the index over `hoodie.metadata.record.index.*.
+#: filegroup.count` groups exactly like this). Per-ROW metadata means
+#: the writer must be DISTRIBUTED: beyond the driver fast-path bounds,
+#: Spark computes key->location over the changed files and the
+#: EXECUTORS write the shard log files (hash-clustered so each shard
+#: is one task's single-writer artifact) — the driver only publishes
+#: the deltacommit. Readers probe ONE shard chain per key.
+_MDT_TYPE_RECORD_INDEX = 5
+#: driver fast-path bounds (RecordIndex.DRIVER_UPDATE_* contract): a
+#: metadata-scale commit must not pay Spark job scheduling for its
+#: index write; bigger deltas take the distributed path.
+_RLI_DRIVER_MAX_FILES = 16
+#: shard auto-sizing at first enablement (Hudi's
+#: hoodie.metadata.record.index.{min,max}.filegroup.count semantics):
+#: a shard chain is folded whole on probe, so bound the keys per
+#: shard — a 1B-key table gets ~500 shards, not 4.
+_RLI_ROWS_PER_SHARD = 2_000_000
+_RLI_MAX_SHARDS = 1024
+
+
+def _mdt_rli_group(shard: int) -> str:
+    return f"record-index-{shard:04d}-0"
+
+
+def _mdt_rli_schema() -> str:
+    """HoodieMetadataRecord schema for the record_index partition —
+    the files-partition schema plus HoodieRecordIndexInfo (the
+    fixture's exact 0.14 field set: partitionName, fileId high/low
+    bits + fileIndex under fileIdEncoding=0 — this personality's file
+    ids are uuid5-based, so Hudi's compact UUID encoding applies
+    verbatim — and the location instant as a long)."""
+    base = json.loads(_mdt_record_schema())
+    base["fields"].append(
+        {
+            "name": "recordIndexMetadata",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "HoodieRecordIndexInfo",
+                    "fields": [
+                        {"name": "partitionName", "type": "string"},
+                        {"name": "fileIdHighBits", "type": "long"},
+                        {"name": "fileIdLowBits", "type": "long"},
+                        {"name": "fileIndex", "type": "int"},
+                        {"name": "instantTime", "type": "long"},
+                        {"name": "fileIdEncoding", "type": "int"},
+                    ],
+                },
+            ],
+            "default": None,
+        }
+    )
+    return json.dumps(base)
+
+
+def _rli_shard_py(key: str, shards: int) -> int:
+    """Portable 60-bit md5-prefix shard — bit-identical to the Spark
+    expression in `_rli_write_spark` (same construction as
+    RecordIndex._bucket_py), so driver writes, executor writes and
+    reader probes all agree on the shard of a key."""
+    import hashlib
+
+    return (
+        int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16) % shards
+    )
+
+
+def _signed64(x: int) -> int:
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def _file_id_bits(file_id: str) -> tuple[int, int, int]:
+    """UUID-formatted Hudi fileId -> (highBits, lowBits, fileIndex):
+    fileIdEncoding=0, Hudi's compact RLI encoding."""
+    base, idx = file_id.rsplit("-", 1)
+    u = uuid.UUID(base)
+    return (
+        _signed64(u.int >> 64),
+        _signed64(u.int & ((1 << 64) - 1)),
+        int(idx),
+    )
+
+
+def _file_id_from_bits(hi: int, lo: int, idx: int) -> str:
+    n = ((hi & ((1 << 64) - 1)) << 64) | (lo & ((1 << 64) - 1))
+    return f"{uuid.UUID(int=n)}-{idx}"
+
+
+def _rli_record(key: str, loc: dict | None) -> dict:
+    """One type-5 HoodieMetadataRecord. `loc=None` emits the tombstone
+    (recordIndexMetadata=null — HoodieMetadataPayload's empty-payload
+    delete convention, the merge dropping the key)."""
+    if loc is None:
+        meta = None
+    else:
+        hi, lo, idx = _file_id_bits(loc["file_id"])
+        meta = {
+            "partitionName": loc["partition"],
+            "fileIdHighBits": hi,
+            "fileIdLowBits": lo,
+            "fileIndex": idx,
+            "instantTime": int(loc["instant"]),
+            "fileIdEncoding": 0,
+        }
+    return {
+        "key": key,
+        "type": _MDT_TYPE_RECORD_INDEX,
+        "filesystemMetadata": None,
+        "recordIndexMetadata": meta,
+    }
+
+
+def _rli_loc_rel(loc: dict) -> str:
+    """Personality-relative path of the base slice a location names
+    (reconstructed — the state never stores paths twice)."""
+    name = f"{loc['file_id']}_{_WRITE_TOKEN}_{loc['instant']}.parquet"
+    return f"{loc['partition']}/{name}" if loc["partition"] else name
+
+
+def _rli_keys_driver(paths: list[str]) -> dict[str, list[str]] | None:
+    """path -> record keys via ONE pyarrow column read per file (the
+    bloom-harvest pattern); None when a file is not locally readable
+    (caller falls back to the distributed path)."""
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, list[str]] = {}
+    for p in paths:
+        try:
+            schema_names = set(pq.read_schema(p).names)
+        except Exception:
+            return None
+        if KEY_COL not in schema_names:
+            # metadata-only bootstrapped files carry no materialized
+            # key column — the record index cannot be published over
+            # them (explicit, not a silent mis-index)
+            raise ValueError(
+                "record_index: file has no materialized record key "
+                f"column ({KEY_COL}): {p} — bootstrap tables with "
+                "metadata-only files are unsupported"
+            )
+        try:
+            col = pq.read_table(p, columns=[KEY_COL]).column(0)
+        except Exception:
+            return None
+        out[p] = [v for v in col.to_pylist() if v is not None]
+    return out
+
+
+def _rli_write_shard(
+    rli_dir: str,
+    shard: int,
+    attach: str,
+    version: int,
+    instant: str,
+    schema: str,
+    records: list[dict],
+) -> dict:
+    """Write one shard's log file for this sync and return its MDT
+    write stat. Single-writer per shard per version by construction
+    (tmp+rename inside write_avro_log_file keeps retries safe)."""
+    from onehouse_demos_spark.tables.hudi_log import (
+        encode_records,
+        write_avro_log_file,
+    )
+
+    group = _mdt_rli_group(shard)
+    name = f".{group}_{attach}.log.{version}_{_WRITE_TOKEN}"
+    path = os.path.join(rli_dir, name)
+    write_avro_log_file(path, instant, schema, encode_records(records, schema))
+    stat = _write_stat(
+        "record_index",
+        group,
+        f"record_index/{name}",
+        0,
+        os.stat(path).st_size,
+        "numUpdateWrites",
+    )
+    stat["totalLogRecords"] = len(records)
+    stat["totalLogBlocks"] = 1
+    return stat
+
+
+def _rli_fold_shard(rli_dir: str, group: str) -> dict[str, dict]:
+    """Fold ONE shard's newest chain: {key: loc-dict}. Metadata-scale
+    — memory is bounded by a single shard, which is what lets the
+    roll-up compact a shard at a time instead of materializing the
+    whole index."""
+    from onehouse_demos_spark.tables.hudi_log import parse_log_file
+
+    chains: dict[str, list[tuple[int, str]]] = {}
+    prefix = f".{group}_"
+    for n in os.listdir(rli_dir):
+        if not n.startswith(prefix) or ".log." not in n:
+            continue
+        attach = n[len(prefix):].split(".log.")[0]
+        ver = int(n.split(".log.")[1].split("_")[0])
+        chains.setdefault(attach, []).append((ver, n))
+    out: dict[str, dict] = {}
+    if not chains:
+        return out
+    for _ver, n in sorted(chains[max(chains)]):
+        for block in parse_log_file(os.path.join(rli_dir, n)):
+            for rec in block.get("records") or []:
+                if rec.get("type") != _MDT_TYPE_RECORD_INDEX:
+                    continue
+                meta = rec.get("recordIndexMetadata")
+                if meta is None:
+                    out.pop(rec["key"], None)
+                else:
+                    out[rec["key"]] = {
+                        "partition": meta["partitionName"],
+                        "file_id": _file_id_from_bits(
+                            meta["fileIdHighBits"],
+                            meta["fileIdLowBits"],
+                            meta["fileIndex"],
+                        ),
+                        "instant": str(meta["instantTime"]).zfill(17),
+                    }
+    return out
+
+
+def _rli_write_spark(
+    table: LakehouseTable,
+    rli_dir: str,
+    add_locs: dict[str, dict],
+    removed_abs: list[str],
+    shards: int,
+    attach: str,
+    version: int,
+    instant: str,
+    schema: str,
+) -> list[dict]:
+    """The DISTRIBUTED index write (the 100 TB path): Spark reads ONLY
+    the record-key column of the changed files, attributes each row to
+    its file group via an exact decoded-path broadcast join (a miss
+    raises — an under-approximate record index would send point reads
+    to the wrong file, the one failure the contract cannot absorb),
+    anti-joins the removed files' keys into tombstones, hash-clusters
+    by shard (same shard -> same task, so every shard log file keeps
+    Hudi's single-writer invariant) and the EXECUTORS write the shard
+    files. The driver sees only a ≤`shards`-row summary."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    spark = table.spark
+    mapping = spark.createDataFrame(
+        [
+            (p, loc["partition"], loc["file_id"], loc["instant"])
+            for p, loc in sorted(add_locs.items())
+        ],
+        "path string, part string, fid string, inst string",
+    )
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    )
+    src = spark.read.parquet(*sorted(add_locs))
+    if KEY_COL not in src.columns:
+        raise ValueError(
+            "record_index: commit adds carry no materialized record "
+            f"key column ({KEY_COL}) — bootstrap tables with "
+            "metadata-only files are unsupported"
+        )
+    adds = (
+        src
+        .select(F.col(KEY_COL).alias("key"), decoded.alias("path"))
+        .join(F.broadcast(mapping), "path", "left")
+        .select(
+            "key",
+            F.when(F.col("fid").isNotNull(), F.col("part"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("record_index: file not in commit adds: "),
+                        F.col("path"),
+                    )
+                )
+            )
+            .alias("part"),
+            "fid",
+            "inst",
+        )
+    )
+    entries = adds
+    if removed_abs:
+        tomb = (
+            spark.read.parquet(*sorted(removed_abs))
+            .select(F.col(KEY_COL).alias("key"))
+            .distinct()
+            .join(adds.select("key"), "key", "left_anti")
+            .select(
+                "key",
+                F.lit(None).cast("string").alias("part"),
+                F.lit(None).cast("string").alias("fid"),
+                F.lit(None).cast("string").alias("inst"),
+            )
+        )
+        entries = adds.unionByName(tomb)
+    shard_col = (
+        F.conv(F.substring(F.md5(F.col("key")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % shards
+    ).cast("int")
+    entries = entries.withColumn("shard", shard_col).repartition(
+        shards, F.col("shard")
+    )
+
+    def _write_partition(batches):
+        import pandas as _pd
+
+        by_shard: dict[int, list] = {}
+        for pdf in batches:
+            for key, part, fid, inst, shard in zip(
+                pdf["key"], pdf["part"], pdf["fid"], pdf["inst"],
+                pdf["shard"],
+            ):
+                # tombstone rows carry null location columns; pandas
+                # may surface them as None or NaN — normalize to None
+                fid = fid if isinstance(fid, str) else None
+                by_shard.setdefault(int(shard), []).append(
+                    (key, part, fid, inst)
+                )
+        rows = []
+        for shard, ents in by_shard.items():
+            records = [
+                _rli_record(
+                    k,
+                    None
+                    if fid is None
+                    else {"partition": part, "file_id": fid,
+                          "instant": inst},
+                )
+                for k, part, fid, inst in sorted(
+                    ents, key=lambda e: e[0]
+                )
+            ]
+            stat = _rli_write_shard(
+                rli_dir, shard, attach, version, instant, schema, records
+            )
+            rows.append((shard, stat["path"], len(records)))
+        yield _pd.DataFrame(
+            rows, columns=["shard", "path", "n"]
+        )
+
+    summary = entries.mapInPandas(
+        _write_partition, "shard int, path string, n long"
+    ).collect()
+    stats = []
+    for row in sorted(summary, key=lambda r: r.shard):
+        full = os.path.join(rli_dir, os.path.basename(row.path))
+        stat = _write_stat(
+            "record_index",
+            _mdt_rli_group(row.shard),
+            row.path,
+            0,
+            os.stat(full).st_size,
+            "numUpdateWrites",
+        )
+        stat["totalLogRecords"] = int(row.n)
+        stat["totalLogBlocks"] = 1
+        stats.append(stat)
+    return stats
+
+
+def _rli_compact_shard(
+    rli_dir: str, group: str, shard: int, attach: str, instant: str,
+    schema: str,
+) -> tuple[int, str, int]:
+    """Fold ONE shard's chain and write its compacted fresh-chain
+    file — the per-shard unit both the driver loop and the
+    distributed compaction run. Returns (shard, file rel name, n)."""
+    locs = _rli_fold_shard(rli_dir, group)
+    stat = _rli_write_shard(
+        rli_dir, shard, attach, 1, instant, schema,
+        [_rli_record(k, locs[k]) for k in sorted(locs)],
+    )
+    return shard, stat["path"], len(locs)
+
+
+def _rli_compact_spark(
+    table: LakehouseTable,
+    rli_dir: str,
+    n_shards: int,
+    attach: str,
+    instant: str,
+    schema: str,
+) -> list[dict]:
+    """DISTRIBUTED chain compaction: one task per shard folds that
+    shard's chain and writes the compacted file — memory per task is
+    one shard, the driver sees only a ≤`n_shards`-row summary. This is
+    what keeps the chain bounded when EVERY sync's delta takes the
+    distributed write path (a driver fold would be the bottleneck the
+    shards exist to avoid)."""
+    sc = table.spark.sparkContext
+    results = (
+        sc.parallelize(range(n_shards), n_shards)
+        .map(
+            lambda s: _rli_compact_shard(
+                rli_dir, _mdt_rli_group(s), s, attach, instant, schema
+            )
+        )
+        .collect()
+    )
+    stats = []
+    for shard, rel, n in sorted(results):
+        full = os.path.join(rli_dir, os.path.basename(rel))
+        stat = _write_stat(
+            "record_index",
+            _mdt_rli_group(shard),
+            rel,
+            0,
+            os.stat(full).st_size,
+            "numUpdateWrites",
+        )
+        stat["totalLogRecords"] = n
+        stat["totalLogBlocks"] = 1
+        stats.append(stat)
+    return stats
+
+
+def _sync_rli_partition(
+    table: LakehouseTable,
+    hoodie: str,
+    instant: str,
+    known: dict,
+    mdt_state: dict,
+    shards: int | None = None,
+) -> list[dict] | None:
+    """Refresh `.hoodie/metadata/record_index`: per sync a delta of
+    type-5 records for keys whose base-file location changed —
+    upserts from the ADDED files (immutability means a file's key set
+    never changes, so delta detection is pure path arithmetic on the
+    sync state, no digests needed), tombstones for keys of REMOVED
+    files that no add re-homed (the dup-key invariant guarantees a
+    key lives in exactly one live base file, so removed−added IS the
+    deleted-key set; the removed file's keys come from its RETAINED
+    personality copy). Chains compact every `_MDT_COMPACT_EVERY`
+    versions by per-shard FOLD of the existing chain — never a data
+    rescan. Returns the MDT write stats (None when unchanged)."""
+    rli_dir = os.path.join(hoodie, "metadata", "record_index")
+    first = not os.path.isdir(rli_dir)
+    os.makedirs(rli_dir, exist_ok=True)
+    if first:
+        with open(
+            os.path.join(rli_dir, ".hoodie_partition_metadata"), "w"
+        ) as fh:
+            fh.write(
+                "#partition metadata\n"
+                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+                "partitionDepth=1\n"
+            )
+    cur = {
+        p: {
+            "partition": ent["partition"],
+            "file_id": ent["file_id"],
+            "instant": ent["instant"],
+        }
+        for p, ent in known.items()
+    }
+    prev = mdt_state.get("rli_paths")
+    n_shards = mdt_state.get("rli_shards")
+    if n_shards is None:
+        # first enablement: auto-size from the table's current row
+        # count (Hudi's min/max filegroup-count sizing) so a probe's
+        # shard fold stays bounded however big the table is; sticky
+        # thereafter — the shard hash must never move under a chain.
+        total_rows = sum(
+            f.rows or 0
+            for f in table.manifest.live_files(include_logs=False)
+            if f.kind == "base"
+        )
+        n_shards = min(
+            _RLI_MAX_SHARDS,
+            max(
+                int(shards or _MDT_RLI_DEFAULT_SHARDS),
+                -(-total_rows // _RLI_ROWS_PER_SHARD),  # ceil div
+            ),
+        )
+    n_shards = int(n_shards)
+    fresh = prev is None
+    add_paths = sorted(cur) if fresh else sorted(set(cur) - set(prev))
+    removed = (
+        {}
+        if fresh
+        else {p: prev[p] for p in sorted(set(prev) - set(cur))}
+    )
+    # a removed file's old keys come from its retained personality
+    # copy; if clean already aged it out (an index enabled long after
+    # the fact), rebuild the chain from the current files — correct,
+    # costlier, and never hit on the normal sync-every-commit cadence
+    for ent in removed.values():
+        if not os.path.exists(
+            os.path.join(table.base_path, _rli_loc_rel(ent))
+        ):
+            fresh, add_paths, removed = True, sorted(cur), {}
+            break
+    if not fresh and not add_paths and not removed:
+        return None
+    rollup = (
+        not fresh
+        and mdt_state.get("rli_version", 0) >= _MDT_COMPACT_EVERY
+    )
+    add_locs = {
+        os.path.join(table.base_path, p): cur[p] for p in add_paths
+    }
+    removed_abs = [
+        os.path.join(table.base_path, _rli_loc_rel(ent))
+        for ent in removed.values()
+    ]
+    use_spark = (
+        len(add_locs) + len(removed_abs) > _RLI_DRIVER_MAX_FILES
+    )
+    schema = _mdt_rli_schema()
+    spark_compact = False
+    if rollup and use_spark:
+        # big delta at the compaction trigger: write the delta first
+        # (distributed), then compact the whole chain SHARD-PARALLEL —
+        # a sustained-large-commit table must not defer forever (the
+        # chain would grow unboundedly) and must not fold on the
+        # driver (the bottleneck the shards exist to avoid)
+        rollup = False
+        spark_compact = True
+    if fresh or rollup:
+        attach = _MDT_BOOTSTRAP_INSTANT if first else instant
+        version = 1
+    else:
+        attach = mdt_state.get("rli_instant", _MDT_BOOTSTRAP_INSTANT)
+        version = mdt_state.get("rli_version", 0) + 1
+    stats: list[dict]
+    add_keys = rem_keys = None
+    if not use_spark:
+        add_keys = _rli_keys_driver(sorted(add_locs))
+        rem_keys = (
+            _rli_keys_driver(sorted(removed_abs))
+            if removed_abs
+            else {}
+        )
+        if add_keys is None or rem_keys is None:
+            use_spark = True
+    if use_spark:
+        stats = _rli_write_spark(
+            table, rli_dir, add_locs, removed_abs, n_shards,
+            attach, version, instant, schema,
+        )
+        written = {s["fileId"] for s in stats}
+        if fresh:
+            # bootstrap writes EVERY shard (possibly empty) so readers
+            # can count file groups from the directory alone
+            for shard in range(n_shards):
+                if _mdt_rli_group(shard) not in written:
+                    stats.append(
+                        _rli_write_shard(
+                            rli_dir, shard, attach, version, instant,
+                            schema, [],
+                        )
+                    )
+        if spark_compact:
+            stats += _rli_compact_spark(
+                table, rli_dir, n_shards, instant, instant, schema
+            )
+            attach, version = instant, 1
+    else:
+        upsert: dict[str, dict] = {}
+        for p, loc in sorted(add_locs.items()):
+            for k in add_keys[p]:
+                upsert[k] = loc
+        tombs: set[str] = set()
+        for ks in rem_keys.values():
+            tombs.update(ks)
+        tombs -= set(upsert)
+        per_shard: dict[int, list[dict]] = {}
+        if rollup:
+            # chain-fold compaction, one shard at a time: fold the old
+            # chain, apply this sync's delta, emit the full shard —
+            # memory bounded by a shard, zero data files opened beyond
+            # the delta's own
+            for shard in range(n_shards):
+                locs = _rli_fold_shard(rli_dir, _mdt_rli_group(shard))
+                locs.update(
+                    {
+                        k: v
+                        for k, v in upsert.items()
+                        if _rli_shard_py(k, n_shards) == shard
+                    }
+                )
+                for k in tombs:
+                    if _rli_shard_py(k, n_shards) == shard:
+                        locs.pop(k, None)
+                per_shard[shard] = [
+                    _rli_record(k, locs[k]) for k in sorted(locs)
+                ]
+        else:
+            for k in sorted(upsert):
+                per_shard.setdefault(
+                    _rli_shard_py(k, n_shards), []
+                ).append(_rli_record(k, upsert[k]))
+            for k in sorted(tombs):
+                per_shard.setdefault(
+                    _rli_shard_py(k, n_shards), []
+                ).append(_rli_record(k, None))
+            if fresh:
+                for shard in range(n_shards):
+                    per_shard.setdefault(shard, [])
+        stats = [
+            _rli_write_shard(
+                rli_dir, shard, attach, version, instant, schema, recs
+            )
+            for shard, recs in sorted(per_shard.items())
+        ]
+    mdt_state["rli_paths"] = cur
+    mdt_state["rli_instant"] = attach
+    mdt_state["rli_version"] = version
+    mdt_state["rli_shards"] = n_shards
+    return stats
+
+
+def hudi_metadata_record_locations(
+    base_path: str, keys: list[str]
+) -> dict[str, tuple[str, str]]:
+    """Point lookups from the record_index partition ALONE: {key:
+    (partition, file_name)} for every probed key the index locates.
+    Probes fold ONLY the shard chains the keys hash to — at 100 TB a
+    point read touches 1 of N metadata shards, then exactly the one
+    data file the location names; no data footer, no bloom
+    false-positive scan."""
+    rli_dir = os.path.join(
+        _hoodie_dir(base_path), "metadata", "record_index"
+    )
+    if not os.path.isdir(rli_dir):
+        raise FileNotFoundError(
+            f"no metadata/record_index partition under {base_path}"
+        )
+    groups = {
+        n[1:].split("_")[0]
+        for n in os.listdir(rli_dir)
+        if n.startswith(".record-index-") and ".log." in n
+    }
+    if not groups:
+        raise FileNotFoundError(f"no record_index chains under {rli_dir}")
+    n_shards = len(groups)
+    want: dict[str, set[str]] = {}
+    for k in keys:
+        want.setdefault(
+            _mdt_rli_group(_rli_shard_py(k, n_shards)), set()
+        ).add(k)
+    out: dict[str, tuple[str, str]] = {}
+    for group, keyset in sorted(want.items()):
+        locs = _rli_fold_shard(rli_dir, group)
+        for k in keyset:
+            loc = locs.get(k)
+            if loc is None:
+                continue
+            name = (
+                f"{loc['file_id']}_{_WRITE_TOKEN}_"
+                f"{loc['instant']}.parquet"
+            )
+            out[k] = (loc["partition"] or _MDT_ROOT_PARTITION, name)
+    return out
 
 
 def _colstats_current(table: LakehouseTable, known: dict) -> dict:
@@ -1803,6 +2522,8 @@ def _sync_metadata_table(
     state: dict | None = None,
     column_stats: bool = False,
     bloom_filters: bool = False,
+    record_index: bool = False,
+    record_index_shards: int = _MDT_RLI_DEFAULT_SHARDS,
 ) -> None:
     """Refresh `.hoodie/metadata/files` — Hudi's own base+log shape
     (r11, VERDICT r10 missing #2): the bootstrap sync writes ONE
@@ -1924,6 +2645,12 @@ def _sync_metadata_table(
         bf_stat = _sync_bloom_partition(
             table, hoodie, tl_instant, known, mdt_state
         )
+    rli_stats = None
+    if record_index:
+        rli_stats = _sync_rli_partition(
+            table, hoodie, tl_instant, known, mdt_state,
+            shards=record_index_shards,
+        )
     parts: dict[str, list] = {}
     if files_stat is not None:
         parts["files"] = [files_stat]
@@ -1931,6 +2658,8 @@ def _sync_metadata_table(
         parts["column_stats"] = [cs_stat]
     if bf_stat is not None:
         parts["bloom_filters"] = [bf_stat]
+    if rli_stats:
+        parts["record_index"] = rli_stats
     if parts:
         # MDT instants must be unique: a colstats-only sync re-using
         # the latest data instant could collide with that instant's
@@ -2118,6 +2847,22 @@ def _clean_hudi_personality_locked(
             for n, attached in attach_of.items():
                 if attached != newest_attach and attached < boundary:
                     os.remove(os.path.join(idx_dir, n))
+    # record_index (r11): sharded file groups — each shard's chain
+    # ages independently; the newest attachment per GROUP survives
+    rli_dir = os.path.join(hoodie, "metadata", "record_index")
+    if os.path.isdir(rli_dir):
+        by_group: dict[str, dict[str, str]] = {}
+        for n in os.listdir(rli_dir):
+            if n.startswith(".record-index-") and ".log." in n:
+                group = n[1:].split("_")[0]
+                by_group.setdefault(group, {})[n] = (
+                    n[len(group) + 2:].split(".log.")[0]
+                )
+        for group, attach_of in by_group.items():
+            newest_attach = max(attach_of.values())
+            for n, attached in attach_of.items():
+                if attached != newest_attach and attached < boundary:
+                    os.remove(os.path.join(rli_dir, n))
     _save_state(hoodie, state)
     return {"deleted_files": deleted, "archived_instants": archived}
 

@@ -41,6 +41,7 @@ from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
     hudi_metadata_bloom_filters,
     hudi_metadata_column_stats,
     hudi_metadata_listing,
+    hudi_metadata_record_locations,
     read_hudi_incremental,
     read_hudi_point,
     read_hudi_rt,

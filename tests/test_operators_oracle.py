@@ -91,8 +91,11 @@ def test_driver_window_covers_distinct_operator_classes():
         # partial_update payload and the secondary-index read
         # (minhash_lsh_pairs demoted — near_dup_canonical recomputes
         # and verifies the LSH pair stage internally)
+        # (tbl_secondary_pruned_read rotated out late-r11 for the
+        # record_index point read; its index-pruned-read plan class
+        # stays covered by tbl_rli_upsert_read + tbl_hudi_rli_point_read)
         "sql_dml_indexed_pipeline", "tbl_bucket_upsert_read",
-        "tbl_partial_update_read", "tbl_secondary_pruned_read",
+        "tbl_partial_update_read",
         "quality_classifier_scores",
         # r9 rotation survivors still in-window (several r9/r10 rows
         # rotated back out in r11 — driver-green for 1-2 rounds, plan
@@ -109,6 +112,9 @@ def test_driver_window_covers_distinct_operator_classes():
         "near_dup_components_star", "events_gapfill", "corpus_build",
         "value_quantile_sketch", "top_supplier_revenue",
         "tbl_hudi_stats_planned_read",
+        # late-r11: the record_index metadata partition's exact
+        # point-read planning (this session's flagship)
+        "tbl_hudi_rli_point_read",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()
