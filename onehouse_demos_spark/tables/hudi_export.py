@@ -61,8 +61,9 @@ Sync semantics (mirrors `sync_delta_log`'s snapshot-diff contract):
   `files-0000-0_*` base slice holding one record per data partition
   (key = partition path, `filesystemMetadata` name->size map — the
   public HoodieMetadataPayload record types 1/2). The base slice is a
-  PARQUET container (this repo has no HFile writer; the record shape,
-  file-group naming and timeline lifecycle follow the fixture), and
+  REAL HBase HFile v3 since late-r11 (tables/hfile.py, pinned on the
+  fixture's committed base slice; legacy parquet slices still read),
+  and
   `hoodie.table.metadata.partitions=files` is declared in the main
   properties like the fixture does — so a reader plans from metadata
   instead of paying an S3 LIST per query, the 100 TB story.
@@ -919,16 +920,15 @@ _MDT_ROOT_PARTITION = "."
 
 def _mdt_properties(table_name: str) -> str:
     """`hoodie.properties` for the metadata table — the fixture's key
-    set (`hudi_dimCustomer/.hoodie/metadata/.hoodie/hoodie.properties`)
-    with one documented deviation: `hoodie.table.base.file.format` is
-    PARQUET, not HFILE (no HFile writer here; the record shape, file
-    group naming and timeline lifecycle follow the fixture)."""
+    set (`hudi_dimCustomer/.hoodie/metadata/.hoodie/hoodie.properties`);
+    since late-r11 the base file format declaration matches the
+    fixture's HFILE (tables/hfile.py writes the real container)."""
     props = {
         "hoodie.table.name": f"{table_name}_metadata",
         "hoodie.table.type": "MERGE_ON_READ",
         "hoodie.table.version": "6",
         "hoodie.timeline.layout.version": "1",
-        "hoodie.table.base.file.format": "PARQUET",  # fixture: HFILE
+        "hoodie.table.base.file.format": "HFILE",  # fixture parity
         "hoodie.table.recordkey.fields": "key",
         "hoodie.table.keygenerator.class": (
             "org.apache.hudi.metadata.HoodieTableMetadataKeyGenerator"
@@ -1090,43 +1090,90 @@ def _mdt_build_listing(
     return by_partition
 
 
+def _mdt_full_record_schema() -> str:
+    """The COMPLETE HoodieMetadataRecord schema the fixture's base
+    slice embeds in its HFile file info: the files-partition fields
+    plus BloomFilterMetadata, ColumnStatsMetadata and
+    recordIndexMetadata (field-name/order parity pinned against the
+    committed fixture in tests/test_hfile.py)."""
+    base = json.loads(_mdt_record_schema())
+    for schema_fn in (
+        _mdt_bloom_schema,
+        _mdt_colstats_schema,
+        _mdt_rli_schema,
+    ):
+        base["fields"].append(json.loads(schema_fn())["fields"][-1])
+    return json.dumps(base)
+
+
 def _mdt_write_base_slice(
     files_dir: str, mdt_instant: str, by_partition: dict
 ) -> tuple[str, int]:
     """One full-listing base slice of the `files-0000-0` group
-    (HoodieMetadataPayload types 1/2) — PARQUET container, the
-    documented stand-in for the fixture's HFile base. Returns
-    (slice_name, n_records)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    (HoodieMetadataPayload types 1/2) in the fixture's OWN container:
+    an HBase HFile v3 (tables/hfile.py — GZ blocks, CRC32C checksums,
+    embedded record schema, key riding the cell row with the value's
+    `key` field empty, exactly the committed
+    `files-0000-0_0-73-165_00000000000000010.hfile`). Returns
+    (slice_name, n_records). Until r11 this was a documented PARQUET
+    stand-in; the reader keeps consuming legacy parquet slices."""
+    from onehouse_demos_spark.sources.avro_codec import AvroSchema, encode
+    from onehouse_demos_spark.tables.hfile import write_hfile
 
-    keys = [_MDT_ALL_PARTITIONS_KEY] + sorted(by_partition)
-    types = [_MDT_TYPE_PARTITION_LIST] + [
-        _MDT_TYPE_FILE_LIST for _ in sorted(by_partition)
-    ]
-    fsmeta = [
-        [(p, {"size": 0, "isDeleted": False}) for p in sorted(by_partition)]
+    slice_name = f"{_MDT_FILE_GROUP}_{_WRITE_TOKEN}_{mdt_instant}.hfile"
+    schema_json = _mdt_full_record_schema()
+    sch = AvroSchema(json.loads(schema_json))
+
+    def _value(rtype: int, fsm: dict) -> bytes:
+        # fixture behavior: the record key rides the CELL ROW; the
+        # value's own `key` is empty and `_hoodie_file_name` names
+        # the slice itself
+        return encode(
+            {
+                "_hoodie_file_name": slice_name,
+                "key": "",
+                "type": rtype,
+                "filesystemMetadata": fsm,
+            },
+            sch,
+        )
+
+    cells = [
+        (
+            _MDT_ALL_PARTITIONS_KEY,
+            _value(
+                _MDT_TYPE_PARTITION_LIST,
+                {
+                    p: {"size": 0, "isDeleted": False}
+                    for p in sorted(by_partition)
+                },
+            ),
+        )
     ] + [
-        [
-            (name, {"size": size, "isDeleted": False})
-            for name, size in sorted(by_partition[p].items())
-        ]
+        (
+            p,
+            _value(
+                _MDT_TYPE_FILE_LIST,
+                {
+                    name: {"size": size, "isDeleted": False}
+                    for name, size in sorted(by_partition[p].items())
+                },
+            ),
+        )
         for p in sorted(by_partition)
     ]
-    map_type = pa.map_(
-        pa.string(),
-        pa.struct([("size", pa.int64()), ("isDeleted", pa.bool_())]),
+    write_hfile(
+        os.path.join(files_dir, slice_name),
+        cells,
+        fileinfo_extra={"schema": schema_json.encode()},
     )
-    tbl = pa.table(
-        {
-            "key": pa.array(keys, pa.string()),
-            "type": pa.array(types, pa.int32()),
-            "filesystemMetadata": pa.array(fsmeta, map_type),
-        }
-    )
-    slice_name = f"{_MDT_FILE_GROUP}_{_WRITE_TOKEN}_{mdt_instant}.parquet"
-    pq.write_table(tbl, os.path.join(files_dir, slice_name))
-    return slice_name, len(keys)
+    return slice_name, len(cells)
+
+
+def _mdt_slice_instant(name: str) -> str:
+    """Attachment instant of a base-slice file name (either
+    container suffix)."""
+    return name.rsplit("_", 1)[1].rsplit(".", 1)[0]
 
 
 def _mdt_delta_records(
@@ -1180,7 +1227,7 @@ def _mdt_delta_records(
 
 
 #: column_stats metadata partition (r11): HoodieMetadataRecord type 3,
-#: its own file group, log-chain container (no parquet base — the
+#: its own file group, log-chain container (no base slice — the
 #: roll-up writes a fresh full-stats chain; documented deviation from
 #: Hudi's HFile base slices).
 _MDT_COLSTATS_FILE_GROUP = "col-stats-0000-0"
@@ -2527,8 +2574,9 @@ def _sync_metadata_table(
 ) -> None:
     """Refresh `.hoodie/metadata/files` — Hudi's own base+log shape
     (r11, VERDICT r10 missing #2): the bootstrap sync writes ONE
-    full-listing base slice of the `files-0000-0` file group (PARQUET
-    container — the documented stand-in for the fixture's HFile), and
+    full-listing base slice of the `files-0000-0` file group (a REAL
+    HBase HFile v3 since late-r11 — tables/hfile.py, the fixture's
+    own container), and
     every later sync appends a real HoodieLogFormat AVRO-data-block
     log file (`.files-0000-0_<baseInstant>.log.<v>_0-0-0`, the
     fixture's exact naming) holding HoodieMetadataPayload DELTA
@@ -2682,10 +2730,9 @@ def hudi_metadata_listing(base_path: str) -> dict[str, dict[str, int]]:
     entries overwrite, `isDeleted` removes. Returns
     {partition_path: {file_name: size}} ('.'-keyed root for
     unpartitioned tables, Hudi's NON_PARTITIONED_NAME). One small
-    parquet read plus a metadata-scale log tail — no table-tree
-    listing."""
-    import pyarrow.parquet as pq
-
+    base-slice read plus a metadata-scale log tail — no table-tree
+    listing. The base slice is an HFile (r11, the fixture's own
+    container); pre-r11 PARQUET slices keep reading."""
     from onehouse_demos_spark.tables.hudi_log import parse_log_file
 
     files_dir = os.path.join(_hoodie_dir(base_path), "metadata", "files")
@@ -2695,22 +2742,39 @@ def hudi_metadata_listing(base_path: str) -> dict[str, dict[str, int]]:
     slices = sorted(
         n
         for n in names
-        if n.startswith(_MDT_FILE_GROUP + "_") and n.endswith(".parquet")
+        if n.startswith(_MDT_FILE_GROUP + "_")
+        and (n.endswith(".hfile") or n.endswith(".parquet"))
     )
     if not slices:
         raise FileNotFoundError(f"no files-partition slice under {files_dir}")
-    newest = max(slices, key=lambda n: n.rsplit("_", 1)[1])
-    base_instant = newest.rsplit("_", 1)[1][: -len(".parquet")]
-    tbl = pq.read_table(os.path.join(files_dir, newest))
+    newest = max(slices, key=_mdt_slice_instant)
+    base_instant = _mdt_slice_instant(newest)
     out: dict[str, dict[str, int]] = {}
-    for row in tbl.to_pylist():
-        if row["type"] != _MDT_TYPE_FILE_LIST:
-            continue
-        out[row["key"]] = {
-            name: meta["size"]
-            for name, meta in (row["filesystemMetadata"] or [])
-            if not meta["isDeleted"]
-        }
+    if newest.endswith(".hfile"):
+        from onehouse_demos_spark.tables.hfile import (
+            read_hudi_metadata_base,
+        )
+
+        for rec in read_hudi_metadata_base(os.path.join(files_dir, newest)):
+            if rec.get("type") != _MDT_TYPE_FILE_LIST:
+                continue
+            out[rec["key"]] = {
+                name: meta["size"]
+                for name, meta in (rec.get("filesystemMetadata") or {}).items()
+                if not meta["isDeleted"]
+            }
+    else:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(files_dir, newest))
+        for row in tbl.to_pylist():
+            if row["type"] != _MDT_TYPE_FILE_LIST:
+                continue
+            out[row["key"]] = {
+                name: meta["size"]
+                for name, meta in (row["filesystemMetadata"] or [])
+                if not meta["isDeleted"]
+            }
     # fold the delta chain ATTACHED to this base (logs carrying an
     # older base instant were folded into a newer base by compaction)
     prefix = f".{_MDT_FILE_GROUP}_{base_instant}.log."
@@ -2808,14 +2872,14 @@ def _clean_hudi_personality_locked(
         slices = sorted(
             n
             for n in os.listdir(files_dir)
-            if n.startswith(_MDT_FILE_GROUP + "_") and n.endswith(".parquet")
+            if n.startswith(_MDT_FILE_GROUP + "_")
+            and (n.endswith(".hfile") or n.endswith(".parquet"))
         )
         if slices:
-            newest = max(slices, key=lambda n: n.rsplit("_", 1)[1])
-            newest_inst = newest.rsplit("_", 1)[1][: -len(".parquet")]
+            newest = max(slices, key=_mdt_slice_instant)
+            newest_inst = _mdt_slice_instant(newest)
             for n in slices:
-                inst = n.rsplit("_", 1)[1][: -len(".parquet")]
-                if n != newest and inst < boundary:
+                if n != newest and _mdt_slice_instant(n) < boundary:
                     os.remove(os.path.join(files_dir, n))
             # delta log files attached to a SUPERSEDED base (their
             # records were folded into a newer base by chain
@@ -3259,7 +3323,7 @@ def read_hudi_snapshot(
     `as_of` time-travels the replay (valid within the clean
     retention window, r10). `via_metadata=True` plans from the
     metadata table's `files` partition instead of replaying the
-    timeline — ONE small parquet read however long the timeline grows
+    timeline — ONE small base-slice read however long the timeline grows
     (what a metadata-enabled Hudi reader does; current snapshot only,
     so it excludes `as_of`)."""
     if via_metadata:

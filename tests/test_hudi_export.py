@@ -599,8 +599,8 @@ def test_mor_compact_on_sync_equals_rt_view(spark, tmp_base):
 def test_metadata_table_fixture_shape(spark, tmp_base):
     """Structural pin against the reference's committed
     `.hoodie/metadata` (hudi_dimCustomer): same directory skeleton,
-    same properties key set (documented deviation: base file format
-    PARQUET, no HFile writer here), same bootstrap-instant lifecycle,
+    same properties key set (incl. HFILE base file format since
+    late-r11 — tables/hfile.py), same bootstrap-instant lifecycle,
     and `hoodie.table.metadata.partitions=files` declared in the MAIN
     properties exactly like the fixture."""
     t = _mk(spark, tmp_base, partitioned=False)
@@ -643,8 +643,13 @@ def test_metadata_table_fixture_shape(spark, tmp_base):
             ours["hoodie.table.keygenerator.class"]
             == ref["hoodie.table.keygenerator.class"]
         )
-        # fixture ships HFILE; ours documents the PARQUET container
-        assert ours["hoodie.table.base.file.format"] == "PARQUET"
+        # late-r11: the base slice IS an HFile, declared like the
+        # fixture (tables/hfile.py)
+        assert (
+            ours["hoodie.table.base.file.format"]
+            == ref["hoodie.table.base.file.format"]
+            == "HFILE"
+        )
         with open(
             f"{REF_HUDI}/.hoodie/metadata/.hoodie/00000000000000010.deltacommit"
         ) as fh:
@@ -710,9 +715,9 @@ def test_mdt_files_partition_is_base_plus_log_chain(spark, tmp_base):
     sync_hudi_metadata(t)
     files_dir = os.path.join(t.base_path, ".hoodie", "metadata", "files")
     names = os.listdir(files_dir)
-    bases = [n for n in names if n.endswith(".parquet")]
+    bases = [n for n in names if n.endswith(".hfile")]
     assert bases == [
-        f"files-0000-0_0-0-0_{_MDT_BOOTSTRAP_INSTANT}.parquet"
+        f"files-0000-0_0-0-0_{_MDT_BOOTSTRAP_INSTANT}.hfile"
     ], bases
     logs = sorted(n for n in names if ".log." in n)
     assert logs == [
@@ -829,10 +834,10 @@ def test_mdt_chain_compacts_into_fresh_base(spark, tmp_base):
         sync_hudi_metadata(t)
     files_dir = os.path.join(t.base_path, ".hoodie", "metadata", "files")
     names = os.listdir(files_dir)
-    bases = sorted(n for n in names if n.endswith(".parquet"))
+    bases = sorted(n for n in names if n.endswith(".hfile"))
     assert len(bases) == 2, bases  # bootstrap + one compacted base
     new_base_inst = max(
-        n.rsplit("_", 1)[1][: -len(".parquet")] for n in bases
+        n.rsplit("_", 1)[1][: -len(".hfile")] for n in bases
     )
     assert new_base_inst != "00000000000000010"
     # post-compaction deltas attach to the new base
@@ -855,7 +860,7 @@ def test_mdt_chain_compacts_into_fresh_base(spark, tmp_base):
     assert not any(
         ".files-0000-0_00000000000000010.log." in n for n in left
     ), left
-    assert f"files-0000-0_0-0-0_00000000000000010.parquet" not in left
+    assert f"files-0000-0_0-0-0_00000000000000010.hfile" not in left
     assert set(hudi_metadata_listing(t.base_path)["."].keys()) == live
 
 

@@ -418,15 +418,18 @@ _mdt_ops = st.lists(
 )
 def test_metadata_index_suite_tracks_engine_under_random_ops(spark, ops):
     """r11 generative check on the metadata-index partitions: random
-    upsert/delete sequences with files+column_stats+bloom_filters
-    syncs after every op — the folded listing must equal the live
-    slice set, metadata-planned point reads must equal the engine's
-    per-key truth for EVERY key (bloom false negatives would silently
-    drop rows), and a stats-filtered planned read must equal the
+    upsert/delete sequences with files+column_stats+bloom_filters+
+    record_index syncs after every op — the folded listing must equal
+    the live slice set, metadata-planned point reads must equal the
+    engine's per-key truth for EVERY key through BOTH planners (bloom
+    false negatives and stale/wrong record-index locations would both
+    silently drop rows), the record index must locate exactly the
+    live key set, and a stats-filtered planned read must equal the
     engine's filtered snapshot."""
     from onehouse_demos_spark.tables.hudi_export import (
         hudi_live_files,
         hudi_metadata_listing,
+        hudi_metadata_record_locations,
         read_hudi_point,
         read_hudi_snapshot,
         sync_hudi_metadata,
@@ -458,7 +461,12 @@ def test_metadata_index_suite_tracks_engine_under_random_ops(spark, ops):
                 t.delete(
                     spark.createDataFrame([(k,) for k in payload], "id int")
                 )
-            sync_hudi_metadata(t, column_stats=True, bloom_filters=True)
+            sync_hudi_metadata(
+                t,
+                column_stats=True,
+                bloom_filters=True,
+                record_index=True,
+            )
             live = {
                 os.path.basename(p) for p in hudi_live_files(t.base_path)
             }
@@ -470,13 +478,21 @@ def test_metadata_index_suite_tracks_engine_under_random_ops(spark, ops):
                 r.id: (r.ver, r.v)
                 for r in t.snapshot().select("id", "ver", "v").collect()
             }
-            got = {
-                r.id: (r.ver, r.v)
-                for r in read_hudi_point(
-                    spark, t.base_path, [str(k) for k in KEYS]
-                ).collect()
-            }
-            assert got == engine, op
+            for via in ("bloom", "record_index"):
+                got = {
+                    r.id: (r.ver, r.v)
+                    for r in read_hudi_point(
+                        spark,
+                        t.base_path,
+                        [str(k) for k in KEYS],
+                        via=via,
+                    ).collect()
+                }
+                assert got == engine, (op, via)
+            locs = hudi_metadata_record_locations(
+                t.base_path, [str(k) for k in KEYS]
+            )
+            assert sorted(locs) == sorted(str(k) for k in engine), op
             want = sorted(
                 (r.id, r.ver)
                 for r in t.snapshot()
