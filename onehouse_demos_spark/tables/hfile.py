@@ -372,18 +372,32 @@ def _decode_trailer(data: bytes) -> dict:
 # -- public API --------------------------------------------------------------
 
 
+def _decode_root_index(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Root index entries: (block offset, onDiskSizeWithHeader, key)."""
+    out = []
+    p = 0
+    while p < len(payload):
+        off, size = struct.unpack(">qI", payload[p : p + 12])
+        p += 12
+        klen, p = _read_hadoop_vlong(payload, p)
+        out.append((off, size, payload[p : p + klen]))
+        p += klen
+    return out
+
+
 def write_hfile(
     path: str,
     cells: list[tuple[str, bytes]],
     fileinfo_extra: dict[str, bytes] | None = None,
     codec: int = COMPRESSION_GZ,
     block_size: int = 64 * 1024,
+    meta_blocks: dict[str, bytes] | None = None,
 ) -> None:
     """Write a v3 HFile of (row key, value bytes) cells, sorted by
-    key as HFiles require. No bloom meta block is written (a reader
-    without the bloom falls back to index seeks — Hudi's own fallback
-    path); `fileinfo_extra` carries the Hudi entries (schema,
-    min/maxRecordKey)."""
+    key as HFiles require. `meta_blocks` (name -> payload, e.g. the
+    fixture's "bloomFilter") ride as METABLKc blocks with a root
+    meta index; `fileinfo_extra` carries the Hudi entries (schema,
+    min/maxRecordKey, bloomFilterTypeCode)."""
     cells = sorted(cells, key=lambda kv: kv[0])
     buf = bytearray()
     data_blocks: list[tuple[int, int, bytes]] = []  # offset, size, first key
@@ -414,6 +428,17 @@ def write_hfile(
     total_uncomp += len(cur)
     _flush()
 
+    meta_index: list[tuple[int, int, bytes]] = []
+    prev_meta = -1
+    for name in sorted(meta_blocks or {}):
+        payload = meta_blocks[name]
+        off = len(buf)
+        blob, size, _ = _encode_block(META_MAGIC, payload, prev_meta, codec)
+        buf.extend(blob)
+        meta_index.append((off, size, name.encode()))
+        prev_meta = off
+        total_uncomp += len(payload)
+
     load_on_open = len(buf)
     root_index = bytearray()
     for off, size, fkey in data_blocks:
@@ -423,8 +448,13 @@ def write_hfile(
         ROOT_INDEX_MAGIC, bytes(root_index), -1, codec
     )
     buf.extend(blob)
-    # empty meta index root (no meta blocks; count rides the trailer)
-    blob, _size, _ = _encode_block(ROOT_INDEX_MAGIC, b"", -1, codec)
+    meta_root = bytearray()
+    for off, size, name in meta_index:
+        meta_root += struct.pack(">qI", off, size)
+        meta_root += _hadoop_vlong(len(name)) + name
+    blob, _size, _ = _encode_block(
+        ROOT_INDEX_MAGIC, bytes(meta_root), -1, codec
+    )
     buf.extend(blob)
 
     file_info_offset = len(buf)
@@ -459,7 +489,7 @@ def write_hfile(
                 "uncompressed_data_index_size": idx_uncomp,
                 "total_uncompressed_bytes": total_uncomp,
                 "data_index_count": len(data_blocks),
-                "meta_index_count": 0,
+                "meta_index_count": len(meta_index),
                 "entry_count": len(cells),
                 "num_data_index_levels": 1,
                 "first_data_block_offset": data_blocks[0][0] if data_blocks else 0,
@@ -487,6 +517,7 @@ def parse_hfile(path: str, verify_checksums: bool = True) -> dict:
     cells: list[tuple[bytes, bytes]] = []
     pos = 0
     fileinfo: dict[bytes, bytes] = {}
+    meta_payload_at: dict[int, bytes] = {}
     load_on_open = trailer["load_on_open_data_offset"]
     # data section: everything before load-on-open (data + meta blocks)
     while pos < load_on_open:
@@ -495,23 +526,38 @@ def parse_hfile(path: str, verify_checksums: bool = True) -> dict:
         )
         if magic == DATA_MAGIC:
             cells.append(payload)  # decoded after fileinfo (mvcc flag)
-        elif magic not in (META_MAGIC,):
+        elif magic == META_MAGIC:
+            meta_payload_at[pos] = payload
+        else:
             raise ValueError(f"unexpected block magic {magic!r} at {pos}")
         pos = nxt
     # load-on-open: root data index, root meta index, file info
+    index_roots: list[bytes] = []
     while pos < len(data) - TRAILER_SIZE:
         magic, payload, nxt = _decode_block_at(
             data, pos, codec, verify_checksums
         )
         if magic == FILE_INFO_MAGIC:
             fileinfo = _decode_fileinfo(payload)
+        elif magic == ROOT_INDEX_MAGIC:
+            index_roots.append(payload)
         pos = nxt
+    meta: dict[str, bytes] = {}
+    if len(index_roots) >= 2:  # data index root first, then meta root
+        for off, _size, name in _decode_root_index(index_roots[1]):
+            if off in meta_payload_at:
+                meta[name.decode()] = meta_payload_at[off]
     with_mvcc = b"MAX_MEMSTORE_TS_KEY" in fileinfo
     out_cells: list[tuple[str, bytes]] = []
     for payload in cells:
         for row, value in _decode_cells(payload, with_mvcc):
             out_cells.append((row.decode(), value))
-    return {"cells": out_cells, "fileinfo": fileinfo, "trailer": trailer}
+    return {
+        "cells": out_cells,
+        "fileinfo": fileinfo,
+        "trailer": trailer,
+        "meta": meta,
+    }
 
 
 def hfile_schema_json(path: str) -> str | None:

@@ -1162,10 +1162,23 @@ def _mdt_write_base_slice(
         )
         for p in sorted(by_partition)
     ]
+    # the fixture's "bloomFilter" meta block: a REAL Hadoop
+    # DYNAMIC_V0 bloom over the record keys (base64 text, Murmur2
+    # chain pinned against the committed fixture bytes) — a real Hudi
+    # reader's key-lookup bloom check works against our base slice
+    from onehouse_demos_spark.tables.hadoop_bloom import (
+        HadoopDynamicBloom,
+    )
+
+    bloom = HadoopDynamicBloom.build([k for k, _ in cells])
     write_hfile(
         os.path.join(files_dir, slice_name),
         cells,
-        fileinfo_extra={"schema": schema_json.encode()},
+        fileinfo_extra={
+            "schema": schema_json.encode(),
+            "bloomFilterTypeCode": b"DYNAMIC_V0",
+        },
+        meta_blocks={"bloomFilter": bloom.to_base64()},
     )
     return slice_name, len(cells)
 

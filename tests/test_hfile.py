@@ -105,6 +105,56 @@ def test_crc32c_known_vector():
     assert crc32c(bytes(32)) == 0x8A9136AA
 
 
+@ref_missing
+def test_fixture_bloom_deserializes_and_hits_real_key():
+    """The fixture's `bloomFilter` meta block is a REAL Hadoop
+    DYNAMIC_V0 bloom written by Hudi 0.14: our pure-Python murmur
+    chain must hit ALL of its probe positions for the one key it
+    holds — proving Java-exact hashing (signed byte loads, truncated
+    `%` on negative hashes) and bit order — and miss for others."""
+    from onehouse_demos_spark.tables.hadoop_bloom import (
+        HadoopDynamicBloom,
+    )
+
+    meta = parse_hfile(REF_HFILE)["meta"]
+    assert set(meta) == {"bloomFilter"}
+    bloom = HadoopDynamicBloom.from_base64(meta["bloomFilter"])
+    assert bloom.nb_hash == 30
+    assert bloom.vector_size == 2587966
+    assert bloom.nr == 60000
+    assert bloom.membership_test("__all_partitions__")
+    for probe in ("not_a_key", "2015/03/16", "files", ""):
+        assert not bloom.membership_test(probe), probe
+
+
+def test_hadoop_bloom_roundtrip_and_membership():
+    from onehouse_demos_spark.tables.hadoop_bloom import (
+        HadoopDynamicBloom,
+    )
+
+    keys = [f"key-{i}" for i in range(500)]
+    bloom = HadoopDynamicBloom.build(keys, entries=1000)
+    blob = bloom.to_base64()
+    back = HadoopDynamicBloom.from_base64(blob)
+    assert all(back.membership_test(k) for k in keys)
+    misses = sum(
+        back.membership_test(f"absent-{i}") for i in range(1000)
+    )
+    assert misses == 0  # 1e-9 design rate: zero expected
+
+
+def test_meta_block_roundtrip(tmp_base):
+    path = os.path.join(tmp_base, "meta.hfile")
+    write_hfile(
+        path,
+        [("k", b"v")],
+        meta_blocks={"bloomFilter": b"abc", "other": b"xyz"},
+    )
+    p = parse_hfile(path)
+    assert p["meta"] == {"bloomFilter": b"abc", "other": b"xyz"}
+    assert p["trailer"]["meta_index_count"] == 2
+
+
 # ------------------------------------------------ round-trip
 
 
@@ -189,6 +239,16 @@ def test_files_partition_base_is_hfile(spark, tmp_base):
     assert {n for fs in listing.values() for n in fs} == live
     # every record in the base declares the slice as its file name
     assert all(r["_hoodie_file_name"] == base for r in recs)
+    # and the base carries a REAL DYNAMIC_V0 bloom over its keys
+    from onehouse_demos_spark.tables.hadoop_bloom import (
+        HadoopDynamicBloom,
+    )
+
+    parsed = parse_hfile(os.path.join(files_dir, base))
+    assert parsed["fileinfo"][b"bloomFilterTypeCode"] == b"DYNAMIC_V0"
+    bloom = HadoopDynamicBloom.from_base64(parsed["meta"]["bloomFilter"])
+    assert bloom.membership_test("__all_partitions__")
+    assert not bloom.membership_test("no_such_partition")
 
 
 def test_legacy_parquet_base_still_reads(spark, tmp_base):
