@@ -1189,6 +1189,83 @@ def _mdt_slice_instant(name: str) -> str:
     return name.rsplit("_", 1)[1].rsplit(".", 1)[0]
 
 
+def _mdt_write_index_base(
+    idx_dir: str,
+    partition: str,
+    group: str,
+    instant: str,
+    records: list[dict],
+) -> dict:
+    """Base slice of a metadata-INDEX file group (column_stats /
+    bloom_filters / record_index roll-ups and bootstraps) in the
+    fixture's container: HFile v3 cells keyed by record key, values
+    Avro HoodieMetadataRecords under the full fixture schema, plus
+    the DYNAMIC_V0 bloom meta block — the same shape as the files
+    partition's base. Records must be live (a base is a full fold;
+    absence IS deletion). Returns the MDT write stat."""
+    import json as _json
+
+    from onehouse_demos_spark.sources.avro_codec import AvroSchema, encode
+    from onehouse_demos_spark.tables.hadoop_bloom import (
+        HadoopDynamicBloom,
+    )
+    from onehouse_demos_spark.tables.hfile import write_hfile
+
+    name = f"{group}_{_WRITE_TOKEN}_{instant}.hfile"
+    schema_json = _mdt_full_record_schema()
+    sch = AvroSchema(_json.loads(schema_json))
+    cells = []
+    for rec in sorted(records, key=lambda r: r["key"]):
+        r = dict(rec)
+        key = r["key"]
+        r["key"] = ""  # fixture behavior: key rides the cell row
+        r["_hoodie_file_name"] = name
+        cells.append((key, encode(r, sch)))
+    bloom = HadoopDynamicBloom.build([k for k, _ in cells])
+    path = os.path.join(idx_dir, name)
+    write_hfile(
+        path,
+        cells,
+        fileinfo_extra={
+            "schema": schema_json.encode(),
+            "bloomFilterTypeCode": b"DYNAMIC_V0",
+        },
+        meta_blocks={"bloomFilter": bloom.to_base64()},
+    )
+    stat = _write_stat(
+        partition,
+        group,
+        f"{partition}/{name}",
+        len(cells),
+        os.stat(path).st_size,
+        "numUpdateWrites",
+    )
+    return stat
+
+
+def _mdt_index_base_records(
+    idx_dir: str, group: str
+) -> tuple[str, list[dict]] | None:
+    """(instant, records) of a group's NEWEST base slice, with each
+    record's `key` restored from the cell row; None when the group
+    has no base (legacy pure-chain layouts keep reading)."""
+    from onehouse_demos_spark.tables.hfile import read_hudi_metadata_base
+
+    prefix = f"{group}_"
+    bases = [
+        n
+        for n in os.listdir(idx_dir)
+        if n.startswith(prefix) and n.endswith(".hfile")
+    ]
+    if not bases:
+        return None
+    newest = max(bases, key=_mdt_slice_instant)
+    return (
+        _mdt_slice_instant(newest),
+        read_hudi_metadata_base(os.path.join(idx_dir, newest)),
+    )
+
+
 def _mdt_delta_records(
     prev: dict[str, dict[str, int]], cur: dict[str, dict[str, int]]
 ) -> list[dict]:
@@ -1240,9 +1317,9 @@ def _mdt_delta_records(
 
 
 #: column_stats metadata partition (r11): HoodieMetadataRecord type 3,
-#: its own file group, log-chain container (no base slice — the
-#: roll-up writes a fresh full-stats chain; documented deviation from
-#: Hudi's HFile base slices).
+#: its own file group in Hudi's base+log shape — bootstrap/roll-up
+#: write an HFile BASE slice (tables/hfile.py), deltas attach as
+#: HoodieLogFormat log files.
 _MDT_COLSTATS_FILE_GROUP = "col-stats-0000-0"
 _MDT_TYPE_COLUMN_STATS = 3
 #: record-key separator inside column-stats keys (documented
@@ -1461,12 +1538,11 @@ def _sync_bloom_partition(
     mdt_state: dict,
 ) -> dict | None:
     """Refresh `.hoodie/metadata/bloom_filters` (r11): Hudi's
-    bloom-filter metadata index as HoodieLogFormat delta chains —
-    the same base-less chain + roll-up + clean lifecycle as
-    column_stats. External readers (and `read_hudi_point`) prune a
-    point read to the files whose bloom might contain the key, from
-    metadata alone. Returns the MDT-timeline write stat (None when
-    unchanged)."""
+    bloom-filter metadata index in the same HFile-base + log-chain
+    shape and roll-up/clean lifecycle as column_stats. External
+    readers (and `read_hudi_point`) prune a point read to the files
+    whose bloom might contain the key, from metadata alone. Returns
+    the MDT-timeline write stat (None when unchanged)."""
     from onehouse_demos_spark.tables.hudi_log import (
         encode_records,
         write_avro_log_file,
@@ -1492,13 +1568,18 @@ def _sync_bloom_partition(
         and mdt_state.get("bloom_version", 0) >= _MDT_COMPACT_EVERY
     )
     if prev is None or rollup:
-        # fresh chain (bootstrap only when the dir is new — see
-        # column_stats note on version collisions)
+        # fresh BASE slice (r11 late: fixture base+log shape; see
+        # column_stats)
         attach = _MDT_BOOTSTRAP_INSTANT if first else instant
-        records = [
-            _bloom_record(k, v, instant) for k, v in sorted(cur.items())
-        ]
-        version = 1
+        stat = _mdt_write_index_base(
+            bf_dir, "bloom_filters", _MDT_BLOOM_FILE_GROUP, attach,
+            [_bloom_record(k, v, instant) for k, v in sorted(cur.items())],
+        )
+        mdt_state["bloom_instant"] = attach
+        mdt_state["bloom_version"] = 0
+        mdt_state["bloom_files"] = cur_digests
+        mdt_state.pop("bloom_listing", None)
+        return stat
     else:
         attach = mdt_state.get("bloom_instant", _MDT_BOOTSTRAP_INSTANT)
         records = [
@@ -1556,30 +1637,18 @@ def hudi_metadata_bloom_filters(base_path: str) -> dict:
         )
     import base64 as _b64mod
 
-    prefix = f".{_MDT_BLOOM_FILE_GROUP}_"
-    chains: dict[str, list[tuple[int, str]]] = {}
-    for n in os.listdir(bf_dir):
-        if not n.startswith(prefix) or ".log." not in n:
-            continue
-        attach = n[len(prefix) :].split(".log.")[0]
-        ver = int(n.split(".log.")[1].split("_")[0])
-        chains.setdefault(attach, []).append((ver, n))
-    if not chains:
-        raise FileNotFoundError(f"no bloom_filters chain under {bf_dir}")
     out: dict = {}
-    for _ver, n in sorted(chains[max(chains)]):
-        for block in parse_log_file(os.path.join(bf_dir, n)):
-            for rec in block.get("records") or []:
-                if rec.get("type") != _MDT_TYPE_BLOOM_FILTER:
-                    continue
-                bf = rec.get("BloomFilterMetadata") or {}
-                part, name = rec["key"].split(_MDT_CS_SEP)
-                if bf.get("isDeleted"):
-                    out.pop((part, name), None)
-                    continue
-                out[(part, name)] = KeyBloom.from_b64(
-                    _b64mod.b64encode(bf["bloomFilter"]).decode("ascii")
-                )
+    for rec in _mdt_index_records(bf_dir, _MDT_BLOOM_FILE_GROUP):
+        if rec.get("type") != _MDT_TYPE_BLOOM_FILTER:
+            continue
+        bf = rec.get("BloomFilterMetadata") or {}
+        part, name = rec["key"].split(_MDT_CS_SEP)
+        if bf.get("isDeleted"):
+            out.pop((part, name), None)
+            continue
+        out[(part, name)] = KeyBloom.from_b64(
+            _b64mod.b64encode(bf["bloomFilter"]).decode("ascii")
+        )
     return out
 
 
@@ -1864,41 +1933,34 @@ def _rli_write_shard(
 
 
 def _rli_fold_shard(rli_dir: str, group: str) -> dict[str, dict]:
-    """Fold ONE shard's newest chain: {key: loc-dict}. Metadata-scale
-    — memory is bounded by a single shard, which is what lets the
-    roll-up compact a shard at a time instead of materializing the
-    whole index."""
-    from onehouse_demos_spark.tables.hudi_log import parse_log_file
-
-    chains: dict[str, list[tuple[int, str]]] = {}
-    prefix = f".{group}_"
-    for n in os.listdir(rli_dir):
-        if not n.startswith(prefix) or ".log." not in n:
-            continue
-        attach = n[len(prefix):].split(".log.")[0]
-        ver = int(n.split(".log.")[1].split("_")[0])
-        chains.setdefault(attach, []).append((ver, n))
+    """Fold ONE shard's newest base slice + attached log chain:
+    {key: loc-dict}. Metadata-scale — memory is bounded by a single
+    shard, which is what lets the roll-up compact a shard at a time
+    instead of materializing the whole index."""
     out: dict[str, dict] = {}
-    if not chains:
+    # a generator raises lazily: materialize the existence check by
+    # probing for any slice of this group before iterating
+    if not any(
+        n.startswith(f"{group}_") or n.startswith(f".{group}_")
+        for n in os.listdir(rli_dir)
+    ):
         return out
-    for _ver, n in sorted(chains[max(chains)]):
-        for block in parse_log_file(os.path.join(rli_dir, n)):
-            for rec in block.get("records") or []:
-                if rec.get("type") != _MDT_TYPE_RECORD_INDEX:
-                    continue
-                meta = rec.get("recordIndexMetadata")
-                if meta is None:
-                    out.pop(rec["key"], None)
-                else:
-                    out[rec["key"]] = {
-                        "partition": meta["partitionName"],
-                        "file_id": _file_id_from_bits(
-                            meta["fileIdHighBits"],
-                            meta["fileIdLowBits"],
-                            meta["fileIndex"],
-                        ),
-                        "instant": str(meta["instantTime"]).zfill(17),
-                    }
+    for rec in _mdt_index_records(rli_dir, group):
+        if rec.get("type") != _MDT_TYPE_RECORD_INDEX:
+            continue
+        meta = rec.get("recordIndexMetadata")
+        if meta is None:
+            out.pop(rec["key"], None)
+        else:
+            out[rec["key"]] = {
+                "partition": meta["partitionName"],
+                "file_id": _file_id_from_bits(
+                    meta["fileIdHighBits"],
+                    meta["fileIdLowBits"],
+                    meta["fileIndex"],
+                ),
+                "instant": str(meta["instantTime"]).zfill(17),
+            }
     return out
 
 
@@ -1912,6 +1974,7 @@ def _rli_write_spark(
     version: int,
     instant: str,
     schema: str,
+    as_base: bool = False,
 ) -> list[dict]:
     """The DISTRIBUTED index write (the 100 TB path): Spark reads ONLY
     the record-key column of the changed files, attributes each row to
@@ -2019,9 +2082,18 @@ def _rli_write_spark(
                     ents, key=lambda e: e[0]
                 )
             ]
-            stat = _rli_write_shard(
-                rli_dir, shard, attach, version, instant, schema, records
-            )
+            if as_base:
+                # bootstrap/rebuild: executors write the shard's
+                # HFile BASE slice (tombstones cannot occur — a fresh
+                # index has no prior entries to delete)
+                stat = _rli_write_shard_base(
+                    rli_dir, shard, attach, records
+                )
+            else:
+                stat = _rli_write_shard(
+                    rli_dir, shard, attach, version, instant, schema,
+                    records,
+                )
             rows.append((shard, stat["path"], len(records)))
         yield _pd.DataFrame(
             rows, columns=["shard", "path", "n"]
@@ -2047,16 +2119,25 @@ def _rli_write_spark(
     return stats
 
 
+def _rli_write_shard_base(
+    rli_dir: str, shard: int, instant: str, records: list[dict]
+) -> dict:
+    """One shard's BASE slice (bootstrap / roll-up): an HFile in the
+    fixture's own container, like every other metadata partition."""
+    return _mdt_write_index_base(
+        rli_dir, "record_index", _mdt_rli_group(shard), instant, records
+    )
+
+
 def _rli_compact_shard(
-    rli_dir: str, group: str, shard: int, attach: str, instant: str,
-    schema: str,
+    rli_dir: str, group: str, shard: int, instant: str
 ) -> tuple[int, str, int]:
-    """Fold ONE shard's chain and write its compacted fresh-chain
-    file — the per-shard unit both the driver loop and the
+    """Fold ONE shard's base+chain and write its compacted BASE
+    slice — the per-shard unit both the driver loop and the
     distributed compaction run. Returns (shard, file rel name, n)."""
     locs = _rli_fold_shard(rli_dir, group)
-    stat = _rli_write_shard(
-        rli_dir, shard, attach, 1, instant, schema,
+    stat = _rli_write_shard_base(
+        rli_dir, shard, instant,
         [_rli_record(k, locs[k]) for k in sorted(locs)],
     )
     return shard, stat["path"], len(locs)
@@ -2066,22 +2147,20 @@ def _rli_compact_spark(
     table: LakehouseTable,
     rli_dir: str,
     n_shards: int,
-    attach: str,
     instant: str,
-    schema: str,
 ) -> list[dict]:
     """DISTRIBUTED chain compaction: one task per shard folds that
-    shard's chain and writes the compacted file — memory per task is
-    one shard, the driver sees only a ≤`n_shards`-row summary. This is
-    what keeps the chain bounded when EVERY sync's delta takes the
-    distributed write path (a driver fold would be the bottleneck the
-    shards exist to avoid)."""
+    shard's base+chain and writes the compacted base slice — memory
+    per task is one shard, the driver sees only a ≤`n_shards`-row
+    summary. This is what keeps the chain bounded when EVERY sync's
+    delta takes the distributed write path (a driver fold would be
+    the bottleneck the shards exist to avoid)."""
     sc = table.spark.sparkContext
     results = (
         sc.parallelize(range(n_shards), n_shards)
         .map(
             lambda s: _rli_compact_shard(
-                rli_dir, _mdt_rli_group(s), s, attach, instant, schema
+                rli_dir, _mdt_rli_group(s), s, instant
             )
         )
         .collect()
@@ -2093,12 +2172,10 @@ def _rli_compact_spark(
             "record_index",
             _mdt_rli_group(shard),
             rel,
-            0,
+            n,
             os.stat(full).st_size,
             "numUpdateWrites",
         )
-        stat["totalLogRecords"] = n
-        stat["totalLogBlocks"] = 1
         stats.append(stat)
     return stats
 
@@ -2206,8 +2283,11 @@ def _sync_rli_partition(
         rollup = False
         spark_compact = True
     if fresh or rollup:
+        # base-slice paths (bootstrap / rebuild / roll-up): the shard
+        # files are HFile BASES at this attachment instant; later
+        # deltas attach to it as version 1, 2, ...
         attach = _MDT_BOOTSTRAP_INSTANT if first else instant
-        version = 1
+        version = 0
     else:
         attach = mdt_state.get("rli_instant", _MDT_BOOTSTRAP_INSTANT)
         version = mdt_state.get("rli_version", 0) + 1
@@ -2225,7 +2305,7 @@ def _sync_rli_partition(
     if use_spark:
         stats = _rli_write_spark(
             table, rli_dir, add_locs, removed_abs, n_shards,
-            attach, version, instant, schema,
+            attach, version, instant, schema, as_base=fresh,
         )
         written = {s["fileId"] for s in stats}
         if fresh:
@@ -2234,16 +2314,13 @@ def _sync_rli_partition(
             for shard in range(n_shards):
                 if _mdt_rli_group(shard) not in written:
                     stats.append(
-                        _rli_write_shard(
-                            rli_dir, shard, attach, version, instant,
-                            schema, [],
-                        )
+                        _rli_write_shard_base(rli_dir, shard, attach, [])
                     )
         if spark_compact:
             stats += _rli_compact_spark(
-                table, rli_dir, n_shards, instant, instant, schema
+                table, rli_dir, n_shards, instant
             )
-            attach, version = instant, 1
+            attach, version = instant, 0
     else:
         upsert: dict[str, dict] = {}
         for p, loc in sorted(add_locs.items()):
@@ -2286,12 +2363,23 @@ def _sync_rli_partition(
             if fresh:
                 for shard in range(n_shards):
                     per_shard.setdefault(shard, [])
-        stats = [
-            _rli_write_shard(
-                rli_dir, shard, attach, version, instant, schema, recs
-            )
-            for shard, recs in sorted(per_shard.items())
-        ]
+        if fresh or rollup:
+            # base-slice writes: every shard gets its HFile base
+            if rollup:
+                for shard in range(n_shards):
+                    per_shard.setdefault(shard, [])
+            stats = [
+                _rli_write_shard_base(rli_dir, shard, attach, recs)
+                for shard, recs in sorted(per_shard.items())
+            ]
+        else:
+            stats = [
+                _rli_write_shard(
+                    rli_dir, shard, attach, version, instant, schema,
+                    recs,
+                )
+                for shard, recs in sorted(per_shard.items())
+            ]
     mdt_state["rli_paths"] = cur
     mdt_state["rli_instant"] = attach
     mdt_state["rli_version"] = version
@@ -2315,11 +2403,12 @@ def hudi_metadata_record_locations(
         raise FileNotFoundError(
             f"no metadata/record_index partition under {base_path}"
         )
-    groups = {
-        n[1:].split("_")[0]
-        for n in os.listdir(rli_dir)
-        if n.startswith(".record-index-") and ".log." in n
-    }
+    groups = set()
+    for n in os.listdir(rli_dir):
+        if n.startswith(".record-index-") and ".log." in n:
+            groups.add(n[1:].split("_")[0])
+        elif n.startswith("record-index-") and n.endswith(".hfile"):
+            groups.add(n.split("_")[0])
     if not groups:
         raise FileNotFoundError(f"no record_index chains under {rli_dir}")
     n_shards = len(groups)
@@ -2454,14 +2543,23 @@ def _sync_colstats_partition(
         ]
 
     if prev is None or rollup:
-        # fresh chain: full current stats under a new attachment
-        # instant (bootstrap only when the partition dir is NEW —
-        # a lost/legacy state over an existing dir re-chains at the
-        # data instant so versions never collide); the superseded
-        # chain ages out via clean
+        # fresh BASE slice (r11 late: the fixture's own base+log
+        # shape — bootstrap and roll-up write an HFile base holding
+        # the full current stats; later deltas attach to its instant;
+        # the superseded chain ages out via clean)
         attach = _MDT_BOOTSTRAP_INSTANT if first else instant
-        records = _full_records()
-        version = 1
+        stat = _mdt_write_index_base(
+            cs_dir, "column_stats", _MDT_COLSTATS_FILE_GROUP, attach,
+            _full_records(),
+        )
+        mdt_state["colstats_instant"] = attach
+        mdt_state["colstats_version"] = 0
+        mdt_state["colstats_files"] = {
+            fk: [_digest(by_col), sorted(by_col)]
+            for fk, by_col in cur.items()
+        }
+        mdt_state.pop("colstats_listing", None)
+        return stat
     else:
         attach = mdt_state.get(
             "colstats_instant", _MDT_BOOTSTRAP_INSTANT
@@ -2522,15 +2620,42 @@ def _sync_colstats_partition(
     return stat
 
 
+def _mdt_index_records(idx_dir: str, group: str):
+    """Yield the records of a metadata-index file group in fold
+    order: the newest BASE slice's records first (r11 late — the
+    fixture's base+log shape), then the log chain attached to that
+    base's instant in version order. Legacy pure-chain layouts (no
+    base) fold the newest chain alone."""
+    from onehouse_demos_spark.tables.hudi_log import parse_log_file
+
+    base = _mdt_index_base_records(idx_dir, group)
+    prefix = f".{group}_"
+    chains: dict[str, list[tuple[int, str]]] = {}
+    for n in os.listdir(idx_dir):
+        if not n.startswith(prefix) or ".log." not in n:
+            continue
+        attach = n[len(prefix):].split(".log.")[0]
+        ver = int(n.split(".log.")[1].split("_")[0])
+        chains.setdefault(attach, []).append((ver, n))
+    if base is None:
+        if not chains:
+            raise FileNotFoundError(f"no {group} chain under {idx_dir}")
+        attach, records = max(chains), []
+    else:
+        attach, records = base
+        yield from records
+    for _ver, n in sorted(chains.get(attach, [])):
+        for block in parse_log_file(os.path.join(idx_dir, n)):
+            yield from block.get("records") or []
+
+
 def hudi_metadata_column_stats(base_path: str) -> dict:
     """Read the metadata table's `column_stats` partition: newest
-    chain (max attachment instant), folded in version order with
+    base slice + its attached log chain, folded in version order with
     payload merge semantics. Returns {(partition, file_name, column):
     {"min", "max", "value_count", "total_size"}} — '.'-keyed root
     partition, wrapper values unwrapped. Metadata-scale read; no data
     file is opened."""
-    from onehouse_demos_spark.tables.hudi_log import parse_log_file
-
     cs_dir = os.path.join(
         _hoodie_dir(base_path), "metadata", "column_stats"
     )
@@ -2538,39 +2663,26 @@ def hudi_metadata_column_stats(base_path: str) -> dict:
         raise FileNotFoundError(
             f"no metadata/column_stats partition under {base_path}"
         )
-    prefix = f".{_MDT_COLSTATS_FILE_GROUP}_"
-    chains: dict[str, list[tuple[int, str]]] = {}
-    for n in os.listdir(cs_dir):
-        if not n.startswith(prefix) or ".log." not in n:
-            continue
-        attach = n[len(prefix) :].split(".log.")[0]
-        ver = int(n.split(".log.")[1].split("_")[0])
-        chains.setdefault(attach, []).append((ver, n))
-    if not chains:
-        raise FileNotFoundError(f"no column_stats chain under {cs_dir}")
-    newest = max(chains)
     out: dict = {}
-    for _ver, n in sorted(chains[newest]):
-        for block in parse_log_file(os.path.join(cs_dir, n)):
-            for rec in block.get("records") or []:
-                if rec.get("type") != _MDT_TYPE_COLUMN_STATS:
-                    continue
-                cs = rec.get("ColumnStatsMetadata") or {}
-                col, part, name = rec["key"].split(_MDT_CS_SEP)
-                k = (part, name, col)
-                if cs.get("isDeleted"):
-                    out.pop(k, None)
-                    continue
+    for rec in _mdt_index_records(cs_dir, _MDT_COLSTATS_FILE_GROUP):
+        if rec.get("type") != _MDT_TYPE_COLUMN_STATS:
+            continue
+        cs = rec.get("ColumnStatsMetadata") or {}
+        col, part, name = rec["key"].split(_MDT_CS_SEP)
+        k = (part, name, col)
+        if cs.get("isDeleted"):
+            out.pop(k, None)
+            continue
 
-                def _unwrap(w):
-                    return None if w is None else w.get("value")
+        def _unwrap(w):
+            return None if w is None else w.get("value")
 
-                out[k] = {
-                    "min": _unwrap(cs.get("minValue")),
-                    "max": _unwrap(cs.get("maxValue")),
-                    "value_count": cs.get("valueCount"),
-                    "total_size": cs.get("totalSize"),
-                }
+        out[k] = {
+            "min": _unwrap(cs.get("minValue")),
+            "max": _unwrap(cs.get("maxValue")),
+            "value_count": cs.get("valueCount"),
+            "total_size": cs.get("totalSize"),
+        }
     return out
 
 
@@ -2905,41 +3017,29 @@ def _clean_hudi_personality_locked(
                 attached = n[len(_MDT_FILE_GROUP) + 2 :].split(".log.")[0]
                 if attached != newest_inst and attached < boundary:
                     os.remove(os.path.join(files_dir, n))
-    # metadata-index partitions (r11): chains superseded by a roll-up
-    # (attachment instant older than the newest chain's) age out the
-    # same way
-    for part_name, group in (
-        ("column_stats", _MDT_COLSTATS_FILE_GROUP),
-        ("bloom_filters", _MDT_BLOOM_FILE_GROUP),
-    ):
+    # metadata-index partitions (r11): base slices + chains
+    # superseded by a roll-up (attachment instant older than the
+    # newest base's) age out the same way; sharded record_index
+    # groups age independently, newest attachment per GROUP survives
+    for part_name in ("column_stats", "bloom_filters", "record_index"):
         idx_dir = os.path.join(hoodie, "metadata", part_name)
         if not os.path.isdir(idx_dir):
             continue
-        attach_of = {}
-        for n in os.listdir(idx_dir):
-            if n.startswith(f".{group}_") and ".log." in n:
-                attach_of[n] = n[len(group) + 2 :].split(".log.")[0]
-        if attach_of:
-            newest_attach = max(attach_of.values())
-            for n, attached in attach_of.items():
-                if attached != newest_attach and attached < boundary:
-                    os.remove(os.path.join(idx_dir, n))
-    # record_index (r11): sharded file groups — each shard's chain
-    # ages independently; the newest attachment per GROUP survives
-    rli_dir = os.path.join(hoodie, "metadata", "record_index")
-    if os.path.isdir(rli_dir):
         by_group: dict[str, dict[str, str]] = {}
-        for n in os.listdir(rli_dir):
-            if n.startswith(".record-index-") and ".log." in n:
+        for n in os.listdir(idx_dir):
+            if n.startswith(".") and ".log." in n:
                 group = n[1:].split("_")[0]
                 by_group.setdefault(group, {})[n] = (
                     n[len(group) + 2:].split(".log.")[0]
                 )
+            elif n.endswith(".hfile"):
+                group = n.split("_")[0]
+                by_group.setdefault(group, {})[n] = _mdt_slice_instant(n)
         for group, attach_of in by_group.items():
             newest_attach = max(attach_of.values())
             for n, attached in attach_of.items():
                 if attached != newest_attach and attached < boundary:
-                    os.remove(os.path.join(rli_dir, n))
+                    os.remove(os.path.join(idx_dir, n))
     _save_state(hoodie, state)
     return {"deleted_files": deleted, "archived_instants": archived}
 

@@ -904,6 +904,10 @@ def test_colstats_partition_schema_parity_with_fixture(spark, tmp_base):
         pytest.skip("reference fixture unavailable")
     t = _mk(spark, tmp_base, partitioned=False)
     sync_hudi_metadata(t, column_stats=True)
+    # bootstrap is an HFile BASE slice (late-r11); a mutating sync
+    # appends the delta LOG whose embedded schema this test pins
+    t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
+    sync_hudi_metadata(t, column_stats=True)
     cs_dir = os.path.join(
         t.base_path, ".hoodie", "metadata", "column_stats"
     )
@@ -1054,6 +1058,11 @@ def test_bloom_partition_schema_parity_and_point_read(spark, tmp_base):
         t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
     sync_hudi_metadata(t, bloom_filters=True)
     assert len(hudi_metadata_bloom_filters(t.base_path)) == 4
+    # bootstrap is an HFile BASE (late-r11); one more file's sync
+    # appends the delta LOG whose embedded schema this test pins
+    rows = [(f"k{i:03d}", 1, "S", float(i)) for i in range(400, 500)]
+    t.insert(spark.createDataFrame(rows, DDL).coalesce(1))
+    sync_hudi_metadata(t, bloom_filters=True)
     # schema parity with the fixture's BloomFilterMetadata
     ref_log = (
         f"{REF_HUDI}/.hoodie/metadata/files/"
@@ -1149,24 +1158,27 @@ def test_colstats_rollup_and_clean(spark, tmp_base):
     cs_dir = os.path.join(
         t.base_path, ".hoodie", "metadata", "column_stats"
     )
-    attaches = {
-        n[len("col-stats-0000-0") + 2 :].split(".log.")[0]
-        for n in os.listdir(cs_dir)
-        if ".log." in n
-    }
-    assert len(attaches) == 2  # bootstrap chain + rolled-up chain
+
+    def _attaches():
+        out = set()
+        for n in os.listdir(cs_dir):
+            if ".log." in n:
+                out.add(
+                    n[len("col-stats-0000-0") + 2:].split(".log.")[0]
+                )
+            elif n.endswith(".hfile"):
+                out.add(n.rsplit("_", 1)[1][: -len(".hfile")])
+        return out
+
+    # bootstrap BASE + its deltas, then the rolled-up BASE + deltas
+    assert len(_attaches()) == 2
     stats = hudi_metadata_column_stats(t.base_path)
     live_names = {
         os.path.basename(p) for p in hudi_live_files(t.base_path)
     }
     assert {k[1] for k in stats} == live_names
     clean_hudi_personality(t, keep_last_instants=2)
-    left = {
-        n[len("col-stats-0000-0") + 2 :].split(".log.")[0]
-        for n in os.listdir(cs_dir)
-        if ".log." in n
-    }
-    assert len(left) == 1  # superseded chain aged out
+    assert len(_attaches()) == 1  # superseded base+chain aged out
     assert {
         k[1] for k in hudi_metadata_column_stats(t.base_path)
     } == live_names

@@ -96,12 +96,16 @@ def _assert_locations_exact(spark, t):
 def test_bootstrap_writes_every_shard_and_locates_all_keys(spark, tmp_base):
     t = _mk(spark, tmp_base)
     sync_hudi_metadata(t, record_index=True)
-    names = sorted(n for n in os.listdir(_rli_dir(t)) if ".log." in n)
-    groups = {n[1:].split("_")[0] for n in names}
-    # bootstrap writes EVERY shard (possibly empty) so readers count
-    # file groups from the directory alone
+    names = sorted(
+        n for n in os.listdir(_rli_dir(t)) if n.endswith(".hfile")
+    )
+    groups = {n.split("_")[0] for n in names}
+    # bootstrap writes EVERY shard's HFile BASE slice (possibly
+    # empty) so readers count file groups from the directory alone —
+    # the fixture's base+log shape from the first sync on
     assert groups == {_mdt_rli_group(s) for s in range(4)}
-    assert all("_00000000000000010.log.1_0-0-0" in n for n in names)
+    assert all(n.endswith("_00000000000000010.hfile") for n in names)
+    assert not any(".log." in n for n in os.listdir(_rli_dir(t)))
     _assert_locations_exact(spark, t)
 
 
@@ -149,7 +153,12 @@ def test_mdt_timeline_carries_record_index_stats(spark, tmp_base):
     assert {s["fileId"] for s in stats} == {
         _mdt_rli_group(s) for s in range(4)
     }
-    assert all(s["path"].startswith("record_index/.record-index-") for s in stats)
+    # bootstrap stats name the per-shard HFile base slices
+    assert all(
+        s["path"].startswith("record_index/record-index-")
+        and s["path"].endswith(".hfile")
+        for s in stats
+    )
 
 
 # ------------------------------------------------ delta semantics
@@ -262,14 +271,19 @@ def test_shard_count_autosizes_with_row_count(
     count (Hudi's filegroup-count sizing) and the choice is STICKY —
     the shard hash must never move under an existing chain."""
     monkeypatch.setattr(hx, "_RLI_ROWS_PER_SHARD", 3)
+
+    def _groups():
+        out = set()
+        for n in os.listdir(_rli_dir(t)):
+            if ".log." in n:
+                out.add(n[1:].split("_")[0])
+            elif n.endswith(".hfile"):
+                out.add(n.split("_")[0])
+        return out
+
     t = _mk(spark, tmp_base)  # 20 rows -> ceil(20/3) = 7 shards
     sync_hudi_metadata(t, record_index=True)
-    groups = {
-        n[1:].split("_")[0]
-        for n in os.listdir(_rli_dir(t))
-        if ".log." in n
-    }
-    assert groups == {_mdt_rli_group(s) for s in range(7)}
+    assert _groups() == {_mdt_rli_group(s) for s in range(7)}
     _assert_locations_exact(spark, t)
     # growth does not re-shard: the count is sticky
     t.upsert(
@@ -278,12 +292,7 @@ def test_shard_count_autosizes_with_row_count(
         )
     )
     sync_hudi_metadata(t, record_index=True)
-    groups2 = {
-        n[1:].split("_")[0]
-        for n in os.listdir(_rli_dir(t))
-        if ".log." in n
-    }
-    assert groups2 == groups
+    assert _groups() == {_mdt_rli_group(s) for s in range(7)}
     _assert_locations_exact(spark, t)
 
 
@@ -312,14 +321,17 @@ def test_spark_path_matches_driver_path(spark, tmp_base, monkeypatch):
     sync_hudi_metadata(t, record_index=True)
     _assert_locations_exact(spark, t)
     assert hudi_metadata_record_locations(t.base_path, ["k10"]) == {}
-    names = [n for n in os.listdir(_rli_dir(t)) if ".log." in n]
-    by_ver: dict[str, set[str]] = {}
-    for n in names:
-        ver = n.split(".log.")[1].split("_")[0]
-        by_ver.setdefault(ver, set()).add(n[1:].split("_")[0])
-    # bootstrap: every shard; delta: only touched shards
-    assert by_ver["1"] == {_mdt_rli_group(s) for s in range(4)}
-    assert set(by_ver) == {"1", "2"} and len(by_ver["2"]) >= 1
+    # bootstrap: every shard got an executor-written HFile base;
+    # delta: version-1 logs only on touched shards
+    bases = {
+        n.split("_")[0]
+        for n in os.listdir(_rli_dir(t))
+        if n.endswith(".hfile")
+    }
+    assert bases == {_mdt_rli_group(s) for s in range(4)}
+    logs = [n for n in os.listdir(_rli_dir(t)) if ".log." in n]
+    assert logs and all(".log.1_" in n for n in logs)
+    assert 1 <= len(logs) <= 4
 
 
 # ------------------------------------------------ roll-up + clean
@@ -340,16 +352,22 @@ def test_rollup_compacts_chain_and_clean_ages_it(spark, tmp_base):
         )
         sync_hudi_metadata(t, record_index=True)
     _assert_locations_exact(spark, t)
-    names = [n for n in os.listdir(_rli_dir(t)) if ".log." in n]
-    attaches = {n[1:].split("_", 1)[1].split(".log.")[0] for n in names}
-    assert len(attaches) == 2, "roll-up must start a fresh chain"
-    newest = max(attaches)
-    # clean past the horizon drops the superseded chain
-    clean_hudi_personality(t, keep_last_instants=1)
-    left = [n for n in os.listdir(_rli_dir(t)) if ".log." in n]
-    assert {n[1:].split("_", 1)[1].split(".log.")[0] for n in left} == {
-        newest
+    base_attaches = {
+        n.rsplit("_", 1)[1][: -len(".hfile")]
+        for n in os.listdir(_rli_dir(t))
+        if n.endswith(".hfile")
     }
+    assert len(base_attaches) == 2, "roll-up must write fresh bases"
+    newest = max(base_attaches)
+    # clean past the horizon drops the superseded base + its chain
+    clean_hudi_personality(t, keep_last_instants=1)
+    left_attaches = set()
+    for n in os.listdir(_rli_dir(t)):
+        if n.endswith(".hfile"):
+            left_attaches.add(n.rsplit("_", 1)[1][: -len(".hfile")])
+        elif ".log." in n:
+            left_attaches.add(n[1:].split("_", 1)[1].split(".log.")[0])
+    assert left_attaches == {newest}
     _assert_locations_exact(spark, t)
 
 
@@ -374,25 +392,29 @@ def test_spark_path_compaction_keeps_chain_bounded(
             )
         )
         sync_hudi_metadata(t, record_index=True)
-    names = [n for n in os.listdir(_rli_dir(t)) if ".log." in n]
-    attaches = {n[1:].split("_", 1)[1].split(".log.")[0] for n in names}
-    assert len(attaches) == 2, "compaction must start a fresh chain"
-    newest = max(attaches)
-    # the fresh chain covers EVERY shard at version 1
+    base_attaches = {
+        n.rsplit("_", 1)[1][: -len(".hfile")]
+        for n in os.listdir(_rli_dir(t))
+        if n.endswith(".hfile")
+    }
+    assert len(base_attaches) == 2, "compaction must write fresh bases"
+    newest = max(base_attaches)
+    # the compacted bases (executor-written) cover EVERY shard
     fresh_groups = {
-        n[1:].split("_")[0]
-        for n in names
-        if f"_{newest}.log.1_" in n
+        n.split("_")[0]
+        for n in os.listdir(_rli_dir(t))
+        if n.endswith(f"_{newest}.hfile")
     }
     assert fresh_groups == {_mdt_rli_group(s) for s in range(4)}
     _assert_locations_exact(spark, t)
     clean_hudi_personality(t, keep_last_instants=1)
-    left = {
-        n[1:].split("_", 1)[1].split(".log.")[0]
-        for n in os.listdir(_rli_dir(t))
-        if ".log." in n
-    }
-    assert left == {newest}
+    left_attaches = set()
+    for n in os.listdir(_rli_dir(t)):
+        if n.endswith(".hfile"):
+            left_attaches.add(n.rsplit("_", 1)[1][: -len(".hfile")])
+        elif ".log." in n:
+            left_attaches.add(n[1:].split("_", 1)[1].split(".log.")[0])
+    assert left_attaches == {newest}
     _assert_locations_exact(spark, t)
 
 
