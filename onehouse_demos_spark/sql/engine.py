@@ -1314,6 +1314,45 @@ class Engine:
                 ],
                 "instant string, buckets int",
             )
+        if proc == "hudi_index":
+            # late-r11: Hudi's async-indexer face (`HoodieIndexer` /
+            # `hoodie.metadata.index.*.enable`) — build the named
+            # metadata-index partitions over the CURRENT personality
+            # state without waiting for a data commit; a partition is
+            # sticky-declared after its first build, so later plain
+            # syncs keep maintaining it.
+            from onehouse_demos_spark.tables.hudi_export import (
+                sync_hudi_metadata,
+            )
+
+            wanted = [
+                p.strip().lower()
+                for p in (
+                    arg(
+                        "partitions",
+                        default="column_stats,bloom_filters,record_index",
+                    )
+                    or ""
+                ).split(",")
+                if p.strip()
+            ]
+            valid = {"column_stats", "bloom_filters", "record_index"}
+            bad = sorted(set(wanted) - valid)
+            if bad:
+                raise ValueError(
+                    f"hudi_index: unknown partitions {bad}; "
+                    f"one of: {sorted(valid)}"
+                )
+            version = sync_hudi_metadata(
+                t,
+                column_stats="column_stats" in wanted,
+                bloom_filters="bloom_filters" in wanted,
+                record_index="record_index" in wanted,
+            )
+            return self.spark.createDataFrame(
+                [(p, version) for p in sorted(wanted)],
+                "partition string, version int",
+            )
         if proc == "hudi_clean":
             # r10: the personality's clean/archive service — age
             # retired Hudi-named slices past the keep-last-instants
@@ -1564,7 +1603,7 @@ class Engine:
             "compact_record_index, "
             "archive_commits, create_savepoint, "
             "show_savepoints, delete_savepoint, rollback_to_savepoint, "
-            "rollback_to_instant, xtable_sync"
+            "rollback_to_instant, xtable_sync, hudi_clean, hudi_index"
         )
 
     def _register_table(self, table: str, metadata_file: str) -> DataFrame:

@@ -2387,15 +2387,24 @@ def _sync_rli_partition(
     return stats
 
 
+#: shard-count threshold above which a multi-key probe folds its
+#: shards in EXECUTORS (one task per touched shard) instead of a
+#: driver loop — a CDC-join-sized probe over hundreds of shards must
+#: not serialize hundreds of chain folds on the driver
+_RLI_PROBE_SPARK_SHARDS = 8
+
+
 def hudi_metadata_record_locations(
-    base_path: str, keys: list[str]
+    base_path: str, keys: list[str], spark: SparkSession | None = None
 ) -> dict[str, tuple[str, str]]:
     """Point lookups from the record_index partition ALONE: {key:
     (partition, file_name)} for every probed key the index locates.
     Probes fold ONLY the shard chains the keys hash to — at 100 TB a
     point read touches 1 of N metadata shards, then exactly the one
     data file the location names; no data footer, no bloom
-    false-positive scan."""
+    false-positive scan. A wide probe (many keys spanning more than
+    `_RLI_PROBE_SPARK_SHARDS` shards) with a `spark` session folds
+    the shards in executors, one task per shard."""
     rli_dir = os.path.join(
         _hoodie_dir(base_path), "metadata", "record_index"
     )
@@ -2418,6 +2427,36 @@ def hudi_metadata_record_locations(
             _mdt_rli_group(_rli_shard_py(k, n_shards)), set()
         ).add(k)
     out: dict[str, tuple[str, str]] = {}
+    if spark is not None and len(want) > _RLI_PROBE_SPARK_SHARDS:
+        # wide probe: fold touched shards in executors, one task per
+        # shard; only the probed keys' locations come back
+        tasks = sorted(
+            (group, sorted(keyset)) for group, keyset in want.items()
+        )
+
+        def _probe(task):
+            group, ks = task
+            locs = _rli_fold_shard(rli_dir, group)
+            return [(k, locs[k]) for k in ks if k in locs]
+
+        folded = (
+            spark.sparkContext.parallelize(tasks, len(tasks))
+            .flatMap(_probe)
+            .collect()
+        )
+        hits = dict(folded)
+        for group, keyset in want.items():
+            for k in keyset:
+                loc = hits.get(k)
+                if loc is not None:
+                    name = (
+                        f"{loc['file_id']}_{_WRITE_TOKEN}_"
+                        f"{loc['instant']}.parquet"
+                    )
+                    out[k] = (
+                        loc["partition"] or _MDT_ROOT_PARTITION, name
+                    )
+        return out
     for group, keyset in sorted(want.items()):
         locs = _rli_fold_shard(rli_dir, group)
         for k in keyset:

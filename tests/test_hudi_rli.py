@@ -470,6 +470,63 @@ def test_call_xtable_sync_publishes_record_index(spark, tmp_base):
     assert sorted(locs) == ["a", "b"]
 
 
+def test_call_hudi_index_builds_partitions(spark, tmp_base):
+    """`CALL hudi_index(...)` — the async-indexer face: build the
+    named metadata-index partitions over the CURRENT personality
+    state with no data commit in between; they stay declared (and
+    thus self-maintained) afterwards."""
+    from onehouse_demos_spark.sql import Engine
+
+    eng = Engine(spark, f"{tmp_base}/wh_idx")
+    eng.sql(
+        "CREATE TABLE isrc (key STRING, ver INT, sym STRING, px DOUBLE) "
+        "USING lakehouse TBLPROPERTIES (primaryKey=key, "
+        "preCombineField=ver)"
+    )
+    eng.sql(
+        "INSERT INTO isrc VALUES ('a', 1, 'GOOG', 1.0), "
+        "('b', 1, 'MSFT', 2.0)"
+    )
+    eng.sql("CALL xtable_sync(table => 'isrc', formats => 'hudi')")
+    t = eng.table("isrc")
+    md = os.path.join(t.base_path, ".hoodie", "metadata")
+    assert not os.path.isdir(os.path.join(md, "record_index"))
+    rows = eng.sql(
+        "CALL hudi_index(table => 'isrc', "
+        "partitions => 'record_index,column_stats')"
+    ).collect()
+    assert sorted(r.partition for r in rows) == [
+        "column_stats", "record_index",
+    ]
+    assert os.path.isdir(os.path.join(md, "record_index"))
+    assert os.path.isdir(os.path.join(md, "column_stats"))
+    locs = hudi_metadata_record_locations(t.base_path, ["a", "b"])
+    assert sorted(locs) == ["a", "b"]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unknown partitions"):
+        eng.sql("CALL hudi_index(table => 'isrc', partitions => 'nope')")
+
+
+def test_wide_probe_folds_shards_in_executors(
+    spark, tmp_base, monkeypatch
+):
+    """A probe spanning more shards than `_RLI_PROBE_SPARK_SHARDS`
+    with a spark session folds shard chains in EXECUTORS and returns
+    the same exact locations as the driver loop."""
+    monkeypatch.setattr(hx, "_RLI_ROWS_PER_SHARD", 2)  # many shards
+    t = _mk(spark, tmp_base, n=40)
+    sync_hudi_metadata(t, record_index=True)
+    keys = [f"k{i:02d}" for i in range(40)]
+    driver_locs = hudi_metadata_record_locations(t.base_path, keys)
+    monkeypatch.setattr(hx, "_RLI_PROBE_SPARK_SHARDS", 1)
+    spark_locs = hudi_metadata_record_locations(
+        t.base_path, keys, spark=spark
+    )
+    assert spark_locs == driver_locs
+    assert sorted(spark_locs) == sorted(keys)
+
+
 def test_nonpartitioned_table_locations(spark, tmp_base):
     t = _mk(spark, tmp_base, partitioned=False)
     sync_hudi_metadata(t, record_index=True)
