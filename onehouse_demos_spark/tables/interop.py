@@ -34,6 +34,14 @@ from onehouse_demos_spark.tables.delta_export import (  # noqa: F401
     sync_delta_log,
     write_delta_checkpoint,
 )
+from onehouse_demos_spark.tables.hadoop_bloom import (  # noqa: F401
+    HadoopDynamicBloom,
+)
+from onehouse_demos_spark.tables.hfile import (  # noqa: F401
+    parse_hfile,
+    read_hudi_metadata_base,
+    write_hfile,
+)
 from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
     clean_hudi_personality,
     hudi_files_for_keys,
