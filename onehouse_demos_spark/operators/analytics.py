@@ -714,7 +714,7 @@ _QS_ACCURACY = 1000  # ~1/1000 rank error
 
 
 def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (oracle-compared values) next to
+    """Exact DISCRETE percentiles (oracle-compared values) next to
     percentile_approx sketches verified against the sketch's ACTUAL
     contract: the returned value's rank interval must lie within
     n/accuracy (+1 slack) ranks of the target rank. r2's 5%-of-spread
@@ -722,17 +722,28 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     legitimately at sf0.001 where a sparse tail puts p99 between two
     distant points. The rank bound is provable at every SF, so the
     pinned-True oracle booleans assert something the sketch really
-    promises. Plan shape: one grouped agg (tiny result, broadcast) +
-    one events re-scan joined on the group key for the rank counts —
-    two passes, no window, scale-safe."""
+    promises.
+
+    Output contract (VERDICT r11 #1): the exact quantile is the
+    rank-selected ELEMENT at rank ceil(p*n) — an order statistic, no
+    interpolation — floor-quantized to integer 1e-4 units
+    (CAST(FLOOR(x*10000) AS BIGINT)). Rationale: interpolated
+    percentiles (Spark `percentile` vs DuckDB `quantile_cont`) compute
+    `lo + (hi-lo)*frac` in engine-specific operation order, and
+    ROUND/double->DECIMAL casts apply engine-specific tie rules — both
+    flipped the driver's r11 hash. Selecting the k-th order statistic
+    touches the raw parquet double (bit-identical in every engine) and
+    IEEE multiply + floor is deterministic everywhere.
+
+    Plan shape: one grouped agg (tiny result, broadcast) + one events
+    re-scan joined on the group key for the rank counts, + one
+    per-group rank window for the three order statistics (exact
+    quantiles need a per-group ordering by definition — the sketch
+    column is the 100 TB path; the exact leg is its verification)."""
+    from pyspark.sql import Window
+
     ev = load_events(spark, sf_dir)
     probs = [0.5, 0.9, 0.99]
-    exact = [
-        F.round(F.expr(f"percentile(value, {p})"), 4)
-        .cast("decimal(18,4)")
-        .alias(f"p{int(p*100)}_exact")
-        for p in probs
-    ]
     approx = [
         F.expr(
             f"percentile_approx(value, {p}, {_QS_ACCURACY})"
@@ -740,7 +751,32 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in probs
     ]
     agg = ev.groupBy("event_type").agg(
-        *exact, *approx, F.count(F.lit(1)).alias("_n")
+        *approx, F.count(F.lit(1)).alias("_n")
+    )
+    # Exact leg: k-th order statistic per group at rank ceil(p*n),
+    # floor-quantized to BIGINT 1e-4 units. row_number needs no
+    # tiebreak: the k-th smallest VALUE of a multiset is unique.
+    rw = Window.partitionBy("event_type").orderBy("value")
+    ranked = (
+        ev.select("event_type", "value")
+        .withColumn("_r", F.row_number().over(rw))
+        .join(F.broadcast(agg.select("event_type", "_n")), "event_type")
+    )
+    # Rank target ceil(p*n) in INTEGER arithmetic ((num*n + den-1) div
+    # den): a double literal 0.9 times n crosses an integer boundary
+    # differently than DuckDB's exact-DECIMAL literal would.
+    fracs = {50: (1, 2), 90: (9, 10), 99: (99, 100)}
+    exact = ranked.groupBy("event_type").agg(
+        *[
+            F.max(
+                F.when(
+                    F.col("_r")
+                    == F.expr(f"(_n * {num} + {den - 1}) div {den}"),
+                    F.floor(F.col("value") * 10000).cast("long"),
+                )
+            ).alias(f"p{i}_exact_e4")
+            for i, (num, den) in fracs.items()
+        ]
     )
     # rank interval of each approx value within its group
     ranks = ev.join(F.broadcast(agg), "event_type").groupBy("event_type").agg(
@@ -757,7 +793,7 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in probs
         ],
     )
-    out = agg.join(ranks, "event_type")
+    out = agg.join(ranks, "event_type").join(exact, "event_type")
     checks = []
     for p in probs:
         i = int(p * 100)
@@ -774,21 +810,34 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return out.select(
         "event_type",
-        *[f"p{int(p*100)}_exact" for p in probs],
+        *[f"p{int(p*100)}_exact_e4" for p in probs],
         *checks,
     )
 
 
 VALUE_QUANTILE_SKETCH_SQL = """
-SELECT event_type,
-       ROUND(quantile_cont(value, 0.5), 4)::DECIMAL(18,4)  AS p50_exact,
-       ROUND(quantile_cont(value, 0.9), 4)::DECIMAL(18,4)  AS p90_exact,
-       ROUND(quantile_cont(value, 0.99), 4)::DECIMAL(18,4) AS p99_exact,
+WITH n AS (
+  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+), ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS r
+  FROM events
+)
+SELECT ranked.event_type,
+       MAX(CASE WHEN r = (n * 1 + 1) // 2
+                THEN CAST(FLOOR(value * 10000) AS BIGINT) END)
+         AS p50_exact_e4,
+       MAX(CASE WHEN r = (n * 9 + 9) // 10
+                THEN CAST(FLOOR(value * 10000) AS BIGINT) END)
+         AS p90_exact_e4,
+       MAX(CASE WHEN r = (n * 99 + 99) // 100
+                THEN CAST(FLOOR(value * 10000) AS BIGINT) END)
+         AS p99_exact_e4,
        CAST(1 AS BOOLEAN) AS p50_sketch_ok,
        CAST(1 AS BOOLEAN) AS p90_sketch_ok,
        CAST(1 AS BOOLEAN) AS p99_sketch_ok
-FROM events
-GROUP BY event_type
+FROM ranked JOIN n USING (event_type)
+GROUP BY ranked.event_type
 """
 
 
@@ -853,18 +902,20 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     with empty buckets emitted (n_events = 0) and the bucket value
     total carried forward from the last non-empty bucket (locf).
 
-    The carried metric is an exact DECIMAL(18,4) SUM, not a double
-    mean: double averages summed in engine-specific order land on
-    opposite sides of the 4-decimal rounding boundary often enough to
-    flake the oracle at sf0.1 (~3 in 3600 buckets), while fixed-point
-    sums are bit-identical in any engine."""
+    The carried metric is an exact BIGINT sum of per-row
+    floor-quantized values (CAST(FLOOR(value*10000) AS BIGINT)):
+    double sums are order-dependent and double->DECIMAL casts apply
+    engine-specific tie rules (the r11 driver hash flipped on exactly
+    that cast), while IEEE multiply + floor on the raw parquet double
+    is bit-identical in every engine and integer sums are
+    order-independent (VERDICT r11 #1)."""
     ev = load_events(spark, sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
     bars = ev.groupBy(
         F.unix_micros(hour).alias("bucket_us"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("_sum"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("_sum"),
     )
     span = ev.agg(
         F.unix_micros(F.date_trunc("hour", F.min("ts"))).alias("lo"),
@@ -893,14 +944,12 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         axis.join(bars, ["bucket_us", "event_type"], "left")
         .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
         .withColumn(
-            "sum_value_locf",
-            F.last("_sum", ignorenulls=True)
-            .over(w)
-            .cast("decimal(18,4)"),
+            "sum_value_locf_e4",
+            F.last("_sum", ignorenulls=True).over(w).cast("long"),
         )
         .drop("_sum")
     )
-    return filled.filter(F.col("sum_value_locf").isNotNull())
+    return filled.filter(F.col("sum_value_locf_e4").isNotNull())
 
 
 EVENTS_GAPFILL_SQL = """
@@ -908,7 +957,7 @@ WITH bars AS (
   SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) AS bucket_us,
          event_type,
          COUNT(*) AS n_events,
-         SUM(CAST(value AS DECIMAL(18,4))) AS a
+         CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS a
   FROM events GROUP BY 1, 2
 ), span AS (
   SELECT epoch_us(date_trunc('hour', MIN(ts))::TIMESTAMP) AS lo,
@@ -927,11 +976,11 @@ WITH bars AS (
   FROM grid LEFT JOIN bars USING (bucket_us, event_type)
 )
 SELECT bucket_us, event_type, CAST(n_events AS BIGINT) AS n_events,
-       (last_value(a IGNORE NULLS) OVER (
+       CAST(last_value(a IGNORE NULLS) OVER (
            PARTITION BY event_type ORDER BY bucket_us
-           ROWS UNBOUNDED PRECEDING))::DECIMAL(18,4) AS sum_value_locf
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sum_value_locf_e4
 FROM joined
-QUALIFY sum_value_locf IS NOT NULL
+QUALIFY sum_value_locf_e4 IS NOT NULL
 """
 
 
@@ -1319,8 +1368,20 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # engine-proof contract (VERDICT r11 #2): the revenue is a
+            # per-row floor-quantized e4 integer sum closed by one IEEE
+            # division — the argmax EQUALITY below compares exact
+            # integers-derived doubles, so ties can never flip on an
+            # engine's ROUND-half rule or summation order.
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("long")
+                ).cast("double")
+                / 10000.0
             ).alias("total_revenue")
         )
     )
@@ -1337,7 +1398,8 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_SUPPLIER_REVENUE_SQL = """
 WITH rev AS (
   SELECT l_suppkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
   GROUP BY l_suppkey

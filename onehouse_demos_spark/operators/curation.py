@@ -256,6 +256,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # division — float-summation order (which differs between engines)
     # never touches the rounded output (the contract-level fix the
     # cross-SF sweeps demand — see the cross-engine verification notes).
+    # FLOOR, not ROUND (VERDICT r11 #1): ROUND's half-tie rule is
+    # engine-specific (Spark decimal-string HALF_UP vs libm
+    # round-half-away), floor of an IEEE product is not.
     ratios = (
         r_counts.join(t_counts, "bucket", "left")
         .na.fill({"ct": 0})
@@ -263,13 +266,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(r_total))
         .select(
             "bucket",
-            F.round(
+            F.floor(
                 (
                     F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS))
                     - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
                 )
-                * 1000.0,
-                0,
+                * 1000.0
             )
             .cast("long")
             .alias("millinats"),
@@ -310,13 +312,13 @@ w AS (
   SELECT COUNT(*) AS nr FROM w
 ), ratios AS (
   SELECT rc.bucket,
-         CAST(ROUND((ln((COALESCE(tc.ct, 0) + 1)::DOUBLE / (tt.nt + {DSIR_BUCKETS}))
-                   - ln((rc.cr + 1)::DOUBLE / (rt.nr + {DSIR_BUCKETS}))) * 1000.0, 0)
+         CAST(FLOOR((ln((COALESCE(tc.ct, 0) + 1)::DOUBLE / (tt.nt + {DSIR_BUCKETS}))
+                   - ln((rc.cr + 1)::DOUBLE / (rt.nr + {DSIR_BUCKETS}))) * 1000.0)
               AS BIGINT) AS millinats
   FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tt, rt
 )
 SELECT w.doc_id, COUNT(*) AS n_toks,
-       SUM(ratios.millinats) AS millinats_sum
+       CAST(SUM(ratios.millinats) AS BIGINT) AS millinats_sum
 FROM w JOIN ratios ON w.bucket = ratios.bucket
 GROUP BY w.doc_id
 """

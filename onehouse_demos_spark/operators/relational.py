@@ -65,28 +65,52 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape with an engine-proof output contract (VERDICT r11
+    #2): every money/qty metric is a per-row floor-quantized integer
+    sum (FLOOR(x*100) / FLOOR(x*10000) for the discount rate) divided
+    ONCE at the output edge. ROUND(SUM(double), 2) is order-dependent —
+    a 4-decimal-true sum (price*(1-disc)) can land exactly on a .xx50
+    half boundary where Spark's HALF_UP and another engine's rounding
+    rule split; it stayed green for 11 rounds only because these SFs
+    never hit the boundary. IEEE multiply+floor per row is bit-identical
+    in every engine, integer sums are order-independent, and the single
+    closing division of an exact integer is one deterministic IEEE op.
+    At extreme scale (100 TB) the e2 sums approach BIGINT range —
+    widen the accumulators to DECIMAL(38,0), the contract is unchanged.
+    """
     li = load(spark, sf_dir, "lineitem")
+
+    def e2(col):
+        return F.floor(col * 100).cast("long")
+
+    q = e2(F.col("l_quantity"))
+    bp = e2(F.col("l_extendedprice"))
+    dp = e2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    ch = e2(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    )
+    disc = F.floor(F.col("l_discount") * 10000).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(q).cast("double") / 100.0).alias("sum_qty"),
+            (F.sum(bp).cast("double") / 100.0).alias("sum_base_price"),
+            (F.sum(dp).cast("double") / 100.0).alias("sum_disc_price"),
+            (F.sum(ch).cast("double") / 100.0).alias("sum_charge"),
+            (F.sum(q).cast("double") / (n.cast("double") * 100.0)).alias(
+                "avg_qty"
+            ),
+            (F.sum(bp).cast("double") / (n.cast("double") * 100.0)).alias(
+                "avg_price"
+            ),
+            (
+                F.sum(disc).cast("double") / (n.cast("double") * 10000.0)
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -95,13 +119,20 @@ PRICING_SUMMARY_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  ROUND(SUM(l_quantity), 2) AS sum_qty,
-  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  ROUND(AVG(l_quantity), 4) AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4) AS avg_price,
-  ROUND(AVG(l_discount), 4) AS avg_disc,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_base_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS DOUBLE) / 100.0 AS sum_disc_price,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+                AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS avg_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS avg_price,
+  CAST(SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * 10000.0) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -155,7 +186,15 @@ def join_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("num_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            # engine-proof contract: per-row floor-quantized cents,
+            # order-independent integer sum, one closing IEEE division
+            # (VERDICT r11 #2 — ROUND(SUM(double)) is order-dependent)
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_acctbal"),
         )
     )
 
@@ -163,7 +202,8 @@ def join_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_DIM_ROLLUP_SQL = """
 SELECT r_name,
        COUNT(*) AS num_customers,
-       ROUND(SUM(c_acctbal), 2) AS total_acctbal
+       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey

@@ -95,10 +95,15 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _events_stream(spark, sf_dir)
     dup_stream = src.union(src.filter(F.col("event_id") % 10 == 0))
     deduped = dup_stream.dropDuplicates(["event_id"])
+    # engine-proof metric contract (VERDICT r11 #2): a per-row
+    # double->DECIMAL cast applies engine-specific tie rules (the r11
+    # gapfill hash flipped on exactly that); FLOOR(value*100) is the
+    # same IEEE ops everywhere and the integer sum is order-free.
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        (
+            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("double")
+            / 100.0
         ).alias("sum_value_r"),
     )
     view = f"stream_dedup_{uuid.uuid4().hex[:8]}"
@@ -117,7 +122,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_DEDUP_COUNTS_SQL = """
 SELECT event_type,
        COUNT(*) AS n_unique_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS sum_value_r
 FROM events
 GROUP BY event_type

@@ -63,9 +63,11 @@ def main() -> int:
     qs.update(ops.extra_queries())
     oracles.update(ops.extra_oracles())
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -109,11 +111,12 @@ def main() -> int:
             )
     print()
     if failures:
-        print(f"FAILED {len(failures)}/{len(qs)}:")
+        print(f"FAILED {len(failures)}/{n_run}:")
         for n, msg in failures:
             print(f"  {n}: {msg[:300]}")
         return 1
-    print(f"ALL {len(qs)} QUERIES MATCH ORACLE at {sf_dir}")
+    scope = f"ALL {n_run}" if n_run == len(qs) else f"{n_run}/{len(qs)} RUN"
+    print(f"{scope} QUERIES MATCH ORACLE at {sf_dir}")
     return 0
 
 

@@ -1,0 +1,143 @@
+"""Registry-wide output-contract audit (VERDICT r11 #2).
+
+The driver's correctness gate hashes each windowed query's values from
+BOTH engines (Spark and ITS OWN DuckDB build, which may not match the
+local one). Three r11 rows failed on exactly this: outputs that pass a
+double through an engine-specific conversion rule at the boundary —
+interpolated quantiles, per-row double->DECIMAL casts (tie rules),
+ROUND-half rules, and DuckDB's SUM(BIGINT)->HUGEINT widening (which
+pandas converts to float64 while Spark's stays int64).
+
+This test asserts the contract on every DRIVER-WINDOWED oracle (the
+first 50 registered — the only rows that face the gate):
+
+1. Type level (DESCRIBE, no execution): no HUGEINT/INT128 output
+   column, no DECIMAL output column unless whitelisted.
+2. Text level: no ROUND(SUM(...)) / ROUND(AVG(...)) over doubles and
+   no per-row double->DECIMAL CAST in the oracle unless whitelisted.
+
+Whitelisted entries carry a written justification — each is a
+construct whose residual cross-engine risk is measure-zero-class
+(single-expression arithmetic over identical arrays, IEEE-exact sqrt,
+ROUND applied to a value whose distance from the half boundary is
+bounded below) rather than the deterministic failure classes above.
+The fix for an offender is the floor-quantized contract:
+CAST(FLOOR(x * 10^n) AS BIGINT) per row, exact integer sums, one
+closing IEEE division — bit-identical in every engine.
+"""
+
+import re
+
+import duckdb
+import pytest
+
+from onehouse_demos_spark.operators import all_oracles
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# DECIMAL output columns tolerated in the driver window. Keyed by
+# (query, column); value = why the residual risk is not the r11 class.
+DECIMAL_WHITELIST = {
+    ("bm25_topk", "bm25_score"):
+        "DECIMAL(18,6) cast of an ALREADY-6dp-ROUNDed double: the "
+        "double sits within 1 ulp of k*1e-6, so the decimal cast "
+        "recovers k in every engine — no per-row tie exposure. Green "
+        "in the r11 driver run.",
+}
+
+# Oracles allowed to keep ROUND-over-aggregate / double->DECIMAL text.
+ROUND_WHITELIST = {
+    "ann_index_search":
+        "ROUND(SUM(lut.d),6) ranks a 16-term per-vector ADC sum (ulp "
+        "~1e-15 vs 5e-7 half-boundary) and the final cos_sim is one "
+        "arithmetic expression over identical arrays (sequential dot "
+        "product, IEEE-exact sqrt). Green in the r11 driver run.",
+    "ann_index_incremental": "same construction as ann_index_search.",
+    "pq_adc_topk": "same ADC construction as ann_index_search.",
+    "knn_ivf_trained":
+        "ROUND(list_distance,6) only breaks assignment ties between "
+        "centroids; final cos_sim is single-expression array "
+        "arithmetic. Green in the r11 driver run.",
+    "cluster_balanced_sample":
+        "ROUND(list_distance,6) assignment ties as knn_ivf_trained; "
+        "the cap CEIL(0.5*n/8.0) is powers-of-two exact in both "
+        "decimal and double arithmetic. Green in the r11 driver run.",
+    "bm25_topk":
+        "ROUND(SUM(c),6): per-doc sums of O(1..10) term contributions, "
+        "ulp ~1e-15 against a 5e-7 half boundary; ordering tie-broken "
+        "by doc_id. Green in the r11 driver run.",
+    "semantic_dedup_keep":
+        "ROUND(cos,4) feeds only the tau rank selection; the output "
+        "columns are ids + booleans. Green r10/r11 driver runs.",
+    "near_dup_canonical":
+        "rounding appears only inside similarity pair generation; "
+        "output columns are ids. Green in the r11 driver run.",
+}
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _windowed():
+    oracles = all_oracles()
+    return {k: oracles[k] for k in list(oracles)[:50]}
+
+
+def test_no_hugeint_or_unlisted_decimal_outputs(con):
+    """DuckDB SUM(BIGINT) widens to HUGEINT (=> float64 in pandas while
+    Spark stays int64 — the dsir r11 hash-flip class); DECIMAL outputs
+    ride engine-specific tie rules on the way in. Neither may face the
+    driver unlisted."""
+    bad = []
+    for name, sql in _windowed().items():
+        try:
+            cols = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as exc:  # pragma: no cover - schema drift
+            bad.append((name, f"DESCRIBE failed: {exc}"))
+            continue
+        for cname, ctype, *_ in cols:
+            up = str(ctype).upper()
+            if "HUGEINT" in up or "INT128" in up:
+                bad.append((name, f"{cname}: {ctype}"))
+            if "DECIMAL" in up and (name, cname) not in DECIMAL_WHITELIST:
+                bad.append((name, f"{cname}: {ctype} (unlisted DECIMAL)"))
+    assert not bad, f"driver-facing output-type hazards: {bad}"
+
+
+_RISKY_TEXT = re.compile(
+    r"ROUND\(\s*(?:SUM|AVG)\(|CAST\([^()]*\bAS\s+DECIMAL|::DECIMAL",
+    re.IGNORECASE,
+)
+
+
+def test_no_unlisted_round_over_aggregate(con):
+    bad = []
+    for name, sql in _windowed().items():
+        if name in ROUND_WHITELIST:
+            continue
+        m = _RISKY_TEXT.search(sql)
+        if m:
+            bad.append((name, m.group(0)))
+    assert not bad, (
+        "order-dependent rounding / double->DECIMAL in driver-facing "
+        f"oracles (floor-quantize them or whitelist with cause): {bad}"
+    )
+
+
+def test_whitelists_reference_windowed_queries_only():
+    win = set(_windowed())
+    stale = {n for n in ROUND_WHITELIST if n not in win}
+    stale |= {q for q, _ in DECIMAL_WHITELIST if q not in win}
+    assert not stale, f"whitelist entries not in the driver window: {stale}"
