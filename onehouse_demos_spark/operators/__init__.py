@@ -72,6 +72,34 @@ _DEMOTED = {
 # LLM-pipeline north-star suite, then representatives of the
 # beyond-reference analytics/text surface.
 _WINDOW = [
+    # r12 window rotation (VERDICT r11 ask #4): driver-verify ten
+    # NEVER-checked queries — tbl_hudi_bloom_point_read (SURVEY
+    # already claimed it; make it true), events_ohlc_bars,
+    # pq_reconstruction_summary, unigram_logprob_scores,
+    # streaming_session_counts, streaming_click_attribution,
+    # doc_chunking, sequence_packing_summary, tfidf_topk_terms,
+    # shingle_containment_pairs — in the slots of ten
+    # multi-round-green plan-shape-covered rows (tbl_upsert_snapshot,
+    # tbl_dup_key_invariant, tbl_mor_compacted,
+    # near_dup_components_star, top_supplier_revenue,
+    # cluster_balanced_sample, sole_late_supplier, corpus_build,
+    # knn_ivf_trained, asof_prior_click — all stay registered past
+    # the window and green in the local 142-query sweep; each plan
+    # class keeps an in-window representative: COW upsert/merge via
+    # tbl_rli_upsert_read + tbl_bucket_upsert_read +
+    # tbl_partial_update_read, dup-key invariant inside every upsert
+    # chain's oracle, MOR compaction legs via tbl_mor_snapshot +
+    # tbl_hudi_mor_read + tbl_hudi_rt_read, dedup via dedup_exact +
+    # near_dup_canonical + semantic_dedup_keep, agg+argmax/Q21
+    # relational shapes via pricing_summary + join_dim_rollup +
+    # customers_without_orders, curation/training-prep via
+    # quality_classifier_scores + the incoming tfidf/sequence rows,
+    # ANN via pq_adc_topk + ann_index_search + ann_index_incremental,
+    # event-sequence windows via the incoming
+    # streaming_session_counts). The three r11 hash-fails
+    # (value_quantile_sketch, events_gapfill, dsir_importance_weights)
+    # stay PINNED with their r12 floor-quantized contracts, as do the
+    # flagships tbl_hudi_rt_read and tbl_hudi_rli_point_read.
     # r11 window rotation (VERDICT r10 ask #4): driver-verify the
     # long-never-checked ANN/curation flagships — pq_adc_topk,
     # ann_index_search, ann_index_incremental, cluster_balanced_sample,
@@ -111,12 +139,12 @@ _WINDOW = [
     # bucket layout via tbl_bucket_upsert_read + tbl_bucket_split_read,
     # scan+agg via pricing_summary, topN via bm25_topk, kNN via
     # knn_ivf_trained, text map-stage via text_stats).
-    "tbl_upsert_snapshot",
+    "tbl_hudi_bloom_point_read",
     "tbl_insert_overwrite_snapshot",
     "tbl_delete_partition_snapshot",
-    "tbl_dup_key_invariant",
+    "events_ohlc_bars",
     "tbl_mor_snapshot",
-    "tbl_mor_compacted",
+    "streaming_session_counts",
     "tbl_hudi_mor_read",
     # r10 late swap: the genuine `_rt` leg — REAL HoodieLogFormat log
     # blocks merged at read, no compaction anywhere (this round's
@@ -150,18 +178,18 @@ _WINDOW = [
     # tbl_secondary_pruned_read; it remains registered past the
     # window and green in the local sweep.
     "tbl_hudi_stats_planned_read",
-    "near_dup_components_star",
-    "top_supplier_revenue",
+    "shingle_containment_pairs",
+    "streaming_click_attribution",
     "events_gapfill",
-    "cluster_balanced_sample",
+    "doc_chunking",
     "dsir_importance_weights",
     # relational surface (Q1-Q13 + flagship; r10 adds the TPC-H-Q20-
     # shaped sole_late_supplier and the sessionizer)
     "pricing_summary",
     "filter_project",
     "join_dim_rollup",
-    "sole_late_supplier",
-    "corpus_build",
+    "tfidf_topk_terms",
+    "sequence_packing_summary",
     # r4 window swap: the reference's SIGNATURE features (the xTable
     # Delta personality, M15, and the delete-propagating incremental
     # chain, S4) take the slots of two trivial scan/agg shapes
@@ -252,7 +280,7 @@ _WINDOW = [
     "tbl_hudi_rli_point_read",
     "quality_classifier_scores",
     # similarity suite
-    "knn_ivf_trained",
+    "pq_reconstruction_summary",
     "pq_adc_topk",
     # r8 late swap: the bucket-index layout pipeline (this round's
     # flagship write-path feature; builder raises unless bucket
@@ -268,7 +296,7 @@ _WINDOW = [
     "bm25_topk",
     # analytics: custom AS-OF join operator + the sessionizer
     # (hash-fix proof)
-    "asof_prior_click",
+    "unigram_logprob_scores",
 ]
 
 

@@ -863,20 +863,21 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     okey = F.format_string(
         "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
     )
+    # engine-proof contract (VERDICT r11 #2): OHLC points are raw
+    # parquet-double ELEMENTS floor-quantized to BIGINT e4 units —
+    # ROUND + double->DECIMAL casts ride engine-specific tie rules,
+    # IEEE multiply + floor does not.
+    e4 = lambda c: F.floor(c * 10000).cast("long")  # noqa: E731
     return (
         ev.groupBy(
             F.unix_micros(hour).alias("bucket_us"),
             "event_type",
         )
         .agg(
-            F.round(F.min_by("value", okey), 4)
-            .cast("decimal(18,4)")
-            .alias("open"),
-            F.round(F.max("value"), 4).cast("decimal(18,4)").alias("high"),
-            F.round(F.min("value"), 4).cast("decimal(18,4)").alias("low"),
-            F.round(F.max_by("value", okey), 4)
-            .cast("decimal(18,4)")
-            .alias("close"),
+            e4(F.min_by("value", okey)).alias("open_e4"),
+            e4(F.max("value")).alias("high_e4"),
+            e4(F.min("value")).alias("low_e4"),
+            e4(F.max_by("value", okey)).alias("close_e4"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -885,12 +886,12 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_OHLC_BARS_SQL = """
 SELECT epoch_us(date_trunc('hour', ts)::TIMESTAMP) AS bucket_us,
        event_type,
-       ROUND(arg_min(value, printf('%020d-%020d', epoch_us(ts::TIMESTAMP),
-                                   event_id)), 4)::DECIMAL(18,4) AS open,
-       ROUND(MAX(value), 4)::DECIMAL(18,4) AS high,
-       ROUND(MIN(value), 4)::DECIMAL(18,4) AS low,
-       ROUND(arg_max(value, printf('%020d-%020d', epoch_us(ts::TIMESTAMP),
-                                   event_id)), 4)::DECIMAL(18,4) AS close,
+       CAST(FLOOR(arg_min(value, printf('%020d-%020d',
+              epoch_us(ts::TIMESTAMP), event_id)) * 10000) AS BIGINT) AS open_e4,
+       CAST(FLOOR(MAX(value) * 10000) AS BIGINT) AS high_e4,
+       CAST(FLOOR(MIN(value) * 10000) AS BIGINT) AS low_e4,
+       CAST(FLOOR(arg_max(value, printf('%020d-%020d',
+              epoch_us(ts::TIMESTAMP), event_id)) * 10000) AS BIGINT) AS close_e4,
        COUNT(*) AS n_events
 FROM events
 GROUP BY 1, 2

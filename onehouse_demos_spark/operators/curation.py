@@ -410,11 +410,19 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    # engine-proof contract (VERDICT r11 #2): both the score and the
+    # threshold are PURE-INTEGER arithmetic. ROUND(inter/sz, 4) hits
+    # EXACT decimal half-ties whenever sz is a power of two (29/32 =
+    # 0.90625 — Spark HALF_UP says .9063, a binary-rint engine says
+    # .9062); (inter*10000) div sz and inter*10 >= sz*9 cannot.
     return (
         inter.join(sa, "doc_a")
-        .withColumn("containment", F.round(F.col("inter") / F.col("sz_a"), 4))
-        .filter(F.col("containment") >= CONTAINMENT_MIN)
-        .select("doc_a", "doc_b", "containment")
+        .withColumn(
+            "containment_e4",
+            F.expr("(inter * 10000) div sz_a"),
+        )
+        .filter(F.col("inter") * 10 >= F.col("sz_a") * 9)
+        .select("doc_a", "doc_b", "containment_e4")
     )
 
 
@@ -444,9 +452,9 @@ WITH norm AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(inter::DOUBLE / sa.sz, 4) AS containment
+       CAST((inter * 10000) // sa.sz AS BIGINT) AS containment_e4
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-WHERE ROUND(inter::DOUBLE / sa.sz, 4) >= {CONTAINMENT_MIN}
+WHERE inter * 10 >= sa.sz * 9
 """
 
 
@@ -471,16 +479,22 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("word").alias("term"),
-            F.round(
-                F.col("tf") * F.log((F.col("n") + 1) / (F.col("df") + 1)), 4
-            ).alias("tfidf_r"),
+            # engine-proof contract (VERDICT r11 #2): floor-quantized
+            # integer score — ROUND's half-tie rule is engine-specific.
+            F.floor(
+                F.col("tf")
+                * F.log((F.col("n") + 1) / (F.col("df") + 1))
+                * 10000
+            )
+            .cast("long")
+            .alias("tfidf_e4"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_e4"), F.asc("term"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TFIDF_TOP_K)
-        .select("doc_id", "term", "tfidf_r", "rnk")
+        .select("doc_id", "term", "tfidf_e4", "rnk")
     )
 
 
@@ -494,14 +508,15 @@ tf AS (
   SELECT COUNT(DISTINCT doc_id) AS n FROM tf
 ), scored AS (
   SELECT tf.doc_id, tf.word AS term,
-         ROUND(tf.tf * ln((nd.n + 1)::DOUBLE / (df.df + 1)), 4) AS tfidf_r
+         CAST(FLOOR(tf.tf * ln((nd.n + 1)::DOUBLE / (df.df + 1)) * 10000)
+              AS BIGINT) AS tfidf_e4
   FROM tf JOIN df ON tf.word = df.word, nd
 ), ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-                               ORDER BY tfidf_r DESC, term ASC) AS rnk
+                               ORDER BY tfidf_e4 DESC, term ASC) AS rnk
   FROM scored
 )
-SELECT doc_id, term, tfidf_r, rnk FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+SELECT doc_id, term, tfidf_e4, rnk FROM ranked WHERE rnk <= {TFIDF_TOP_K}
 """
 
 

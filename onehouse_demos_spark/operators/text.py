@@ -815,23 +815,42 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     consts = vocab.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vsize")
     )
+    # engine-proof contract (VERDICT r11 #2, the DSIR pattern): the
+    # per-TOKEN surprisal is floor-quantized to integer MICRO-nats at
+    # the vocab level (one floor per distinct token, not per
+    # occurrence), the per-doc aggregate is an exact order-free integer
+    # sum, and the ordering key is ONE closing IEEE division —
+    # ROUND(AVG(double)) + a double->DECIMAL cast were order- and
+    # tie-rule-dependent.
     scored = (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(consts))
         .withColumn(
-            "nlp",
-            -F.log(
-                (F.col("cnt") + 1.0)
-                / (F.col("total") + F.col("vsize"))
-            ),
+            "nlp_e6",
+            F.floor(
+                -F.log(
+                    (F.col("cnt") + 1.0)
+                    / (F.col("total") + F.col("vsize"))
+                )
+                * 1000000.0
+            ).cast("long"),
         )
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("nlp"), 6).cast("decimal(18,6)").alias("mean_nlp"),
+            F.sum("nlp_e6").alias("micronats_sum"),
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
-    return scored.orderBy(F.desc("mean_nlp"), F.asc("doc_id")).limit(_PPL_TOPK)
+    return (
+        scored.orderBy(
+            F.desc(
+                F.col("micronats_sum").cast("double")
+                / F.col("n_tokens").cast("double")
+            ),
+            F.asc("doc_id"),
+        )
+        .limit(_PPL_TOPK)
+    )
 
 
 UNIGRAM_LOGPROB_SCORES_SQL = f"""
@@ -847,14 +866,16 @@ WITH toks AS (
   SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab
 ), nlp AS (
   SELECT toks.doc_id,
-         -ln((vocab.cnt + 1.0) / (consts.total + consts.vsize)) AS nlp
+         CAST(FLOOR(-ln((vocab.cnt + 1.0) / (consts.total + consts.vsize))
+                    * 1000000.0) AS BIGINT) AS nlp_e6
   FROM toks JOIN vocab USING (tok) CROSS JOIN consts
 )
 SELECT doc_id,
-       ROUND(AVG(nlp), 6)::DECIMAL(18,6) AS mean_nlp,
+       CAST(SUM(nlp_e6) AS BIGINT) AS micronats_sum,
        COUNT(*) AS n_tokens
 FROM nlp GROUP BY doc_id
-ORDER BY mean_nlp DESC, doc_id ASC
+ORDER BY CAST(SUM(nlp_e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) DESC,
+         doc_id ASC
 LIMIT {_PPL_TOPK}
 """
 

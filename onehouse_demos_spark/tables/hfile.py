@@ -385,19 +385,20 @@ def _decode_root_index(payload: bytes) -> list[tuple[int, int, bytes]]:
     return out
 
 
-def write_hfile(
-    path: str,
+def hfile_bytes(
     cells: list[tuple[str, bytes]],
     fileinfo_extra: dict[str, bytes] | None = None,
     codec: int = COMPRESSION_GZ,
     block_size: int = 64 * 1024,
     meta_blocks: dict[str, bytes] | None = None,
-) -> None:
-    """Write a v3 HFile of (row key, value bytes) cells, sorted by
+) -> bytes:
+    """Build a v3 HFile of (row key, value bytes) cells, sorted by
     key as HFiles require. `meta_blocks` (name -> payload, e.g. the
     fixture's "bloomFilter") ride as METABLKc blocks with a root
     meta index; `fileinfo_extra` carries the Hudi entries (schema,
-    min/maxRecordKey, bloomFilterTypeCode)."""
+    min/maxRecordKey, bloomFilterTypeCode). Returns the full file
+    image so the caller can publish it as one atomic object-store
+    PUT (VERDICT r11 #3)."""
     cells = sorted(cells, key=lambda kv: kv[0])
     buf = bytearray()
     data_blocks: list[tuple[int, int, bytes]] = []  # offset, size, first key
@@ -498,9 +499,28 @@ def write_hfile(
             }
         )
     )
+    return bytes(buf)
+
+
+def write_hfile(
+    path: str,
+    cells: list[tuple[str, bytes]],
+    fileinfo_extra: dict[str, bytes] | None = None,
+    codec: int = COMPRESSION_GZ,
+    block_size: int = 64 * 1024,
+    meta_blocks: dict[str, bytes] | None = None,
+) -> None:
+    """Local-filesystem writer over hfile_bytes (tmp+rename)."""
+    blob = hfile_bytes(
+        cells,
+        fileinfo_extra=fileinfo_extra,
+        codec=codec,
+        block_size=block_size,
+        meta_blocks=meta_blocks,
+    )
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
-        fh.write(bytes(buf))
+        fh.write(blob)
     os.replace(tmp, path)
 
 

@@ -287,21 +287,107 @@ def _hoodie_dir(table_or_path) -> str:
     return os.path.join(base, _HOODIE_DIR)
 
 
-def _load_state(hoodie: str) -> dict:
+class _Publisher:
+    """Every byte the personality PUBLISHES flows through the
+    ObjectStoreClient S3 contract (VERDICT r11 #3): atomic full-object
+    puts, conditional put (If-None-Match) at each COMPLETED-instant
+    commit point, hardlink-free semantics — the tmp+rename and
+    O_EXCL tricks live INSIDE the default TreeFSObjectStoreEmulator,
+    never in personality code, so a boto3-backed client drops in
+    unchanged on S3 (where rename does not exist). Keys are
+    base_path-relative POSIX paths; the default store materializes
+    them at the very paths external Hudi readers scan, byte-identical
+    to the pre-seam layout. READS of the materialized layout (replay,
+    chain folds, listings) intentionally stay direct file I/O — they
+    model the EXTERNAL reader, which consumes the bucket through its
+    own stack. Picklable (store root + base string) so executors
+    publish record-index shard files through the same contract."""
+
+    def __init__(self, store, base_path: str):
+        self.store = store
+        self.base = base_path
+
+    def rel(self, abs_path: str) -> str:
+        return os.path.relpath(abs_path, self.base).replace(os.sep, "/")
+
+    def put_bytes(
+        self, abs_path: str, data: bytes, if_none_match: bool = False
+    ) -> bool:
+        return self.store.put_object(
+            self.rel(abs_path), data, if_none_match=if_none_match
+        )
+
+    def put_text(
+        self, abs_path: str, text: str, if_none_match: bool = False
+    ) -> bool:
+        return self.put_bytes(
+            abs_path, text.encode(), if_none_match=if_none_match
+        )
+
+    def put_json(
+        self, abs_path: str, obj, indent: int = 2,
+        if_none_match: bool = False,
+    ) -> bool:
+        return self.put_text(
+            abs_path, json.dumps(obj, indent=indent),
+            if_none_match=if_none_match,
+        )
+
+    def put_file(self, abs_path: str, src_abs: str) -> bool:
+        return self.store.put_object_from_file(self.rel(abs_path), src_abs)
+
+    def get_bytes(self, abs_path: str) -> bytes | None:
+        return self.store.get_object(self.rel(abs_path))
+
+    def delete(self, abs_path: str) -> None:
+        self.store.delete_object(self.rel(abs_path))
+
+    def publish_completed(self, abs_path: str, obj) -> None:
+        """The commit point: S3 `PutObject + If-None-Match: *`. Under
+        the sync mutex a completed instant can never pre-exist; if it
+        does, refuse rather than clobber a timeline another writer
+        published."""
+        if not self.put_json(abs_path, obj, if_none_match=True):
+            raise RuntimeError(
+                "hudi personality: completed instant already exists "
+                f"(concurrent writer or corrupted sync state): {abs_path}"
+            )
+
+
+def _default_store(base_path: str):
+    """Local deployments publish through the hierarchical FS emulation
+    of the S3 contract; a real cloud deployment passes a boto3-backed
+    ObjectStoreClient to sync_hudi_metadata/clean_hudi_personality."""
+    from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
+
+    return TreeFSObjectStoreEmulator(base_path)
+
+
+def _publisher(table, store=None) -> _Publisher:
+    return _Publisher(store or _default_store(table.base_path),
+                      table.base_path)
+
+
+def _load_state(hoodie: str, pub: _Publisher | None = None) -> dict:
     p = os.path.join(hoodie, _STATE_FILE)
-    if os.path.exists(p):
-        with open(p) as fh:
-            state = json.load(fh)
+    raw = None
+    if pub is not None:
+        raw = pub.get_bytes(p)
+    elif os.path.exists(p):
+        with open(p, "rb") as fh:
+            raw = fh.read()
+    if raw is not None:
+        state = json.loads(raw)
         state.setdefault("retired", {})
         return state
     return {"files": {}, "instants": [], "retired": {}}
 
 
-def _save_state(hoodie: str, state: dict) -> None:
-    tmp = os.path.join(hoodie, _STATE_FILE + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(state, fh, indent=1)
-    os.replace(tmp, os.path.join(hoodie, _STATE_FILE))
+def _save_state(pub: _Publisher, hoodie: str, state: dict) -> None:
+    # one atomic full-object PUT; the sync mutex serializes the
+    # read-modify-write, the store guarantees readers never see a
+    # partial object
+    pub.put_json(os.path.join(hoodie, _STATE_FILE), state, indent=1)
 
 
 def _next_instant(state: dict) -> str:
@@ -418,6 +504,7 @@ def sync_hudi_metadata(
     bloom_filters: bool = False,
     record_index: bool = False,
     record_index_shards: int = _MDT_RLI_DEFAULT_SHARDS,
+    store=None,
 ) -> int:
     """Serialized entry point for the personality sync (r11, VERDICT
     r10 next #5): the `.hoodie` sync state is read-modify-write JSON,
@@ -426,7 +513,11 @@ def sync_hudi_metadata(
     lock-provider mutex re-scoped to the `.hoodie` namespace — same
     store as the engine timeline's OCC lock, no silent fallback — the
     exact seam the Delta exporter's conditional version publish uses.
-    See `_sync_hudi_metadata_locked` for the sync semantics."""
+    Every PUBLISH inside flows through the ObjectStoreClient contract
+    (`store`, default the hierarchical FS emulator rooted at the table
+    base — VERDICT r11 #3): atomic puts, conditional put at the
+    completed-instant commit point, no rename/hardlink assumed. See
+    `_sync_hudi_metadata_locked` for the sync semantics."""
     hoodie = _hoodie_dir(table)
     os.makedirs(hoodie, exist_ok=True)
     provider = table.timeline.lock_provider.scoped(hoodie)
@@ -442,6 +533,7 @@ def sync_hudi_metadata(
             bloom_filters,
             record_index,
             record_index_shards,
+            _publisher(table, store),
         )
     finally:
         provider.release_mutex("hudi_sync")
@@ -457,6 +549,7 @@ def _sync_hudi_metadata_locked(
     bloom_filters: bool = False,
     record_index: bool = False,
     record_index_shards: int = _MDT_RLI_DEFAULT_SHARDS,
+    pub: _Publisher | None = None,
 ) -> int:
     """Write/refresh the `.hoodie` personality over the table's live
     BASE files. Returns the number of completed Hudi instants after
@@ -491,7 +584,9 @@ def _sync_hudi_metadata_locked(
     part_cols = _partition_columns(table)
     hoodie = _hoodie_dir(table)
     os.makedirs(hoodie, exist_ok=True)
-    state = _load_state(hoodie)
+    if pub is None:
+        pub = _publisher(table)
+    state = _load_state(hoodie, pub)
     known = state["files"]
     live_by_path = {f.path: f for f in live}
     adds = [f for p, f in sorted(live_by_path.items()) if p not in known]
@@ -520,22 +615,22 @@ def _sync_hudi_metadata_locked(
         # declaration upgrade (recomputed checksum): MOR flip and/or
         # first enablement of a metadata-index partition, preserving
         # whatever the personality already declares
-        with open(props_path, "w") as fh:
-            fh.write(
-                _hoodie_properties(
-                    table,
-                    part_cols,
-                    mor_rt=mor_rt or existing_type == "MERGE_ON_READ",
-                    column_stats=want_cs,
-                    bloom_filters=want_bf,
-                    record_index=want_rli,
-                )
-            )
+        pub.put_text(
+            props_path,
+            _hoodie_properties(
+                table,
+                part_cols,
+                mor_rt=mor_rt or existing_type == "MERGE_ON_READ",
+                column_stats=want_cs,
+                bloom_filters=want_bf,
+                record_index=want_rli,
+            ),
+        )
     if not adds and not removed and os.path.exists(props_path):
         n = 0
         if mor_rt:
             n = _sync_rt_logs(
-                table, hoodie, state, part_cols, rt_log_gate_rows
+                table, hoodie, state, part_cols, rt_log_gate_rows, pub
             )
         # DECLARED metadata-index partitions are self-maintaining
         # (the `hoodie.table.metadata.partitions` contract: a reader
@@ -559,20 +654,21 @@ def _sync_hudi_metadata_locked(
                 bloom_filters=want_bf,
                 record_index=want_rli,
                 record_index_shards=record_index_shards,
+                pub=pub,
             )
         return len(state["instants"])
     if not os.path.exists(props_path):
-        with open(props_path, "w") as fh:
-            fh.write(
-                _hoodie_properties(
-                    table,
-                    part_cols,
-                    mor_rt=mor_rt,
-                    column_stats=column_stats,
-                    bloom_filters=bloom_filters,
-                    record_index=record_index,
-                )
-            )
+        pub.put_text(
+            props_path,
+            _hoodie_properties(
+                table,
+                part_cols,
+                mor_rt=mor_rt,
+                column_stats=column_stats,
+                bloom_filters=bloom_filters,
+                record_index=record_index,
+            ),
+        )
 
     instant = _next_instant(state)
     part_stats: dict[str, list[dict]] = {}
@@ -590,22 +686,20 @@ def _sync_hudi_metadata_locked(
         src = os.path.join(table.base_path, fm.path)
         dst = os.path.join(part_dir, hudi_name)
         if not os.path.exists(dst):
-            try:
-                os.link(src, dst)  # one inode, zero copied bytes
-            except OSError:
-                import shutil
-
-                shutil.copy2(src, dst)
+            # full-object upload through the store contract (the
+            # default emulator hardlinks internally — zero copied
+            # bytes locally, a real S3 client uploads the file)
+            pub.put_file(dst, src)
         if partition not in seen_partitions:
             meta = os.path.join(part_dir, ".hoodie_partition_metadata")
             if not os.path.exists(meta):
                 depth = partition.count("/") + 1 if partition else 0
-                with open(meta, "w") as fh:
-                    fh.write(
-                        "#partition metadata\n"
-                        f"commitTime={instant}\n"
-                        f"partitionDepth={depth}\n"
-                    )
+                pub.put_text(
+                    meta,
+                    "#partition metadata\n"
+                    f"commitTime={instant}\n"
+                    f"partitionDepth={depth}\n",
+                )
             seen_partitions.add(partition)
         rel = f"{partition}/{hudi_name}" if partition else hudi_name
         size = os.stat(src).st_size
@@ -666,27 +760,22 @@ def _sync_hudi_metadata_locked(
         if action == "commit"
         else f"{instant}.replacecommit.inflight"
     )
-    with open(os.path.join(hoodie, req_name), "w") as fh:
-        fh.write("")
-    with open(os.path.join(hoodie, inflight_name), "w") as fh:
-        json.dump(
-            {
-                "partitionToWriteStats": {},
-                "compacted": False,
-                "extraMetadata": {},
-                "operationType": meta["operationType"],
-            },
-            fh,
-            indent=2,
-        )
-    tmp = os.path.join(hoodie, f".{instant}.{action}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=2)
-    os.replace(tmp, os.path.join(hoodie, f"{instant}.{action}"))
+    pub.put_text(os.path.join(hoodie, req_name), "")
+    pub.put_json(
+        os.path.join(hoodie, inflight_name),
+        {
+            "partitionToWriteStats": {},
+            "compacted": False,
+            "extraMetadata": {},
+            "operationType": meta["operationType"],
+        },
+    )
+    # the commit point: conditional put — never a rename
+    pub.publish_completed(os.path.join(hoodie, f"{instant}.{action}"), meta)
     state["instants"].append(instant)
-    _save_state(hoodie, state)
+    _save_state(pub, hoodie, state)
     if mor_rt:
-        _sync_rt_logs(table, hoodie, state, part_cols, rt_log_gate_rows)
+        _sync_rt_logs(table, hoodie, state, part_cols, rt_log_gate_rows, pub)
     if metadata_table:
         # after the rt log publication so the files partition lists
         # base AND log slices, like Hudi's own metadata table
@@ -700,6 +789,7 @@ def _sync_hudi_metadata_locked(
             bloom_filters=want_bf,
             record_index=want_rli,
             record_index_shards=record_index_shards,
+            pub=pub,
         )
     return len(state["instants"])
 
@@ -710,6 +800,7 @@ def _sync_rt_logs(
     state: dict,
     part_cols: list[str],
     gate_rows: int,
+    pub: _Publisher,
 ) -> int:
     """Publish the engine's un-compacted log files as real
     HoodieLogFormat AVRO data blocks under ONE deltacommit instant
@@ -732,8 +823,8 @@ def _sync_rt_logs(
     from pyspark.sql import functions as F
 
     from onehouse_demos_spark.tables.hudi_log import (
+        avro_log_file_bytes,
         encode_records,
-        write_avro_log_file,
     )
     from onehouse_demos_spark.tables.table import KEY_COL
 
@@ -757,7 +848,7 @@ def _sync_rt_logs(
             }
     new_paths = sorted(set(live_logs) - set(synced))  # path ⇒ commit order
     if not new_paths:
-        _save_state(hoodie, state)
+        _save_state(pub, hoodie, state)
         return 0
     total_rows = sum(live_logs[p].rows for p in new_paths)
     if total_rows > gate_rows:
@@ -842,17 +933,13 @@ def _sync_rt_logs(
                 d.pop("_fid", None)
                 d["_hoodie_is_deleted"] = bool(d.get(DELETED_COL))
                 dicts.append(d)
-            write_avro_log_file(
-                os.path.join(part_dir, name),
-                instant,
-                avro_schema,
-                encode_records(dicts, avro_schema),
+            blob = avro_log_file_bytes(
+                instant, avro_schema, encode_records(dicts, avro_schema)
             )
+            pub.put_bytes(os.path.join(part_dir, name), blob)
             rel = f"{partition}/{name}" if partition else name
             stat = _write_stat(
-                partition, fid, rel, 0, os.stat(
-                    os.path.join(part_dir, name)
-                ).st_size, "numUpdateWrites"
+                partition, fid, rel, 0, len(blob), "numUpdateWrites"
             )
             stat["totalLogRecords"] = len(dicts)
             stat["totalLogBlocks"] = 1
@@ -876,29 +963,24 @@ def _sync_rt_logs(
         },
         "operationType": "UPSERT",
     }
-    with open(
-        os.path.join(hoodie, f"{instant}.deltacommit.requested"), "w"
-    ) as fh:
-        fh.write("")
-    with open(
-        os.path.join(hoodie, f"{instant}.deltacommit.inflight"), "w"
-    ) as fh:
-        json.dump(
-            {
-                "partitionToWriteStats": {},
-                "compacted": False,
-                "extraMetadata": {},
-                "operationType": "UPSERT",
-            },
-            fh,
-            indent=2,
-        )
-    tmp = os.path.join(hoodie, f".{instant}.deltacommit.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=2)
-    os.replace(tmp, os.path.join(hoodie, f"{instant}.deltacommit"))
+    pub.put_text(
+        os.path.join(hoodie, f"{instant}.deltacommit.requested"), ""
+    )
+    pub.put_json(
+        os.path.join(hoodie, f"{instant}.deltacommit.inflight"),
+        {
+            "partitionToWriteStats": {},
+            "compacted": False,
+            "extraMetadata": {},
+            "operationType": "UPSERT",
+        },
+    )
+    # the commit point: conditional put — never a rename
+    pub.publish_completed(
+        os.path.join(hoodie, f"{instant}.deltacommit"), meta
+    )
     state["instants"].append(instant)
-    _save_state(hoodie, state)
+    _save_state(pub, hoodie, state)
     return len(new_paths)
 
 
@@ -951,6 +1033,7 @@ def _mdt_properties(table_name: str) -> str:
 
 
 def _mdt_write_timeline(
+    pub: _Publisher,
     mdt_hoodie: str,
     instant: str,
     stats_by_partition: dict,
@@ -962,36 +1045,33 @@ def _mdt_write_timeline(
     partition written by the sync (files + column_stats), like Hudi's
     own MDT deltacommits. Chain compactions publish a `commit`."""
     compacted = action == "commit"
-    with open(
-        os.path.join(mdt_hoodie, f"{instant}.{action}.requested"), "w"
-    ) as fh:
-        fh.write("")
+    pub.put_text(
+        os.path.join(mdt_hoodie, f"{instant}.{action}.requested"), ""
+    )
     inflight = (
         f"{instant}.inflight"
         if action == "commit"
         else f"{instant}.{action}.inflight"
     )
-    with open(os.path.join(mdt_hoodie, inflight), "w") as fh:
-        json.dump(
-            {
-                "partitionToWriteStats": {},
-                "compacted": compacted,
-                "extraMetadata": {},
-                "operationType": "UPSERT_PREPPED",
-            },
-            fh,
-            indent=2,
-        )
+    pub.put_json(
+        os.path.join(mdt_hoodie, inflight),
+        {
+            "partitionToWriteStats": {},
+            "compacted": compacted,
+            "extraMetadata": {},
+            "operationType": "UPSERT_PREPPED",
+        },
+    )
     meta = {
         "partitionToWriteStats": stats_by_partition,
         "compacted": compacted,
         "extraMetadata": {},
         "operationType": "UPSERT_PREPPED",
     }
-    tmp = os.path.join(mdt_hoodie, f".{instant}.{action}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, indent=2)
-    os.replace(tmp, os.path.join(mdt_hoodie, f"{instant}.{action}"))
+    # the commit point: conditional put — never a rename
+    pub.publish_completed(
+        os.path.join(mdt_hoodie, f"{instant}.{action}"), meta
+    )
 
 
 #: delta log files per base slice before the chain compacts into a
@@ -1107,8 +1187,8 @@ def _mdt_full_record_schema() -> str:
 
 
 def _mdt_write_base_slice(
-    files_dir: str, mdt_instant: str, by_partition: dict
-) -> tuple[str, int]:
+    pub: _Publisher, files_dir: str, mdt_instant: str, by_partition: dict
+) -> tuple[str, int, int]:
     """One full-listing base slice of the `files-0000-0` group
     (HoodieMetadataPayload types 1/2) in the fixture's OWN container:
     an HBase HFile v3 (tables/hfile.py — GZ blocks, CRC32C checksums,
@@ -1118,7 +1198,7 @@ def _mdt_write_base_slice(
     (slice_name, n_records). Until r11 this was a documented PARQUET
     stand-in; the reader keeps consuming legacy parquet slices."""
     from onehouse_demos_spark.sources.avro_codec import AvroSchema, encode
-    from onehouse_demos_spark.tables.hfile import write_hfile
+    from onehouse_demos_spark.tables.hfile import hfile_bytes
 
     slice_name = f"{_MDT_FILE_GROUP}_{_WRITE_TOKEN}_{mdt_instant}.hfile"
     schema_json = _mdt_full_record_schema()
@@ -1171,8 +1251,7 @@ def _mdt_write_base_slice(
     )
 
     bloom = HadoopDynamicBloom.build([k for k, _ in cells])
-    write_hfile(
-        os.path.join(files_dir, slice_name),
+    blob = hfile_bytes(
         cells,
         fileinfo_extra={
             "schema": schema_json.encode(),
@@ -1180,7 +1259,8 @@ def _mdt_write_base_slice(
         },
         meta_blocks={"bloomFilter": bloom.to_base64()},
     )
-    return slice_name, len(cells)
+    pub.put_bytes(os.path.join(files_dir, slice_name), blob)
+    return slice_name, len(cells), len(blob)
 
 
 def _mdt_slice_instant(name: str) -> str:
@@ -1190,6 +1270,7 @@ def _mdt_slice_instant(name: str) -> str:
 
 
 def _mdt_write_index_base(
+    pub: _Publisher,
     idx_dir: str,
     partition: str,
     group: str,
@@ -1209,7 +1290,7 @@ def _mdt_write_index_base(
     from onehouse_demos_spark.tables.hadoop_bloom import (
         HadoopDynamicBloom,
     )
-    from onehouse_demos_spark.tables.hfile import write_hfile
+    from onehouse_demos_spark.tables.hfile import hfile_bytes
 
     name = f"{group}_{_WRITE_TOKEN}_{instant}.hfile"
     schema_json = _mdt_full_record_schema()
@@ -1222,9 +1303,7 @@ def _mdt_write_index_base(
         r["_hoodie_file_name"] = name
         cells.append((key, encode(r, sch)))
     bloom = HadoopDynamicBloom.build([k for k, _ in cells])
-    path = os.path.join(idx_dir, name)
-    write_hfile(
-        path,
+    blob = hfile_bytes(
         cells,
         fileinfo_extra={
             "schema": schema_json.encode(),
@@ -1232,12 +1311,13 @@ def _mdt_write_index_base(
         },
         meta_blocks={"bloomFilter": bloom.to_base64()},
     )
+    pub.put_bytes(os.path.join(idx_dir, name), blob)
     stat = _write_stat(
         partition,
         group,
         f"{partition}/{name}",
         len(cells),
-        os.stat(path).st_size,
+        len(blob),
         "numUpdateWrites",
     )
     return stat
@@ -1536,6 +1616,7 @@ def _sync_bloom_partition(
     instant: str,
     known: dict,
     mdt_state: dict,
+    pub: _Publisher,
 ) -> dict | None:
     """Refresh `.hoodie/metadata/bloom_filters` (r11): Hudi's
     bloom-filter metadata index in the same HFile-base + log-chain
@@ -1544,22 +1625,20 @@ def _sync_bloom_partition(
     whose bloom might contain the key, from metadata alone. Returns
     the MDT-timeline write stat (None when unchanged)."""
     from onehouse_demos_spark.tables.hudi_log import (
+        avro_log_file_bytes,
         encode_records,
-        write_avro_log_file,
     )
 
     bf_dir = os.path.join(hoodie, "metadata", "bloom_filters")
     first = not os.path.isdir(bf_dir)
     os.makedirs(bf_dir, exist_ok=True)
     if first:
-        with open(
-            os.path.join(bf_dir, ".hoodie_partition_metadata"), "w"
-        ) as fh:
-            fh.write(
-                "#partition metadata\n"
-                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
-                "partitionDepth=1\n"
-            )
+        pub.put_text(
+            os.path.join(bf_dir, ".hoodie_partition_metadata"),
+            "#partition metadata\n"
+            f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+            "partitionDepth=1\n",
+        )
     cur = _bloom_current(table, known)
     cur_digests = {k: _digest(v) for k, v in cur.items()}
     prev = mdt_state.get("bloom_files")
@@ -1572,7 +1651,7 @@ def _sync_bloom_partition(
         # column_stats)
         attach = _MDT_BOOTSTRAP_INSTANT if first else instant
         stat = _mdt_write_index_base(
-            bf_dir, "bloom_filters", _MDT_BLOOM_FILE_GROUP, attach,
+            pub, bf_dir, "bloom_filters", _MDT_BLOOM_FILE_GROUP, attach,
             [_bloom_record(k, v, instant) for k, v in sorted(cur.items())],
         )
         mdt_state["bloom_instant"] = attach
@@ -1597,18 +1676,16 @@ def _sync_bloom_partition(
         f".{_MDT_BLOOM_FILE_GROUP}_{attach}.log.{version}_{_WRITE_TOKEN}"
     )
     schema = _mdt_bloom_schema()
-    write_avro_log_file(
-        os.path.join(bf_dir, log_name),
-        instant,
-        schema,
-        encode_records(records, schema),
+    blob = avro_log_file_bytes(
+        instant, schema, encode_records(records, schema)
     )
+    pub.put_bytes(os.path.join(bf_dir, log_name), blob)
     stat = _write_stat(
         "bloom_filters",
         _MDT_BLOOM_FILE_GROUP,
         f"bloom_filters/{log_name}",
         0,
-        os.stat(os.path.join(bf_dir, log_name)).st_size,
+        len(blob),
         "numUpdateWrites",
     )
     stat["totalLogRecords"] = len(records)
@@ -1899,6 +1976,7 @@ def _rli_keys_driver(paths: list[str]) -> dict[str, list[str]] | None:
 
 
 def _rli_write_shard(
+    pub: _Publisher,
     rli_dir: str,
     shard: int,
     attach: str,
@@ -1908,23 +1986,25 @@ def _rli_write_shard(
     records: list[dict],
 ) -> dict:
     """Write one shard's log file for this sync and return its MDT
-    write stat. Single-writer per shard per version by construction
-    (tmp+rename inside write_avro_log_file keeps retries safe)."""
+    write stat. Single-writer per shard per version by construction;
+    the file publishes as ONE atomic object-store PUT (retries safe)."""
     from onehouse_demos_spark.tables.hudi_log import (
+        avro_log_file_bytes,
         encode_records,
-        write_avro_log_file,
     )
 
     group = _mdt_rli_group(shard)
     name = f".{group}_{attach}.log.{version}_{_WRITE_TOKEN}"
-    path = os.path.join(rli_dir, name)
-    write_avro_log_file(path, instant, schema, encode_records(records, schema))
+    blob = avro_log_file_bytes(
+        instant, schema, encode_records(records, schema)
+    )
+    pub.put_bytes(os.path.join(rli_dir, name), blob)
     stat = _write_stat(
         "record_index",
         group,
         f"record_index/{name}",
         0,
-        os.stat(path).st_size,
+        len(blob),
         "numUpdateWrites",
     )
     stat["totalLogRecords"] = len(records)
@@ -1974,6 +2054,7 @@ def _rli_write_spark(
     version: int,
     instant: str,
     schema: str,
+    pub: _Publisher,
     as_base: bool = False,
 ) -> list[dict]:
     """The DISTRIBUTED index write (the 100 TB path): Spark reads ONLY
@@ -1984,7 +2065,9 @@ def _rli_write_spark(
     anti-joins the removed files' keys into tombstones, hash-clusters
     by shard (same shard -> same task, so every shard log file keeps
     Hudi's single-writer invariant) and the EXECUTORS write the shard
-    files. The driver sees only a ≤`shards`-row summary."""
+    files — each through the pickled ObjectStoreClient publisher, one
+    atomic PUT per shard file (VERDICT r11 #3). The driver sees only
+    a ≤`shards`-row summary."""
     import pandas as pd  # noqa: F401 (mapInPandas contract)
     from pyspark.sql import functions as F
 
@@ -2087,30 +2170,30 @@ def _rli_write_spark(
                 # HFile BASE slice (tombstones cannot occur — a fresh
                 # index has no prior entries to delete)
                 stat = _rli_write_shard_base(
-                    rli_dir, shard, attach, records
+                    pub, rli_dir, shard, attach, records
                 )
             else:
                 stat = _rli_write_shard(
-                    rli_dir, shard, attach, version, instant, schema,
-                    records,
+                    pub, rli_dir, shard, attach, version, instant,
+                    schema, records,
                 )
-            rows.append((shard, stat["path"], len(records)))
+            rows.append((shard, stat["path"], stat["fileSizeInBytes"],
+                         len(records)))
         yield _pd.DataFrame(
-            rows, columns=["shard", "path", "n"]
+            rows, columns=["shard", "path", "size", "n"]
         )
 
     summary = entries.mapInPandas(
-        _write_partition, "shard int, path string, n long"
+        _write_partition, "shard int, path string, size long, n long"
     ).collect()
     stats = []
     for row in sorted(summary, key=lambda r: r.shard):
-        full = os.path.join(rli_dir, os.path.basename(row.path))
         stat = _write_stat(
             "record_index",
             _mdt_rli_group(row.shard),
             row.path,
             0,
-            os.stat(full).st_size,
+            int(row.size),
             "numUpdateWrites",
         )
         stat["totalLogRecords"] = int(row.n)
@@ -2120,27 +2203,29 @@ def _rli_write_spark(
 
 
 def _rli_write_shard_base(
-    rli_dir: str, shard: int, instant: str, records: list[dict]
+    pub: _Publisher, rli_dir: str, shard: int, instant: str,
+    records: list[dict],
 ) -> dict:
     """One shard's BASE slice (bootstrap / roll-up): an HFile in the
     fixture's own container, like every other metadata partition."""
     return _mdt_write_index_base(
-        rli_dir, "record_index", _mdt_rli_group(shard), instant, records
+        pub, rli_dir, "record_index", _mdt_rli_group(shard), instant,
+        records,
     )
 
 
 def _rli_compact_shard(
-    rli_dir: str, group: str, shard: int, instant: str
-) -> tuple[int, str, int]:
+    pub: _Publisher, rli_dir: str, group: str, shard: int, instant: str
+) -> tuple[int, str, int, int]:
     """Fold ONE shard's base+chain and write its compacted BASE
     slice — the per-shard unit both the driver loop and the
     distributed compaction run. Returns (shard, file rel name, n)."""
     locs = _rli_fold_shard(rli_dir, group)
     stat = _rli_write_shard_base(
-        rli_dir, shard, instant,
+        pub, rli_dir, shard, instant,
         [_rli_record(k, locs[k]) for k in sorted(locs)],
     )
-    return shard, stat["path"], len(locs)
+    return shard, stat["path"], stat["fileSizeInBytes"], len(locs)
 
 
 def _rli_compact_spark(
@@ -2148,6 +2233,7 @@ def _rli_compact_spark(
     rli_dir: str,
     n_shards: int,
     instant: str,
+    pub: _Publisher,
 ) -> list[dict]:
     """DISTRIBUTED chain compaction: one task per shard folds that
     shard's base+chain and writes the compacted base slice — memory
@@ -2160,20 +2246,19 @@ def _rli_compact_spark(
         sc.parallelize(range(n_shards), n_shards)
         .map(
             lambda s: _rli_compact_shard(
-                rli_dir, _mdt_rli_group(s), s, instant
+                pub, rli_dir, _mdt_rli_group(s), s, instant
             )
         )
         .collect()
     )
     stats = []
-    for shard, rel, n in sorted(results):
-        full = os.path.join(rli_dir, os.path.basename(rel))
+    for shard, rel, size, n in sorted(results):
         stat = _write_stat(
             "record_index",
             _mdt_rli_group(shard),
             rel,
             n,
-            os.stat(full).st_size,
+            size,
             "numUpdateWrites",
         )
         stats.append(stat)
@@ -2186,6 +2271,7 @@ def _sync_rli_partition(
     instant: str,
     known: dict,
     mdt_state: dict,
+    pub: _Publisher,
     shards: int | None = None,
 ) -> list[dict] | None:
     """Refresh `.hoodie/metadata/record_index`: per sync a delta of
@@ -2203,14 +2289,12 @@ def _sync_rli_partition(
     first = not os.path.isdir(rli_dir)
     os.makedirs(rli_dir, exist_ok=True)
     if first:
-        with open(
-            os.path.join(rli_dir, ".hoodie_partition_metadata"), "w"
-        ) as fh:
-            fh.write(
-                "#partition metadata\n"
-                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
-                "partitionDepth=1\n"
-            )
+        pub.put_text(
+            os.path.join(rli_dir, ".hoodie_partition_metadata"),
+            "#partition metadata\n"
+            f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+            "partitionDepth=1\n",
+        )
     cur = {
         p: {
             "partition": ent["partition"],
@@ -2305,7 +2389,7 @@ def _sync_rli_partition(
     if use_spark:
         stats = _rli_write_spark(
             table, rli_dir, add_locs, removed_abs, n_shards,
-            attach, version, instant, schema, as_base=fresh,
+            attach, version, instant, schema, pub, as_base=fresh,
         )
         written = {s["fileId"] for s in stats}
         if fresh:
@@ -2314,11 +2398,13 @@ def _sync_rli_partition(
             for shard in range(n_shards):
                 if _mdt_rli_group(shard) not in written:
                     stats.append(
-                        _rli_write_shard_base(rli_dir, shard, attach, [])
+                        _rli_write_shard_base(
+                            pub, rli_dir, shard, attach, []
+                        )
                     )
         if spark_compact:
             stats += _rli_compact_spark(
-                table, rli_dir, n_shards, instant
+                table, rli_dir, n_shards, instant, pub
             )
             attach, version = instant, 0
     else:
@@ -2369,14 +2455,14 @@ def _sync_rli_partition(
                 for shard in range(n_shards):
                     per_shard.setdefault(shard, [])
             stats = [
-                _rli_write_shard_base(rli_dir, shard, attach, recs)
+                _rli_write_shard_base(pub, rli_dir, shard, attach, recs)
                 for shard, recs in sorted(per_shard.items())
             ]
         else:
             stats = [
                 _rli_write_shard(
-                    rli_dir, shard, attach, version, instant, schema,
-                    recs,
+                    pub, rli_dir, shard, attach, version, instant,
+                    schema, recs,
                 )
                 for shard, recs in sorted(per_shard.items())
             ]
@@ -2538,6 +2624,7 @@ def _sync_colstats_partition(
     instant: str,
     known: dict,
     mdt_state: dict,
+    pub: _Publisher,
 ) -> dict | None:
     """Refresh `.hoodie/metadata/column_stats` (r11): Hudi's
     column-stats metadata index as HoodieLogFormat delta chains —
@@ -2551,22 +2638,20 @@ def _sync_colstats_partition(
     storm. Returns the write stat for the MDT timeline (None when
     stats are unchanged)."""
     from onehouse_demos_spark.tables.hudi_log import (
+        avro_log_file_bytes,
         encode_records,
-        write_avro_log_file,
     )
 
     cs_dir = os.path.join(hoodie, "metadata", "column_stats")
     first = not os.path.isdir(cs_dir)
     os.makedirs(cs_dir, exist_ok=True)
     if first:
-        with open(
-            os.path.join(cs_dir, ".hoodie_partition_metadata"), "w"
-        ) as fh:
-            fh.write(
-                "#partition metadata\n"
-                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
-                "partitionDepth=1\n"
-            )
+        pub.put_text(
+            os.path.join(cs_dir, ".hoodie_partition_metadata"),
+            "#partition metadata\n"
+            f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+            "partitionDepth=1\n",
+        )
     cur = _colstats_current(table, known)
     prev = mdt_state.get("colstats_files")
     rollup = (
@@ -2588,7 +2673,7 @@ def _sync_colstats_partition(
         # the superseded chain ages out via clean)
         attach = _MDT_BOOTSTRAP_INSTANT if first else instant
         stat = _mdt_write_index_base(
-            cs_dir, "column_stats", _MDT_COLSTATS_FILE_GROUP, attach,
+            pub, cs_dir, "column_stats", _MDT_COLSTATS_FILE_GROUP, attach,
             _full_records(),
         )
         mdt_state["colstats_instant"] = attach
@@ -2632,18 +2717,16 @@ def _sync_colstats_partition(
         f".{_MDT_COLSTATS_FILE_GROUP}_{attach}.log.{version}_{_WRITE_TOKEN}"
     )
     schema = _mdt_colstats_schema()
-    write_avro_log_file(
-        os.path.join(cs_dir, log_name),
-        instant,
-        schema,
-        encode_records(records, schema),
+    blob = avro_log_file_bytes(
+        instant, schema, encode_records(records, schema)
     )
+    pub.put_bytes(os.path.join(cs_dir, log_name), blob)
     stat = _write_stat(
         "column_stats",
         _MDT_COLSTATS_FILE_GROUP,
         f"column_stats/{log_name}",
         0,
-        os.stat(os.path.join(cs_dir, log_name)).st_size,
+        len(blob),
         "numUpdateWrites",
     )
     stat["totalLogRecords"] = len(records)
@@ -2735,6 +2818,7 @@ def _sync_metadata_table(
     bloom_filters: bool = False,
     record_index: bool = False,
     record_index_shards: int = _MDT_RLI_DEFAULT_SHARDS,
+    pub: _Publisher | None = None,
 ) -> None:
     """Refresh `.hoodie/metadata/files` — Hudi's own base+log shape
     (r11, VERDICT r10 missing #2): the bootstrap sync writes ONE
@@ -2753,8 +2837,8 @@ def _sync_metadata_table(
     LIST storm per query, and the delta chain keeps each sync's
     metadata write O(changed files), not O(all partitions)."""
     from onehouse_demos_spark.tables.hudi_log import (
+        avro_log_file_bytes,
         encode_records,
-        write_avro_log_file,
     )
 
     mdt = os.path.join(hoodie, "metadata")
@@ -2763,17 +2847,19 @@ def _sync_metadata_table(
     first = not os.path.isdir(mdt_hoodie)
     os.makedirs(mdt_hoodie, exist_ok=True)
     os.makedirs(files_dir, exist_ok=True)
+    if pub is None:
+        pub = _publisher(table)
     if first:
-        with open(os.path.join(mdt_hoodie, "hoodie.properties"), "w") as fh:
-            fh.write(_mdt_properties(table.config.name))
-        with open(
-            os.path.join(files_dir, ".hoodie_partition_metadata"), "w"
-        ) as fh:
-            fh.write(
-                "#partition metadata\n"
-                f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
-                "partitionDepth=1\n"
-            )
+        pub.put_text(
+            os.path.join(mdt_hoodie, "hoodie.properties"),
+            _mdt_properties(table.config.name),
+        )
+        pub.put_text(
+            os.path.join(files_dir, ".hoodie_partition_metadata"),
+            "#partition metadata\n"
+            f"commitTime={_MDT_BOOTSTRAP_INSTANT}\n"
+            "partitionDepth=1\n",
+        )
     by_partition = _mdt_build_listing(table, known, state)
     mdt_state = (state or {}).setdefault("mdt", {}) if state is not None else {}
     prev = mdt_state.get("listing")
@@ -2785,15 +2871,15 @@ def _sync_metadata_table(
         # full base slice at the bootstrap instant, fresh chain
         mdt_instant = _MDT_BOOTSTRAP_INSTANT if first else instant
         tl_instant = mdt_instant
-        slice_name, n = _mdt_write_base_slice(
-            files_dir, mdt_instant, by_partition
+        slice_name, n, size = _mdt_write_base_slice(
+            pub, files_dir, mdt_instant, by_partition
         )
         files_stat = _write_stat(
             "files",
             _MDT_FILE_GROUP,
             f"files/{slice_name}",
             n,
-            os.stat(os.path.join(files_dir, slice_name)).st_size,
+            size,
             "numInserts" if first else "numUpdateWrites",
         )
         mdt_state["base_instant"] = mdt_instant
@@ -2804,15 +2890,15 @@ def _sync_metadata_table(
         if records and mdt_state.get("log_version", 0) >= _MDT_COMPACT_EVERY:
             # chain compaction: fresh full-listing base, new
             # attachment instant, MDT-timeline `commit`
-            slice_name, n = _mdt_write_base_slice(
-                files_dir, instant, by_partition
+            slice_name, n, size = _mdt_write_base_slice(
+                pub, files_dir, instant, by_partition
             )
             files_stat = _write_stat(
                 "files",
                 _MDT_FILE_GROUP,
                 f"files/{slice_name}",
                 n,
-                os.stat(os.path.join(files_dir, slice_name)).st_size,
+                size,
                 "numUpdateWrites",
             )
             action = "commit"
@@ -2829,18 +2915,16 @@ def _sync_metadata_table(
                 f".log.{version}_{_WRITE_TOKEN}"
             )
             schema = _mdt_record_schema()
-            write_avro_log_file(
-                os.path.join(files_dir, log_name),
-                instant,
-                schema,
-                encode_records(records, schema),
+            blob = avro_log_file_bytes(
+                instant, schema, encode_records(records, schema)
             )
+            pub.put_bytes(os.path.join(files_dir, log_name), blob)
             files_stat = _write_stat(
                 "files",
                 _MDT_FILE_GROUP,
                 f"files/{log_name}",
                 0,
-                os.stat(os.path.join(files_dir, log_name)).st_size,
+                len(blob),
                 "numUpdateWrites",
             )
             files_stat["totalLogRecords"] = len(records)
@@ -2850,17 +2934,17 @@ def _sync_metadata_table(
     cs_stat = None
     if column_stats:
         cs_stat = _sync_colstats_partition(
-            table, hoodie, tl_instant, known, mdt_state
+            table, hoodie, tl_instant, known, mdt_state, pub
         )
     bf_stat = None
     if bloom_filters:
         bf_stat = _sync_bloom_partition(
-            table, hoodie, tl_instant, known, mdt_state
+            table, hoodie, tl_instant, known, mdt_state, pub
         )
     rli_stats = None
     if record_index:
         rli_stats = _sync_rli_partition(
-            table, hoodie, tl_instant, known, mdt_state,
+            table, hoodie, tl_instant, known, mdt_state, pub,
             shards=record_index_shards,
         )
     parts: dict[str, list] = {}
@@ -2880,9 +2964,9 @@ def _sync_metadata_table(
             os.path.join(mdt_hoodie, f"{tl_instant}.deltacommit")
         ) or os.path.exists(os.path.join(mdt_hoodie, f"{tl_instant}.commit")):
             tl_instant = _next_instant({"instants": [tl_instant]})
-        _mdt_write_timeline(mdt_hoodie, tl_instant, parts, action)
+        _mdt_write_timeline(pub, mdt_hoodie, tl_instant, parts, action)
     if state is not None:
-        _save_state(hoodie, state)
+        _save_state(pub, hoodie, state)
 
 
 def hudi_metadata_listing(base_path: str) -> dict[str, dict[str, int]]:
@@ -2969,23 +3053,28 @@ def hudi_metadata_listing(base_path: str) -> dict[str, dict[str, int]]:
 
 
 def clean_hudi_personality(
-    table: LakehouseTable, keep_last_instants: int = 10
+    table: LakehouseTable, keep_last_instants: int = 10, store=None
 ) -> dict:
     """Serialized like the sync (same `.hoodie`-scoped mutex, r11):
     clean rewrites the shared sync state, so it must not interleave
-    with a concurrent syncer's read-modify-write."""
+    with a concurrent syncer's read-modify-write. Deletes and the
+    archival moves flow through the same ObjectStoreClient contract
+    as the sync's publishes (VERDICT r11 #3)."""
     hoodie = _hoodie_dir(table)
     os.makedirs(hoodie, exist_ok=True)
     provider = table.timeline.lock_provider.scoped(hoodie)
     provider.acquire_mutex("hudi_sync")
     try:
-        return _clean_hudi_personality_locked(table, keep_last_instants)
+        return _clean_hudi_personality_locked(
+            table, keep_last_instants, _publisher(table, store)
+        )
     finally:
         provider.release_mutex("hudi_sync")
 
 
 def _clean_hudi_personality_locked(
-    table: LakehouseTable, keep_last_instants: int = 10
+    table: LakehouseTable, keep_last_instants: int = 10,
+    pub: _Publisher | None = None,
 ) -> dict:
     """Age out retired Hudi-named slices and archive their timeline
     instants (Hudi clean + timeline archival semantics, r10): slices
@@ -3000,7 +3089,9 @@ def _clean_hudi_personality_locked(
     time travel fails like the engine's own clean contract. Also
     drops superseded metadata-table slices past the horizon."""
     hoodie = _hoodie_dir(table)
-    state = _load_state(hoodie)
+    if pub is None:
+        pub = _publisher(table)
+    state = _load_state(hoodie, pub)
     instants = state["instants"]
     if len(instants) <= keep_last_instants:
         return {"deleted_files": [], "archived_instants": []}
@@ -3008,9 +3099,7 @@ def _clean_hudi_personality_locked(
     deleted: list[str] = []
     for rel, ent in sorted(state["retired"].items()):
         if ent["instant"] < boundary:
-            abs_path = os.path.join(table.base_path, rel)
-            if os.path.exists(abs_path):
-                os.remove(abs_path)
+            pub.delete(os.path.join(table.base_path, rel))
             deleted.append(rel)
             del state["retired"][rel]
     arch_dir = os.path.join(hoodie, "archived")
@@ -3023,10 +3112,15 @@ def _clean_hudi_personality_locked(
             and (name.endswith(".requested") or name.endswith(".inflight"))
         )
         if (m or is_transition) and stem < boundary:
-            os.makedirs(arch_dir, exist_ok=True)
-            os.replace(
-                os.path.join(hoodie, name), os.path.join(arch_dir, name)
-            )
+            # S3 archival move: copy-then-delete (no rename on object
+            # stores); the archived copy publishes atomically before
+            # the active-timeline object disappears, so a concurrent
+            # replay never sees the instant missing from BOTH places.
+            src = os.path.join(hoodie, name)
+            blob = pub.get_bytes(src)
+            if blob is not None:
+                pub.put_bytes(os.path.join(arch_dir, name), blob)
+                pub.delete(src)
             if m:
                 archived.append(stem)
     # metadata-table slices: newest always survives; older-than-horizon
@@ -3044,7 +3138,7 @@ def _clean_hudi_personality_locked(
             newest_inst = _mdt_slice_instant(newest)
             for n in slices:
                 if n != newest and _mdt_slice_instant(n) < boundary:
-                    os.remove(os.path.join(files_dir, n))
+                    pub.delete(os.path.join(files_dir, n))
             # delta log files attached to a SUPERSEDED base (their
             # records were folded into a newer base by chain
             # compaction) age out with it past the horizon
@@ -3055,7 +3149,7 @@ def _clean_hudi_personality_locked(
                     continue
                 attached = n[len(_MDT_FILE_GROUP) + 2 :].split(".log.")[0]
                 if attached != newest_inst and attached < boundary:
-                    os.remove(os.path.join(files_dir, n))
+                    pub.delete(os.path.join(files_dir, n))
     # metadata-index partitions (r11): base slices + chains
     # superseded by a roll-up (attachment instant older than the
     # newest base's) age out the same way; sharded record_index
@@ -3078,8 +3172,8 @@ def _clean_hudi_personality_locked(
             newest_attach = max(attach_of.values())
             for n, attached in attach_of.items():
                 if attached != newest_attach and attached < boundary:
-                    os.remove(os.path.join(idx_dir, n))
-    _save_state(hoodie, state)
+                    pub.delete(os.path.join(idx_dir, n))
+    _save_state(pub, hoodie, state)
     return {"deleted_files": deleted, "archived_instants": archived}
 
 

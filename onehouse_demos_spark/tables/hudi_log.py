@@ -175,16 +175,16 @@ def encode_records(rows: list[dict], schema_json: str) -> list[bytes]:
     return out
 
 
-def write_avro_log_file(
-    path: str,
+def avro_log_file_bytes(
     instant: str,
     schema_json: str,
     records: list[bytes],
-) -> None:
+) -> bytes:
     """One log file holding one AVRO_DATA_BLOCK (Hudi writes one block
     per appended batch; the personality maps one engine log file to
     one Hudi log file, preserving engine-commit order in the file
-    version number)."""
+    version number). Returns the full file image so the caller can
+    publish it as one atomic object-store PUT (VERDICT r11 #3)."""
     content = struct.pack(">II", AVRO_CONTENT_VERSION, len(records))
     content += b"".join(
         struct.pack(">I", len(r)) + r for r in records
@@ -204,6 +204,17 @@ def write_avro_log_file(
     # (fixture framing: size = filelen-14, total = filelen-8).
     blob = MAGIC + struct.pack(">Q", len(body) + 8) + body
     blob += struct.pack(">Q", len(blob))
+    return blob
+
+
+def write_avro_log_file(
+    path: str,
+    instant: str,
+    schema_json: str,
+    records: list[bytes],
+) -> None:
+    """Local-filesystem writer over avro_log_file_bytes (tmp+rename)."""
+    blob = avro_log_file_bytes(instant, schema_json, records)
     tmp = path + ".tmp"
     with open(tmp, "wb") as fh:
         fh.write(blob)

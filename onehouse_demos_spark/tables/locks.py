@@ -257,6 +257,16 @@ class ObjectStoreClient:
     def put_object(self, key: str, data: bytes, if_none_match: bool = False) -> bool:
         raise NotImplementedError
 
+    def put_object_from_file(
+        self, key: str, src_path: str, if_none_match: bool = False
+    ) -> bool:
+        """Full-object PUT streamed from a local file (S3 upload_file).
+        Default implementation reads the bytes; emulators may override
+        with a zero-copy path (hardlink) — the CALLER still sees only
+        the S3 contract."""
+        with open(src_path, "rb") as fh:
+            return self.put_object(key, fh.read(), if_none_match=if_none_match)
+
     def get_object(self, key: str) -> bytes | None:
         raise NotImplementedError
 
@@ -339,6 +349,113 @@ class FSObjectStoreEmulator(ObjectStoreClient):
             key = unquote(n)
             if key.startswith(prefix):
                 out.append(key)
+        return sorted(out)
+
+
+class TreeFSObjectStoreEmulator(ObjectStoreClient):
+    """Filesystem emulation of the S3 contract with a HIERARCHICAL
+    keyspace: keys are bucket-relative POSIX paths materialized as
+    real files under ``root`` (parent directories are an emulation
+    artifact — S3 has no directories). This is the default store for
+    the Hudi-personality publisher (VERDICT r11 #3): the layout
+    external Hudi readers scan is byte-identical to the pre-seam
+    direct writes, while the PERSONALITY code sees only atomic
+    full-object puts — conditional put (O_EXCL-linked) for commit
+    points, tmp+rename INSIDE the emulator for overwrites, hardlink
+    for the zero-copy file upload. Picklable (holds only the root
+    path) so Spark executors can publish shard files through the same
+    contract."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _obj(self, key: str) -> str:
+        if key.startswith("/") or ".." in key.split("/"):
+            raise ValueError(f"object key escapes the bucket: {key!r}")
+        return os.path.join(self.root, *key.split("/"))
+
+    def _tmp(self, dst: str) -> str:
+        return os.path.join(
+            os.path.dirname(dst), f".put.{uuid.uuid4().hex}.tmp"
+        )
+
+    def put_object(self, key: str, data: bytes, if_none_match: bool = False) -> bool:
+        dst = self._obj(key)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = self._tmp(dst)
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            if if_none_match:
+                try:
+                    os.link(tmp, dst)  # store-side atomic create-if-absent
+                    return True
+                except FileExistsError:
+                    return False
+            os.rename(tmp, dst)
+            tmp = None
+            return True
+        finally:
+            if tmp is not None and os.path.exists(tmp):
+                os.remove(tmp)
+
+    def put_object_from_file(
+        self, key: str, src_path: str, if_none_match: bool = False
+    ) -> bool:
+        dst = self._obj(key)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        if if_none_match:
+            try:
+                os.link(src_path, dst)
+                return True
+            except FileExistsError:
+                return False
+            except OSError:
+                return super().put_object_from_file(
+                    key, src_path, if_none_match=True
+                )
+        tmp = self._tmp(dst)
+        try:
+            os.link(src_path, tmp)  # one inode, zero copied bytes
+        except OSError:  # cross-device: fall back to a byte copy
+            import shutil
+
+            shutil.copy2(src_path, tmp)
+        os.rename(tmp, dst)
+        return True
+
+    def get_object(self, key: str) -> bytes | None:
+        try:
+            with open(self._obj(key), "rb") as fh:
+                return fh.read()
+        except (FileNotFoundError, IsADirectoryError):
+            return None
+
+    def head_object(self, key: str) -> dict | None:
+        p = self._obj(key)
+        try:
+            if os.path.isdir(p):
+                return None
+            return {"last_modified": os.path.getmtime(p)}
+        except FileNotFoundError:
+            return None
+
+    def delete_object(self, key: str) -> None:
+        try:
+            os.remove(self._obj(key))
+        except (FileNotFoundError, IsADirectoryError):
+            pass
+
+    def list_keys(self, prefix: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, names in os.walk(self.root):
+            for n in names:
+                if n.startswith(".put."):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, n), self.root)
+                key = rel.replace(os.sep, "/")
+                if key.startswith(prefix):
+                    out.append(key)
         return sorted(out)
 
 

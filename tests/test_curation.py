@@ -90,7 +90,7 @@ def test_shingle_containment_direction(spark):
     assert rows, "containment found nothing — fixture should contain dups"
     for r in rows:
         assert r.doc_a != r.doc_b
-        assert CONTAINMENT_MIN <= r.containment <= 1.0
+        assert CONTAINMENT_MIN * 10000 <= r.containment_e4 <= 10000
 
 
 def test_tfidf_topk_shape(spark):
@@ -114,7 +114,7 @@ def test_tfidf_topk_shape(spark):
             out.alias("b"),
             (F.col("a.doc_id") == F.col("b.doc_id"))
             & (F.col("a.rnk") + 1 == F.col("b.rnk"))
-            & (F.col("a.tfidf_r") < F.col("b.tfidf_r")),
+            & (F.col("a.tfidf_e4") < F.col("b.tfidf_e4")),
         )
         .count()
     )

@@ -1643,8 +1643,8 @@ def test_concurrent_hudi_syncers_serialize_and_converge(spark, tmp_base):
     b = threading.Barrier(2)
     orig = hx._load_state
 
-    def barriered(hoodie):
-        state = orig(hoodie)
+    def barriered(hoodie, pub=None):
+        state = orig(hoodie, pub)
         try:
             # Under the mutex the second syncer can never reach this
             # point concurrently — the barrier TIMES OUT, which is the
@@ -1774,7 +1774,7 @@ def test_sync_crash_between_commit_and_state_save_stays_exact(
     sync_hudi_metadata(t)
     t.upsert(spark.createDataFrame([("k03", 2, "GOOG", 999.0)], DDL))
     saved = he._save_state
-    he._save_state = lambda hoodie, state: None  # crash before save
+    he._save_state = lambda pub, hoodie, state: None  # crash before save
     try:
         sync_hudi_metadata(t)
     finally:

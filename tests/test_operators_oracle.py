@@ -83,9 +83,11 @@ def test_driver_window_covers_distinct_operator_classes():
     must_have = {
         "near_dup_canonical",
         "text_stats", "multimodal_features", "streaming_hourly_counts",
-        "sql_dml_pipeline", "asof_prior_click",
+        "sql_dml_pipeline",
         # r6 rotation: the signature work is driver-verified
-        "tbl_iceberg_personality_read", "knn_ivf_trained",
+        # (knn_ivf_trained and asof_prior_click rotated out r12; ANN
+        # class stays covered by pq_adc_topk + ann_index_*)
+        "tbl_iceberg_personality_read",
         "semantic_dedup_keep", "tbl_schema_evolved_read",
         # r8 rotation: index-routed SQL DML, bucket layout, the
         # partial_update payload and the secondary-index read
@@ -104,14 +106,21 @@ def test_driver_window_covers_distinct_operator_classes():
         # r10 rotation survivors (VERDICT r9 ask #6): the Hudi MOR
         # legs and the consistent-engine split pipeline stay PINNED
         "tbl_hudi_mor_read", "tbl_hudi_rt_read", "tbl_bucket_split_read",
-        "bm25_topk", "sole_late_supplier",
-        # r11 rotation (VERDICT r10 ask #4): the ten never-checked
-        # ANN/curation flagships + this round's metadata-index read
+        "bm25_topk",
+        # r11 rotation (VERDICT r10 ask #4) survivors: the r11
+        # hash-fails stay PINNED with their r12 floor-quantized
+        # contracts; the rest of the r11 cohort rotated back out r12.
         "pq_adc_topk", "ann_index_search", "ann_index_incremental",
-        "cluster_balanced_sample", "dsir_importance_weights",
-        "near_dup_components_star", "events_gapfill", "corpus_build",
-        "value_quantile_sketch", "top_supplier_revenue",
+        "dsir_importance_weights", "events_gapfill",
+        "value_quantile_sketch",
         "tbl_hudi_stats_planned_read",
+        # r12 rotation (VERDICT r11 ask #4): ten never-driver-checked
+        # queries enter the window
+        "tbl_hudi_bloom_point_read", "events_ohlc_bars",
+        "pq_reconstruction_summary", "unigram_logprob_scores",
+        "streaming_session_counts", "streaming_click_attribution",
+        "doc_chunking", "sequence_packing_summary",
+        "tfidf_topk_terms", "shingle_containment_pairs",
         # late-r11: the record_index metadata partition's exact
         # point-read planning (this session's flagship)
         "tbl_hudi_rli_point_read",

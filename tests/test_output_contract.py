@@ -58,14 +58,6 @@ ROUND_WHITELIST = {
         "product, IEEE-exact sqrt). Green in the r11 driver run.",
     "ann_index_incremental": "same construction as ann_index_search.",
     "pq_adc_topk": "same ADC construction as ann_index_search.",
-    "knn_ivf_trained":
-        "ROUND(list_distance,6) only breaks assignment ties between "
-        "centroids; final cos_sim is single-expression array "
-        "arithmetic. Green in the r11 driver run.",
-    "cluster_balanced_sample":
-        "ROUND(list_distance,6) assignment ties as knn_ivf_trained; "
-        "the cap CEIL(0.5*n/8.0) is powers-of-two exact in both "
-        "decimal and double arithmetic. Green in the r11 driver run.",
     "bm25_topk":
         "ROUND(SUM(c),6): per-doc sums of O(1..10) term contributions, "
         "ulp ~1e-15 against a 5e-7 half boundary; ordering tie-broken "
