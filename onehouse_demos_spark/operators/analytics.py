@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from onehouse_demos_spark.functions.quantize import fquant, fsum
 from onehouse_demos_spark.operators.relational import load, load_events
 
 
@@ -26,13 +27,14 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        # engine-proof floor-quantized contract (VERDICT r11 #2)
+        fsum(F.col("o_totalprice")).alias("total"),
     )
 
 
 ROLLUP_STATUS_PRIORITY_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -46,13 +48,13 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        fsum(F.col("l_quantity")).alias("qty"),
     )
 
 
 CUBE_RETURNFLAG_LINESTATUS_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       ROUND(SUM(l_quantity), 2) AS qty
+       CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -288,18 +290,55 @@ SELECT event_type, TRUE AS within_tol FROM events GROUP BY event_type
 # --------------------------------------------------------------------------
 
 def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete rank-selected order statistics (VERDICT r11 #2, the
+    value_quantile_sketch class): interpolated percentiles diverge
+    across engines/versions; the k-th smallest ELEMENT at an
+    integer-arithmetic rank is single-valued everywhere. Output is the
+    raw 2dp element floor-quantized to BIGINT cents."""
+    from pyspark.sql import Window
+
     orders = load(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_total"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_total"),
+    rw = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    n = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        orders.select("o_orderstatus", "o_totalprice")
+        .withColumn("_r", F.row_number().over(rw))
+        .join(F.broadcast(n), "o_orderstatus")
+    )
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max(
+            F.when(
+                F.col("_r") == F.expr("(_n + 1) div 2"),
+                F.floor(F.col("o_totalprice") * 100).cast("long"),
+            )
+        ).alias("median_total_e2"),
+        F.max(
+            F.when(
+                F.col("_r") == F.expr("(_n * 9 + 9) div 10"),
+                F.floor(F.col("o_totalprice") * 100).cast("long"),
+            )
+        ).alias("p90_total_e2"),
     )
 
 
 MEDIAN_ORDER_VALUE_SQL = """
-SELECT o_orderstatus,
-       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_total,
-       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_total
-FROM orders GROUP BY o_orderstatus
+WITH n AS (
+  SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1
+), ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice) AS r
+  FROM orders
+)
+SELECT ranked.o_orderstatus,
+       MAX(CASE WHEN r = (n + 1) // 2
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+         AS median_total_e2,
+       MAX(CASE WHEN r = (n * 9 + 9) // 10
+                THEN CAST(FLOOR(o_totalprice * 100) AS BIGINT) END)
+         AS p90_total_e2
+FROM ranked JOIN n USING (o_orderstatus)
+GROUP BY ranked.o_orderstatus
 """
 
 
@@ -351,10 +390,19 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drnk"),
         F.row_number().over(w).alias("rn"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # floor-quantized contract: cume_dist is an exact rank/count
+        # division (deterministic) but ROUND's half-tie rule is not
+        # (rank/2^7 counts land EXACTLY on 7th-decimal ties); same for
+        # the running double sum (VERDICT r11 #2)
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias(
+            "cume_e6"
+        ),
         F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
         F.lead("o_orderkey", 1).over(w).alias("next_ok"),
-        F.round(F.sum("o_totalprice").over(run), 2).alias("run_total"),
+        (
+            F.sum(fquant(F.col("o_totalprice"))).over(run).cast("double")
+            / 100.0
+        ).alias("run_total"),
     )
 
 
@@ -364,13 +412,14 @@ SELECT o_custkey, o_orderkey,
        DENSE_RANK() OVER w AS drnk,
        ROW_NUMBER() OVER w AS rn,
        NTILE(4) OVER w AS quartile,
-       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_e6,
        LAG(o_orderkey, 1) OVER w AS prev_ok,
        LEAD(o_orderkey, 1) OVER w AS next_ok,
-       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-             ORDER BY o_totalprice DESC, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
-           AS run_total
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS run_total
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey
              ORDER BY o_totalprice DESC, o_orderkey)
@@ -391,7 +440,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            fsum(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -399,7 +448,8 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MONTHLY_REVENUE_TREND_SQL = """
 SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-       ROUND(SUM(o_totalprice), 2) AS revenue,
+       CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue,
        COUNT(*) AS n_orders
 FROM orders GROUP BY 1
 """
@@ -448,8 +498,11 @@ GROUP BY c_count
 
 def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
+    # floor-quantized BIGINT cents through the whole pipeline: the
+    # double->DECIMAL per-row cast rode engine-specific tie rules
+    # (VERDICT r11 #2, the gapfill class)
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        F.sum(fquant(F.col("o_totalprice"))).alias("rev_e2")
     )
     w = (
         Window.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
@@ -457,8 +510,10 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "day",
-        F.round(F.col("rev").cast("double"), 2).alias("day_rev_r"),
-        F.round(F.sum("rev").over(w).cast("double"), 2).alias("sum7_r"),
+        (F.col("rev_e2").cast("double") / 100.0).alias("day_rev_r"),
+        (
+            F.sum("rev_e2").over(w).cast("double") / 100.0
+        ).alias("sum7_r"),
         F.count(F.lit(1)).over(w).alias("n_days7"),
     )
 
@@ -466,12 +521,13 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 REVENUE_MOVING_AVG_SQL = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
-         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_e2
   FROM orders GROUP BY 1
 )
 SELECT day,
-       ROUND(CAST(rev AS DOUBLE), 2) AS day_rev_r,
-       ROUND(CAST(SUM(rev) OVER w AS DOUBLE), 2) AS sum7_r,
+       CAST(rev_e2 AS DOUBLE) / 100.0 AS day_rev_r,
+       CAST(SUM(rev_e2) OVER w AS DOUBLE) / 100.0 AS sum7_r,
        COUNT(*) OVER w AS n_days7
 FROM daily
 WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
@@ -569,9 +625,7 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("lo", "hi").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
-        ).alias("sum_value_r"),
+        fsum(F.col("value")).alias("sum_value_r"),
     )
 
 
@@ -579,7 +633,7 @@ _BANDS_VALUES_SQL = ", ".join(f"({lo}, {hi})" for lo, hi in _VALUE_BANDS)
 
 RANGE_JOIN_BANDS_SQL = f"""
 SELECT lo, hi, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+       CAST(SUM(CAST(FLOOR((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS sum_value_r
 FROM events
 JOIN (VALUES {_BANDS_VALUES_SQL}) AS bands(lo, hi)
@@ -607,17 +661,17 @@ def skew_safe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("psum"),
+        F.sum(fquant(F.col("value"))).alias("psum_e2"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("pn").alias("n_events"),
-        F.round(F.sum("psum").cast("double"), 2).alias("sum_value_r"),
+        (F.sum("psum_e2").cast("double") / 100.0).alias("sum_value_r"),
     )
 
 
 SKEW_SAFE_AGG_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+       CAST(SUM(CAST(FLOOR((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS sum_value_r
 FROM events GROUP BY event_type
 """
@@ -1007,46 +1061,62 @@ _Q11_QUANTILE = 0.99
 
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     li = load(spark, sf_dir, "lineitem")
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # floor-quantized e4 integer sums (VERDICT r11 #2): the per-row
+    # double->DECIMAL cast and the interpolated percentile threshold
+    # were both r11 driver-failure classes; the threshold is now the
+    # rank-ceil(q*n) ORDER STATISTIC of exact integers.
     groups = li.groupBy("l_partkey").agg(
-        F.sum(value.cast("decimal(18,4)")).alias("part_value")
+        F.sum(fquant(value, 4)).alias("part_value_e4")
     )
-    total = groups.agg(
-        F.expr(
-            f"percentile(CAST(part_value AS DOUBLE), {_Q11_QUANTILE})"
-        ).alias("threshold")
+    n = groups.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        groups.select("part_value_e4")
+        .withColumn(
+            "_r", F.row_number().over(Window.orderBy("part_value_e4"))
+        )
+        .crossJoin(F.broadcast(n))
     )
+    threshold = ranked.filter(
+        F.col("_r") == F.expr("(_n * 99 + 99) div 100")
+    ).select(F.col("part_value_e4").alias("threshold_e4"))
     # crossJoin with a ONE-ROW broadcast side plans as a
     # BroadcastNestedLoopJoin — that is the standard scalar-subquery
     # physical shape (O(groups) work, broadcast payload = one scalar),
-    # not an all-pairs join.
-    # part_value stays DECIMAL(18,4): the 4-decimal sums are EXACT in
-    # both engines, whereas a downcast to (18,2) exposes a rounding-
-    # mode divergence (Spark HALF_UP vs DuckDB truncation).
+    # not an all-pairs join. The rank window runs over the GROUPS
+    # frame (one row per part), never the fact table.
     return (
-        groups.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
-        .select("l_partkey", "part_value")
-        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+        groups.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value_e4") > F.col("threshold_e4"))
+        .select("l_partkey", "part_value_e4")
+        .orderBy(F.desc("part_value_e4"), F.asc("l_partkey"))
         .limit(50)
     )
 
 
-IMPORTANT_PART_VALUE_SQL = f"""
+IMPORTANT_PART_VALUE_SQL = """
 WITH g AS (
   SELECT l_partkey,
-         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-           AS part_value
+         CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                       AS BIGINT)) AS BIGINT) AS part_value_e4
   FROM lineitem
   GROUP BY l_partkey
+), n AS (
+  SELECT COUNT(*) AS n FROM g
+), ranked AS (
+  SELECT part_value_e4,
+         ROW_NUMBER() OVER (ORDER BY part_value_e4) AS r
+  FROM g
+), th AS (
+  SELECT part_value_e4 AS th FROM ranked, n WHERE r = (n * 99 + 99) // 100
 )
-SELECT l_partkey, part_value
-FROM g
-WHERE part_value > (
-  SELECT quantile_cont(CAST(part_value AS DOUBLE), {_Q11_QUANTILE}) FROM g
-)
-ORDER BY part_value DESC, l_partkey ASC
+SELECT l_partkey, part_value_e4
+FROM g, th
+WHERE part_value_e4 > th
+ORDER BY part_value_e4 DESC, l_partkey ASC
 LIMIT 50
 """
 
@@ -1079,12 +1149,20 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         flt.withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            # SUM(e2)/700 = (sum/100)/7: exact integer sum, ONE
+            # closing IEEE division (VERDICT r11 #2)
+            (
+                F.sum(fquant(F.col("l_extendedprice"))).cast("double")
+                / 700.0
+            ).alias("avg_yearly")
+        )
     )
 
 
 SMALL_QUANTITY_REVENUE_SQL = """
-SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE)
+         / 700.0 AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#23'
   AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
@@ -1103,7 +1181,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(fsum(F.col("l_quantity")).alias("total_qty"))
         .filter(F.col("total_qty") > 250)
     )
     return (
@@ -1124,8 +1202,12 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 LARGE_VOLUME_CUSTOMERS_SQL = """
 SELECT c_name, c_custkey, o_orderkey,
        ROUND(o_totalprice, 2) AS o_totalprice_r, total_qty
-FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250) big
+FROM (SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(FLOOR((l_quantity) * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 > 250) big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey ASC
@@ -1187,7 +1269,7 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("cust_nation", "supp_nation")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(fsum(rev, 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("cust_nation"), F.asc("supp_nation"))
         .limit(20)
     )
@@ -1195,7 +1277,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NATION_TRADE_VOLUME_SQL = """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1236,10 +1319,15 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate"))
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev))
-                / F.sum(rev),
-                4,
+            # exact integer numerator/denominator, ONE IEEE division,
+            # no rounding rule at the boundary (VERDICT r11 #2)
+            (
+                F.sum(
+                    fquant(
+                        F.when(F.col("supp_nation") == "NATION_5", rev), 4
+                    )
+                ).cast("double")
+                / F.sum(fquant(rev, 4)).cast("double")
             ).alias("mkt_share")
         )
         .orderBy("o_year")
@@ -1248,9 +1336,11 @@ def regional_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 REGIONAL_MARKET_SHARE_SQL = """
 SELECT YEAR(o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN sn.n_name = 'NATION_5'
-                      THEN l_extendedprice * (1 - l_discount) END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+       CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+                     THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                     * 10000) AS BIGINT) END) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                         AS BIGINT)) AS DOUBLE) AS mkt_share
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1291,11 +1381,12 @@ def bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.filter(bracket).agg(F.round(F.sum(rev), 2).alias("revenue"))
+    return j.filter(bracket).agg(fsum(rev, 4).alias("revenue"))
 
 
 BRACKETED_REVENUE_SQL = """
-SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 11)
@@ -1330,7 +1421,7 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            fsum(F.col("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1338,7 +1429,8 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IDLE_CUSTOMER_BALANCE_SQL = """
 SELECT c_mktsegment, COUNT(*) AS numcust,
-       ROUND(SUM(c_acctbal), 2) AS totacctbal
+       CAST(SUM(CAST(FLOOR((c_acctbal) * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS totacctbal
 FROM customer
 WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) *
       (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0) >
@@ -1435,18 +1527,12 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_custkey")
         .agg(
-            # decimal-exact sum, ROUNDed while still decimal (a .x95
-            # half-case rounds identically in both engines only before
-            # the binary-double cast), then surfaced as double
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (1 - F.col("l_discount")).cast("decimal(18,2)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            # per-row floor quantization replaced the double->DECIMAL
+            # casts: the cast tie rule is engine-specific (the r11
+            # gapfill hash flip), IEEE multiply + floor is not
+            fsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
         )
         .join(
             F.broadcast(customer),
@@ -1470,9 +1556,8 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RETURNED_ITEM_REPORT_SQL = """
 SELECT c_custkey, c_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      CAST(1 - l_discount AS DECIMAL(18,2))), 2)
-            AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
        ROUND(c_acctbal, 2) AS acctbal, n_name AS nation
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1500,22 +1585,15 @@ def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(18,2)")
-            ),
-            2,
+        fsum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
+            "revenue"
         )
-        .cast("double")
-        .alias("revenue")
     )
 
 
 FORECAST_REVENUE_CHANGE_SQL = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                      CAST(l_discount AS DECIMAL(18,2))), 2)
-            AS DOUBLE) AS revenue
+SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07

@@ -375,7 +375,7 @@ wc AS (
   SELECT substring(word, i, 2) AS pair, cnt
   FROM wc, UNNEST(range(1, length(word))) AS t(i)
 ), totals AS (
-  SELECT pair, SUM(cnt) AS total FROM pairs GROUP BY pair
+  SELECT pair, CAST(SUM(cnt) AS BIGINT) AS total FROM pairs GROUP BY pair
 ), ranked AS (
   SELECT pair, total,
          ROW_NUMBER() OVER (ORDER BY total DESC, pair ASC) AS rnk
@@ -558,11 +558,12 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_MIXTURE_WEIGHTS_SQL = """
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\\s+')) END)
+              AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (
-  SELECT SUM(n_tokens) AS tot FROM per_src
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per_src
 ), shared AS (
   SELECT per_src.*, sqrt(n_tokens::DOUBLE / tot.tot) AS s, tot.tot FROM per_src, tot
 ), z AS (

@@ -139,16 +139,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
+        # pure-integer e4 score + threshold (VERDICT r11 #2):
+        # ROUND(int/int, 4) hits exact decimal half-ties when the
+        # union count is a power of two; inter*10 >= union*8 and the
+        # integer div cannot fork between engines
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
-                4,
-            ),
+            "jaccard_e4",
+            F.expr("(inter * 10000) div (sz_a + sz_b - inter)"),
         )
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(
+            F.col("inter") * 10
+            >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * 8
+        )
+        .select("doc_a", "doc_b", "jaccard_e4")
     )
 
 
@@ -181,11 +184,12 @@ WITH norm AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+       CAST((inter * 10000) // (sa.sz + sb.sz - inter) AS BIGINT)
+         AS jaccard_e4
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.8
+WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 8
 """
 
 
@@ -621,8 +625,11 @@ def duplicate_passage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_windows",
             "n_dup_windows",
-            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias(
-                "dup_frac"
+            # pure-integer e4 fraction: ROUND(int/int, 4) hits exact
+            # decimal half-ties on power-of-two window counts
+            # (VERDICT r11 #2, the shingle-containment class)
+            F.expr("(n_dup_windows * 10000) div n_windows").alias(
+                "dup_frac_e4"
             ),
             F.coalesce(F.col("longest_dup_run"), F.lit(0).cast("long")).alias(
                 "longest_dup_run"
@@ -663,7 +670,8 @@ WITH norm AS (
 SELECT f.doc_id,
        COUNT(*) AS n_windows,
        CAST(SUM(CASE WHEN f.isdup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
-       ROUND(SUM(CASE WHEN f.isdup THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS dup_frac,
+       CAST((SUM(CASE WHEN f.isdup THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+            AS BIGINT) AS dup_frac_e4,
        CAST(COALESCE(MAX(r.longest), 0) AS BIGINT) AS longest_dup_run
 FROM flag f LEFT JOIN runlen r ON f.doc_id = r.doc_id
 GROUP BY f.doc_id
@@ -707,14 +715,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        # threshold on the RAW ratio (the oracle filters the same way);
-        # rounding is display-only — filtering the rounded value would
-        # diverge at the 0.49995 boundary.
-        hits.filter(F.col("n_hits") / F.col("n_shingles") >= 0.5)
+        # pure-integer score + threshold (VERDICT r11 #2): the e4
+        # integer div and 2*hits >= shingles cannot fork on an
+        # engine's rounding rule or a ulp at the boundary
+        hits.filter(F.col("n_hits") * 2 >= F.col("n_shingles"))
         .withColumn(
-            "overlap", F.round(F.col("n_hits") / F.col("n_shingles"), 4)
+            "overlap_e4", F.expr("(n_hits * 10000) div n_shingles")
         )
-        .select("doc_id", "n_shingles", "n_hits", "overlap")
+        .select("doc_id", "n_shingles", "n_hits", "overlap_e4")
     )
 
 
@@ -743,9 +751,9 @@ WITH norm AS (
   GROUP BY s.doc_id
 )
 SELECT doc_id, n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
-       ROUND(n_hits::DOUBLE / n_shingles, 4) AS overlap
+       CAST((n_hits * 10000) // n_shingles AS BIGINT) AS overlap_e4
 FROM hits
-WHERE n_hits::DOUBLE / n_shingles >= 0.5
+WHERE n_hits * 2 >= n_shingles
 """
 
 

@@ -288,13 +288,15 @@ def tbl_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.insert(orders.withColumn("ver", F.lit(1)))
 
     def agg(df):
+        # floor-quantized BIGINT cents (VERDICT r11 #2): the per-row
+        # double->DECIMAL cast rode engine-specific tie rules
         return df.groupBy("o_orderstatus", "o_orderpriority").agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
-                    "double"
-                ),
-                2,
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                ).cast("double")
+                / 100.0
             ).alias("rev_r"),
         )
 
@@ -315,10 +317,10 @@ def tbl_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TBL_MATVIEW_ROLLUP_SQL = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       ROUND(CAST(SUM(CAST(
+       CAST(SUM(CAST(FLOOR((
          CASE WHEN o_orderstatus = 'O' AND o_orderkey % 5 = 0
-              THEN o_totalprice + 500.0 ELSE o_totalprice END
-         AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev_r
+              THEN o_totalprice + 500.0 ELSE o_totalprice END) * 100)
+         AS BIGINT)) AS DOUBLE) / 100.0 AS rev_r
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 """

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onehouse_demos_spark.functions.quantize import fquant, fsum
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -221,7 +223,10 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     rev = li.groupBy("l_orderkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        # engine-proof floor-quantized contract (VERDICT r11 #2)
+        fsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+        ).alias("rev")
     )
     return (
         orders.join(rev, orders.o_orderkey == rev.l_orderkey)
@@ -229,7 +234,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_custkey",
             "o_orderpriority",
-            F.round("rev", 2).alias("revenue"),
+            F.col("rev").alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
@@ -238,10 +243,12 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_REVENUE_ORDERS_SQL = """
 SELECT o_orderkey, o_custkey, o_orderpriority,
-       ROUND(rev, 2) AS revenue
+       rev AS revenue
 FROM orders
 JOIN (
-  SELECT l_orderkey, SUM(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0 AS rev
   FROM lineitem GROUP BY l_orderkey
 ) r ON o_orderkey = r.l_orderkey
 ORDER BY revenue DESC, o_orderkey ASC
@@ -464,8 +471,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # engine-proof floor-quantized contract (VERDICT r11 #2)
+            fsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
     )
@@ -473,7 +481,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LOCAL_SUPPLIER_VOLUME_SQL = """
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -529,11 +538,15 @@ def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(rev), 2).alias("revenue"),
-            F.round(
-                F.sum(F.when(F.col("p_brand") == "Brand#2", rev).otherwise(0.0))
-                / F.sum(rev) * 100.0,
-                4,
+            fsum(rev, 4).alias("revenue"),
+            # exact integer ratio scaled by 100: multiply THEN divide,
+            # written identically in the oracle (VERDICT r11 #2)
+            (
+                F.sum(
+                    fquant(F.when(F.col("p_brand") == "Brand#2", rev), 4)
+                ).cast("double")
+                * 100.0
+                / F.sum(fquant(rev, 4)).cast("double")
             ).alias("brand2_pct"),
         )
     )
@@ -542,10 +555,14 @@ def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROMO_REVENUE_BY_TYPE_SQL = """
 SELECT p_type,
        COUNT(*) AS n_items,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       ROUND(SUM(CASE WHEN p_brand = 'Brand#2'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)) * 100.0, 4) AS brand2_pct
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       CAST(SUM(CASE WHEN p_brand = 'Brand#2'
+                     THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                     * 10000) AS BIGINT) END) AS DOUBLE)
+         * 100.0
+         / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                         AS BIGINT)) AS DOUBLE) AS brand2_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
 """
@@ -581,8 +598,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         # way to carry the dependent column through.
         .agg(
             F.min("o_orderdate").alias("o_orderdate"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            fsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue"),
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -592,7 +609,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHIPPING_PRIORITY_SQL = """
 SELECT o_orderkey, o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN lineitem ON o_orderkey = l_orderkey

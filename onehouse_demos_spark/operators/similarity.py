@@ -106,20 +106,25 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         comps.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_comp"),
-            F.round(F.sum("x"), 4).alias("sum_all"),
+            # per-component floor-quantized integer sum: the double
+            # sum over label-many components is order-dependent and
+            # ROUND's half rule is engine-specific (VERDICT r11 #2)
+            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias(
+                "sum_all_e6"
+            ),
         )
     )
     return cents.select(
         "label",
         (F.col("n_comp") / 64).cast("long").alias("n_vectors"),
-        "sum_all",
+        "sum_all_e6",
     )
 
 
 LABEL_CENTROID_DISTANCE_SQL = """
 SELECT label,
        (COUNT(*) / 64)::BIGINT AS n_vectors,
-       ROUND(SUM(x), 4) AS sum_all
+       CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_all_e6
 FROM (
   SELECT label, UNNEST(embedding::DOUBLE[]) AS x FROM embeddings
 )

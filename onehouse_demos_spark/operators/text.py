@@ -119,8 +119,10 @@ def quality_filter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_total"),
             F.sum(F.col("keep").cast("int")).alias("n_kept"),
         )
+        # pure-integer e4 ratio (VERDICT r11 #2): ROUND(int/int, 4)
+        # hits exact decimal half-ties on power-of-two group sizes
         .withColumn(
-            "keep_ratio", F.round(F.col("n_kept") / F.col("n_total"), 4)
+            "keep_ratio_e4", F.expr("(n_kept * 10000) div n_total")
         )
     )
 
@@ -147,8 +149,8 @@ WITH scored AS (
 SELECT pred_lang,
        COUNT(*) AS n_total,
        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       ROUND(SUM(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
-         AS keep_ratio
+       CAST((SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+            AS BIGINT) AS keep_ratio_e4
 FROM scored
 GROUP BY pred_lang
 """
@@ -344,13 +346,24 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
     per = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
-    return per.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_distinct"),
-        F.round(
-            F.lit(1.0) - F.count(F.lit(1)) / F.sum("c"), 4
-        ).alias("dup_frac_r"),
-        F.round(F.max("c") / F.sum("c"), 4).alias("top_share_r"),
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("_max_c"),
+        )
+        # pure-integer e4 ratios (VERDICT r11 #2): ROUND(int/int, 4)
+        # hits exact decimal half-ties on power-of-two token counts
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr(
+                "((n_tokens - n_distinct) * 10000) div n_tokens"
+            ).alias("dup_frac_e4"),
+            F.expr("(_max_c * 10000) div n_tokens").alias("top_share_e4"),
+        )
     )
 
 
@@ -367,8 +380,9 @@ WITH toks AS (
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct,
-       ROUND(1.0 - COUNT(*)::DOUBLE / SUM(c), 4) AS dup_frac_r,
-       ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_share_r
+       CAST(((SUM(c) - COUNT(*)) * 10000) // SUM(c) AS BIGINT)
+         AS dup_frac_e4,
+       CAST((MAX(c) * 10000) // SUM(c) AS BIGINT) AS top_share_e4
 FROM per GROUP BY doc_id
 """
 

@@ -8,8 +8,10 @@ interpolated quantiles, per-row double->DECIMAL casts (tie rules),
 ROUND-half rules, and DuckDB's SUM(BIGINT)->HUGEINT widening (which
 pandas converts to float64 while Spark's stays int64).
 
-This test asserts the contract on every DRIVER-WINDOWED oracle (the
-first 50 registered — the only rows that face the gate):
+This test asserts the contract on the FULL registry (r12 widened it
+from the 50-query driver window: any registered query can rotate into
+the gate in a later round, so the whole registry must be
+contract-clean or carry a written justification):
 
 1. Type level (DESCRIBE, no execution): no HUGEINT/INT128 output
    column, no DECIMAL output column unless whitelisted.
@@ -31,7 +33,7 @@ import re
 import duckdb
 import pytest
 
-from onehouse_demos_spark.operators import all_oracles
+from onehouse_demos_spark.operators import all_oracles, extra_oracles
 
 SF_DIR = "/root/testdata/sf0.001"
 TABLES = [
@@ -51,6 +53,15 @@ DECIMAL_WHITELIST = {
 
 # Oracles allowed to keep ROUND-over-aggregate / double->DECIMAL text.
 ROUND_WHITELIST = {
+    "knn_ivf_trained":
+        "ROUND(AVG(component),6) is the k-means REPLAY contract: both "
+        "engines quantize the trained centroids identically so the "
+        "oracle replays the exact same quantizer; assignment ties "
+        "break on cid. Non-windowed since r12; driver-green r6+r11.",
+    "cluster_balanced_sample":
+        "same k-means replay contract as knn_ivf_trained; the cap "
+        "CEIL(0.5*n/8.0) is powers-of-two exact in both decimal and "
+        "double arithmetic. Driver-green r11, non-windowed since r12.",
     "ann_index_search":
         "ROUND(SUM(lut.d),6) ranks a 16-term per-vector ADC sum (ulp "
         "~1e-15 vs 5e-7 half-boundary) and the final cos_sim is one "
@@ -87,13 +98,19 @@ def _windowed():
     return {k: oracles[k] for k in list(oracles)[:50]}
 
 
+def _registry():
+    oracles = dict(all_oracles())
+    oracles.update(extra_oracles())
+    return oracles
+
+
 def test_no_hugeint_or_unlisted_decimal_outputs(con):
     """DuckDB SUM(BIGINT) widens to HUGEINT (=> float64 in pandas while
     Spark stays int64 — the dsir r11 hash-flip class); DECIMAL outputs
     ride engine-specific tie rules on the way in. Neither may face the
     driver unlisted."""
     bad = []
-    for name, sql in _windowed().items():
+    for name, sql in _registry().items():
         try:
             cols = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as exc:  # pragma: no cover - schema drift
@@ -116,7 +133,7 @@ _RISKY_TEXT = re.compile(
 
 def test_no_unlisted_round_over_aggregate(con):
     bad = []
-    for name, sql in _windowed().items():
+    for name, sql in _registry().items():
         if name in ROUND_WHITELIST:
             continue
         m = _RISKY_TEXT.search(sql)
@@ -128,8 +145,8 @@ def test_no_unlisted_round_over_aggregate(con):
     )
 
 
-def test_whitelists_reference_windowed_queries_only():
-    win = set(_windowed())
-    stale = {n for n in ROUND_WHITELIST if n not in win}
-    stale |= {q for q, _ in DECIMAL_WHITELIST if q not in win}
-    assert not stale, f"whitelist entries not in the driver window: {stale}"
+def test_whitelists_reference_registered_queries_only():
+    reg = set(_registry())
+    stale = {n for n in ROUND_WHITELIST if n not in reg}
+    stale |= {q for q, _ in DECIMAL_WHITELIST if q not in reg}
+    assert not stale, f"whitelist entries not in the registry: {stale}"
