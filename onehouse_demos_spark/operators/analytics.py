@@ -298,12 +298,17 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = load(spark, sf_dir, "orders")
+    # rank AND per-group count in one window pass (same partition
+    # spec -> one shuffle + one sort; no aggregate-join leg, no
+    # second orders scan)
     rw = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    n = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("_n"))
+    rall = Window.partitionBy("o_orderstatus").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = (
         orders.select("o_orderstatus", "o_totalprice")
         .withColumn("_r", F.row_number().over(rw))
-        .join(F.broadcast(n), "o_orderstatus")
+        .withColumn("_n", F.count(F.lit(1)).over(rall))
     )
     return ranked.groupBy("o_orderstatus").agg(
         F.max(
@@ -1069,16 +1074,24 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double->DECIMAL cast and the interpolated percentile threshold
     # were both r11 driver-failure classes; the threshold is now the
     # rank-ceil(q*n) ORDER STATISTIC of exact integers.
+    # cache the one-row-per-part frame: it feeds BOTH the threshold
+    # leg and the output filter — without it Spark re-aggregates the
+    # fact table once per use (6 lineitem scans observed in the
+    # un-cached plan; at 100 TB the groups frame is ~parts-sized and
+    # cheap to cache, the fact re-scan is not)
     groups = li.groupBy("l_partkey").agg(
         F.sum(fquant(value, 4)).alias("part_value_e4")
+    ).cache()
+    # rank AND count in one window pass over the groups frame (same
+    # ordering spec -> one sort, no extra aggregate-join leg)
+    w_ord = Window.orderBy("part_value_e4")
+    w_all = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n = groups.agg(F.count(F.lit(1)).alias("_n"))
     ranked = (
         groups.select("part_value_e4")
-        .withColumn(
-            "_r", F.row_number().over(Window.orderBy("part_value_e4"))
-        )
-        .crossJoin(F.broadcast(n))
+        .withColumn("_r", F.row_number().over(w_ord))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
     )
     threshold = ranked.filter(
         F.col("_r") == F.expr("(_n * 99 + 99) div 100")
