@@ -549,8 +549,13 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("tot"), 4).alias("token_share_r"),
-            F.round(F.col("s") / F.col("z"), 4).alias("mix_weight_r"),
+            # integer e4 share; floor (not ROUND) for the sqrt-scaled
+            # weight — FLOOR of the same IEEE quotient cannot fork on
+            # an engine's half-tie rule (VERDICT r11 #2)
+            F.expr("(n_tokens * 10000) div tot").alias("token_share_e4"),
+            F.floor(F.col("s") / F.col("z") * 10000)
+            .cast("long")
+            .alias("mix_weight_e4"),
         )
     )
 
@@ -570,8 +575,8 @@ WITH per_src AS (
   SELECT SUM(s) AS z FROM shared
 )
 SELECT source, n_docs, n_tokens,
-       ROUND(n_tokens::DOUBLE / tot, 4) AS token_share_r,
-       ROUND(s / z.z, 4) AS mix_weight_r
+       CAST((n_tokens * 10000) // tot AS BIGINT) AS token_share_e4,
+       CAST(FLOOR(s / z.z * 10000) AS BIGINT) AS mix_weight_e4
 FROM shared, z
 """
 

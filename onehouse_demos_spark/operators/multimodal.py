@@ -232,16 +232,18 @@ def extract_features(
             digests = pdf[binary_col].map(
                 lambda b: hashlib.md5(bytes(b)).hexdigest() if b is not None else None
             )
-            import math
 
-            def r6(x: float) -> float:
-                # half-away-from-zero to match SQL ROUND (Python's
-                # round() is half-to-even and diverges on exact ties)
-                return math.floor(x * 1e6 + 0.5) / 1e6
+            def q6(v: int) -> float:
+                # engine-proof quantization (VERDICT r11 #2): exact
+                # integer floor of v/2^32 at 1e-6 grain, then ONE IEEE
+                # division — hash/2^32 lands EXACTLY on 7th-decimal
+                # ROUND ties (power-of-two denominator), where SQL
+                # ROUND rules fork across engines
+                return (v * 10**6 >> 32) / 1e6
 
             for i in range(dims):
                 out[f"f{i}"] = digests.map(
-                    lambda d, i=i: r6(int(d[8 * i : 8 * i + 8], 16) / 2**32)
+                    lambda d, i=i: q6(int(d[8 * i : 8 * i + 8], 16))
                     if d
                     else None
                 )
@@ -367,10 +369,14 @@ def multimodal_features(spark, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_FEATURES_SQL = """
 SELECT doc_id,
-       ROUND(('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0, 6) AS f0,
-       ROUND(('0x' || substr(md5(text), 9, 8))::BIGINT / 4294967296.0, 6) AS f1,
-       ROUND(('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0, 6) AS f2,
-       ROUND(('0x' || substr(md5(text), 25, 8))::BIGINT / 4294967296.0, 6) AS f3
+       CAST((('0x' || substr(md5(text), 1, 8))::BIGINT * 1000000) // 4294967296
+            AS DOUBLE) / 1000000.0 AS f0,
+       CAST((('0x' || substr(md5(text), 9, 8))::BIGINT * 1000000) // 4294967296
+            AS DOUBLE) / 1000000.0 AS f1,
+       CAST((('0x' || substr(md5(text), 17, 8))::BIGINT * 1000000) // 4294967296
+            AS DOUBLE) / 1000000.0 AS f2,
+       CAST((('0x' || substr(md5(text), 25, 8))::BIGINT * 1000000) // 4294967296
+            AS DOUBLE) / 1000000.0 AS f3
 FROM documents
 """
 

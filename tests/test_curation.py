@@ -125,15 +125,15 @@ def test_domain_mixture_temperature_boosts_small_sources(spark):
     from onehouse_demos_spark.operators.curation import domain_mixture_weights
 
     rows = domain_mixture_weights(spark, SF_DIR).collect()
-    assert abs(sum(r.mix_weight_r for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.mix_weight_e4 for r in rows) / 10000.0 - 1.0) < 0.01
     # alpha=0.5 compresses the distribution: every below-average source
     # gets boosted (weight > share), every above-average one damped.
-    mean_share = 1.0 / len(rows)
+    mean_share_e4 = 10000.0 / len(rows)
     for r in rows:
-        if r.token_share_r < mean_share * 0.8:
-            assert r.mix_weight_r >= r.token_share_r
-        if r.token_share_r > mean_share * 1.2:
-            assert r.mix_weight_r <= r.token_share_r
+        if r.token_share_e4 < mean_share_e4 * 0.8:
+            assert r.mix_weight_e4 >= r.token_share_e4
+        if r.token_share_e4 > mean_share_e4 * 1.2:
+            assert r.mix_weight_e4 <= r.token_share_e4
 
 
 # --------------------------------------------------------------------------
