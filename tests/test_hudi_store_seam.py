@@ -237,3 +237,57 @@ def test_archival_move_is_copy_then_delete(spark, tmp_base):
     # and the replay still folds archived instants back in
     got = {r.key for r in read_hudi_snapshot(spark, t.base_path).collect()}
     assert {"K0", "K1", "K2", "K3"} <= got
+
+
+class CrashBeforeDeltacommitStore(TreeFSObjectStoreEmulator):
+    """Dies at the RT-log deltacommit's conditional put — after the
+    HoodieLogFormat log files already hit the bucket."""
+
+    def put_object(self, key, data, if_none_match=False):
+        if if_none_match and key.startswith(".hoodie/") and key.endswith(
+            ".deltacommit"
+        ):
+            raise RuntimeError("simulated writer death at deltacommit")
+        return super().put_object(key, data, if_none_match=if_none_match)
+
+
+def test_rt_log_crash_before_deltacommit_is_invisible(spark, tmp_base):
+    """The MOR `_rt` leg under the same S3 failure contract: a writer
+    that uploads every HoodieLogFormat log object but dies before the
+    deltacommit conditional put leaves the rt view EXACTLY at the
+    previous sync (log files without a completed instant are invisible
+    to replay); the healthy retry converges and the crash leftovers
+    stay unreferenced."""
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+    from onehouse_demos_spark.tables.interop import read_hudi_rt
+
+    ddl = "key string, ver int, sym string, px double"
+    t = LakehouseTable.create(
+        spark,
+        tmp_base + "/rt_seam",
+        TableConfig(
+            name="rt_seam", record_key=["key"], precombine="ver",
+            table_type="mor",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(f"k{i}", 1, "GOOG", 100.0 + i) for i in range(6)], ddl
+        )
+    )
+    sync_hudi_metadata(t, mor_rt=True)
+    v1 = {(r.key, r.px) for r in read_hudi_rt(spark, t.base_path).collect()}
+    t.upsert(spark.createDataFrame([("k1", 2, "GOOG", 999.0)], ddl))
+    before = _files_under(t.base_path)
+    with pytest.raises(RuntimeError, match="deltacommit"):
+        sync_hudi_metadata(
+            t, mor_rt=True, store=CrashBeforeDeltacommitStore(t.base_path)
+        )
+    leftovers = _files_under(t.base_path) - before
+    assert any(".log." in f for f in leftovers), leftovers
+    assert {
+        (r.key, r.px) for r in read_hudi_rt(spark, t.base_path).collect()
+    } == v1
+    sync_hudi_metadata(t, mor_rt=True)
+    got = {(r.key, r.px) for r in read_hudi_rt(spark, t.base_path).collect()}
+    assert ("k1", 999.0) in got and ("k1", 101.0) not in got

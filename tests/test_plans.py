@@ -604,3 +604,42 @@ def test_hudi_replay_read_pushes_down(spark, tmp_path):
     assert any("px" in f for f in pf), pf
     schemas = read_schema_columns(df)
     assert schemas and schemas[0] <= {"k", "px"}, schemas
+
+
+def test_ohlc_is_one_aggregate_no_window(spark):
+    """events_ohlc_bars must stay a single hash aggregate (min_by /
+    max_by pick open/close inside the agg) — a window-sort plan for
+    OHLC re-sorts the whole fact table per bucket at 100 TB."""
+    from onehouse_demos_spark.operators.analytics import events_ohlc_bars
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(events_ohlc_bars(spark, SF_DIR))
+    assert "Window" not in txt, txt[:800]
+    assert txt.count("Exchange") <= 2, txt[:800]
+
+
+def test_unigram_logprob_broadcasts_corpus_scalars(spark):
+    """The vocab totals ride a one-row broadcast, never a shuffle of
+    the token stream against a scalar."""
+    from onehouse_demos_spark.operators.text import unigram_logprob_scores
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(unigram_logprob_scores(spark, SF_DIR))
+    assert "BroadcastExchange" in txt, txt[:800]
+    assert "CartesianProduct" not in txt
+
+
+def test_rank_threshold_queries_window_groups_not_facts(spark):
+    """important_part_value's rank window runs over the one-row-per-
+    part GROUPS frame: the plan must aggregate lineitem BEFORE any
+    Window node (never sort the raw fact table), and the groups frame
+    is cached so the fact aggregates once."""
+    from onehouse_demos_spark.operators.analytics import important_part_value
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(important_part_value(spark, SF_DIR))
+    assert "InMemoryTableScan" in txt, txt[:800]
+    # the Window consumes the cached groups frame, not a parquet scan
+    win_pos = txt.find("Window")
+    assert win_pos != -1
+    assert "InMemoryTableScan" in txt[win_pos:], txt[win_pos:win_pos + 800]
