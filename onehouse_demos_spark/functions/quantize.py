@@ -14,7 +14,17 @@ ONE closing IEEE division by the power of ten. Property-tested against
 DuckDB over adversarial inputs in tests/test_quantization_property.py.
 
 ``fsum`` / ``fsum_sql`` build the two sides of that contract with the
-same shape so a query and its oracle stay textually parallel.
+same shape. New queries should compose these; the r12 conversions
+inlined the identical expression text per oracle (the sweep verifies
+both sides value-exactly either way).
+
+Residual, accepted exposure: operators in the LOG domain (DSIR
+milli-nats, tf-idf, unigram surprisal) floor-quantize ln() outputs,
+and ln is not a correctly-rounded IEEE op — two libms may differ by
+1 ulp. A fork needs that ulp to straddle an integer boundary of the
+quantization grid (~1e-9 measure per distinct input; the grid is per
+VOCAB entry, not per row). Pinned against this box's DuckDB in
+tests/test_quantization_property.py.
 """
 
 from __future__ import annotations

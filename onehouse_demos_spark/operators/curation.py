@@ -69,8 +69,12 @@ DSIR_BUCKETS = 256
 BPE_TOP_K = 20
 
 #: Shingle containment threshold: fraction of the contained doc's
-#: shingles present in the containing doc.
-CONTAINMENT_MIN = 0.9
+#: shingles present in the containing doc. The integer pair is the
+#: SOURCE OF TRUTH — both engines filter with the pure-integer
+#: predicate inter*NUM >= sz*DEN·... (r12 contract); the float form
+#: derives from it for tests/documentation.
+CONTAINMENT_MIN_NUM, CONTAINMENT_MIN_DEN = 9, 10
+CONTAINMENT_MIN = CONTAINMENT_MIN_NUM / CONTAINMENT_MIN_DEN
 
 #: TF-IDF terms reported per document.
 TFIDF_TOP_K = 3
@@ -421,7 +425,10 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_e4",
             F.expr("(inter * 10000) div sz_a"),
         )
-        .filter(F.col("inter") * 10 >= F.col("sz_a") * 9)
+        .filter(
+            F.col("inter") * CONTAINMENT_MIN_DEN
+            >= F.col("sz_a") * CONTAINMENT_MIN_NUM
+        )
         .select("doc_a", "doc_b", "containment_e4")
     )
 
@@ -454,7 +461,7 @@ WITH norm AS (
 SELECT doc_a, doc_b,
        CAST((inter * 10000) // sa.sz AS BIGINT) AS containment_e4
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a
-WHERE inter * 10 >= sa.sz * 9
+WHERE inter * {CONTAINMENT_MIN_DEN} >= sa.sz * {CONTAINMENT_MIN_NUM}
 """
 
 
@@ -539,23 +546,27 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_src.agg(
         F.sum("n_tokens").alias("tot"),
     )
+    # per-source sqrt share quantized to an e9 INTEGER before any
+    # summation: sqrt of one exact ratio is IEEE-exact and per-row
+    # deterministic, but SUM(double s) is order-dependent — flooring
+    # s/z would have floored a non-deterministic quantity (r12 review
+    # finding). With s_e9 integers, z is an exact order-free sum and
+    # the weight is a pure-integer quotient.
     shared = per_src.crossJoin(F.broadcast(totals)).withColumn(
-        "s", F.sqrt(F.col("n_tokens") / F.col("tot"))
+        "s_e9",
+        F.floor(
+            F.sqrt(F.col("n_tokens") / F.col("tot")) * 1000000000
+        ).cast("long"),
     )
-    norm = shared.agg(F.sum("s").alias("z"))
+    norm = shared.agg(F.sum("s_e9").alias("z_e9"))
     return (
         shared.crossJoin(F.broadcast(norm))  # 1-row normalizer
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            # integer e4 share; floor (not ROUND) for the sqrt-scaled
-            # weight — FLOOR of the same IEEE quotient cannot fork on
-            # an engine's half-tie rule (VERDICT r11 #2)
             F.expr("(n_tokens * 10000) div tot").alias("token_share_e4"),
-            F.floor(F.col("s") / F.col("z") * 10000)
-            .cast("long")
-            .alias("mix_weight_e4"),
+            F.expr("(s_e9 * 10000) div z_e9").alias("mix_weight_e4"),
         )
     )
 
@@ -570,13 +581,17 @@ WITH per_src AS (
 ), tot AS (
   SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per_src
 ), shared AS (
-  SELECT per_src.*, sqrt(n_tokens::DOUBLE / tot.tot) AS s, tot.tot FROM per_src, tot
+  SELECT per_src.*,
+         CAST(FLOOR(sqrt(n_tokens::DOUBLE / tot.tot) * 1000000000)
+              AS BIGINT) AS s_e9,
+         tot.tot
+  FROM per_src, tot
 ), z AS (
-  SELECT SUM(s) AS z FROM shared
+  SELECT CAST(SUM(s_e9) AS BIGINT) AS z_e9 FROM shared
 )
 SELECT source, n_docs, n_tokens,
        CAST((n_tokens * 10000) // tot AS BIGINT) AS token_share_e4,
-       CAST(FLOOR(s / z.z * 10000) AS BIGINT) AS mix_weight_e4
+       CAST((s_e9 * 10000) // z.z_e9 AS BIGINT) AS mix_weight_e4
 FROM shared, z
 """
 

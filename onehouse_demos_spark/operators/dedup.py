@@ -122,6 +122,13 @@ def _shingle_index(docs: DataFrame, n: int = 3, max_df: int = 200) -> DataFrame:
     return sh.join(hot, "shingle", "left_anti")
 
 
+#: Jaccard near-dup threshold as an exact integer ratio (source of
+#: truth for the pure-integer filter predicate in BOTH engines, r12).
+JACCARD_MIN_NUM, JACCARD_MIN_DEN = 4, 5  # = 0.8
+#: Benchmark-contamination overlap threshold, same convention.
+CONTAM_MIN_NUM, CONTAM_MIN_DEN = 1, 2  # = 0.5
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs (a<b) with 3-gram Jaccard ≥ 0.8, via inverted index."""
     docs = load_docs(spark, sf_dir, fan_out=True)
@@ -148,8 +155,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(inter * 10000) div (sz_a + sz_b - inter)"),
         )
         .filter(
-            F.col("inter") * 10
-            >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")) * 8
+            F.col("inter") * JACCARD_MIN_DEN
+            >= (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            * JACCARD_MIN_NUM
         )
         .select("doc_a", "doc_b", "jaccard_e4")
     )
@@ -158,7 +166,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB oracle: same inverted-index construction in SQL. The shingle
 # builder mirrors functions.text.shingles (word 3-grams over normalized
 # text; docs shorter than 3 tokens yield the whole text as one shingle).
-NGRAM_JACCARD_PAIRS_SQL = """
+NGRAM_JACCARD_PAIRS_SQL = f"""
 WITH norm AS (
   SELECT doc_id,
          regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -189,7 +197,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 10 >= (sa.sz + sb.sz - inter) * 8
+WHERE inter * {JACCARD_MIN_DEN} >= (sa.sz + sb.sz - inter) * {JACCARD_MIN_NUM}
 """
 
 
@@ -718,7 +726,10 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pure-integer score + threshold (VERDICT r11 #2): the e4
         # integer div and 2*hits >= shingles cannot fork on an
         # engine's rounding rule or a ulp at the boundary
-        hits.filter(F.col("n_hits") * 2 >= F.col("n_shingles"))
+        hits.filter(
+            F.col("n_hits") * CONTAM_MIN_DEN
+            >= F.col("n_shingles") * CONTAM_MIN_NUM
+        )
         .withColumn(
             "overlap_e4", F.expr("(n_hits * 10000) div n_shingles")
         )
@@ -726,7 +737,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CONTAMINATION_CHECK_SQL = """
+CONTAMINATION_CHECK_SQL = f"""
 WITH norm AS (
   SELECT doc_id,
          regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
@@ -753,7 +764,7 @@ WITH norm AS (
 SELECT doc_id, n_shingles, CAST(n_hits AS BIGINT) AS n_hits,
        CAST((n_hits * 10000) // n_shingles AS BIGINT) AS overlap_e4
 FROM hits
-WHERE n_hits * 2 >= n_shingles
+WHERE n_hits * {CONTAM_MIN_DEN} >= n_shingles * {CONTAM_MIN_NUM}
 """
 
 

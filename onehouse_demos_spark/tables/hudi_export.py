@@ -3118,9 +3118,16 @@ def _clean_hudi_personality_locked(
             # replay never sees the instant missing from BOTH places.
             src = os.path.join(hoodie, name)
             blob = pub.get_bytes(src)
-            if blob is not None:
-                pub.put_bytes(os.path.join(arch_dir, name), blob)
-                pub.delete(src)
+            if blob is None:
+                # the active timeline listed it a moment ago; a missing
+                # object under the sync mutex is corruption — refuse to
+                # report an archival that did not happen (the old
+                # os.replace raised here too)
+                raise RuntimeError(
+                    f"hudi clean: active timeline object vanished: {src}"
+                )
+            pub.put_bytes(os.path.join(arch_dir, name), blob)
+            pub.delete(src)
             if m:
                 archived.append(stem)
     # metadata-table slices: newest always survives; older-than-horizon

@@ -416,19 +416,26 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
                 )
         tmp = self._tmp(dst)
         try:
-            os.link(src_path, tmp)  # one inode, zero copied bytes
-        except OSError:  # cross-device: fall back to a byte copy
-            import shutil
+            try:
+                os.link(src_path, tmp)  # one inode, zero copied bytes
+            except OSError:  # cross-device: fall back to a byte copy
+                import shutil
 
-            shutil.copy2(src_path, tmp)
-        os.rename(tmp, dst)
-        return True
+                shutil.copy2(src_path, tmp)
+            os.rename(tmp, dst)
+            tmp = None
+            return True
+        finally:
+            if tmp is not None and os.path.exists(tmp):
+                os.remove(tmp)
 
     def get_object(self, key: str) -> bytes | None:
+        # NotADirectoryError: a key path traversing an existing object
+        # (GET a/b after PUT a) is just another nonexistent key on S3
         try:
             with open(self._obj(key), "rb") as fh:
                 return fh.read()
-        except (FileNotFoundError, IsADirectoryError):
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
             return None
 
     def head_object(self, key: str) -> dict | None:
@@ -437,7 +444,7 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
             if os.path.isdir(p):
                 return None
             return {"last_modified": os.path.getmtime(p)}
-        except FileNotFoundError:
+        except (FileNotFoundError, NotADirectoryError):
             return None
 
     def delete_object(self, key: str) -> None:

@@ -93,11 +93,6 @@ def con():
     return c
 
 
-def _windowed():
-    oracles = all_oracles()
-    return {k: oracles[k] for k in list(oracles)[:50]}
-
-
 def _registry():
     oracles = dict(all_oracles())
     oracles.update(extra_oracles())
@@ -125,8 +120,12 @@ def test_no_hugeint_or_unlisted_decimal_outputs(con):
     assert not bad, f"driver-facing output-type hazards: {bad}"
 
 
+# the CAST branch tolerates one level of nested parens in the operand
+# (CAST(SUM(x) AS DECIMAL) must not escape the audit — r12 review)
 _RISKY_TEXT = re.compile(
-    r"ROUND\(\s*(?:SUM|AVG)\(|CAST\([^()]*\bAS\s+DECIMAL|::DECIMAL",
+    r"ROUND\(\s*(?:SUM|AVG)\("
+    r"|CAST\((?:[^()]|\([^()]*\))*\bAS\s+DECIMAL"
+    r"|::DECIMAL",
     re.IGNORECASE,
 )
 

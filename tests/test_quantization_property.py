@@ -102,6 +102,30 @@ def test_round_half_tie_class_really_differs():
     assert _duck_floor_e(x, 10000) == 9062
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    x=st.floats(min_value=1e-9, max_value=1e9),
+    scale=st.sampled_from([1000, 10000, 1000000]),
+)
+def test_log_floor_quantization_matches_duckdb_here(x, scale):
+    """The log-domain operators (dsir milli-nats, tfidf e4, unigram
+    micro-nats) floor-quantize ln() outputs. Unlike multiply/floor,
+    ln is NOT required to be correctly rounded by IEEE-754 — two
+    libms may differ by 1 ulp, and a 1-ulp difference exactly at an
+    integer boundary would fork the floor. This test pins that THIS
+    box's DuckDB ln and Python's (both libm-backed, like the JVM's
+    StrictMath-adjacent Math.log) floor-quantize identically over
+    adversarial inputs; the residual cross-engine exposure is a
+    <~1e-9-measure coincidence per distinct input, accepted and
+    documented in the operators' docstrings (the alternative —
+    rational-arithmetic logs — changes the operators' semantics)."""
+    expect = math.floor(math.log(x) * scale)
+    got = _CON.execute(
+        f"SELECT CAST(FLOOR(ln(?) * {scale}) AS BIGINT)", [x]
+    ).fetchone()[0]
+    assert got == expect, (x, scale, got, expect)
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     st.lists(
