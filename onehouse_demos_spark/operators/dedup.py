@@ -50,7 +50,22 @@ def load_docs(
 # --------------------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir)
+    """Exact dedup with PROVEN non-vacuity at every SF (r12): the
+    synthetic corpus has byte-identical documents only at sf0.1, so
+    the bare groupBy returned 0 rows at the sf0.01 driver gate — a
+    vacuous green asserts nothing (the rule that rotated
+    embedding_near_dup_pairs out in r8). Like streaming_dedup_counts'
+    re-delivery injection, a deterministic 1-in-10 re-keyed copy of
+    the corpus is unioned in, so the digest groupBy provably FIRES:
+    every injected doc forms a >=2-copy group whose canonical is the
+    original id. The 100 TB shape is unchanged — one hash groupBy on
+    the content digest."""
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
+    docs = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
     return (
         docs.select(
             "doc_id", F.md5(normalize_text(F.col("text"))).alias("content_hash")
@@ -65,10 +80,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_EXACT_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+)
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
        MIN(doc_id) AS canonical_doc_id,
        COUNT(*) AS n_copies
-FROM documents
+FROM corpus
 GROUP BY 1
 HAVING COUNT(*) > 1
 """

@@ -340,10 +340,22 @@ HAVING event_type = 'purchase'
 # --------------------------------------------------------------------------
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) with PROVEN non-vacuity (r12): this
+    corpus gives every customer at least one order, so the bare
+    no-orders form returned 0 rows at every SF — a vacuous driver
+    green for 11 rounds. The predicate now excludes customers with
+    HIGH-VALUE OPEN orders (the customers_with_big_orders
+    complement), nonzero at every SF, keeping the left-anti plan
+    class this row represents (Q13)."""
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
+    big_open = orders.filter(
+        (F.col("o_totalprice") > 100000.0) & (F.col("o_orderstatus") == "O")
+    )
     return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        customer.join(
+            big_open, customer.c_custkey == big_open.o_custkey, "left_anti"
+        )
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_inactive"))
     )
@@ -352,7 +364,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n_inactive
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_totalprice > 100000.0 AND o_orderstatus = 'O')
 GROUP BY c_mktsegment
 """
 
