@@ -1056,7 +1056,9 @@ QUALIFY sum_value_locf_e4 IS NOT NULL
 # cast to double, so the cut is engine-stable.
 # --------------------------------------------------------------------------
 
-_Q11_QUANTILE = 0.99
+#: Q11 "important part" threshold rank as an exact integer ratio —
+#: the SOURCE OF TRUTH for the rank formula in BOTH engines (r12).
+_Q11_NUM, _Q11_DEN = 99, 100
 
 
 def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1087,7 +1089,10 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_thr",
             F.max(
                 F.when(
-                    F.col("_r") == F.expr("(_n * 99 + 99) div 100"),
+                    F.col("_r")
+                    == F.expr(
+                        f"(_n * {_Q11_NUM} + {_Q11_NUM}) div {_Q11_DEN}"
+                    ),
                     F.col("part_value_e4"),
                 )
             ).over(w_all),
@@ -1101,7 +1106,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-IMPORTANT_PART_VALUE_SQL = """
+IMPORTANT_PART_VALUE_SQL = f"""
 WITH g AS (
   SELECT l_partkey,
          CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
@@ -1115,7 +1120,8 @@ WITH g AS (
          ROW_NUMBER() OVER (ORDER BY part_value_e4) AS r
   FROM g
 ), th AS (
-  SELECT part_value_e4 AS th FROM ranked, n WHERE r = (n * 99 + 99) // 100
+  SELECT part_value_e4 AS th
+  FROM ranked, n WHERE r = (n * {_Q11_NUM} + {_Q11_NUM}) // {_Q11_DEN}
 )
 SELECT l_partkey, part_value_e4
 FROM g, th

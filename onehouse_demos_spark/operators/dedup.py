@@ -49,6 +49,15 @@ def load_docs(
 # Exact dedup: canonical doc per content hash (keep min doc_id).
 # --------------------------------------------------------------------------
 
+#: dedup_exact's deterministic duplicate injection (source of truth
+#: for BOTH engines): every doc_id divisible by the modulus is
+#: re-keyed by the offset. The offset sits 2 orders of magnitude above
+#: a 100 TB corpus's id range (~1e10 docs), so injected ids cannot
+#: collide with genuine ones within the design envelope.
+DEDUP_INJECT_OFFSET = 10**12
+DEDUP_INJECT_MOD = 10
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with PROVEN non-vacuity at every SF (r12): the
     synthetic corpus has byte-identical documents only at sf0.1, so
@@ -62,8 +71,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the content digest."""
     docs = load_docs(spark, sf_dir).select("doc_id", "text")
     docs = docs.unionByName(
-        docs.filter(F.col("doc_id") % 10 == 0).withColumn(
-            "doc_id", F.col("doc_id") + 1000000
+        docs.filter(F.col("doc_id") % DEDUP_INJECT_MOD == 0).withColumn(
+            "doc_id", F.col("doc_id") + DEDUP_INJECT_OFFSET
         )
     )
     return (
@@ -79,12 +88,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_EXACT_SQL = """
+DEDUP_EXACT_SQL = f"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text
-  FROM documents WHERE doc_id % 10 = 0
+  SELECT doc_id + {DEDUP_INJECT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {DEDUP_INJECT_MOD} = 0
 )
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
        MIN(doc_id) AS canonical_doc_id,

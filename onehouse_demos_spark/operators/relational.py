@@ -27,6 +27,12 @@ from pyspark.sql import functions as F
 
 from onehouse_demos_spark.functions.quantize import fquant, fsum
 
+#: "high-value open order" predicate shared by customers_with_big_orders
+#: and its anti-join complement customers_without_orders — one source of
+#: truth for both engines (r12 review).
+BIG_OPEN_MIN_PRICE = 100000.0
+BIG_OPEN_STATUS = "O"
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -350,7 +356,8 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     big_open = orders.filter(
-        (F.col("o_totalprice") > 100000.0) & (F.col("o_orderstatus") == "O")
+        (F.col("o_totalprice") > BIG_OPEN_MIN_PRICE)
+        & (F.col("o_orderstatus") == BIG_OPEN_STATUS)
     )
     return (
         customer.join(
@@ -361,11 +368,12 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSTOMERS_WITHOUT_ORDERS_SQL = """
+CUSTOMERS_WITHOUT_ORDERS_SQL = f"""
 SELECT c_mktsegment, COUNT(*) AS n_inactive
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-                    AND o_totalprice > 100000.0 AND o_orderstatus = 'O')
+                    AND o_totalprice > {BIG_OPEN_MIN_PRICE}
+                    AND o_orderstatus = '{BIG_OPEN_STATUS}')
 GROUP BY c_mktsegment
 """
 
@@ -516,7 +524,8 @@ def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     big = orders.filter(
-        (F.col("o_totalprice") > 100000.0) & (F.col("o_orderstatus") == "O")
+        (F.col("o_totalprice") > BIG_OPEN_MIN_PRICE)
+        & (F.col("o_orderstatus") == BIG_OPEN_STATUS)
     )
     return (
         customer.join(big, customer.c_custkey == big.o_custkey, "left_semi")
@@ -524,13 +533,14 @@ def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSTOMERS_WITH_BIG_ORDERS_SQL = """
+CUSTOMERS_WITH_BIG_ORDERS_SQL = f"""
 SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal_r
 FROM customer
 WHERE EXISTS (
   SELECT 1 FROM orders
   WHERE o_custkey = c_custkey
-    AND o_totalprice > 100000.0 AND o_orderstatus = 'O'
+    AND o_totalprice > {BIG_OPEN_MIN_PRICE}
+    AND o_orderstatus = '{BIG_OPEN_STATUS}'
 )
 """
 

@@ -448,9 +448,11 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
             return None
 
     def delete_object(self, key: str) -> None:
+        # like GET/HEAD: a key path traversing an existing object is a
+        # nonexistent key — S3 DeleteObject succeeds on those
         try:
             os.remove(self._obj(key))
-        except (FileNotFoundError, IsADirectoryError):
+        except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
             pass
 
     def list_keys(self, prefix: str) -> list[str]:

@@ -125,11 +125,14 @@ def test_no_hugeint_or_unlisted_decimal_outputs(con):
     assert not bad, f"driver-facing output-type hazards: {bad}"
 
 
-# the CAST branch tolerates one level of nested parens in the operand
-# (CAST(SUM(x) AS DECIMAL) must not escape the audit — r12 review)
+# the CAST branch tolerates two levels of nested parens in the operand
+# (CAST(SUM(x) AS DECIMAL) and CAST(SUM(FLOOR(x*10^n)) AS DECIMAL) must
+# not escape the audit — r12 review, twice)
+_PAREN1 = r"\((?:[^()])*\)"
+_PAREN2 = rf"\((?:[^()]|{_PAREN1})*\)"
 _RISKY_TEXT = re.compile(
     r"ROUND\(\s*(?:SUM|AVG)\("
-    r"|CAST\((?:[^()]|\([^()]*\))*\bAS\s+DECIMAL"
+    rf"|CAST\((?:[^()]|{_PAREN2})*\bAS\s+DECIMAL"
     r"|::DECIMAL",
     re.IGNORECASE,
 )
@@ -151,9 +154,14 @@ def test_no_unlisted_round_over_aggregate(con):
 
 def test_whitelists_reference_registered_queries_only():
     reg = set(_registry())
+    win = set(_windowed_oracles())
     stale = {n for n in ROUND_WHITELIST if n not in reg}
     stale |= {q for q, _ in DECIMAL_WHITELIST if q not in reg}
-    assert not stale, f"whitelist entries not in the registry: {stale}"
+    stale |= {n for n in NONVACUOUS_WHITELIST if n not in reg}
+    # the heavy-replay vacuity skips are WINDOW exemptions: an entry
+    # that left the window is stale (its replacement would go unprobed)
+    stale |= {n for n in NONVACUOUS_SKIP_HEAVY if n not in win}
+    assert not stale, f"stale whitelist entries: {stale}"
 
 
 # Intentionally-empty results: the EMPTY SET is the assertion.

@@ -632,20 +632,22 @@ def test_unigram_logprob_broadcasts_corpus_scalars(spark):
 def test_rank_threshold_queries_window_groups_not_facts(spark):
     """important_part_value computes rank, count and the threshold in
     ONE window pass over the one-row-per-part GROUPS frame: the plan
-    must aggregate lineitem exactly once (no cache, no threshold-side
-    re-aggregation — the r12 review retired a leaky .cache() here) and
-    never sort the raw fact table."""
+    must scan lineitem EXACTLY once (no cache, no threshold-side
+    re-aggregation — the r12 review retired a leaky .cache() and two
+    vacuous assertions here) and every Window node must consume the
+    aggregated frame, never the raw fact scan."""
+    import re
+
     from onehouse_demos_spark.operators.analytics import important_part_value
     from onehouse_demos_spark.plans import explain_str
 
     txt = explain_str(important_part_value(spark, SF_DIR))
-    # single lineitem scan: the groups aggregate appears once
-    assert txt.count("lineitem.parquet") <= 1 or (
-        txt.count("Scan parquet") <= 2
-    ), txt[:1200]
-    # the Window consumes the aggregated frame (HashAggregate below it)
-    win_pos = txt.find("Window")
-    assert win_pos != -1
-    assert "HashAggregate" in txt[:win_pos] or "HashAggregate" in txt, txt[
-        :1200
-    ]
+    scan_ids = [int(m) for m in re.findall(r"Scan parquet\s*\((\d+)\)", txt)]
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate\s*\((\d+)\)", txt)]
+    win_ids = [int(m) for m in re.findall(r"Window\s*\((\d+)\)", txt)]
+    assert len(scan_ids) == 1, (scan_ids, txt[:1200])
+    assert win_ids and agg_ids, txt[:1200]
+    # node ids grow bottom-up: scan < aggregate < every window
+    assert scan_ids[0] < min(agg_ids) < min(win_ids), (
+        scan_ids, agg_ids, win_ids,
+    )
