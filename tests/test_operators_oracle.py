@@ -81,49 +81,39 @@ def test_driver_window_covers_distinct_operator_classes():
     assert len(ops._WINDOW) == 50
     assert window == ops._WINDOW
     must_have = {
-        "near_dup_canonical",
-        "text_stats", "multimodal_features", "streaming_hourly_counts",
-        "sql_dml_pipeline",
-        # r6 rotation: the signature work is driver-verified
-        # (knn_ivf_trained and asof_prior_click rotated out r12; ANN
-        # class stays covered by pq_adc_topk + ann_index_*)
-        "tbl_iceberg_personality_read",
-        "semantic_dedup_keep", "tbl_schema_evolved_read",
-        # r8 rotation: index-routed SQL DML, bucket layout, the
-        # partial_update payload and the secondary-index read
-        # (minhash_lsh_pairs demoted — near_dup_canonical recomputes
-        # and verifies the LSH pair stage internally)
-        # (tbl_secondary_pruned_read rotated out late-r11 for the
-        # record_index point read; its index-pruned-read plan class
-        # stays covered by tbl_rli_upsert_read + tbl_hudi_rli_point_read)
-        "sql_dml_indexed_pipeline", "tbl_bucket_upsert_read",
-        "tbl_partial_update_read",
-        "quality_classifier_scores",
-        # r9 rotation survivors still in-window (several r9/r10 rows
-        # rotated back out in r11 — driver-green for 1-2 rounds, plan
-        # classes covered by in-window representatives)
-        "tbl_hudi_personality_read", "tbl_bootstrap_upsert_read",
-        # r10 rotation survivors (VERDICT r9 ask #6): the Hudi MOR
-        # legs and the consistent-engine split pipeline stay PINNED
-        "tbl_hudi_mor_read", "tbl_hudi_rt_read", "tbl_bucket_split_read",
-        "bm25_topk",
-        # r11 rotation (VERDICT r10 ask #4) survivors: the r11
-        # hash-fails stay PINNED with their r12 floor-quantized
-        # contracts; the rest of the r11 cohort rotated back out r12.
-        "pq_adc_topk", "ann_index_search", "ann_index_incremental",
-        "dsir_importance_weights", "events_gapfill",
-        "value_quantile_sketch",
-        "tbl_hudi_stats_planned_read",
-        # r12 rotation (VERDICT r11 ask #4): ten never-driver-checked
-        # queries enter the window
-        "tbl_hudi_bloom_point_read", "events_ohlc_bars",
-        "pq_reconstruction_summary", "unigram_logprob_scores",
+        "multimodal_features", "sql_dml_pipeline",
+        "tbl_bucket_upsert_read", "tbl_partial_update_read",
+        # Personality/metadata reads stay PINNED in r13: the round
+        # rewrote the Delta and Iceberg publish paths onto the
+        # ObjectStoreClient seam, and these driver rows verify the
+        # seam-materialized layouts externally.
+        "tbl_delta_personality_read", "tbl_iceberg_personality_read",
+        "tbl_hudi_personality_read", "tbl_hudi_mor_read",
+        "tbl_hudi_rt_read", "tbl_bucket_split_read",
+        "tbl_hudi_stats_planned_read", "tbl_hudi_bloom_point_read",
+        "tbl_hudi_rli_point_read",
+        # r11 hash-fail survivors: the log-domain trio stays pinned
+        # per VERDICT r12 ask #3 (second consecutive green retires the
+        # ulp-exposure class); events_gapfill keeps the dense-axis
+        # class representative.
+        "dsir_importance_weights", "unigram_logprob_scores",
+        "tfidf_topk_terms", "events_gapfill",
+        # r12 rotation survivors (one driver row so far — stay for a
+        # second check)
+        "events_ohlc_bars", "pq_reconstruction_summary",
         "streaming_session_counts", "streaming_click_attribution",
         "doc_chunking", "sequence_packing_summary",
-        "tfidf_topk_terms", "shingle_containment_pairs",
-        # late-r11: the record_index metadata partition's exact
-        # point-read planning (this session's flagship)
-        "tbl_hudi_rli_point_read",
+        "shingle_containment_pairs",
+        "pq_adc_topk", "ann_index_incremental",
+        # r13 rotation (VERDICT r12 ask #2): fourteen never-checked
+        # registered queries enter the window
+        "bpe_pair_candidates", "domain_mixture_weights",
+        "important_part_value", "quality_filter_gate",
+        "pii_redaction_stats", "dataset_split_summary",
+        "stratified_sample_summary", "idle_customer_balance",
+        "large_volume_customers", "priority_delayed_orders",
+        "nation_trade_volume", "regional_market_share",
+        "corpus_vocab_stats", "doc_repetition_stats",
     }
     assert must_have <= set(window)
     qs, oracles = _registries()

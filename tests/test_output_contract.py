@@ -179,8 +179,10 @@ NONVACUOUS_WHITELIST = {
 # for the ANN family and the sweep checks them value-exactly at every
 # SF. Exempting them keeps this probe seconds-scale.
 NONVACUOUS_SKIP_HEAVY = {
-    "ann_index_search", "ann_index_incremental", "pq_adc_topk",
-    "semantic_dedup_keep", "near_dup_canonical",
+    # ann_index_search / semantic_dedup_keep / near_dup_canonical
+    # rotated out of the window in r13; their replacements are
+    # cheap-oracle queries probed normally.
+    "ann_index_incremental", "pq_adc_topk",
 }
 
 
