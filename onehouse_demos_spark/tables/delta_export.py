@@ -50,22 +50,35 @@ Semantics:
 Scale notes: the log is metadata-scale (one JSON object per file
 action); building a version touches only the manifest plus one
 `os.stat` per *newly added* file (size is cached back into the log,
-never re-stat'ed). Concurrency: version files go through the lock
-provider's atomic conditional `publish` (local FS: tmp + hardlink, so
-the name appears only with its full content; object stores: a
-conditional put) — concurrent syncers serialize on version numbers
-exactly like Delta's own `_delta_log` protocol requires, and readers
-can never observe a torn version file.
+never re-stat'ed).
+
+Concurrency + durability (r13, VERDICT r12 #1): every byte the
+personality WRITES — version JSON, checkpoint parquet,
+`_last_checkpoint`, clean's deletes — flows through the
+ObjectStoreClient S3 contract (tables/object_publish.py), the same
+seam the Hudi personality adopted in r12. The version file is the
+commit point: `PutObject + If-None-Match: *`, so concurrent syncers
+serialize on version numbers exactly like Delta's own `_delta_log`
+protocol requires and readers can never observe a torn or clobbered
+version file. Checkpoints and the `_last_checkpoint` hint are
+non-commit cadence objects: atomic full-object puts (readers see the
+old or the new complete object, both valid). Writer-internal state
+reads (`_read_log_state` during a sync/checkpoint/clean) go through
+the same store; EXTERNAL replay (read_delta_snapshot /
+delta_pruned_files) stays direct file I/O — it models the engines
+that consume the bucket through their own stacks.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import time
 import uuid
 from urllib.parse import quote
 
+from onehouse_demos_spark.tables.object_publish import Publisher, publisher
 from onehouse_demos_spark.tables.table import (
     DELETED_COL,
     HIVE_DEFAULT_PARTITION,
@@ -96,25 +109,46 @@ def _log_dir(table: LakehouseTable) -> str:
     return os.path.join(table.base_path, _LOG_DIR)
 
 
-def _read_last_checkpoint(log_dir: str) -> int:
+def _fetch(log_dir: str, name: str, pub: Publisher | None) -> bytes | None:
+    """One log object's bytes: through the store seam when the caller
+    is the WRITER (pub given), direct file I/O for external replay."""
+    p = os.path.join(log_dir, name)
+    if pub is not None:
+        return pub.get_bytes(p)
+    try:
+        with open(p, "rb") as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def _list_log(log_dir: str, pub: Publisher | None) -> list[str]:
+    if pub is not None:
+        return pub.list_rel(log_dir)
+    return os.listdir(log_dir) if os.path.isdir(log_dir) else []
+
+
+def _read_last_checkpoint(log_dir: str, pub: Publisher | None = None) -> int:
     """Version of the newest checkpoint per `_last_checkpoint`, -1 if
     none. Falls back to listing `*.checkpoint.parquet` when the pointer
     file is missing/corrupt — the same recovery every Delta client
     performs (the pointer is an optimization, not the source of truth)."""
     try:
-        with open(os.path.join(log_dir, _LAST_CHECKPOINT)) as fh:
-            return int(json.load(fh)["version"])
+        raw = _fetch(log_dir, _LAST_CHECKPOINT, pub)
+        if raw is None:
+            raise ValueError("no _last_checkpoint")
+        return int(json.loads(raw)["version"])
     except (OSError, ValueError, KeyError):
         cps = [
             int(n.split(".", 1)[0])
-            for n in os.listdir(log_dir)
+            for n in _list_log(log_dir, pub)
             if n.endswith(".checkpoint.parquet") and n.split(".", 1)[0].isdigit()
-        ] if os.path.isdir(log_dir) else []
+        ]
         return max(cps) if cps else -1
 
 
 def _read_checkpoint(
-    log_dir: str, version: int
+    log_dir: str, version: int, pub: Publisher | None = None
 ) -> tuple[dict, dict | None, dict]:
     """Load `(live, metaData, tombstones)` state from a checkpoint
     parquet — one action per row, exactly one of the struct columns
@@ -126,7 +160,10 @@ def _read_checkpoint(
     live: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
     meta = None
-    tbl = pq.read_table(os.path.join(log_dir, _checkpoint_name(version)))
+    raw = _fetch(log_dir, _checkpoint_name(version), pub)
+    if raw is None:
+        raise FileNotFoundError(_checkpoint_name(version))
+    tbl = pq.read_table(io.BytesIO(raw))
     for row in tbl.to_pylist():
         add = row.get("add")
         if add is not None:
@@ -151,7 +188,9 @@ def _read_checkpoint(
     return live, meta, tombstones
 
 
-def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None, dict]:
+def _read_log_state(
+    log_dir: str, pub: Publisher | None = None
+) -> tuple[int, dict, dict | None, dict]:
     """Replay an existing `_delta_log`: returns (last_version,
     {path: add_action}, last_metaData, {path: remove_action}) —
     (-1, {}, None, {}) if absent.
@@ -163,15 +202,16 @@ def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None, dict]:
     may have been deleted by `clean_delta_log`. Tombstones accumulate
     across replay (a re-added path clears its tombstone) so the next
     checkpoint can carry the un-expired ones forward."""
-    if not os.path.isdir(log_dir):
+    names = _list_log(log_dir, pub)
+    if not names:
         return -1, {}, None, {}
-    ckpt = _read_last_checkpoint(log_dir)
+    ckpt = _read_last_checkpoint(log_dir, pub)
     live: dict[str, dict] = {}
     tombstones: dict[str, dict] = {}
     meta = None
     if ckpt >= 0:
         try:
-            live, meta, tombstones = _read_checkpoint(log_dir, ckpt)
+            live, meta, tombstones = _read_checkpoint(log_dir, ckpt, pub)
         except Exception:
             # Corrupt/missing checkpoint: fall back to full JSON replay
             # (the standard client recovery; clean_delta_log refuses to
@@ -180,24 +220,26 @@ def _read_log_state(log_dir: str) -> tuple[int, dict, dict | None, dict]:
             ckpt = -1
     versions = sorted(
         v
-        for n in os.listdir(log_dir)
+        for n in names
         if n.endswith(".json") and n[:-5].isdigit()
         and (v := int(n[:-5])) > ckpt
     )
     for v in versions:
-        with open(os.path.join(log_dir, _version_name(v))) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
-                    tombstones.pop(action["add"]["path"], None)
-                elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
-                    tombstones[action["remove"]["path"]] = action["remove"]
-                elif "metaData" in action:
-                    meta = action["metaData"]
+        raw = _fetch(log_dir, _version_name(v), pub)
+        if raw is None:
+            raise FileNotFoundError(_version_name(v))
+        for line in raw.decode("utf-8").splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                live[action["add"]["path"]] = action["add"]
+                tombstones.pop(action["add"]["path"], None)
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+                tombstones[action["remove"]["path"]] = action["remove"]
+            elif "metaData" in action:
+                meta = action["metaData"]
     return (versions[-1] if versions else ckpt), live, meta, tombstones
 
 
@@ -379,6 +421,7 @@ def sync_delta_log(
     table: LakehouseTable,
     now_ms: int | None = None,
     checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    store=None,
 ) -> int:
     """Create/refresh the Delta personality of `table` in place.
 
@@ -387,13 +430,18 @@ def sync_delta_log(
     changed since the last sync). External engines can then read
     `<base_path>` as a Delta table (`CREATE TABLE ... USING DELTA
     LOCATION ...`, `xtable.md:34-37`) with zero data copies.
+
+    `store`: ObjectStoreClient to publish through (default: the
+    hierarchical FS emulation of the S3 contract rooted at the table
+    base — materializes the exact layout external Delta readers scan).
     """
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
     _assert_no_log_tombstones(table)
     log_dir = _log_dir(table)
-    last_version, synced, last_meta, _ = _read_log_state(log_dir)
+    pub = publisher(table.base_path, store)
+    last_version, synced, last_meta, _ = _read_log_state(log_dir, pub)
 
     # Delta-encode each live file path (URL-encoded, '/' and '=' kept
     # so hive-style segments stay readable — matches delta-spark).
@@ -514,17 +562,17 @@ def sync_delta_log(
         }
     )
 
-    os.makedirs(log_dir, exist_ok=True)
     version = last_version + 1
     payload = "".join(json.dumps(a, separators=(",", ":")) + "\n" for a in actions)
-    # Atomic conditional publish: Delta's commit contract (version N
-    # written by exactly one writer, and readers must never observe a
-    # partial version file). The timeline's lock provider re-scopes to
-    # the _delta_log namespace — same store, no silent fallback — and
-    # `publish` guarantees content atomicity (local FS: tmp+hardlink;
-    # object stores: conditional put).
-    provider = table.timeline.lock_provider.scoped(log_dir)
-    if not provider.publish(_version_name(version), payload):
+    # The COMMIT POINT — Delta's contract (version N written by
+    # exactly one writer, readers never observe a partial version
+    # file) is exactly S3 `PutObject + If-None-Match: *` through the
+    # store seam: concurrent syncers serialize on the conditional put,
+    # the loser re-reads state and retries/no-ops.
+    if not pub.put_text(
+        os.path.join(log_dir, _version_name(version)), payload,
+        if_none_match=True,
+    ):
         raise FileExistsError(
             f"delta log version {version} already published by a "
             "concurrent syncer"
@@ -538,7 +586,7 @@ def sync_delta_log(
     # sync's own commit must not be misreported as failed because the
     # head moved (the checkpoint is cadence, not part of the commit).
     if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
-        write_delta_checkpoint(table)
+        write_delta_checkpoint(table, store=store)
     return version
 
 
@@ -547,6 +595,7 @@ def write_delta_checkpoint(
     version: int | None = None,
     now_ms: int | None = None,
     retention_ms: int = REMOVE_RETENTION_MS,
+    store=None,
 ) -> int:
     """Write `<v>.checkpoint.parquet` + `_last_checkpoint` for the log's
     current (or given, already-published) version — the public V1
@@ -570,7 +619,8 @@ def write_delta_checkpoint(
 
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     log_dir = _log_dir(table)
-    last_version, live, meta, tombstones = _read_log_state(log_dir)
+    pub = publisher(table.base_path, store)
+    last_version, live, meta, tombstones = _read_log_state(log_dir, pub)
     if last_version < 0:
         raise RuntimeError("no _delta_log to checkpoint — sync first")
     if version is None:
@@ -695,26 +745,33 @@ def write_delta_checkpoint(
             ("remove", remove_t),
         ]
     )
-    ckpt_path = os.path.join(log_dir, _checkpoint_name(version))
-    tmp = ckpt_path + ".tmp"
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
-    os.replace(tmp, ckpt_path)  # atomic: readers never see a torn file
-    ptr = json.dumps({"version": version, "size": len(rows)})
-    tmp = os.path.join(log_dir, _LAST_CHECKPOINT + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(ptr)
-    os.replace(tmp, os.path.join(log_dir, _LAST_CHECKPOINT))
+    # Checkpoints are CADENCE, not commit points: an atomic
+    # full-object PUT through the store seam (readers see the old or
+    # the new complete object — both are valid checkpoints of version
+    # V; delta-spark likewise overwrites). The `_last_checkpoint`
+    # pointer is a last-writer-wins hint; its fallback is the listing.
+    buf = io.BytesIO()
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), buf)
+    pub.put_bytes(
+        os.path.join(log_dir, _checkpoint_name(version)), buf.getvalue()
+    )
+    pub.put_text(
+        os.path.join(log_dir, _LAST_CHECKPOINT),
+        json.dumps({"version": version, "size": len(rows)}),
+    )
     return version
 
 
-def clean_delta_log(table: LakehouseTable) -> int:
+def clean_delta_log(table: LakehouseTable, store=None) -> int:
     """Delete JSON versions at/below the newest checkpoint (Delta's
     metadata-cleanup contract: once a checkpoint covers version V, the
     JSON commits <= V are redundant for readers). Returns how many
     version files were removed. Keeps the checkpoint itself plus every
-    newer JSON, so any reader replay stays exact."""
+    newer JSON, so any reader replay stays exact. All listing/reads and
+    the idempotent deletes flow through the store seam."""
     log_dir = _log_dir(table)
-    ckpt = _read_last_checkpoint(log_dir)
+    pub = publisher(table.base_path, store)
+    ckpt = _read_last_checkpoint(log_dir, pub)
     if ckpt < 0:
         return 0
     # Never delete the only copy of log state: verify the checkpoint
@@ -723,22 +780,23 @@ def clean_delta_log(table: LakehouseTable) -> int:
     # externally-modified `_last_checkpoint` must not make the log
     # unrecoverable.
     try:
-        _read_checkpoint(log_dir, ckpt)
+        _read_checkpoint(log_dir, ckpt, pub)
     except Exception:
         return 0
     removed = 0
-    for n in os.listdir(log_dir):
+    names = _list_log(log_dir, pub)
+    for n in names:
         if n.endswith(".json") and n[:-5].isdigit() and int(n[:-5]) <= ckpt:
-            os.remove(os.path.join(log_dir, n))
+            pub.delete(os.path.join(log_dir, n))
             removed += 1
     # older checkpoints are superseded too
-    for n in os.listdir(log_dir):
+    for n in names:
         if (
             n.endswith(".checkpoint.parquet")
             and n.split(".", 1)[0].isdigit()
             and int(n.split(".", 1)[0]) < ckpt
         ):
-            os.remove(os.path.join(log_dir, n))
+            pub.delete(os.path.join(log_dir, n))
     return removed
 
 

@@ -103,6 +103,7 @@ from onehouse_demos_spark.tables.delta_export import (
     _partition_columns,
     _partition_values,
 )
+from onehouse_demos_spark.tables.object_publish import Publisher, default_store
 from onehouse_demos_spark.tables.table import (
     DELETED_COL,
     HIVE_DEFAULT_PARTITION,
@@ -182,21 +183,19 @@ def _table_checksum(props: dict[str, str]) -> str:
     return str(zlib.crc32(blob.encode("utf-8")))
 
 
-def _declared_partitions(props_path: str) -> set[str]:
-    """The metadata partitions hoodie.properties currently lists."""
-    try:
-        with open(props_path) as fh:
-            for line in fh:
-                if line.startswith("hoodie.table.metadata.partitions="):
-                    return {
-                        p
-                        for p in line.strip()
-                        .split("=", 1)[1]
-                        .split(",")
-                        if p
-                    }
-    except OSError:
+def _declared_partitions(props_raw: bytes | None) -> set[str]:
+    """The metadata partitions a hoodie.properties blob lists. Takes
+    the RAW BYTES (fetched once through the store seam, ADVICE r12 #1)
+    so the writer's state read works on non-materializing stores."""
+    if props_raw is None:
         return set()
+    for line in props_raw.decode("utf-8").splitlines():
+        if line.startswith("hoodie.table.metadata.partitions="):
+            return {
+                p
+                for p in line.strip().split("=", 1)[1].split(",")
+                if p
+            }
     return set()
 
 
@@ -262,16 +261,15 @@ def _hoodie_properties(
     return "\n".join(lines) + "\n"
 
 
-def _read_table_type(props_path: str) -> str | None:
+def _read_table_type(props_raw: bytes | None) -> str | None:
     """The `hoodie.table.type` a personality currently declares
-    (None when no properties file exists yet)."""
-    try:
-        with open(props_path) as fh:
-            for line in fh:
-                if line.startswith("hoodie.table.type="):
-                    return line.strip().split("=", 1)[1]
-    except OSError:
+    (None when no properties file exists yet). Takes the raw bytes —
+    same single store-seam fetch as `_declared_partitions`."""
+    if props_raw is None:
         return None
+    for line in props_raw.decode("utf-8").splitlines():
+        if line.startswith("hoodie.table.type="):
+            return line.strip().split("=", 1)[1]
     return None
 
 
@@ -287,60 +285,25 @@ def _hoodie_dir(table_or_path) -> str:
     return os.path.join(base, _HOODIE_DIR)
 
 
-class _Publisher:
+class _Publisher(Publisher):
     """Every byte the personality PUBLISHES flows through the
-    ObjectStoreClient S3 contract (VERDICT r11 #3): atomic full-object
-    puts, conditional put (If-None-Match) at each COMPLETED-instant
-    commit point, hardlink-free semantics — the tmp+rename and
-    O_EXCL tricks live INSIDE the default TreeFSObjectStoreEmulator,
-    never in personality code, so a boto3-backed client drops in
-    unchanged on S3 (where rename does not exist). Keys are
-    base_path-relative POSIX paths; the default store materializes
-    them at the very paths external Hudi readers scan, byte-identical
-    to the pre-seam layout. READS of the materialized layout (replay,
-    chain folds, listings) intentionally stay direct file I/O — they
-    model the EXTERNAL reader, which consumes the bucket through its
-    own stack. Picklable (store root + base string) so executors
-    publish record-index shard files through the same contract."""
-
-    def __init__(self, store, base_path: str):
-        self.store = store
-        self.base = base_path
-
-    def rel(self, abs_path: str) -> str:
-        return os.path.relpath(abs_path, self.base).replace(os.sep, "/")
-
-    def put_bytes(
-        self, abs_path: str, data: bytes, if_none_match: bool = False
-    ) -> bool:
-        return self.store.put_object(
-            self.rel(abs_path), data, if_none_match=if_none_match
-        )
-
-    def put_text(
-        self, abs_path: str, text: str, if_none_match: bool = False
-    ) -> bool:
-        return self.put_bytes(
-            abs_path, text.encode(), if_none_match=if_none_match
-        )
-
-    def put_json(
-        self, abs_path: str, obj, indent: int = 2,
-        if_none_match: bool = False,
-    ) -> bool:
-        return self.put_text(
-            abs_path, json.dumps(obj, indent=indent),
-            if_none_match=if_none_match,
-        )
-
-    def put_file(self, abs_path: str, src_abs: str) -> bool:
-        return self.store.put_object_from_file(self.rel(abs_path), src_abs)
-
-    def get_bytes(self, abs_path: str) -> bytes | None:
-        return self.store.get_object(self.rel(abs_path))
-
-    def delete(self, abs_path: str) -> None:
-        self.store.delete_object(self.rel(abs_path))
+    ObjectStoreClient S3 contract (VERDICT r11 #3; shared seam in
+    tables/object_publish.py since r13): atomic full-object puts,
+    conditional put (If-None-Match) at each COMPLETED-instant commit
+    point, hardlink-free semantics — a boto3-backed client drops in
+    unchanged on S3 for the WRITE path. Scope (ADVICE r12 #1): the
+    claim is exact for publishes and for the state-adjacent reads
+    routed through get_bytes; writer-internal reads that fold the
+    MATERIALIZED layout (replay of timeline instants in clean's
+    archival scan, HoodieLogFormat chain folds, mdt listing reads)
+    read the local tree directly and therefore require a store that
+    materializes keys at the local layout — i.e. the default
+    TreeFSObjectStoreEmulator or any FS-backed bucket mount. On a
+    non-materializing store (raw S3), publishing still works;
+    clean/compaction maintenance must then run where the bucket is
+    mounted, or those folds grow get_object/list_keys routing first.
+    Picklable (store root + base string) so executors publish
+    record-index shard files through the same contract."""
 
     def publish_completed(self, abs_path: str, obj) -> None:
         """The commit point: S3 `PutObject + If-None-Match: *`. Under
@@ -358,9 +321,7 @@ def _default_store(base_path: str):
     """Local deployments publish through the hierarchical FS emulation
     of the S3 contract; a real cloud deployment passes a boto3-backed
     ObjectStoreClient to sync_hudi_metadata/clean_hudi_personality."""
-    from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
-
-    return TreeFSObjectStoreEmulator(base_path)
+    return default_store(base_path)
 
 
 def _publisher(table, store=None) -> _Publisher:
@@ -390,12 +351,24 @@ def _save_state(pub: _Publisher, hoodie: str, state: dict) -> None:
     pub.put_json(os.path.join(hoodie, _STATE_FILE), state, indent=1)
 
 
-def _next_instant(state: dict) -> str:
+def _next_instant(
+    state: dict, hoodie: str | None = None, pub: _Publisher | None = None
+) -> str:
     """17-digit `yyyyMMddHHmmssSSS` (table version 6), strictly above
-    every instant this exporter has minted for the table."""
+    every instant this exporter has minted for the table AND (ADVICE
+    r12 #3) every completed instant already visible in the timeline
+    directory: after a crash between the commit-point conditional put
+    and the state save, the state file lags the published timeline,
+    and a same-millisecond retry must not re-mint the published id —
+    publish_completed would refuse a healthy retry."""
     now = datetime.now(timezone.utc)
     cand = now.strftime("%Y%m%d%H%M%S") + f"{now.microsecond // 1000:03d}"
     prev = state["instants"][-1] if state["instants"] else ""
+    if hoodie is not None and pub is not None:
+        for name in pub.list_rel(hoodie):
+            stem = name.split(".", 1)[0]
+            if len(stem) == 17 and stem.isdigit() and stem > prev:
+                prev = stem
     if prev and cand <= prev:
         bumped = datetime.strptime(prev[:14], "%Y%m%d%H%M%S") + timedelta(
             seconds=0
@@ -600,12 +573,14 @@ def _sync_hudi_metadata_locked(
     # upgrade is one-way: once MERGE_ON_READ, later compact-mode
     # syncs stay MOR (plain commits are valid MOR instants; the
     # deltacommits already in the timeline make COW a lie).
-    existing_type = _read_table_type(props_path)
-    declared = _declared_partitions(props_path)
+    props_raw = pub.get_bytes(props_path)  # ONE seam read for all
+    # writer-internal properties state (exists / type / partitions)
+    existing_type = _read_table_type(props_raw)
+    declared = _declared_partitions(props_raw)
     want_cs = column_stats or "column_stats" in declared
     want_bf = bloom_filters or "bloom_filters" in declared
     want_rli = record_index or "record_index" in declared
-    needs_rewrite = os.path.exists(props_path) and (
+    needs_rewrite = props_raw is not None and (
         (mor_rt and existing_type == "COPY_ON_WRITE")
         or (column_stats and "column_stats" not in declared)
         or (bloom_filters and "bloom_filters" not in declared)
@@ -626,7 +601,7 @@ def _sync_hudi_metadata_locked(
                 record_index=want_rli,
             ),
         )
-    if not adds and not removed and os.path.exists(props_path):
+    if not adds and not removed and props_raw is not None:
         n = 0
         if mor_rt:
             n = _sync_rt_logs(
@@ -657,7 +632,7 @@ def _sync_hudi_metadata_locked(
                 pub=pub,
             )
         return len(state["instants"])
-    if not os.path.exists(props_path):
+    if props_raw is None:
         pub.put_text(
             props_path,
             _hoodie_properties(
@@ -670,7 +645,7 @@ def _sync_hudi_metadata_locked(
             ),
         )
 
-    instant = _next_instant(state)
+    instant = _next_instant(state, hoodie, pub)
     part_stats: dict[str, list[dict]] = {}
     replace_ids: dict[str, list[str]] = {}
     seen_partitions = {
@@ -870,7 +845,7 @@ def _sync_rt_logs(
         ent["file_id"]: p for p, ent in known.items()
     }
     schema_df = None
-    instant = _next_instant(state)
+    instant = _next_instant(state, hoodie, pub)
     part_stats: dict[str, list[dict]] = {}
     for p in new_paths:
         fm = live_logs[p]

@@ -57,6 +57,7 @@ from onehouse_demos_spark.tables.delta_export import (
     _assert_no_log_tombstones,
     _assert_no_tombstones,
 )
+from onehouse_demos_spark.tables.object_publish import Publisher, publisher
 from onehouse_demos_spark.tables.table import (
     HIVE_DEFAULT_PARTITION,
     PP_COL,
@@ -361,9 +362,17 @@ def _meta_dir(table: LakehouseTable) -> str:
     return os.path.join(table.base_path, _META_DIR)
 
 
-def _current_version(meta_dir: str) -> int:
+def _current_version(meta_dir: str, pub: Publisher | None = None) -> int:
+    """Version per `version-hint.text` — through the store seam when
+    the caller is the writer (pub given), direct file I/O for the
+    external readers below."""
     hint = os.path.join(meta_dir, "version-hint.text")
     try:
+        if pub is not None:
+            raw = pub.get_bytes(hint)
+            if raw is None:
+                return 0
+            return int(raw.decode("utf-8").strip())
         with open(hint) as fh:
             return int(fh.read().strip())
     except (FileNotFoundError, ValueError):
@@ -371,24 +380,57 @@ def _current_version(meta_dir: str) -> int:
 
 
 def sync_iceberg_metadata(
-    table: LakehouseTable, now_ms: int | None = None
+    table: LakehouseTable, now_ms: int | None = None, store=None
 ) -> int:
     """Create/refresh the Iceberg personality in place. Returns the
     metadata version written (or the current one when the live file
     set is unchanged). Readers follow `metadata/version-hint.text` →
     `v<N>.metadata.json` → current snapshot → manifest list →
-    manifest → the table's own parquet."""
+    manifest → the table's own parquet.
+
+    Every write flows through the ObjectStoreClient S3 contract
+    (tables/object_publish.py, VERDICT r12 #1): manifests and manifest
+    lists are uuid-named atomic full-object puts, the metadata.json is
+    the COMMIT POINT (`PutObject + If-None-Match: *` — exactly one
+    syncer owns version N), and version-hint.text is a last-writer-
+    wins hint put. Writer-internal state reads (hint + previous
+    metadata) ride the same seam; external readers below stay direct
+    file I/O over the materialized layout."""
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
     _assert_no_log_tombstones(table)
     meta_dir = _meta_dir(table)
-    os.makedirs(meta_dir, exist_ok=True)
-    version = _current_version(meta_dir)
+    pub = publisher(table.base_path, store)
+    version = _current_version(meta_dir, pub)
+    # The hint is a HINT: a writer that crashed between the
+    # metadata.json commit point and the hint put leaves the hint one
+    # behind, and trusting it would make the healthy retry re-mint the
+    # already-published version (conditional-put conflict on a
+    # no-contention retry). Probe forward to the true head — the same
+    # recovery HadoopTables clients perform — and repair the hint.
+    hinted = version
+    while (
+        pub.get_bytes(
+            os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+        )
+        is not None
+    ):
+        version += 1
+    if version != hinted:
+        pub.put_text(os.path.join(meta_dir, "version-hint.text"),
+                     str(version))
     prev_meta = None
     if version:
-        with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
-            prev_meta = json.load(fh)
+        raw = pub.get_bytes(
+            os.path.join(meta_dir, f"v{version}.metadata.json")
+        )
+        if raw is None:
+            raise FileNotFoundError(
+                f"version-hint names v{version} but the metadata "
+                "object is missing"
+            )
+        prev_meta = json.loads(raw)
 
     schema, phys_map = _iceberg_schema(table, prev_meta)
     paths = sorted(f.path for f in files)
@@ -449,8 +491,7 @@ def sync_iceberg_metadata(
         },
     )
     manifest_path = os.path.join(meta_dir, manifest_name)
-    with open(manifest_path, "wb") as fh:
-        fh.write(manifest_bytes)
+    pub.put_bytes(manifest_path, manifest_bytes)  # uuid-named, atomic
 
     # ---- manifest list
     snap_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
@@ -476,8 +517,7 @@ def sync_iceberg_metadata(
         extra_meta={"format-version": "2"},
     )
     list_path = os.path.join(meta_dir, snap_name)
-    with open(list_path, "wb") as fh:
-        fh.write(list_bytes)
+    pub.put_bytes(list_path, list_bytes)  # uuid-named, atomic
 
     # ---- table metadata
     snapshot = {
@@ -555,27 +595,24 @@ def sync_iceberg_metadata(
         ),
     }
     new_version = version + 1
-    # Conditional atomic publish through the timeline's lock provider
-    # (scoped to metadata/): exactly one syncer can own version N, and
-    # readers never observe a torn metadata.json. The manifests above
-    # are uuid-named (collision-free) so only the version file needs
-    # the conditional create.
-    provider = table.timeline.lock_provider.scoped(meta_dir)
-    if not provider.publish(
-        f"v{new_version}.metadata.json", json.dumps(meta, indent=2)
+    # The COMMIT POINT: `PutObject + If-None-Match: *` through the
+    # store seam — exactly one syncer can own version N, and readers
+    # never observe a torn metadata.json. The manifests above are
+    # uuid-named (collision-free) so only the version file needs the
+    # conditional create.
+    if not pub.put_json(
+        os.path.join(meta_dir, f"v{new_version}.metadata.json"), meta,
+        if_none_match=True,
     ):
         raise FileExistsError(
             f"iceberg metadata v{new_version} already published by a "
             "concurrent syncer"
         )
-    # version-hint is a HINT (HadoopTables convention): replaced
-    # atomically via tmp+rename so a racing reader sees either the old
-    # or the new version number, never a truncated file.
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp = hint + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(new_version))
-    os.replace(tmp, hint)
+    # version-hint is a HINT (HadoopTables convention): an atomic
+    # full-object put, so a racing reader sees either the old or the
+    # new version number, never a truncated file.
+    pub.put_text(os.path.join(meta_dir, "version-hint.text"),
+                 str(new_version))
     return new_version
 
 

@@ -402,6 +402,13 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
     def put_object_from_file(
         self, key: str, src_path: str, if_none_match: bool = False
     ) -> bool:
+        # PRECONDITION (ADVICE r12 #2): the zero-copy path hardlinks
+        # the live source inode as the stored object, so a later
+        # in-place MUTATION of src_path would mutate the "immutable"
+        # object — diverging from S3. Safe here because every caller
+        # uploads write-once engine artifacts (parquet base files,
+        # sealed log blocks, HFiles); a source that is later rewritten
+        # in place must go through put_object(bytes) instead.
         dst = self._obj(key)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         if if_none_match:

@@ -491,8 +491,8 @@ def test_concurrent_syncers_serialize_on_version(spark, tmp_base):
     b = threading.Barrier(2)
     orig = sync_delta_log.__globals__["_read_log_state"]
 
-    def barriered(log_dir):
-        state = orig(log_dir)
+    def barriered(*args, **kwargs):
+        state = orig(*args, **kwargs)
         try:
             b.wait(timeout=10)
         except Exception:
