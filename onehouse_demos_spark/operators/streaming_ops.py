@@ -122,7 +122,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_DEDUP_COUNTS_SQL = """
 SELECT event_type,
        COUNT(*) AS n_unique_events,
-       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+       CAST(SUM(CAST(FLOOR((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0
          AS sum_value_r
 FROM events
 GROUP BY event_type

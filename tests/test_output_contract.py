@@ -125,17 +125,46 @@ def test_no_hugeint_or_unlisted_decimal_outputs(con):
     assert not bad, f"driver-facing output-type hazards: {bad}"
 
 
-# the CAST branch tolerates two levels of nested parens in the operand
-# (CAST(SUM(x) AS DECIMAL) and CAST(SUM(FLOOR(x*10^n)) AS DECIMAL) must
-# not escape the audit — r12 review, twice)
+# the CAST branch tolerates three levels of nested parens in the
+# operand (CAST(SUM(x) AS DECIMAL), CAST(SUM(FLOOR(x*10^n)) AS DECIMAL)
+# and CAST(CAST(FLOOR((x)*10^n) AS BIGINT) AS DECIMAL) must not escape
+# the audit — r12 review twice, deepened in r13 for the wide shape)
 _PAREN1 = r"\((?:[^()])*\)"
 _PAREN2 = rf"\((?:[^()]|{_PAREN1})*\)"
+_PAREN3 = rf"\((?:[^()]|{_PAREN2})*\)"
 _RISKY_TEXT = re.compile(
     r"ROUND\(\s*(?:SUM|AVG)\("
-    rf"|CAST\((?:[^()]|{_PAREN2})*\bAS\s+DECIMAL"
+    rf"|CAST\((?:[^()]|{_PAREN3})*\bAS\s+DECIMAL"
     r"|::DECIMAL",
     re.IGNORECASE,
 )
+
+# The ONE legal DECIMAL cast: the wide-accumulator leg of the
+# floor-quantized sum contract (functions/quantize.py::_acc_sql,
+# VERDICT r12 #6). Casting an EXACT BIGINT to DECIMAL(38,0) has no tie
+# exposure (integers convert exactly); it exists so e4 money sums
+# survive 100 TB row counts. Strip exactly that canonical rendering
+# before the risky-text scan so anything else still fails the audit.
+_WIDE_ACC = re.compile(
+    r"CAST\(CAST\(FLOOR\({_P3} \* 10+\) AS BIGINT\)\s+"
+    r"AS DECIMAL\(38,\s*0\)\)".replace("{_P3}", _PAREN3),
+    re.IGNORECASE,
+)
+# CASE-wrapped wide accumulator (conditional sums, e.g. the Q8-shaped
+# market-share numerator): CAST(CASE WHEN ... THEN <fquant> END AS
+# DECIMAL(38,0)).
+_WIDE_ACC_CASE = re.compile(
+    r"CAST\(CASE WHEN (?:[^()]|{_P3})*"
+    r"THEN\s+CAST\(FLOOR\({_P3} \* 10+\) AS BIGINT\)\s+"
+    r"END AS DECIMAL\(38,\s*0\)\)".replace("{_P3}", _PAREN3),
+    re.IGNORECASE,
+)
+
+
+def _strip_wide_acc(sql: str) -> str:
+    s = re.sub(r"\s+", " ", sql)
+    s = _WIDE_ACC.sub("WIDE_ACC", s)
+    return _WIDE_ACC_CASE.sub("WIDE_ACC", s)
 
 
 def test_no_unlisted_round_over_aggregate(con):
@@ -143,7 +172,7 @@ def test_no_unlisted_round_over_aggregate(con):
     for name, sql in _registry().items():
         if name in ROUND_WHITELIST:
             continue
-        m = _RISKY_TEXT.search(sql)
+        m = _RISKY_TEXT.search(_strip_wide_acc(sql))
         if m:
             bad.append((name, m.group(0)))
     assert not bad, (
@@ -184,6 +213,181 @@ NONVACUOUS_SKIP_HEAVY = {
     # cheap-oracle queries probed normally.
     "ann_index_incremental", "pq_adc_topk",
 }
+
+
+# ---------------------------------------------------------------------------
+# Quantization contract composition (VERDICT r12 #4): the helpers in
+# functions/quantize.py are the ONE source of truth. Every power-of-ten
+# FLOOR quantization in every registered oracle must render EXACTLY the
+# helper's canonical shape — a one-character divergence between a
+# builder and its oracle becomes a red test here instead of a driver
+# hash-fail three rounds later.
+# ---------------------------------------------------------------------------
+
+
+def _quant_sites(sql: str):
+    """Yield (inner_expr, n, canonical) for every FLOOR(X * 10^n) in a
+    whitespace-normalized oracle text. `canonical` is True when the
+    site renders exactly fquant_sql(inner_expr, n)."""
+    s = re.sub(r"\s+", " ", sql)
+    for m in re.finditer(r"FLOOR\(", s):
+        i = m.end() - 1
+        depth, j = 0, i
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = s[i + 1:j]
+        mm = re.search(r"\*\s*(10+)\s*$", inner)
+        if not mm:
+            continue  # bucket geometry etc. — not a quantization
+        n = len(mm.group(1)) - 1
+        expr = inner[: mm.start()].strip()
+        wrapped = (
+            s[max(0, m.start() - 5):m.start()].endswith("CAST(")
+            and s[j + 1:j + 12].strip().startswith("AS BIGINT")
+        )
+        canonical = (
+            wrapped and expr.startswith("(") and expr.endswith(")")
+        )
+        yield expr, n, canonical
+
+
+def test_quantization_sites_render_the_helper_shape():
+    from onehouse_demos_spark.functions.quantize import fquant_sql
+
+    bad = []
+    for name, sql in _registry().items():
+        for expr, n, canonical in _quant_sites(sql):
+            if not canonical:
+                bad.append((name, expr[:60], n))
+                continue
+            # the canonical site must literally equal the helper's
+            # rendering of its inner expression
+            rendered = fquant_sql(expr[1:-1], n)
+            assert f"CAST(FLOOR({expr} * {10 ** n}) AS BIGINT)" == rendered
+    assert not bad, (
+        "quantization sites diverging from fquant_sql's canonical "
+        f"shape (compose the helper): {bad}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-accumulator overflow headroom (VERDICT r12 #6). The declared
+# contract scale is 100 TB = SF 1e5; the gate runs sf0.001 here, so a
+# quantized BIGINT sum observed at magnitude M must satisfy
+# M * (1e5/0.001) * SAFETY < 2^63, else the metric must ride the
+# DECIMAL(38,0) wide accumulator (functions/quantize.py). The linear
+# row-scale model is conservative for per-key groups (their size does
+# not grow with SF) and exact for fixed-cardinality groups — the ones
+# that actually overflow.
+# ---------------------------------------------------------------------------
+
+CONTRACT_MAX_SF = 1e5  # ~100 TB of TPC-H-shaped data
+_GATE_SF = 0.001       # SF_DIR above
+_SAFETY = 8.0
+
+
+def _sum_sites(sql: str):
+    """(start, inner, wide) for every SUM whose operand contains a
+    power-of-ten FLOOR quantization — narrow BIGINT or wide
+    DECIMAL(38,0) accumulator."""
+    s = re.sub(r"\s+", " ", sql)
+    for m in re.finditer(r"SUM\(", s):
+        i = m.end() - 1
+        depth, j = 0, i
+        while j < len(s):
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = s[i + 1:j]
+        if not re.search(r"FLOOR\((?:[^()]|\(.*\))*\*\s*10+\s*\)", inner):
+            continue
+        yield inner, "DECIMAL(38" in inner.upper()
+
+
+# Every NARROW quantized sum in a windowed oracle must appear here with
+# how to bound it: ("col", output_column, n) measures
+# MAX(ABS(output_column)) * 10^n from the oracle's own result;
+# ("avg", output_column, count_column, n) multiplies by the group count
+# (the accumulator holds the SUM, not the mean); ("probe", sql, n)
+# evaluates a standalone upper-bound probe for sums not visible in the
+# final output. The scanner below forces this ledger complete.
+WINDOWED_SUM_LEDGER = {
+    "pricing_summary": [
+        ("avg", "sum_qty", "count_order", 0),     # already summed: n
+        ("avg", "avg_disc", "count_order", 4),    # folded into value
+    ],
+    "join_dim_rollup": [("col", "total_acctbal", 2)],
+    "idle_customer_balance": [
+        ("col", "totacctbal", 2),
+        # the exact integer-cents threshold subquery: global positive
+        # acctbal sum in cents
+        ("probe",
+         "SELECT SUM(ABS(CAST(ROUND(c_acctbal * 100) AS BIGINT))) "
+         "FROM customer WHERE c_acctbal > 0", 0),
+    ],
+    "large_volume_customers": [("col", "total_qty", 2)],
+    "events_gapfill": [("col", "sum_value_locf_e4", 0)],
+    "streaming_dedup_counts": [("col", "sum_value_r", 2)],
+}
+
+
+def test_windowed_integer_sums_have_100tb_headroom(con):
+    """VERDICT r12 #6: e4 sums of price-scale doubles exceed BIGINT at
+    100 TB. Every quantized sum in the driver window is either WIDE
+    (DECIMAL(38,0) — 1e38 headroom, structurally safe) or measured
+    here: observed magnitude at the gate SF, scaled linearly to the
+    declared CONTRACT_MAX_SF with an 8x safety factor, must fit
+    int64."""
+    limit = 2.0 ** 63
+    scale = CONTRACT_MAX_SF / _GATE_SF
+    unled, thin = [], []
+    for name, sql in _windowed_oracles().items():
+        if name in NONVACUOUS_SKIP_HEAVY:
+            continue
+        narrow = [inner for inner, wide in _sum_sites(sql) if not wide]
+        ledger = WINDOWED_SUM_LEDGER.get(name, [])
+        if narrow and not ledger:
+            unled.append((name, narrow[0][:60]))
+            continue
+        if not narrow and name in WINDOWED_SUM_LEDGER:
+            unled.append((name, "ledger entry but no narrow sum left"))
+        for entry in ledger:
+            if entry[0] == "col":
+                _, col, n = entry
+                mx = con.execute(
+                    f'SELECT MAX(ABS("{col}")) FROM ({sql})'
+                ).fetchone()[0]
+                mag = float(mx or 0) * (10 ** n)
+            elif entry[0] == "avg":
+                _, col, cnt, n = entry
+                mx = con.execute(
+                    f'SELECT MAX(ABS("{col}" * "{cnt}")) FROM ({sql})'
+                ).fetchone()[0]
+                mag = float(mx or 0) * (10 ** n)
+            else:
+                _, probe, n = entry
+                mx = con.execute(probe).fetchone()[0]
+                mag = float(mx or 0) * (10 ** n)
+            if mag * scale * _SAFETY >= limit:
+                thin.append((name, entry, f"{mag:.3g}*{scale:.0e}"))
+    assert not unled, (
+        "narrow quantized sums in windowed oracles without a headroom "
+        f"ledger entry (add one or go wide): {unled}"
+    )
+    assert not thin, (
+        "BIGINT accumulators that overflow at the declared 100 TB "
+        f"scale — switch to fsum(..., wide=True): {thin}"
+    )
 
 
 def test_windowed_queries_are_nonvacuous_at_smallest_sf(con):
