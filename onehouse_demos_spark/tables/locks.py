@@ -463,8 +463,20 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
             pass
 
     def list_keys(self, prefix: str) -> list[str]:
+        # Walk only the subtree the prefix's directory part names —
+        # S3 LIST with a prefix is server-side efficient, and callers
+        # (e.g. the instant minter listing `.hoodie/`) must not pay
+        # O(whole table) for a metadata-directory listing.
+        dir_part, _, name_part = prefix.rpartition("/")
+        start = (
+            os.path.join(self.root, *dir_part.split("/"))
+            if dir_part
+            else self.root
+        )
+        if not os.path.isdir(start):
+            return []
         out = []
-        for dirpath, _dirs, names in os.walk(self.root):
+        for dirpath, _dirs, names in os.walk(start):
             for n in names:
                 if n.startswith(".put."):
                     continue
