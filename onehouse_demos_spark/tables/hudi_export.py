@@ -292,18 +292,19 @@ class _Publisher(Publisher):
     conditional put (If-None-Match) at each COMPLETED-instant commit
     point, hardlink-free semantics — a boto3-backed client drops in
     unchanged on S3 for the WRITE path. Scope (ADVICE r12 #1): the
-    claim is exact for publishes and for the state-adjacent reads
-    routed through get_bytes; writer-internal reads that fold the
-    MATERIALIZED layout (replay of timeline instants in clean's
-    archival scan, HoodieLogFormat chain folds, mdt listing reads)
-    read the local tree directly and therefore require a store that
-    materializes keys at the local layout — i.e. the default
-    TreeFSObjectStoreEmulator or any FS-backed bucket mount. On a
-    non-materializing store (raw S3), publishing still works;
-    clean/compaction maintenance must then run where the bucket is
-    mounted, or those folds grow get_object/list_keys routing first.
-    Picklable (store root + base string) so executors publish
-    record-index shard files through the same contract."""
+    claim is exact for publishes, for the state-adjacent reads routed
+    through get_bytes (sync state, hoodie.properties, archival copy
+    sources) and for clean's timeline/metadata listings (list_keys,
+    r13). Writer-internal reads that FOLD the materialized layout
+    (HoodieLogFormat chain folds during compaction-on-sync, HFile
+    base reads) plus the external-reader replay still read the local
+    tree directly and require a store that materializes keys at the
+    local layout — i.e. the default TreeFSObjectStoreEmulator or any
+    FS-backed bucket mount. On a non-materializing store (raw S3),
+    publishing and clean work; compaction-fold maintenance must run
+    where the bucket is mounted, or those folds grow get_object
+    routing first. Picklable (store root + base string) so executors
+    publish record-index shard files through the same contract."""
 
     def publish_completed(self, abs_path: str, obj) -> None:
         """The commit point: S3 `PutObject + If-None-Match: *`. Under
@@ -3079,7 +3080,10 @@ def _clean_hudi_personality_locked(
             del state["retired"][rel]
     arch_dir = os.path.join(hoodie, "archived")
     archived: list[str] = []
-    for name in sorted(os.listdir(hoodie)):
+    # writer-internal timeline scan through the store LIST (ADVICE r12
+    # #1): clean must see the same keyspace it publishes/deletes into,
+    # or a non-materializing store would make archival a silent no-op
+    for name in pub.list_rel(hoodie):
         m = _COMPLETED_RE.match(name)
         stem = name.split(".", 1)[0]
         is_transition = (
@@ -3108,10 +3112,11 @@ def _clean_hudi_personality_locked(
     # metadata-table slices: newest always survives; older-than-horizon
     # superseded slices age out with the data slices they listed
     files_dir = os.path.join(hoodie, "metadata", "files")
-    if os.path.isdir(files_dir):
+    mdt_names = pub.list_rel(files_dir)
+    if mdt_names:
         slices = sorted(
             n
-            for n in os.listdir(files_dir)
+            for n in mdt_names
             if n.startswith(_MDT_FILE_GROUP + "_")
             and (n.endswith(".hfile") or n.endswith(".parquet"))
         )
@@ -3124,7 +3129,7 @@ def _clean_hudi_personality_locked(
             # delta log files attached to a SUPERSEDED base (their
             # records were folded into a newer base by chain
             # compaction) age out with it past the horizon
-            for n in os.listdir(files_dir):
+            for n in mdt_names:
                 if not n.startswith(f".{_MDT_FILE_GROUP}_"):
                     continue
                 if ".log." not in n:
@@ -3138,10 +3143,11 @@ def _clean_hudi_personality_locked(
     # groups age independently, newest attachment per GROUP survives
     for part_name in ("column_stats", "bloom_filters", "record_index"):
         idx_dir = os.path.join(hoodie, "metadata", part_name)
-        if not os.path.isdir(idx_dir):
+        idx_names = pub.list_rel(idx_dir)
+        if not idx_names:
             continue
         by_group: dict[str, dict[str, str]] = {}
-        for n in os.listdir(idx_dir):
+        for n in idx_names:
             if n.startswith(".") and ".log." in n:
                 group = n[1:].split("_")[0]
                 by_group.setdefault(group, {})[n] = (

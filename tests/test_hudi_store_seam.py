@@ -71,6 +71,11 @@ class SpyTreeStore(TreeFSObjectStoreEmulator):
         self.deleted.append(key)
         super().delete_object(key)
 
+    def list_keys(self, prefix):
+        self.listed = getattr(self, "listed", [])
+        self.listed.append(prefix)
+        return super().list_keys(prefix)
+
 
 class CrashBeforeCommitStore(TreeFSObjectStoreEmulator):
     """Dies exactly at the data-timeline commit point — after every
@@ -234,6 +239,10 @@ def test_archival_move_is_copy_then_delete(spark, tmp_base):
     for k in archived_puts:
         name = k.rsplit("/", 1)[1]
         assert f".hoodie/{name}" in spy.deleted
+    # r13 (ADVICE r12 #1): clean's timeline scan rides the store LIST,
+    # never os.listdir — a non-materializing store would otherwise make
+    # archival a silent no-op
+    assert any(p.startswith(".hoodie/") for p in spy.listed), spy.listed
     # and the replay still folds archived instants back in
     got = {r.key for r in read_hudi_snapshot(spark, t.base_path).collect()}
     assert {"K0", "K1", "K2", "K3"} <= got
