@@ -1495,6 +1495,91 @@ TBL_HUDI_RT_READ_SQL = _SQL_BASE.format(
 )
 
 
+_ICE_DEL_CACHE: dict = {}
+
+
+def _build_iceberg_deletes(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """MOR pipeline for the Iceberg v2 EQUALITY-DELETE leg (r13):
+    insert -> log deletes (tombstones, NO compaction anywhere) ->
+    `sync_iceberg_metadata`, which until r13 REFUSED this state and
+    now exports partition-scoped equality-delete files. The builder
+    raises unless the engine log tombstones are still live after the
+    sync (nothing compacted) and unless real `eqdel-*.parquet` files
+    exist in the personality — a vacuous pass is impossible."""
+    if sf_dir in _ICE_DEL_CACHE:
+        return _ICE_DEL_CACHE[sf_dir]
+    import os as _os
+
+    from onehouse_demos_spark.tables.iceberg_export import (
+        sync_iceberg_metadata,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="oh_icedel_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_ice_del",
+        TableConfig(
+            name="orders_ice_del",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="mor",
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    sync_iceberg_metadata(t)
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+    )
+    sync_iceberg_metadata(t)
+    if not any(
+        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
+    ):
+        raise RuntimeError(
+            "tbl_iceberg_delete_read: engine logs vanished — something "
+            "compacted; the equality-delete read would be vacuous"
+        )
+    eqdels = [
+        n
+        for dirpath, _dirs, names in _os.walk(t.base_path)
+        for n in names
+        if n.startswith("eqdel-") and n.endswith(".parquet")
+    ]
+    if not eqdels:
+        raise RuntimeError(
+            "tbl_iceberg_delete_read: no equality-delete file published"
+        )
+    _ICE_DEL_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_iceberg_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 Iceberg v2 delete leg (r13): un-compacted MOR delete
+    tombstones export as EQUALITY DELETE files (content=2 +
+    equality_ids on the record key, data files kept at their
+    first-export sequence) instead of refusing the sync; the manifest
+    walk applies them, so the personality serves exactly the rows the
+    engine's real-time merge serves. Oracle: the ver-1 rows minus the
+    deleted keys."""
+    from onehouse_demos_spark.tables.iceberg_export import (
+        read_iceberg_snapshot,
+    )
+
+    t = _build_iceberg_deletes(spark, sf_dir)
+    return _project(read_iceberg_snapshot(spark, t.base_path))
+
+
+TBL_ICEBERG_DELETE_READ_SQL = _SQL_BASE.format(
+    where="WHERE o_orderkey % 9 <> 0",
+    ver="1",
+    price="o_totalprice",
+)
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -1527,6 +1612,7 @@ QUERIES = {
     "tbl_bucket_split_read": tbl_bucket_split_read,
     "tbl_hudi_mor_read": tbl_hudi_mor_read,
     "tbl_hudi_rt_read": tbl_hudi_rt_read,
+    "tbl_iceberg_delete_read": tbl_iceberg_delete_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -1565,6 +1651,7 @@ ORACLES = {
     "tbl_bucket_split_read": TBL_BUCKET_SPLIT_READ_SQL,
     "tbl_hudi_mor_read": TBL_HUDI_MOR_READ_SQL,
     "tbl_hudi_rt_read": TBL_HUDI_RT_READ_SQL,
+    "tbl_iceberg_delete_read": TBL_ICEBERG_DELETE_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,

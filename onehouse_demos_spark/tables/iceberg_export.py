@@ -28,7 +28,16 @@ CDC path golden-byte-pinned against the published Avro spec
 Personality semantics mirror the Delta exporter: snapshot = live BASE
 files (read-optimized view for MOR), engine meta columns exposed like
 Hudi's `_hoodie_*`, refusal to export base files whose footer stats
-show live soft-delete tombstones. Tables declared with `partition_by`
+show live soft-delete tombstone ROWS. Un-compacted MOR delete
+tombstones in LOG files no longer refuse (r13): the sync exports
+Iceberg v2 EQUALITY DELETE files — parquet files of `_oh_record_key`
+values (partition-scoped when the table is partitioned), listed by a
+content=1 delete manifest with `equality_ids`, applying to data files
+with a strictly older data sequence number (previously-exported files
+keep their first-export sequence via explicit status=EXISTING
+entries). The personality then serves EXACTLY the rows the engine's
+real-time merge serves for deletes; log-borne UPDATES remain the
+documented read-optimized staleness. Tables declared with `partition_by`
 export a real identity partition spec (spec fields with ids from 1000,
 per-file typed `partition` structs decoded from the hive path —
 matching the reference's converted tables,
@@ -53,10 +62,7 @@ import time
 import uuid
 
 from onehouse_demos_spark.sources.avro_codec import read_ocf, write_ocf
-from onehouse_demos_spark.tables.delta_export import (
-    _assert_no_log_tombstones,
-    _assert_no_tombstones,
-)
+from onehouse_demos_spark.tables.delta_export import _assert_no_tombstones
 from onehouse_demos_spark.tables.object_publish import Publisher, publisher
 from onehouse_demos_spark.tables.table import (
     HIVE_DEFAULT_PARTITION,
@@ -304,19 +310,29 @@ def _partition_record_schema(spec_fields: list[dict], schema: dict) -> dict:
     }
 
 
-def _manifest_entry_schema(partition_record: dict) -> dict:
-    data_file = {
-        "type": "record",
-        "name": "r2",
-        "fields": [
-            {"name": "content", "type": "int", "field-id": 134},
-            {"name": "file_path", "type": "string", "field-id": 100},
-            {"name": "file_format", "type": "string", "field-id": 101},
-            {"name": "partition", "type": partition_record, "field-id": 102},
-            {"name": "record_count", "type": "long", "field-id": 103},
-            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        ],
-    }
+def _manifest_entry_schema(
+    partition_record: dict, deletes: bool = False
+) -> dict:
+    fields = [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_record, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ]
+    if deletes:
+        # spec field 135: the schema field ids an equality delete file
+        # matches on — only delete manifests carry it, so the data
+        # manifest byte shape is unchanged from pre-r13 syncs.
+        fields.append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "field-id": 135,
+            }
+        )
+    data_file = {"type": "record", "name": "r2", "fields": fields}
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -362,6 +378,205 @@ def _meta_dir(table: LakehouseTable) -> str:
     return os.path.join(table.base_path, _META_DIR)
 
 
+# ------------------------------------------------- v2 equality deletes
+
+def _log_tombstones_present(table: LakehouseTable) -> bool:
+    """True when live LOG files carry un-compacted delete tombstones
+    (per-file footer stats — no data read). Until r13 the exporter
+    REFUSED to sync then; now it exports Iceberg v2 EQUALITY DELETE
+    files instead, so the personality serves exactly the rows the
+    MOR merge serves for deletes (log-borne UPDATES remain documented
+    read-optimized staleness)."""
+    from onehouse_demos_spark.tables.table import DELETED_COL
+
+    for fm in table.manifest.live_files(include_logs=True):
+        if fm.kind != "log":
+            continue
+        st = (fm.col_stats or {}).get(DELETED_COL)
+        if st is not None and st[1] is True:
+            return True
+    return False
+
+
+def _rt_deleted_keys(table: LakehouseTable, part_cols: list[str]):
+    """DataFrame of `_oh_record_key` (+ partition columns) for every
+    key a real-time MOR merge deletes relative to the base files: keys
+    present in the read-optimized view but absent from the merged
+    snapshot. EXACT by construction — the engine's own precombine
+    merge decides, not a tombstone heuristic. Fully distributed
+    (anti-join on the record key), no driver collection."""
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    ro = table.read_optimized(keep_meta=True).select(KEY_COL, *part_cols)
+    rt = table.snapshot(keep_meta=True).select(KEY_COL)
+    return ro.join(rt, KEY_COL, "left_anti")
+
+
+def _delete_digest(deleted) -> str:
+    """Order-free change-detection digest of the deleted-key set:
+    exact count + xxhash64 sum (DECIMAL — overflow-free). Cheap enough
+    to run per sync; '0:None' when no tombstones exist."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.tables.table import KEY_COL
+
+    row = deleted.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.col(KEY_COL)).cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return f"{row.n}:{row.h}"
+
+
+def _publish_delete_files(
+    table: LakehouseTable,
+    deleted,
+    part_cols: list[str],
+    spec_fields: list[dict],
+    schema: dict,
+    pub: Publisher,
+) -> list[dict]:
+    """Write the deleted keys as parquet EQUALITY DELETE files —
+    partition-scoped when the table is partitioned (executors write
+    per-partition part files in parallel; each becomes one delete
+    file, pruning-friendly for spec-aware planners), one global set
+    otherwise — and publish each through the store seam. Returns
+    manifest-entry payloads [{path, partition, rows, size}]."""
+    import shutil
+    from urllib.parse import unquote
+
+    import pyarrow.parquet as pq
+
+    from onehouse_demos_spark.tables.table import HIVE_DEFAULT_PARTITION
+
+    staging = os.path.join(
+        table.base_path, f".oh_eqdel_staging_{uuid.uuid4().hex}"
+    )
+    writer = deleted.write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(staging)
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out: list[dict] = []
+    try:
+        for dirpath, _dirs, names in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for n in names:
+                if not (n.endswith(".parquet") and n.startswith("part-")):
+                    continue
+                src = os.path.join(dirpath, n)
+                rows = pq.ParquetFile(src).metadata.num_rows
+                if rows == 0:
+                    continue
+                # decode hive `col=value` segments into the typed
+                # partition struct of spec 0
+                values: dict = {}
+                if rel != ".":
+                    segs = dict(
+                        s.split("=", 1) for s in rel.split(os.sep)
+                    )
+                    for pf in spec_fields:
+                        raw = unquote(segs[pf["name"]])
+                        values[pf["name"]] = (
+                            None
+                            if raw == HIVE_DEFAULT_PARTITION
+                            else _decode_partition_value(
+                                raw, by_id[pf["source-id"]]["type"]
+                            )
+                        )
+                part_dir = (
+                    "/".join(
+                        f"{pf['name']}={segs[pf['name']]}"
+                        for pf in spec_fields
+                    )
+                    if rel != "."
+                    else ""
+                )
+                dst = os.path.join(
+                    table.base_path,
+                    part_dir,
+                    f"eqdel-{uuid.uuid4().hex}.parquet",
+                )
+                pub.put_file(dst, src)
+                out.append(
+                    {
+                        "path": dst,
+                        "partition": values,
+                        "rows": rows,
+                        "size": os.path.getsize(src),
+                    }
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    if not out:
+        raise RuntimeError(
+            "equality-delete export: tombstones detected but no delete "
+            "rows were staged — refusing to publish a personality that "
+            "would resurrect deleted rows"
+        )
+    return out
+
+
+def _rebase(stored: str, meta_location: str, table_path: str) -> str:
+    """Resolve a metadata-stored absolute path against the CURRENT
+    table location. Iceberg metadata stores absolute paths; a cloned /
+    moved table (no catalog rewrite) would otherwise follow them back
+    to the original directory — HadoopTables readers apply exactly
+    this location rebasing."""
+    if meta_location and stored.startswith(meta_location.rstrip("/") + "/"):
+        rel = stored[len(meta_location.rstrip("/")) + 1:]
+        return os.path.join(table_path, rel)
+    return stored
+
+
+def _prev_file_seqs(
+    prev_meta: dict | None, pub: Publisher, base_path: str
+) -> dict[str, int]:
+    """LOCATION-RELATIVE file path -> effective data sequence number
+    from the previous snapshot's DATA manifests (writer-internal read
+    through the seam). Equality deletes apply only to data files with
+    a STRICTLY OLDER data sequence number (spec §scan-planning), so a
+    re-synced file must keep the sequence of its first export rather
+    than inherit the new snapshot's. Keys are relative so the
+    preservation survives a table relocation."""
+    if not prev_meta:
+        return {}
+    current = next(
+        (
+            s
+            for s in prev_meta.get("snapshots", [])
+            if s["snapshot-id"] == prev_meta.get("current-snapshot-id")
+        ),
+        None,
+    )
+    if current is None:
+        return {}
+    loc = prev_meta.get("location", base_path)
+    raw = pub.get_bytes(_rebase(current["manifest-list"], loc, base_path))
+    if raw is None:
+        return {}
+    _, manifests = read_ocf(raw)
+    out: dict[str, int] = {}
+    for m in manifests:
+        if m.get("content", 0) != 0:
+            continue
+        mraw = pub.get_bytes(_rebase(m["manifest_path"], loc, base_path))
+        if mraw is None:
+            continue
+        _, entries = read_ocf(mraw)
+        for e in entries:
+            if e["status"] not in (0, 1):
+                continue
+            seq = e.get("sequence_number")
+            stored = e["data_file"]["file_path"]
+            rel = (
+                stored[len(loc.rstrip("/")) + 1:]
+                if stored.startswith(loc.rstrip("/") + "/")
+                else stored
+            )
+            out[rel] = seq if seq is not None else m["sequence_number"]
+    return out
+
+
 def _current_version(meta_dir: str, pub: Publisher | None = None) -> int:
     """Version per `version-hint.text` — through the store seam when
     the caller is the writer (pub given), direct file I/O for the
@@ -399,7 +614,6 @@ def sync_iceberg_metadata(
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
-    _assert_no_log_tombstones(table)
     meta_dir = _meta_dir(table)
     pub = publisher(table.base_path, store)
     version = _current_version(meta_dir, pub)
@@ -433,12 +647,26 @@ def sync_iceberg_metadata(
         prev_meta = json.loads(raw)
 
     schema, phys_map = _iceberg_schema(table, prev_meta)
+    part_cols = list(table.config.partition_by or [])
+    # Un-compacted MOR delete tombstones: export v2 EQUALITY DELETES
+    # (r13) instead of refusing — the deleted-key set enters the
+    # change digest so a new delete (or a compaction clearing them)
+    # produces a new version even with an unchanged base-file set.
+    deleted = None
+    del_digest = "0:None"
+    if _log_tombstones_present(table):
+        deleted = _rt_deleted_keys(table, part_cols)
+        del_digest = _delete_digest(deleted)
     paths = sorted(f.path for f in files)
     # A metadata-only schema change (RENAME/DROP COLUMN) must produce a
     # new version even with an unchanged live file set — the digest
     # covers both.
     digest = hashlib.sha256(
-        ("\n".join(paths) + json.dumps(schema, sort_keys=True)).encode()
+        (
+            "\n".join(paths)
+            + json.dumps(schema, sort_keys=True)
+            + "|deletes:" + del_digest
+        ).encode()
     ).hexdigest()
     if prev_meta is not None and digest == prev_meta.get("properties", {}).get(
         "onehouse.live-paths-digest"
@@ -450,22 +678,35 @@ def sync_iceberg_metadata(
         hashlib.sha256(f"{digest}:{seq}".encode()).hexdigest()[:15], 16
     )
 
-    # ---- manifest (one per snapshot, full live file set)
+    # ---- manifest (one per snapshot, full live file set). Files seen
+    # in a previous sync re-enter as status=EXISTING with their
+    # FIRST-export sequence number made explicit (spec-required for
+    # re-listed files; also what makes equality deletes — strictly
+    # newer sequence — apply to them). New files inherit this
+    # snapshot's sequence.
     spec_fields = _partition_spec(table, schema)
+    prev_seqs = _prev_file_seqs(prev_meta, pub, table.base_path)
     entries = []
     total_rows = 0
+    added_rows = existing_rows = 0
     for fm in files:
-        size = os.path.getsize(os.path.join(table.base_path, fm.path))
+        abs_path = os.path.join(table.base_path, fm.path)
+        size = os.path.getsize(abs_path)
         total_rows += fm.rows
+        known_seq = prev_seqs.get(fm.path)
+        if known_seq is None:
+            added_rows += fm.rows
+        else:
+            existing_rows += fm.rows
         entries.append(
             {
-                "status": 1,  # ADDED (full rewrite manifest)
+                "status": 1 if known_seq is None else 0,  # ADDED/EXISTING
                 "snapshot_id": snapshot_id,
-                "sequence_number": None,  # inherited from the manifest
-                "file_sequence_number": None,
+                "sequence_number": known_seq,  # None => inherit
+                "file_sequence_number": known_seq,
                 "data_file": {
                     "content": 0,  # DATA
-                    "file_path": os.path.join(table.base_path, fm.path),
+                    "file_path": abs_path,
                     "file_format": "PARQUET",
                     "partition": _partition_struct_values(
                         fm, spec_fields, schema
@@ -475,6 +716,7 @@ def sync_iceberg_metadata(
                 },
             }
         )
+    n_added = sum(1 for e in entries if e["status"] == 1)
     manifest_name = f"{uuid.uuid4().hex}-m0.avro"
     manifest_bytes = write_ocf(
         entries,
@@ -493,26 +735,102 @@ def sync_iceberg_metadata(
     manifest_path = os.path.join(meta_dir, manifest_name)
     pub.put_bytes(manifest_path, manifest_bytes)  # uuid-named, atomic
 
-    # ---- manifest list
-    snap_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
-    list_bytes = write_ocf(
-        [
+    manifest_rows = [
+        {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min(
+                [s for s in prev_seqs.values()] + [seq]
+            ),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": n_added,
+            "existing_files_count": len(entries) - n_added,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": existing_rows,
+            "deleted_rows_count": 0,
+        }
+    ]
+
+    # ---- equality-delete manifest (only when tombstones exist)
+    n_delete_rows = 0
+    if deleted is not None:
+        from onehouse_demos_spark.tables.table import KEY_COL
+
+        key_fid = next(
+            (f["id"] for f in schema["fields"] if f["name"] == KEY_COL),
+            None,
+        )
+        if key_fid is None:
+            raise RuntimeError(
+                "equality-delete export needs the record-key column "
+                f"{KEY_COL!r} in the exported schema"
+            )
+        delete_files = _publish_delete_files(
+            table, deleted, part_cols, spec_fields, schema, pub
+        )
+        del_entries = [
             {
-                "manifest_path": manifest_path,
-                "manifest_length": len(manifest_bytes),
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit: the NEW sequence
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 2,  # EQUALITY_DELETES
+                    "file_path": de["path"],
+                    "file_format": "PARQUET",
+                    "partition": de["partition"],
+                    "record_count": de["rows"],
+                    "file_size_in_bytes": de["size"],
+                    "equality_ids": [key_fid],
+                },
+            }
+            for de in delete_files
+        ]
+        n_delete_rows = sum(de["rows"] for de in delete_files)
+        del_manifest_name = f"{uuid.uuid4().hex}-m1.avro"
+        del_manifest_bytes = write_ocf(
+            del_entries,
+            _manifest_entry_schema(
+                _partition_record_schema(spec_fields, schema),
+                deletes=True,
+            ),
+            extra_meta={
+                "schema": json.dumps(schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "deletes",
+            },
+        )
+        del_manifest_path = os.path.join(meta_dir, del_manifest_name)
+        pub.put_bytes(del_manifest_path, del_manifest_bytes)
+        manifest_rows.append(
+            {
+                "manifest_path": del_manifest_path,
+                "manifest_length": len(del_manifest_bytes),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": 1,  # DELETES
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snapshot_id,
-                "added_files_count": len(entries),
+                "added_files_count": len(del_entries),
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": total_rows,
+                "added_rows_count": n_delete_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
-        ],
+        )
+
+    # ---- manifest list
+    snap_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+    list_bytes = write_ocf(
+        manifest_rows,
         _MANIFEST_FILE_SCHEMA,
         extra_meta={"format-version": "2"},
     )
@@ -527,8 +845,13 @@ def sync_iceberg_metadata(
         "manifest-list": list_path,
         "summary": {
             "operation": "overwrite" if prev_meta else "append",
-            "added-data-files": str(len(entries)),
-            "added-records": str(total_rows),
+            "added-data-files": str(n_added),
+            "added-records": str(added_rows),
+            **(
+                {"added-equality-deletes": str(n_delete_rows)}
+                if n_delete_rows
+                else {}
+            ),
         },
         "schema-id": 0,
     }
@@ -645,21 +968,28 @@ def iceberg_pruned_files(
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    with open(current["manifest-list"], "rb") as fh:
+    loc = meta.get("location", table_path)
+    with open(_rebase(current["manifest-list"], loc, table_path), "rb") as fh:
         _, manifests = read_ocf(fh.read())
     out: list[str] = []
     for m in manifests:
-        with open(m["manifest_path"], "rb") as fh:
+        if m.get("content", 0) != 0:
+            continue  # delete manifests list no scannable data files
+        with open(_rebase(m["manifest_path"], loc, table_path), "rb") as fh:
             _, entries = read_ocf(fh.read())
         for e in entries:
             if e["status"] not in (0, 1):  # EXISTING / ADDED
+                continue
+            if e["data_file"].get("content", 0) != 0:
                 continue
             pv = e["data_file"].get("partition") or {}
             if all(
                 pv.get(c) == v
                 for c, v in (partition_predicate or {}).items()
             ):
-                out.append(e["data_file"]["file_path"])
+                out.append(
+                    _rebase(e["data_file"]["file_path"], loc, table_path)
+                )
     return sorted(out)
 
 
@@ -679,17 +1009,33 @@ def read_iceberg_snapshot(spark, table_path: str):
         for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    with open(current["manifest-list"], "rb") as fh:
+    loc = meta.get("location", table_path)
+    with open(_rebase(current["manifest-list"], loc, table_path), "rb") as fh:
         _, manifests = read_ocf(fh.read())
-    paths: list[str] = []
+    # (path, effective data sequence number) per data file; equality
+    # delete files carry (path, sequence, equality field ids). A
+    # delete applies to data files whose sequence is STRICTLY older
+    # (spec §scan-planning).
+    data_files: list[tuple[str, int]] = []
+    eq_deletes: list[tuple[str, int, list[int]]] = []
     for m in manifests:
-        with open(m["manifest_path"], "rb") as fh:
+        with open(_rebase(m["manifest_path"], loc, table_path), "rb") as fh:
             _, entries = read_ocf(fh.read())
-        paths.extend(
-            e["data_file"]["file_path"]
-            for e in entries
-            if e["status"] in (0, 1)  # EXISTING / ADDED
-        )
+        for e in entries:
+            if e["status"] not in (0, 1):  # EXISTING / ADDED
+                continue
+            eff = e.get("sequence_number")
+            if eff is None:
+                eff = m["sequence_number"]
+            df_rec = e["data_file"]
+            fpath = _rebase(df_rec["file_path"], loc, table_path)
+            if df_rec.get("content", 0) == 2:
+                eq_deletes.append(
+                    (fpath, eff, list(df_rec.get("equality_ids") or []))
+                )
+            elif df_rec.get("content", 0) == 0:
+                data_files.append((fpath, eff))
+    paths = [p for p, _ in data_files]
     # Reconstruct the table schema from the metadata (inverse of
     # _iceberg_type) and read WITH it, exactly like an Iceberg client
     # resolving by field name: files written before a schema evolution
@@ -742,11 +1088,42 @@ def read_iceberg_snapshot(spark, table_path: str):
     reader_schema = T.StructType(
         [T.StructField(phys[f.name], f.dataType, True) for f in schema.fields]
     )
-    df = spark.read.schema(reader_schema).parquet(*paths)
-    if any(phys[n] != n for n in phys):
-        from pyspark.sql import functions as F
 
-        df = df.select(
-            *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
-        )
-    return df
+    def _read(pp):
+        d = spark.read.schema(reader_schema).parquet(*pp)
+        if any(phys[n] != n for n in phys):
+            from pyspark.sql import functions as F
+
+            d = d.select(
+                *[F.col(phys[f.name]).alias(f.name) for f in schema.fields]
+            )
+        return d
+
+    if not eq_deletes:
+        return _read(paths)
+
+    # Apply equality deletes: group data files by effective sequence
+    # (one group per export generation — small), anti-join each group
+    # against the union of delete files with a strictly NEWER
+    # sequence, on the equality columns. Fully distributed; the
+    # per-file partition field is a pruning hint this reference reader
+    # does not need (keys are row-identifying).
+    names_of = {f["id"]: f["name"] for f in schema_json["fields"]}
+    out = None
+    by_seq: dict[int, list[str]] = {}
+    for p, eff in data_files:
+        by_seq.setdefault(eff, []).append(p)
+    for eff, group_paths in sorted(by_seq.items()):
+        d = _read(group_paths)
+        applicable = [
+            (dp, ids) for dp, dseq, ids in eq_deletes if dseq > eff
+        ]
+        for ids in {tuple(ids) for _, ids in applicable}:
+            cols = [names_of[i] for i in ids]
+            del_paths = [
+                dp for dp, dids in applicable if tuple(dids) == ids
+            ]
+            keys = spark.read.parquet(*del_paths).select(*cols).distinct()
+            d = d.join(keys, on=cols, how="left_anti")
+        out = d if out is None else out.unionByName(d)
+    return out

@@ -2269,7 +2269,7 @@ class LakehouseTable:
             # resurrecting a deleted key. When the caller passes a bare
             # key list, tag partitions with a column-pruned probe of
             # live data (key + partition columns only).
-            part_by = self.config.partition_by
+            part_by = self.config.partition_by or []
             have = [c for c in part_by if c in keys_df.columns]
             del_keys = keys_df.select(
                 self._key_expr().alias(KEY_COL), *have

@@ -1,0 +1,214 @@
+"""Iceberg v2 equality-delete export (r13).
+
+Until r13 `sync_iceberg_metadata` REFUSED a MOR table whose live log
+files carried un-compacted delete tombstones (a base-files-only
+personality would resurrect the rows). The sync now exports the
+spec's EQUALITY DELETE files instead:
+
+- delete keys = read-optimized keys MINUS merged-snapshot keys — the
+  engine's own precombine merge decides, so the export is exact for
+  deletes by construction;
+- parquet files of `_oh_record_key`, partition-scoped for partitioned
+  tables, published through the store seam, listed by a content=1
+  manifest whose entries carry `equality_ids`;
+- previously-exported data files re-enter as status=EXISTING with
+  their FIRST-export sequence number, so the strictly-newer delete
+  sequence applies to them (spec §scan-planning);
+- the reference reader applies the deletes by sequence-aware
+  anti-join; the pruned-files planner never lists delete files as
+  scannable data.
+"""
+
+import os
+import shutil
+
+import pytest
+
+from onehouse_demos_spark import LakehouseTable, TableConfig
+from onehouse_demos_spark.sources.avro_codec import read_ocf
+from onehouse_demos_spark.tables.iceberg_export import (
+    iceberg_pruned_files,
+    read_iceberg_snapshot,
+    sync_iceberg_metadata,
+)
+
+DDL = "key string, ver int, sym string, px double"
+
+
+def _mk(spark, base, partitioned=True, n=12):
+    t = LakehouseTable.create(
+        spark,
+        os.path.join(base, "t"),
+        TableConfig(
+            name="ice_del_t",
+            record_key=["key"],
+            precombine="ver",
+            partition_by=["sym"] if partitioned else None,
+            table_type="mor",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(f"k{i}", 1, "GOOG" if i % 2 else "MSFT", 100.0 + i)
+             for i in range(n)],
+            DDL,
+        )
+    )
+    return t
+
+
+def _keys(spark, base):
+    return {r.key for r in read_iceberg_snapshot(spark, base).collect()}
+
+
+def _manifests(base):
+    """(manifest_file_row, entries) pairs of the current snapshot."""
+    import json
+
+    meta_dir = os.path.join(base, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    cur = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(cur["manifest-list"], "rb") as fh:
+        _, rows = read_ocf(fh.read())
+    out = []
+    for m in rows:
+        with open(m["manifest_path"], "rb") as fh:
+            _, entries = read_ocf(fh.read())
+        out.append((m, entries))
+    return out
+
+
+@pytest.mark.parametrize("partitioned", [True, False])
+def test_mor_deletes_export_and_apply(spark, tmp_base, partitioned):
+    t = _mk(spark, tmp_base, partitioned=partitioned)
+    sync_iceberg_metadata(t)
+    t.delete(
+        spark.createDataFrame([("k0",), ("k3",), ("k6",)], "key string")
+    )
+    # tombstones live in LOGS, nothing compacted
+    assert any(
+        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
+    )
+    sync_iceberg_metadata(t)
+    want = {r.key for r in t.snapshot().collect()}
+    assert _keys(spark, t.base_path) == want
+    assert "k0" not in want and len(want) == 9
+
+    # spec structure: one data manifest (EXISTING entries at seq 1) +
+    # one delete manifest (content=1, equality_ids on the key field)
+    pairs = _manifests(t.base_path)
+    data_m = [p for p in pairs if p[0].get("content", 0) == 0]
+    del_m = [p for p in pairs if p[0].get("content", 0) == 1]
+    assert len(data_m) == 1 and len(del_m) == 1
+    for e in data_m[0][1]:
+        assert e["status"] == 0  # EXISTING: first-export sequence kept
+        assert e["sequence_number"] == 1
+    total_del_rows = 0
+    for e in del_m[0][1]:
+        assert e["data_file"]["content"] == 2
+        assert e["data_file"]["equality_ids"], e
+        assert "eqdel-" in e["data_file"]["file_path"]
+        total_del_rows += e["data_file"]["record_count"]
+        if partitioned:
+            assert e["data_file"]["partition"], "partition-scoped"
+    assert total_del_rows == 3
+    # delete manifest inherits the NEW sequence; data kept the old one
+    assert del_m[0][0]["sequence_number"] == 2
+    assert data_m[0][0]["min_sequence_number"] == 1
+
+
+def test_resync_is_idempotent_and_new_deletes_roll_forward(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    v2 = sync_iceberg_metadata(t)
+    assert sync_iceberg_metadata(t) == v2  # unchanged delete set
+    t.delete(spark.createDataFrame([("k5",)], "key string"))
+    v3 = sync_iceberg_metadata(t)
+    assert v3 == v2 + 1
+    assert _keys(spark, t.base_path) == {r.key for r in t.snapshot().collect()}
+
+
+def test_update_staleness_is_scoped_to_updates_only(spark, tmp_base):
+    """Mixed log contents: updates stay read-optimized-stale (the
+    documented personality semantics), deletes apply exactly."""
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.upsert(spark.createDataFrame([("k1", 2, "GOOG", 999.0)], DDL))
+    t.delete(spark.createDataFrame([("k2",)], "key string"))
+    sync_iceberg_metadata(t)
+    rows = {
+        r.key: r.px for r in read_iceberg_snapshot(spark, t.base_path)
+        .select("key", "px").collect()
+    }
+    assert "k2" not in rows               # delete applied exactly
+    assert set(rows) == {r.key for r in t.snapshot().collect()}
+    assert rows["k1"] == 101.0            # update: stale base value
+
+
+def test_relocated_table_reads_through_rebased_paths(spark, tmp_base):
+    """Iceberg metadata stores absolute paths; a copied table must
+    read ITS OWN files (location rebasing), not the original's."""
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.delete(spark.createDataFrame([("k4",)], "key string"))
+    sync_iceberg_metadata(t)
+    want = _keys(spark, t.base_path)
+    clone = os.path.join(tmp_base, "clone")
+    shutil.copytree(t.base_path, clone)
+    shutil.rmtree(t.base_path)  # prove nothing reads the original
+    assert _keys(spark, clone) == want
+    assert all(p.startswith(clone) for p in iceberg_pruned_files(clone))
+
+
+def test_pruned_files_exclude_delete_files(spark, tmp_base):
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    sync_iceberg_metadata(t)
+    files = iceberg_pruned_files(t.base_path, {"sym": "MSFT"})
+    assert files and all("eqdel-" not in p for p in files)
+
+
+def test_delta_personality_still_refuses_log_tombstones(spark, tmp_base):
+    """The Delta exporter has no delete-file vocabulary in this
+    personality — its refusal contract is unchanged."""
+    from onehouse_demos_spark.tables.delta_export import sync_delta_log
+
+    t = _mk(spark, tmp_base)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    with pytest.raises(RuntimeError, match="tombstones"):
+        sync_delta_log(t)
+
+
+def test_delete_files_publish_through_the_store_seam(spark, tmp_base):
+    from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
+
+    class Spy(TreeFSObjectStoreEmulator):
+        def __init__(self, root):
+            super().__init__(root)
+            self.published = []
+
+        def put_object(self, key, data, if_none_match=False):
+            self.published.append(key)
+            return super().put_object(key, data, if_none_match=if_none_match)
+
+        def put_object_from_file(self, key, src, if_none_match=False):
+            self.published.append(key)
+            return super().put_object_from_file(
+                key, src, if_none_match=if_none_match
+            )
+
+    t = _mk(spark, tmp_base)
+    spy = Spy(t.base_path)
+    sync_iceberg_metadata(t, store=spy)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    sync_iceberg_metadata(t, store=spy)
+    assert any("eqdel-" in k for k in spy.published), spy.published
+    assert any(k.endswith("-m1.avro") for k in spy.published)
