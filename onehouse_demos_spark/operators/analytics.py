@@ -319,13 +319,13 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(
             F.when(
                 F.col("_r") == F.expr("(_n + 1) div 2"),
-                F.floor(F.col("o_totalprice") * 100).cast("long"),
+                fquant(F.col("o_totalprice"), 2),
             )
         ).alias("median_total_e2"),
         F.max(
             F.when(
                 F.col("_r") == F.expr("(_n * 9 + 9) div 10"),
-                F.floor(F.col("o_totalprice") * 100).cast("long"),
+                fquant(F.col("o_totalprice"), 2),
             )
         ).alias("p90_total_e2"),
     )
@@ -404,7 +404,7 @@ def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # division (deterministic) but ROUND's half-tie rule is not
         # (rank/2^7 counts land EXACTLY on 7th-decimal ties); same for
         # the running double sum (VERDICT r11 #2)
-        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias(
+        fquant(F.cume_dist().over(w), 6).alias(
             "cume_e6"
         ),
         F.lag("o_orderkey", 1).over(w).alias("prev_ok"),
@@ -834,7 +834,7 @@ def value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("_r")
                     == F.expr(f"(_n * {num} + {den - 1}) div {den}"),
-                    F.floor(F.col("value") * 10000).cast("long"),
+                    fquant(F.col("value"), 4),
                 )
             ).alias(f"p{i}_exact_e4")
             for i, (num, den) in fracs.items()
@@ -929,7 +929,7 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet-double ELEMENTS floor-quantized to BIGINT e4 units —
     # ROUND + double->DECIMAL casts ride engine-specific tie rules,
     # IEEE multiply + floor does not.
-    e4 = lambda c: F.floor(c * 10000).cast("long")  # noqa: E731
+    e4 = lambda c: fquant(c, 4)  # noqa: E731
     return (
         ev.groupBy(
             F.unix_micros(hour).alias("bucket_us"),
@@ -978,7 +978,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(hour).alias("bucket_us"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("_sum"),
+        F.sum(fquant(F.col("value"), 4)).alias("_sum"),
     )
     span = ev.agg(
         F.unix_micros(F.date_trunc("hour", F.min("ts"))).alias("lo"),
@@ -1497,11 +1497,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # engine's ROUND-half rule or summation order.
             (
                 F.sum(
-                    F.floor(
+                    fquant(
                         F.col("l_extendedprice")
-                        * (1 - F.col("l_discount"))
-                        * 10000
-                    ).cast("long")
+                        * (1 - F.col("l_discount")),
+                        4,
+                    )
                 ).cast("double")
                 / 10000.0
             ).alias("total_revenue")

@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from onehouse_demos_spark.functions.quantize import fquant
+
 from onehouse_demos_spark.functions.text import normalize_text, token_count
 from onehouse_demos_spark.operators.dedup import _shingle_index, load_docs
 from onehouse_demos_spark.operators.similarity import (
@@ -270,14 +272,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(r_total))
         .select(
             "bucket",
-            F.floor(
-                (
-                    F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS))
-                    - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS))
-                )
-                * 1000.0
+            fquant(
+                F.log((F.col("ct") + 1) / (F.col("nt") + DSIR_BUCKETS))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + DSIR_BUCKETS)),
+                3,
             )
-            .cast("long")
             .alias("millinats"),
         )
     )
@@ -488,12 +487,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("word").alias("term"),
             # engine-proof contract (VERDICT r11 #2): floor-quantized
             # integer score — ROUND's half-tie rule is engine-specific.
-            F.floor(
+            fquant(
                 F.col("tf")
-                * F.log((F.col("n") + 1) / (F.col("df") + 1))
-                * 10000
+                * F.log((F.col("n") + 1) / (F.col("df") + 1)),
+                4,
             )
-            .cast("long")
             .alias("tfidf_e4"),
         )
     )
@@ -554,9 +552,7 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the weight is a pure-integer quotient.
     shared = per_src.crossJoin(F.broadcast(totals)).withColumn(
         "s_e9",
-        F.floor(
-            F.sqrt(F.col("n_tokens") / F.col("tot")) * 1000000000
-        ).cast("long"),
+        fquant(F.sqrt(F.col("n_tokens") / F.col("tot")), 9),
     )
     norm = shared.agg(F.sum("s_e9").alias("z_e9"))
     return (

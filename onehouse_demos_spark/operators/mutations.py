@@ -28,6 +28,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onehouse_demos_spark.functions.quantize import fquant
+
 from onehouse_demos_spark.sources.cdc import flatten_debezium, latest_change_per_key
 from onehouse_demos_spark.tables.maintenance import run_clustering, run_compaction
 from onehouse_demos_spark.tables.table import LakehouseTable, TableConfig
@@ -294,7 +296,7 @@ def tbl_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             (
                 F.sum(
-                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                    fquant(F.col("o_totalprice"), 2)
                 ).cast("double")
                 / 100.0
             ).alias("rev_r"),

@@ -197,7 +197,7 @@ def join_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # order-independent integer sum, one closing IEEE division
             # (VERDICT r11 #2 — ROUND(SUM(double)) is order-dependent)
             (
-                F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).cast(
+                F.sum(fquant(F.col("c_acctbal"), 2)).cast(
                     "double"
                 )
                 / 100.0

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onehouse_demos_spark.functions.quantize import fquant
+
 
 def load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -109,7 +111,7 @@ def label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # per-component floor-quantized integer sum: the double
             # sum over label-many components is order-dependent and
             # ROUND's half rule is engine-specific (VERDICT r11 #2)
-            F.sum(F.floor(F.col("x") * 1000000).cast("long")).alias(
+            F.sum(fquant(F.col("x"), 6)).alias(
                 "sum_all_e6"
             ),
         )

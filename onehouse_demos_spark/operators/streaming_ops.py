@@ -17,6 +17,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onehouse_demos_spark.functions.quantize import fquant
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table with `ts` normalized to TimestampType.
 
@@ -102,7 +104,7 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique_events"),
         (
-            F.sum(F.floor(F.col("value") * 100).cast("long")).cast("double")
+            F.sum(fquant(F.col("value"), 2)).cast("double")
             / 100.0
         ).alias("sum_value_r"),
     )

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onehouse_demos_spark.functions.quantize import fquant
+
 from onehouse_demos_spark.functions.text import (
     LANG_MARKERS,
     fingerprint64,
@@ -841,13 +843,13 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(consts))
         .withColumn(
             "nlp_e6",
-            F.floor(
+            fquant(
                 -F.log(
                     (F.col("cnt") + 1.0)
                     / (F.col("total") + F.col("vsize"))
-                )
-                * 1000000.0
-            ).cast("long"),
+                ),
+                6,
+            ),
         )
         .groupBy("doc_id")
         .agg(
