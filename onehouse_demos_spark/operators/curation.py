@@ -316,7 +316,7 @@ w AS (
 ), ratios AS (
   SELECT rc.bucket,
          CAST(FLOOR((ln((COALESCE(tc.ct, 0) + 1)::DOUBLE / (tt.nt + {DSIR_BUCKETS}))
-                   - ln((rc.cr + 1)::DOUBLE / (rt.nr + {DSIR_BUCKETS}))) * 1000.0)
+                   - ln((rc.cr + 1)::DOUBLE / (rt.nr + {DSIR_BUCKETS}))) * 1000)
               AS BIGINT) AS millinats
   FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket, tt, rt
 )

@@ -882,8 +882,8 @@ WITH toks AS (
   SELECT SUM(cnt) AS total, COUNT(*) AS vsize FROM vocab
 ), nlp AS (
   SELECT toks.doc_id,
-         CAST(FLOOR(-ln((vocab.cnt + 1.0) / (consts.total + consts.vsize))
-                    * 1000000.0) AS BIGINT) AS nlp_e6
+         CAST(FLOOR((-ln((vocab.cnt + 1.0) / (consts.total + consts.vsize)))
+                    * 1000000) AS BIGINT) AS nlp_e6
   FROM toks JOIN vocab USING (tok) CROSS JOIN consts
 )
 SELECT doc_id,

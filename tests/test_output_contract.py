@@ -242,10 +242,16 @@ def _quant_sites(sql: str):
                     break
             j += 1
         inner = s[i + 1:j]
-        mm = re.search(r"\*\s*(10+)\s*$", inner)
+        # integer multiplier is canonical; the float spelling
+        # (`* 1000.0`) is the same quantization and must not escape
+        # the audit by its literal form (found hiding twice in r13)
+        mm = re.search(r"\*\s*(10+)(?:\.0)?\s*$", inner)
         if not mm:
             continue  # bucket geometry etc. — not a quantization
         n = len(mm.group(1)) - 1
+        if inner[mm.start():].rstrip().endswith(".0"):
+            yield inner[: mm.start()].strip(), n, False
+            continue
         expr = inner[: mm.start()].strip()
         wrapped = (
             s[max(0, m.start() - 5):m.start()].endswith("CAST(")
