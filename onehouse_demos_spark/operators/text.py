@@ -869,6 +869,120 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-class bigram LM perplexity filter (r13): train an
+    add-one-smoothed bigram model FROM THE CORPUS ITSELF and rank
+    documents by mean negative log-probability over their bigram
+    transitions — the stronger cousin of `unigram_logprob_scores`
+    (a unigram model cannot see scrambled word order; a bigram one
+    scores it as garbage).
+
+    100 TB shape: tokens get per-doc positions from one window
+    (partitioned by doc — no global sort), bigrams come from LAG over
+    that window, the (w1, w2) count table is a map-side-combined
+    aggregate joined back to occurrences (Catalyst broadcasts it when
+    small, shuffle-joins otherwise), and the per-doc score is one more
+    hash aggregate. Contract: per distinct PAIR the surprisal
+    -ln((c2+1)/(c1+V)) floor-quantizes to integer micro-nats
+    (the unigram/DSIR pattern), the per-doc sum is an exact order-free
+    BIGINT sum, and the ordering key is one closing IEEE division."""
+    from pyspark.sql import Window
+
+    docs = load_docs(spark, sf_dir)
+    raw = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = raw.withColumn("p", F.row_number().over(w))
+    big = (
+        toks.withColumn("w1", F.lag("tok").over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "w1", F.col("tok").alias("w2"))
+    )
+    pair_counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2")
+    )
+    ctx_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vsize = toks.agg(
+        F.countDistinct("tok").alias("vsize")
+    )
+    scored = (
+        pair_counts.join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .withColumn(
+            "nlp_e6",
+            fquant(
+                -F.log(
+                    (F.col("c2") + 1.0) / (F.col("c1") + F.col("vsize"))
+                ),
+                6,
+            ),
+        )
+        .select("w1", "w2", "nlp_e6")
+    )
+    return (
+        big.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nlp_e6").alias("micronats_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy(
+            F.desc(
+                F.col("micronats_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ),
+            F.asc("doc_id"),
+        )
+        .limit(_PPL_TOPK)
+    )
+
+
+BIGRAM_PERPLEXITY_SCORES_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, tok, pos FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok,
+           unnest(range(1, len(regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+')) + 1)) AS pos
+    FROM documents
+  ) WHERE tok <> ''
+), toks AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+  FROM raw
+), big AS (
+  SELECT doc_id,
+         LAG(tok) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+         tok AS w2
+  FROM toks
+  QUALIFY w1 IS NOT NULL
+), pair_counts AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+), ctx_counts AS (
+  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+), vs AS (
+  SELECT COUNT(DISTINCT tok) AS vsize FROM toks
+), scored AS (
+  SELECT pair_counts.w1, pair_counts.w2,
+         CAST(FLOOR((-ln((pair_counts.c2 + 1.0) / (ctx_counts.c1 + vs.vsize)))
+                    * 1000000) AS BIGINT) AS nlp_e6
+  FROM pair_counts JOIN ctx_counts USING (w1) CROSS JOIN vs
+)
+SELECT doc_id,
+       CAST(SUM(nlp_e6) AS BIGINT) AS micronats_sum,
+       COUNT(*) AS n_bigrams
+FROM big JOIN scored USING (w1, w2)
+GROUP BY doc_id
+ORDER BY CAST(SUM(nlp_e6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) DESC,
+         doc_id ASC
+LIMIT {_PPL_TOPK}
+"""
+
+
 UNIGRAM_LOGPROB_SCORES_SQL = f"""
 WITH toks AS (
   SELECT doc_id, tok FROM (
@@ -1027,6 +1141,7 @@ QUERIES = {
     "sequence_packing_summary": sequence_packing_summary,
     "bm25_topk": bm25_topk,
     "unigram_logprob_scores": unigram_logprob_scores,
+    "bigram_perplexity_scores": bigram_perplexity_scores,
 }
 
 ORACLES = {
@@ -1047,4 +1162,5 @@ ORACLES = {
     "sequence_packing_summary": SEQUENCE_PACKING_SUMMARY_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "unigram_logprob_scores": UNIGRAM_LOGPROB_SCORES_SQL,
+    "bigram_perplexity_scores": BIGRAM_PERPLEXITY_SCORES_SQL,
 }
