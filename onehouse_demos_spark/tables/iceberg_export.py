@@ -755,8 +755,20 @@ def sync_iceberg_metadata(
         }
     ]
 
-    # ---- equality-delete manifest (only when tombstones exist)
+    # ---- equality-delete manifest (only when tombstones exist).
+    # Deletes must apply to EVERY live base file, so their sequence
+    # must be strictly newer than every data entry's. When all data
+    # entries carry explicit older sequences (the usual re-sync) the
+    # snapshot sequence already is; when this sync also ADDS data
+    # files (first sync of a tombstone-bearing table, or insert+delete
+    # between syncs) the commit takes the spec's two-snapshot shape —
+    # a data append at `seq` and a delete commit at `seq + 1`, both
+    # inside the one conditional-put metadata version.
     n_delete_rows = 0
+    seq_del = seq
+    two_snapshots = deleted is not None and n_added > 0
+    if two_snapshots:
+        seq_del = seq + 1
     if deleted is not None:
         from onehouse_demos_spark.tables.table import KEY_COL
 
@@ -815,8 +827,8 @@ def sync_iceberg_metadata(
                 "manifest_length": len(del_manifest_bytes),
                 "partition_spec_id": 0,
                 "content": 1,  # DELETES
-                "sequence_number": seq,
-                "min_sequence_number": seq,
+                "sequence_number": seq_del,
+                "min_sequence_number": seq_del,
                 "added_snapshot_id": snapshot_id,
                 "added_files_count": len(del_entries),
                 "existing_files_count": 0,
@@ -827,7 +839,37 @@ def sync_iceberg_metadata(
             }
         )
 
-    # ---- manifest list
+    # ---- manifest list(s) + snapshot(s)
+    new_snapshots: list[dict] = []
+    if two_snapshots:
+        # data append snapshot at `seq`: the data manifest alone
+        snap_a_id = int(
+            hashlib.sha256(f"{digest}:{seq}:data".encode()).hexdigest()[:15],
+            16,
+        )
+        list_a_bytes = write_ocf(
+            [dict(manifest_rows[0], added_snapshot_id=snap_a_id)],
+            _MANIFEST_FILE_SCHEMA,
+            extra_meta={"format-version": "2"},
+        )
+        list_a_path = os.path.join(
+            meta_dir, f"snap-{snap_a_id}-{uuid.uuid4().hex}.avro"
+        )
+        pub.put_bytes(list_a_path, list_a_bytes)
+        new_snapshots.append(
+            {
+                "snapshot-id": snap_a_id,
+                "sequence-number": seq,
+                "timestamp-ms": now_ms,
+                "manifest-list": list_a_path,
+                "summary": {
+                    "operation": "overwrite" if prev_meta else "append",
+                    "added-data-files": str(n_added),
+                    "added-records": str(added_rows),
+                },
+                "schema-id": 0,
+            }
+        )
     snap_name = f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
     list_bytes = write_ocf(
         manifest_rows,
@@ -838,32 +880,45 @@ def sync_iceberg_metadata(
     pub.put_bytes(list_path, list_bytes)  # uuid-named, atomic
 
     # ---- table metadata
-    snapshot = {
-        "snapshot-id": snapshot_id,
-        "sequence-number": seq,
-        "timestamp-ms": now_ms,
-        "manifest-list": list_path,
-        "summary": {
-            "operation": "overwrite" if prev_meta else "append",
-            "added-data-files": str(n_added),
-            "added-records": str(added_rows),
-            **(
-                {"added-equality-deletes": str(n_delete_rows)}
-                if n_delete_rows
-                else {}
-            ),
-        },
-        "schema-id": 0,
-    }
-    snapshots = (prev_meta or {}).get("snapshots", []) + [snapshot]
+    new_snapshots.append(
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq_del if two_snapshots else seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": list_path,
+            "summary": {
+                "operation": (
+                    "delete"
+                    if two_snapshots
+                    else ("overwrite" if prev_meta else "append")
+                ),
+                **(
+                    {}
+                    if two_snapshots
+                    else {
+                        "added-data-files": str(n_added),
+                        "added-records": str(added_rows),
+                    }
+                ),
+                **(
+                    {"added-equality-deletes": str(n_delete_rows)}
+                    if n_delete_rows
+                    else {}
+                ),
+            },
+            "schema-id": 0,
+        }
+    )
+    snapshots = (prev_meta or {}).get("snapshots", []) + new_snapshots
     snapshot_log = (prev_meta or {}).get("snapshot-log", []) + [
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        {"timestamp-ms": now_ms, "snapshot-id": s["snapshot-id"]}
+        for s in new_snapshots
     ]
     meta = {
         "format-version": 2,
         "table-uuid": (prev_meta or {}).get("table-uuid") or str(uuid.uuid4()),
         "location": table.base_path,
-        "last-sequence-number": seq,
+        "last-sequence-number": seq_del,
         "last-updated-ms": now_ms,
         "last-column-id": max(
             [f["id"] for f in schema["fields"]]

@@ -72,15 +72,18 @@ def test_decode_hive_partition_rejects_duplicates_and_disorder():
     )
 
 
-def test_delta_iceberg_personalities_refuse_mor_log_tombstones(
+def test_delta_refuses_mor_log_tombstones_iceberg_exports_deletes(
     spark, tmp_base
 ):
-    """The hudi leg's log-tombstone refusal applies to every
-    base-files-only personality: a MOR table with un-compacted log
-    deletes must refuse Delta and Iceberg syncs instead of serving
-    the deleted rows (base-file stats cannot see log tombstones)."""
+    """A MOR table with un-compacted log deletes must never SERVE the
+    deleted rows through a personality. Delta (no delete-file
+    vocabulary here) still refuses; since r13 the Iceberg leg exports
+    v2 EQUALITY DELETE files instead of refusing and must serve
+    exactly the merged view (tests/test_iceberg_deletes.py covers the
+    format details)."""
     from onehouse_demos_spark.tables.delta_export import sync_delta_log
     from onehouse_demos_spark.tables.iceberg_export import (
+        read_iceberg_snapshot,
         sync_iceberg_metadata,
     )
     from onehouse_demos_spark.tables.maintenance import run_compaction
@@ -103,8 +106,9 @@ def test_delta_iceberg_personalities_refuse_mor_log_tombstones(
     t.delete(spark.createDataFrame([(3,)], "id int"))
     with pytest.raises(RuntimeError, match="tombstones"):
         sync_delta_log(t)
-    with pytest.raises(RuntimeError, match="tombstones"):
-        sync_iceberg_metadata(t)
+    assert sync_iceberg_metadata(t) >= 1
+    got = {r.id for r in read_iceberg_snapshot(spark, t.base_path).collect()}
+    assert got == {r.id for r in t.snapshot().collect()} and 3 not in got
     run_compaction(t)
     assert sync_delta_log(t) >= 0  # compacted state syncs cleanly
-    assert sync_iceberg_metadata(t) >= 1
+    assert sync_iceberg_metadata(t) >= 2

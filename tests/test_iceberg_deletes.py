@@ -123,6 +123,48 @@ def test_mor_deletes_export_and_apply(spark, tmp_base, partitioned):
     assert data_m[0][0]["min_sequence_number"] == 1
 
 
+def test_first_sync_with_tombstones_applies_deletes(spark, tmp_base):
+    """The first-ever sync of a tombstone-bearing table has no prior
+    sequence to be strictly-newer than — the commit takes the spec's
+    two-snapshot shape (data append at seq, delete commit at seq+1)
+    so the equality deletes still apply to every base file."""
+    import json
+
+    t = _mk(spark, tmp_base)
+    t.delete(spark.createDataFrame([("k0",), ("k7",)], "key string"))
+    sync_iceberg_metadata(t)  # FIRST sync — no previous metadata
+    want = {r.key for r in t.snapshot().collect()}
+    assert _keys(spark, t.base_path) == want and "k0" not in want
+    meta_dir = os.path.join(t.base_path, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    assert len(meta["snapshots"]) == 2
+    assert meta["last-sequence-number"] == 2
+    seqs = {s["sequence-number"] for s in meta["snapshots"]}
+    assert seqs == {1, 2}
+
+
+def test_insert_plus_delete_between_syncs_applies_to_new_files(
+    spark, tmp_base
+):
+    """New base files landing in the same sync as deletes: the delete
+    sequence must beat the NEW files' inherited sequence too (the
+    engine's merge may delete keys that live in the new files)."""
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.insert(
+        spark.createDataFrame(
+            [(f"n{i}", 1, "AMZN", 500.0 + i) for i in range(4)], DDL
+        )
+    )
+    t.delete(spark.createDataFrame([("n1",), ("k2",)], "key string"))
+    sync_iceberg_metadata(t)
+    want = {r.key for r in t.snapshot().collect()}
+    got = _keys(spark, t.base_path)
+    assert got == want
+    assert "n1" not in got and "k2" not in got and "n0" in got
+
+
 def test_resync_is_idempotent_and_new_deletes_roll_forward(spark, tmp_base):
     t = _mk(spark, tmp_base)
     sync_iceberg_metadata(t)
