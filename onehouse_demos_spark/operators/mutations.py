@@ -1510,8 +1510,6 @@ def _build_iceberg_deletes(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     exist in the personality — a vacuous pass is impossible."""
     if sf_dir in _ICE_DEL_CACHE:
         return _ICE_DEL_CACHE[sf_dir]
-    import os as _os
-
     from onehouse_demos_spark.tables.iceberg_export import (
         sync_iceberg_metadata,
     )
@@ -1547,7 +1545,7 @@ def _build_iceberg_deletes(spark: SparkSession, sf_dir: str) -> LakehouseTable:
         )
     eqdels = [
         n
-        for dirpath, _dirs, names in _os.walk(t.base_path)
+        for dirpath, _dirs, names in os.walk(t.base_path)
         for n in names
         if n.startswith("eqdel-") and n.endswith(".parquet")
     ]

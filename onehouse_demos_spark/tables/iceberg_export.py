@@ -624,12 +624,10 @@ def sync_iceberg_metadata(
     # no-contention retry). Probe forward to the true head — the same
     # recovery HadoopTables clients perform — and repair the hint.
     hinted = version
-    while (
-        pub.get_bytes(
-            os.path.join(meta_dir, f"v{version + 1}.metadata.json")
-        )
-        is not None
-    ):
+    while pub.exists(
+        os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+    ):  # HEAD probe — metadata.json grows with history; never GET it
+        # just to test existence (r13 review)
         version += 1
     if version != hinted:
         pub.put_text(os.path.join(meta_dir, "version-hint.text"),
@@ -657,6 +655,13 @@ def sync_iceberg_metadata(
     if _log_tombstones_present(table):
         deleted = _rt_deleted_keys(table, part_cols)
         del_digest = _delete_digest(deleted)
+        if del_digest.startswith("0:"):
+            # every tombstone was superseded by a later re-insert of
+            # its key — the merged view deletes nothing, so the sync
+            # publishes with no delete manifest (r13 review: raising
+            # here blocked the sync until compaction for a state the
+            # personality serves exactly)
+            deleted = None
     paths = sorted(f.path for f in files)
     # A metadata-only schema change (RENAME/DROP COLUMN) must produce a
     # new version even with an unchanged live file set — the digest

@@ -467,7 +467,7 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
         # S3 LIST with a prefix is server-side efficient, and callers
         # (e.g. the instant minter listing `.hoodie/`) must not pay
         # O(whole table) for a metadata-directory listing.
-        dir_part, _, name_part = prefix.rpartition("/")
+        dir_part = prefix.rpartition("/")[0]
         start = (
             os.path.join(self.root, *dir_part.split("/"))
             if dir_part

@@ -79,6 +79,12 @@ class Publisher:
     def get_bytes(self, abs_path: str) -> bytes | None:
         return self.store.get_object(self.rel(abs_path))
 
+    def exists(self, abs_path: str) -> bool:
+        """Metadata-only existence probe (S3 HEAD) — never downloads
+        the object; use for probes where get_bytes would waste a
+        full-object GET."""
+        return self.store.head_object(self.rel(abs_path)) is not None
+
     def delete(self, abs_path: str) -> None:
         self.store.delete_object(self.rel(abs_path))
 

@@ -165,6 +165,26 @@ def test_insert_plus_delete_between_syncs_applies_to_new_files(
     assert "n1" not in got and "k2" not in got and "n0" in got
 
 
+def test_delete_then_reinsert_syncs_without_delete_manifest(spark, tmp_base):
+    """Live log tombstones whose keys were all re-inserted later: the
+    merged view deletes nothing, so the sync must publish cleanly with
+    NO delete manifest (r13 review: it raised 'no delete rows were
+    staged' and blocked every sync until compaction)."""
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    # re-insert through a BASE write so the digest changes and the
+    # sync cannot early-return — the fixed path must publish a new
+    # version whose manifest list has no content=1 row
+    t.insert(spark.createDataFrame([("k0", 3, "MSFT", 777.0)], DDL))
+    v = sync_iceberg_metadata(t)
+    assert v == 2
+    got = _keys(spark, t.base_path)
+    assert got == {r.key for r in t.snapshot().collect()} and "k0" in got
+    assert not [m for m, _ in _manifests(t.base_path)
+                if m.get("content", 0) == 1]
+
+
 def test_resync_is_idempotent_and_new_deletes_roll_forward(spark, tmp_base):
     t = _mk(spark, tmp_base)
     sync_iceberg_metadata(t)
