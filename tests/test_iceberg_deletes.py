@@ -249,6 +249,83 @@ def test_delta_personality_still_refuses_log_tombstones(spark, tmp_base):
         sync_delta_log(t)
 
 
+def test_delete_sync_crash_sweep_is_atomic(spark, tmp_base):
+    """Kill the store at every put index of a tombstone-bearing sync
+    (delete files, delete manifest, data manifest, manifest list(s),
+    metadata.json commit point, hint): external replay sees exactly
+    the pre- or post-sync personality, and a healthy retry converges —
+    the same contract test_personality_seam.py proves for the
+    delete-free sequence."""
+    from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
+
+    class CountingStore(TreeFSObjectStoreEmulator):
+        def __init__(self, root, crash_at=None):
+            super().__init__(root)
+            self.n_puts = 0
+            self.crash_at = crash_at
+
+        def _tick(self):
+            self.n_puts += 1
+            if self.crash_at is not None and self.n_puts >= self.crash_at:
+                raise RuntimeError(f"simulated crash at put #{self.n_puts}")
+
+        def put_object(self, key, data, if_none_match=False):
+            self._tick()
+            return super().put_object(key, data, if_none_match=if_none_match)
+
+        def put_object_from_file(self, key, src, if_none_match=False):
+            self._tick()
+            return super().put_object_from_file(
+                key, src, if_none_match=if_none_match
+            )
+
+    src = os.path.join(tmp_base, "template")
+    t = LakehouseTable.create(
+        spark, os.path.join(src, "t"),
+        TableConfig(name="ice_del_sweep", record_key=["key"],
+                    precombine="ver", partition_by=["sym"],
+                    table_type="mor"),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [(f"k{i}", 1, "GOOG" if i % 2 else "MSFT", 100.0 + i)
+             for i in range(8)],
+            DDL,
+        )
+    )
+    sync_iceberg_metadata(t)
+    pre = _keys(spark, t.base_path)
+    t.delete(spark.createDataFrame([("k0",), ("k3",)], "key string"))
+
+    probe = os.path.join(tmp_base, "probe")
+    shutil.copytree(src, probe)
+    pt = LakehouseTable.load(spark, os.path.join(probe, "t"))
+    counter = CountingStore(pt.base_path)
+    sync_iceberg_metadata(pt, store=counter)
+    post = _keys(spark, pt.base_path)
+    assert post == pre - {"k0", "k3"}
+    total = counter.n_puts
+    assert total >= 5, total  # delete file(s) + 2 manifests + list + meta
+
+    import pytest as _pytest
+
+    for n in range(1, total + 1):
+        clone = os.path.join(tmp_base, f"crash_{n}")
+        shutil.copytree(src, clone)
+        ct = LakehouseTable.load(spark, os.path.join(clone, "t"))
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            sync_iceberg_metadata(
+                ct, store=CountingStore(ct.base_path, crash_at=n)
+            )
+        seen = _keys(spark, ct.base_path)
+        assert seen in (pre, post), (
+            f"crash at put #{n}/{total}: torn view {sorted(seen)}"
+        )
+        sync_iceberg_metadata(ct)
+        assert _keys(spark, ct.base_path) == post, f"no convergence at #{n}"
+        shutil.rmtree(clone, ignore_errors=True)
+
+
 def test_delete_files_publish_through_the_store_seam(spark, tmp_base):
     from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
 
