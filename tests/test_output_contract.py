@@ -329,8 +329,11 @@ def _sum_sites(sql: str):
 # final output. The scanner below forces this ledger complete.
 WINDOWED_SUM_LEDGER = {
     "pricing_summary": [
-        ("avg", "sum_qty", "count_order", 0),     # already summed: n
-        ("avg", "avg_disc", "count_order", 4),    # folded into value
+        # sum_qty's accumulator is its output x 10^2; avg_qty shares
+        # the same aggregate expression. avg_disc's accumulator is
+        # avg x count x 10^4 (the sum the mean folds away).
+        ("col", "sum_qty", 2),
+        ("avg", "avg_disc", "count_order", 4),
     ],
     "join_dim_rollup": [("col", "total_acctbal", 2)],
     "idle_customer_balance": [
