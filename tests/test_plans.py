@@ -651,3 +651,60 @@ def test_rank_threshold_queries_window_groups_not_facts(spark):
     assert scan_ids[0] < min(agg_ids) < min(win_ids), (
         scan_ids, agg_ids, win_ids,
     )
+
+
+def test_r13_window_entrants_join_shapes(spark):
+    """Plan pins for the r13 window entrants' join strategies: the
+    TPC-H-shaped cells must broadcast their dimension sides and never
+    degenerate to a cartesian/nested-loop join (the one-row threshold
+    broadcast in idle_customer_balance is the documented exception —
+    a BroadcastNestedLoopJoin over exactly one scalar row)."""
+    from onehouse_demos_spark.operators.analytics import (
+        idle_customer_balance,
+        large_volume_customers,
+        nation_trade_volume,
+        regional_market_share,
+    )
+    from onehouse_demos_spark.plans import explain_str
+
+    for q in (nation_trade_volume, regional_market_share):
+        txt = explain_str(q(spark, SF_DIR))
+        assert "BroadcastExchange" in txt, txt[:800]
+        assert "CartesianProduct" not in txt, txt[:800]
+        assert "BroadcastNestedLoopJoin" not in txt, txt[:800]
+    # Q8 semi-join: the ASIA customer filter must reach the fact side
+    # as a LeftSemi, never a distinct+inner join
+    txt = explain_str(regional_market_share(spark, SF_DIR))
+    assert "LeftSemi" in txt, txt[:800]
+    # Q18: exactly three scans (lineitem + orders + customer) — the
+    # HAVING threshold must fold into the per-order aggregate, never a
+    # second lineitem pass
+    import re
+
+    txt = explain_str(large_volume_customers(spark, SF_DIR))
+    scans = set(re.findall(r"Scan parquet\s*\((\d+)\)", txt))
+    assert len(scans) <= 3, (scans, txt[:800])
+    assert "CartesianProduct" not in txt
+    # Q22: the exact-integer threshold rides ONE scalar broadcast; the
+    # never-urgent probe is a real anti join
+    txt = explain_str(idle_customer_balance(spark, SF_DIR))
+    assert "LeftAnti" in txt, txt[:800]
+    assert "CartesianProduct" not in txt
+
+
+def test_bigram_perplexity_windows_partition_by_doc(spark):
+    """The bigram LM's position/LAG windows must partition by doc_id
+    (per-doc frames — no global sort), and the corpus vocab scalar
+    must ride a broadcast."""
+    from onehouse_demos_spark.operators.text import bigram_perplexity_scores
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(bigram_perplexity_scores(spark, SF_DIR))
+    assert "Window" in txt, txt[:500]
+    # every Window node's partition spec names doc_id
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", txt)
+    assert specs and all("doc_id" in s for s in specs), (specs, txt[:900])
+    assert "BroadcastExchange" in txt, txt[:500]
+    assert "CartesianProduct" not in txt
