@@ -9,12 +9,15 @@ Each query is fully materialized (count + collect of the final frame)
 so the number reflects end-to-end execution, not plan construction.
 
 Noise defense (VERDICT r4 ask #1): the timed suite runs TWICE after
-warmup and reports the per-query MIN of the two passes ("queries" +
+warmup and reports the per-query MIN of the passes ("queries" +
 "value_min") alongside the pass-1 total ("value", comparable with the
 single-pass totals of rounds 1-4). This box swings 38-42.5 s on
 identical code (SCALING.md variance band); a loaded box inflates both
-passes far less often than one, so min-of-2 is the number to compare
-across rounds."""
+passes far less often than one, so min-of-passes is the number to
+compare across rounds. r13: when the two pass totals disagree by
+>15% (a transient spike hit one of them), ONE adaptive third pass
+runs so every per-query min rests on at least two quiet candidates —
+"value_runs" then carries three totals."""
 
 from __future__ import annotations
 
@@ -199,6 +202,20 @@ def main() -> int:
     calm, calm_runs = calibrate("cm")  # mid-suite sample (r11)
     pass2 = run_pass("p2")
     cal2, cal2_runs = calibrate("c2")
+    passes = [pass1, pass2]
+    # r13: a transient load spike inflating ONE pass leaves min-of-2
+    # resting on a single clean sample (seen live: pass totals 95 s vs
+    # 48 s inside one invocation). When the two pass totals disagree
+    # by >15%, take one adaptive third pass so every per-query min has
+    # at least two quiet candidates.
+    t1, t2 = sum(pass1.values()), sum(pass2.values())
+    if abs(t1 - t2) / max(min(t1, t2), 1e-9) > 0.15:
+        print(
+            f"# pass totals disagree ({t1:.1f}s vs {t2:.1f}s > 15%) — "
+            "running adaptive third pass",
+            file=sys.stderr,
+        )
+        passes.append(run_pass("p3"))
     calibration = round(min(cal1, cal2), 3)
     # r11: the r10->r11 A/B (SCALING.md) showed the min-of-two-medians
     # divisor swings ~±40% on IDENTICAL code while the suite total
@@ -207,9 +224,8 @@ def main() -> int:
     # cross-round comparability.
     pooled_runs = sorted(cal1_runs + calm_runs + cal2_runs)
     pooled = round(pooled_runs[len(pooled_runs) // 2], 3)
-    best = {n: min(pass1[n], pass2[n]) for n in pass1}
+    best = {n: min(p[n] for p in passes) for n in pass1}
     total1 = round(sum(pass1.values()), 3)
-    total2 = round(sum(pass2.values()), 3)
     value_min = round(sum(best.values()), 3)
     print(
         json.dumps(
@@ -219,7 +235,7 @@ def main() -> int:
                 "value": total1,
                 # sum of per-query mins: the noise-robust comparator
                 "value_min": value_min,
-                "value_runs": [total1, total2],
+                "value_runs": [round(sum(p.values()), 3) for p in passes],
                 "unit": "sec",
                 "queries": best,
                 # r9: box-speed divisor — a fixed synthetic plan timed
