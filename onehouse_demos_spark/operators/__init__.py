@@ -72,6 +72,38 @@ _DEMOTED = {
 # LLM-pipeline north-star suite, then representatives of the
 # beyond-reference analytics/text surface.
 _WINDOW = [
+    # r14 window rotation (VERDICT r13 ask #1): driver-verify the LAST
+    # five never-checked registered queries — tbl_iceberg_delete_read
+    # (the r13 flagship equality-delete capability),
+    # bigram_perplexity_scores (extends the log-domain ulp class while
+    # its evidence is fresh), bracketed_revenue,
+    # duplicate_passage_stats, multimodal_metadata — plus the NEW r14
+    # flagship tbl_iceberg_update_read (log-borne updates exported as
+    # equality deletes + appended new-version data file, so the
+    # Iceberg personality matches the engine `_rt` view; VERDICT r13
+    # ask #3). After this rotation every registered query has faced
+    # the driver at least once. Six multi-round-green
+    # plan-shape-covered rows leave the window (all stay registered
+    # past it and green in the local three-SF sweep):
+    # dsir_importance_weights + tfidf_topk_terms — the log-domain
+    # class keeps TWO in-window canaries (pinned
+    # unigram_logprob_scores + incoming bigram_perplexity_scores; the
+    # class is retired on two consecutive greens per VERDICT r13 ask
+    # #8); tfidf's explode→agg→topN term shape stays covered by
+    # bpe_pair_candidates; events_gapfill — dense-axis broadcast
+    # time-series class covered by events_ohlc_bars; doc_chunking —
+    # integer-geometry training-prep class covered by
+    # sequence_packing_summary; streaming_click_attribution —
+    # foreachBatch streaming class covered by
+    # streaming_session_counts + streaming_dedup_counts;
+    # pq_reconstruction_summary — PQ codebook class covered by
+    # pq_adc_topk.
+    "tbl_iceberg_delete_read",
+    "tbl_iceberg_update_read",
+    "bigram_perplexity_scores",
+    "bracketed_revenue",
+    "duplicate_passage_stats",
+    "multimodal_metadata",
     # r13 window rotation (VERDICT r12 ask #2): driver-verify FOURTEEN
     # never-checked registered queries — the int-ratio/log-domain
     # conversions that have never faced the driver's DuckDB
@@ -233,16 +265,11 @@ _WINDOW = [
     # window and green in the local sweep.
     "tbl_hudi_stats_planned_read",
     "shingle_containment_pairs",
-    "streaming_click_attribution",
-    "events_gapfill",
-    "doc_chunking",
-    "dsir_importance_weights",
     # relational surface (Q1-Q13 + flagship; r10 adds the TPC-H-Q20-
     # shaped sole_late_supplier and the sessionizer)
     "pricing_summary",
     "filter_project",
     "join_dim_rollup",
-    "tfidf_topk_terms",
     "sequence_packing_summary",
     # r4 window swap: the reference's SIGNATURE features (the xTable
     # Delta personality, M15, and the delete-propagating incremental
@@ -326,7 +353,6 @@ _WINDOW = [
     # metadata-planned point-read class.
     "tbl_hudi_rli_point_read",
     # similarity suite
-    "pq_reconstruction_summary",
     "pq_adc_topk",
     # r8 late swap: the bucket-index layout pipeline (this round's
     # flagship write-path feature; builder raises unless bucket

@@ -378,84 +378,176 @@ def _meta_dir(table: LakehouseTable) -> str:
     return os.path.join(table.base_path, _META_DIR)
 
 
-# ------------------------------------------------- v2 equality deletes
+# --------------------------------- v2 equality deletes + update export
 
-def _log_tombstones_present(table: LakehouseTable) -> bool:
-    """True when live LOG files carry un-compacted delete tombstones
-    (per-file footer stats — no data read). Until r13 the exporter
-    REFUSED to sync then; now it exports Iceberg v2 EQUALITY DELETE
-    files instead, so the personality serves exactly the rows the
-    MOR merge serves for deletes (log-borne UPDATES remain documented
-    read-optimized staleness)."""
-    from onehouse_demos_spark.tables.table import DELETED_COL
-
-    for fm in table.manifest.live_files(include_logs=True):
-        if fm.kind != "log":
-            continue
-        st = (fm.col_stats or {}).get(DELETED_COL)
-        if st is not None and st[1] is True:
-            return True
-    return False
+def _overlapping(a, b, match_partition: bool) -> bool:
+    """Can file `a` and file `b` share a record key? Partition match
+    (per-partition key identity — skipped for global-index tables,
+    where a log row may target any partition) + footer key-range
+    overlap; missing stats are conservatively kept."""
+    if match_partition and (a.partition or "") != (b.partition or ""):
+        return False
+    if None in (a.key_min, a.key_max, b.key_min, b.key_max):
+        return True
+    return not (a.key_max < b.key_min or a.key_min > b.key_max)
 
 
-def _rt_deleted_keys(table: LakehouseTable, part_cols: list[str]):
-    """DataFrame of `_oh_record_key` (+ partition columns) for every
-    key a real-time MOR merge deletes relative to the base files: keys
-    present in the read-optimized view but absent from the merged
-    snapshot. EXACT by construction — the engine's own precombine
-    merge decides, not a tombstone heuristic. Fully distributed
-    (anti-join on the record key), no driver collection."""
-    from onehouse_demos_spark.tables.table import KEY_COL
+def _rt_delta(table: LakehouseTable, part_cols: list[str]):
+    """The exact difference between the real-time MOR merge and the
+    base files, GROUP-PRUNED (r14, VERDICT r13 #2): log-borne changes
+    can only touch keys inside the live logs' footer key ranges, so
+    both sides of the diff prune to the base files whose
+    (partition, key range) overlaps a live log — a metadata-only file
+    cut; at 100 TB with a small hot log tail this is two scans of the
+    log-bearing file groups, never two full-table scans.
 
-    ro = table.read_optimized(keep_meta=True).select(KEY_COL, *part_cols)
-    rt = table.snapshot(keep_meta=True).select(KEY_COL)
-    return ro.join(rt, KEY_COL, "left_anti")
+    Returns None when the table has no live log files, else a dict:
 
+    - ``eqdel``: frame of `_oh_record_key` (+ BASE-row partition
+      columns) whose base rows the personality must mask — keys the
+      merge deletes AND keys whose winning version is log-borne
+      (updates; the fresh version rides ``new_rows``).
+    - ``new_rows``: full winner rows whose version is not in any base
+      file — log-borne updates and inserts — exactly what an appended
+      data file at the new sequence must carry for the personality to
+      serve the `_rt` view (reference `README.md:756-776`).
+    - ``base_paths`` / ``log_paths``: the pruned scan scope, exposed
+      for plan pins (tests assert inputFiles ⊆ these).
 
-def _delete_digest(deleted) -> str:
-    """Order-free change-detection digest of the deleted-key set:
-    exact count + xxhash64 sum (DECIMAL — overflow-free). Cheap enough
-    to run per sync; '0:None' when no tombstones exist."""
+    EXACT by construction: the engine's own `_merge_latest`
+    (latest-commit-wins + precombine) decides winners, and the
+    commit-time witness — winner commit ≠ base-row commit — is the
+    same rewrite test the CDF `changes()` feed uses. Fully
+    distributed; no driver collection."""
     from pyspark.sql import functions as F
 
-    from onehouse_demos_spark.tables.table import KEY_COL
+    from onehouse_demos_spark.tables.table import (
+        COMMIT_COL,
+        DELETED_COL,
+        KEY_COL,
+    )
 
-    row = deleted.agg(
+    files = table.manifest.live_files(include_logs=True)
+    logs = [f for f in files if f.kind == "log"]
+    if not logs:
+        return None
+    match_part = table.config.index_scope != "global"
+    cand_base = [
+        b
+        for b in files
+        if b.kind == "base"
+        and any(_overlapping(b, lg, match_part) for lg in logs)
+    ]
+    merged = table._merge_latest(
+        table._read_files(cand_base + logs), filter_deleted=False
+    )
+    cols = merged.columns
+    base_df = table._read_files(cand_base) if cand_base else None
+    if base_df is None:
+        # no base file can hold a logged key: every surviving winner
+        # is a log-borne insert; nothing exists to mask
+        return {
+            "eqdel": None,
+            "new_rows": merged.filter(~F.col(DELETED_COL)).select(*cols),
+            "base_paths": [],
+            "log_paths": [f.path for f in logs],
+        }
+    bk_cols = [
+        F.col(KEY_COL).alias("_oh_base_key"),
+        F.col(COMMIT_COL).alias("_oh_base_commit"),
+    ] + [F.col(c).alias(f"_oh_base_{c}") for c in part_cols]
+    base_keys = base_df.filter(~F.col(DELETED_COL)).select(*bk_cols)
+    cond = F.col(KEY_COL) == F.col("_oh_base_key")
+    if match_part:
+        for c in part_cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_oh_base_{c}"))
+    j = merged.join(base_keys, cond, "left_outer")
+    in_base = F.col("_oh_base_key").isNotNull()
+    # "rewritten" = the winning version is not the base row — the
+    # commit-time witness, exact regardless of precombine stability
+    rewritten = ~in_base | (
+        ~F.col(COMMIT_COL).eqNullSafe(F.col("_oh_base_commit"))
+    )
+    eqdel = j.filter(
+        in_base & (F.col(DELETED_COL) | rewritten)
+    ).select(
+        F.col(KEY_COL),
+        # mask the BASE row: its own partition (a global-index upsert
+        # may move a key across partitions)
+        *[F.col(f"_oh_base_{c}").alias(c) for c in part_cols],
+    )
+    new_rows = j.filter(~F.col(DELETED_COL) & rewritten).select(*cols)
+    return {
+        "eqdel": eqdel,
+        "new_rows": new_rows,
+        "base_paths": [f.path for f in cand_base],
+        "log_paths": [f.path for f in logs],
+    }
+
+
+def _frame_digest(df, cols: list[str]) -> str:
+    """Order-free change-detection digest of a key/version frame:
+    exact count + xxhash64 sum (DECIMAL — overflow-free). Cheap
+    enough to run per sync; '0:None' for an empty frame."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(F.col(KEY_COL)).cast("decimal(38,0)")).alias("h"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")
+        ).alias("h"),
     ).first()
     return f"{row.n}:{row.h}"
 
 
-def _publish_delete_files(
+def _publish_part_files(
     table: LakehouseTable,
-    deleted,
+    df,
     part_cols: list[str],
     spec_fields: list[dict],
     schema: dict,
     pub: Publisher,
+    prefix: str,
 ) -> list[dict]:
-    """Write the deleted keys as parquet EQUALITY DELETE files —
-    partition-scoped when the table is partitioned (executors write
-    per-partition part files in parallel; each becomes one delete
-    file, pruning-friendly for spec-aware planners), one global set
-    otherwise — and publish each through the store seam. Returns
+    """Write a frame as parquet files named `<prefix>-<uuid>.parquet`
+    — partition-scoped when the table is partitioned (executors write
+    per-partition part files in parallel; each becomes one manifest
+    entry, pruning-friendly for spec-aware planners), one global set
+    otherwise — and publish each through the store seam. Shared by
+    the EQUALITY DELETE export (`eqdel`) and the log-borne
+    update/insert data export (`morrow`, r14). Staging lives OUTSIDE
+    the table directory (tempfile — r13 review: a crash must not
+    leave a staging tree inside the published layout). Returns
     manifest-entry payloads [{path, partition, rows, size}]."""
     import shutil
+    import tempfile
     from urllib.parse import unquote
 
     import pyarrow.parquet as pq
 
     from onehouse_demos_spark.tables.table import HIVE_DEFAULT_PARTITION
 
-    staging = os.path.join(
-        table.base_path, f".oh_eqdel_staging_{uuid.uuid4().hex}"
-    )
-    writer = deleted.write.mode("overwrite")
+    from pyspark.sql import functions as F
+
+    staging = tempfile.mkdtemp(prefix="oh_ice_staging_")
+    # Partition the staged write by SHADOW copies of the partition
+    # columns: Spark's partitionBy strips the partitioning column from
+    # the parquet data, but identity-partitioned Iceberg data files
+    # must carry the source column physically (the base files do) —
+    # without this, appended rows read back with a null partition
+    # column (r14 fix, caught by the update-export oracle).
+    shadow = [f"_oh_stage_pp_{i}" for i in range(len(part_cols))]
+    stage_df = df
+    for s, c in zip(shadow, part_cols):
+        stage_df = stage_df.withColumn(s, F.col(c))
+    writer = stage_df.write.mode("overwrite")
     if part_cols:
-        writer = writer.partitionBy(*part_cols)
+        writer = writer.partitionBy(*shadow)
     writer.parquet(staging)
     by_id = {f["id"]: f for f in schema["fields"]}
+    shadow_of = {
+        pf["name"]: shadow[i] for i, pf in enumerate(spec_fields)
+    }
     out: list[dict] = []
     try:
         for dirpath, _dirs, names in os.walk(staging):
@@ -475,7 +567,7 @@ def _publish_delete_files(
                         s.split("=", 1) for s in rel.split(os.sep)
                     )
                     for pf in spec_fields:
-                        raw = unquote(segs[pf["name"]])
+                        raw = unquote(segs[shadow_of[pf["name"]]])
                         values[pf["name"]] = (
                             None
                             if raw == HIVE_DEFAULT_PARTITION
@@ -485,7 +577,7 @@ def _publish_delete_files(
                         )
                 part_dir = (
                     "/".join(
-                        f"{pf['name']}={segs[pf['name']]}"
+                        f"{pf['name']}={segs[shadow_of[pf['name']]]}"
                         for pf in spec_fields
                     )
                     if rel != "."
@@ -494,7 +586,7 @@ def _publish_delete_files(
                 dst = os.path.join(
                     table.base_path,
                     part_dir,
-                    f"eqdel-{uuid.uuid4().hex}.parquet",
+                    f"{prefix}-{uuid.uuid4().hex}.parquet",
                 )
                 pub.put_file(dst, src)
                 out.append(
@@ -509,9 +601,9 @@ def _publish_delete_files(
         shutil.rmtree(staging, ignore_errors=True)
     if not out:
         raise RuntimeError(
-            "equality-delete export: tombstones detected but no delete "
-            "rows were staged — refusing to publish a personality that "
-            "would resurrect deleted rows"
+            f"{prefix} export: the change digest saw rows but none "
+            "were staged — refusing to publish a personality that "
+            "would diverge from the real-time view"
         )
     return out
 
@@ -646,22 +738,40 @@ def sync_iceberg_metadata(
 
     schema, phys_map = _iceberg_schema(table, prev_meta)
     part_cols = list(table.config.partition_by or [])
-    # Un-compacted MOR delete tombstones: export v2 EQUALITY DELETES
-    # (r13) instead of refusing — the deleted-key set enters the
-    # change digest so a new delete (or a compaction clearing them)
-    # produces a new version even with an unchanged base-file set.
-    deleted = None
-    del_digest = "0:None"
-    if _log_tombstones_present(table):
-        deleted = _rt_deleted_keys(table, part_cols)
-        del_digest = _delete_digest(deleted)
-        if del_digest.startswith("0:"):
-            # every tombstone was superseded by a later re-insert of
-            # its key — the merged view deletes nothing, so the sync
-            # publishes with no delete manifest (r13 review: raising
-            # here blocked the sync until compaction for a state the
-            # personality serves exactly)
-            deleted = None
+    # Un-compacted MOR log content: export v2 EQUALITY DELETES for
+    # deleted AND updated keys plus an appended data file of the
+    # log-borne winners (r13 deletes, r14 updates/inserts) instead of
+    # serving stale base rows — the personality then matches the
+    # engine's real-time merge exactly. Both change sets enter the
+    # version digest so a new log write (or a compaction clearing the
+    # logs) produces a new version even with an unchanged base-file
+    # set.
+    from onehouse_demos_spark.tables.table import COMMIT_COL, KEY_COL
+
+    delta = _rt_delta(table, part_cols)
+    eqdel = new_rows = None
+    del_digest = upd_digest = "0:None"
+    if delta is not None:
+        if delta["eqdel"] is not None:
+            delta["eqdel"].persist()
+            del_digest = _frame_digest(delta["eqdel"], [KEY_COL])
+            if not del_digest.startswith("0:"):
+                # non-empty mask set; a "0:" digest means every log
+                # change was superseded back to the base state
+                eqdel = delta["eqdel"]
+        delta["new_rows"].persist()
+        upd_digest = _frame_digest(
+            delta["new_rows"], [KEY_COL, COMMIT_COL]
+        )
+        if not upd_digest.startswith("0:"):
+            new_rows = delta["new_rows"]
+
+    def _unpersist_delta():
+        if delta is not None:
+            if delta["eqdel"] is not None:
+                delta["eqdel"].unpersist()
+            delta["new_rows"].unpersist()
+
     paths = sorted(f.path for f in files)
     # A metadata-only schema change (RENAME/DROP COLUMN) must produce a
     # new version even with an unchanged live file set — the digest
@@ -671,11 +781,13 @@ def sync_iceberg_metadata(
             "\n".join(paths)
             + json.dumps(schema, sort_keys=True)
             + "|deletes:" + del_digest
+            + "|updates:" + upd_digest
         ).encode()
     ).hexdigest()
     if prev_meta is not None and digest == prev_meta.get("properties", {}).get(
         "onehouse.live-paths-digest"
     ):
+        _unpersist_delta()
         return version
 
     seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
@@ -691,6 +803,21 @@ def sync_iceberg_metadata(
     # snapshot's sequence.
     spec_fields = _partition_spec(table, schema)
     prev_seqs = _prev_file_seqs(prev_meta, pub, table.base_path)
+    n_added = sum(1 for fm in files if fm.path not in prev_seqs)
+    # Two-snapshot shape decided BEFORE the manifest is written so the
+    # data manifest's attribution (entry snapshot_id + the manifest
+    # row's added_snapshot_id) names the APPEND snapshot consistently
+    # in both manifest lists (r13 review: a reused row claiming the
+    # delete snapshot's id mis-attributes adds to time-travel and
+    # incremental consumers).
+    two_snapshots = (
+        eqdel is not None or new_rows is not None
+    ) and n_added > 0
+    snap_a_id = int(
+        hashlib.sha256(f"{digest}:{seq}:data".encode()).hexdigest()[:15],
+        16,
+    )
+    data_snap_id = snap_a_id if two_snapshots else snapshot_id
     entries = []
     total_rows = 0
     added_rows = existing_rows = 0
@@ -706,7 +833,7 @@ def sync_iceberg_metadata(
         entries.append(
             {
                 "status": 1 if known_seq is None else 0,  # ADDED/EXISTING
-                "snapshot_id": snapshot_id,
+                "snapshot_id": data_snap_id,
                 "sequence_number": known_seq,  # None => inherit
                 "file_sequence_number": known_seq,
                 "data_file": {
@@ -721,7 +848,6 @@ def sync_iceberg_metadata(
                 },
             }
         )
-    n_added = sum(1 for e in entries if e["status"] == 1)
     manifest_name = f"{uuid.uuid4().hex}-m0.avro"
     manifest_bytes = write_ocf(
         entries,
@@ -740,6 +866,14 @@ def sync_iceberg_metadata(
     manifest_path = os.path.join(meta_dir, manifest_name)
     pub.put_bytes(manifest_path, manifest_bytes)  # uuid-named, atomic
 
+    # min_sequence_number over the sequences of the entries ACTUALLY
+    # listed (r13 review: min over all previous sequences could
+    # understate the true minimum when a file dropped out)
+    entry_seqs = [
+        e["sequence_number"]
+        for e in entries
+        if e["sequence_number"] is not None
+    ] + ([seq] if n_added else [])
     manifest_rows = [
         {
             "manifest_path": manifest_path,
@@ -747,10 +881,8 @@ def sync_iceberg_metadata(
             "partition_spec_id": 0,
             "content": 0,
             "sequence_number": seq,
-            "min_sequence_number": min(
-                [s for s in prev_seqs.values()] + [seq]
-            ),
-            "added_snapshot_id": snapshot_id,
+            "min_sequence_number": min(entry_seqs) if entry_seqs else seq,
+            "added_snapshot_id": data_snap_id,
             "added_files_count": n_added,
             "existing_files_count": len(entries) - n_added,
             "deleted_files_count": 0,
@@ -760,23 +892,21 @@ def sync_iceberg_metadata(
         }
     ]
 
-    # ---- equality-delete manifest (only when tombstones exist).
-    # Deletes must apply to EVERY live base file, so their sequence
-    # must be strictly newer than every data entry's. When all data
-    # entries carry explicit older sequences (the usual re-sync) the
-    # snapshot sequence already is; when this sync also ADDS data
-    # files (first sync of a tombstone-bearing table, or insert+delete
-    # between syncs) the commit takes the spec's two-snapshot shape —
-    # a data append at `seq` and a delete commit at `seq + 1`, both
-    # inside the one conditional-put metadata version.
+    # ---- equality-delete manifest (only when the merge masks base
+    # rows). Deletes must apply to EVERY live base file, so their
+    # sequence must be strictly newer than every base entry's — but
+    # NOT to the log-winner data file appended alongside (same
+    # sequence: the spec's strictly-older rule exempts it, exactly
+    # the Flink CDC upsert commit shape). When all base entries carry
+    # explicit older sequences (the usual re-sync) the snapshot
+    # sequence already qualifies; when this sync also ADDS base files
+    # (first sync of a log-bearing table, or insert+delete between
+    # syncs) the commit takes the spec's two-snapshot shape — a data
+    # append at `seq` and a delete commit at `seq + 1`, both inside
+    # the one conditional-put metadata version.
     n_delete_rows = 0
-    seq_del = seq
-    two_snapshots = deleted is not None and n_added > 0
-    if two_snapshots:
-        seq_del = seq + 1
-    if deleted is not None:
-        from onehouse_demos_spark.tables.table import KEY_COL
-
+    seq_del = seq + 1 if two_snapshots else seq
+    if eqdel is not None:
         key_fid = next(
             (f["id"] for f in schema["fields"] if f["name"] == KEY_COL),
             None,
@@ -786,8 +916,8 @@ def sync_iceberg_metadata(
                 "equality-delete export needs the record-key column "
                 f"{KEY_COL!r} in the exported schema"
             )
-        delete_files = _publish_delete_files(
-            table, deleted, part_cols, spec_fields, schema, pub
+        delete_files = _publish_part_files(
+            table, eqdel, part_cols, spec_fields, schema, pub, "eqdel"
         )
         del_entries = [
             {
@@ -844,16 +974,89 @@ def sync_iceberg_metadata(
             }
         )
 
+    # ---- log-winner data manifest (r14): the appended parquet of
+    # log-borne update/insert winners, ADDED at the delete sequence —
+    # strictly newer than every base entry (so it is never masked by
+    # this sync's equality deletes) and exactly the rows the engine's
+    # `_rt` merge serves for those keys.
+    n_upd_rows = 0
+    upd_files: list[dict] = []
+    if new_rows is not None:
+        from pyspark.sql.functions import col as F_col
+
+        # write under PHYSICAL column names, matching the base files,
+        # so the published name-mapping resolves every data file the
+        # same way after a RENAME
+        out_rows = new_rows.select(
+            *[
+                F_col(f["name"]).alias(phys_map[f["name"]])
+                for f in schema["fields"]
+            ]
+        )
+        upd_files = _publish_part_files(
+            table, out_rows, part_cols, spec_fields, schema, pub, "morrow"
+        )
+        upd_entries = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": None,  # inherit: the NEW sequence
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,  # DATA
+                    "file_path": uf["path"],
+                    "file_format": "PARQUET",
+                    "partition": uf["partition"],
+                    "record_count": uf["rows"],
+                    "file_size_in_bytes": uf["size"],
+                },
+            }
+            for uf in upd_files
+        ]
+        n_upd_rows = sum(uf["rows"] for uf in upd_files)
+        upd_manifest_name = f"{uuid.uuid4().hex}-m2.avro"
+        upd_manifest_bytes = write_ocf(
+            upd_entries,
+            _manifest_entry_schema(
+                _partition_record_schema(spec_fields, schema)
+            ),
+            extra_meta={
+                "schema": json.dumps(schema),
+                "schema-id": "0",
+                "partition-spec": json.dumps(spec_fields),
+                "partition-spec-id": "0",
+                "format-version": "2",
+                "content": "data",
+            },
+        )
+        upd_manifest_path = os.path.join(meta_dir, upd_manifest_name)
+        pub.put_bytes(upd_manifest_path, upd_manifest_bytes)
+        manifest_rows.append(
+            {
+                "manifest_path": upd_manifest_path,
+                "manifest_length": len(upd_manifest_bytes),
+                "partition_spec_id": 0,
+                "content": 0,  # DATA
+                "sequence_number": seq_del,
+                "min_sequence_number": seq_del,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(upd_entries),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": n_upd_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        )
+    _unpersist_delta()
+
     # ---- manifest list(s) + snapshot(s)
     new_snapshots: list[dict] = []
     if two_snapshots:
-        # data append snapshot at `seq`: the data manifest alone
-        snap_a_id = int(
-            hashlib.sha256(f"{digest}:{seq}:data".encode()).hexdigest()[:15],
-            16,
-        )
+        # data append snapshot at `seq`: the data manifest alone,
+        # attributed to snap_a_id in BOTH lists (entries included)
         list_a_bytes = write_ocf(
-            [dict(manifest_rows[0], added_snapshot_id=snap_a_id)],
+            [manifest_rows[0]],
             _MANIFEST_FILE_SCHEMA,
             extra_meta={"format-version": "2"},
         )
@@ -893,17 +1096,18 @@ def sync_iceberg_metadata(
             "manifest-list": list_path,
             "summary": {
                 "operation": (
-                    "delete"
+                    ("overwrite" if n_upd_rows else "delete")
                     if two_snapshots
                     else ("overwrite" if prev_meta else "append")
                 ),
-                **(
-                    {}
-                    if two_snapshots
-                    else {
-                        "added-data-files": str(n_added),
-                        "added-records": str(added_rows),
-                    }
+                # base-file adds belong to snapshot A under the
+                # two-snapshot shape; the log-winner file is this
+                # snapshot's own add either way
+                "added-data-files": str(
+                    len(upd_files) + (0 if two_snapshots else n_added)
+                ),
+                "added-records": str(
+                    n_upd_rows + (0 if two_snapshots else added_rows)
                 ),
                 **(
                     {"added-equality-deletes": str(n_delete_rows)}

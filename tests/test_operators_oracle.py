@@ -92,19 +92,20 @@ def test_driver_window_covers_distinct_operator_classes():
         "tbl_hudi_rt_read", "tbl_bucket_split_read",
         "tbl_hudi_stats_planned_read", "tbl_hudi_bloom_point_read",
         "tbl_hudi_rli_point_read",
-        # r11 hash-fail survivors: the log-domain trio stays pinned
-        # per VERDICT r12 ask #3 (second consecutive green retires the
-        # ulp-exposure class); events_gapfill keeps the dense-axis
-        # class representative.
-        "dsir_importance_weights", "unigram_logprob_scores",
-        "tfidf_topk_terms", "events_gapfill",
-        # r12 rotation survivors (one driver row so far — stay for a
-        # second check)
-        "events_ohlc_bars", "pq_reconstruction_summary",
-        "streaming_session_counts", "streaming_click_attribution",
-        "doc_chunking", "sequence_packing_summary",
+        # log-domain canaries (class retired on two consecutive
+        # greens, VERDICT r13 ask #8): one standing representative
+        # plus the incoming bigram row
+        "unigram_logprob_scores", "bigram_perplexity_scores",
+        # r12 rotation survivors still in the window
+        "events_ohlc_bars",
+        "streaming_session_counts", "sequence_packing_summary",
         "shingle_containment_pairs",
         "pq_adc_topk", "ann_index_incremental",
+        # r14 rotation (VERDICT r13 ask #1): the last never-checked
+        # registered rows + the new update-export flagship
+        "tbl_iceberg_delete_read", "tbl_iceberg_update_read",
+        "bracketed_revenue", "duplicate_passage_stats",
+        "multimodal_metadata",
         # r13 rotation (VERDICT r12 ask #2): fourteen never-checked
         # registered queries enter the window
         "bpe_pair_candidates", "domain_mixture_weights",

@@ -320,13 +320,20 @@ def _sum_sites(sql: str):
         yield inner, "DECIMAL(38" in inner.upper()
 
 
-# Every NARROW quantized sum in a windowed oracle must appear here with
-# how to bound it: ("col", output_column, n) measures
-# MAX(ABS(output_column)) * 10^n from the oracle's own result;
-# ("avg", output_column, count_column, n) multiplies by the group count
-# (the accumulator holds the SUM, not the mean); ("probe", sql, n)
-# evaluates a standalone upper-bound probe for sums not visible in the
-# final output. The scanner below forces this ledger complete.
+# Every NARROW quantized sum in a REGISTERED oracle (r14: the full
+# registry, not just the driver window — rotation can never surface an
+# unledgered narrow sum again) must appear here with how to bound it:
+# ("col", output_column, n) measures MAX(ABS(output_column)) * 10^n
+# from the oracle's own result and scales it linearly to the contract
+# SF; ("avg", output_column, count_column, n) multiplies by the group
+# count (the accumulator holds the SUM, not the mean); ("probe", sql,
+# n) evaluates a standalone upper-bound probe for sums not visible in
+# the final output; ("keybound", output_column, n) measures the same
+# magnitude but does NOT scale it with SF — for sums grouped by a
+# row-identity key (orderkey / custkey / suppkey), TPC-H growth adds
+# KEYS, not rows per key, so per-group magnitude is SF-invariant (×8
+# safety still applies). The scanner below forces this ledger
+# complete.
 WINDOWED_SUM_LEDGER = {
     "pricing_summary": [
         # sum_qty's accumulator is its output x 10^2; avg_qty shares
