@@ -64,10 +64,30 @@ def fsum(col: Column, n: int = 2, wide: bool = False) -> Column:
 
 def fsum_int(col: Column, n: int = 2, wide: bool = False) -> Column:
     """The raw integer-units sum (no closing division) — for metrics
-    whose OUTPUT is the exact integer (BIGINT e-n units)."""
+    whose OUTPUT is the exact integer (BIGINT e-n units).
+
+    The wide accumulator protects the INTERMEDIATE sum only; the
+    output itself must still fit BIGINT (the cross-engine transport is
+    int64). On a final-value overflow Spark's non-ANSI decimal->long
+    cast silently yields NULL while DuckDB's CAST(... AS BIGINT)
+    errors — an engine-divergence class this contract exists to kill —
+    so the wide path guards the close with assert_true: both engines
+    fail LOUDLY instead of diverging (r13 review)."""
     q = fquant(col, n)
     if wide:
-        return F.sum(q.cast("decimal(38,0)")).cast("long")
+        s = F.sum(q.cast("decimal(38,0)"))
+        ok = F.abs(s) <= F.lit(2 ** 63 - 1).cast("decimal(38,0)")
+        # when() WITHOUT otherwise: the two branches must differ or
+        # Catalyst folds `CASE WHEN c THEN x ELSE x` to `x` and
+        # optimizes the assertion away entirely
+        return F.when(
+            F.assert_true(
+                ok, "fsum_int(wide): output exceeds BIGINT — the "
+                "metric needs a different output contract, not a "
+                "wider accumulator"
+            ).isNull(),
+            s.cast("long"),
+        )
     return F.sum(q)
 
 

@@ -34,14 +34,16 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        # engine-proof floor-quantized contract (VERDICT r11 #2)
-        fsum(F.col("o_totalprice")).alias("total"),
+        # engine-proof floor-quantized contract (VERDICT r11 #2); the
+        # ROLLUP grand-total row sums EVERY order — thin BIGINT margin
+        # at SF 1e5, so it rides the wide accumulator (r14 ledger)
+        fsum(F.col("o_totalprice"), wide=True).alias("total"),
     )
 
 
-ROLLUP_STATUS_PRIORITY_SQL = """
+ROLLUP_STATUS_PRIORITY_SQL = f"""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(FLOOR((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+       {fsum_sql("o_totalprice", 2, wide=True)} AS total
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
@@ -1410,12 +1412,14 @@ def bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return j.filter(bracket).agg(fsum(rev, 4).alias("revenue"))
+    # global e4 price sum: thin BIGINT margin at SF 1e5 — wide
+    # accumulator (r14 full-registry headroom ledger)
+    return j.filter(bracket).agg(fsum(rev, 4, wide=True).alias("revenue"))
 
 
-BRACKETED_REVENUE_SQL = """
-SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
-                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+BRACKETED_REVENUE_SQL = f"""
+SELECT {fsum_sql("l_extendedprice * (1 - l_discount)", 4, wide=True)}
+  AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 11)

@@ -491,18 +491,23 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            # engine-proof floor-quantized contract (VERDICT r11 #2)
+            # engine-proof floor-quantized contract (VERDICT r11 #2);
+            # 25 fixed nation groups each hold ~1/625 of ALL e4
+            # revenue — thin BIGINT margin at SF 1e5, wide accumulator
+            # (r14 full-registry headroom ledger)
             fsum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                4,
+                wide=True,
             ).alias("revenue")
         )
     )
 
 
-LOCAL_SUPPLIER_VOLUME_SQL = """
+LOCAL_SUPPLIER_VOLUME_SQL = f"""
 SELECT n_name,
-       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
-                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+       {fsum_sql("l_extendedprice * (1 - l_discount)", 4, wide=True)}
+         AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -560,31 +565,39 @@ def promo_revenue_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            fsum(rev, 4).alias("revenue"),
+            # ~150 fixed p_type groups each carry ~1/150 of ALL e4
+            # revenue — thin BIGINT margin at SF 1e5, so every sum
+            # here rides the wide accumulator (r14 full-registry
+            # headroom ledger)
+            fsum(rev, 4, wide=True).alias("revenue"),
             # exact integer ratio scaled by 100: multiply THEN divide,
             # written identically in the oracle (VERDICT r11 #2)
             (
                 F.sum(
-                    fquant(F.when(F.col("p_brand") == "Brand#2", rev), 4)
+                    fquant(
+                        F.when(F.col("p_brand") == "Brand#2", rev), 4
+                    ).cast("decimal(38,0)")
                 ).cast("double")
                 * 100.0
-                / F.sum(fquant(rev, 4)).cast("double")
+                / F.sum(fquant(rev, 4).cast("decimal(38,0)")).cast("double")
             ).alias("brand2_pct"),
         )
     )
 
 
-PROMO_REVENUE_BY_TYPE_SQL = """
+PROMO_REVENUE_BY_TYPE_SQL = f"""
 SELECT p_type,
        COUNT(*) AS n_items,
-       CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
-                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
-       CAST(SUM(CASE WHEN p_brand = 'Brand#2'
-                     THEN CAST(FLOOR((l_extendedprice * (1 - l_discount))
-                                     * 10000) AS BIGINT) END) AS DOUBLE)
+       {fsum_sql("l_extendedprice * (1 - l_discount)", 4, wide=True)}
+         AS revenue,
+       CAST(SUM(CAST(CASE WHEN p_brand = 'Brand#2'
+                     THEN {fquant_sql("l_extendedprice * (1 - l_discount)",
+                                      4)}
+                     END AS DECIMAL(38,0))) AS DOUBLE)
          * 100.0
-         / CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 10000)
-                         AS BIGINT)) AS DOUBLE) AS brand2_pct
+         / CAST(SUM(CAST({fquant_sql("l_extendedprice * (1 - l_discount)",
+                                     4)}
+                         AS DECIMAL(38,0))) AS DOUBLE) AS brand2_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type
 """

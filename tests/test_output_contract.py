@@ -354,20 +354,48 @@ WINDOWED_SUM_LEDGER = {
     "large_volume_customers": [("col", "total_qty", 2)],
     "events_gapfill": [("col", "sum_value_locf_e4", 0)],
     "streaming_dedup_counts": [("col", "sum_value_r", 2)],
+    # ---- r14 (VERDICT r13 "What's wrong" #2): the ledger now covers
+    # the FULL registry, so rotation can never surface an unledgered
+    # narrow sum. Global/fixed-group sums scale linearly ("col");
+    # sums grouped by a row-identity key are SF-invariant per group
+    # ("keybound": orderkey groups hold ~1-7 lineitems, custkey
+    # groups ~10 orders, suppkey groups ~600 lineitems at EVERY SF —
+    # growth adds keys, not rows per key).
+    # (bracketed_revenue, local_supplier_volume,
+    # rollup_status_priority, promo_revenue_by_type measured THIN in
+    # the r14 extension and were moved to wide accumulators —
+    # structurally safe, no entry needed.)
+    "tbl_matview_rollup": [("col", "rev_r", 2)],
+    "top_revenue_orders": [("keybound", "revenue", 4)],
+    "label_centroid_distance": [("col", "sum_all_e6", 0)],
+    "cube_returnflag_linestatus": [("col", "qty", 2)],
+    "window_rank_orders": [("keybound", "run_total", 2)],
+    "revenue_moving_avg": [("col", "sum7_r", 2)],
+    "range_join_bands": [("col", "sum_value_r", 2)],
+    "skew_safe_agg": [("col", "sum_value_r", 2)],
+    # avg_yearly = e2 sum / 700: bound the accumulator by x * 10^3
+    "small_quantity_revenue": [("col", "avg_yearly", 3)],
+    "top_supplier_revenue": [("keybound", "total_revenue", 4)],
+    "returned_item_report": [("keybound", "revenue", 4)],
+    "forecast_revenue_change": [("col", "revenue", 4)],
+    "monthly_revenue_trend": [("col", "revenue", 2)],
+    "shipping_priority": [("keybound", "revenue", 4)],
 }
 
 
 def test_windowed_integer_sums_have_100tb_headroom(con):
-    """VERDICT r12 #6: e4 sums of price-scale doubles exceed BIGINT at
-    100 TB. Every quantized sum in the driver window is either WIDE
-    (DECIMAL(38,0) — 1e38 headroom, structurally safe) or measured
-    here: observed magnitude at the gate SF, scaled linearly to the
-    declared CONTRACT_MAX_SF with an 8x safety factor, must fit
-    int64."""
+    """VERDICT r12 #6 / r13 #4: e4 sums of price-scale doubles exceed
+    BIGINT at 100 TB. Every quantized sum in the FULL registry (r14 —
+    not just the driver window, so rotation can never surface an
+    unledgered narrow sum) is either WIDE (DECIMAL(38,0) — 1e38
+    headroom, structurally safe) or measured here: observed magnitude
+    at the gate SF, scaled to the declared CONTRACT_MAX_SF (linearly,
+    or held SF-invariant for per-row-identity-key groups) with an 8x
+    safety factor, must fit int64."""
     limit = 2.0 ** 63
     scale = CONTRACT_MAX_SF / _GATE_SF
     unled, thin = [], []
-    for name, sql in _windowed_oracles().items():
+    for name, sql in _registry().items():
         if name in NONVACUOUS_SKIP_HEAVY:
             continue
         narrow = [inner for inner, wide in _sum_sites(sql) if not wide]
@@ -378,12 +406,16 @@ def test_windowed_integer_sums_have_100tb_headroom(con):
         if not narrow and name in WINDOWED_SUM_LEDGER:
             unled.append((name, "ledger entry but no narrow sum left"))
         for entry in ledger:
-            if entry[0] == "col":
+            if entry[0] in ("col", "keybound"):
                 _, col, n = entry
                 mx = con.execute(
                     f'SELECT MAX(ABS("{col}")) FROM ({sql})'
                 ).fetchone()[0]
                 mag = float(mx or 0) * (10 ** n)
+                if entry[0] == "keybound":
+                    # per-key magnitude is SF-invariant; only the
+                    # safety factor applies
+                    mag /= scale
             elif entry[0] == "avg":
                 _, col, cnt, n = entry
                 mx = con.execute(
