@@ -525,13 +525,21 @@ def write_hfile(
 
 
 def parse_hfile(path: str, verify_checksums: bool = True) -> dict:
+    """Parse a v3 HFile from the filesystem — see
+    ``parse_hfile_bytes`` for the format contract."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return parse_hfile_bytes(data, verify_checksums=verify_checksums)
+
+
+def parse_hfile_bytes(data: bytes, verify_checksums: bool = True) -> dict:
     """Parse a v3 HFile: {"cells": [(row key str, value bytes)...],
     "fileinfo": {str: bytes}, "trailer": {...}}. Consumes REAL
     Hudi/HBase files (the committed fixture base slice) and this
     module's own output alike; block checksums (CRC32 or CRC32C per
-    the block's declared type) are verified by default."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    the block's declared type) are verified by default. The bytes
+    entry point exists so writer-internal reads can ride the object
+    store seam (GET → parse) instead of a local open()."""
     trailer = _decode_trailer(data)
     codec = trailer.get("compression_codec", COMPRESSION_NONE)
     cells: list[tuple[bytes, bytes]] = []
@@ -591,17 +599,27 @@ def hfile_schema_json(path: str) -> str | None:
 
 
 def read_hudi_metadata_base(path: str) -> list[dict]:
-    """Decode a Hudi metadata-table base slice: each cell's value is
-    an Avro HoodieMetadataRecord under the file info's embedded
-    schema, with the record key riding the CELL ROW (the value's own
-    `key` field is empty — fixture behavior); returns records with
-    `key` restored."""
+    """Decode a Hudi metadata-table base slice from the filesystem —
+    see ``read_hudi_metadata_base_bytes``."""
+    return _decode_metadata_base(parse_hfile(path), path)
+
+
+def read_hudi_metadata_base_bytes(data: bytes, name: str = "<bytes>") -> list[dict]:
+    """Decode a Hudi metadata-table base slice from raw bytes (the
+    seam-riding GET path of writer-internal index folds)."""
+    return _decode_metadata_base(parse_hfile_bytes(data), name)
+
+
+def _decode_metadata_base(parsed: dict, name: str) -> list[dict]:
+    """Each cell's value is an Avro HoodieMetadataRecord under the
+    file info's embedded schema, with the record key riding the CELL
+    ROW (the value's own `key` field is empty — fixture behavior);
+    returns records with `key` restored."""
     from onehouse_demos_spark.sources.avro_codec import AvroSchema, decode
 
-    parsed = parse_hfile(path)
     raw = parsed["fileinfo"].get(b"schema")
     if raw is None:
-        raise ValueError(f"{path}: no embedded metadata record schema")
+        raise ValueError(f"{name}: no embedded metadata record schema")
     sch = AvroSchema(json.loads(raw.decode()))
     out = []
     for row, value in parsed["cells"]:

@@ -1300,25 +1300,38 @@ def _mdt_write_index_base(
 
 
 def _mdt_index_base_records(
-    idx_dir: str, group: str
+    idx_dir: str, group: str, pub: _Publisher | None = None
 ) -> tuple[str, list[dict]] | None:
     """(instant, records) of a group's NEWEST base slice, with each
     record's `key` restored from the cell row; None when the group
-    has no base (legacy pure-chain layouts keep reading)."""
-    from onehouse_demos_spark.tables.hfile import read_hudi_metadata_base
+    has no base (legacy pure-chain layouts keep reading). With `pub`
+    (writer-internal folds — VERDICT r13 #5) the listing AND the
+    slice bytes ride the store seam; without it (external-reader
+    APIs) the read stays direct file I/O over the materialized
+    layout."""
+    from onehouse_demos_spark.tables.hfile import (
+        read_hudi_metadata_base,
+        read_hudi_metadata_base_bytes,
+    )
 
     prefix = f"{group}_"
+    names = pub.list_rel(idx_dir) if pub is not None else os.listdir(idx_dir)
     bases = [
-        n
-        for n in os.listdir(idx_dir)
-        if n.startswith(prefix) and n.endswith(".hfile")
+        n for n in names if n.startswith(prefix) and n.endswith(".hfile")
     ]
     if not bases:
         return None
     newest = max(bases, key=_mdt_slice_instant)
+    newest_abs = os.path.join(idx_dir, newest)
+    if pub is not None:
+        raw = pub.get_bytes(newest_abs)
+        if raw is None:
+            raise FileNotFoundError(f"listed slice vanished: {newest_abs}")
+        return (_mdt_slice_instant(newest),
+                read_hudi_metadata_base_bytes(raw, name=newest_abs))
     return (
         _mdt_slice_instant(newest),
-        read_hudi_metadata_base(os.path.join(idx_dir, newest)),
+        read_hudi_metadata_base(newest_abs),
     )
 
 
@@ -1606,7 +1619,7 @@ def _sync_bloom_partition(
     )
 
     bf_dir = os.path.join(hoodie, "metadata", "bloom_filters")
-    first = not os.path.isdir(bf_dir)
+    first = not pub.list_rel(bf_dir)  # seam LIST, not a local isdir
     os.makedirs(bf_dir, exist_ok=True)
     if first:
         pub.put_text(
@@ -1988,20 +2001,25 @@ def _rli_write_shard(
     return stat
 
 
-def _rli_fold_shard(rli_dir: str, group: str) -> dict[str, dict]:
+def _rli_fold_shard(
+    rli_dir: str, group: str, pub: _Publisher | None = None
+) -> dict[str, dict]:
     """Fold ONE shard's newest base slice + attached log chain:
     {key: loc-dict}. Metadata-scale — memory is bounded by a single
     shard, which is what lets the roll-up compact a shard at a time
-    instead of materializing the whole index."""
+    instead of materializing the whole index. Writer-internal callers
+    (roll-up compaction) pass `pub` so the fold rides the store seam
+    end to end."""
     out: dict[str, dict] = {}
     # a generator raises lazily: materialize the existence check by
     # probing for any slice of this group before iterating
+    names = pub.list_rel(rli_dir) if pub is not None else os.listdir(rli_dir)
     if not any(
         n.startswith(f"{group}_") or n.startswith(f".{group}_")
-        for n in os.listdir(rli_dir)
+        for n in names
     ):
         return out
-    for rec in _mdt_index_records(rli_dir, group):
+    for rec in _mdt_index_records(rli_dir, group, pub):
         if rec.get("type") != _MDT_TYPE_RECORD_INDEX:
             continue
         meta = rec.get("recordIndexMetadata")
@@ -2196,7 +2214,7 @@ def _rli_compact_shard(
     """Fold ONE shard's base+chain and write its compacted BASE
     slice — the per-shard unit both the driver loop and the
     distributed compaction run. Returns (shard, file rel name, n)."""
-    locs = _rli_fold_shard(rli_dir, group)
+    locs = _rli_fold_shard(rli_dir, group, pub)
     stat = _rli_write_shard_base(
         pub, rli_dir, shard, instant,
         [_rli_record(k, locs[k]) for k in sorted(locs)],
@@ -2262,7 +2280,7 @@ def _sync_rli_partition(
     versions by per-shard FOLD of the existing chain — never a data
     rescan. Returns the MDT write stats (None when unchanged)."""
     rli_dir = os.path.join(hoodie, "metadata", "record_index")
-    first = not os.path.isdir(rli_dir)
+    first = not pub.list_rel(rli_dir)  # seam LIST, not a local isdir
     os.makedirs(rli_dir, exist_ok=True)
     if first:
         pub.put_text(
@@ -2399,7 +2417,7 @@ def _sync_rli_partition(
             # memory bounded by a shard, zero data files opened beyond
             # the delta's own
             for shard in range(n_shards):
-                locs = _rli_fold_shard(rli_dir, _mdt_rli_group(shard))
+                locs = _rli_fold_shard(rli_dir, _mdt_rli_group(shard), pub)
                 locs.update(
                     {
                         k: v
@@ -2619,7 +2637,7 @@ def _sync_colstats_partition(
     )
 
     cs_dir = os.path.join(hoodie, "metadata", "column_stats")
-    first = not os.path.isdir(cs_dir)
+    first = not pub.list_rel(cs_dir)  # seam LIST, not a local isdir
     os.makedirs(cs_dir, exist_ok=True)
     if first:
         pub.put_text(
@@ -2718,18 +2736,25 @@ def _sync_colstats_partition(
     return stat
 
 
-def _mdt_index_records(idx_dir: str, group: str):
+def _mdt_index_records(idx_dir: str, group: str, pub: _Publisher | None = None):
     """Yield the records of a metadata-index file group in fold
     order: the newest BASE slice's records first (r11 late — the
     fixture's base+log shape), then the log chain attached to that
     base's instant in version order. Legacy pure-chain layouts (no
-    base) fold the newest chain alone."""
-    from onehouse_demos_spark.tables.hudi_log import parse_log_file
+    base) fold the newest chain alone. With `pub` every byte rides
+    the store seam (VERDICT r13 #5: a non-materializing store can
+    run compaction folds); without it, direct file I/O for the
+    external-reader APIs."""
+    from onehouse_demos_spark.tables.hudi_log import (
+        parse_log_bytes,
+        parse_log_file,
+    )
 
-    base = _mdt_index_base_records(idx_dir, group)
+    base = _mdt_index_base_records(idx_dir, group, pub)
     prefix = f".{group}_"
     chains: dict[str, list[tuple[int, str]]] = {}
-    for n in os.listdir(idx_dir):
+    names = pub.list_rel(idx_dir) if pub is not None else os.listdir(idx_dir)
+    for n in names:
         if not n.startswith(prefix) or ".log." not in n:
             continue
         attach = n[len(prefix):].split(".log.")[0]
@@ -2743,7 +2768,15 @@ def _mdt_index_records(idx_dir: str, group: str):
         attach, records = base
         yield from records
     for _ver, n in sorted(chains.get(attach, [])):
-        for block in parse_log_file(os.path.join(idx_dir, n)):
+        abs_n = os.path.join(idx_dir, n)
+        if pub is not None:
+            raw = pub.get_bytes(abs_n)
+            if raw is None:
+                raise FileNotFoundError(f"listed log vanished: {abs_n}")
+            blocks = parse_log_bytes(raw, name=abs_n)
+        else:
+            blocks = parse_log_file(abs_n)
+        for block in blocks:
             yield from block.get("records") or []
 
 
@@ -2820,11 +2853,11 @@ def _sync_metadata_table(
     mdt = os.path.join(hoodie, "metadata")
     mdt_hoodie = os.path.join(mdt, _HOODIE_DIR)
     files_dir = os.path.join(mdt, "files")
-    first = not os.path.isdir(mdt_hoodie)
-    os.makedirs(mdt_hoodie, exist_ok=True)
-    os.makedirs(files_dir, exist_ok=True)
     if pub is None:
         pub = _publisher(table)
+    first = not pub.list_rel(mdt_hoodie)  # seam LIST, not a local isdir
+    os.makedirs(mdt_hoodie, exist_ok=True)
+    os.makedirs(files_dir, exist_ok=True)
     if first:
         pub.put_text(
             os.path.join(mdt_hoodie, "hoodie.properties"),
@@ -2936,9 +2969,9 @@ def _sync_metadata_table(
         # MDT instants must be unique: a colstats-only sync re-using
         # the latest data instant could collide with that instant's
         # already-written files deltacommit — bump past it.
-        while os.path.exists(
+        while pub.exists(
             os.path.join(mdt_hoodie, f"{tl_instant}.deltacommit")
-        ) or os.path.exists(os.path.join(mdt_hoodie, f"{tl_instant}.commit")):
+        ) or pub.exists(os.path.join(mdt_hoodie, f"{tl_instant}.commit")):
             tl_instant = _next_instant({"instants": [tl_instant]})
         _mdt_write_timeline(pub, mdt_hoodie, tl_instant, parts, action)
     if state is not None:

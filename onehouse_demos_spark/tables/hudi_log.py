@@ -224,18 +224,26 @@ def write_avro_log_file(
 
 
 def parse_log_file(path: str) -> list[dict]:
-    """Parse every block of a HoodieLogFormat file: [{version, type,
-    headers: {ordinal: bytes}, content: bytes, records: [dict] (for
-    AVRO_DATA blocks)}]. Consumes REAL Hudi files (fixture-tested) and
-    this module's own output alike."""
+    """Parse a HoodieLogFormat file from the filesystem — see
+    ``parse_log_bytes`` for the format contract."""
     with open(path, "rb") as fh:
         buf = fh.read()
+    return parse_log_bytes(buf, name=path)
+
+
+def parse_log_bytes(buf: bytes, name: str = "<bytes>") -> list[dict]:
+    """Parse every block of a HoodieLogFormat payload: [{version, type,
+    headers: {ordinal: bytes}, content: bytes, records: [dict] (for
+    AVRO_DATA blocks)}]. Consumes REAL Hudi files (fixture-tested) and
+    this module's own output alike. The bytes entry point exists so
+    writer-internal chain folds can ride the object store seam
+    (GET -> parse) instead of a local open()."""
     blocks = []
     pos = 0
     while pos < len(buf):
         if buf[pos : pos + 6] != MAGIC:
             raise ValueError(
-                f"{path}: expected #HUDI# magic at offset {pos}"
+                f"{name}: expected #HUDI# magic at offset {pos}"
             )
         start = pos
         pos += 6
@@ -265,12 +273,12 @@ def parse_log_file(path: str) -> list[dict]:
         pos += 8
         if total != pos - 8 - start:
             raise ValueError(
-                f"{path}: trailer total {total} != block span "
+                f"{name}: trailer total {total} != block span "
                 f"{pos - 8 - start}"
             )
         if pos != end:
             raise ValueError(
-                f"{path}: blocksize {blocksize} inconsistent with "
+                f"{name}: blocksize {blocksize} inconsistent with "
                 f"parsed block end ({pos} != {end})"
             )
         block = {

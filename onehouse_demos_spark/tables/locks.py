@@ -276,7 +276,17 @@ class ObjectStoreClient:
     def delete_object(self, key: str) -> None:
         raise NotImplementedError
 
-    def list_keys(self, prefix: str) -> list[str]:
+    def list_keys(
+        self, prefix: str, delimiter: str | None = None
+    ) -> list[str]:
+        """LIST with prefix. ``delimiter="/"`` is S3 ListObjectsV2
+        delimiter semantics restricted to what the writers need: only
+        keys with no further delimiter after the prefix are returned
+        (direct children; rolled-up CommonPrefixes are omitted). The
+        timeline minter lists `.hoodie/` per instant mint — without
+        the delimiter a hierarchical store pays O(metadata keyspace)
+        walking HFile/log partitions and archives it never wanted
+        (r13 review)."""
         raise NotImplementedError
 
 
@@ -339,7 +349,9 @@ class FSObjectStoreEmulator(ObjectStoreClient):
         except FileNotFoundError:
             pass
 
-    def list_keys(self, prefix: str) -> list[str]:
+    def list_keys(
+        self, prefix: str, delimiter: str | None = None
+    ) -> list[str]:
         from urllib.parse import unquote
 
         out = []
@@ -347,8 +359,11 @@ class FSObjectStoreEmulator(ObjectStoreClient):
             if n.startswith(".put."):
                 continue
             key = unquote(n)
-            if key.startswith(prefix):
-                out.append(key)
+            if not key.startswith(prefix):
+                continue
+            if delimiter and delimiter in key[len(prefix):]:
+                continue  # rolled up behind a CommonPrefix
+            out.append(key)
         return sorted(out)
 
 
@@ -462,7 +477,9 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
         except (FileNotFoundError, IsADirectoryError, NotADirectoryError):
             pass
 
-    def list_keys(self, prefix: str) -> list[str]:
+    def list_keys(
+        self, prefix: str, delimiter: str | None = None
+    ) -> list[str]:
         # Walk only the subtree the prefix's directory part names —
         # S3 LIST with a prefix is server-side efficient, and callers
         # (e.g. the instant minter listing `.hoodie/`) must not pay
@@ -476,14 +493,28 @@ class TreeFSObjectStoreEmulator(ObjectStoreClient):
         if not os.path.isdir(start):
             return []
         out = []
+        if delimiter == "/" and prefix.endswith("/"):
+            # delimiter LIST: direct children only — one readdir, no
+            # recursion into metadata/archive subtrees (r13 review:
+            # the per-mint timeline LIST was O(metadata keyspace))
+            for n in os.listdir(start):
+                if n.startswith(".put."):
+                    continue
+                p = os.path.join(start, n)
+                if os.path.isfile(p):
+                    out.append(prefix + n)
+            return sorted(out)
         for dirpath, _dirs, names in os.walk(start):
             for n in names:
                 if n.startswith(".put."):
                     continue
                 rel = os.path.relpath(os.path.join(dirpath, n), self.root)
                 key = rel.replace(os.sep, "/")
-                if key.startswith(prefix):
-                    out.append(key)
+                if not key.startswith(prefix):
+                    continue
+                if delimiter and delimiter in key[len(prefix):]:
+                    continue
+                out.append(key)
         return sorted(out)
 
 

@@ -90,12 +90,14 @@ class Publisher:
 
     def list_rel(self, abs_dir: str) -> list[str]:
         """Names (final key segments) under a directory-like prefix —
-        the writer-internal LIST (S3 list-objects-v2), replacing
-        os.listdir in publisher state reads."""
+        the writer-internal LIST (S3 list-objects-v2 with
+        ``Delimiter=/``: direct children only, so a hierarchical
+        store never recurses into metadata subtrees it will filter
+        out anyway), replacing os.listdir in publisher state reads."""
         prefix = self.rel(abs_dir)
         prefix = "" if prefix == "." else prefix + "/"
         out = []
-        for key in self.store.list_keys(prefix):
+        for key in self.store.list_keys(prefix, delimiter="/"):
             rest = key[len(prefix):]
             if rest and "/" not in rest:
                 out.append(rest)

@@ -71,10 +71,10 @@ class SpyTreeStore(TreeFSObjectStoreEmulator):
         self.deleted.append(key)
         super().delete_object(key)
 
-    def list_keys(self, prefix):
+    def list_keys(self, prefix, delimiter=None):
         self.listed = getattr(self, "listed", [])
         self.listed.append(prefix)
-        return super().list_keys(prefix)
+        return super().list_keys(prefix, delimiter=delimiter)
 
 
 class CrashBeforeCommitStore(TreeFSObjectStoreEmulator):
@@ -300,3 +300,106 @@ def test_rt_log_crash_before_deltacommit_is_invisible(spark, tmp_base):
     sync_hudi_metadata(t, mor_rt=True)
     got = {(r.key, r.px) for r in read_hudi_rt(spark, t.base_path).collect()}
     assert ("k1", 999.0) in got and ("k1", 101.0) not in got
+
+
+class GetSpyStore(SpyTreeStore):
+    """Additionally records every GET — proves reads ride the seam."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.got: list[str] = []
+
+    def get_object(self, key):
+        self.got.append(key)
+        return super().get_object(key)
+
+
+def test_index_fold_reads_ride_the_seam(spark, tmp_base):
+    """VERDICT r13 #5: the RLI roll-up/compaction fold previously read
+    shard chains with os.listdir + open() — a non-materializing store
+    could not run compaction folds. The fold now lists and GETs every
+    byte through the ObjectStoreClient contract; the seam-riding fold
+    must also be value-identical to the direct-FS fold the external
+    reader APIs use."""
+    from onehouse_demos_spark.tables.hudi_export import (
+        _mdt_rli_group,
+        _rli_compact_shard,
+        _rli_fold_shard,
+    )
+    from onehouse_demos_spark.tables.object_publish import Publisher
+
+    t = _build(spark, tmp_base)
+    sync_hudi_metadata(t, record_index=True)
+    # a second commit so the shards carry a base + a delta log chain
+    t.upsert(spark.createDataFrame(ROWS2, SCHEMA))
+    sync_hudi_metadata(t, record_index=True)
+    rli_dir = os.path.join(
+        t.base_path, ".hoodie", "metadata", "record_index"
+    )
+    spy = GetSpyStore(t.base_path)
+    pub = Publisher(spy, t.base_path)
+    total_seam = 0
+    for shard in range(4):
+        group = _mdt_rli_group(shard)
+        locs_seam = _rli_fold_shard(rli_dir, group, pub)
+        locs_fs = _rli_fold_shard(rli_dir, group)
+        assert locs_seam == locs_fs
+        total_seam += len(locs_seam)
+    assert total_seam == 4  # K1,K2,K3,K5 — every engine key located
+    assert any(k.endswith(".hfile") for k in spy.got), spy.got
+    assert any(".log." in k for k in spy.got), spy.got
+    # and the compaction unit both reads and writes through the store
+    n_gets = len(spy.got)
+    shard, rel, _size, n = _rli_compact_shard(
+        pub, rli_dir, _mdt_rli_group(0), 0, "99990101000000000"
+    )
+    assert len(spy.got) > n_gets
+    assert any("99990101000000000" in k for k in spy.published)
+
+
+def test_no_bypass_across_sync_clean_compact_and_fold(spark, tmp_base):
+    """The r13 no-bypass diff covered one sync; extend it across the
+    full maintenance life: indexed sync -> engine upsert + delete ->
+    engine clean -> indexed re-sync (fold deltas onto the chains).
+    Every byte materialized by the personality in that window must
+    have been published through the store seam."""
+    from onehouse_demos_spark.tables.maintenance import run_clean
+
+    t = _build(spark, tmp_base)
+    spy = SpyTreeStore(t.base_path)
+    before = _files_under(t.base_path)
+    sync_hudi_metadata(
+        t, column_stats=True, bloom_filters=True, record_index=True,
+        store=spy,
+    )
+    t.upsert(spark.createDataFrame(ROWS2, SCHEMA))
+    t.delete(spark.createDataFrame([("K3",)], "key string"))
+    engine_before_clean = _files_under(t.base_path)
+    run_clean(t, keep_last_commits=1)
+    sync_hudi_metadata(
+        t, column_stats=True, bloom_filters=True, record_index=True,
+        store=spy,
+    )
+    after = _files_under(t.base_path)
+    # engine-owned writes (data/, _commits/, clean metadata) are the
+    # ENGINE's local surface; the personality's own tree is everything
+    # it publishes — hudi-named data copies + .hoodie metadata
+    published = set(spy.published)
+    personality_new = {
+        f
+        for f in after - before
+        if (f.startswith(".hoodie/") or "_20" in os.path.basename(f))
+        and not f.endswith("/hudi_sync")
+        and not f.startswith(".hoodie/_commits")
+    }
+    assert personality_new <= published, personality_new - published
+    # the sync after clean still re-published a consistent snapshot:
+    # external replay equals the engine view
+    got = {
+        (r.key, r.close)
+        for r in read_hudi_snapshot(spark, t.base_path)
+        .select("key", "close")
+        .collect()
+    }
+    want = {(r.key, r.close) for r in t.snapshot().collect()}
+    assert got == want and ("K3", 300.0) not in got

@@ -63,9 +63,9 @@ class SpyStore(FSObjectStoreEmulator):
         self.calls["delete"] += 1
         return super().delete_object(key)
 
-    def list_keys(self, prefix):
+    def list_keys(self, prefix, delimiter=None):
         self.calls["list"] += 1
-        return super().list_keys(prefix)
+        return super().list_keys(prefix, delimiter=delimiter)
 
 
 @pytest.fixture()

@@ -604,9 +604,9 @@ def test_object_store_provider_stays_inside_s3_contract(tmp_base):
             calls.append(("delete", key))
             return super().delete_object(key)
 
-        def list_keys(self, prefix):
+        def list_keys(self, prefix, delimiter=None):
             calls.append(("list", prefix))
-            return super().list_keys(prefix)
+            return super().list_keys(prefix, delimiter=delimiter)
 
     prov = ObjectStoreLockProvider(
         TracingClient(tmp_base + "/bucket"), prefix="wh/t1/_commits"
