@@ -1203,6 +1203,129 @@ def sync_iceberg_metadata(
     return new_version
 
 
+def expire_iceberg_snapshots(
+    table: LakehouseTable,
+    keep_last: int = 1,
+    now_ms: int | None = None,
+    store=None,
+) -> int:
+    """Iceberg `expire_snapshots` analog for the personality (r13
+    review: superseded equality-delete / log-winner data files from
+    prior syncs were never cleaned). Publishes a new metadata version
+    retaining only the newest `keep_last` snapshots (the current one
+    always survives), then deletes every personality-OWNED object no
+    retained snapshot references: manifest lists, manifests, and the
+    exporter's own `eqdel-*` / `morrow-*` parquet. Engine-owned data
+    files are never candidates — the exporter publishes metadata over
+    them in place, so expiry must not reach them. Every delete flows
+    through the store seam; the metadata commit point is the same
+    `If-None-Match` conditional put the sync uses, so an expire racing
+    a sync fails loudly instead of dropping either's work."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
+    meta_dir = _meta_dir(table)
+    pub = publisher(table.base_path, store)
+    version = _current_version(meta_dir, pub)
+    while pub.exists(
+        os.path.join(meta_dir, f"v{version + 1}.metadata.json")
+    ):
+        version += 1
+    if not version:
+        raise FileNotFoundError(
+            f"no iceberg metadata under {table.base_path}"
+        )
+    raw = pub.get_bytes(os.path.join(meta_dir, f"v{version}.metadata.json"))
+    meta = json.loads(raw)
+    snapshots = meta.get("snapshots", [])
+    if len(snapshots) <= keep_last:
+        return version  # nothing to expire
+    keep = snapshots[-keep_last:]
+    current_id = meta.get("current-snapshot-id")
+    if current_id not in {s["snapshot-id"] for s in keep}:
+        keep = [
+            s for s in snapshots if s["snapshot-id"] == current_id
+        ] + keep
+    keep_ids = {s["snapshot-id"] for s in keep}
+    loc = meta.get("location", table.base_path)
+
+    def _referenced(snaps) -> set[str]:
+        """Relative keys of every metadata/data object the given
+        snapshots reach (manifest lists -> manifests -> owned files)."""
+        out: set[str] = set()
+        for s in snaps:
+            ml = _rebase(s["manifest-list"], loc, table.base_path)
+            out.add(pub.rel(ml))
+            mraw = pub.get_bytes(ml)
+            if mraw is None:
+                continue
+            _, manifests = read_ocf(mraw)
+            for m in manifests:
+                mp = _rebase(m["manifest_path"], loc, table.base_path)
+                out.add(pub.rel(mp))
+                eraw = pub.get_bytes(mp)
+                if eraw is None:
+                    continue
+                _, entries = read_ocf(eraw)
+                for e in entries:
+                    fp = _rebase(
+                        e["data_file"]["file_path"], loc, table.base_path
+                    )
+                    out.add(pub.rel(fp))
+        return out
+
+    kept_refs = _referenced(keep)
+    dead_refs = _referenced(
+        [s for s in snapshots if s["snapshot-id"] not in keep_ids]
+    )
+    meta = dict(meta)
+    meta["snapshots"] = keep
+    meta["snapshot-log"] = [
+        e
+        for e in meta.get("snapshot-log", [])
+        if e.get("snapshot-id") in keep_ids
+    ]
+    meta["last-updated-ms"] = now_ms
+    meta["metadata-log"] = meta.get("metadata-log", []) + [
+        {
+            "timestamp-ms": now_ms,
+            "metadata-file": os.path.join(
+                meta_dir, f"v{version}.metadata.json"
+            ),
+        }
+    ]
+    new_version = version + 1
+    if not pub.put_json(
+        os.path.join(meta_dir, f"v{new_version}.metadata.json"), meta,
+        if_none_match=True,
+    ):
+        raise FileExistsError(
+            f"iceberg metadata v{new_version} already published by a "
+            "concurrent writer — re-run expire against the new head"
+        )
+    pub.put_text(os.path.join(meta_dir, "version-hint.text"),
+                 str(new_version))
+    # physical removal AFTER the commit point: a crash mid-delete
+    # leaves only already-unreferenced garbage, re-collected by the
+    # next expire. Only personality-owned classes are candidates.
+    def _owned(rel_key: str) -> bool:
+        name = rel_key.rsplit("/", 1)[-1]
+        if rel_key.startswith("metadata/") and name.endswith(".avro"):
+            return True
+        return (
+            name.startswith(("eqdel-", "morrow-"))
+            and name.endswith(".parquet")
+        )
+
+    removed = 0
+    for rel_key in sorted(dead_refs - kept_refs):
+        if not _owned(rel_key):
+            continue
+        pub.delete(os.path.join(table.base_path, rel_key))
+        removed += 1
+    return new_version
+
+
 def iceberg_pruned_files(
     table_path: str, partition_predicate: dict | None = None
 ) -> list[str]:

@@ -57,6 +57,7 @@ from onehouse_demos_spark.tables.hudi_export import (  # noqa: F401
     sync_hudi_metadata,
 )
 from onehouse_demos_spark.tables.iceberg_export import (  # noqa: F401
+    expire_iceberg_snapshots,
     read_iceberg_snapshot,
     sync_iceberg_metadata,
 )

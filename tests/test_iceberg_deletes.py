@@ -454,3 +454,102 @@ def test_delta_scans_prune_to_log_bearing_groups(spark, tmp_base):
     assert {"k1", "k3", "k5"} <= deleted_keys  # k5: update masks base row
     new_keys = {r[0] for r in delta["new_rows"].select("key").collect()}
     assert new_keys == {"k5"}
+
+
+def test_expire_snapshots_removes_orphaned_delete_generations(
+    spark, tmp_base
+):
+    """r13 review: superseded eqdel/morrow files from prior syncs were
+    never cleaned (no expire-snapshots analog). expire_iceberg_snapshots
+    publishes a retained-history metadata version, then deletes every
+    personality-owned object (manifests, manifest lists, eqdel-/morrow-
+    parquet) only expired snapshots referenced — engine data files are
+    never candidates, and the current read is unchanged."""
+    from onehouse_demos_spark.tables.iceberg_export import (
+        expire_iceberg_snapshots,
+    )
+
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    sync_iceberg_metadata(t)                 # generation 1 eqdels
+    t.upsert(spark.createDataFrame([("k1", 2, "GOOG", 999.0)], DDL))
+    sync_iceberg_metadata(t)                 # generation 2 eqdels+morrow
+    want = _keys(spark, t.base_path)
+
+    def _owned_files():
+        out = set()
+        for dirpath, _dirs, names in os.walk(t.base_path):
+            for n in names:
+                if n.startswith(("eqdel-", "morrow-")) and n.endswith(
+                    ".parquet"
+                ):
+                    out.add(os.path.join(dirpath, n))
+        return out
+
+    gen_all = _owned_files()
+    engine_files = {
+        f.path for f in t.manifest.live_files(include_logs=True)
+    }
+    v = expire_iceberg_snapshots(t, keep_last=1)
+    import json as _json
+
+    meta_dir = os.path.join(t.base_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        assert int(fh.read()) == v
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    assert len(meta["snapshots"]) == 1
+    assert meta["snapshots"][0]["snapshot-id"] == meta["current-snapshot-id"]
+    # generation-1 orphans physically gone, current generation kept
+    remaining = _owned_files()
+    assert remaining < gen_all
+    # the retained snapshot still reads identically
+    assert _keys(spark, t.base_path) == want
+    # engine files untouched
+    for p in engine_files:
+        assert os.path.exists(os.path.join(t.base_path, p)), p
+    # current manifests all resolve (no over-deletion)
+    for m, _entries in _manifests(t.base_path):
+        assert os.path.exists(m["manifest_path"])
+    # idempotent: nothing more to expire
+    assert expire_iceberg_snapshots(t, keep_last=1) == v
+    # and a post-expire sync keeps working
+    t.delete(spark.createDataFrame([("k2",)], "key string"))
+    sync_iceberg_metadata(t)
+    assert _keys(spark, t.base_path) == {
+        r.key for r in t.snapshot().collect()
+    }
+
+
+def test_two_snapshot_commit_attributes_data_manifest_to_append_snap(
+    spark, tmp_base
+):
+    """r13 review: under the two-snapshot shape the delete snapshot's
+    manifest list reused the data-manifest row with its OWN id while
+    snapshot A's list claimed snap_a — external time-travel/incremental
+    consumers saw mis-attributed adds. The data manifest (row AND
+    entries) is now attributed to the append snapshot consistently in
+    both lists."""
+    import json
+
+    t = _mk(spark, tmp_base)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    sync_iceberg_metadata(t)  # first sync with tombstones: two snapshots
+    meta_dir = os.path.join(t.base_path, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    snap_a, snap_b = meta["snapshots"]
+    assert meta["current-snapshot-id"] == snap_b["snapshot-id"]
+    for snap in (snap_a, snap_b):
+        with open(snap["manifest-list"], "rb") as fh:
+            _, rows = read_ocf(fh.read())
+        for m in rows:
+            with open(m["manifest_path"], "rb") as fh:
+                _, entries = read_ocf(fh.read())
+            if m.get("content", 0) == 0:
+                assert m["added_snapshot_id"] == snap_a["snapshot-id"]
+                for e in entries:
+                    assert e["snapshot_id"] == snap_a["snapshot-id"]
+            else:
+                assert m["added_snapshot_id"] == snap_b["snapshot-id"]
