@@ -98,8 +98,16 @@ _WINDOW = [
     # streaming_session_counts + streaming_dedup_counts;
     # pq_reconstruction_summary — PQ codebook class covered by
     # pq_adc_topk.
+    # r14 late swap: the Delta COW-rewrite leg (log-borne MOR
+    # updates/deletes served through a group-pruned rtcow rewrite —
+    # the last personality still refusing log content) takes the slot
+    # of streaming_session_counts (green r12+r13; the streaming
+    # engine class keeps streaming_dedup_counts in-window, and the
+    # session-window agg shape stays sweep-verified via
+    # sessionize_events + streaming_hourly_counts).
     "tbl_iceberg_delete_read",
     "tbl_iceberg_update_read",
+    "tbl_delta_update_read",
     "bigram_perplexity_scores",
     "bracketed_revenue",
     "duplicate_passage_stats",
@@ -232,7 +240,6 @@ _WINDOW = [
     "tbl_hudi_bloom_point_read",
     "tbl_delete_partition_snapshot",
     "events_ohlc_bars",
-    "streaming_session_counts",
     "tbl_hudi_mor_read",
     # r10 late swap: the genuine `_rt` leg — REAL HoodieLogFormat log
     # blocks merged at read, no compaction anywhere (this round's

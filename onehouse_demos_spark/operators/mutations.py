@@ -1668,6 +1668,85 @@ TBL_ICEBERG_UPDATE_READ_SQL = _SQL_BASE.format(
 )
 
 
+_DELTA_UPD_CACHE: dict = {}
+
+
+def _build_delta_updates(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """MOR pipeline for the Delta COW-rewrite leg (r14): insert ->
+    log upserts + log deletes (NO compaction anywhere) ->
+    `sync_delta_log`, which until r14 refused tombstones and served
+    updates read-optimized-stale; it now swaps the log-bearing file
+    groups for personality-owned `rtcow-*` parquet holding the merged
+    winners. The builder raises unless the engine log slices are
+    still live after the sync and a real rtcow file is in the
+    published live set."""
+    if sf_dir in _DELTA_UPD_CACHE:
+        return _DELTA_UPD_CACHE[sf_dir]
+    from onehouse_demos_spark.tables.interop import sync_delta_log
+
+    tmp = tempfile.mkdtemp(prefix="oh_deltaupd_")
+    _TMPDIRS.append(tmp)
+    orders = _orders(spark, sf_dir)
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp}/orders_delta_upd",
+        TableConfig(
+            name="orders_delta_upd",
+            record_key=["o_orderkey"],
+            precombine="ver",
+            partition_by=["o_orderstatus"],
+            table_type="mor",
+        ),
+    )
+    t.insert(orders.withColumn("ver", F.lit(1)))
+    sync_delta_log(t)
+    t.upsert(
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .withColumn("ver", F.lit(2))
+    )
+    t.delete(
+        orders.filter(F.col("o_orderkey") % 9 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        )
+    )
+    sync_delta_log(t)
+    if not any(
+        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
+    ):
+        raise RuntimeError(
+            "tbl_delta_update_read: engine logs vanished — something "
+            "compacted; the COW-rewrite read would be vacuous"
+        )
+    if not any(
+        n.startswith("rtcow-") and n.endswith(".parquet")
+        for _d, _s, names in os.walk(t.base_path)
+        for n in names
+    ):
+        raise RuntimeError(
+            "tbl_delta_update_read: no rtcow rewrite file published"
+        )
+    _DELTA_UPD_CACHE[sf_dir] = t
+    return t
+
+
+def tbl_delta_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15 Delta rt leg (r14): log-borne MOR updates/deletes reach the
+    Delta personality through a group-pruned copy-on-write rewrite —
+    the personality serves the engine's real-time merge, read back
+    through the protocol log replay. Oracle: upserted values minus
+    deleted keys, identical to the engine `_rt` view."""
+    from onehouse_demos_spark.tables.interop import read_delta_snapshot
+
+    t = _build_delta_updates(spark, sf_dir)
+    return _project(read_delta_snapshot(spark, t.base_path))
+
+
+TBL_DELTA_UPDATE_READ_SQL = _SQL_BASE.format(
+    where="WHERE o_orderkey % 9 <> 0", **_AFTER_UPSERT
+)
+
+
 QUERIES = {
     "tbl_insert_snapshot": tbl_insert_snapshot,
     "tbl_upsert_snapshot": tbl_upsert_snapshot,
@@ -1702,6 +1781,7 @@ QUERIES = {
     "tbl_hudi_rt_read": tbl_hudi_rt_read,
     "tbl_iceberg_delete_read": tbl_iceberg_delete_read,
     "tbl_iceberg_update_read": tbl_iceberg_update_read,
+    "tbl_delta_update_read": tbl_delta_update_read,
     "tbl_partial_update_read": tbl_partial_update_read,
     "tbl_secondary_pruned_read": tbl_secondary_pruned_read,
     "tbl_expr_pruned_read": tbl_expr_pruned_read,
@@ -1742,6 +1822,7 @@ ORACLES = {
     "tbl_hudi_rt_read": TBL_HUDI_RT_READ_SQL,
     "tbl_iceberg_delete_read": TBL_ICEBERG_DELETE_READ_SQL,
     "tbl_iceberg_update_read": TBL_ICEBERG_UPDATE_READ_SQL,
+    "tbl_delta_update_read": TBL_DELTA_UPDATE_READ_SQL,
     "tbl_partial_update_read": TBL_PARTIAL_UPDATE_READ_SQL,
     "tbl_secondary_pruned_read": TBL_SECONDARY_PRUNED_READ_SQL,
     "tbl_expr_pruned_read": TBL_EXPR_PRUNED_READ_SQL,

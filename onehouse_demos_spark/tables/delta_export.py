@@ -16,9 +16,18 @@ reference's committed fixture
 Semantics:
 
 - **Snapshot personality.** Version N of the Delta log lists exactly
-  the table's live BASE files at sync time. For MOR tables that is the
-  read-optimized view (same choice xTable makes: log files are
-  Hudi-internal, so the Delta personality tracks the compacted state).
+  the table's live BASE files at sync time — plus, for MOR tables
+  with live log content (r14), personality-owned COW rewrite files:
+  the Delta protocol has no row-level delete/append vocabulary below
+  deletion vectors, so the sync rewrites ONLY the log-bearing file
+  groups (group-pruned, tables/rt_delta.py) into digest-named
+  `rtcow-*` parquet holding the merged winners and swaps them in for
+  the stale candidate base files. The personality then serves the
+  engine's real-time merge (`_rt`) for updates, inserts and deletes
+  alike; an unchanged log tail re-syncs as a no-op (digest-stable
+  names), and `clean_delta_log` physically reclaims rewrite
+  generations once nothing retained references them (tombstone
+  retention respected).
 - **Incremental sync.** Each `sync_delta_log` call diffs the live file
   set against the last synced version and appends one new log version
   containing only `add`/`remove` actions (plus `metaData` when the
@@ -76,9 +85,14 @@ import json
 import os
 import time
 import uuid
-from urllib.parse import quote
+from urllib.parse import quote, unquote
 
 from onehouse_demos_spark.tables.object_publish import Publisher, publisher
+from onehouse_demos_spark.tables.rt_delta import (
+    publish_group_rewrite,
+    rewrite_digest,
+    rt_group_rewrite,
+)
 from onehouse_demos_spark.tables.table import (
     DELETED_COL,
     HIVE_DEFAULT_PARTITION,
@@ -417,6 +431,32 @@ def _assert_no_log_tombstones(table) -> None:
             )
 
 
+def _rtcow_file_meta(table: LakehouseTable, rel_path: str):
+    """Re-harvest a previously-published rewrite file (digest-stable
+    name found in the synced state): footer rows/stats + hive
+    partition string, so a spec-change re-add emits faithful
+    stats/partitionValues without restaging."""
+    import pyarrow.parquet as pq
+
+    from onehouse_demos_spark.tables.table import _footer_col_stats
+    from onehouse_demos_spark.tables.timeline import FileMeta
+
+    abs_path = os.path.join(table.base_path, rel_path)
+    pf = pq.ParquetFile(abs_path)
+    segs = [
+        unquote(s.split("=", 1)[1])
+        for s in rel_path.split("/")[:-1]
+        if "=" in s
+    ]
+    return FileMeta(
+        path=rel_path,
+        partition="/".join(segs) if segs else None,
+        rows=pf.metadata.num_rows,
+        kind="base",
+        col_stats=_footer_col_stats(pf),
+    )
+
+
 def sync_delta_log(
     table: LakehouseTable,
     now_ms: int | None = None,
@@ -438,17 +478,47 @@ def sync_delta_log(
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     files = table.manifest.live_files(include_logs=False)
     _assert_no_tombstones(files)
-    _assert_no_log_tombstones(table)
     log_dir = _log_dir(table)
     pub = publisher(table.base_path, store)
     last_version, synced, last_meta, _ = _read_log_state(log_dir, pub)
+    part_cols = _partition_columns(table)
+
+    # Live MOR log content (r14, VERDICT r13 #3): Delta's protocol has
+    # no row-level delete/append vocabulary below deletion vectors, so
+    # the personality takes the COW lane — rewrite ONLY the
+    # log-bearing file groups (group-pruned, tables/rt_delta.py) into
+    # personality-owned `rtcow-<digest>-*` parquet and swap them in
+    # for the stale candidate base files. Digest-stable names make an
+    # unchanged log tail a no-op re-sync (the published files are
+    # reused by name); any new log write changes the digest, removes
+    # the old rewrite files from the log and adds fresh ones. Until
+    # r14 this sync REFUSED log tombstones and served updates stale.
+    rewrite = rt_group_rewrite(table)
+    rewrite_fms: list = []
+    if rewrite is not None:
+        digest = rewrite_digest(rewrite["cand_base"], rewrite["log_paths"])
+        cand_paths = {fm.path for fm in rewrite["cand_base"]}
+        files = [fm for fm in files if fm.path not in cand_paths]
+        prefix = f"rtcow-{digest}-"
+        existing = sorted(
+            unquote(p)
+            for p in synced
+            if os.path.basename(unquote(p)).startswith(prefix)
+        )
+        if existing:
+            rewrite_fms = [
+                _rtcow_file_meta(table, rel) for rel in existing
+            ]
+        else:
+            rewrite_fms = publish_group_rewrite(
+                table, rewrite["merged"], part_cols, pub, digest
+            )
 
     # Delta-encode each live file path (URL-encoded, '/' and '=' kept
     # so hive-style segments stay readable — matches delta-spark).
     live_now: dict[str, object] = {
-        quote(fm.path, safe="/="): fm for fm in files
+        quote(fm.path, safe="/="): fm for fm in [*files, *rewrite_fms]
     }
-    part_cols = _partition_columns(table)
     spec_changed = (
         last_meta is not None
         and list(last_meta.get("partitionColumns") or []) != part_cols
@@ -797,6 +867,46 @@ def clean_delta_log(table: LakehouseTable, store=None) -> int:
             and int(n.split(".", 1)[0]) < ckpt
         ):
             pub.delete(os.path.join(log_dir, n))
+    # Personality-owned COW rewrite files (`rtcow-*`, r14) whose every
+    # reference fell below the checkpoint horizon are unreachable by
+    # any retained replay — physically remove them (the expire analog
+    # of iceberg_export.expire_iceberg_snapshots; engine files are
+    # never candidates because only rtcow- names qualify). A file
+    # mentioned by ANY retained log object — checkpoint state or a
+    # surviving JSON's add/remove — is conservatively kept.
+    mentioned: set[str] = set()
+    for n in _list_log(log_dir, pub):
+        if n.endswith(".json") and n[:-5].isdigit():
+            raw = _fetch(log_dir, n, pub)
+            for line in (raw or b"").decode().splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                for kind in ("add", "remove"):
+                    path = (a.get(kind) or {}).get("path")
+                    if path:
+                        mentioned.add(unquote(path))
+        elif n.endswith(".checkpoint.parquet"):
+            try:
+                live, _meta, tombs = _read_checkpoint(
+                    log_dir, int(n.split(".", 1)[0]), pub
+                )
+            except Exception:
+                continue
+            mentioned.update(unquote(p) for p in live)
+            mentioned.update(unquote(p) for p in tombs)
+    for dirpath, _dirs, fnames in os.walk(table.base_path):
+        if _LOG_DIR in dirpath.split(os.sep):
+            continue
+        for fn in fnames:
+            if not (fn.startswith("rtcow-") and fn.endswith(".parquet")):
+                continue
+            rel = os.path.relpath(
+                os.path.join(dirpath, fn), table.base_path
+            ).replace(os.sep, "/")
+            if rel not in mentioned:
+                pub.delete(os.path.join(table.base_path, rel))
+                removed += 1
     return removed
 
 

@@ -26,18 +26,32 @@ CDC path golden-byte-pinned against the published Avro spec
 (sources/avro_codec.py::write_ocf) — no iceberg-spark runtime needed.
 
 Personality semantics mirror the Delta exporter: snapshot = live BASE
-files (read-optimized view for MOR), engine meta columns exposed like
+files plus the exported log delta, engine meta columns exposed like
 Hudi's `_hoodie_*`, refusal to export base files whose footer stats
-show live soft-delete tombstone ROWS. Un-compacted MOR delete
-tombstones in LOG files no longer refuse (r13): the sync exports
-Iceberg v2 EQUALITY DELETE files — parquet files of `_oh_record_key`
-values (partition-scoped when the table is partitioned), listed by a
-content=1 delete manifest with `equality_ids`, applying to data files
-with a strictly older data sequence number (previously-exported files
-keep their first-export sequence via explicit status=EXISTING
-entries). The personality then serves EXACTLY the rows the engine's
-real-time merge serves for deletes; log-borne UPDATES remain the
-documented read-optimized staleness. Tables declared with `partition_by`
+show live soft-delete tombstone ROWS. Un-compacted MOR LOG content no
+longer refuses and no longer goes stale: the sync computes the
+group-pruned base-vs-realtime delta (tables/rt_delta.py — only the
+log-bearing file groups are scanned) and exports it in the spec's own
+vocabulary (r13 deletes, r14 updates/inserts):
+
+- EQUALITY DELETE files (content=2, `equality_ids` on the record key,
+  partition-scoped parquet of `_oh_record_key`) mask every base row
+  the merge deletes OR supersedes, applying to data files with a
+  strictly older data sequence number (previously-exported files keep
+  their first-export sequence via explicit status=EXISTING entries);
+- an appended `morrow-*` DATA file at the delete sequence carries the
+  log-borne winner rows (updates' new versions + log-only inserts) —
+  the strictly-older rule exempts it from this sync's own deletes,
+  exactly the Flink CDC upsert commit shape.
+
+The personality therefore serves EXACTLY the rows the engine's
+real-time merge serves — updates, inserts and deletes alike
+(reference `_rt`, `README.md:756-776`). Superseded delete/winner
+generations from earlier syncs are reclaimed by
+``expire_iceberg_snapshots`` (the expire-snapshots analog: retained
+history re-published through the conditional-put commit point, then
+personality-owned orphans deleted through the seam). Tables declared
+with `partition_by`
 export a real identity partition spec (spec fields with ids from 1000,
 per-file typed `partition` structs decoded from the hive path —
 matching the reference's converted tables,
@@ -380,109 +394,13 @@ def _meta_dir(table: LakehouseTable) -> str:
 
 # --------------------------------- v2 equality deletes + update export
 
-def _overlapping(a, b, match_partition: bool) -> bool:
-    """Can file `a` and file `b` share a record key? Partition match
-    (per-partition key identity — skipped for global-index tables,
-    where a log row may target any partition) + footer key-range
-    overlap; missing stats are conservatively kept."""
-    if match_partition and (a.partition or "") != (b.partition or ""):
-        return False
-    if None in (a.key_min, a.key_max, b.key_min, b.key_max):
-        return True
-    return not (a.key_max < b.key_min or a.key_min > b.key_max)
-
-
-def _rt_delta(table: LakehouseTable, part_cols: list[str]):
-    """The exact difference between the real-time MOR merge and the
-    base files, GROUP-PRUNED (r14, VERDICT r13 #2): log-borne changes
-    can only touch keys inside the live logs' footer key ranges, so
-    both sides of the diff prune to the base files whose
-    (partition, key range) overlaps a live log — a metadata-only file
-    cut; at 100 TB with a small hot log tail this is two scans of the
-    log-bearing file groups, never two full-table scans.
-
-    Returns None when the table has no live log files, else a dict:
-
-    - ``eqdel``: frame of `_oh_record_key` (+ BASE-row partition
-      columns) whose base rows the personality must mask — keys the
-      merge deletes AND keys whose winning version is log-borne
-      (updates; the fresh version rides ``new_rows``).
-    - ``new_rows``: full winner rows whose version is not in any base
-      file — log-borne updates and inserts — exactly what an appended
-      data file at the new sequence must carry for the personality to
-      serve the `_rt` view (reference `README.md:756-776`).
-    - ``base_paths`` / ``log_paths``: the pruned scan scope, exposed
-      for plan pins (tests assert inputFiles ⊆ these).
-
-    EXACT by construction: the engine's own `_merge_latest`
-    (latest-commit-wins + precombine) decides winners, and the
-    commit-time witness — winner commit ≠ base-row commit — is the
-    same rewrite test the CDF `changes()` feed uses. Fully
-    distributed; no driver collection."""
-    from pyspark.sql import functions as F
-
-    from onehouse_demos_spark.tables.table import (
-        COMMIT_COL,
-        DELETED_COL,
-        KEY_COL,
-    )
-
-    files = table.manifest.live_files(include_logs=True)
-    logs = [f for f in files if f.kind == "log"]
-    if not logs:
-        return None
-    match_part = table.config.index_scope != "global"
-    cand_base = [
-        b
-        for b in files
-        if b.kind == "base"
-        and any(_overlapping(b, lg, match_part) for lg in logs)
-    ]
-    merged = table._merge_latest(
-        table._read_files(cand_base + logs), filter_deleted=False
-    )
-    cols = merged.columns
-    base_df = table._read_files(cand_base) if cand_base else None
-    if base_df is None:
-        # no base file can hold a logged key: every surviving winner
-        # is a log-borne insert; nothing exists to mask
-        return {
-            "eqdel": None,
-            "new_rows": merged.filter(~F.col(DELETED_COL)).select(*cols),
-            "base_paths": [],
-            "log_paths": [f.path for f in logs],
-        }
-    bk_cols = [
-        F.col(KEY_COL).alias("_oh_base_key"),
-        F.col(COMMIT_COL).alias("_oh_base_commit"),
-    ] + [F.col(c).alias(f"_oh_base_{c}") for c in part_cols]
-    base_keys = base_df.filter(~F.col(DELETED_COL)).select(*bk_cols)
-    cond = F.col(KEY_COL) == F.col("_oh_base_key")
-    if match_part:
-        for c in part_cols:
-            cond = cond & F.col(c).eqNullSafe(F.col(f"_oh_base_{c}"))
-    j = merged.join(base_keys, cond, "left_outer")
-    in_base = F.col("_oh_base_key").isNotNull()
-    # "rewritten" = the winning version is not the base row — the
-    # commit-time witness, exact regardless of precombine stability
-    rewritten = ~in_base | (
-        ~F.col(COMMIT_COL).eqNullSafe(F.col("_oh_base_commit"))
-    )
-    eqdel = j.filter(
-        in_base & (F.col(DELETED_COL) | rewritten)
-    ).select(
-        F.col(KEY_COL),
-        # mask the BASE row: its own partition (a global-index upsert
-        # may move a key across partitions)
-        *[F.col(f"_oh_base_{c}").alias(c) for c in part_cols],
-    )
-    new_rows = j.filter(~F.col(DELETED_COL) & rewritten).select(*cols)
-    return {
-        "eqdel": eqdel,
-        "new_rows": new_rows,
-        "base_paths": [f.path for f in cand_base],
-        "log_paths": [f.path for f in logs],
-    }
+# The group-pruned base-vs-realtime delta is shared with the Delta
+# exporter's COW rewrite lane (tables/rt_delta.py); this module keeps
+# the historical underscore names its tests and callers use.
+from onehouse_demos_spark.tables.rt_delta import (  # noqa: E402
+    _overlapping,  # noqa: F401 — re-exported for tests
+    rt_delta as _rt_delta,
+)
 
 
 def _frame_digest(df, cols: list[str]) -> str:

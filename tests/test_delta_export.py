@@ -169,10 +169,14 @@ def test_incremental_sync_tracks_upsert_delete_and_partition_drop(
         "sym = 'MSFT'").count() == 0
 
 
-def test_mor_personality_is_read_optimized_view(spark, tmp_base):
-    """For MOR the Delta personality tracks base files only — exactly
-    the `_ro` view (un-compacted log updates are Hudi-internal, same
-    stance xTable takes). After compaction it converges to snapshot."""
+def test_mor_personality_serves_the_rt_view(spark, tmp_base):
+    """r14 (VERDICT r13 #3): a log-borne MOR update reaches the Delta
+    personality IMMEDIATELY via the group-pruned COW rewrite lane —
+    the stale candidate base files swap out for personality-owned
+    `rtcow-*` parquet holding the merged winners (until r14 the
+    personality served the `_ro` staleness and refused tombstones).
+    Compaction later converges the engine's own base files; the
+    personality stays row-identical throughout."""
     from onehouse_demos_spark.tables.maintenance import (
         run_compaction,
         schedule_compaction,
@@ -182,18 +186,51 @@ def test_mor_personality_is_read_optimized_view(spark, tmp_base):
     t.upsert(spark.createDataFrame([("k01", 2, "GOOG", 777.0)], DDL))
     sync_delta_log(t)
     assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
-        t.read_optimized()
+        t.snapshot()
     )
+    row = dict(
+        (r.key, r.px) for r in read_delta_snapshot(spark, t.base_path)
+        .select("key", "px").collect()
+    )
+    assert row["k01"] == 777.0  # the rt value, pre-compaction
+    live = _delta_live_paths(t.base_path)
+    assert any("rtcow-" in p for p in live), live
+    # untouched partition's base files stay engine-owned (group-pruned
+    # rewrite, not a full-table copy)
+    assert any("rtcow-" not in p for p in live)
     plan = schedule_compaction(t)
     run_compaction(t, plan)
     v = sync_delta_log(t)
     assert v >= 1
     assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(t.snapshot())
-    row = dict(
-        (r.key, r.px) for r in read_delta_snapshot(spark, t.base_path)
-        .select("key", "px").collect()
+    # logs compacted away: the rewrite files leave the live set
+    assert not any(
+        "rtcow-" in p for p in _delta_live_paths(t.base_path)
     )
-    assert row["k01"] == 777.0
+
+
+def test_mor_rt_lane_is_idempotent_and_rolls_forward(spark, tmp_base):
+    """Unchanged log tail -> re-sync is a version no-op reusing the
+    digest-named rewrite files; a new log write -> new digest, the old
+    rewrite files get remove actions and fresh ones swap in; deletes
+    drop rows from the personality exactly as the engine merge does."""
+    t = _mk(spark, tmp_base, table_type="mor")
+    t.upsert(spark.createDataFrame([("k01", 2, "GOOG", 777.0)], DDL))
+    v1 = sync_delta_log(t)
+    assert sync_delta_log(t) == v1  # same digest, no new version
+    gen1 = {p for p in _delta_live_paths(t.base_path) if "rtcow-" in p}
+    t.delete(spark.createDataFrame([("k03",)], "key string"))
+    v2 = sync_delta_log(t)
+    assert v2 == v1 + 1
+    gen2 = {p for p in _delta_live_paths(t.base_path) if "rtcow-" in p}
+    assert gen2 and not (gen1 & gen2)  # fresh digest generation
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
+        t.snapshot()
+    )
+    keys = {
+        r.key for r in read_delta_snapshot(spark, t.base_path).collect()
+    }
+    assert "k03" not in keys and "k01" in keys
 
 
 def test_refuses_personality_that_would_resurrect_tombstones(
@@ -655,3 +692,179 @@ def test_personality_over_bootstrapped_table(spark, tmp_base):
     assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
         t.snapshot()
     )
+
+
+def test_rt_lane_external_duckdb_and_clean_orphans(spark, tmp_base):
+    """External verification of the COW rewrite lane: DuckDB (delta
+    extension when downloadable, protocol-replay parquet scan
+    otherwise) over the personality's live set equals the engine's
+    real-time merge after log-borne update+delete. Then a superseding
+    sync + checkpoint + clean physically removes the orphaned rtcow
+    generation while keeping everything any retained replay needs."""
+    from onehouse_demos_spark.tables.delta_export import (
+        clean_delta_log,
+        write_delta_checkpoint,
+    )
+
+    t = _mk(spark, tmp_base, table_type="mor")
+    t.upsert(spark.createDataFrame([("k01", 2, "GOOG", 777.0)], DDL))
+    t.delete(spark.createDataFrame([("k02",)], "key string"))
+    sync_delta_log(t)
+    live = _delta_live_paths(t.base_path)
+    files = [os.path.join(t.base_path, unquote(p)) for p in live]
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD delta")
+        duck = con.execute(
+            f"SELECT key, ver, sym, px FROM delta_scan('{t.base_path}') "
+            "ORDER BY key, ver"
+        ).fetchall()
+    except Exception:  # extension not downloadable offline
+        duck = con.execute(
+            "SELECT key, ver, sym, px FROM read_parquet($files) "
+            "ORDER BY key, ver", {"files": files}
+        ).fetchall()
+    assert duck == _rows(t.snapshot())
+
+    def _on_disk_rtcow():
+        out = set()
+        for dirpath, _dirs, names in os.walk(t.base_path):
+            if "_delta_log" in dirpath:
+                continue
+            for n in names:
+                if n.startswith("rtcow-") and n.endswith(".parquet"):
+                    out.add(os.path.join(dirpath, n))
+        return out
+
+    gen1_disk = _on_disk_rtcow()
+    assert gen1_disk
+    # supersede generation 1, checkpoint past it, clean
+    t.delete(spark.createDataFrame([("k04",)], "key string"))
+    sync_delta_log(t)
+    # within the remove-retention window gen1 stays: its tombstone
+    # rides the checkpoint for VACUUM/time-travel-aware readers
+    write_delta_checkpoint(t)
+    clean_delta_log(t)
+    assert gen1_disk <= _on_disk_rtcow()
+    # once the tombstone EXPIRES (checkpoint taken past retention),
+    # nothing retained mentions gen1 — clean removes it physically
+    import time as _time
+
+    write_delta_checkpoint(
+        t, now_ms=int(_time.time() * 1000) + 8 * 24 * 3600 * 1000
+    )
+    assert clean_delta_log(t) > 0
+    remaining = _on_disk_rtcow()
+    assert not (gen1_disk & remaining)
+    assert remaining
+    assert _rows(read_delta_snapshot(spark, t.base_path)) == _rows(
+        t.snapshot()
+    )
+
+
+def test_rt_lane_crash_before_commit_is_invisible_then_converges(
+    spark, tmp_base
+):
+    """Kill the store at every put index of a log-bearing sync (rtcow
+    files first, then the version JSON commit point): external replay
+    sees exactly the pre- or post-sync personality — never a torn
+    state — and a healthy retry converges to the rt view (same digest
+    re-stages the same names)."""
+    from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
+
+    class CountingStore(TreeFSObjectStoreEmulator):
+        def __init__(self, root, crash_at=None):
+            super().__init__(root)
+            self.n = 0
+            self.crash_at = crash_at
+
+        def _tick(self):
+            self.n += 1
+            if self.crash_at is not None and self.n >= self.crash_at:
+                raise RuntimeError("simulated crash")
+
+        def put_object(self, key, data, if_none_match=False):
+            self._tick()
+            return super().put_object(
+                key, data, if_none_match=if_none_match
+            )
+
+        def put_object_from_file(self, key, src, if_none_match=False):
+            self._tick()
+            return super().put_object_from_file(
+                key, src, if_none_match=if_none_match
+            )
+
+    t = _mk(spark, tmp_base, table_type="mor")
+    sync_delta_log(t)
+    pre = _rows(read_delta_snapshot(spark, t.base_path))
+    t.upsert(spark.createDataFrame([("k01", 2, "GOOG", 777.0)], DDL))
+    t.delete(spark.createDataFrame([("k02",)], "key string"))
+    probe = CountingStore(t.base_path)
+    sync_delta_log(t, store=probe)
+    total = probe.n
+    post = _rows(read_delta_snapshot(spark, t.base_path))
+    assert post == _rows(t.snapshot()) and post != pre
+    # fresh copy per crash index
+    import shutil as _sh
+    import tempfile as _tf
+
+    src_root = _tf.mkdtemp(prefix="oh_rtcrash_src_")
+    _sh.copytree(t.base_path, os.path.join(src_root, "t"))
+    # rewind: rebuild the pre-sync state by copying BEFORE the sync is
+    # impossible now — instead sweep on clones built from scratch
+    for n in range(1, total + 1):
+        base = _tf.mkdtemp(prefix=f"oh_rtcrash_{n}_")
+        t2 = LakehouseTable.create(
+            spark,
+            f"{base}/delta_src",
+            TableConfig(
+                name="delta_src", record_key=["key"], precombine="ver",
+                partition_by=["sym"], table_type="mor",
+            ),
+        )
+        rows = [(f"k{i:02d}", 1, "GOOG" if i % 2 else "MSFT", 100.0 + i)
+                for i in range(6)]
+        t2.insert(spark.createDataFrame(rows, DDL))
+        sync_delta_log(t2)
+        pre2 = _rows(read_delta_snapshot(spark, t2.base_path))
+        t2.upsert(spark.createDataFrame([("k01", 2, "GOOG", 777.0)], DDL))
+        store = CountingStore(t2.base_path, crash_at=n)
+        try:
+            sync_delta_log(t2, store=store)
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        seen = _rows(read_delta_snapshot(spark, t2.base_path))
+        want_post = _rows(t2.snapshot())
+        assert seen in (pre2, want_post), f"torn at put #{n}: {seen}"
+        sync_delta_log(t2)  # healthy retry
+        assert _rows(read_delta_snapshot(spark, t2.base_path)) == want_post
+        _sh.rmtree(base, ignore_errors=True)
+        if not crashed:
+            break
+    _sh.rmtree(src_root, ignore_errors=True)
+
+
+def test_rt_lane_group_fully_deleted_is_removes_only(spark, tmp_base):
+    """Logs deleting EVERY row of a candidate group: the rewrite is
+    genuinely empty, so the sync publishes removes with no rtcow adds
+    and the personality drops the group — never a refusal, never a
+    resurrected row."""
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/delta_src",
+        TableConfig(
+            name="delta_src", record_key=["key"], precombine="ver",
+            partition_by=["sym"], table_type="mor",
+        ),
+    )
+    t.insert(spark.createDataFrame(
+        [("a1", 1, "GOOG", 1.0), ("b1", 1, "MSFT", 2.0)], DDL
+    ))
+    sync_delta_log(t)
+    t.delete(spark.createDataFrame([("a1",)], "key string"))
+    sync_delta_log(t)
+    rows = _rows(read_delta_snapshot(spark, t.base_path))
+    assert rows == _rows(t.snapshot())
+    assert [r[0] for r in rows] == ["b1"]

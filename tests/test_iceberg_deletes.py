@@ -299,15 +299,25 @@ def test_pruned_files_exclude_delete_files(spark, tmp_base):
     assert files and all("eqdel-" not in p for p in files)
 
 
-def test_delta_personality_still_refuses_log_tombstones(spark, tmp_base):
-    """The Delta exporter has no delete-file vocabulary in this
-    personality — its refusal contract is unchanged."""
-    from onehouse_demos_spark.tables.delta_export import sync_delta_log
+def test_delta_personality_applies_log_tombstones_via_cow(spark, tmp_base):
+    """The Delta protocol has no row-level delete vocabulary (below
+    deletion vectors), so log tombstones take the COW lane (r14):
+    the log-bearing groups rewrite into rtcow- files with the deleted
+    keys dropped — the personality serves the engine merge, where
+    until r14 the sync refused outright."""
+    from onehouse_demos_spark.tables.delta_export import (
+        read_delta_snapshot,
+        sync_delta_log,
+    )
 
     t = _mk(spark, tmp_base)
     t.delete(spark.createDataFrame([("k0",)], "key string"))
-    with pytest.raises(RuntimeError, match="tombstones"):
-        sync_delta_log(t)
+    sync_delta_log(t)
+    keys = {
+        r.key for r in read_delta_snapshot(spark, t.base_path).collect()
+    }
+    assert keys == {r.key for r in t.snapshot().collect()}
+    assert "k0" not in keys
 
 
 def test_delete_sync_crash_sweep_is_atomic(spark, tmp_base):

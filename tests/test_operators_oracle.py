@@ -98,12 +98,13 @@ def test_driver_window_covers_distinct_operator_classes():
         "unigram_logprob_scores", "bigram_perplexity_scores",
         # r12 rotation survivors still in the window
         "events_ohlc_bars",
-        "streaming_session_counts", "sequence_packing_summary",
+        "sequence_packing_summary",
         "shingle_containment_pairs",
         "pq_adc_topk", "ann_index_incremental",
         # r14 rotation (VERDICT r13 ask #1): the last never-checked
         # registered rows + the new update-export flagship
         "tbl_iceberg_delete_read", "tbl_iceberg_update_read",
+        "tbl_delta_update_read",
         "bracketed_revenue", "duplicate_passage_stats",
         "multimodal_metadata",
         # r13 rotation (VERDICT r12 ask #2): fourteen never-checked
