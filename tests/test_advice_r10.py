@@ -76,10 +76,11 @@ def test_delta_refuses_mor_log_tombstones_iceberg_exports_deletes(
     spark, tmp_base
 ):
     """A MOR table with un-compacted log deletes must never SERVE the
-    deleted rows through a personality. Delta (no delete-file
-    vocabulary here) still refuses; since r13 the Iceberg leg exports
-    v2 EQUALITY DELETE files instead of refusing and must serve
-    exactly the merged view (tests/test_iceberg_deletes.py covers the
+    deleted rows through a personality. Since r13 the Iceberg leg
+    exports v2 EQUALITY DELETE files; since r14 the Delta leg applies
+    the deletes through the group-pruned COW rewrite lane instead of
+    refusing — both personalities must serve exactly the merged view
+    (tests/test_iceberg_deletes.py / test_delta_export.py cover the
     format details)."""
     from onehouse_demos_spark.tables.delta_export import sync_delta_log
     from onehouse_demos_spark.tables.iceberg_export import (
@@ -104,8 +105,13 @@ def test_delta_refuses_mor_log_tombstones_iceberg_exports_deletes(
         )
     )
     t.delete(spark.createDataFrame([(3,)], "id int"))
-    with pytest.raises(RuntimeError, match="tombstones"):
-        sync_delta_log(t)
+    from onehouse_demos_spark.tables.delta_export import (
+        read_delta_snapshot,
+    )
+
+    assert sync_delta_log(t) >= 0
+    dgot = {r.id for r in read_delta_snapshot(spark, t.base_path).collect()}
+    assert dgot == {r.id for r in t.snapshot().collect()} and 3 not in dgot
     assert sync_iceberg_metadata(t) >= 1
     got = {r.id for r in read_iceberg_snapshot(spark, t.base_path).collect()}
     assert got == {r.id for r in t.snapshot().collect()} and 3 not in got

@@ -708,3 +708,38 @@ def test_bigram_perplexity_windows_partition_by_doc(spark):
     assert specs and all("doc_id" in s for s in specs), (specs, txt[:900])
     assert "BroadcastExchange" in txt, txt[:500]
     assert "CartesianProduct" not in txt
+
+
+def test_r14_window_entrants_plan_shapes(spark):
+    """Plan pins for the r14 window entrants that are query-shaped
+    (the three tbl_* update/delete reads are build pipelines pinned by
+    their own suites): Q19-shaped bracketed_revenue must broadcast the
+    part dimension into one joined codegen stage — never three
+    unioned scans, never a nested-loop fallback; the
+    duplicate-passage runs must stay inside doc-partitioned window
+    frames (no global sort); multimodal_metadata is a ZERO-SHUFFLE
+    Arrow map stage (any Exchange would mean the metadata extraction
+    repartitioned 100 TB for a projection)."""
+    import re
+
+    from onehouse_demos_spark.operators.analytics import bracketed_revenue
+    from onehouse_demos_spark.operators.dedup import duplicate_passage_stats
+    from onehouse_demos_spark.operators.multimodal import multimodal_metadata
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(bracketed_revenue(spark, SF_DIR))
+    assert "BroadcastExchange" in txt, txt[:800]
+    assert "BroadcastNestedLoopJoin" not in txt, txt[:800]
+    assert "CartesianProduct" not in txt, txt[:800]
+    scans = set(re.findall(r"Scan parquet\s*\((\d+)\)", txt))
+    assert len(scans) <= 2, (scans, txt[:800])
+
+    txt = explain_str(duplicate_passage_stats(spark, SF_DIR))
+    assert "CartesianProduct" not in txt, txt[:800]
+    # every window/sort is doc-scoped: no global (non-partitioned) Sort
+    for m in re.finditer(r"Sort \[([^\]]*)\], (true|false)", txt):
+        if m.group(2) == "true":  # global sort
+            raise AssertionError(f"global sort in plan: {m.group(0)}")
+
+    txt = explain_str(multimodal_metadata(spark, SF_DIR))
+    assert "Exchange" not in txt, txt[:800]
