@@ -510,8 +510,35 @@ def sync_delta_log(
                 _rtcow_file_meta(table, rel) for rel in existing
             ]
         else:
+            # stage under PHYSICAL column names, matching the base
+            # files, so the published column mapping resolves every
+            # data file the same way after a RENAME (a logical-named
+            # rewrite file would null-fill the renamed column)
+            from pyspark.sql import functions as F
+
+            from onehouse_demos_spark.tables.table import (
+                PHYSICAL_META_KEY,
+            )
+
+            merged = rewrite["merged"]
+            schema = table._latest_schema()
+            pmap = {
+                f.name: (f.metadata or {}).get(PHYSICAL_META_KEY, f.name)
+                for f in (schema.fields if schema is not None else [])
+            }
+            if any(pmap.get(c, c) != c for c in merged.columns):
+                merged = merged.select(
+                    *[
+                        F.col(c).alias(pmap.get(c, c))
+                        for c in merged.columns
+                    ]
+                )
             rewrite_fms = publish_group_rewrite(
-                table, rewrite["merged"], part_cols, pub, digest
+                table,
+                merged,
+                [pmap.get(c, c) for c in part_cols],
+                pub,
+                digest,
             )
 
     # Delta-encode each live file path (URL-encoded, '/' and '=' kept

@@ -868,3 +868,33 @@ def test_rt_lane_group_fully_deleted_is_removes_only(spark, tmp_base):
     rows = _rows(read_delta_snapshot(spark, t.base_path))
     assert rows == _rows(t.snapshot())
     assert [r[0] for r in rows] == ["b1"]
+
+
+def test_rt_lane_after_rename_resolves_by_column_mapping(spark, tmp_base):
+    """RENAME COLUMN + log-borne update in one sync window: rtcow
+    rewrite files must resolve through the published column mapping
+    exactly like the physically-named base files — the renamed
+    column's updated value survives the protocol replay."""
+    t = _mk(spark, tmp_base, table_type="mor")
+    sync_delta_log(t)
+    t.rename_column("px", "price")
+    t.upsert(
+        spark.createDataFrame(
+            [("k01", 2, "GOOG", 999.0)],
+            "key string, ver int, sym string, price double",
+        )
+    )
+    t.delete(spark.createDataFrame([("k02",)], "key string"))
+    sync_delta_log(t)
+    got = {
+        r.key: (r.ver, r.price)
+        for r in read_delta_snapshot(spark, t.base_path)
+        .select("key", "ver", "price")
+        .collect()
+    }
+    want = {
+        r.key: (r.ver, r.price)
+        for r in t.snapshot().select("key", "ver", "price").collect()
+    }
+    assert got == want
+    assert got["k01"] == (2, 999.0) and "k02" not in got

@@ -563,3 +563,74 @@ def test_two_snapshot_commit_attributes_data_manifest_to_append_snap(
                     assert e["snapshot_id"] == snap_a["snapshot-id"]
             else:
                 assert m["added_snapshot_id"] == snap_b["snapshot-id"]
+
+
+def test_update_export_after_rename_resolves_by_name_mapping(
+    spark, tmp_base
+):
+    """RENAME COLUMN + log-borne update in one sync window: the
+    appended morrow- data file is written under PHYSICAL column names
+    (matching the base files), so the published name mapping resolves
+    every data file identically and the renamed column's updated
+    value survives the external read."""
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.rename_column("px", "price")
+    t.upsert(
+        spark.createDataFrame(
+            [("k1", 2, "GOOG", 999.0)], "key string, ver int, sym string, price double"
+        )
+    )
+    t.delete(spark.createDataFrame([("k2",)], "key string"))
+    sync_iceberg_metadata(t)
+    rows = {
+        r.key: (r.ver, r.price)
+        for r in read_iceberg_snapshot(spark, t.base_path)
+        .select("key", "ver", "price")
+        .collect()
+    }
+    want = {
+        r.key: (r.ver, r.price)
+        for r in t.snapshot().select("key", "ver", "price").collect()
+    }
+    assert rows == want
+    assert rows["k1"] == (2, 999.0) and "k2" not in rows
+
+
+def test_global_index_update_moves_key_across_partitions(spark, tmp_base):
+    """Global-index semantics: a log upsert may MOVE a key to another
+    partition. The equality delete must mask the key's OLD-partition
+    base row while the appended winner lands in the NEW partition —
+    the personality serves exactly one row for the key, in the new
+    partition."""
+    t = LakehouseTable.create(
+        spark,
+        os.path.join(tmp_base, "g"),
+        TableConfig(
+            name="ice_glob_t",
+            record_key=["key"],
+            precombine="ver",
+            partition_by=["sym"],
+            table_type="mor",
+            index_scope="global",
+        ),
+    )
+    t.insert(
+        spark.createDataFrame(
+            [("a", 1, "GOOG", 1.0), ("b", 1, "MSFT", 2.0)], DDL
+        )
+    )
+    sync_iceberg_metadata(t)
+    t.upsert(spark.createDataFrame([("a", 2, "MSFT", 3.0)], DDL))
+    sync_iceberg_metadata(t)
+    rows = [
+        (r.key, r.ver, r.sym, r.px)
+        for r in read_iceberg_snapshot(spark, t.base_path)
+        .select("key", "ver", "sym", "px")
+        .collect()
+    ]
+    want = sorted(
+        (r.key, r.ver, r.sym, r.px) for r in t.snapshot().collect()
+    )
+    assert sorted(rows) == want
+    assert ("a", 2, "MSFT", 3.0) in rows and len(rows) == 2
