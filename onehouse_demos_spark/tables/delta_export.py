@@ -413,12 +413,13 @@ def _assert_no_tombstones(files) -> None:
 
 
 def _assert_no_log_tombstones(table) -> None:
-    """r10 (the hudi leg's ADVICE r9 #3 fix, applied to every
-    base-files-only personality): MOR deletes live in LOG files, which
-    base-file stats never see — a Delta/Iceberg personality over raw
-    base files would serve the deleted rows with no refusal. Plain log
-    UPDATES remain documented read-optimized staleness; TOMBSTONES
-    refuse."""
+    """Guard for base-files-only personality modes: MOR deletes live
+    in LOG files, which base-file stats never see — serving raw base
+    files would resurrect the deleted rows. Since r13/r14 the Delta
+    and Iceberg exporters export the log delta instead of refusing;
+    the remaining caller is the HUDI personality's plain (non-rt,
+    non-compacting) mode, whose read-optimized contract keeps the
+    refusal."""
     for fm in table.manifest.live_files(include_logs=True):
         if fm.kind != "log":
             continue

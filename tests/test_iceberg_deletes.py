@@ -321,12 +321,13 @@ def test_delta_personality_applies_log_tombstones_via_cow(spark, tmp_base):
 
 
 def test_delete_sync_crash_sweep_is_atomic(spark, tmp_base):
-    """Kill the store at every put index of a tombstone-bearing sync
-    (delete files, delete manifest, data manifest, manifest list(s),
-    metadata.json commit point, hint): external replay sees exactly
-    the pre- or post-sync personality, and a healthy retry converges —
-    the same contract test_personality_seam.py proves for the
-    delete-free sequence."""
+    """Kill the store at every put index of a log-bearing sync
+    (delete files, morrow update file (r14), BOTH delete and update
+    manifests, data manifest, manifest list(s), metadata.json commit
+    point, hint): external replay sees exactly the pre- or post-sync
+    personality — values included, so a torn update is caught too —
+    and a healthy retry converges; the same contract
+    test_personality_seam.py proves for the log-free sequence."""
     from onehouse_demos_spark.tables.locks import TreeFSObjectStoreEmulator
 
     class CountingStore(TreeFSObjectStoreEmulator):
@@ -365,7 +366,17 @@ def test_delete_sync_crash_sweep_is_atomic(spark, tmp_base):
         )
     )
     sync_iceberg_metadata(t)
-    pre = _keys(spark, t.base_path)
+
+    def _kv(base):
+        return {
+            (r.key, r.px)
+            for r in read_iceberg_snapshot(spark, base)
+            .select("key", "px")
+            .collect()
+        }
+
+    pre = _kv(t.base_path)
+    t.upsert(spark.createDataFrame([("k1", 2, "GOOG", 999.0)], DDL))
     t.delete(spark.createDataFrame([("k0",), ("k3",)], "key string"))
 
     probe = os.path.join(tmp_base, "probe")
@@ -373,10 +384,12 @@ def test_delete_sync_crash_sweep_is_atomic(spark, tmp_base):
     pt = LakehouseTable.load(spark, os.path.join(probe, "t"))
     counter = CountingStore(pt.base_path)
     sync_iceberg_metadata(pt, store=counter)
-    post = _keys(spark, pt.base_path)
-    assert post == pre - {"k0", "k3"}
+    post = _kv(pt.base_path)
+    assert ("k1", 999.0) in post
+    assert {k for k, _ in post} == {k for k, _ in pre} - {"k0", "k3"}
     total = counter.n_puts
-    assert total >= 5, total  # delete file(s) + 2 manifests + list + meta
+    # eqdel file(s) + morrow file(s) + 3 manifests + list + meta + hint
+    assert total >= 7, total
 
     import pytest as _pytest
 
@@ -388,12 +401,12 @@ def test_delete_sync_crash_sweep_is_atomic(spark, tmp_base):
             sync_iceberg_metadata(
                 ct, store=CountingStore(ct.base_path, crash_at=n)
             )
-        seen = _keys(spark, ct.base_path)
+        seen = _kv(ct.base_path)
         assert seen in (pre, post), (
             f"crash at put #{n}/{total}: torn view {sorted(seen)}"
         )
         sync_iceberg_metadata(ct)
-        assert _keys(spark, ct.base_path) == post, f"no convergence at #{n}"
+        assert _kv(ct.base_path) == post, f"no convergence at #{n}"
         shutil.rmtree(clone, ignore_errors=True)
 
 
