@@ -76,7 +76,12 @@ def fsum_int(col: Column, n: int = 2, wide: bool = False) -> Column:
     q = fquant(col, n)
     if wide:
         s = F.sum(q.cast("decimal(38,0)"))
-        ok = F.abs(s) <= F.lit(2 ** 63 - 1).cast("decimal(38,0)")
+        # NULL sum (empty/all-NULL input) is NOT an overflow: DuckDB's
+        # CAST(NULL AS BIGINT) yields NULL, so the guard must pass it
+        # through (assert_true(NULL) would raise — r14 review)
+        ok = s.isNull() | (
+            F.abs(s) <= F.lit(2 ** 63 - 1).cast("decimal(38,0)")
+        )
         # when() WITHOUT otherwise: the two branches must differ or
         # Catalyst folds `CASE WHEN c THEN x ELSE x` to `x` and
         # optimizes the assertion away entirely

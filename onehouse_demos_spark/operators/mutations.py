@@ -1422,30 +1422,40 @@ TBL_HUDI_MOR_READ_SQL = TBL_DELETE_SNAPSHOT_SQL
 _HUDI_RT_CACHE: dict = {}
 
 
-def _build_hudi_rt(spark: SparkSession, sf_dir: str) -> LakehouseTable:
-    """MOR pipeline for the GENUINE `_rt` personality leg (r10):
-    insert -> log upserts -> log deletes, then
-    `sync_hudi_metadata(mor_rt=True)` publishes the un-compacted logs
-    as real HoodieLogFormat AVRO data blocks under a deltacommit — NO
-    compaction anywhere, so the read must merge base + log blocks
-    itself (the reference's `_rt` freshness demo,
-    `README.md:756-776`). The builder raises unless the engine logs
-    are STILL live after the sync (proving nothing compacted) and
-    unless real `.log.` files exist in the personality."""
-    if sf_dir in _HUDI_RT_CACHE:
-        return _HUDI_RT_CACHE[sf_dir]
-    import os as _os
-
-    from onehouse_demos_spark.tables.hudi_export import sync_hudi_metadata
-
-    tmp = tempfile.mkdtemp(prefix="oh_hudirt_")
+def _build_mor_log_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    cache: dict,
+    tmp_prefix: str,
+    table_name: str,
+    sync,
+    what: str,
+    with_upsert: bool = True,
+    artifact_prefixes: tuple = (),
+    extra_check=None,
+) -> LakehouseTable:
+    """Shared MOR mutation scenario behind the four log-personality
+    driver faces (hudi `_rt`, iceberg delete/update, delta COW
+    rewrite): one insert commit (ver 1), a personality sync, optional
+    log upserts of the %10 keys (price +1000, ver 2 — mirrored by
+    `_AFTER_UPSERT` in every oracle), log deletes of the %9 keys, and
+    a final sync. The legs differ ONLY in the sync callable and the
+    published artifact classes they must prove exist; a single
+    scenario keeps every leg's builder in lockstep with the shared
+    oracle text (r14 review: four hand-maintained copies could
+    silently desynchronize). Every builder raises unless the engine
+    log slices are still live after the final sync — nothing
+    compacted, so a vacuous pass is impossible."""
+    if sf_dir in cache:
+        return cache[sf_dir]
+    tmp = tempfile.mkdtemp(prefix=tmp_prefix)
     _TMPDIRS.append(tmp)
     orders = _orders(spark, sf_dir)
     t = LakehouseTable.create(
         spark,
-        f"{tmp}/orders_hudi_rt",
+        f"{tmp}/{table_name}",
         TableConfig(
-            name="orders_hudi_rt",
+            name=table_name,
             record_key=["o_orderkey"],
             precombine="ver",
             partition_by=["o_orderstatus"],
@@ -1453,32 +1463,61 @@ def _build_hudi_rt(spark: SparkSession, sf_dir: str) -> LakehouseTable:
         ),
     )
     t.insert(orders.withColumn("ver", F.lit(1)))
-    sync_hudi_metadata(t, mor_rt=True)
-    t.upsert(
-        orders.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-        .withColumn("ver", F.lit(2))
-    )
+    sync(t)
+    if with_upsert:
+        t.upsert(
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+            .withColumn("ver", F.lit(2))
+        )
     t.delete(
         orders.filter(F.col("o_orderkey") % 9 == 0).select(
             "o_orderkey", "o_orderstatus"
         )
     )
-    sync_hudi_metadata(t, mor_rt=True)
+    sync(t)
     if not any(
         f.kind == "log" for f in t.manifest.live_files(include_logs=True)
     ):
         raise RuntimeError(
-            "tbl_hudi_rt_read: engine logs vanished — something "
-            "compacted; the rt read would be vacuous"
+            f"{what}: engine logs vanished — something compacted; "
+            "the read would be vacuous"
         )
-    hoodie = _os.path.join(t.base_path, ".hoodie")
-    if not any(
-        n.endswith(".deltacommit") for n in _os.listdir(hoodie)
-    ):
-        raise RuntimeError("tbl_hudi_rt_read: no deltacommit published")
-    _HUDI_RT_CACHE[sf_dir] = t
+    found = {pfx: False for pfx in artifact_prefixes}
+    if found:
+        for _dirpath, _dirs, names in os.walk(t.base_path):
+            for n in names:
+                for pfx in found:
+                    if n.startswith(f"{pfx}-") and n.endswith(".parquet"):
+                        found[pfx] = True
+    missing = [pfx for pfx, ok in found.items() if not ok]
+    if missing:
+        raise RuntimeError(f"{what}: missing export artifacts {missing}")
+    if extra_check is not None:
+        extra_check(t)
+    cache[sf_dir] = t
     return t
+
+
+def _build_hudi_rt(spark: SparkSession, sf_dir: str) -> LakehouseTable:
+    """MOR pipeline for the GENUINE `_rt` personality leg (r10):
+    `sync_hudi_metadata(mor_rt=True)` publishes the un-compacted logs
+    as real HoodieLogFormat AVRO data blocks under a deltacommit — NO
+    compaction anywhere, so the read must merge base + log blocks
+    itself (the reference's `_rt` freshness demo,
+    `README.md:756-776`)."""
+    from onehouse_demos_spark.tables.hudi_export import sync_hudi_metadata
+
+    def _deltacommit_published(t):
+        hoodie = os.path.join(t.base_path, ".hoodie")
+        if not any(n.endswith(".deltacommit") for n in os.listdir(hoodie)):
+            raise RuntimeError("tbl_hudi_rt_read: no deltacommit published")
+
+    return _build_mor_log_pipeline(
+        spark, sf_dir, _HUDI_RT_CACHE, "oh_hudirt_", "orders_hudi_rt",
+        lambda t: sync_hudi_metadata(t, mor_rt=True),
+        "tbl_hudi_rt_read", extra_check=_deltacommit_published,
+    )
 
 
 def tbl_hudi_rt_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,59 +1541,17 @@ _ICE_DEL_CACHE: dict = {}
 
 def _build_iceberg_deletes(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     """MOR pipeline for the Iceberg v2 EQUALITY-DELETE leg (r13):
-    insert -> log deletes (tombstones, NO compaction anywhere) ->
-    `sync_iceberg_metadata`, which until r13 REFUSED this state and
-    now exports partition-scoped equality-delete files. The builder
-    raises unless the engine log tombstones are still live after the
-    sync (nothing compacted) and unless real `eqdel-*.parquet` files
-    exist in the personality — a vacuous pass is impossible."""
-    if sf_dir in _ICE_DEL_CACHE:
-        return _ICE_DEL_CACHE[sf_dir]
+    log deletes only (no upsert — the delete class stands alone),
+    exported as partition-scoped `eqdel-*` files."""
     from onehouse_demos_spark.tables.iceberg_export import (
         sync_iceberg_metadata,
     )
 
-    tmp = tempfile.mkdtemp(prefix="oh_icedel_")
-    _TMPDIRS.append(tmp)
-    orders = _orders(spark, sf_dir)
-    t = LakehouseTable.create(
-        spark,
-        f"{tmp}/orders_ice_del",
-        TableConfig(
-            name="orders_ice_del",
-            record_key=["o_orderkey"],
-            precombine="ver",
-            partition_by=["o_orderstatus"],
-            table_type="mor",
-        ),
+    return _build_mor_log_pipeline(
+        spark, sf_dir, _ICE_DEL_CACHE, "oh_icedel_", "orders_ice_del",
+        sync_iceberg_metadata, "tbl_iceberg_delete_read",
+        with_upsert=False, artifact_prefixes=("eqdel",),
     )
-    t.insert(orders.withColumn("ver", F.lit(1)))
-    sync_iceberg_metadata(t)
-    t.delete(
-        orders.filter(F.col("o_orderkey") % 9 == 0).select(
-            "o_orderkey", "o_orderstatus"
-        )
-    )
-    sync_iceberg_metadata(t)
-    if not any(
-        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
-    ):
-        raise RuntimeError(
-            "tbl_iceberg_delete_read: engine logs vanished — something "
-            "compacted; the equality-delete read would be vacuous"
-        )
-    eqdels = [
-        n
-        for dirpath, _dirs, names in os.walk(t.base_path)
-        for n in names
-        if n.startswith("eqdel-") and n.endswith(".parquet")
-    ]
-    if not eqdels:
-        raise RuntimeError(
-            "tbl_iceberg_delete_read: no equality-delete file published"
-        )
-    _ICE_DEL_CACHE[sf_dir] = t
-    return t
 
 
 def tbl_iceberg_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1586,66 +1583,18 @@ _ICE_UPD_CACHE: dict = {}
 def _build_iceberg_updates(spark: SparkSession, sf_dir: str) -> LakehouseTable:
     """MOR pipeline for the Iceberg log-borne UPDATE leg (r14, VERDICT
     r13 #3 — the reference's signature `_rt` semantic,
-    `README.md:756-776`): insert -> log upserts (ver=2 rows, NO
-    compaction anywhere) -> log deletes -> `sync_iceberg_metadata`,
-    which exports equality deletes on the updated+deleted keys PLUS an
-    appended `morrow-*.parquet` data file of the new versions at the
-    delete sequence. The builder raises unless the engine log slices
-    are still live after the sync (nothing compacted) and unless both
-    a real equality-delete file and a real appended data file exist in
-    the personality — a vacuous pass is impossible."""
-    if sf_dir in _ICE_UPD_CACHE:
-        return _ICE_UPD_CACHE[sf_dir]
+    `README.md:756-776`): log upserts + deletes export as equality
+    deletes on the superseded keys PLUS an appended `morrow-*` data
+    file of the new versions at the delete sequence."""
     from onehouse_demos_spark.tables.iceberg_export import (
         sync_iceberg_metadata,
     )
 
-    tmp = tempfile.mkdtemp(prefix="oh_iceupd_")
-    _TMPDIRS.append(tmp)
-    orders = _orders(spark, sf_dir)
-    t = LakehouseTable.create(
-        spark,
-        f"{tmp}/orders_ice_upd",
-        TableConfig(
-            name="orders_ice_upd",
-            record_key=["o_orderkey"],
-            precombine="ver",
-            partition_by=["o_orderstatus"],
-            table_type="mor",
-        ),
+    return _build_mor_log_pipeline(
+        spark, sf_dir, _ICE_UPD_CACHE, "oh_iceupd_", "orders_ice_upd",
+        sync_iceberg_metadata, "tbl_iceberg_update_read",
+        artifact_prefixes=("eqdel", "morrow"),
     )
-    t.insert(orders.withColumn("ver", F.lit(1)))
-    sync_iceberg_metadata(t)
-    t.upsert(
-        orders.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-        .withColumn("ver", F.lit(2))
-    )
-    t.delete(
-        orders.filter(F.col("o_orderkey") % 9 == 0).select(
-            "o_orderkey", "o_orderstatus"
-        )
-    )
-    sync_iceberg_metadata(t)
-    if not any(
-        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
-    ):
-        raise RuntimeError(
-            "tbl_iceberg_update_read: engine logs vanished — something "
-            "compacted; the update-export read would be vacuous"
-        )
-    found = {"eqdel": False, "morrow": False}
-    for _dirpath, _dirs, names in os.walk(t.base_path):
-        for n in names:
-            for pfx in found:
-                if n.startswith(f"{pfx}-") and n.endswith(".parquet"):
-                    found[pfx] = True
-    if not all(found.values()):
-        raise RuntimeError(
-            f"tbl_iceberg_update_read: missing export artifacts {found}"
-        )
-    _ICE_UPD_CACHE[sf_dir] = t
-    return t
 
 
 def tbl_iceberg_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1672,62 +1621,17 @@ _DELTA_UPD_CACHE: dict = {}
 
 
 def _build_delta_updates(spark: SparkSession, sf_dir: str) -> LakehouseTable:
-    """MOR pipeline for the Delta COW-rewrite leg (r14): insert ->
-    log upserts + log deletes (NO compaction anywhere) ->
-    `sync_delta_log`, which until r14 refused tombstones and served
-    updates read-optimized-stale; it now swaps the log-bearing file
-    groups for personality-owned `rtcow-*` parquet holding the merged
-    winners. The builder raises unless the engine log slices are
-    still live after the sync and a real rtcow file is in the
-    published live set."""
-    if sf_dir in _DELTA_UPD_CACHE:
-        return _DELTA_UPD_CACHE[sf_dir]
+    """MOR pipeline for the Delta COW-rewrite leg (r14): log upserts +
+    deletes swap the log-bearing file groups for personality-owned
+    `rtcow-*` parquet holding the merged winners (until r14 the sync
+    refused tombstones and served updates read-optimized-stale)."""
     from onehouse_demos_spark.tables.interop import sync_delta_log
 
-    tmp = tempfile.mkdtemp(prefix="oh_deltaupd_")
-    _TMPDIRS.append(tmp)
-    orders = _orders(spark, sf_dir)
-    t = LakehouseTable.create(
-        spark,
-        f"{tmp}/orders_delta_upd",
-        TableConfig(
-            name="orders_delta_upd",
-            record_key=["o_orderkey"],
-            precombine="ver",
-            partition_by=["o_orderstatus"],
-            table_type="mor",
-        ),
+    return _build_mor_log_pipeline(
+        spark, sf_dir, _DELTA_UPD_CACHE, "oh_deltaupd_",
+        "orders_delta_upd", sync_delta_log, "tbl_delta_update_read",
+        artifact_prefixes=("rtcow",),
     )
-    t.insert(orders.withColumn("ver", F.lit(1)))
-    sync_delta_log(t)
-    t.upsert(
-        orders.filter(F.col("o_orderkey") % 10 == 0)
-        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
-        .withColumn("ver", F.lit(2))
-    )
-    t.delete(
-        orders.filter(F.col("o_orderkey") % 9 == 0).select(
-            "o_orderkey", "o_orderstatus"
-        )
-    )
-    sync_delta_log(t)
-    if not any(
-        f.kind == "log" for f in t.manifest.live_files(include_logs=True)
-    ):
-        raise RuntimeError(
-            "tbl_delta_update_read: engine logs vanished — something "
-            "compacted; the COW-rewrite read would be vacuous"
-        )
-    if not any(
-        n.startswith("rtcow-") and n.endswith(".parquet")
-        for _d, _s, names in os.walk(t.base_path)
-        for n in names
-    ):
-        raise RuntimeError(
-            "tbl_delta_update_read: no rtcow rewrite file published"
-        )
-    _DELTA_UPD_CACHE[sf_dir] = t
-    return t
 
 
 def tbl_delta_update_read(spark: SparkSession, sf_dir: str) -> DataFrame:

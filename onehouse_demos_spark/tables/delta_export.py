@@ -860,13 +860,26 @@ def write_delta_checkpoint(
     return version
 
 
-def clean_delta_log(table: LakehouseTable, store=None) -> int:
+def clean_delta_log(
+    table: LakehouseTable,
+    store=None,
+    now_ms: int | None = None,
+    rewrite_grace_ms: int = REMOVE_RETENTION_MS,
+) -> int:
     """Delete JSON versions at/below the newest checkpoint (Delta's
     metadata-cleanup contract: once a checkpoint covers version V, the
     JSON commits <= V are redundant for readers). Returns how many
     version files were removed. Keeps the checkpoint itself plus every
     newer JSON, so any reader replay stays exact. All listing/reads and
-    the idempotent deletes flow through the store seam."""
+    the idempotent deletes flow through the store seam.
+
+    The rtcow orphan sweep applies a VACUUM-style age guard
+    (`rewrite_grace_ms`, default the remove-retention window): an
+    unmentioned rewrite file younger than the guard may belong to a
+    concurrent in-flight sync that has published its files but not yet
+    committed its version JSON — deleting it would corrupt that
+    sync's committed adds (r14 review)."""
+    now_ms = int(time.time() * 1000) if now_ms is None else now_ms
     log_dir = _log_dir(table)
     pub = publisher(table.base_path, store)
     ckpt = _read_last_checkpoint(log_dir, pub)
@@ -932,9 +945,13 @@ def clean_delta_log(table: LakehouseTable, store=None) -> int:
             rel = os.path.relpath(
                 os.path.join(dirpath, fn), table.base_path
             ).replace(os.sep, "/")
-            if rel not in mentioned:
-                pub.delete(os.path.join(table.base_path, rel))
-                removed += 1
+            if rel in mentioned:
+                continue
+            mt = pub.mtime_ms(os.path.join(table.base_path, rel))
+            if mt is not None and now_ms - mt < rewrite_grace_ms:
+                continue  # possibly an in-flight sync's publish
+            pub.delete(os.path.join(table.base_path, rel))
+            removed += 1
     return removed
 
 

@@ -690,251 +690,88 @@ def sync_iceberg_metadata(
                 delta["eqdel"].unpersist()
             delta["new_rows"].unpersist()
 
-    paths = sorted(f.path for f in files)
-    # A metadata-only schema change (RENAME/DROP COLUMN) must produce a
-    # new version even with an unchanged live file set — the digest
-    # covers both.
-    digest = hashlib.sha256(
-        (
-            "\n".join(paths)
-            + json.dumps(schema, sort_keys=True)
-            + "|deletes:" + del_digest
-            + "|updates:" + upd_digest
-        ).encode()
-    ).hexdigest()
-    if prev_meta is not None and digest == prev_meta.get("properties", {}).get(
-        "onehouse.live-paths-digest"
-    ):
-        _unpersist_delta()
-        return version
+    # Everything from digesting to manifest publication can raise
+    # (conditional-put conflicts, publish failures): the cached delta
+    # frames must not outlive the attempt (r14 review).
+    try:
+        paths = sorted(f.path for f in files)
+        # A metadata-only schema change (RENAME/DROP COLUMN) must produce a
+        # new version even with an unchanged live file set — the digest
+        # covers both.
+        digest = hashlib.sha256(
+            (
+                "\n".join(paths)
+                + json.dumps(schema, sort_keys=True)
+                + "|deletes:" + del_digest
+                + "|updates:" + upd_digest
+            ).encode()
+        ).hexdigest()
+        if prev_meta is not None and digest == prev_meta.get("properties", {}).get(
+            "onehouse.live-paths-digest"
+        ):
+            return version
 
-    seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
-    snapshot_id = int(
-        hashlib.sha256(f"{digest}:{seq}".encode()).hexdigest()[:15], 16
-    )
-
-    # ---- manifest (one per snapshot, full live file set). Files seen
-    # in a previous sync re-enter as status=EXISTING with their
-    # FIRST-export sequence number made explicit (spec-required for
-    # re-listed files; also what makes equality deletes — strictly
-    # newer sequence — apply to them). New files inherit this
-    # snapshot's sequence.
-    spec_fields = _partition_spec(table, schema)
-    prev_seqs = _prev_file_seqs(prev_meta, pub, table.base_path)
-    n_added = sum(1 for fm in files if fm.path not in prev_seqs)
-    # Two-snapshot shape decided BEFORE the manifest is written so the
-    # data manifest's attribution (entry snapshot_id + the manifest
-    # row's added_snapshot_id) names the APPEND snapshot consistently
-    # in both manifest lists (r13 review: a reused row claiming the
-    # delete snapshot's id mis-attributes adds to time-travel and
-    # incremental consumers).
-    two_snapshots = (
-        eqdel is not None or new_rows is not None
-    ) and n_added > 0
-    snap_a_id = int(
-        hashlib.sha256(f"{digest}:{seq}:data".encode()).hexdigest()[:15],
-        16,
-    )
-    data_snap_id = snap_a_id if two_snapshots else snapshot_id
-    entries = []
-    total_rows = 0
-    added_rows = existing_rows = 0
-    for fm in files:
-        abs_path = os.path.join(table.base_path, fm.path)
-        size = os.path.getsize(abs_path)
-        total_rows += fm.rows
-        known_seq = prev_seqs.get(fm.path)
-        if known_seq is None:
-            added_rows += fm.rows
-        else:
-            existing_rows += fm.rows
-        entries.append(
-            {
-                "status": 1 if known_seq is None else 0,  # ADDED/EXISTING
-                "snapshot_id": data_snap_id,
-                "sequence_number": known_seq,  # None => inherit
-                "file_sequence_number": known_seq,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": abs_path,
-                    "file_format": "PARQUET",
-                    "partition": _partition_struct_values(
-                        fm, spec_fields, schema
-                    ),
-                    "record_count": fm.rows,
-                    "file_size_in_bytes": size,
-                },
-            }
+        seq = (prev_meta or {}).get("last-sequence-number", 0) + 1
+        snapshot_id = int(
+            hashlib.sha256(f"{digest}:{seq}".encode()).hexdigest()[:15], 16
         )
-    manifest_name = f"{uuid.uuid4().hex}-m0.avro"
-    manifest_bytes = write_ocf(
-        entries,
-        _manifest_entry_schema(
-            _partition_record_schema(spec_fields, schema)
-        ),
-        extra_meta={
-            "schema": json.dumps(schema),
-            "schema-id": "0",
-            "partition-spec": json.dumps(spec_fields),
-            "partition-spec-id": "0",
-            "format-version": "2",
-            "content": "data",
-        },
-    )
-    manifest_path = os.path.join(meta_dir, manifest_name)
-    pub.put_bytes(manifest_path, manifest_bytes)  # uuid-named, atomic
 
-    # min_sequence_number over the sequences of the entries ACTUALLY
-    # listed (r13 review: min over all previous sequences could
-    # understate the true minimum when a file dropped out)
-    entry_seqs = [
-        e["sequence_number"]
-        for e in entries
-        if e["sequence_number"] is not None
-    ] + ([seq] if n_added else [])
-    manifest_rows = [
-        {
-            "manifest_path": manifest_path,
-            "manifest_length": len(manifest_bytes),
-            "partition_spec_id": 0,
-            "content": 0,
-            "sequence_number": seq,
-            "min_sequence_number": min(entry_seqs) if entry_seqs else seq,
-            "added_snapshot_id": data_snap_id,
-            "added_files_count": n_added,
-            "existing_files_count": len(entries) - n_added,
-            "deleted_files_count": 0,
-            "added_rows_count": added_rows,
-            "existing_rows_count": existing_rows,
-            "deleted_rows_count": 0,
-        }
-    ]
-
-    # ---- equality-delete manifest (only when the merge masks base
-    # rows). Deletes must apply to EVERY live base file, so their
-    # sequence must be strictly newer than every base entry's — but
-    # NOT to the log-winner data file appended alongside (same
-    # sequence: the spec's strictly-older rule exempts it, exactly
-    # the Flink CDC upsert commit shape). When all base entries carry
-    # explicit older sequences (the usual re-sync) the snapshot
-    # sequence already qualifies; when this sync also ADDS base files
-    # (first sync of a log-bearing table, or insert+delete between
-    # syncs) the commit takes the spec's two-snapshot shape — a data
-    # append at `seq` and a delete commit at `seq + 1`, both inside
-    # the one conditional-put metadata version.
-    n_delete_rows = 0
-    seq_del = seq + 1 if two_snapshots else seq
-    if eqdel is not None:
-        key_fid = next(
-            (f["id"] for f in schema["fields"] if f["name"] == KEY_COL),
-            None,
+        # ---- manifest (one per snapshot, full live file set). Files seen
+        # in a previous sync re-enter as status=EXISTING with their
+        # FIRST-export sequence number made explicit (spec-required for
+        # re-listed files; also what makes equality deletes — strictly
+        # newer sequence — apply to them). New files inherit this
+        # snapshot's sequence.
+        spec_fields = _partition_spec(table, schema)
+        prev_seqs = _prev_file_seqs(prev_meta, pub, table.base_path)
+        n_added = sum(1 for fm in files if fm.path not in prev_seqs)
+        # Two-snapshot shape decided BEFORE the manifest is written so the
+        # data manifest's attribution (entry snapshot_id + the manifest
+        # row's added_snapshot_id) names the APPEND snapshot consistently
+        # in both manifest lists (r13 review: a reused row claiming the
+        # delete snapshot's id mis-attributes adds to time-travel and
+        # incremental consumers).
+        two_snapshots = (
+            eqdel is not None or new_rows is not None
+        ) and n_added > 0
+        snap_a_id = int(
+            hashlib.sha256(f"{digest}:{seq}:data".encode()).hexdigest()[:15],
+            16,
         )
-        if key_fid is None:
-            raise RuntimeError(
-                "equality-delete export needs the record-key column "
-                f"{KEY_COL!r} in the exported schema"
+        data_snap_id = snap_a_id if two_snapshots else snapshot_id
+        entries = []
+        total_rows = 0
+        added_rows = existing_rows = 0
+        for fm in files:
+            abs_path = os.path.join(table.base_path, fm.path)
+            size = os.path.getsize(abs_path)
+            total_rows += fm.rows
+            known_seq = prev_seqs.get(fm.path)
+            if known_seq is None:
+                added_rows += fm.rows
+            else:
+                existing_rows += fm.rows
+            entries.append(
+                {
+                    "status": 1 if known_seq is None else 0,  # ADDED/EXISTING
+                    "snapshot_id": data_snap_id,
+                    "sequence_number": known_seq,  # None => inherit
+                    "file_sequence_number": known_seq,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": abs_path,
+                        "file_format": "PARQUET",
+                        "partition": _partition_struct_values(
+                            fm, spec_fields, schema
+                        ),
+                        "record_count": fm.rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
             )
-        delete_files = _publish_part_files(
-            table, eqdel, part_cols, spec_fields, schema, pub, "eqdel"
-        )
-        del_entries = [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,  # inherit: the NEW sequence
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 2,  # EQUALITY_DELETES
-                    "file_path": de["path"],
-                    "file_format": "PARQUET",
-                    "partition": de["partition"],
-                    "record_count": de["rows"],
-                    "file_size_in_bytes": de["size"],
-                    "equality_ids": [key_fid],
-                },
-            }
-            for de in delete_files
-        ]
-        n_delete_rows = sum(de["rows"] for de in delete_files)
-        del_manifest_name = f"{uuid.uuid4().hex}-m1.avro"
-        del_manifest_bytes = write_ocf(
-            del_entries,
-            _manifest_entry_schema(
-                _partition_record_schema(spec_fields, schema),
-                deletes=True,
-            ),
-            extra_meta={
-                "schema": json.dumps(schema),
-                "schema-id": "0",
-                "partition-spec": json.dumps(spec_fields),
-                "partition-spec-id": "0",
-                "format-version": "2",
-                "content": "deletes",
-            },
-        )
-        del_manifest_path = os.path.join(meta_dir, del_manifest_name)
-        pub.put_bytes(del_manifest_path, del_manifest_bytes)
-        manifest_rows.append(
-            {
-                "manifest_path": del_manifest_path,
-                "manifest_length": len(del_manifest_bytes),
-                "partition_spec_id": 0,
-                "content": 1,  # DELETES
-                "sequence_number": seq_del,
-                "min_sequence_number": seq_del,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(del_entries),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": n_delete_rows,
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-            }
-        )
-
-    # ---- log-winner data manifest (r14): the appended parquet of
-    # log-borne update/insert winners, ADDED at the delete sequence —
-    # strictly newer than every base entry (so it is never masked by
-    # this sync's equality deletes) and exactly the rows the engine's
-    # `_rt` merge serves for those keys.
-    n_upd_rows = 0
-    upd_files: list[dict] = []
-    if new_rows is not None:
-        from pyspark.sql.functions import col as F_col
-
-        # write under PHYSICAL column names, matching the base files,
-        # so the published name-mapping resolves every data file the
-        # same way after a RENAME
-        out_rows = new_rows.select(
-            *[
-                F_col(f["name"]).alias(phys_map[f["name"]])
-                for f in schema["fields"]
-            ]
-        )
-        upd_files = _publish_part_files(
-            table, out_rows, part_cols, spec_fields, schema, pub, "morrow"
-        )
-        upd_entries = [
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": None,  # inherit: the NEW sequence
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 0,  # DATA
-                    "file_path": uf["path"],
-                    "file_format": "PARQUET",
-                    "partition": uf["partition"],
-                    "record_count": uf["rows"],
-                    "file_size_in_bytes": uf["size"],
-                },
-            }
-            for uf in upd_files
-        ]
-        n_upd_rows = sum(uf["rows"] for uf in upd_files)
-        upd_manifest_name = f"{uuid.uuid4().hex}-m2.avro"
-        upd_manifest_bytes = write_ocf(
-            upd_entries,
+        manifest_name = f"{uuid.uuid4().hex}-m0.avro"
+        manifest_bytes = write_ocf(
+            entries,
             _manifest_entry_schema(
                 _partition_record_schema(spec_fields, schema)
             ),
@@ -947,26 +784,193 @@ def sync_iceberg_metadata(
                 "content": "data",
             },
         )
-        upd_manifest_path = os.path.join(meta_dir, upd_manifest_name)
-        pub.put_bytes(upd_manifest_path, upd_manifest_bytes)
-        manifest_rows.append(
+        manifest_path = os.path.join(meta_dir, manifest_name)
+        pub.put_bytes(manifest_path, manifest_bytes)  # uuid-named, atomic
+
+        # min_sequence_number over the sequences of the entries ACTUALLY
+        # listed (r13 review: min over all previous sequences could
+        # understate the true minimum when a file dropped out)
+        entry_seqs = [
+            e["sequence_number"]
+            for e in entries
+            if e["sequence_number"] is not None
+        ] + ([seq] if n_added else [])
+        manifest_rows = [
             {
-                "manifest_path": upd_manifest_path,
-                "manifest_length": len(upd_manifest_bytes),
+                "manifest_path": manifest_path,
+                "manifest_length": len(manifest_bytes),
                 "partition_spec_id": 0,
-                "content": 0,  # DATA
-                "sequence_number": seq_del,
-                "min_sequence_number": seq_del,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(upd_entries),
-                "existing_files_count": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": min(entry_seqs) if entry_seqs else seq,
+                "added_snapshot_id": data_snap_id,
+                "added_files_count": n_added,
+                "existing_files_count": len(entries) - n_added,
                 "deleted_files_count": 0,
-                "added_rows_count": n_upd_rows,
-                "existing_rows_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": existing_rows,
                 "deleted_rows_count": 0,
             }
-        )
-    _unpersist_delta()
+        ]
+
+        # ---- equality-delete manifest (only when the merge masks base
+        # rows). Deletes must apply to EVERY live base file, so their
+        # sequence must be strictly newer than every base entry's — but
+        # NOT to the log-winner data file appended alongside (same
+        # sequence: the spec's strictly-older rule exempts it, exactly
+        # the Flink CDC upsert commit shape). When all base entries carry
+        # explicit older sequences (the usual re-sync) the snapshot
+        # sequence already qualifies; when this sync also ADDS base files
+        # (first sync of a log-bearing table, or insert+delete between
+        # syncs) the commit takes the spec's two-snapshot shape — a data
+        # append at `seq` and a delete commit at `seq + 1`, both inside
+        # the one conditional-put metadata version.
+        n_delete_rows = 0
+        seq_del = seq + 1 if two_snapshots else seq
+        if eqdel is not None:
+            key_fid = next(
+                (f["id"] for f in schema["fields"] if f["name"] == KEY_COL),
+                None,
+            )
+            if key_fid is None:
+                raise RuntimeError(
+                    "equality-delete export needs the record-key column "
+                    f"{KEY_COL!r} in the exported schema"
+                )
+            delete_files = _publish_part_files(
+                table, eqdel, part_cols, spec_fields, schema, pub, "eqdel"
+            )
+            del_entries = [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherit: the NEW sequence
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2,  # EQUALITY_DELETES
+                        "file_path": de["path"],
+                        "file_format": "PARQUET",
+                        "partition": de["partition"],
+                        "record_count": de["rows"],
+                        "file_size_in_bytes": de["size"],
+                        "equality_ids": [key_fid],
+                    },
+                }
+                for de in delete_files
+            ]
+            n_delete_rows = sum(de["rows"] for de in delete_files)
+            del_manifest_name = f"{uuid.uuid4().hex}-m1.avro"
+            del_manifest_bytes = write_ocf(
+                del_entries,
+                _manifest_entry_schema(
+                    _partition_record_schema(spec_fields, schema),
+                    deletes=True,
+                ),
+                extra_meta={
+                    "schema": json.dumps(schema),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_fields),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "deletes",
+                },
+            )
+            del_manifest_path = os.path.join(meta_dir, del_manifest_name)
+            pub.put_bytes(del_manifest_path, del_manifest_bytes)
+            manifest_rows.append(
+                {
+                    "manifest_path": del_manifest_path,
+                    "manifest_length": len(del_manifest_bytes),
+                    "partition_spec_id": 0,
+                    "content": 1,  # DELETES
+                    "sequence_number": seq_del,
+                    "min_sequence_number": seq_del,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(del_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_delete_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+
+        # ---- log-winner data manifest (r14): the appended parquet of
+        # log-borne update/insert winners, ADDED at the delete sequence —
+        # strictly newer than every base entry (so it is never masked by
+        # this sync's equality deletes) and exactly the rows the engine's
+        # `_rt` merge serves for those keys.
+        n_upd_rows = 0
+        upd_files: list[dict] = []
+        if new_rows is not None:
+            from pyspark.sql.functions import col as F_col
+
+            # write under PHYSICAL column names, matching the base files,
+            # so the published name-mapping resolves every data file the
+            # same way after a RENAME
+            out_rows = new_rows.select(
+                *[
+                    F_col(f["name"]).alias(phys_map[f["name"]])
+                    for f in schema["fields"]
+                ]
+            )
+            upd_files = _publish_part_files(
+                table, out_rows, part_cols, spec_fields, schema, pub, "morrow"
+            )
+            upd_entries = [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,  # inherit: the NEW sequence
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,  # DATA
+                        "file_path": uf["path"],
+                        "file_format": "PARQUET",
+                        "partition": uf["partition"],
+                        "record_count": uf["rows"],
+                        "file_size_in_bytes": uf["size"],
+                    },
+                }
+                for uf in upd_files
+            ]
+            n_upd_rows = sum(uf["rows"] for uf in upd_files)
+            upd_manifest_name = f"{uuid.uuid4().hex}-m2.avro"
+            upd_manifest_bytes = write_ocf(
+                upd_entries,
+                _manifest_entry_schema(
+                    _partition_record_schema(spec_fields, schema)
+                ),
+                extra_meta={
+                    "schema": json.dumps(schema),
+                    "schema-id": "0",
+                    "partition-spec": json.dumps(spec_fields),
+                    "partition-spec-id": "0",
+                    "format-version": "2",
+                    "content": "data",
+                },
+            )
+            upd_manifest_path = os.path.join(meta_dir, upd_manifest_name)
+            pub.put_bytes(upd_manifest_path, upd_manifest_bytes)
+            manifest_rows.append(
+                {
+                    "manifest_path": upd_manifest_path,
+                    "manifest_length": len(upd_manifest_bytes),
+                    "partition_spec_id": 0,
+                    "content": 0,  # DATA
+                    "sequence_number": seq_del,
+                    "min_sequence_number": seq_del,
+                    "added_snapshot_id": snapshot_id,
+                    "added_files_count": len(upd_entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_upd_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+    finally:
+        _unpersist_delta()
 
     # ---- manifest list(s) + snapshot(s)
     new_snapshots: list[dict] = []
@@ -1126,19 +1130,25 @@ def expire_iceberg_snapshots(
     keep_last: int = 1,
     now_ms: int | None = None,
     store=None,
+    orphan_grace_ms: int = 7 * 24 * 3600 * 1000,
 ) -> int:
     """Iceberg `expire_snapshots` analog for the personality (r13
     review: superseded equality-delete / log-winner data files from
     prior syncs were never cleaned). Publishes a new metadata version
     retaining only the newest `keep_last` snapshots (the current one
-    always survives), then deletes every personality-OWNED object no
-    retained snapshot references: manifest lists, manifests, and the
-    exporter's own `eqdel-*` / `morrow-*` parquet. Engine-owned data
-    files are never candidates — the exporter publishes metadata over
-    them in place, so expiry must not reach them. Every delete flows
-    through the store seam; the metadata commit point is the same
-    `If-None-Match` conditional put the sync uses, so an expire racing
-    a sync fails loudly instead of dropping either's work."""
+    always survives), then sweeps every personality-OWNED object on
+    disk that NO retained snapshot references: manifest lists,
+    manifests, and the exporter's own `eqdel-*` / `morrow-*` parquet.
+    The sweep runs even when nothing expires, so garbage from a
+    crashed pre-commit sync or an expire that died mid-delete is
+    re-collected by the next call (r14 review). An age guard
+    (`orphan_grace_ms`, VACUUM-style) protects objects a concurrent
+    in-flight sync has published but not yet committed. Engine-owned
+    data files are never candidates — the exporter publishes metadata
+    over them in place, so expiry must not reach them. Every delete
+    flows through the store seam; the metadata commit point is the
+    same `If-None-Match` conditional put the sync uses, so an expire
+    racing a sync fails loudly instead of dropping either's work."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     now_ms = int(time.time() * 1000) if now_ms is None else now_ms
@@ -1156,8 +1166,15 @@ def expire_iceberg_snapshots(
     raw = pub.get_bytes(os.path.join(meta_dir, f"v{version}.metadata.json"))
     meta = json.loads(raw)
     snapshots = meta.get("snapshots", [])
+    loc0 = meta.get("location", table.base_path)
     if len(snapshots) <= keep_last:
-        return version  # nothing to expire
+        # nothing to expire from history — still sweep orphans
+        _sweep_iceberg_orphans(
+            table, pub,
+            _iceberg_refs(pub, table.base_path, loc0, snapshots),
+            now_ms, orphan_grace_ms,
+        )
+        return version
     keep = snapshots[-keep_last:]
     current_id = meta.get("current-snapshot-id")
     if current_id not in {s["snapshot-id"] for s in keep}:
@@ -1167,35 +1184,7 @@ def expire_iceberg_snapshots(
     keep_ids = {s["snapshot-id"] for s in keep}
     loc = meta.get("location", table.base_path)
 
-    def _referenced(snaps) -> set[str]:
-        """Relative keys of every metadata/data object the given
-        snapshots reach (manifest lists -> manifests -> owned files)."""
-        out: set[str] = set()
-        for s in snaps:
-            ml = _rebase(s["manifest-list"], loc, table.base_path)
-            out.add(pub.rel(ml))
-            mraw = pub.get_bytes(ml)
-            if mraw is None:
-                continue
-            _, manifests = read_ocf(mraw)
-            for m in manifests:
-                mp = _rebase(m["manifest_path"], loc, table.base_path)
-                out.add(pub.rel(mp))
-                eraw = pub.get_bytes(mp)
-                if eraw is None:
-                    continue
-                _, entries = read_ocf(eraw)
-                for e in entries:
-                    fp = _rebase(
-                        e["data_file"]["file_path"], loc, table.base_path
-                    )
-                    out.add(pub.rel(fp))
-        return out
-
-    kept_refs = _referenced(keep)
-    dead_refs = _referenced(
-        [s for s in snapshots if s["snapshot-id"] not in keep_ids]
-    )
+    kept_refs = _iceberg_refs(pub, table.base_path, loc, keep)
     meta = dict(meta)
     meta["snapshots"] = keep
     meta["snapshot-log"] = [
@@ -1225,23 +1214,73 @@ def expire_iceberg_snapshots(
                  str(new_version))
     # physical removal AFTER the commit point: a crash mid-delete
     # leaves only already-unreferenced garbage, re-collected by the
-    # next expire. Only personality-owned classes are candidates.
-    def _owned(rel_key: str) -> bool:
-        name = rel_key.rsplit("/", 1)[-1]
-        if rel_key.startswith("metadata/") and name.endswith(".avro"):
-            return True
-        return (
-            name.startswith(("eqdel-", "morrow-"))
-            and name.endswith(".parquet")
-        )
-
-    removed = 0
-    for rel_key in sorted(dead_refs - kept_refs):
-        if not _owned(rel_key):
-            continue
-        pub.delete(os.path.join(table.base_path, rel_key))
-        removed += 1
+    # NEXT call's sweep (which keys on on-disk owned objects vs
+    # retained refs, not on the now-forgotten expired snapshots).
+    _sweep_iceberg_orphans(
+        table, pub, kept_refs, now_ms, orphan_grace_ms
+    )
     return new_version
+
+
+def _iceberg_refs(pub: Publisher, base_path: str, loc: str, snaps) -> set[str]:
+    """Relative keys of every metadata/data object the given snapshots
+    reach (manifest lists -> manifests -> listed files)."""
+    out: set[str] = set()
+    for s in snaps:
+        ml = _rebase(s["manifest-list"], loc, base_path)
+        out.add(pub.rel(ml))
+        mraw = pub.get_bytes(ml)
+        if mraw is None:
+            continue
+        _, manifests = read_ocf(mraw)
+        for m in manifests:
+            mp = _rebase(m["manifest_path"], loc, base_path)
+            out.add(pub.rel(mp))
+            eraw = pub.get_bytes(mp)
+            if eraw is None:
+                continue
+            _, entries = read_ocf(eraw)
+            for e in entries:
+                fp = _rebase(
+                    e["data_file"]["file_path"], loc, base_path
+                )
+                out.add(pub.rel(fp))
+    return out
+
+
+def _sweep_iceberg_orphans(
+    table: LakehouseTable,
+    pub: Publisher,
+    kept_refs: set[str],
+    now_ms: int,
+    grace_ms: int,
+) -> int:
+    """Delete personality-owned on-disk objects (metadata avro,
+    eqdel-/morrow- parquet) no retained snapshot references. The age
+    guard skips objects younger than `grace_ms`: an unmentioned young
+    object may belong to a concurrent in-flight sync that published
+    its files but has not yet hit its conditional-put commit point."""
+    removed = 0
+    for dirpath, _dirs, names in os.walk(table.base_path):
+        for fn in names:
+            rel = os.path.relpath(
+                os.path.join(dirpath, fn), table.base_path
+            ).replace(os.sep, "/")
+            name = rel.rsplit("/", 1)[-1]
+            owned = (
+                rel.startswith("metadata/") and name.endswith(".avro")
+            ) or (
+                name.startswith(("eqdel-", "morrow-"))
+                and name.endswith(".parquet")
+            )
+            if not owned or rel in kept_refs:
+                continue
+            mt = pub.mtime_ms(os.path.join(table.base_path, rel))
+            if mt is not None and now_ms - mt < grace_ms:
+                continue
+            pub.delete(os.path.join(table.base_path, rel))
+            removed += 1
+    return removed
 
 
 def iceberg_pruned_files(

@@ -88,6 +88,18 @@ class Publisher:
     def delete(self, abs_path: str) -> None:
         self.store.delete_object(self.rel(abs_path))
 
+    def mtime_ms(self, abs_path: str) -> int | None:
+        """Object age probe (S3 HEAD LastModified, epoch millis) —
+        powers vacuum-style retention guards: a garbage sweep must
+        not delete an object a concurrent in-flight writer published
+        moments ago but has not yet committed. None when absent.
+        (A boto3-backed client normalizes its datetime here.)"""
+        head = self.store.head_object(self.rel(abs_path))
+        if head is None:
+            return None
+        lm = head.get("last_modified")
+        return None if lm is None else int(float(lm) * 1000)
+
     def list_rel(self, abs_dir: str) -> list[str]:
         """Names (final key segments) under a directory-like prefix —
         the writer-internal LIST (S3 list-objects-v2 with

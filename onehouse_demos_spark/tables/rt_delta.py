@@ -129,7 +129,18 @@ def rt_delta(table, part_cols: list[str]):
         # may move a key across partitions)
         *[F.col(f"_oh_base_{c}").alias(c) for c in part_cols],
     )
-    new_rows = j.filter(~F.col(DELETED_COL) & rewritten).select(*cols)
+    # A key held by TWO live base twins (delete + base re-insert, then
+    # a log write) joins the one winner row to BOTH twins — the eqdel
+    # side wants both pairs (both twins must be masked; the reader
+    # distincts delete keys anyway), but the winner must be appended
+    # exactly ONCE per merge identity or the personality serves
+    # duplicates the engine merge never does.
+    ident = [KEY_COL] + (part_cols if match_part else [])
+    new_rows = (
+        j.filter(~F.col(DELETED_COL) & rewritten)
+        .select(*cols)
+        .dropDuplicates(ident)
+    )
     return {
         "eqdel": eqdel,
         "new_rows": new_rows,

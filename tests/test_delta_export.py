@@ -750,10 +750,12 @@ def test_rt_lane_external_duckdb_and_clean_orphans(spark, tmp_base):
     # nothing retained mentions gen1 — clean removes it physically
     import time as _time
 
-    write_delta_checkpoint(
-        t, now_ms=int(_time.time() * 1000) + 8 * 24 * 3600 * 1000
-    )
-    assert clean_delta_log(t) > 0
+    future = int(_time.time() * 1000) + 8 * 24 * 3600 * 1000
+    write_delta_checkpoint(t, now_ms=future)
+    # the orphan sweep's VACUUM-style age guard needs the same future
+    # clock (a just-written rtcow file could belong to an in-flight
+    # sync — r14 review)
+    assert clean_delta_log(t, now_ms=future) > 0
     remaining = _on_disk_rtcow()
     assert not (gen1_disk & remaining)
     assert remaining

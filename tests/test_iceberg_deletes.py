@@ -514,7 +514,12 @@ def test_expire_snapshots_removes_orphaned_delete_generations(
     engine_files = {
         f.path for f in t.manifest.live_files(include_logs=True)
     }
-    v = expire_iceberg_snapshots(t, keep_last=1)
+    import time as _time
+
+    future = int(_time.time() * 1000) + 8 * 24 * 3600 * 1000
+    # future clock: the orphan sweep's age guard otherwise protects
+    # the just-written generation-1 files as possibly-in-flight
+    v = expire_iceberg_snapshots(t, keep_last=1, now_ms=future)
     import json as _json
 
     meta_dir = os.path.join(t.base_path, "metadata")
@@ -536,7 +541,7 @@ def test_expire_snapshots_removes_orphaned_delete_generations(
     for m, _entries in _manifests(t.base_path):
         assert os.path.exists(m["manifest_path"])
     # idempotent: nothing more to expire
-    assert expire_iceberg_snapshots(t, keep_last=1) == v
+    assert expire_iceberg_snapshots(t, keep_last=1, now_ms=future) == v
     # and a post-expire sync keeps working
     t.delete(spark.createDataFrame([("k2",)], "key string"))
     sync_iceberg_metadata(t)
@@ -647,3 +652,34 @@ def test_global_index_update_moves_key_across_partitions(spark, tmp_base):
     )
     assert sorted(rows) == want
     assert ("a", 2, "MSFT", 3.0) in rows and len(rows) == 2
+
+
+def test_twin_base_rows_with_log_winner_export_once(spark, tmp_base):
+    """r14 review finding: a key held by TWO live base twins (log
+    delete + base re-insert) whose CURRENT winner is log-borne joined
+    the winner to both twins — the appended data file carried it
+    twice and the personality served duplicates. The winner must
+    export exactly once per merge identity."""
+    t = _mk(spark, tmp_base)
+    sync_iceberg_metadata(t)
+    t.delete(spark.createDataFrame([("k0",)], "key string"))
+    t.insert(spark.createDataFrame([("k0", 3, "MSFT", 777.0)], DDL))
+    t.upsert(spark.createDataFrame([("k0", 4, "MSFT", 888.0)], DDL))
+    sync_iceberg_metadata(t)
+    rows = [
+        (r.key, r.ver, r.px)
+        for r in read_iceberg_snapshot(spark, t.base_path)
+        .select("key", "ver", "px")
+        .collect()
+        if r.key == "k0"
+    ]
+    assert rows == [("k0", 4, 888.0)], rows
+    assert sorted(
+        (r.key, r.ver, r.px)
+        for r in read_iceberg_snapshot(spark, t.base_path)
+        .select("key", "ver", "px")
+        .collect()
+    ) == sorted(
+        (r.key, r.ver, r.px)
+        for r in t.snapshot().select("key", "ver", "px").collect()
+    )

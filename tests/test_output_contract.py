@@ -458,3 +458,25 @@ def test_windowed_queries_are_nonvacuous_at_smallest_sf(con):
         if n == 0:
             bad.append(name)
     assert not bad, f"vacuous driver rows at {SF_DIR}: {bad}"
+
+
+def test_fsum_int_wide_null_sum_matches_duckdb(spark, con):
+    """r14 review finding: the wide-path overflow guard raised
+    assert_true(NULL) on an empty/all-NULL input while DuckDB's
+    CAST(NULL AS BIGINT) returns NULL — the exact engine-divergence
+    class the guard exists to kill. Both engines must return NULL."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark.functions.quantize import (
+        fsum_int,
+        fsum_int_sql,
+    )
+
+    empty = spark.createDataFrame([], "x double")
+    row = empty.agg(fsum_int(F.col("x"), 4, wide=True).alias("s")).first()
+    assert row.s is None
+    duck = con.execute(
+        f"SELECT {fsum_int_sql('x', 4, wide=True)} AS s "
+        "FROM (SELECT 1.0 AS x WHERE FALSE)"
+    ).fetchone()[0]
+    assert duck is None
