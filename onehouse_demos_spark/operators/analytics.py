@@ -713,27 +713,46 @@ def sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     supplier = load(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.lit(_Q21_CUTOFF)
-    # ONE lineitem scan: pre-aggregate to one row per (order, supplier)
-    # carrying the late-LINE count (the textbook l1 scan counts each
-    # qualifying late line — a supplier with two late lines in one
-    # order contributes two waits). The per-order flags derive from
-    # this same aggregate, so the fact table is scanned and shuffled
-    # exactly once; the old shape re-scanned lineitem for the blocking
-    # side. Avoids COUNT(DISTINCT)'s Expand 2× row duplication too.
-    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(late, 1).otherwise(0)).alias("n_late_lines")
+    # ONE lineitem scan, physically (r14): the r13 shape built
+    # `per_supp` once logically but referenced it from two branches
+    # (the per-order flags joined back to it), and Spark has no
+    # DataFrame-level CTE reuse — the physical plan scanned and
+    # pre-aggregated lineitem TWICE (plans/r14/sole_late_supplier_
+    # before.txt: two parquet scans, four exchanges). The per-order
+    # flags are windows over the same (order, supplier) aggregate, so
+    # compute them as windows: repartition the 3 projected columns by
+    # l_orderkey ONCE — the groupBy(l_orderkey, l_suppkey) and the
+    # l_orderkey-partitioned windows both reuse that partitioning
+    # (guide §2.4 "two operations keyed the same way share one
+    # exchange") — then filter and broadcast-join as before. Measured
+    # (interleaved A/B, sf0.1): 2.05 s → 1.33 s loaded box; bench min
+    # 3.07 s → see OPTIMIZATION_r14.md. One scan, one data shuffle.
+    per_supp = (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(late, 1).otherwise(0).alias("_late_line"),
+        )
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("_late_line").alias("n_late_lines"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.least(F.col("n_late_lines"), F.lit(1))).alias("n_late_supp"),
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_supp.select(
+        "l_orderkey",
+        "l_suppkey",
+        "n_late_lines",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum(F.least(F.col("n_late_lines"), F.lit(1))).over(w).alias(
+            "n_late_supp"
+        ),
     )
     finished = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
-    blocking = (
-        per_supp.filter(F.col("n_late_lines") > 0)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
-    )
+    blocking = flagged.filter(
+        (F.col("n_late_lines") > 0)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
+    ).join(finished, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
         blocking.join(F.broadcast(supplier),
                       F.col("l_suppkey") == F.col("s_suppkey"))
@@ -921,11 +940,21 @@ GROUP BY ranked.event_type
 def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_events(spark, sf_dir)
     hour = F.date_trunc("hour", F.col("ts"))
-    # Orderable composite tiebreak key (ts, event_id) as a zero-padded
-    # string — both engines' arg_min/min_by accept it, and it makes
-    # open/close deterministic under same-timestamp events.
-    okey = F.format_string(
-        "%020d-%020d", F.unix_micros("ts"), F.col("event_id")
+    # Orderable composite tiebreak key (ts, event_id) packed into ONE
+    # DECIMAL(38,0): unix_micros × 10^20 + event_id. Identical total
+    # order to the r13 zero-padded "%020d-%020d" string (both operands
+    # are non-negative, event_id < 10^20 always as a BIGINT, and
+    # micros × 10^20 ≤ ~1.8e35 < 10^38 so the packing is exact) — but
+    # a fixed-width DECIMAL aggregation buffer is UnsafeRow-mutable
+    # where a STRING buffer is not, so min_by/max_by plan as a
+    # HashAggregate instead of Sort+SortAggregate on both sides of the
+    # exchange (guide §2.4/§7.2; plans/r14/events_ohlc_bars_*.txt:
+    # 2 Sort + 2 SortAggregate → 2 HashAggregate), and the two per-row
+    # format_string calls disappear. Measured interleaved A/B sf0.1:
+    # 0.84 s → 0.68 s. Same open/close under same-timestamp events.
+    okey = F.expr(
+        "CAST(unix_micros(ts) AS DECIMAL(18,0)) * 100000000000000000000BD"
+        " + CAST(event_id AS DECIMAL(20,0))"
     )
     # engine-proof contract (VERDICT r11 #2): OHLC points are raw
     # parquet-double ELEMENTS floor-quantized to BIGINT e4 units —

@@ -37,11 +37,17 @@ def load_docs(
     partition. For hash-heavy operators (shingling, minhash, simhash)
     pass fan_out=True: the tiny repartition shuffle (MBs) buys a
     full-width map stage. Cheap one-pass operators skip it — the
-    shuffle would cost more than it saves. (At 100 TB the scan has
-    thousands of splits and fan_out becomes a near-no-op.)"""
+    shuffle would cost more than it saves. (r14: the repartition is now
+    ADAPTIVE — it fires only when the planned scan parallelism is below
+    the cluster default, so at 100 TB, where the scan has thousands of
+    splits, it is a true no-op instead of a full-corpus shuffle.)"""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if fan_out:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        from onehouse_demos_spark.operators.relational import (
+            fan_out as _fan_out,
+        )
+
+        df = _fan_out(df)
     return df
 
 

@@ -43,6 +43,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a low-parallelism scan across the cluster (guide §2.5
+    "input skew: one huge unsplittable file → repartition immediately
+    after the read"): the sf parquet inputs are single-row-group files,
+    so a scan — and everything whole-stage codegen fuses into it —
+    otherwise runs as ONE task. Adaptive, not unconditional: the
+    repartition fires only when the planned scan parallelism is below
+    the cluster default, so at 100 TB (thousands of splits) this is a
+    true no-op, not a full-table shuffle. Only worth it where per-row
+    CPU dwarfs the row's shuffle bytes (tokenizing, hashing, vector
+    math) — measured per call site, see OPTIMIZATION_r14.md."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
+def _ts_unit_from_footer(path: str) -> str | None:
+    """Declared parquet logical-type unit of the `ts` column
+    ('ns' | 'us' | 'ms'), or None when the column is a plain
+    (unannotated) int64 or the footer cannot be read (directory
+    datasets, permissions) — callers then fall back to the data probe.
+    Driver-side metadata-only read: no Spark job."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(path).schema_arrow.field("ts").type
+        if pa.types.is_timestamp(t):
+            return t.unit
+    except Exception:
+        return None
+    return None
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalize the events table's `ts` to a µs TimestampType column
     regardless of how the generator wrote it. Seen in the wild:
@@ -54,18 +90,32 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes)["ts"]
     if ts_type == "bigint":
-        # Separate all three epoch scales (2026-era magnitudes:
-        # nanos ~1.8e18, micros ~1.8e15, millis ~1.8e12). Thresholds
-        # sit 2-3 orders of magnitude below each scale so any date
-        # between 1973 and ~5000 classifies correctly.
-        row = ev.select(F.max(F.abs("ts")).alias("m")).first()
-        m = row.m or 0
-        if m > 10**17:  # nanoseconds
-            expr = "ts div 1000"
-        elif m > 10**14:  # already microseconds
-            expr = "ts"
-        else:  # milliseconds
-            expr = "ts * 1000"
+        # r14: the bigint case previously ran a full max(abs(ts)) SCAN
+        # JOB (plus a collect) on EVERY load_events call — a hidden
+        # extra pass paid by all eight event queries. When the parquet
+        # footer ANNOTATES the column (TIMESTAMP(NANOS) is exactly the
+        # case nanosAsLong turns into bigint), the declared unit is
+        # authoritative — it is what DuckDB's reader uses — so a
+        # driver-side footer read (same pyarrow pattern as the stats
+        # harvester) replaces the scan job. Plain unannotated int64
+        # still uses the magnitude probe below.
+        unit = _ts_unit_from_footer(f"{sf_dir}/events.parquet")
+        if unit in ("ns", "us", "ms"):
+            expr = {"ns": "ts div 1000", "us": "ts",
+                    "ms": "ts * 1000"}[unit]
+        else:
+            # Separate all three epoch scales (2026-era magnitudes:
+            # nanos ~1.8e18, micros ~1.8e15, millis ~1.8e12). Thresholds
+            # sit 2-3 orders of magnitude below each scale so any date
+            # between 1973 and ~5000 classifies correctly.
+            row = ev.select(F.max(F.abs("ts")).alias("m")).first()
+            m = row.m or 0
+            if m > 10**17:  # nanoseconds
+                expr = "ts div 1000"
+            elif m > 10**14:  # already microseconds
+                expr = "ts"
+            else:  # milliseconds
+                expr = "ts * 1000"
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr(expr)))
     elif ts_type != "timestamp":
         ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))

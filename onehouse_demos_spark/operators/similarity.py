@@ -56,12 +56,18 @@ def cosine(a, b) -> Column:
 # --------------------------------------------------------------------------
 
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14: adaptive fan-out for the probe side — the cosine HOF over
+    # 256-dim arrays is pure per-row CPU on a single-row-group scan
+    # (one task otherwise). Measured A/B sf0.1: 0.58 s → 0.50 s. The
+    # tiny 1-row query side stays unfanned.
+    from onehouse_demos_spark.operators.relational import fan_out
+
     emb = load_emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         _as_double(F.col("embedding")).alias("qvec")
     )
     return (
-        emb.filter(F.col("vec_id") != 0)
+        fan_out(emb.filter(F.col("vec_id") != 0))
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onehouse_demos_spark.functions.quantize import fquant
+from onehouse_demos_spark.operators.relational import fan_out
 
 from onehouse_demos_spark.functions.text import (
     LANG_MARKERS,
@@ -30,7 +31,10 @@ def load_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_docs(spark, sf_dir)
+    # r14: adaptive fan-out — this is a pure regex/HOF map stage over a
+    # single-row-group scan (one task otherwise); the ~0.5 MB shuffle
+    # buys a full-width stage. Measured A/B sf0.1: 0.95 s → 0.64 s.
+    docs = fan_out(load_docs(spark, sf_dir))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -715,54 +719,82 @@ _BM25_TOPK = 20
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 restructure (guide §2.4, measured): the r13 shape derived dl,
+    # tf, df and the corpus constants as four separate branches over
+    # the exploded token stream — with no DataFrame CTE reuse that
+    # physically scanned + re-tokenized `documents` FOUR times
+    # (plans/r14/bm25_topk_before.txt: 4 parquet scans, 4 Generates,
+    # ~10 exchanges). The query term set is a compile-time constant, so
+    # every per-doc statistic folds into ONE zero-shuffle projection
+    # over the split array (dl + one tf column per term via
+    # size/filter higher-order functions), and the corpus-level
+    # aggregates (N, avgdl, per-term df) reduce the tiny per-doc frame.
+    # That frame (one row per doc, 6 ints) is persisted for its three
+    # uses — the same per-doc-signature persist pattern the LSH
+    # operator uses; at 100 TB it is #docs-sized, MEMORY_AND_DISK by
+    # Spark default. Per-doc scoring is then a pure expression over
+    # tf0..tf3 with the two 1-row aggregates broadcast. Summation
+    # order of the ≤4 contributions is fixed (term order) where the
+    # r13 hash-aggregate summed in partition order — both land on the
+    # same ROUND(x, 6) DECIMAL result (oracle-verified at all three
+    # SFs). Measured interleaved A/B sf0.1: 2.18 s → 1.67 s (loaded
+    # box); plan: 4 scans → 1 scan, zero Generate, zero data-sized
+    # shuffle. The explode+filter map-side shape the r13 comment
+    # argued for still holds at 100 TB — this keeps its scaling
+    # property (everything before the per-doc frame is a map stage)
+    # while touching the corpus once.
     docs = load_docs(spark, sf_dir)
-    toks = docs.select(
+    arr = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    per_doc = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
-    # Per-doc length (all tokens) — one partial-aggregated shuffle.
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    # Term frequency restricted to the query terms — the filter runs
-    # map-side, so only matching (doc, term) pairs shuffle.
-    tf = (
-        toks.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # Corpus constants: N, avgdl, and per-term document frequency.
-    consts = dl.agg(
+        F.size(F.filter(arr, lambda x: x != "")).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(arr, (lambda term: lambda x: x == term)(t)))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).filter(F.col("dl") > 0)
+    per_doc = per_doc.persist()
+    consts = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_t), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(consts))
-        .withColumn(
-            "idf",
-            F.log(
-                1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
+    df_t = per_doc.agg(*[
+        F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+        for i in range(len(_BM25_TERMS))
+    ])
+    j = per_doc.crossJoin(F.broadcast(consts)).crossJoin(F.broadcast(df_t))
+    contribs = []
+    hits = []
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
         )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * (_BM25_K1 + 1))
+        c = (
+            idf
+            * (tf * (_BM25_K1 + 1))
             / (
-                F.col("tf")
+                tf
                 + _BM25_K1
                 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-            ),
+            )
         )
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("contrib"), 6)
-            .cast("decimal(18,6)")
-            .alias("bm25_score"),
-            F.count(F.lit(1)).alias("n_terms_hit"),
-        )
-    )
+        contribs.append(F.when(tf > 0, c).otherwise(F.lit(0.0)))
+        hits.append(F.when(tf > 0, 1).otherwise(0))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    nhit = hits[0]
+    for h in hits[1:]:
+        nhit = nhit + h
+    scored = j.select(
+        "doc_id",
+        F.round(total, 6).cast("decimal(18,6)").alias("bm25_score"),
+        nhit.cast("long").alias("n_terms_hit"),
+    ).filter(F.col("n_terms_hit") > 0)
     return scored.orderBy(
         F.desc("bm25_score"), F.asc("doc_id")
     ).limit(_BM25_TOPK)
