@@ -181,6 +181,10 @@ def _footer_col_stats(pf) -> dict:
     return out
 
 
+#: r14 measurement toggle for the write-path workload persist.
+_WRITE_PERSIST = True
+
+
 def _harvest_one(abs_path: str, base_path: str, kind: str) -> FileMeta:
     """Footer-only stats for one written file. Module-level (and free of
     any session state) so it ships to executors — a commit writing
@@ -898,6 +902,7 @@ class LakehouseTable:
         out_dir = os.path.join(self.base_path, rel_dir)
         pp = self._partition_path_expr()
         writer = df
+        persisted = None
         if pp is not None:
             writer = writer.withColumn(PP_COL, F.coalesce(pp, F.lit(HIVE_DEFAULT_PARTITION)))
         bucketed = (
@@ -952,6 +957,20 @@ class LakehouseTable:
             sort_cols = [c for c in (PP_COL if pp is not None else None, KEY_COL)
                          if c is not None and c in writer.columns]
             if sort_cols:
+                # r14: persist the merge result for the duration of the
+                # write — repartitionByRange runs a range-boundary
+                # SAMPLING job over its input before the write job, so
+                # an unpersisted merge plan (carried files + anti-join +
+                # union on the upsert/delete path) executed TWICE per
+                # commit. The frame is write-amplification-bounded
+                # (rewritten files + batch, ~approx_rows), the same
+                # frame Hudi caches as its write workload
+                # (MEMORY_AND_DISK: spills rather than OOMs at scale).
+                # Unpersisted in the finally below once the files and
+                # their footer stats are on disk.
+                if _WRITE_PERSIST:
+                    writer = writer.persist()
+                    persisted = writer
                 writer = writer.repartitionByRange(
                     n, *[F.col(c) for c in sort_cols]
                 ).sortWithinPartitions(*sort_cols)
@@ -969,12 +988,16 @@ class LakehouseTable:
         part_by = [c for c in (PP_COL if pp is not None else None,) if c]
         if bucketed:
             part_by.append(BUCKET_COL)
-        if part_by:
-            writer.write.partitionBy(*part_by).parquet(
-                out_dir, mode="errorifexists"
-            )
-        else:
-            writer.write.parquet(out_dir, mode="errorifexists")
+        try:
+            if part_by:
+                writer.write.partitionBy(*part_by).parquet(
+                    out_dir, mode="errorifexists"
+                )
+            else:
+                writer.write.parquet(out_dir, mode="errorifexists")
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         return self._harvest_stats(out_dir, rel_dir, kind)
 
     #: Below this many files the driver reads footers inline (a Spark
