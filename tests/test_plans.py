@@ -743,3 +743,45 @@ def test_r14_window_entrants_plan_shapes(spark):
 
     txt = explain_str(multimodal_metadata(spark, SF_DIR))
     assert "Exchange" not in txt, txt[:800]
+
+
+def test_r14_optimized_plan_shapes(spark):
+    """r14 optimization-round pins (OPTIMIZATION_r14.md): the measured
+    plan-shape wins must not silently regress.
+
+    - sole_late_supplier scans lineitem ONCE (the r13 shape physically
+      scanned and pre-aggregated it twice because per_supp fed two
+      branches); the per-order flags are windows over the same
+      l_orderkey partitioning.
+    - bm25_topk touches documents in ONE scan with ZERO Generate
+      (explode) nodes — every per-doc stat folds into the split-array
+      projection; corpus stats reduce the tiny persisted per-doc frame.
+    - events_ohlc_bars aggregates with HashAggregate (the DECIMAL-
+      packed min_by/max_by ordering key keeps the buffer mutable);
+      a STRING ordering key would silently fall back to
+      Sort+SortAggregate.
+    """
+    import re
+
+    from onehouse_demos_spark.operators.analytics import (
+        events_ohlc_bars,
+        sole_late_supplier,
+    )
+    from onehouse_demos_spark.operators.text import bm25_topk
+    from onehouse_demos_spark.plans import explain_str
+
+    txt = explain_str(sole_late_supplier(spark, SF_DIR))
+    li_scans = [
+        m
+        for m in re.finditer(r"Location: [^\n]*lineitem", txt)
+    ]
+    assert len(li_scans) == 1, (len(li_scans), txt[:1200])
+
+    txt = explain_str(bm25_topk(spark, SF_DIR))
+    doc_scans = [m for m in re.finditer(r"Location: [^\n]*documents", txt)]
+    assert len(doc_scans) == 1, (len(doc_scans), txt[:1200])
+    assert "Generate" not in txt, txt[:1200]
+
+    txt = explain_str(events_ohlc_bars(spark, SF_DIR))
+    assert "SortAggregate" not in txt, txt[:1200]
+    assert "HashAggregate" in txt, txt[:1200]

@@ -279,3 +279,31 @@ def test_stats_harvest_executor_path(spark, tmp_base):
     assert all(f.key_min is not None and f.key_max is not None
                for f in inst.adds if f.rows > 0)
     assert t.snapshot().count() == 5000
+
+
+def test_write_path_persist_released(spark, tmp_base):
+    """r14: _write_files persists the merge result across the
+    repartitionByRange sampling + write jobs (one compute instead of
+    two); the persist must be RELEASED once the commit's files are on
+    disk — a leaked cache would accumulate table-sized blocks across
+    commits."""
+    from pyspark.sql import functions as F
+
+    from onehouse_demos_spark import LakehouseTable, TableConfig
+
+    t = LakehouseTable.create(
+        spark,
+        f"{tmp_base}/t",
+        TableConfig(name="persist_t", record_key=["id"], precombine="ver"),
+    )
+    df = spark.range(0, 1000).select(
+        F.col("id"), F.lit(1).alias("ver"), F.col("id").alias("v")
+    )
+    t.insert(df)
+    t.upsert(df.withColumn("ver", F.lit(2)).withColumn("v", F.col("v") + 1))
+    t.delete(spark.range(0, 10).select("id"))
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0, (
+        "write-path persist leaked across commits"
+    )
+    assert t.snapshot().count() == 990
