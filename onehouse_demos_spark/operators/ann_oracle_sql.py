@@ -20,9 +20,35 @@ final cosine rounds to 4 decimals like every other similarity oracle.
 The SQL is generated (a Lloyd round is a CTE template applied `iters`
 times) — that keeps the Spark implementation and the oracle pinned to
 the same hyperparameters by construction.
+
+Every CTE is declared ``AS MATERIALIZED`` (r14 optimization): DuckDB
+inlines plain CTEs at each reference site, and round ``i``'s centroid
+CTE references round ``i-1``'s twice (assignment join + empty-cell
+carry), so an `iters`-round chain re-derived the whole training
+lineage O(2^iters) times — `ann_index_search` spent ~150 s at sf0.01
+in the correctness sweep. Materialization evaluates each round once
+and is result-identical by construction (same rows, same rounding
+discipline; proven by exact old-vs-new comparison at sf0.001/0.01/0.1
+— see OPTIMIZATION_r14.md): 28 s → 0.6 s at sf0.01 for the search
+oracle, 33 s → 0.4 s for the incremental one.
 """
 
 from __future__ import annotations
+
+import re
+
+#: Every CTE definition in these oracles opens at column 0 as
+#: ``name AS (`` (the templates guarantee it); column aliases and
+#: UNNEST bindings never do. One multiline pass rewrites each to
+#: ``AS MATERIALIZED`` — applied to the final assembled SQL so every
+#: template stays readable and no site can be missed.
+_CTE_DEF = re.compile(
+    r"^((?:WITH\s+)?[A-Za-z_]\w*\s+)AS \(", re.MULTILINE
+)
+
+
+def _materialize(sql: str) -> str:
+    return _CTE_DEF.sub(r"\1AS MATERIALIZED (", sql)
 
 _COS = (
     "ROUND(list_dot_product({v}, {q}) / "
@@ -108,7 +134,7 @@ def knn_ivf_trained_sql(
     """Mirror of similarity.knn_ivf_trained: train the coarse
     quantizer, assign the corpus, probe the query's `nprobe` nearest
     cells, exact cosine inside them."""
-    return f"""
+    return _materialize(f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -127,7 +153,7 @@ FROM assigned a JOIN e ON e.vec_id = a.id, q
 WHERE a.cid IN (SELECT cid FROM probe) AND a.id <> 0
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT {top_k}
-"""
+""")
 
 
 def pq_adc_topk_sql(
@@ -140,7 +166,7 @@ def pq_adc_topk_sql(
     """Mirror of similarity.pq_adc_topk: per-subspace codebooks over
     the full vectors, ADC scoring of every code array against the
     query's LUT, shortlist by (adc, vec_id), exact cosine re-rank."""
-    return f"""
+    return _materialize(f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
@@ -168,7 +194,7 @@ SELECT e.vec_id, {_COS.format(v="e.v", q="q.v")} AS cos_sim
 FROM e JOIN short ON short.vec_id = e.vec_id, q
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT {top_k}
-"""
+""")
 
 
 def ann_index_search_sql(
@@ -217,7 +243,7 @@ resid AS (
     if train_pred is not None:
         sql_head += f"""
 rsub_train AS (SELECT * FROM rsub WHERE {train_pred}),"""
-    return sql_head + f"""
+    return _materialize(sql_head + f"""
 {_kmeans_ctes("rb", rsub_train, k_pq, iters)},
 {_assign_cte("rcodes", "rsub", f"rb_c{iters}")},
 q AS (SELECT v FROM e WHERE vec_id = 0),
@@ -258,4 +284,4 @@ SELECT e.vec_id, {_COS.format(v="e.v", q="q.v")} AS cos_sim
 FROM e JOIN short ON short.vec_id = e.vec_id, q
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT {top_k}
-"""
+""")
