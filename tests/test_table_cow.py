@@ -286,11 +286,23 @@ def test_write_path_persist_released(spark, tmp_base):
     repartitionByRange sampling + write jobs (one compute instead of
     two); the persist must be RELEASED once the commit's files are on
     disk — a leaked cache would accumulate table-sized blocks across
-    commits."""
+    commits. The session is shared across the whole test run and other
+    suites legitimately hold long-lived persists (e.g. operator
+    signature frames), so assert on NEW cache entries relative to a
+    pre-write snapshot, not on the global count."""
     from pyspark.sql import functions as F
 
     from onehouse_demos_spark import LakehouseTable, TableConfig
 
+    def persistent_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        return {
+            it.next()._1()
+            for it in [jmap.iterator()]
+            for _ in range(jmap.size())
+        }
+
+    before = persistent_ids()
     t = LakehouseTable.create(
         spark,
         f"{tmp_base}/t",
@@ -302,8 +314,8 @@ def test_write_path_persist_released(spark, tmp_base):
     t.insert(df)
     t.upsert(df.withColumn("ver", F.lit(2)).withColumn("v", F.col("v") + 1))
     t.delete(spark.range(0, 10).select("id"))
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0, (
-        "write-path persist leaked across commits"
+    leaked = persistent_ids() - before
+    assert not leaked, (
+        f"write-path persist leaked across commits: RDD ids {leaked}"
     )
     assert t.snapshot().count() == 990
