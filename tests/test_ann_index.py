@@ -185,3 +185,33 @@ def test_add_batch_empty_is_noop(spark, tmp_base):
     n0 = idx.meta["n_vectors"]
     assert idx.add_batch(emb.filter(F.lit(False))) == 0
     assert AnnIndex.load(spark, tmp_base + "/noop").meta["n_vectors"] == n0
+
+
+def test_ann_oracle_ctes_all_materialized():
+    """r14: every CTE in the generated k-means oracles must be AS
+    MATERIALIZED — DuckDB inlines plain CTEs at each reference site,
+    and the Lloyd-round chain references each round's centroid CTE
+    twice, so one unmaterialized definition regresses the oracle to
+    O(2^iters) re-evaluation (ann_index_search: 28 s vs 0.6 s at
+    sf0.01). No Spark session needed: this checks the SQL text."""
+    import re
+
+    from onehouse_demos_spark.operators.ann_oracle_sql import (
+        ann_index_search_sql,
+        knn_ivf_trained_sql,
+        pq_adc_topk_sql,
+    )
+
+    plain_cte = re.compile(
+        r"^(?:WITH\s+)?[A-Za-z_]\w*\s+AS \(", re.MULTILINE
+    )
+    for sql in (
+        knn_ivf_trained_sql(),
+        pq_adc_topk_sql(),
+        ann_index_search_sql(),
+        ann_index_search_sql(train_pred="id % 2 = 0"),
+    ):
+        assert not plain_cte.findall(sql), (
+            "unmaterialized CTE definition in ANN oracle SQL"
+        )
+        assert "AS MATERIALIZED (" in sql
