@@ -111,9 +111,13 @@ class AnnIndex:
                 m=m,
                 k=k_pq,
                 iters=iters,
+                dims=dims,
             )
             codes = (
-                _pq_assign(_subvec_frame(resid.select("vec_id", "v"), m), books)
+                _pq_assign(
+                    _subvec_frame(resid.select("vec_id", "v"), m, dims=dims),
+                    books,
+                )
                 .groupBy("vec_id")
                 .agg(
                     F.array_sort(
@@ -196,7 +200,11 @@ class AnnIndex:
             )
             codes = (
                 _pq_assign(
-                    _subvec_frame(resid.select("vec_id", "v"), self.meta["m"]),
+                    _subvec_frame(
+                        resid.select("vec_id", "v"),
+                        self.meta["m"],
+                        dims=self.meta["dims"],
+                    ),
                     self.codebooks,
                 )
                 .groupBy("vec_id")

@@ -479,20 +479,26 @@ def train_ivf_centroids(
         # inputs to the next round instead of compounding last-ulp
         # summation-order drift. Quality impact is nil (1e-6 abs on
         # O(1) components).
+        # r14: collect the k×dims (cid, pos, m) scalars directly and
+        # assemble per-cid arrays on the driver — posexplode emits the
+        # full dense 0..dims-1 position range for every assigned
+        # vector, so this is exactly the second-level
+        # array_sort(collect_list(struct(pos, m))) groupBy it replaces,
+        # minus one shuffle + one AQE stage per Lloyd round.
         rows = (
             comps.groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
-            )
-            .select("cid", F.transform("pm", lambda s: s["m"]).alias("c"))
             .collect()
         )
-        new = dict((r.cid, list(r.c)) for r in rows)
-        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(r.cid, {})[r.pos] = r.m
+        centroids = [
+            [by_cid[i][p] for p in range(len(by_cid[i]))]
+            if i in by_cid
+            else centroids[i]
+            for i in range(len(centroids))
+        ]
     return centroids
 
 
@@ -508,7 +514,16 @@ def _assign_to_centroids(
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the tiny centroid table,
     score per row (map stage), keep the argmin via one window-free
-    groupBy on vec_id? — no: min_by keeps it a single aggregation."""
+    groupBy on vec_id? — no: min_by keeps it a single aggregation.
+
+    r14 measured note: a literal-inlined variant (centroids compiled
+    into the expression tree, array_min over (d, cid) structs — no
+    join, no argmin stage) was built and interleave-A/B'd at sf0.01:
+    isolated assignment med 0.87 s vs 0.78 s for this join path, full
+    ann_index_search min 10.5 vs 9.8 s — the broadcast+min_by stages
+    are NOT the per-round bottleneck (per-job fixed costs dominate at
+    tiny data, and unique-literal plans defeat the codegen cache that
+    this value-independent plan hits every round). Kept as-is."""
     cdf = _centroid_df(vecs, centroids)
     # Euclidean distance, rounded to 6 decimals before the argmin:
     # the 6-decimal grid (with the cid tie-break below) makes the
@@ -613,10 +628,12 @@ _PQ_M = 8
 _PQ_K = 16
 
 
-def _subvec_frame(vecs: DataFrame, m: int) -> DataFrame:
+def _subvec_frame(vecs: DataFrame, m: int, dims: int | None = None) -> DataFrame:
     """(vec_id, v) → (vec_id, sub, sv): M subvectors per vector, built
-    with slice+explode in one map stage (no shuffle)."""
-    d = len(vecs.select("v").first().v)  # one-row dims probe
+    with slice+explode in one map stage (no shuffle). Pass `dims` when
+    the caller already knows it (index meta, an earlier probe) to skip
+    the one-row probe JOB this otherwise runs (r14)."""
+    d = dims if dims is not None else len(vecs.select("v").first().v)
     sd = d // m
     subs = F.array(*[
         F.struct(
@@ -642,7 +659,8 @@ def _pq_codebook_df(spark: SparkSession, codebooks):
 def _pq_assign(subvecs: DataFrame, codebooks) -> DataFrame:
     """Nearest-codeword per (vec_id, sub): broadcast the M×K codebook,
     score map-side, min_by aggregation — mirrors _assign_to_centroids
-    but keyed by subspace."""
+    but keyed by subspace (and shares its r14 measured note: the
+    literal-inlined variant was A/B'd and rejected)."""
     cb = _pq_codebook_df(subvecs.sparkSession, codebooks)
     # rounded-distance grid + cid tie-break: engine-independent
     # codeword choice (see _assign_to_centroids)
@@ -668,13 +686,18 @@ def _pq_assign(subvecs: DataFrame, codebooks) -> DataFrame:
 
 
 def train_pq_codebooks(
-    emb: DataFrame, m: int = _PQ_M, k: int = _PQ_K, iters: int = 4
+    emb: DataFrame,
+    m: int = _PQ_M,
+    k: int = _PQ_K,
+    iters: int = 4,
+    dims: int | None = None,
 ) -> list[list[list[float]]]:
     """Train all M subspace codebooks in parallel (one job per Lloyd
     round covers every subspace). Deterministic seeding: per subspace,
-    the K subvectors with the lowest md5(vec_id)."""
+    the K subvectors with the lowest md5(vec_id). `dims`, when known
+    by the caller, skips the one-row dims probe job (r14)."""
     vecs = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    subvecs = _subvec_frame(vecs, m).persist()
+    subvecs = _subvec_frame(vecs, m, dims=dims).persist()
     try:
         from pyspark.sql import Window
 
@@ -694,26 +717,28 @@ def train_pq_codebooks(
             books[r.sub][r.cid] = list(r.sv)
         for _ in range(iters):
             assigned = _pq_assign(subvecs, books)
+            # r14: collect the M×K×(D/M) (sub, cid, pos, mu) scalars
+            # directly and assemble per-codeword arrays on the driver —
+            # same dense-position argument as train_ivf_centroids,
+            # minus one shuffle + one AQE stage per Lloyd round.
             rows = (
                 assigned.select(
                     "sub", "cid", F.posexplode("sv").alias("pos", "x")
                 )
                 .groupBy("sub", "cid", "pos")
                 .agg(F.round(F.avg("x"), 6).alias("mu"))
-                .groupBy("sub", "cid")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "mu"))
-                    ).alias("pm")
-                )
-                .select(
-                    "sub", "cid", F.transform("pm", lambda s: s["mu"]).alias("c")
-                )
                 .collect()
             )
-            fresh = {(r.sub, r.cid): list(r.c) for r in rows}
+            fresh: dict[tuple[int, int], dict[int, float]] = {}
+            for r in rows:
+                fresh.setdefault((r.sub, r.cid), {})[r.pos] = r.mu
             books = [
-                [fresh.get((s, c), books[s][c]) for c in range(k)]
+                [
+                    [fresh[(s, c)][p] for p in range(len(fresh[(s, c)]))]
+                    if (s, c) in fresh
+                    else books[s][c]
+                    for c in range(k)
+                ]
                 for s in range(m)
             ]
         return books
