@@ -259,6 +259,19 @@ def main() -> int:
                     round(value_min / pooled, 2) if pooled else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # r15 (VERDICT r14 ask #2, additions only): make the
+                # core-count contract legible to the driver. This box's
+                # sf inputs are single-row-group parquet files, so scan
+                # stages run as ONE task at any core count and low/high
+                # core ratios read flat — these fields let the driver
+                # distinguish "contract honored but workload saturated"
+                # from "env var ignored".
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
             }
         )
     )

@@ -854,6 +854,16 @@ _PPL_TOPK = 25
 
 
 def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r15 measured REJECTION (VERDICT r14 ask #4): fan_out on the
+    # tokenize/explode stages — the text_stats/knn §2.5 rule — LOSES
+    # here (interleaved A/B sf0.1: old min 1.148 s vs fan_out 1.535 s,
+    # −34%). Unlike text_stats (pure map, no shuffle), every explode
+    # branch of this plan feeds an aggregation exchange, and the
+    # single-task scan's map-side partial agg (≈5M exploded tokens →
+    # vocab-sized partials BEFORE the shuffle) is worth more than
+    # 32-wide explode parallelism; fan_out also shuffles the raw text
+    # per branch. Same verdict as r14's persist-restructure (−89%):
+    # this query is at its floor.
     docs = load_docs(spark, sf_dir)
     toks = docs.select(
         "doc_id",

@@ -28,8 +28,11 @@ def main() -> int:
     import onehouse_demos_spark.operators as ops
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(
