@@ -952,6 +952,12 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2 Sort + 2 SortAggregate → 2 HashAggregate), and the two per-row
     # format_string calls disappear. Measured interleaved A/B sf0.1:
     # 0.84 s → 0.68 s. Same open/close under same-timestamp events.
+    # Bound (ADVICE r14): DECIMAL(18,0) holds unix_micros < 1e18, i.e.
+    # timestamps before year ~33658 — strictly wider than the
+    # 1973–5000 window load_events' unit classification admits, so the
+    # cast cannot overflow for any ts that survives loading; 1e18 - 1
+    # micros × 10^20 + event_id also stays under the DECIMAL(38,0)
+    # product headroom claimed above.
     okey = F.expr(
         "CAST(unix_micros(ts) AS DECIMAL(18,0)) * 100000000000000000000BD"
         " + CAST(event_id AS DECIMAL(20,0))"

@@ -99,6 +99,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # driver-side footer read (same pyarrow pattern as the stats
         # harvester) replaces the scan job. Plain unannotated int64
         # still uses the magnitude probe below.
+        # Known trade-off (ADVICE r14, accepted): a generator that
+        # MIS-annotates (e.g. micros values under a TIMESTAMP(NANOS)
+        # annotation) is now classified by its annotation where the
+        # old probe self-corrected — deliberately so, because DuckDB's
+        # reader (the oracle) trusts the same annotation, and agreeing
+        # with the oracle on malformed inputs beats silently diverging
+        # from it.
         unit = _ts_unit_from_footer(f"{sf_dir}/events.parquet")
         if unit in ("ns", "us", "ms"):
             expr = {"ns": "ts div 1000", "us": "ts",

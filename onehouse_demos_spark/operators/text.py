@@ -755,6 +755,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(_BM25_TERMS)
         ],
     ).filter(F.col("dl") > 0)
+    # INTENTIONAL session-lifetime persist (ADVICE r14): per_doc feeds
+    # three consumers in this one query (consts, df_t, the scoring
+    # join) and is never unpersisted — the returned frame is lazy, so
+    # there is no safe release point inside the function (unpersisting
+    # before the caller materializes would recompute the corpus
+    # tokenization 3×, the r14-measured 2.18 s vs 0.95 s). Same class
+    # as minhash_lsh_pairs' signature persist: repeated invocations in
+    # one session reuse/accumulate cache entries (#docs × ~40 B per
+    # entry — KB at these SFs, bounded by LRU eviction at scale).
     per_doc = per_doc.persist()
     consts = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

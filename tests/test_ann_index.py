@@ -202,9 +202,13 @@ def test_ann_oracle_ctes_all_materialized():
         pq_adc_topk_sql,
     )
 
-    plain_cte = re.compile(
-        r"^(?:WITH\s+)?[A-Za-z_]\w*\s+AS \(", re.MULTILINE
-    )
+    # r15 (ADVICE r14): deliberately NOT the rewrite's column-0 regex —
+    # a CTE definition is the only construct in these templates where
+    # `AS` is immediately followed by an opening paren (column aliases
+    # are `expr AS name`, table aliases put the paren after the name),
+    # so any position-independent `AS (` hit is an unmaterialized CTE,
+    # including one a future template indents past the rewrite regex.
+    plain_cte = re.compile(r"\bAS\s+\(", re.IGNORECASE)
     for sql in (
         knn_ivf_trained_sql(),
         pq_adc_topk_sql(),
