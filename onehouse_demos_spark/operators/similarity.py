@@ -19,10 +19,49 @@ decimals with deterministic id tie-breaks.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from onehouse_demos_spark.functions.quantize import fquant
+
+#: r15 (VERDICT r14 ask #5): the Lloyd training loops are 2×iters
+#: sequential collect-jobs over tiny frames; with AQE on, every shuffle
+#: in each round's plan becomes a separately submitted query-stage job
+#: plus a re-optimization pass — pure per-round driver overhead when
+#: the whole round's data is a few MB. Scoped AQE-off collapses each
+#: round back to ONE job. Guarded like fan_out: the conf flips only
+#: when the training input's scan parallelism is below the cluster
+#: default (single-row-group local files ⇒ 1-task scans); at 100 TB
+#: (thousands of splits) the guard keeps AQE on, where its coalescing
+#: and skew handling matter. Flag exists so tools/ab_ann_lloyd.py can
+#: interleave-A/B both variants in one JVM.
+_LLOYD_COALESCE = True
+
+
+@contextmanager
+def _lloyd_scope(df: DataFrame):
+    """Scoped spark.sql.adaptive.enabled=false around a Lloyd training
+    loop (restored in finally; results are AQE-independent — the
+    aggregations are deterministic and every round's centroids are
+    rounded to the 6-decimal grid)."""
+    spark = df.sparkSession
+    tiny = (
+        _LLOYD_COALESCE
+        and df.rdd.getNumPartitions()
+        < spark.sparkContext.defaultParallelism
+    )
+    if not tiny:
+        yield
+        return
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,38 +507,47 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [list(r.v) for r in seeds]
-    for _ in range(iters):
-        assigned = _assign_to_centroids(vecs, centroids)
-        comps = assigned.select(
-            "cid", F.posexplode(F.col("v")).alias("pos", "x")
-        )
-        # Means round to 6 decimals: cross-engine determinism — the
-        # DuckDB oracle replays the same Lloyd iterations, and rounding
-        # each round's centroids makes both engines feed IDENTICAL
-        # inputs to the next round instead of compounding last-ulp
-        # summation-order drift. Quality impact is nil (1e-6 abs on
-        # O(1) components).
-        # r14: collect the k×dims (cid, pos, m) scalars directly and
-        # assemble per-cid arrays on the driver — posexplode emits the
-        # full dense 0..dims-1 position range for every assigned
-        # vector, so this is exactly the second-level
-        # array_sort(collect_list(struct(pos, m))) groupBy it replaces,
-        # minus one shuffle + one AQE stage per Lloyd round.
-        rows = (
-            comps.groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cid.setdefault(r.cid, {})[r.pos] = r.m
-        centroids = [
-            [by_cid[i][p] for p in range(len(by_cid[i]))]
-            if i in by_cid
-            else centroids[i]
-            for i in range(len(centroids))
-        ]
+    with _lloyd_scope(vecs):
+        for _ in range(iters):
+            centroids = _lloyd_round(vecs, centroids)
     return centroids
+
+
+def _lloyd_round(
+    vecs: DataFrame, centroids: list[list[float]]
+) -> list[list[float]]:
+    """One Lloyd iteration: assign → per-(cid, pos) mean → driver-side
+    array assembly (r14), empty cells carry the previous centroid."""
+    assigned = _assign_to_centroids(vecs, centroids)
+    comps = assigned.select(
+        "cid", F.posexplode(F.col("v")).alias("pos", "x")
+    )
+    # Means round to 6 decimals: cross-engine determinism — the
+    # DuckDB oracle replays the same Lloyd iterations, and rounding
+    # each round's centroids makes both engines feed IDENTICAL
+    # inputs to the next round instead of compounding last-ulp
+    # summation-order drift. Quality impact is nil (1e-6 abs on
+    # O(1) components).
+    # r14: collect the k×dims (cid, pos, m) scalars directly and
+    # assemble per-cid arrays on the driver — posexplode emits the
+    # full dense 0..dims-1 position range for every assigned
+    # vector, so this is exactly the second-level
+    # array_sort(collect_list(struct(pos, m))) groupBy it replaces,
+    # minus one shuffle + one AQE stage per Lloyd round.
+    rows = (
+        comps.groupBy("cid", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .collect()
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, {})[r.pos] = r.m
+    return [
+        [by_cid[i][p] for p in range(len(by_cid[i]))]
+        if i in by_cid
+        else centroids[i]
+        for i in range(len(centroids))
+    ]
 
 
 def _centroid_df(emb: DataFrame, centroids: list[list[float]]):
@@ -715,32 +763,34 @@ def train_pq_codebooks(
         ]
         for r in seed_rows:
             books[r.sub][r.cid] = list(r.sv)
-        for _ in range(iters):
-            assigned = _pq_assign(subvecs, books)
-            # r14: collect the M×K×(D/M) (sub, cid, pos, mu) scalars
-            # directly and assemble per-codeword arrays on the driver —
-            # same dense-position argument as train_ivf_centroids,
-            # minus one shuffle + one AQE stage per Lloyd round.
-            rows = (
-                assigned.select(
-                    "sub", "cid", F.posexplode("sv").alias("pos", "x")
+        with _lloyd_scope(subvecs):
+            for _ in range(iters):
+                assigned = _pq_assign(subvecs, books)
+                # r14: collect the M×K×(D/M) (sub, cid, pos, mu)
+                # scalars directly and assemble per-codeword arrays on
+                # the driver — same dense-position argument as
+                # train_ivf_centroids, minus one shuffle + one AQE
+                # stage per Lloyd round.
+                rows = (
+                    assigned.select(
+                        "sub", "cid", F.posexplode("sv").alias("pos", "x")
+                    )
+                    .groupBy("sub", "cid", "pos")
+                    .agg(F.round(F.avg("x"), 6).alias("mu"))
+                    .collect()
                 )
-                .groupBy("sub", "cid", "pos")
-                .agg(F.round(F.avg("x"), 6).alias("mu"))
-                .collect()
-            )
-            fresh: dict[tuple[int, int], dict[int, float]] = {}
-            for r in rows:
-                fresh.setdefault((r.sub, r.cid), {})[r.pos] = r.mu
-            books = [
-                [
-                    [fresh[(s, c)][p] for p in range(len(fresh[(s, c)]))]
-                    if (s, c) in fresh
-                    else books[s][c]
-                    for c in range(k)
+                fresh: dict[tuple[int, int], dict[int, float]] = {}
+                for r in rows:
+                    fresh.setdefault((r.sub, r.cid), {})[r.pos] = r.mu
+                books = [
+                    [
+                        [fresh[(s, c)][p] for p in range(len(fresh[(s, c)]))]
+                        if (s, c) in fresh
+                        else books[s][c]
+                        for c in range(k)
+                    ]
+                    for s in range(m)
                 ]
-                for s in range(m)
-            ]
         return books
     finally:
         subvecs.unpersist()

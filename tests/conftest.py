@@ -11,6 +11,40 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+_FULL_TIER_FILE = os.path.join(os.path.dirname(__file__), "full_tier.txt")
+
+
+def _full_tier_ids() -> set[str]:
+    ids: set[str] = set()
+    try:
+        with open(_FULL_TIER_FILE) as fh:
+            for line in fh:
+                entry = line.split("#", 1)[0].strip()
+                if entry:
+                    # store without the tests/ prefix so node ids match
+                    # regardless of the invocation directory
+                    ids.add(entry.removeprefix("tests/"))
+    except OSError:
+        pass
+    return ids
+
+
+def pytest_collection_modifyitems(config, items):
+    """r15 (VERDICT r14 ask #1): apply the `full` marker to the
+    measured heavy tail listed in tests/full_tier.txt. Data-driven so
+    the tier can be regenerated from a --durations=0 log without
+    editing dozens of test files; pytest.ini's `-m "not full"` addopts
+    deselect the tier from the default run."""
+    tier = _full_tier_ids()
+    if not tier:
+        return
+    for item in items:
+        nodeid = item.nodeid
+        if nodeid.startswith("tests/"):
+            nodeid = nodeid.removeprefix("tests/")
+        if nodeid in tier:
+            item.add_marker(pytest.mark.full)
+
 
 @pytest.fixture(scope="session")
 def spark():
