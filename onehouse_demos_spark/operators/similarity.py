@@ -55,13 +55,25 @@ def _lloyd_scope(df: DataFrame):
     if not tiny:
         yield
         return
-    key = "spark.sql.adaptive.enabled"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
+    # AQE-off ALONE measured 37% slower here (tools/ab_ann_lloyd.py:
+    # the tiny per-round shuffles then run at the session's full
+    # shuffle-partition count). Pair it with 1-partition shuffles —
+    # exactly the partition count AQE's coalescer picks for these
+    # byte-sized exchanges, minus the per-stage job round-trips. Safe
+    # under the tiny guard above; results are partitioning-independent
+    # (deterministic aggregates on the 6-decimal grid).
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.shuffle.partitions": "1",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 def load_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
