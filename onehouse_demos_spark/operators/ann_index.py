@@ -44,6 +44,7 @@ from onehouse_demos_spark.operators.similarity import (
     _as_double,
     _assign_to_centroids,
     _centroid_df,
+    _lloyd_scope,
     _pq_assign,
     _pq_codebook_df,
     _subvec_frame,
@@ -83,71 +84,86 @@ class AnnIndex:
         vecs = emb.select(
             "vec_id", _as_double(F.col("embedding")).alias("v")
         ).persist()
+        # r15: the whole build is a chain of ~30 tiny sequential jobs
+        # at local SFs (train rounds, assignment, encode, three
+        # writes) — run it under the same tiny-guarded scope the Lloyd
+        # loops use (AQE off + 1-partition shuffles; similarity.
+        # _lloyd_scope). The guard keeps AQE on when the corpus scan
+        # is cluster-wide, so the 100 TB encode/write path is
+        # untouched. Layout equivalence at tiny scale: the codes
+        # write's repartition("cell") shuffles byte-sized data that
+        # AQE coalesces to one partition anyway — one file per cell
+        # directory either way (asserted identical end-to-end by
+        # tools/ab_ann_lloyd.py and the 3-SF oracle checks).
         try:
-            dims = len(vecs.select("v").first().v)
-            # 1. coarse quantizer
-            centroids = train_ivf_centroids(
-                vecs.select("vec_id", F.col("v").alias("embedding")),
-                k=k_coarse,
-                iters=iters,
-            )
-            assigned = _assign_to_centroids(
-                vecs.select("vec_id", "v"), centroids
-            ).withColumnRenamed("cid", "cell")
-            # 2. residuals vs the assigned centroid (IVFADC): PQ
-            # quantizes what the coarse cell did NOT explain, which is
-            # where its accuracy over plain PQ comes from.
-            cdf = _centroid_df(vecs, centroids).withColumnRenamed(
-                "cid", "cell"
-            )
-            resid = assigned.join(F.broadcast(cdf), "cell").select(
-                "vec_id",
-                "cell",
-                F.zip_with("v", "c", lambda a, b: a - b).alias("v"),
-            ).persist()
-            # 3. PQ codebooks on residuals + encode
-            books = train_pq_codebooks(
-                resid.select("vec_id", F.col("v").alias("embedding")),
-                m=m,
-                k=k_pq,
-                iters=iters,
-                dims=dims,
-            )
-            codes = (
-                _pq_assign(
-                    _subvec_frame(resid.select("vec_id", "v"), m, dims=dims),
-                    books,
+            with _lloyd_scope(vecs):
+                dims = len(vecs.select("v").first().v)
+                # 1. coarse quantizer
+                centroids = train_ivf_centroids(
+                    vecs.select("vec_id", F.col("v").alias("embedding")),
+                    k=k_coarse,
+                    iters=iters,
                 )
-                .groupBy("vec_id")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("sub", "cid"))
-                    ).alias("sc")
+                assigned = _assign_to_centroids(
+                    vecs.select("vec_id", "v"), centroids
+                ).withColumnRenamed("cid", "cell")
+                # 2. residuals vs the assigned centroid (IVFADC): PQ
+                # quantizes what the coarse cell did NOT explain, which
+                # is where its accuracy over plain PQ comes from.
+                cdf = _centroid_df(vecs, centroids).withColumnRenamed(
+                    "cid", "cell"
                 )
-                .select(
+                resid = assigned.join(F.broadcast(cdf), "cell").select(
                     "vec_id",
-                    F.transform("sc", lambda s: s["cid"]).alias("codes"),
+                    "cell",
+                    F.zip_with("v", "c", lambda a, b: a - b).alias("v"),
+                ).persist()
+                # 3. PQ codebooks on residuals + encode
+                books = train_pq_codebooks(
+                    resid.select("vec_id", F.col("v").alias("embedding")),
+                    m=m,
+                    k=k_pq,
+                    iters=iters,
+                    dims=dims,
                 )
-                .join(resid.select("vec_id", "cell"), "vec_id")
-            )
-            # 4. persist: codes partitioned by cell → probed-cell file
-            # pruning at query time; codebooks/centroids are tiny.
-            codes.repartition("cell").write.mode("overwrite").partitionBy(
-                "cell"
-            ).parquet(f"{path}/codes")
-            _centroid_df(vecs, centroids).write.mode("overwrite").parquet(
-                f"{path}/centroids.parquet"
-            )
-            _pq_codebook_df(spark, books).write.mode("overwrite").parquet(
-                f"{path}/codebooks.parquet"
-            )
-            meta = {
-                "dims": dims,
-                "k_coarse": k_coarse,
-                "m": m,
-                "k_pq": k_pq,
-                "n_vectors": vecs.count(),
-            }
+                codes = (
+                    _pq_assign(
+                        _subvec_frame(
+                            resid.select("vec_id", "v"), m, dims=dims
+                        ),
+                        books,
+                    )
+                    .groupBy("vec_id")
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(F.struct("sub", "cid"))
+                        ).alias("sc")
+                    )
+                    .select(
+                        "vec_id",
+                        F.transform("sc", lambda s: s["cid"]).alias("codes"),
+                    )
+                    .join(resid.select("vec_id", "cell"), "vec_id")
+                )
+                # 4. persist: codes partitioned by cell → probed-cell
+                # file pruning at query time; codebooks/centroids are
+                # tiny.
+                codes.repartition("cell").write.mode(
+                    "overwrite"
+                ).partitionBy("cell").parquet(f"{path}/codes")
+                _centroid_df(vecs, centroids).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/centroids.parquet")
+                _pq_codebook_df(spark, books).write.mode(
+                    "overwrite"
+                ).parquet(f"{path}/codebooks.parquet")
+                meta = {
+                    "dims": dims,
+                    "k_coarse": k_coarse,
+                    "m": m,
+                    "k_pq": k_pq,
+                    "n_vectors": vecs.count(),
+                }
             with open(f"{path}/meta.json", "w") as fh:
                 json.dump(meta, fh)
             return AnnIndex(spark, path, centroids, books, meta)
@@ -183,45 +199,51 @@ class AnnIndex:
         vecs = emb.select(
             "vec_id", _as_double(F.col("embedding")).alias("v")
         ).persist()
+        # r15: same tiny-guarded scope as build — the batch-only
+        # assign/encode/append chain is a handful of sequential tiny
+        # jobs at local SFs; cluster-wide batches keep AQE (guard).
         try:
-            n = vecs.count()
-            if n == 0:
-                return 0
-            assigned = _assign_to_centroids(
-                vecs.select("vec_id", "v"), self.centroids
-            ).withColumnRenamed("cid", "cell")
-            cdf = _centroid_df(vecs, self.centroids).withColumnRenamed(
-                "cid", "cell"
-            )
-            resid = assigned.join(F.broadcast(cdf), "cell").select(
-                "vec_id",
-                "cell",
-                F.zip_with("v", "c", lambda a, b: a - b).alias("v"),
-            )
-            codes = (
-                _pq_assign(
-                    _subvec_frame(
-                        resid.select("vec_id", "v"),
-                        self.meta["m"],
-                        dims=self.meta["dims"],
-                    ),
-                    self.codebooks,
+            with _lloyd_scope(vecs):
+                n = vecs.count()
+                if n == 0:
+                    return 0
+                assigned = _assign_to_centroids(
+                    vecs.select("vec_id", "v"), self.centroids
+                ).withColumnRenamed("cid", "cell")
+                cdf = _centroid_df(vecs, self.centroids).withColumnRenamed(
+                    "cid", "cell"
                 )
-                .groupBy("vec_id")
-                .agg(
-                    F.array_sort(
-                        F.collect_list(F.struct("sub", "cid"))
-                    ).alias("sc")
-                )
-                .select(
+                resid = assigned.join(F.broadcast(cdf), "cell").select(
                     "vec_id",
-                    F.transform("sc", lambda s: s["cid"]).alias("codes"),
+                    "cell",
+                    F.zip_with("v", "c", lambda a, b: a - b).alias("v"),
                 )
-                .join(resid.select("vec_id", "cell"), "vec_id")
-            )
-            codes.repartition("cell").write.mode("append").partitionBy(
-                "cell"
-            ).parquet(f"{self.path}/codes")
+                codes = (
+                    _pq_assign(
+                        _subvec_frame(
+                            resid.select("vec_id", "v"),
+                            self.meta["m"],
+                            dims=self.meta["dims"],
+                        ),
+                        self.codebooks,
+                    )
+                    .groupBy("vec_id")
+                    .agg(
+                        F.array_sort(
+                            F.collect_list(F.struct("sub", "cid"))
+                        ).alias("sc")
+                    )
+                    .select(
+                        "vec_id",
+                        F.transform("sc", lambda s: s["cid"]).alias(
+                            "codes"
+                        ),
+                    )
+                    .join(resid.select("vec_id", "cell"), "vec_id")
+                )
+                codes.repartition("cell").write.mode("append").partitionBy(
+                    "cell"
+                ).parquet(f"{self.path}/codes")
             self.meta["n_vectors"] = int(self.meta.get("n_vectors", 0)) + n
             tmp = f"{self.path}/meta.json.tmp"
             with open(tmp, "w") as fh:
